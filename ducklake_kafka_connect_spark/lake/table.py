@@ -1,0 +1,316 @@
+"""Manifest-based lakehouse tables on plain Parquet.
+
+The reference writes DuckLake tables: Parquet data files plus a
+transactional catalog that tracks the file set per snapshot
+(``connect/DucklakeConnectionFactory.java:80-95``). Delta/Iceberg jars are
+not in this image, so the same model is built here directly:
+
+- ``<root>/<table>/_meta/v{N}.json`` — versioned manifest: logical schema,
+  primary-key columns, partition expressions, and the list of live data
+  files grouped by partition value.
+- ``<root>/<table>/_meta/LATEST`` — current version pointer, updated by
+  atomic rename; readers always see a consistent snapshot.
+- ``<root>/<table>/data/s{N}-{uuid}/…`` — immutable Parquet files written
+  once by a commit, never modified (append commits add files; merge
+  commits swap the file set of affected partitions only).
+
+Scale notes: data files are immutable and partition-grouped, so a MERGE
+touching k of n partitions rewrites only k partitions' files; appends
+never rewrite anything. The manifest is driver-side JSON — at true 100 TB
+scale it would graduate to a compacted/Avro manifest chain (Iceberg-style),
+which changes no executor-side code path.
+
+Complex (struct/array/map) columns are persisted as canonical JSON text —
+the reference stores them as DuckDB JSON columns
+(``ingestor/DucklakeTableManager.java:419-423``, README.md:8) — with the
+original logical type kept in the manifest for the JSON evolution guard.
+
+Concurrency: single-writer-per-table via an exclusive lock file with
+timeout/retry — the analogue of the reference's per-table lock
+(``ingestor/DucklakeTableManager.java:51-52``) and its catalog-conflict
+retries (``ducklake_max_retry_count``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .partitioning import (
+    PartitionExpr,
+    derived_column_names,
+    dir_column_names,
+    parse_partition_exprs,
+    with_dir_columns,
+)
+
+INSERTED_AT = "_inserted_at"
+
+
+def is_complex(dtype: T.DataType) -> bool:
+    return isinstance(dtype, (T.StructType, T.ArrayType, T.MapType))
+
+
+def to_physical_schema(logical: T.StructType) -> T.StructType:
+    """Complex columns → JSON string columns (reference storage semantics)."""
+    fields = []
+    for f in logical.fields:
+        if is_complex(f.dataType):
+            fields.append(T.StructField(f.name, T.StringType(), True, metadata={"ducklake.json": True}))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def json_column_names(logical: T.StructType) -> list[str]:
+    return [f.name for f in logical.fields if is_complex(f.dataType)]
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+@dataclass
+class Manifest:
+    version: int
+    schema: T.StructType            # logical schema (complex types preserved)
+    pk: list[str]
+    partition_spec: list[str]       # e.g. ["year(ts)", "event_type"]
+    files: dict[str, list[str]]     # partition-dir relpath ("" if unpartitioned) -> file relpaths
+    parent: int | None = None
+    props: dict = dc_field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "schema": self.schema.jsonValue(),
+                "pk": self.pk,
+                "partition_spec": self.partition_spec,
+                "files": self.files,
+                "parent": self.parent,
+                "props": self.props,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "Manifest":
+        d = json.loads(text)
+        return Manifest(
+            version=d["version"],
+            schema=T.StructType.fromJson(d["schema"]),
+            pk=list(d.get("pk") or []),
+            partition_spec=list(d.get("partition_spec") or []),
+            files={k: list(v) for k, v in d.get("files", {}).items()},
+            parent=d.get("parent"),
+            props=d.get("props") or {},
+        )
+
+    @property
+    def partition_exprs(self) -> list[PartitionExpr]:
+        return parse_partition_exprs(self.partition_spec)
+
+    def all_files(self) -> list[str]:
+        return [p for paths in self.files.values() for p in paths]
+
+
+class TableLock:
+    """Exclusive advisory lock via O_CREAT|O_EXCL; stale after 10 min."""
+
+    def __init__(self, path: str, timeout: float = 60.0, stale_after: float = 600.0):
+        self.path = path
+        self.timeout = timeout
+        self.stale_after = stale_after
+
+    def __enter__(self):
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.monotonic() - os.path.getmtime(self.path) > self.stale_after:
+                        os.unlink(self.path)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise CommitConflict(f"Timed out acquiring table lock {self.path}")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.dir = os.path.join(root, name)
+        self.meta_dir = os.path.join(self.dir, "_meta")
+        self.data_dir = os.path.join(self.dir, "data")
+
+    # ---------- metadata ----------
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, "LATEST"))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "LATEST")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def lock(self) -> TableLock:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        return TableLock(os.path.join(self.meta_dir, "LOCK"))
+
+    def _commit(self, manifest: Manifest) -> None:
+        """Write v{N}.json, then atomically flip LATEST (rename is the txn)."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        mpath = os.path.join(self.meta_dir, f"v{manifest.version}.json")
+        if os.path.exists(mpath):
+            raise CommitConflict(f"Version {manifest.version} already committed on {self.name}")
+        with open(mpath, "w") as f:
+            f.write(manifest.to_json())
+        tmp = os.path.join(self.meta_dir, f".LATEST.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(manifest.version))
+        os.replace(tmp, os.path.join(self.meta_dir, "LATEST"))
+
+    # ---------- create ----------
+
+    def create(
+        self,
+        schema: T.StructType,
+        pk: list[str] | None = None,
+        partition_by: str | list[str] | None = None,
+        props: dict | None = None,
+    ) -> Manifest:
+        """Auto-create: logical schema + _inserted_at system column
+        (DucklakeTableManager.java:186-231)."""
+        if self.exists():
+            return self.manifest()
+        exprs = parse_partition_exprs(partition_by)
+        for e in exprs:
+            if e.column not in schema.fieldNames():
+                raise ValueError(
+                    f"Partition expression {e.spec_string()!r} references "
+                    f"unknown column {e.column!r}"
+                )
+        fields = [f for f in schema.fields if f.name != INSERTED_AT]
+        fields.append(T.StructField(INSERTED_AT, T.TimestampType(), True))
+        m = Manifest(
+            version=0,
+            schema=T.StructType(fields),
+            pk=list(pk or []),
+            partition_spec=[e.spec_string() for e in exprs],
+            files={},
+            parent=None,
+            props=props or {},
+        )
+        with self.lock():
+            if not self.exists():
+                self._commit(m)
+        return self.manifest()
+
+    # ---------- read ----------
+
+    def read_schema(self, m: Manifest) -> T.StructType:
+        """Physical file schema: physical data columns plus derived
+        partition columns (real columns inside each file)."""
+        physical = to_physical_schema(m.schema)
+        fields = list(physical.fields)
+        for e in m.partition_exprs:
+            if e.is_derived:
+                fields.append(T.StructField(e.output_name, T.IntegerType(), True))
+        return T.StructType(fields)
+
+    def read(self, version: int | None = None, include_hidden: bool = False) -> DataFrame:
+        """Snapshot read: explicit file list from the manifest, explicit
+        schema (no inference scan, no partition discovery — partition
+        values are stored as data columns). Old files missing newly-added
+        columns are null-filled by the Parquet reader."""
+        m = self.manifest(version)
+        exprs = m.partition_exprs
+        schema = self.read_schema(m)
+        files = [os.path.join(self.dir, p) for p in m.all_files()]
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        if not include_hidden:
+            hidden = derived_column_names(exprs)
+            if hidden:
+                df = df.drop(*hidden)
+        return df
+
+    # ---------- physical file management (used by the writer) ----------
+
+    def write_data_files(self, df: DataFrame, version_hint: int) -> dict[str, list[str]]:
+        """Write a DataFrame as immutable Parquet under a fresh stage dir,
+        partitioned by the table's partition columns; return the
+        {partition-relpath: [file-relpath]} mapping for the manifest."""
+        m = self.manifest() if self.exists() else None
+        exprs = m.partition_exprs if m else []
+        stage_rel = os.path.join("data", f"s{version_hint}-{uuid.uuid4().hex[:8]}")
+        stage_abs = os.path.join(self.dir, stage_rel)
+        df = with_dir_columns(df, exprs)
+        writer = df.write.mode("overwrite")
+        dir_cols = dir_column_names(exprs)
+        if dir_cols:
+            writer = writer.partitionBy(*dir_cols)
+        writer.parquet(stage_abs)
+
+        files: dict[str, list[str]] = {}
+        for dirpath, _dirnames, filenames in os.walk(stage_abs):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(dirpath, stage_abs)
+                part_key = "" if rel_dir == "." else rel_dir
+                files.setdefault(part_key, []).append(
+                    os.path.join(stage_rel, "" if rel_dir == "." else rel_dir, fn)
+                    if rel_dir != "."
+                    else os.path.join(stage_rel, fn)
+                )
+        return files
+
+
+class LakeCatalog:
+    """A directory of LakeTables — the engine's 'lake.main' namespace."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> LakeTable:
+        return LakeTable(self.spark, self.root, name)
+
+    def table_exists(self, name: str) -> bool:
+        return self.table(name).exists()
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+            and os.path.exists(os.path.join(self.root, d, "_meta", "LATEST"))
+        )

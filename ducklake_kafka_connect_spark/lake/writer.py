@@ -1,0 +1,288 @@
+"""Write path: auto-create / evolve → route MERGE-vs-INSERT → commit.
+
+Parity targets (reference ``ingestor/DucklakeWriter.java``):
+
+- D3 routing (:85-96): MERGE only when PK columns are configured AND the
+  table pre-existed; otherwise plain INSERT (append).
+- D2 MERGE (:98-187): name-mapped upsert on the PK equi-join;
+- D6 (:116-137): PK columns and ``_inserted_at`` never updated on match;
+- B10 (:147-148,213-214): ``_inserted_at = NOW()`` stamped on insert only;
+- D5: batch consolidation is ``unionByName`` / a single micro-batch;
+- C8-C11: auto-create + ADD COLUMN + widening via ``schema/reconcile.py``.
+
+MERGE physical strategy (the 100 TB design):
+
+The source micro-batch is small relative to the table, so every join
+broadcasts the source — the target is **never shuffled**. Affected
+partitions are computed from (a) the source rows' partition values and
+(b) a column-pruned scan of target (pk + partition columns) semi-joined
+against the broadcast source keys — so keys whose update moves them
+across partitions delete their old copy. Only affected partitions are
+re-read (file pruning happens driver-side against the manifest) and
+rewritten; untouched partitions keep their immutable files. Plan shape:
+
+    scan(target, affected-partitions only)  ──┐
+    broadcast(src) ── left_anti (untouched) ──┤
+    broadcast(src) ── inner   (matched)     ──┼─ unionByName → write
+    broadcast(src) ── left_anti (inserts)   ──┘
+
+At 1000 executors this is one pruned scan + three broadcast hash joins —
+no shuffle of table data, no sort. A future round can add file-level PK
+min/max stats to the manifest to prune the (b) scan further.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema.reconcile import INSERTED_AT, plan_evolution
+from .partitioning import (
+    dir_key_to_partition_tuple,
+    partition_column_names,
+    with_partition_columns,
+)
+from .table import LakeTable, Manifest, is_complex, to_physical_schema
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+# Above this many affected partitions, skip per-partition pruning and
+# rewrite via a full-table pass (the OR-filter would not be worth it).
+MAX_PRUNED_PARTITIONS = 1024
+
+
+def _logical_schema_of(df: DataFrame) -> T.StructType:
+    return T.StructType([f for f in df.schema.fields if f.name != INSERTED_AT])
+
+
+def _conform(df: DataFrame, logical: T.StructType, extra: Sequence[str] = ()) -> DataFrame:
+    """Project a batch onto the table's logical schema in physical form:
+    missing columns null-filled (B1), complex columns serialized to JSON
+    (B9), scalars cast to the (possibly widened) table type. ``extra``
+    columns (system / partition columns) pass through untouched."""
+    physical = to_physical_schema(logical)
+    cols = []
+    taken: set[str] = set()
+    df_cols = set(df.columns)
+    for lf, pf in zip(logical.fields, physical.fields):
+        if lf.name == INSERTED_AT:
+            continue
+        taken.add(lf.name)
+        if lf.name not in df_cols:
+            cols.append(F.lit(None).cast(pf.dataType).alias(lf.name))
+        elif is_complex(lf.dataType):
+            src_type = df.schema[lf.name].dataType
+            if isinstance(src_type, T.StringType):
+                cols.append(F.col(lf.name).alias(lf.name))  # pre-serialized
+            else:
+                cols.append(F.to_json(F.col(lf.name)).alias(lf.name))
+        else:
+            cols.append(F.col(lf.name).cast(pf.dataType).alias(lf.name))
+    for name in extra:
+        if name in df_cols and name not in taken:
+            taken.add(name)
+            cols.append(F.col(name))
+    return df.select(*cols)
+
+
+def _dedup_last_wins(df: DataFrame, pk: Sequence[str], order_col: str | None) -> DataFrame:
+    """Collapse in-batch duplicate keys to the last write (SURVEY risk #2:
+    DuckDB MERGE applies last-write; a multi-match would also break the
+    join-based merge)."""
+    from pyspark.sql import Window as W
+
+    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    if order_col is None:
+        df = df.withColumn("__order", F.monotonically_increasing_id())
+        order = F.col("__order")
+    w = W.partitionBy(*[F.col(c) for c in pk]).orderBy(order.desc())
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    if order_col is None:
+        out = out.drop("__order")
+    return out
+
+
+class LakeWriter:
+    """Per-table writer — create/evolve + merge-vs-insert routing."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        pk: Sequence[str] | None = None,
+        partition_by: str | list[str] | None = None,
+        auto_create: bool = True,
+    ):
+        self.table = table
+        self.pk = list(pk or [])
+        self.partition_by = partition_by
+        self.auto_create = auto_create
+
+    # ---------- public API ----------
+
+    def write(self, df: DataFrame, order_col: str | None = None) -> None:
+        """Reference routing (DucklakeWriter.java:85-96): MERGE when PKs
+        are configured and the table pre-existed, else plain INSERT."""
+        pre_existed = self.table.exists()
+        if self.pk and pre_existed:
+            self.merge(df, order_col=order_col)
+        else:
+            self.append(df)
+
+    def append(self, df: DataFrame) -> None:
+        manifest = self._ensure_table(df)
+        out = self._prepare_insert(df, manifest)
+        with self.table.lock():
+            manifest = self.table.manifest()  # re-read under lock
+            new_files = self.table.write_data_files(out, manifest.version + 1)
+            merged_files = {k: list(v) for k, v in manifest.files.items()}
+            for k, paths in new_files.items():
+                merged_files.setdefault(k, []).extend(paths)
+            self._commit_next(manifest, merged_files, _logical_schema_of_batch(df, manifest))
+
+    def merge(self, df: DataFrame, order_col: str | None = None) -> None:
+        if not self.pk:
+            raise ValueError(f"merge() on table {self.table.name} requires pk columns")
+        manifest = self._ensure_table(df)
+        final_logical = _logical_schema_of_batch(df, manifest)
+        exprs = manifest.partition_exprs
+        part_cols = partition_column_names(exprs)
+
+        src = _dedup_last_wins(df, self.pk, order_col)
+        src = _conform(src, final_logical)
+        src = with_partition_columns(src, exprs).cache()
+        src_keys = src.select(*self.pk).distinct()
+
+        # ---- affected partitions (driver-side file pruning) ----
+        if part_cols:
+            affected = {
+                tuple(str(r[c]) if r[c] is not None else HIVE_NULL for c in part_cols)
+                for r in src.select(*part_cols).distinct().collect()
+            }
+            target_all = self.table.read(include_hidden=True)
+            matched_parts = (
+                target_all.select(*self.pk, *part_cols)
+                .join(F.broadcast(src_keys), on=self.pk, how="left_semi")
+                .select(*part_cols)
+                .distinct()
+                .collect()
+            )
+            affected |= {
+                tuple(str(r[c]) if r[c] is not None else HIVE_NULL for c in part_cols)
+                for r in matched_parts
+            }
+        else:
+            affected = None  # unpartitioned → whole table is affected
+
+        target = self._read_partitions(manifest, part_cols, affected)
+        # Conform the target side to the evolved schema too: null-fill
+        # added columns, cast widened ones; keep system/partition columns.
+        passthrough = [INSERTED_AT] + [c for c in part_cols if c not in final_logical.fieldNames()]
+        target = _conform(target, final_logical, extra=passthrough)
+
+        # ---- the three broadcast joins ----
+        untouched = target.join(F.broadcast(src_keys), on=self.pk, how="left_anti")
+        ins_lookup = target.select(*self.pk, INSERTED_AT)
+        matched = (
+            ins_lookup.join(F.broadcast(src), on=self.pk, how="inner")
+            .select(*[F.col(c) for c in src.columns if c != INSERTED_AT], F.col(INSERTED_AT))
+        )
+        inserts = (
+            src.join(F.broadcast(ins_lookup.select(*self.pk)), on=self.pk, how="left_anti")
+            .withColumn(INSERTED_AT, F.current_timestamp())
+        )
+        out_cols = (
+            [f.name for f in to_physical_schema(final_logical).fields]
+            + [INSERTED_AT]
+            + [c for c in part_cols if c not in final_logical.fieldNames()]
+        )
+        merged = (
+            untouched.selectExpr(*out_cols)
+            .unionByName(matched.selectExpr(*out_cols))
+            .unionByName(inserts.selectExpr(*out_cols))
+        )
+
+        with self.table.lock():
+            manifest = self.table.manifest()
+            new_files = self.table.write_data_files(merged, manifest.version + 1)
+            if affected is None:
+                merged_files = new_files
+            else:
+                merged_files = {
+                    k: list(v)
+                    for k, v in manifest.files.items()
+                    if self._part_tuple(k, manifest) not in affected
+                }
+                for k, paths in new_files.items():
+                    merged_files.setdefault(k, []).extend(paths)
+            self._commit_next(manifest, merged_files, final_logical)
+        src.unpersist()
+
+    # ---------- internals ----------
+
+    def _ensure_table(self, df: DataFrame) -> Manifest:
+        if not self.table.exists():
+            if not self.auto_create:
+                raise ValueError(
+                    f"Table {self.table.name} does not exist and auto-create is disabled"
+                )
+            self.table.create(
+                _logical_schema_of(df), pk=self.pk, partition_by=self.partition_by
+            )
+        return self.table.manifest()
+
+    def _prepare_insert(self, df: DataFrame, manifest: Manifest) -> DataFrame:
+        final_logical = _logical_schema_of_batch(df, manifest)
+        out = _conform(df, final_logical).withColumn(INSERTED_AT, F.current_timestamp())
+        return with_partition_columns(out, manifest.partition_exprs)
+
+    def _commit_next(
+        self, manifest: Manifest, files: dict[str, list[str]], final_logical: T.StructType
+    ) -> None:
+        fields = [f for f in final_logical.fields if f.name != INSERTED_AT]
+        fields.append(T.StructField(INSERTED_AT, T.TimestampType(), True))
+        self.table._commit(
+            Manifest(
+                version=manifest.version + 1,
+                schema=T.StructType(fields),
+                pk=manifest.pk or self.pk,
+                partition_spec=manifest.partition_spec,
+                files=files,
+                parent=manifest.version,
+                props=manifest.props,
+            )
+        )
+
+    def _part_tuple(self, part_key: str, manifest: Manifest) -> tuple:
+        return dir_key_to_partition_tuple(part_key, manifest.partition_exprs)
+
+    def _read_partitions(
+        self, manifest: Manifest, part_cols: list[str], affected: set | None
+    ) -> DataFrame:
+        """Driver-side file pruning: keep only files whose partition dir
+        key is in the affected set, then read that explicit file list."""
+        if affected is None or len(affected) > MAX_PRUNED_PARTITIONS:
+            return self.table.read(include_hidden=True)
+        keep = [
+            p
+            for k, paths in manifest.files.items()
+            if self._part_tuple(k, manifest) in affected
+            for p in paths
+        ]
+        read_schema = self.table.read_schema(manifest)
+        if not keep:
+            return self.table.spark.createDataFrame([], read_schema)
+        import os
+
+        files = [os.path.join(self.table.dir, p) for p in keep]
+        return self.table.spark.read.schema(read_schema).parquet(*files)
+
+
+def _logical_schema_of_batch(df: DataFrame, manifest: Manifest) -> T.StructType:
+    """Reconcile the incoming batch's logical schema against the stored
+    schema → final (possibly evolved) logical schema. Raises on
+    incompatible evolution (caller DLQs)."""
+    incoming = _logical_schema_of(df)
+    existing = T.StructType([f for f in manifest.schema.fields if f.name != INSERTED_AT])
+    return plan_evolution(existing, incoming).final_schema

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs one JVM (``local[N]``); the configs below are chosen so
+the same code scales to a multi-executor cluster: AQE for runtime
+re-planning (skew joins, partition coalescing), UTC session timezone so
+results compare bit-for-bit with the DuckDB oracle, Arrow-accelerated
+Python boundaries, and dynamic partition overwrite so MERGE rewrites only
+the partitions it touched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_session(
+    app_name: str = "ducklake_kafka_connect_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(DEFAULT_CPUS)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # MERGE rewrites only partitions present in the output DataFrame.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Spark cannot read INT64 TIMESTAMP(NANOS) parquet columns as
+        # timestamps; read them as raw nanos longs instead and let
+        # sources.parquet_loader convert to µs timestamps (truncating,
+        # which matches a DuckDB CAST(ns AS TIMESTAMP)).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
