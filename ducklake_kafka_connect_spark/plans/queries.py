@@ -1,0 +1,504 @@
+"""The named query surface exposed to the driver oracle.
+
+Each entry pairs a Spark DataFrame implementation with an equivalent
+ANSI-SQL string DuckDB runs on the same parquet tables (views
+``region nation customer supplier part orders lineitem events documents
+embeddings``). Conventions that keep the value-hash comparison honest:
+
+- every computed column aliased identically on both sides;
+- ``events.ts`` is parquet timestamp[ns]: Spark side loads via
+  ``load_parquet`` (ns→µs truncation), oracle side ``CAST(ts AS
+  TIMESTAMP)`` (same truncation);
+- integer SUMs cast to BIGINT in DuckDB (its SUM(int) returns HUGEINT,
+  Spark returns long);
+- floating-point similarity/ratio outputs rounded to 6 decimals on both
+  sides;
+- top-k queries carry a deterministic tie-break on a key column.
+
+Queries tagged ``oracle=None`` are non-SQL-expressible (driver records a
+rows-only check).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.timestamps import parse_iso_timestamp
+from ..lake import LakeCatalog, LakeWriter
+from ..operators.similarity import cosine_topk
+from ..operators.text import EN_STOPWORDS, stopword_ratio_col, token_count_col
+from ..schema.merge import unify_schemas
+from ..sources.parquet_loader import load_parquet
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, description: str):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# A. Query surface over ingested tables (SURVEY §2.G: free from Spark SQL,
+#    declared so the oracle can verify ingested data is queryable)
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "2000-10-20 00:00:00"
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                        AS sum_qty,
+           sum(l_extendedprice)                                   AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
+           avg(l_quantity)                                        AS avg_qty,
+           avg(l_extendedprice)                                   AS avg_price,
+           avg(l_discount)                                        AS avg_disc,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 pricing summary: scan + filter + hash aggregate",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue, o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3-style: selective dim filter + 3-way join + top-k by revenue",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5-style 6-way join with broadcast dims",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # dims are tiny → broadcast; the only shuffle is lineitem⋈orders agg
+    dims = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == dims.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "top_k_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    "Top-K per group via ranking window (common OLAP pattern)",
+)
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "agg_distinct_orders",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(*)                  AS n_orders,
+           sum(o_totalprice)         AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "Distinct aggregate (two-phase partial agg under the hood)",
+)
+def agg_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "rollup_lineitem_qty",
+    """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP grouping sets",
+)
+def rollup_lineitem_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Ingestion-semantics queries (the reference's derived query surface,
+#    SURVEY §2.D)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "upsert_latest_per_key",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+    "Upsert-latest-per-key semantics: window dedup by PK, last write wins (D2)",
+)
+def upsert_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "merge_upsert_events",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 10 >= 5 THEN 'updated' ELSE event_type END AS event_type,
+           CASE WHEN event_id % 10 >= 5 THEN value + 1000.0 ELSE value END  AS value
+    FROM events
+    """,
+    "Full engine MERGE: base load + overlapping upsert batch through LakeWriter (D2/D3/D6)",
+)
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the real write path: 80% of events as the base table, then a
+    50%-overlap batch with mutated payload MERGEd on event_id; reads the
+    table back. Final state must equal the oracle's CASE expression."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    batch = (
+        ev.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_merged"), pk=["event_id"])
+    w.write(base)   # create + insert
+    w.write(batch)  # MERGE upsert
+    return (
+        cat.table("events_merged")
+        .read()
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "partition_cells_events",
+    """
+    SELECT CAST(EXTRACT(year  FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS y,
+           CAST(EXTRACT(month FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS m,
+           CAST(EXTRACT(day   FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS d,
+           count(*) AS n, sum(value) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    "Temporal partition expressions year()/month()/day() (B12) as grouping cells",
+)
+def partition_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").cast("int").alias("y"),
+            F.month("ts").cast("int").alias("m"),
+            F.dayofmonth("ts").cast("int").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    "Schemaless JSON payload extraction (A3/B9 query side)",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "timestamp_parse_roundtrip",
+    r"""
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S'),
+                                       '%Y-%m-%dT%H:%M:%S')
+                          = date_trunc('second', CAST(ts AS TIMESTAMP))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_naive_roundtrip,
+           CAST(sum(CASE WHEN strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') || '+0000',
+                                       '%Y-%m-%dT%H:%M:%S%z')
+                          = date_trunc('second', CAST(ts AS TIMESTAMP))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_compact_offset_roundtrip
+    FROM events
+    """,
+    "ISO-8601 detection/parse matrix (B5-B7): naive-as-UTC and ±hhmm compact offsets",
+)
+def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    iso_naive = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    iso_compact = F.concat(iso_naive, F.lit("+0000"))
+    sec = F.date_trunc("second", F.col("ts"))
+    return ev.select(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(parse_iso_timestamp(iso_naive) == sec, 1).otherwise(0))
+        .cast("long")
+        .alias("n_naive_roundtrip"),
+        F.sum(F.when(parse_iso_timestamp(iso_compact) == sec, 1).otherwise(0))
+        .cast("long")
+        .alias("n_compact_offset_roundtrip"),
+    )
+
+
+@register(
+    "schema_promotion_union",
+    """
+    SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS total FROM (
+      SELECT CAST(l_linenumber AS BIGINT) AS v FROM lineitem
+      UNION ALL
+      SELECT o_orderkey AS v FROM orders) t
+    """,
+    "Schema unification: INT32+INT64 batches promote to BIGINT (C4 ladder)",
+)
+def schema_promotion_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "lineitem").select(F.col("l_linenumber").alias("v"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("v"))
+    unified = unify_schemas([a.schema, b.schema])  # drives the real promotion ladder
+    a2 = a.select(*[F.col(f.name).cast(f.dataType) for f in unified.fields])
+    b2 = b.select(*[F.col(f.name).cast(f.dataType) for f in unified.fields])
+    return a2.unionByName(b2).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").cast("long").alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. LLM-pipeline operators (beyond-parity, BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_stats",
+    """
+    SELECT count(*) AS total_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS dup_docs
+    FROM documents
+    """,
+    "Exact dedup summary over the documents corpus",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("text").cast("long").alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).cast("long").alias("dup_docs"),
+    )
+
+
+@register(
+    "dedup_keep_first",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    "Exact dedup: canonical keeper per identical text (hash-groupBy at scale)",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # Group on a 256-bit content hash, not the full text — at 100 TB the
+    # shuffle moves 32-byte keys instead of documents.
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").cast("long").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_id", "n_copies")
+    )
+
+
+@register(
+    "text_token_stats",
+    r"""
+    SELECT lang,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens,
+           count(*) AS n_docs,
+           avg(n_chars) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    "Token counting per language (text-analysis operator)",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(token_count_col(F.col("text"))).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_words,
+           ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                      w -> w IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+                 / len(string_split_regex(trim(lower(text)), '\s+')), 6) AS stopword_ratio
+    FROM documents
+    """,
+    "Per-document quality signals: word count + stopword ratio",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_words"),
+        stopword_ratio_col(F.col("text"), EN_STOPWORDS).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        (SELECT embedding FROM q)), 6) AS cos_sim
+    FROM embeddings e
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    "Brute-force cosine top-k over embedding column (ANN exact baseline)",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb, query, k=10, exclude_ids=[0])
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: q.oracle.strip() for name, q in QUERIES.items() if q.oracle}

@@ -28,7 +28,16 @@ def _ns_timestamp_columns(path: str) -> list[str]:
 
 
 def load_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Read a parquet file/dir; ns-timestamp columns become µs timestamps."""
+    """Read a parquet file/dir; ns-timestamp columns become µs timestamps.
+
+    Self-ensures the session confs it depends on (both runtime-settable),
+    so it works on a caller-provided vanilla SparkSession — e.g. the
+    driver invoking ``queries()`` entries without ``entry()``:
+    ns columns arrive as longs instead of erroring (PARQUET_TYPE_ILLEGAL),
+    and timestamps render in UTC to match the DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     probe = path
     if os.path.isdir(path):
@@ -37,7 +46,9 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
             return df
         probe = os.path.join(path, files[0])
     for c in _ns_timestamp_columns(probe):
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # Integer division: epoch-ns (~1.7e18) exceeds double's 2^53 exact
+        # range, so a float `/1000` would round the microsecond.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
