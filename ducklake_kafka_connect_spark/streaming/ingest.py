@@ -1,0 +1,168 @@
+"""Streaming ingestion pipeline: decode → DLQ split → MERGE/INSERT.
+
+The Spark re-expression of the reference's hot path (SURVEY §3.1):
+
+    Kafka Connect put() → group by partition → convert/unify → buffer
+    → threshold flush → consolidate → ensureTable → MERGE/INSERT
+
+becomes
+
+    readStream → foreachBatch( route by topic → decode_json →
+    split_dlq → LakeWriter.write )
+
+Everything the reference hand-builds disappears into engine behavior:
+buffering/thresholds are the trigger interval + maxOffsetsPerTrigger
+(E1), per-partition parallelism is task scheduling (E5), spill is the
+UnifiedMemoryManager (A11), at-least-once + idempotent MERGE is the
+checkpoint + merge key (E8) — and the offset only advances after the
+batch commits, which is strictly stronger than the reference's
+decoupled offset commits (E8b).
+
+Config parity (``connect/DucklakeSinkConfig.java``): topic→table map
+with identity fallback (A2), per-table id-columns (D2), partition-by
+expressions (B12), auto-create flag default false (C8).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake import LakeCatalog, LakeWriter
+from ..lake.writer import _dedup_last_wins
+from ..schema.reconcile import ReconcileError
+from ..sources.json_decode import CORRUPT_COL, decode_json, split_dlq
+
+_TOPIC_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+@dataclass
+class TableSpec:
+    """Per-table connector config (ducklake.table.<t>.* analogues)."""
+
+    id_columns: list[str] = field(default_factory=list)
+    partition_by: str | None = None
+    auto_create: bool = False
+
+
+@dataclass
+class IngestConfig:
+    topic2table: dict[str, str] = field(default_factory=dict)
+    tables: dict[str, TableSpec] = field(default_factory=dict)
+    dlq_suffix: str = "_dlq"
+
+    def __post_init__(self):
+        for topic, table in self.topic2table.items():
+            if not _TOPIC_RE.match(topic) or not _TOPIC_RE.match(table):
+                raise ValueError(
+                    f"Invalid topic→table mapping entry: {topic!r}:{table!r}"
+                )
+
+    @staticmethod
+    def parse_topic2table(spec: str) -> dict[str, str]:
+        """Parse ``"t1:tbl1,t2:tbl2"`` (TopicToTableValidator.java:99-154)."""
+        out: dict[str, str] = {}
+        for pair in spec.split(","):
+            pair = pair.strip()
+            if not pair:
+                continue
+            if ":" not in pair:
+                raise ValueError(f"Invalid topic:table pair: {pair!r}")
+            topic, _, table = pair.partition(":")
+            topic, table = topic.strip(), table.strip()
+            if not topic or not table:
+                raise ValueError(f"Invalid topic:table pair: {pair!r}")
+            if topic in out:
+                raise ValueError(f"Duplicate topic in mapping: {topic!r}")
+            out[topic] = table
+        return out
+
+    def table_for(self, topic: str) -> str:
+        return self.topic2table.get(topic, topic)  # identity fallback
+
+    def spec_for(self, table: str) -> TableSpec:
+        return self.tables.get(table, TableSpec())
+
+
+class IngestPipeline:
+    """foreachBatch sink writing decoded records into lake tables."""
+
+    def __init__(self, catalog: LakeCatalog, config: IngestConfig):
+        self.catalog = catalog
+        self.config = config
+
+    # -- batch entry point (also usable for non-streaming backfills) --
+
+    def process_batch(self, batch: DataFrame, epoch_id: int = -1) -> None:
+        """One micro-batch of kafka-shaped rows (topic/value/offset…)."""
+        if "topic" in batch.columns:
+            topics = [r[0] for r in batch.select("topic").distinct().collect()]
+        else:
+            topics = [None]
+        for topic in topics:
+            part = batch.filter(F.col("topic") == topic) if topic else batch
+            table = self.config.table_for(topic) if topic else "events"
+            self._ingest_topic_batch(part, table)
+
+    def _ingest_topic_batch(self, part: DataFrame, table: str) -> None:
+        spec = self.config.spec_for(table)
+        keep = [c for c in ("offset",) if c in part.columns]
+        decoded = decode_json(part, value_col="value", keep_cols=keep)
+        good, bad = split_dlq(decoded)
+        order_col = "offset" if "offset" in good.columns else None
+        writer = LakeWriter(
+            self.catalog.table(table),
+            pk=spec.id_columns,
+            partition_by=spec.partition_by,
+            auto_create=spec.auto_create,
+        )
+        try:
+            if order_col and spec.id_columns:
+                # offset orders last-write-wins dedup within the batch
+                # (SURVEY risk #2); it is a transport column — dedup
+                # here, then drop it so it never enters the table schema.
+                deduped = _dedup_last_wins(good, spec.id_columns, order_col)
+                writer.write(deduped.drop(*keep))
+            else:
+                writer.write(good.drop(*keep) if keep else good)
+        except ReconcileError as e:
+            # whole-batch schema conflict → route every row to the DLQ
+            bad = bad.unionByName(
+                good.select(
+                    F.to_json(F.struct(*good.columns)).alias("raw_value"),
+                    F.lit(f"reconcile_error: {e}").alias("error"),
+                    F.current_timestamp().alias("_dlq_at"),
+                ),
+                allowMissingColumns=True,
+            )
+        if bad.isEmpty():
+            return
+        dlq_writer = LakeWriter(
+            self.catalog.table(f"{table}{self.config.dlq_suffix}"),
+            pk=[],
+            auto_create=True,
+        )
+        dlq_writer.append(bad)
+
+    # -- streaming wiring --
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int = 60,
+        query_name: str = "ducklake_ingest",
+    ):
+        """Attach foreachBatch and start the query (E1: the trigger is
+        the flush clock; maxOffsetsPerTrigger on the source bounds batch
+        size)."""
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .queryName(query_name)
+            .start()
+        )

@@ -1,0 +1,204 @@
+"""Tests for the decode sources (A3/A5/A6) and the ingest pipeline.
+
+Mirrors the reference's converter + end-to-end tiers:
+- JSON decode/inference: ``connect/SinkRecordToArrowConverterTest.java``
+- Arrow IPC round-trip: ``connect/ArrowIpcConverterTest.java``,
+  ``connect/ArrowConvertersIntegrationTest.java``
+- e2e produce→assert-row: ``connect/EndToEndIntegrationTest.java:93-152``
+- schema drift across batches: ``connect/SchemaMismatchIntegrationTest.java:92-179``
+"""
+
+import json
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ducklake_kafka_connect_spark.lake import LakeCatalog
+from ducklake_kafka_connect_spark.sources.arrow_ipc import (
+    decode_arrow_ipc,
+    decode_ipc_bytes,
+    encode_ipc,
+)
+from ducklake_kafka_connect_spark.sources.json_decode import (
+    CORRUPT_COL,
+    decode_json,
+    infer_batch_schema,
+    split_dlq,
+)
+from ducklake_kafka_connect_spark.streaming.ingest import (
+    IngestConfig,
+    IngestPipeline,
+    TableSpec,
+)
+
+
+def _kafka_df(spark, rows, topic="events"):
+    data = [
+        (None, json.dumps(v) if not isinstance(v, str) else v, topic, 0, i, None)
+        for i, v in enumerate(rows)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType(), True),
+            T.StructField("value", T.StringType(), True),
+            T.StructField("topic", T.StringType(), True),
+            T.StructField("partition", T.IntegerType(), True),
+            T.StructField("offset", T.LongType(), True),
+            T.StructField("timestamp", T.TimestampType(), True),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
+
+
+class TestJsonDecode:
+    def test_infer_and_decode_basic(self, spark):
+        df = _kafka_df(
+            spark,
+            [
+                {"id": 1, "customer": "alice", "amount": 10.5},
+                {"id": 2, "customer": "bob", "amount": 3.25},
+            ],
+        )
+        decoded = decode_json(df, keep_cols=["offset"])
+        rows = {r["id"]: r for r in decoded.collect()}
+        assert rows[1]["customer"] == "alice"
+        assert rows[2]["amount"] == 3.25
+        assert rows[1][CORRUPT_COL] is None
+
+    def test_id_heuristic_keeps_strings(self, spark):
+        # ISO-like strings in *_id fields must NOT become timestamps
+        # (SinkRecordToArrowConverter.java:69-70,759-770)
+        df = _kafka_df(spark, [{"order_id": "2024-01-01T00:00:00Z", "ts": "2024-01-01T00:00:00Z"}])
+        schema, _ = infer_batch_schema(df)
+        by_name = {f.name: f.dataType for f in schema.fields}
+        assert isinstance(by_name["order_id"], T.StringType)
+        assert isinstance(by_name["ts"], T.TimestampType)
+
+    def test_corrupt_rows_split_to_dlq(self, spark):
+        df = _kafka_df(
+            spark,
+            [{"id": 1, "v": "ok"}, "{not json at all", {"id": 3, "v": "fine"}],
+        )
+        decoded = decode_json(df)
+        good, bad = split_dlq(decoded)
+        assert good.count() == 2
+        assert bad.count() == 1
+        assert bad.columns == ["raw_value", "error", "_dlq_at"]
+
+    def test_numeric_promotion_across_records(self, spark):
+        # int + double in the same batch → DOUBLE (ArrowSchemaMerge.java:216-248)
+        df = _kafka_df(spark, [{"x": 1}, {"x": 2.5}])
+        schema, _ = infer_batch_schema(df)
+        assert isinstance(schema["x"].dataType, T.DoubleType)
+        vals = sorted(r["x"] for r in decode_json(df).collect())
+        assert vals == [1.0, 2.5]
+
+    def test_compact_tz_offset_parses(self, spark):
+        # ±hhmm normalization (TimestampUtils.java:77-81)
+        df = _kafka_df(spark, [{"ts": "2024-06-01T12:00:00+0230"}])
+        out = decode_json(df).collect()[0]
+        assert out["ts"] is not None
+        assert out["ts"].hour in (9, 12)  # 09:30 UTC
+
+
+class TestArrowIpc:
+    def _table(self):
+        return pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "name": pa.array(["a", "b", "c"], pa.string()),
+                "score": pa.array([1.5, 2.5, None], pa.float64()),
+            }
+        )
+
+    def test_round_trip_bytes(self):
+        t = self._table()
+        assert decode_ipc_bytes(encode_ipc(t)).equals(t)
+
+    def test_decode_column_of_payloads(self, spark):
+        t = self._table()
+        payload = encode_ipc(t)
+        df = spark.createDataFrame([(payload,), (payload,)], "value binary")
+        out = decode_arrow_ipc(df)
+        assert out.count() == 6
+        assert set(out.columns) == {"id", "name", "score"}
+        assert out.filter(F.col("score").isNull()).count() == 2
+
+    def test_decode_preserves_types(self, spark):
+        t = pa.table(
+            {
+                "b": pa.array([True, False], pa.bool_()),
+                "i32": pa.array([1, 2], pa.int32()),
+                "bin": pa.array([b"x", b"y"], pa.binary()),
+            }
+        )
+        df = spark.createDataFrame([(encode_ipc(t),)], "value binary")
+        out = decode_arrow_ipc(df)
+        types = dict(out.dtypes)
+        assert types == {"b": "boolean", "i32": "int", "bin": "binary"}
+
+
+class TestIngestPipeline:
+    def test_topic2table_parse(self):
+        m = IngestConfig.parse_topic2table("t1:tbl1, t2:tbl2")
+        assert m == {"t1": "tbl1", "t2": "tbl2"}
+        with pytest.raises(ValueError):
+            IngestConfig.parse_topic2table("t1")
+        with pytest.raises(ValueError):
+            IngestConfig.parse_topic2table("t1:a,t1:b")
+
+    def test_end_to_end_upsert_and_dlq(self, spark, tmp_path):
+        catalog = LakeCatalog(spark, str(tmp_path))
+        cfg = IngestConfig(
+            topic2table={"orders_topic": "orders_t"},
+            tables={"orders_t": TableSpec(id_columns=["id"], auto_create=True)},
+        )
+        pipe = IngestPipeline(catalog, cfg)
+
+        batch1 = _kafka_df(
+            spark,
+            [
+                {"id": 1, "customer": "alice"},
+                {"id": 2, "customer": "bob"},
+                "corrupt{{{",
+            ],
+            topic="orders_topic",
+        )
+        pipe.process_batch(batch1, 0)
+        table = catalog.table("orders_t")
+        rows = {r["id"]: r["customer"] for r in table.read().collect()}
+        assert rows == {1: "alice", 2: "bob"}
+        dlq = catalog.table("orders_t_dlq")
+        assert dlq.read().count() == 1
+
+        # batch 2: update id=1 (and an in-batch dup — offset order wins), insert id=3
+        batch2 = _kafka_df(
+            spark,
+            [
+                {"id": 1, "customer": "alice2"},
+                {"id": 1, "customer": "alice3"},
+                {"id": 3, "customer": "carol"},
+            ],
+            topic="orders_topic",
+        )
+        pipe.process_batch(batch2, 1)
+        out = table.read()
+        rows = {r["id"]: r["customer"] for r in out.collect()}
+        assert rows == {1: "alice3", 2: "bob", 3: "carol"}
+        # transport columns never stored
+        assert "offset" not in out.columns and "topic" not in out.columns
+
+    def test_schema_drift_across_batches(self, spark, tmp_path):
+        # string-vs-int drift on the same field across polls must not
+        # crash the pipeline (SchemaMismatchIntegrationTest.java:92-179):
+        # int widens into the table; a later int64 narrows tolerated.
+        catalog = LakeCatalog(spark, str(tmp_path))
+        cfg = IngestConfig(tables={"ev": TableSpec(auto_create=True)})
+        pipe = IngestPipeline(catalog, cfg)
+        pipe.process_batch(_kafka_df(spark, [{"id": 1, "value": 10}], topic="ev"), 0)
+        pipe.process_batch(_kafka_df(spark, [{"id": 2, "value": 3000000000}], topic="ev"), 1)
+        out = catalog.table("ev").read()
+        assert out.count() == 2
+        assert dict(out.dtypes)["value"] == "bigint"
