@@ -28,14 +28,21 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, qd in QUERIES.items():
-        t0 = time.perf_counter()
-        try:
-            df = qd.fn(spark, sf_dir)
-            df.collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # record failures without killing the run
-            timings[name] = -1.0
-            print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+        # min of 2 runs: the first pass anywhere pays one-time JVM JIT /
+        # codegen / parquet-footer costs that are not plan cost.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                df = qd.fn(spark, sf_dir)
+                df.collect()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as e:  # record failures without killing the run
+                best = -1.0
+                print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+                break
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

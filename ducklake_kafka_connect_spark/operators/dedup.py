@@ -1,0 +1,466 @@
+"""Fuzzy deduplication operators for training-data pipelines.
+
+Beyond-parity module (the reference delegates all querying to DuckDB;
+SURVEY §2.G / §7 phase 5). Four families, each with an exact DuckDB
+oracle twin registered in ``plans/queries.py``:
+
+- exact dedup        → hash-groupBy (in ``plans/queries.py``)
+- MinHash + LSH      → shingle → minhash signature → banded buckets →
+                       candidate pairs → exact-Jaccard verify
+- SimHash            → per-token hash sign-sums → 32-bit fingerprint →
+                       banded hamming-≤k pairs
+- n-gram Jaccard     → exact all-pairs baseline within blocking keys
+
+Determinism contract: every hash is derived from ``md5`` (identical in
+Spark and DuckDB), so the LSH bucketing — normally a recall/seed
+lottery — is *bit-identical* in both engines and the oracle comparison
+is exact, not statistical. The permutation coefficients come from a
+seeded LCG shared by the Spark builders and the SQL emitters.
+
+Scale design (100 TB):
+
+- Signatures are fixed-width (NUM_PERM longs) computed in one codegen'd
+  projection over the shingle array — no explode, no shuffle.
+- The only shuffles are groupBy(band_key) over (band, 2×long, doc_id)
+  rows — tiny compared to document payloads — and the verify join,
+  which moves shingle arrays only for *candidate* docs (the semi-joined
+  subset), never the corpus.
+- Hot buckets (boilerplate text) are the skew risk: candidate pair
+  generation caps bucket size (MAX_BUCKET) exactly like production
+  near-dup pipelines drop degenerate bands; AQE skew-join handles the
+  rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+MERSENNE = 2147483647  # 2^31 - 1; keeps a*h+b inside int64 on both engines
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+SHINGLE_N = 3
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands × 8 bits → catches all hamming ≤ 3 pairs
+MAX_BUCKET = 1000  # drop degenerate (boilerplate) buckets
+
+
+def _lcg_coeffs(n: int = NUM_PERM, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the minhash permutations, shared
+    verbatim by the Spark expressions and the oracle SQL."""
+    state = seed
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (MERSENNE - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE
+        out.append((a, b))
+    return out
+
+
+COEFFS = _lcg_coeffs()
+
+
+# ---------------------------------------------------------------------------
+# Shared hash primitives (Spark Column + SQL string emitters)
+# ---------------------------------------------------------------------------
+
+
+def h60_col(c: Column) -> Column:
+    """First 60 bits of md5 as BIGINT — bit-identical to h60_sql."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of lower-cased text. Docs shorter
+    than n words yield an empty array (both engines agree)."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j) for j in range(1, n + 1)]
+    )
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size(words) - n), gram)
+        )
+    )
+
+
+def shingles_sql(words_expr: str = "w", n: int = SHINGLE_N) -> str:
+    """DuckDB twin of shingles_col over a pre-split word list alias
+    (1-based list indexing)."""
+    joined = " || ' ' || ".join(f"{words_expr}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({words_expr}) < {n} THEN [] "
+        f"ELSE list_distinct(list_transform("
+        f"generate_series(1, len({words_expr}) - {n} + 1), i -> {joined})) END"
+    )
+
+
+WORDS_SQL = "string_split_regex(trim(lower({text})), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH bands
+# ---------------------------------------------------------------------------
+
+
+def minhash_sig_cols(shingles: Column) -> list[Column]:
+    """NUM_PERM minhash values: min over shingles of (a·h+b) mod P."""
+    hashes = F.transform(shingles, lambda s: h60_col(s) % MERSENNE)
+    return [
+        F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE))
+        for a, b in COEFFS
+    ]
+
+
+def minhash_sig_sqls(shingles_expr: str) -> list[str]:
+    hashes = f"list_transform({shingles_expr}, s -> {h60_sql('s')} % {MERSENNE})"
+    return [
+        f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {MERSENNE}))"
+        for a, b in COEFFS
+    ]
+
+
+def band_keys_col(sig_cols: list[Column]) -> Column:
+    """Array of BANDS string keys, each concatenating ROWS_PER_BAND sig values."""
+    keys = []
+    for band in range(BANDS):
+        part = sig_cols[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+        keys.append(F.concat_ws("_", F.lit(str(band)), *[p.cast("string") for p in part]))
+    return F.array(*keys)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b), deduplicated across bands.
+
+    Plan: project signatures (codegen, no shuffle) → explode BANDS rows
+    per doc → self-join on band key (shuffle of slim rows only) →
+    distinct pairs. Oversized buckets are dropped (boilerplate guard).
+    """
+    sigs = docs.select(
+        F.col(id_col), band_keys_col(minhash_sig_cols(shingles_col(F.col(text_col)))).alias("bk")
+    )
+    banded = sigs.select(id_col, F.explode("bk").alias("band_key"))
+    sized = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_key"))
+    ).filter(F.col("bucket_n") <= MAX_BUCKET)
+    a = sized.select(F.col(id_col).alias("id_a"), "band_key")
+    b = sized.select(F.col(id_col).alias("id_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_col(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    return F.round(inter.cast("double") / union, 6)
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold.
+    Only candidate docs' shingle arrays are materialized for the verify
+    join — the corpus text never shuffles.
+    """
+    cands = minhash_candidate_pairs(docs, id_col, text_col)
+    sh = docs.select(F.col(id_col), shingles_col(F.col(text_col)).alias("sh"))
+    pairs = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup_pairs_sql(
+    table: str = "documents",
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle: the same LSH pipeline, bit-identical hashes."""
+    sig_sqls = minhash_sig_sqls("sh")
+    band_keys = []
+    for band in range(BANDS):
+        part = sig_sqls[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+        concat = " || '_' || ".join(f"CAST(({p}) AS VARCHAR)" for p in part)
+        band_keys.append(f"'{band}' || '_' || {concat}")
+    band_list = ", ".join(band_keys)
+    words = WORDS_SQL.format(text=text_col)
+    return f"""
+    WITH base AS (
+      SELECT id, {shingles_sql('w')} AS sh
+      FROM (SELECT {id_col} AS id, {words} AS w FROM {table})
+    ),
+    banded AS (
+      SELECT id, unnest([{band_list}]) AS band_key FROM base
+    ),
+    sized AS (
+      SELECT id, band_key, count(*) OVER (PARTITION BY band_key) AS bucket_n
+      FROM banded
+    ),
+    kept AS (SELECT id, band_key FROM sized WHERE bucket_n <= {MAX_BUCKET}),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM kept a JOIN kept b USING (band_key)
+      WHERE a.id < b.id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                   / (len(sa.sh) + len(sb.sh)
+                      - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+      FROM cands c
+      JOIN base sa ON sa.id = c.id_a
+      JOIN base sb ON sb.id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint: per-token 60-bit hashes vote ±1 on each bit
+    position; the sign of each sum sets the output bit. One codegen'd
+    expression over the token array — no explode, no shuffle."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
+    hashes = F.transform(toks, h60_col)
+
+    def _vote_merge(j: int):
+        # closure factory: a `j=j` default arg would change the lambda's
+        # arity and break PySpark's higher-order-function binding
+        def m(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return m
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(j))
+        out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_sql(text_expr: str, bits: int = SIMHASH_BITS) -> str:
+    toks = f"list_distinct(string_split_regex(trim(lower({text_expr})), '\\s+'))"
+    hashes = f"list_transform({toks}, t -> {h60_sql('t')})"
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform({hashes}, "
+            f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Banding: split the 32-bit fingerprint into SIMHASH_BANDS 8-bit
+    bands; by pigeonhole any pair within hamming ≤ SIMHASH_BANDS-1
+    shares at least one exact band → join on (band_id, band_value),
+    verify with bit_count(xor). Shuffles only (id, simhash) pairs.
+    """
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    sh = docs.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(str(i)),
+                        (F.shiftright("simhash", i * width).bitwiseAND(F.lit((1 << width) - 1))).cast("string"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_near_pairs_sql(
+    table: str = "documents",
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    band_exprs = ", ".join(
+        f"'{i}' || '_' || CAST((simhash >> {i * width}) & {(1 << width) - 1} AS VARCHAR)"
+        for i in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, {simhash_sql(text_col)} AS simhash FROM {table}
+    ),
+    bands AS (
+      SELECT id, simhash, unnest([{band_exprs}]) AS band_key FROM sh
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b USING (band_key)
+    WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (brute-force baseline; MinHash-LSH is the scale path)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact all-pairs Jaccard within blocking-key groups. The exact
+    baseline for the MinHash path — O(n²) per block, only viable when
+    blocks are bounded; at scale use minhash_dedup_pairs."""
+    sh = docs.select(
+        F.col(block_col).alias("blk"), F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
+    )
+    a = sh.select(F.col("blk"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("blk"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str = "documents",
+    threshold: float = 0.5,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    words = WORDS_SQL.format(text=text_col)
+    return f"""
+    WITH sh AS (
+      SELECT blk, id, {shingles_sql('w')} AS sh
+      FROM (SELECT {block_col} AS blk, {id_col} AS id, {words} AS w FROM {table})
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh)
+                    - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+    FROM sh a JOIN sh b USING (blk)
+    WHERE a.id < b.id
+      AND ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                / (len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs (cosine ≥ threshold) within a
+    blocking key. The blocking key bounds the quadratic term; the LSH
+    bucketing in ``operators/similarity.py`` is the unblocked scale
+    path. Dot products run as zip_with/aggregate — JVM-side, no UDF."""
+    v = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select("blk", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select("blk", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_sql(
+    table: str = "embeddings",
+    threshold: float = 0.99,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    return f"""
+    WITH v AS (
+      SELECT {block_col} AS blk, {id_col} AS id,
+             CAST({vec_col} AS DOUBLE[]) AS v
+      FROM {table}
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM v a JOIN v b USING (blk)
+    WHERE a.id < b.id
+      AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    """

@@ -55,3 +55,114 @@ def cosine_topk(
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate nearest neighbors (the scale path)
+# ---------------------------------------------------------------------------
+
+# 16 buckets: at corpus sizes ≥ ~10k vectors per partition the bucket
+# count should scale up (planes ∝ log2(n/target_bucket_size)); 4 planes
+# keep the driver-testdata buckets populated while still pruning 15/16.
+NUM_HYPERPLANES = 4
+
+
+def _lcg_hyperplanes(dim: int, n: int = NUM_HYPERPLANES, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (triangular-ish entries in
+    [-1, 1)), identical constants inlined into Spark exprs and oracle
+    SQL — the bucketing is bit-identical in both engines."""
+    state = seed
+    planes = []
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(round((state >> 20) / float(1 << 43) * 2.0 - 1.0, 9))
+        planes.append(row)
+    return planes
+
+
+def _dot_lit(vec: Column, plane: Sequence[float]) -> Column:
+    p_lit = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, p_lit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def srp_bucket_col(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Signed-random-projection bucket id: bit i = sign(vec · plane_i)."""
+    out = F.lit(0)
+    for i, plane in enumerate(planes):
+        out = out + F.when(_dot_lit(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def srp_bucket_sql(vec_expr: str, planes: Sequence[Sequence[float]]) -> str:
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(x) for x in plane)
+        dot = f"list_dot_product({vec_expr}, [{lits}])"
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking *within the query's SRP
+    bucket*. At scale the bucket filter prunes ~255/256 of the corpus
+    before any scoring; a bucket-partitioned table layout would turn it
+    into partition pruning at the scan. Recall is traded for the prune —
+    the exact baseline is ``cosine_topk``."""
+    dim = len(query)
+    planes = _lcg_hyperplanes(dim)
+    q = [float(x) for x in query]
+    q_bucket = sum(
+        (1 << i) for i, p in enumerate(planes) if sum(a * b for a, b in zip(q, p)) > 0
+    )
+    v = _as_double(F.col(vec_col))
+    scored = df.select(
+        F.col(id_col),
+        srp_bucket_col(v, planes).alias("bucket"),
+        F.round(cosine_similarity_col(F.col(vec_col), query), 6).alias("cos_sim"),
+    ).filter(F.col("bucket") == q_bucket)
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
+    return (
+        scored.select(id_col, "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ann_lsh_topk_sql(
+    dim: int,
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+) -> str:
+    """DuckDB oracle: identical SRP bucketing + exact cosine within the
+    query's bucket."""
+    planes = _lcg_hyperplanes(dim)
+    bucket = srp_bucket_sql("v", planes)
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
+             {bucket} AS bucket
+      FROM {table}
+    ),
+    q AS (SELECT v, bucket FROM v WHERE id = {query_id})
+    SELECT v.id AS {id_col},
+           ROUND(list_cosine_similarity(v.v, (SELECT v FROM q)), 6) AS cos_sim
+    FROM v
+    WHERE v.bucket = (SELECT bucket FROM q) AND v.id <> {query_id}
+    ORDER BY cos_sim DESC, v.id
+    LIMIT {k}
+    """

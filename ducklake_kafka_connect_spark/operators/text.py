@@ -42,3 +42,70 @@ def stopword_ratio_col(text: Column, stopwords: Sequence[str] = EN_STOPWORDS) ->
 def marker_hits_col(text: Column, markers: Sequence[str]) -> Column:
     """How many tokens are in the marker set (language-ID signal)."""
     return F.size(F.filter(tokens_col(text), lambda w: w.isin(*markers)))
+
+
+def lang_id_col(text: Column, markers: dict[str, Sequence[str]] = LANG_MARKERS) -> Column:
+    """Predicted language: the marker set with the most token hits;
+    deterministic tie-break by language code order; 'und' when no
+    marker matches. Pure Catalyst CASE chain — vectorizable, and the
+    real-world upgrade path (fasttext et al.) slots in as a Pandas UDF
+    behind the same column contract."""
+    langs = sorted(markers)
+    hits = {lang: marker_hits_col(text, markers[lang]) for lang in langs}
+    best = F.greatest(*[hits[lang] for lang in langs]) if len(langs) > 1 else hits[langs[0]]
+    out = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        out = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_id_sql(text_expr: str, markers: dict[str, Sequence[str]] = LANG_MARKERS) -> str:
+    """DuckDB twin of lang_id_col."""
+    langs = sorted(markers)
+    toks = f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+    hit = {
+        lang: (
+            f"len(list_filter({toks}, w -> w IN ("
+            + ", ".join(f"'{m}'" for m in markers[lang])
+            + ")))"
+        )
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(hit[lang] for lang in langs) + ")"
+    whens = " ".join(
+        f"WHEN {hit[lang]} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"(CASE {whens} ELSE 'und' END)"
+
+
+def fingerprint_col(text: Column, n: int = 5, k: int = 4) -> Column:
+    """Document fingerprint: bottom-k of the hashed character n-gram set
+    (a winnowing-style sketch; Schleimer et al., SIGMOD'03). Two docs
+    share a fingerprint iff their smallest k shingle hashes agree —
+    robust to small edits. Emitted as a '_'-joined string key. Pure
+    Catalyst: sequence → substr → md5-hash → sort → slice."""
+    from .dedup import h60_col
+
+    low = F.lower(text)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(1))),
+            lambda i: low.substr(i, F.lit(n)),
+        )
+    )
+    bottom_k = F.slice(F.array_sort(F.transform(grams, h60_col)), 1, k)
+    return F.array_join(F.transform(bottom_k, lambda h: h.cast("string")), "_")
+
+
+def fingerprint_sql(text_expr: str, n: int = 5, k: int = 4) -> str:
+    """DuckDB twin of fingerprint_col."""
+    from .dedup import h60_sql
+
+    low = f"lower({text_expr})"
+    grams = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({low}) - {n - 1}, 1)), "
+        f"i -> substr({low}, i, {n})))"
+    )
+    bottom_k = f"list_sort(list_transform({grams}, g -> {h60_sql('g')}))[1:{k}]"
+    return f"array_to_string(list_transform({bottom_k}, h -> CAST(h AS VARCHAR)), '_')"

@@ -32,8 +32,17 @@ from pyspark.sql import functions as F
 
 from ..functions.timestamps import parse_iso_timestamp
 from ..lake import LakeCatalog, LakeWriter
-from ..operators.similarity import cosine_topk
-from ..operators.text import EN_STOPWORDS, stopword_ratio_col, token_count_col
+from ..operators import dedup as dedup_ops
+from ..operators.similarity import ann_lsh_topk, ann_lsh_topk_sql, cosine_topk
+from ..operators.text import (
+    EN_STOPWORDS,
+    fingerprint_col,
+    fingerprint_sql,
+    lang_id_col,
+    lang_id_sql,
+    stopword_ratio_col,
+    token_count_col,
+)
 from ..schema.merge import unify_schemas
 from ..sources.parquet_loader import load_parquet
 
@@ -494,6 +503,158 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return cosine_topk(emb, query, k=10, exclude_ids=[0])
+
+
+# ---------------------------------------------------------------------------
+# D. Fuzzy dedup / ANN / text-analysis / event-time (beyond-parity, phase 5)
+#    LSH determinism contract: every hash is md5-derived so the Spark and
+#    DuckDB pipelines bucket identically — comparisons are exact, not
+#    statistical (operators/dedup.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_lsh",
+    dedup_ops.minhash_dedup_pairs_sql(),
+    "MinHash(16)+LSH(4×4) near-dup pairs, exact-Jaccard verified (≥0.7)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.minhash_dedup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_hamming",
+    f"""
+    WITH pairs AS ({dedup_ops.simhash_near_pairs_sql()})
+    SELECT hamming, count(*) AS n_pairs FROM pairs GROUP BY hamming
+    """,
+    "SimHash(32-bit) banded near-dup pairs, histogram by hamming distance ≤3",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ops.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    dedup_ops.ngram_jaccard_pairs_sql(),
+    "Exact word-3-gram Jaccard pairs (≥0.5) within lang blocks — MinHash's exact baseline",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    dedup_ops.embedding_neardup_pairs_sql(threshold=0.4),
+    "Embedding near-dup pairs (cosine ≥0.4) within label blocks",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "ann_lsh_topk",
+    ann_lsh_topk_sql(dim=64),
+    "ANN: signed-random-projection bucket prune + exact cosine top-k within bucket",
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_lsh_topk(emb, query, k=10, exclude_ids=[0])
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, {lang_id_sql('text')} AS pred_lang, count(*) AS n
+    FROM documents GROUP BY lang, pred_lang
+    """,
+    "Marker-token language-ID vs stored label (confusion cells)",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_col(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprint_groups",
+    f"""
+    SELECT count(*) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_collisions
+    FROM (SELECT {fingerprint_sql('text')} AS fp FROM documents)
+    """,
+    "Winnowing-style bottom-k fingerprint: collision summary over the corpus",
+)
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(fingerprint_col(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_fingerprints"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_collisions"),
+    )
+
+
+@register(
+    "windowed_event_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           count(*) AS n, sum(value) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    "Tumbling 1-hour event-time windows (E9 extension; streaming-ready agg)",
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '6 hours'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_no) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+    "Session windows (6h gap) per user — session_window() in Spark vs gaps-and-islands oracle",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("w.start").cast("long").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,121 @@
+"""Semantic tests for the fuzzy-dedup operators: known duplicates must
+be found, disjoint texts must not pair, and the md5-derived hashing
+must be stable (the determinism the oracle parity relies on)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.operators import dedup as D
+from ducklake_kafka_connect_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from ducklake_kafka_connect_spark.operators.text import fingerprint_col, lang_id_col
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill in the afternoon sun"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill in the evening sun"
+)
+OTHER = (
+    "completely different subject matter about distributed query engines "
+    "processing columnar data with vectorized execution kernels"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)], "doc_id long, text string"
+    )
+
+
+class TestMinhash:
+    def test_exact_dup_pairs_found(self, docs):
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in D.minhash_dedup_pairs(docs).collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and pairs[(1, 3)] > 0.7
+        assert not any(4 in p for p in pairs)
+
+    def test_signature_deterministic(self, spark):
+        df = spark.createDataFrame([(BASE,)], "text string")
+        sig = D.minhash_sig_cols(D.shingles_col(F.col("text")))
+        a = df.select(*[s.alias(f"s{i}") for i, s in enumerate(sig)]).collect()[0]
+        b = df.select(*[s.alias(f"s{i}") for i, s in enumerate(sig)]).collect()[0]
+        assert tuple(a) == tuple(b)
+        assert len(set(a)) > 1  # permutations differ
+
+    def test_short_doc_empty_shingles(self, spark):
+        df = spark.createDataFrame([("one two",)], "text string")
+        out = df.select(F.size(D.shingles_col(F.col("text"))).alias("n")).collect()[0]["n"]
+        assert out == 0
+
+
+class TestSimhash:
+    def test_identical_hamming_zero(self, docs):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(docs).collect()}
+        assert pairs[(1, 2)] == 0
+
+    def test_unrelated_text_far(self, spark):
+        df = spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id long, text string")
+        rows = df.select(D.simhash_col(F.col("text")).alias("h")).collect()
+        hamming = bin(rows[0]["h"] ^ rows[1]["h"]).count("1")
+        assert hamming > 3  # not near-dups
+
+
+class TestJaccard:
+    def test_blocked_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en", BASE), (2, "en", NEAR), (3, "de", BASE)],
+            "doc_id long, lang string, text string",
+        )
+        pairs = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(df).collect()}
+        assert (1, 2) in pairs        # same block, near-dup
+        assert (1, 3) not in pairs    # cross-block never compared
+
+
+class TestEmbeddingNearDup:
+    def test_identical_vectors_pair(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0, 1.0], 0), (2, [1.0, 0.0, 1.0], 0), (3, [-1.0, 1.0, 0.0], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        pairs = {(r.id_a, r.id_b): r.cos_sim for r in D.embedding_neardup_pairs(df).collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) not in pairs
+
+
+class TestAnnLsh:
+    def test_bucket_prune_subset_of_exact(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        q = rows[0][1]
+        exact = [r.vec_id for r in cosine_topk(df, q, k=100, exclude_ids=[0]).collect()]
+        approx = ann_lsh_topk(df, q, k=10, exclude_ids=[0]).collect()
+        assert 0 < len(approx) <= 10
+        # every ANN hit is a real vector ranked by true cosine
+        assert all(r.vec_id in exact for r in approx)
+        # scores are correctly ordered
+        sims = [r.cos_sim for r in approx]
+        assert sims == sorted(sims, reverse=True)
+
+
+class TestTextOps:
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [("the cat and the dog is here",), ("el perro y la casa de que",), ("xyz qqq",)],
+            "text string",
+        )
+        out = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
+        assert out == ["en", "es", "und"]
+
+    def test_fingerprint_stable_and_edit_robust(self, spark):
+        df = spark.createDataFrame(
+            [(1, BASE), (2, BASE), (3, OTHER)], "doc_id long, text string"
+        )
+        fps = [r[0] for r in df.select(fingerprint_col(F.col("text"))).collect()]
+        assert fps[0] == fps[1]
+        assert fps[0] != fps[2]
