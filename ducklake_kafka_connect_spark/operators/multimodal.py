@@ -1,0 +1,214 @@
+"""Multimodal (image/audio/video) column operators.
+
+Beyond-parity module (SURVEY §7 phase 5): media travels as opaque
+``binary`` columns next to a typed metadata struct — the lakehouse
+pattern for 100 TB multimodal training data. The Spark-side plumbing
+(schemas, partition-preserving ``mapInPandas``, Arrow batch shapes,
+UDF signatures) is real and tested; the codec layer is stubbed because
+this container has no image/audio libraries:
+
+- ``decode_image`` / ``load_waveform`` raise ``NotImplementedError``
+  unless Pillow / soundfile are importable (import-try gated).
+- ``fake_decode_image`` / ``fake_audio_stats`` are deterministic
+  stand-ins computing "decoded" properties as pure functions of the
+  payload bytes — so the whole pipeline stays oracle-checkable in
+  DuckDB, which no real JPEG decoder would be.
+
+Schema conventions:
+
+    media(media_id BIGINT, kind STRING, data BINARY,
+          meta STRUCT<mime STRING, n_bytes BIGINT, fps DOUBLE,
+                      duration_ms BIGINT>)
+
+Frame sampling is pure Catalyst (sequence + explode over metadata) —
+no Python touches the hot path; only per-byte codec work drops to
+Arrow-batched pandas.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("fps", T.DoubleType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic media table derived from the documents
+    corpus (the container ships no real media): payload = utf-8 text
+    bytes, metadata from payload length. Every downstream 'decode' is a
+    pure function of these bytes, keeping the pipeline oracle-checkable.
+    """
+    data = F.encode(F.col("text"), "UTF-8")
+    n = F.octet_length(data).cast("long")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        data.alias("data"),
+        F.struct(
+            F.lit("application/x-fake").alias("mime"),
+            n.alias("n_bytes"),
+            F.lit(10.0).alias("fps"),
+            (n * 4).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode (mapInPandas — Arrow-batched; the real-codec slot)
+# ---------------------------------------------------------------------------
+
+
+def fake_decode_dims(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a JPEG decode: dims and a byte
+    checksum derived purely from the payload."""
+    n = len(payload)
+    return (n % 512 + 64, (n * 7) % 512 + 64, 3, sum(payload) % 1_000_003)
+
+
+def fake_decode_image(media: DataFrame) -> DataFrame:
+    """'Decode' image payloads via mapInPandas: binary in → per-image
+    properties out, Arrow-batched, schema fixed up front. Swap the body
+    for Pillow when available — the plumbing does not change."""
+    narrow = media.select("media_id", "data")  # column-prune before Python
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                fake_decode_dims(bytes(p)) if p is not None else (None,) * 4
+                for p in pdf["data"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "byte_sum": [d[3] for d in dims],
+                }
+            )
+
+    return narrow.mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+
+
+def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
+    """Real decode path: requires Pillow, absent in this container.
+    The mapInPandas shape is identical to fake_decode_image."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "Pillow is not installed; use fake_decode_image for the "
+            "deterministic stand-in (same plumbing)"
+        )
+    raise NotImplementedError("real decode not exercised in this environment")
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction stub: deterministic pseudo-embedding from the
+    payload's md5 (the slot where a vision/audio model batch-infers).
+    Arrow-batched pandas; output is a dense array<float> column ready
+    for the similarity/dedup operators."""
+    narrow = media.select("media_id", "data")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(p) -> list[float] | None:
+            if p is None:
+                return None
+            digest = hashlib.md5(bytes(p)).digest()
+            return [round(digest[i] / 255.0 * 2 - 1, 6) for i in range(dim)]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": [one(p) for p in pdf["data"]]}
+            )
+
+    return narrow.mapInPandas(feats, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (pure Catalyst — no Python)
+# ---------------------------------------------------------------------------
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """One row per sampled frame for video media: frame index + its
+    timestamp, from metadata alone (sequence + explode; the payload
+    column is never touched, so nothing big shuffles)."""
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.fps").alias("fps"),
+    )
+    return (
+        vids.withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+            ),
+        )
+        .select(
+            "media_id",
+            "frame_ts_ms",
+            F.floor(F.col("frame_ts_ms") / 1000.0 * F.col("fps")).cast("long").alias("frame_index"),
+        )
+    )
+
+
+def audio_stats_col(meta: Column) -> Column:
+    """Fake audio stats from metadata (sample count at a nominal 16 kHz
+    mono 8-bit): where soundfile would decode, this derives from bytes."""
+    return F.struct(
+        (meta["n_bytes"]).alias("n_samples"),
+        (meta["n_bytes"].cast("double") / 16000.0).alias("seconds"),
+    )

@@ -657,6 +657,66 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_pipeline",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             octet_length(encode(text)) AS n,
+             text
+      FROM documents
+    )
+    SELECT kind, count(*) AS n_items, CAST(sum(n) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE kind
+             WHEN 'image' THEN
+               list_sum(list_transform(generate_series(1, len(text)),
+                                       i -> ascii(substr(text, i, 1)))) % 1000003
+             WHEN 'audio' THEN n
+             ELSE CAST(floor((n * 4 - 1) / 1000) AS BIGINT) + 1
+           END) AS BIGINT) AS kind_metric
+    FROM m GROUP BY kind
+    """,
+    "Multimodal columns: binary payload + typed meta; mapInPandas decode stub, "
+    "metadata-only frame sampling — per-kind summary (deterministic fake codec)",
+)
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        audio_stats_col,
+        fake_decode_image,
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    sizes = media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("meta.n_bytes").cast("long").alias("total_bytes"),
+    )
+    img = (
+        fake_decode_image(media.filter(F.col("kind") == "image"))
+        .agg(F.sum("byte_sum").cast("long").alias("kind_metric"))
+        .select(F.lit("image").alias("kind"), "kind_metric")
+    )
+    aud = (
+        media.filter(F.col("kind") == "audio")
+        .select(audio_stats_col(F.col("meta")).alias("st"))
+        .agg(F.sum("st.n_samples").cast("long").alias("kind_metric"))
+        .select(F.lit("audio").alias("kind"), "kind_metric")
+    )
+    vid = (
+        sample_frames(media, every_ms=1000)
+        .agg(F.count(F.lit(1)).cast("long").alias("kind_metric"))
+        .select(F.lit("video").alias("kind"), "kind_metric")
+    )
+    metrics = img.unionByName(aud).unionByName(vid)
+    return sizes.join(F.broadcast(metrics), "kind").select(
+        "kind", "n_items", "total_bytes", "kind_metric"
+    )
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in QUERIES.items()}
 
