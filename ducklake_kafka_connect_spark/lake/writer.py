@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..metrics import REGISTRY
 from ..schema.reconcile import INSERTED_AT, plan_evolution
 from .partitioning import (
     dir_key_to_partition_tuple,
@@ -131,6 +132,10 @@ class LakeWriter:
             self.append(df)
 
     def append(self, df: DataFrame) -> None:
+        with REGISTRY.timer("simpleInsert"):
+            self._append(df)
+
+    def _append(self, df: DataFrame) -> None:
         manifest = self._ensure_table(df)
         out = self._prepare_insert(df, manifest)
         with self.table.lock():
@@ -142,6 +147,10 @@ class LakeWriter:
             self._commit_next(manifest, merged_files, _logical_schema_of_batch(df, manifest))
 
     def merge(self, df: DataFrame, order_col: str | None = None) -> None:
+        with REGISTRY.timer("upsertWithMergeInto"):
+            self._merge(df, order_col)
+
+    def _merge(self, df: DataFrame, order_col: str | None = None) -> None:
         if not self.pk:
             raise ValueError(f"merge() on table {self.table.name} requires pk columns")
         manifest = self._ensure_table(df)
@@ -227,9 +236,10 @@ class LakeWriter:
                 raise ValueError(
                     f"Table {self.table.name} does not exist and auto-create is disabled"
                 )
-            self.table.create(
-                _logical_schema_of(df), pk=self.pk, partition_by=self.partition_by
-            )
+            with REGISTRY.timer("createTable"):
+                self.table.create(
+                    _logical_schema_of(df), pk=self.pk, partition_by=self.partition_by
+                )
         return self.table.manifest()
 
     def _prepare_insert(self, df: DataFrame, manifest: Manifest) -> DataFrame:

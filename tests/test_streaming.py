@@ -1,0 +1,141 @@
+"""Streaming tests: file-source micro-batches through the event-time
+operators and the stateful latest-per-key, plus an end-to-end streamed
+ingestion into the lake (checkpointed foreachBatch)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.lake import LakeCatalog
+from ducklake_kafka_connect_spark.sources.kafka_source import (
+    KAFKA_LIKE_SCHEMA,
+    file_stream_source,
+)
+from ducklake_kafka_connect_spark.streaming.ingest import (
+    IngestConfig,
+    IngestPipeline,
+    TableSpec,
+)
+from ducklake_kafka_connect_spark.streaming.windows import (
+    latest_per_key_stream,
+    sessionized_counts,
+    windowed_counts,
+)
+
+EVENTS = [
+    # user 1: two sessions (gap > 30 min); user 2: one session
+    (1, "2024-01-01T10:00:00", 10.0),
+    (1, "2024-01-01T10:10:00", 11.0),
+    (1, "2024-01-01T12:00:00", 12.0),
+    (2, "2024-01-01T10:05:00", 20.0),
+    (2, "2024-01-01T10:20:00", 21.0),
+]
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"user_id": u, "ts": ts, "value": v}
+        for u, ts, v in EVENTS
+    ]
+    (src / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "user_id long, ts timestamp, value double"
+    return (
+        spark.readStream.format("json").schema(schema).load(str(src))
+    )
+
+
+def _run_to_memory(spark, df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+class TestEventTime:
+    def test_windowed_counts(self, spark, event_stream):
+        # watermark = max_ts - 1s = 11:59:59 → the 10:00 window is closed
+        # and emitted; the 12:00 window stays open and is withheld (the
+        # late-data contract append mode guarantees).
+        out = _run_to_memory(
+            spark, windowed_counts(event_stream, "1 hour", "1 second"), "win_counts", "append"
+        )
+        rows = {str(r["window_start"]): (r["n"], r["sum_value"]) for r in out.collect()}
+        assert rows["2024-01-01 10:00:00"] == (4, 62.0)
+        assert "2024-01-01 12:00:00" not in rows
+
+    def test_sessionized_counts(self, spark, event_stream):
+        # sessions ending before the watermark emit; user 1's 12:00
+        # singleton is still open (gap not elapsed) and is withheld
+        out = _run_to_memory(
+            spark,
+            sessionized_counts(event_stream, gap="30 minutes", watermark="1 second"),
+            "sess_counts",
+            "append",
+        )
+        sessions = sorted((r["user_id"], r["n_events"]) for r in out.collect())
+        assert sessions == [(1, 2), (2, 2)]
+
+    def test_latest_per_key_stateful(self, spark, event_stream):
+        out = _run_to_memory(
+            spark, latest_per_key_stream(event_stream), "latest_keys", "update"
+        )
+        latest = {r["user_id"]: (str(r["ts"]), r["value"]) for r in out.collect()}
+        assert latest[1] == ("2024-01-01 12:00:00", 12.0)
+        assert latest[2] == ("2024-01-01 10:20:00", 21.0)
+
+
+class TestStreamedIngestion:
+    def test_file_stream_to_lake_with_checkpoint(self, spark, tmp_path):
+        src = tmp_path / "kafka_like"
+        src.mkdir()
+        msgs = [
+            {"key": None, "value": json.dumps({"id": i, "v": f"x{i}"}),
+             "topic": "t_stream", "partition": 0, "offset": i, "timestamp": None}
+            for i in range(5)
+        ]
+        (src / "b0.json").write_text("\n".join(json.dumps(m) for m in msgs))
+
+        catalog = LakeCatalog(spark, str(tmp_path / "lake"))
+        cfg = IngestConfig(
+            tables={"t_stream": TableSpec(id_columns=["id"], auto_create=True)}
+        )
+        pipe = IngestPipeline(catalog, cfg)
+        stream = file_stream_source(spark, str(src), fmt="json", schema=KAFKA_LIKE_SCHEMA)
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            stream.writeStream.foreachBatch(pipe.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        table = catalog.table("t_stream")
+        assert table.read().count() == 5
+
+        # second run with an upsert batch: checkpoint skips batch 0,
+        # processes only the new file, MERGE updates not duplicates
+        msgs2 = [
+            {"key": None, "value": json.dumps({"id": 0, "v": "updated"}),
+             "topic": "t_stream", "partition": 0, "offset": 10, "timestamp": None}
+        ]
+        (src / "b1.json").write_text("\n".join(json.dumps(m) for m in msgs2))
+        q2 = (
+            file_stream_source(spark, str(src), fmt="json", schema=KAFKA_LIKE_SCHEMA)
+            .writeStream.foreachBatch(pipe.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        rows = {r["id"]: r["v"] for r in table.read().collect()}
+        assert rows == {0: "updated", 1: "x1", 2: "x2", 3: "x3", 4: "x4"}
