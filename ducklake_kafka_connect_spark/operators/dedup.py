@@ -111,12 +111,42 @@ WORDS_SQL = "string_split_regex(trim(lower({text})), '\\s+')"
 
 
 def minhash_sig_cols(shingles: Column) -> list[Column]:
-    """NUM_PERM minhash values: min over shingles of (a·h+b) mod P."""
+    """NUM_PERM minhash values: min over shingles of (a·h+b) mod P.
+
+    Array-expression form (used by tests/small inputs). The hot path
+    uses ``minhash_signatures`` — higher-order lambdas are interpreted
+    per element and re-evaluate the md5 transform once per permutation,
+    which is ~30× slower than the explode+groupBy plan."""
     hashes = F.transform(shingles, lambda s: h60_col(s) % MERSENNE)
     return [
         F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE))
         for a, b in COEFFS
     ]
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, s0..s15) signature table, the scale-shaped plan:
+
+        repartition → explode shingles → md5 ONCE per shingle (codegen)
+        → groupBy(id) with NUM_PERM min-aggregates (map-side partial)
+
+    No higher-order lambdas in the hot path; exploded rows are slim
+    (id + 8-byte hash — the shingle string is projected away inside the
+    same codegen stage). Map-side combine collapses each partition to
+    one row per doc before the shuffle."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    exploded = (
+        docs.repartition(n_part, F.col(id_col))  # single-file scans → all cores
+        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("s"))
+        .select(F.col(id_col), (h60_col(F.col("s")) % MERSENNE).alias("h"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"s{i}")
+        for i, (a, b) in enumerate(COEFFS)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_sig_sqls(shingles_expr: str) -> list[str]:
@@ -145,8 +175,10 @@ def minhash_candidate_pairs(
     per doc → self-join on band key (shuffle of slim rows only) →
     distinct pairs. Oversized buckets are dropped (boilerplate guard).
     """
-    sigs = docs.select(
-        F.col(id_col), band_keys_col(minhash_sig_cols(shingles_col(F.col(text_col)))).alias("bk")
+    sig_table = minhash_signatures(docs, id_col, text_col)
+    sigs = sig_table.select(
+        F.col(id_col),
+        band_keys_col([F.col(f"s{i}") for i in range(NUM_PERM)]).alias("bk"),
     )
     banded = sigs.select(id_col, F.explode("bk").alias("band_key"))
     sized = banded.withColumn(
@@ -181,7 +213,10 @@ def minhash_dedup_pairs(
     join — the corpus text never shuffles.
     """
     cands = minhash_candidate_pairs(docs, id_col, text_col)
-    sh = docs.select(F.col(id_col), shingles_col(F.col(text_col)).alias("sh"))
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
+    )
     pairs = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -278,6 +313,33 @@ def simhash_sql(text_expr: str, bits: int = SIMHASH_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def simhash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) via the scale-shaped plan: explode distinct tokens
+    → one md5 per token (codegen) → groupBy(id) with SIMHASH_BITS
+    conditional-sum votes (map-side partial agg) → assemble bits.
+    Same math as ``simhash_col`` without interpreted lambdas."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    exploded = (
+        docs.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col), F.explode(toks).alias("t"))
+        .select(F.col(id_col), h60_col(F.col("t")).alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    voted = exploded.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        out = out + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return voted.select(F.col(id_col), out.alias("simhash"))
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -292,7 +354,7 @@ def simhash_near_pairs(
     verify with bit_count(xor). Shuffles only (id, simhash) pairs.
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
-    sh = docs.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    sh = simhash_table(docs, id_col, text_col)
     bands = sh.select(
         id_col,
         "simhash",
@@ -363,15 +425,42 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs Jaccard within blocking-key groups. The exact
     baseline for the MinHash path — O(n²) per block, only viable when
-    blocks are bounded; at scale use minhash_dedup_pairs."""
-    sh = docs.select(
-        F.col(block_col).alias("blk"), F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
+    blocks are bounded; at scale use minhash_dedup_pairs.
+
+    Physical shape: blocking keys are few, so a plain blk-join would run
+    on #blocks reducers — the left side is salted (id % SALTS) and the
+    right side replicated across salts to use the whole cluster. A
+    size-ratio prefilter (J ≥ t ⟹ |A|/|B| ∈ [t, 1/t], cheap int
+    compare) screens pairs before any array intersection; it cannot
+    change the result set."""
+    SALTS = 16
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(n_part, F.col(id_col)).select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col),
+        shingles_col(F.col(text_col)).alias("sh"),
     )
-    a = sh.select(F.col("blk"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("blk"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sh = sh.withColumn("n", F.size("sh"))
+    a = sh.select(
+        "blk",
+        (F.col(id_col) % SALTS).alias("salt"),
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = sh.select(
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1))).alias("salt"),
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    ratio_ok = (F.col("n_a") * F.lit(threshold) <= F.col("n_b")) & (
+        F.col("n_b") * F.lit(threshold) <= F.col("n_a")
+    )
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["blk", "salt"])
+        .filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
         .select("id_a", "id_b", jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
