@@ -1,0 +1,122 @@
+"""Table maintenance: compaction (OPTIMIZE) and vacuum.
+
+The reference's answer to small files is buffering to 256 MiB before
+flush plus catalog-side inlining of tiny batches
+(``connect/DucklakeSinkTask.java:126-141``,
+``connect/DucklakeConnectionFactory.java:88-92``); Delta's answer is
+OPTIMIZE/auto-compaction. This engine writes immutable files per
+commit, so a steady drip of micro-batches accretes small files per
+partition — ``compact`` rewrites the offenders, ``vacuum`` reclaims
+files no retained snapshot references.
+
+Both run under the table lock and commit a new manifest version, so
+readers pinned to older snapshots are unaffected until vacuum passes
+their version.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from ..metrics import REGISTRY
+from .table import LakeTable, Manifest
+
+
+@dataclass
+class CompactionResult:
+    partitions_compacted: int
+    files_before: int
+    files_after: int
+
+
+def compact(table: LakeTable, max_files_per_partition: int = 1) -> CompactionResult:
+    """Rewrite every partition holding more than ``max_files_per_partition``
+    data files into one file per partition-task.
+
+    Scale shape: only offending partitions are read (explicit file list —
+    no directory listing), hashed into one task per partition, and
+    rewritten; untouched partitions carry their files into the new
+    manifest unchanged. At 100 TB this runs as a background job per
+    table with the same commit protocol as writes."""
+    with REGISTRY.timer("compactTable"), table.lock():
+        m = table.manifest()
+        offenders = {k: v for k, v in m.files.items() if len(v) > max_files_per_partition}
+        if not offenders:
+            return CompactionResult(0, sum(map(len, m.files.values())),
+                                    sum(map(len, m.files.values())))
+        paths = [os.path.join(table.dir, p) for v in offenders.values() for p in v]
+        df = table.spark.read.schema(table.read_schema(m)).parquet(*paths)
+        exprs = m.partition_exprs
+        if exprs:
+            df = df.repartition(
+                max(len(offenders), 1), *[F.col(e.output_name) for e in exprs]
+            )
+        else:
+            df = df.coalesce(1)
+        new_files = table.write_data_files(df, m.version + 1)
+        files = {k: list(v) for k, v in m.files.items() if k not in offenders}
+        for k, v in new_files.items():
+            files.setdefault(k, []).extend(v)
+        table._commit(
+            Manifest(
+                version=m.version + 1,
+                schema=m.schema,
+                pk=m.pk,
+                partition_spec=m.partition_spec,
+                files=files,
+                parent=m.version,
+                props=m.props,
+            )
+        )
+        return CompactionResult(
+            len(offenders),
+            sum(map(len, m.files.values())),
+            sum(map(len, files.values())),
+        )
+
+
+def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
+    """Delete data files referenced by no retained snapshot (the newest
+    ``keep_versions`` manifests) and drop older manifest versions.
+    Returns the number of data files deleted. Time travel remains valid
+    for retained versions only."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    with REGISTRY.timer("vacuumTable"), table.lock():
+        latest = table.current_version()
+        retained: list[int] = []
+        v = latest
+        while v >= 0 and len(retained) < keep_versions:
+            if os.path.exists(os.path.join(table.meta_dir, f"v{v}.json")):
+                retained.append(v)
+            v -= 1
+        referenced = {
+            os.path.normpath(p)
+            for rv in retained
+            for p in table.manifest(rv).all_files()
+        }
+        deleted = 0
+        for dirpath, _dirnames, filenames in os.walk(table.data_dir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.normpath(
+                    os.path.relpath(os.path.join(dirpath, fn), table.dir)
+                )
+                if rel not in referenced:
+                    os.remove(os.path.join(dirpath, fn))
+                    deleted += 1
+        # prune empty partition dirs bottom-up
+        for dirpath, dirnames, filenames in os.walk(table.data_dir, topdown=False):
+            if not dirnames and not filenames and dirpath != table.data_dir:
+                os.rmdir(dirpath)
+        # drop manifests older than the retained window
+        for fn in os.listdir(table.meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                mv = int(fn[1:-5])
+                if mv not in retained:
+                    os.remove(os.path.join(table.meta_dir, fn))
+        return deleted

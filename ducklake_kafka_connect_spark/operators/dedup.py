@@ -37,6 +37,12 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 MERSENNE = 2147483647  # 2^31 - 1; keeps a*h+b inside int64 on both engines
+# Shingle-hash combiners: shingle hash = (h(w0)·C1 % M + h(w1)·C2 % M +
+# h(w2)) % M — one md5 per word instead of one per concatenated shingle
+# string, and no string building in the hot path. Both < 2^31 so every
+# intermediate product stays inside int64.
+COMB1 = 1000003
+COMB2 = 999983
 NUM_PERM = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_PERM // BANDS
@@ -110,18 +116,40 @@ WORDS_SQL = "string_split_regex(trim(lower({text})), '\\s+')"
 # ---------------------------------------------------------------------------
 
 
-def minhash_sig_cols(shingles: Column) -> list[Column]:
-    """NUM_PERM minhash values: min over shingles of (a·h+b) mod P.
+def shingle_hash_combine(h0: Column, h1: Column, h2: Column) -> Column:
+    """Word-hash triple → shingle hash (same formula as the SQL twin)."""
+    return (
+        (h0 * F.lit(COMB1)) % MERSENNE + (h1 * F.lit(COMB2)) % MERSENNE + h2
+    ) % MERSENNE
 
-    Array-expression form (used by tests/small inputs). The hot path
-    uses ``minhash_signatures`` — higher-order lambdas are interpreted
-    per element and re-evaluate the md5 transform once per permutation,
-    which is ~30× slower than the explode+groupBy plan."""
-    hashes = F.transform(shingles, lambda s: h60_col(s) % MERSENNE)
+
+def minhash_sig_cols(shingles_hashes: Column) -> list[Column]:
+    """NUM_PERM minhash values over a precomputed shingle-hash array.
+    Array-expression form for tests/small inputs; the hot path is
+    ``minhash_signatures`` (codegen end-to-end, no lambdas)."""
     return [
-        F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE))
+        F.array_min(
+            F.transform(shingles_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE)
+        )
         for a, b in COEFFS
     ]
+
+
+def shingle_hashes_col(text: Column, n: int = SHINGLE_N) -> Column:
+    """Array of shingle hashes via word-hash combination (array form)."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    hashes = F.transform(words, lambda w: h60_col(w) % MERSENNE)
+
+    def gram(i: Column) -> Column:
+        return shingle_hash_combine(
+            F.element_at(hashes, i + 1),
+            F.element_at(hashes, i + 2),
+            F.element_at(hashes, i + 3),
+        )
+
+    return F.when(F.size(words) < n, F.array().cast("array<bigint>")).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(words) - n), gram)
+    )
 
 
 def minhash_signatures(
@@ -129,30 +157,57 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, s0..s15) signature table, the scale-shaped plan:
 
-        repartition → explode shingles → md5 ONCE per shingle (codegen)
+        repartition → posexplode words → ONE md5 per word (codegen)
+        → lead() window composes shingle hashes (codegen, no strings)
         → groupBy(id) with NUM_PERM min-aggregates (map-side partial)
 
-    No higher-order lambdas in the hot path; exploded rows are slim
-    (id + 8-byte hash — the shingle string is projected away inside the
-    same codegen stage). Map-side combine collapses each partition to
-    one row per doc before the shuffle."""
+    No higher-order lambdas and no shingle-string construction anywhere;
+    exploded rows are slim (id, pos, 8-byte hash). The window sort runs
+    on (id, pos) within the same hash partitioning the final groupBy
+    uses, so the plan has exactly one meaningful shuffle. Duplicate
+    shingles need no dedup — min() over a multiset equals min() over
+    its set."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    exploded = (
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = (
         docs.repartition(n_part, F.col(id_col))  # single-file scans → all cores
-        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("s"))
-        .select(F.col(id_col), (h60_col(F.col("s")) % MERSENNE).alias("h"))
+        .select(F.col(id_col), F.posexplode(words).alias("pos", "w"))
+        .select(F.col(id_col), F.col("pos"), (h60_col(F.col("w")) % MERSENNE).alias("h0"))
+    )
+    win = W.partitionBy(id_col).orderBy("pos")
+    sh = (
+        tok.withColumn("h1", F.lead("h0", 1).over(win))
+        .withColumn("h2", F.lead("h0", 2).over(win))
+        .filter(F.col("h2").isNotNull())
+        .select(
+            F.col(id_col),
+            shingle_hash_combine(F.col("h0"), F.col("h1"), F.col("h2")).alias("h"),
+        )
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"s{i}")
         for i, (a, b) in enumerate(COEFFS)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_sig_sqls(shingles_expr: str) -> list[str]:
-    hashes = f"list_transform({shingles_expr}, s -> {h60_sql('s')} % {MERSENNE})"
+def shingle_hashes_sql(words_expr: str = "w", n: int = SHINGLE_N) -> str:
+    """Shingle-hash list from a pre-split word list (DuckDB twin of
+    shingle_hashes_col; same combine formula). Expects a lateral alias
+    ``hw`` = per-word hashes to exist (see minhash_dedup_pairs_sql)."""
+    comb = (
+        f"((hw[i] * {COMB1}) % {MERSENNE} + (hw[i+1] * {COMB2}) % {MERSENNE} + hw[i+2])"
+        f" % {MERSENNE}"
+    )
+    return (
+        f"CASE WHEN len({words_expr}) < {n} THEN [] "
+        f"ELSE list_transform(generate_series(1, len({words_expr}) - {n} + 1), i -> {comb}) END"
+    )
+
+
+def minhash_sig_sqls(shingle_hashes_expr: str) -> list[str]:
     return [
-        f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {MERSENNE}))"
+        f"list_min(list_transform({shingle_hashes_expr}, h -> ({a} * h + {b}) % {MERSENNE}))"
         for a, b in COEFFS
     ]
 
@@ -232,7 +287,7 @@ def minhash_dedup_pairs_sql(
     text_col: str = "text",
 ) -> str:
     """DuckDB oracle: the same LSH pipeline, bit-identical hashes."""
-    sig_sqls = minhash_sig_sqls("sh")
+    sig_sqls = minhash_sig_sqls("shh")
     band_keys = []
     for band in range(BANDS):
         part = sig_sqls[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
@@ -240,10 +295,17 @@ def minhash_dedup_pairs_sql(
         band_keys.append(f"'{band}' || '_' || {concat}")
     band_list = ", ".join(band_keys)
     words = WORDS_SQL.format(text=text_col)
+    word_hashes = f"list_transform(w, x -> {h60_sql('x')} % {MERSENNE})"
     return f"""
-    WITH base AS (
-      SELECT id, {shingles_sql('w')} AS sh
-      FROM (SELECT {id_col} AS id, {words} AS w FROM {table})
+    WITH split AS (
+      SELECT {id_col} AS id, {words} AS w FROM {table}
+    ),
+    hashed AS (
+      SELECT id, w, {word_hashes} AS hw FROM split
+    ),
+    base AS (
+      SELECT id, {shingles_sql('w')} AS sh, {shingle_hashes_sql('w')} AS shh
+      FROM hashed
     ),
     banded AS (
       SELECT id, unnest([{band_list}]) AS band_key FROM base

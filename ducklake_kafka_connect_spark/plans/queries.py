@@ -593,7 +593,9 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(fingerprint_col(F.col("text")).alias("fp")).agg(
+    n_part = spark.sparkContext.defaultParallelism
+    # single-file scan → spread the per-char hashing across all cores
+    return docs.repartition(n_part).select(fingerprint_col(F.col("text")).alias("fp")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fp").cast("long").alias("n_fingerprints"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_collisions"),

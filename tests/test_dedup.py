@@ -39,7 +39,7 @@ class TestMinhash:
 
     def test_signature_deterministic(self, spark):
         df = spark.createDataFrame([(BASE,)], "text string")
-        sig = D.minhash_sig_cols(D.shingles_col(F.col("text")))
+        sig = D.minhash_sig_cols(D.shingle_hashes_col(F.col("text")))
         a = df.select(*[s.alias(f"s{i}") for i, s in enumerate(sig)]).collect()[0]
         b = df.select(*[s.alias(f"s{i}") for i, s in enumerate(sig)]).collect()[0]
         assert tuple(a) == tuple(b)

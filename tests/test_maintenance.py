@@ -1,0 +1,94 @@
+"""Compaction + vacuum: file counts shrink, data is identical, retained
+snapshots stay readable, unreferenced files are reclaimed."""
+
+import os
+
+from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+from ducklake_kafka_connect_spark.lake.maintenance import compact, vacuum
+
+
+def _file_count(table):
+    return sum(len(v) for v in table.manifest().files.values())
+
+
+def _rows(table):
+    return sorted(tuple(r) for r in table.read().select("id", "v").collect())
+
+
+class TestCompact:
+    def test_compact_merges_small_files(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        t = cat.table("c1")
+        w = LakeWriter(t)
+        for i in range(4):  # 4 appends → ≥4 files
+            w.append(spark.createDataFrame([(i, f"v{i}")], "id long, v string"))
+        before_rows = _rows(t)
+        assert _file_count(t) >= 4
+        res = compact(t)
+        assert res.partitions_compacted == 1
+        assert _file_count(t) == 1
+        assert _rows(t) == before_rows
+
+    def test_compact_partitioned_only_offenders(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        t = cat.table("c2")
+        w = LakeWriter(t, partition_by="id")
+        w.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+        w.append(spark.createDataFrame([(1, "c")], "id long, v string"))  # id=1 now 2 files
+        m = t.manifest()
+        multi = [k for k, v in m.files.items() if len(v) > 1]
+        assert len(multi) == 1
+        before_rows = _rows(t)
+        res = compact(t)
+        assert res.partitions_compacted == 1
+        m2 = t.manifest()
+        assert all(len(v) == 1 for v in m2.files.values())
+        assert _rows(t) == before_rows
+
+    def test_compact_noop_when_already_compacted(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        t = cat.table("c3")
+        LakeWriter(t).append(spark.createDataFrame([(1, "a")], "id long, v string"))
+        compact(t)
+        v = t.current_version()
+        res = compact(t)  # second pass: nothing above threshold
+        assert res.partitions_compacted == 0
+        assert t.current_version() == v  # no empty commit
+
+
+class TestVacuum:
+    def test_vacuum_reclaims_unreferenced(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        t = cat.table("v1")
+        w = LakeWriter(t, pk=["id"])
+        w.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+        w.write(spark.createDataFrame([(1, "a2")], "id long, v string"))  # merge rewrites
+        before_rows = _rows(t)
+
+        def on_disk():
+            return sum(
+                1
+                for dp, _, fns in os.walk(t.data_dir)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+
+        assert on_disk() > _file_count(t)  # old version's files still present
+        deleted = vacuum(t, keep_versions=1)
+        assert deleted > 0
+        assert on_disk() == _file_count(t)
+        assert _rows(t) == before_rows
+        # old manifest gone, latest retained
+        assert not os.path.exists(os.path.join(t.meta_dir, "v0.json"))
+        assert t.read() is not None
+
+    def test_vacuum_retains_time_travel_window(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        t = cat.table("v2")
+        w = LakeWriter(t, pk=["id"])
+        w.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+        w.write(spark.createDataFrame([(1, "b")], "id long, v string"))
+        vacuum(t, keep_versions=2)
+        v = t.current_version()
+        old = t.read(version=v - 1).select("v").collect()
+        assert [r["v"] for r in old] == ["a"]
