@@ -53,10 +53,58 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ingest": ingest_harness(spark),
             }
         )
     )
     spark.stop()
+
+
+def ingest_harness(spark) -> dict:
+    """BASELINE.md targets 1-2: append throughput on a partitioned table
+    and MERGE batches at PK-conflict rates, mirroring the reference's
+    DucklakeWriterIntegrationTest harness (base=100k rows, batch=10k,
+    conflicts 1/10/30%)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    out: dict[str, float] = {}
+    lake_dir = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        cat = LakeCatalog(spark, lake_dir)
+        base = spark.range(100_000).select(
+            F.col("id"),
+            F.concat(F.lit("name_"), F.col("id")).alias("name"),
+            (F.timestamp_seconds(1704067200 + F.col("id") % 2_592_000)).alias("created_at"),
+        )
+        w = LakeWriter(cat.table("bench_merge"), pk=["id"],
+                       partition_by="month(created_at)")
+        t0 = time.perf_counter()
+        w.write(base)
+        append_s = time.perf_counter() - t0
+        out["append_100k_partitioned_s"] = round(append_s, 3)
+        out["append_rows_per_s"] = round(100_000 / append_s)
+        for rate in (1, 10, 30):
+            n_conflict = 10_000 * rate // 100
+            batch = spark.range(10_000).select(
+                F.when(F.col("id") < n_conflict, F.col("id") * (100 // rate))
+                .otherwise(F.col("id") + 1_000_000)
+                .alias("id"),
+                F.lit("updated").alias("name"),
+                F.timestamp_seconds(1704067200 + F.col("id") % 2_592_000).alias("created_at"),
+            )
+            t0 = time.perf_counter()
+            w.write(batch)
+            out[f"merge_10k_conflict{rate}pct_s"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # keep the bench line intact on harness failure
+        out["error"] = str(e)[:200]
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

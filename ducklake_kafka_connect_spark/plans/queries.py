@@ -505,6 +505,74 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, query, k=10, exclude_ids=[0])
 
 
+@register(
+    "semi_join_priority_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4-style EXISTS → left-semi join + aggregate",
+)
+def semi_join_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    late = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+    "NOT EXISTS → left-anti join: customers with no high-value orders, per segment",
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "outer_join_nation_activity",
+    """
+    SELECT n_name,
+           CAST(count(c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "Left-outer join preserving empty dims (null-safe counts)",
+)
+def outer_join_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").cast("long").alias("n_customers"),
+            F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # D. Fuzzy dedup / ANN / text-analysis / event-time (beyond-parity, phase 5)
 #    LSH determinism contract: every hash is md5-derived so the Spark and
