@@ -56,10 +56,13 @@ def compact(table: LakeTable, max_files_per_partition: int = 1) -> CompactionRes
             )
         else:
             df = df.coalesce(1)
-        new_files = table.write_data_files(df, m.version + 1)
+        new_files, new_stats = table.write_data_files(df, m.version + 1)
         files = {k: list(v) for k, v in m.files.items() if k not in offenders}
         for k, v in new_files.items():
             files.setdefault(k, []).extend(v)
+        rewritten = {f for v in offenders.values() for f in v}
+        stats = {f: s for f, s in m.file_stats.items() if f not in rewritten}
+        stats.update(new_stats)
         table._commit(
             Manifest(
                 version=m.version + 1,
@@ -69,6 +72,7 @@ def compact(table: LakeTable, max_files_per_partition: int = 1) -> CompactionRes
                 files=files,
                 parent=m.version,
                 props=m.props,
+                file_stats=stats,
             )
         )
         return CompactionResult(

@@ -86,6 +86,10 @@ class Manifest:
     files: dict[str, list[str]]     # partition-dir relpath ("" if unpartitioned) -> file relpaths
     parent: int | None = None
     props: dict = dc_field(default_factory=dict)
+    # per-file [min, max] of the first PK column (parquet footer stats,
+    # harvested at write time) — lets MERGE prune its rewrite set to
+    # files whose key range overlaps the source batch.
+    file_stats: dict = dc_field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -97,6 +101,7 @@ class Manifest:
                 "files": self.files,
                 "parent": self.parent,
                 "props": self.props,
+                "file_stats": self.file_stats,
             },
             indent=1,
         )
@@ -112,6 +117,7 @@ class Manifest:
             files={k: list(v) for k, v in d.get("files", {}).items()},
             parent=d.get("parent"),
             props=d.get("props") or {},
+            file_stats=d.get("file_stats") or {},
         )
 
     @property
@@ -264,12 +270,18 @@ class LakeTable:
 
     # ---------- physical file management (used by the writer) ----------
 
-    def write_data_files(self, df: DataFrame, version_hint: int) -> dict[str, list[str]]:
+    def write_data_files(
+        self, df: DataFrame, version_hint: int
+    ) -> tuple[dict[str, list[str]], dict]:
         """Write a DataFrame as immutable Parquet under a fresh stage dir,
         partitioned by the table's partition columns; return the
-        {partition-relpath: [file-relpath]} mapping for the manifest."""
+        ({partition-relpath: [file-relpath]}, {file-relpath: [min, max]})
+        pair for the manifest. Stats = footer min/max of the first PK
+        column — read locally here; on an object store the same footers
+        are one ranged GET per file, or come back from the write tasks."""
         m = self.manifest() if self.exists() else None
         exprs = m.partition_exprs if m else []
+        pk = m.pk if m else []
         stage_rel = os.path.join("data", f"s{version_hint}-{uuid.uuid4().hex[:8]}")
         stage_abs = os.path.join(self.dir, stage_rel)
         df = with_dir_columns(df, exprs)
@@ -280,18 +292,51 @@ class LakeTable:
         writer.parquet(stage_abs)
 
         files: dict[str, list[str]] = {}
+        stats: dict = {}
         for dirpath, _dirnames, filenames in os.walk(stage_abs):
             for fn in filenames:
                 if not fn.endswith(".parquet"):
                     continue
                 rel_dir = os.path.relpath(dirpath, stage_abs)
                 part_key = "" if rel_dir == "." else rel_dir
-                files.setdefault(part_key, []).append(
-                    os.path.join(stage_rel, "" if rel_dir == "." else rel_dir, fn)
+                rel_file = (
+                    os.path.join(stage_rel, rel_dir, fn)
                     if rel_dir != "."
                     else os.path.join(stage_rel, fn)
                 )
-        return files
+                files.setdefault(part_key, []).append(rel_file)
+                if pk:
+                    s = _footer_minmax(os.path.join(dirpath, fn), pk[0])
+                    if s is not None:
+                        stats[rel_file] = s
+        return files, stats
+
+
+def _footer_minmax(path: str, column: str):
+    """[min, max] of a column from parquet row-group footer statistics
+    (no data pages read); None when stats are absent or non-scalar."""
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(path)
+        idx = f.schema_arrow.get_field_index(column)
+        if idx < 0:
+            return None
+        lo = hi = None
+        for rg in range(f.metadata.num_row_groups):
+            col = f.metadata.row_group(rg).column(idx)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None or isinstance(lo, (bytes, bytearray)):
+            return None
+        if not isinstance(lo, (int, float, str)):
+            lo, hi = str(lo), str(hi)
+        return [lo, hi]
+    except Exception:
+        return None
 
 
 class LakeCatalog:

@@ -27,8 +27,11 @@ rewritten; untouched partitions keep their immutable files. Plan shape:
     broadcast(src) ── left_anti (inserts)   ──┘
 
 At 1000 executors this is one pruned scan + three broadcast hash joins —
-no shuffle of table data, no sort. A future round can add file-level PK
-min/max stats to the manifest to prune the (b) scan further.
+no shuffle of table data, no sort. Pruning is two-level: partition dirs
+(from the manifest) and files (parquet-footer min/max of the first PK
+column, harvested at write time into the manifest) — only files whose
+key range overlaps the batch are rewritten; everything else carries its
+immutable files into the next snapshot untouched.
 """
 
 from __future__ import annotations
@@ -88,6 +91,20 @@ def _conform(df: DataFrame, logical: T.StructType, extra: Sequence[str] = ()) ->
     return df.select(*cols)
 
 
+def _overlaps(stats, bounds) -> bool:
+    """Can a file with [min, max] = stats contain any key in bounds?
+    Conservative: missing/uncomparable stats → True; an empty source
+    key range → False (nothing can match)."""
+    if bounds["lo"] is None:
+        return False
+    if not stats:
+        return True
+    try:
+        return not (stats[1] < bounds["lo"] or stats[0] > bounds["hi"])
+    except TypeError:
+        return True
+
+
 def _dedup_last_wins(df: DataFrame, pk: Sequence[str], order_col: str | None) -> DataFrame:
     """Collapse in-batch duplicate keys to the last write (SURVEY risk #2:
     DuckDB MERGE applies last-write; a multi-match would also break the
@@ -140,11 +157,15 @@ class LakeWriter:
         out = self._prepare_insert(df, manifest)
         with self.table.lock():
             manifest = self.table.manifest()  # re-read under lock
-            new_files = self.table.write_data_files(out, manifest.version + 1)
+            new_files, new_stats = self.table.write_data_files(out, manifest.version + 1)
             merged_files = {k: list(v) for k, v in manifest.files.items()}
             for k, paths in new_files.items():
                 merged_files.setdefault(k, []).extend(paths)
-            self._commit_next(manifest, merged_files, _logical_schema_of_batch(df, manifest))
+            stats = dict(manifest.file_stats)
+            stats.update(new_stats)
+            self._commit_next(
+                manifest, merged_files, _logical_schema_of_batch(df, manifest), stats
+            )
 
     def merge(self, df: DataFrame, order_col: str | None = None) -> None:
         with REGISTRY.timer("upsertWithMergeInto"):
@@ -163,15 +184,29 @@ class LakeWriter:
         src = with_partition_columns(src, exprs).cache()
         src_keys = src.select(*self.pk).distinct()
 
-        # ---- affected partitions (driver-side file pruning) ----
+        # ---- file-level pruning on PK range (parquet footer stats) ----
+        # A target row can only match a source key if its file's
+        # [min, max] of pk[0] overlaps the batch's key range; files
+        # without stats are conservatively kept.
+        bounds = src.agg(
+            F.min(self.pk[0]).alias("lo"), F.max(self.pk[0]).alias("hi")
+        ).collect()[0]
+        overlap_by_part = {
+            k: [f for f in v if _overlaps(manifest.file_stats.get(f), bounds)]
+            for k, v in manifest.files.items()
+        }
+
+        # ---- affected partitions (driver-side partition pruning) ----
         if part_cols:
             affected = {
                 tuple(str(r[c]) if r[c] is not None else HIVE_NULL for c in part_cols)
                 for r in src.select(*part_cols).distinct().collect()
             }
-            target_all = self.table.read(include_hidden=True)
+            # matches can only live in overlapping files — scan just those
+            overlap_files = [f for v in overlap_by_part.values() for f in v]
+            target_overlap = self._read_files(manifest, overlap_files)
             matched_parts = (
-                target_all.select(*self.pk, *part_cols)
+                target_overlap.select(*self.pk, *part_cols)
                 .join(F.broadcast(src_keys), on=self.pk, how="left_semi")
                 .select(*part_cols)
                 .distinct()
@@ -181,10 +216,21 @@ class LakeWriter:
                 tuple(str(r[c]) if r[c] is not None else HIVE_NULL for c in part_cols)
                 for r in matched_parts
             }
+            if len(affected) > MAX_PRUNED_PARTITIONS:
+                rewrite_files = [f for v in overlap_by_part.values() for f in v]
+            else:
+                rewrite_files = [
+                    f
+                    for k, v in overlap_by_part.items()
+                    if self._part_tuple(k, manifest) in affected
+                    for f in v
+                ]
         else:
-            affected = None  # unpartitioned → whole table is affected
+            affected = None  # unpartitioned → every overlapping file
+            rewrite_files = [f for v in overlap_by_part.values() for f in v]
 
-        target = self._read_partitions(manifest, part_cols, affected)
+        rewrite_set = set(rewrite_files)
+        target = self._read_files(manifest, rewrite_files)
         # Conform the target side to the evolved schema too: null-fill
         # added columns, cast widened ones; keep system/partition columns.
         passthrough = [INSERTED_AT] + [c for c in part_cols if c not in final_logical.fieldNames()]
@@ -214,18 +260,21 @@ class LakeWriter:
 
         with self.table.lock():
             manifest = self.table.manifest()
-            new_files = self.table.write_data_files(merged, manifest.version + 1)
-            if affected is None:
-                merged_files = new_files
-            else:
-                merged_files = {
-                    k: list(v)
-                    for k, v in manifest.files.items()
-                    if self._part_tuple(k, manifest) not in affected
-                }
-                for k, paths in new_files.items():
-                    merged_files.setdefault(k, []).extend(paths)
-            self._commit_next(manifest, merged_files, final_logical)
+            new_files, new_stats = self.table.write_data_files(merged, manifest.version + 1)
+            # keep every file that was not rewritten (including
+            # non-overlapping files inside affected partitions)
+            merged_files = {
+                k: [f for f in v if f not in rewrite_set]
+                for k, v in manifest.files.items()
+            }
+            merged_files = {k: v for k, v in merged_files.items() if v}
+            for k, paths in new_files.items():
+                merged_files.setdefault(k, []).extend(paths)
+            stats = {
+                f: s for f, s in manifest.file_stats.items() if f not in rewrite_set
+            }
+            stats.update(new_stats)
+            self._commit_next(manifest, merged_files, final_logical, stats)
         src.unpersist()
 
     # ---------- internals ----------
@@ -248,7 +297,11 @@ class LakeWriter:
         return with_partition_columns(out, manifest.partition_exprs)
 
     def _commit_next(
-        self, manifest: Manifest, files: dict[str, list[str]], final_logical: T.StructType
+        self,
+        manifest: Manifest,
+        files: dict[str, list[str]],
+        final_logical: T.StructType,
+        file_stats: dict | None = None,
     ) -> None:
         fields = [f for f in final_logical.fields if f.name != INSERTED_AT]
         fields.append(T.StructField(INSERTED_AT, T.TimestampType(), True))
@@ -261,31 +314,21 @@ class LakeWriter:
                 files=files,
                 parent=manifest.version,
                 props=manifest.props,
+                file_stats=file_stats if file_stats is not None else manifest.file_stats,
             )
         )
 
     def _part_tuple(self, part_key: str, manifest: Manifest) -> tuple:
         return dir_key_to_partition_tuple(part_key, manifest.partition_exprs)
 
-    def _read_partitions(
-        self, manifest: Manifest, part_cols: list[str], affected: set | None
-    ) -> DataFrame:
-        """Driver-side file pruning: keep only files whose partition dir
-        key is in the affected set, then read that explicit file list."""
-        if affected is None or len(affected) > MAX_PRUNED_PARTITIONS:
-            return self.table.read(include_hidden=True)
-        keep = [
-            p
-            for k, paths in manifest.files.items()
-            if self._part_tuple(k, manifest) in affected
-            for p in paths
-        ]
+    def _read_files(self, manifest: Manifest, rel_files: list[str]) -> DataFrame:
+        """Read an explicit file list under the manifest's read schema."""
         read_schema = self.table.read_schema(manifest)
-        if not keep:
+        if not rel_files:
             return self.table.spark.createDataFrame([], read_schema)
         import os
 
-        files = [os.path.join(self.table.dir, p) for p in keep]
+        files = [os.path.join(self.table.dir, p) for p in rel_files]
         return self.table.spark.read.schema(read_schema).parquet(*files)
 
 

@@ -1,0 +1,63 @@
+"""File-level MERGE pruning: footer PK min/max stats in the manifest
+must keep non-overlapping files out of the rewrite set (their relpaths
+survive the commit unchanged), while results stay correct."""
+
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+
+def _setup(spark, tmp_path, name):
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.table(name)
+    w = LakeWriter(t, pk=["id"])
+    # 4 appends with disjoint key ranges → ≥4 files with tight stats
+    for base in (0, 1000, 2000, 3000):
+        w.append(
+            spark.range(base, base + 100).select(
+                F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+            )
+        )
+    return t, w
+
+
+def test_stats_recorded(spark, tmp_path):
+    t, _ = _setup(spark, tmp_path, "fp1")
+    m = t.manifest()
+    assert m.file_stats, "footer stats should be harvested on write"
+    for f, (lo, hi) in m.file_stats.items():
+        assert lo <= hi
+
+
+def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
+    t, w = _setup(spark, tmp_path, "fp2")
+    before = set(t.manifest().all_files())
+    stats = t.manifest().file_stats
+    # update keys 0..49 → only files overlapping [0, 49] may be rewritten
+    w.write(
+        spark.range(0, 50).select(F.col("id"), F.lit("updated").alias("v"))
+    )
+    after = set(t.manifest().all_files())
+    surviving = before & after
+    expected_untouched = {
+        f for f in before if f in stats and stats[f][0] > 49
+    }
+    assert expected_untouched, "setup should produce non-overlapping files"
+    assert expected_untouched <= surviving, (
+        "files whose key range cannot match the batch must not be rewritten"
+    )
+    # correctness unchanged
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[0] == "updated" and rows[49] == "updated"
+    assert rows[50] == "v50" and rows[3099] == "v3099"
+    assert len(rows) == 400
+
+
+def test_merge_insert_only_batch_rewrites_nothing(spark, tmp_path):
+    t, w = _setup(spark, tmp_path, "fp3")
+    before = set(t.manifest().all_files())
+    # keys 9000+ overlap no file → pure insert, zero rewrites
+    w.write(spark.range(9000, 9010).select(F.col("id"), F.lit("new").alias("v")))
+    after = set(t.manifest().all_files())
+    assert before <= after, "no pre-existing file should be rewritten"
+    assert t.read().count() == 410
