@@ -136,7 +136,12 @@ def minhash_sig_cols(shingles_hashes: Column) -> list[Column]:
 
 
 def shingle_hashes_col(text: Column, n: int = SHINGLE_N) -> Column:
-    """Array of shingle hashes via word-hash combination (array form)."""
+    """Array of shingle hashes via word-hash combination (array form).
+
+    NOTE: nests a transform() inside the outer lambda — Catalyst
+    re-evaluates the inner word-hash array per element, so this is
+    O(words²) md5 calls. Fine for unit tests; hot paths use
+    ``minhash_signatures`` (window plan) or ``shingle_hash_set_col``."""
     words = F.split(F.trim(F.lower(text)), r"\s+")
     hashes = F.transform(words, lambda w: h60_col(w) % MERSENNE)
 
@@ -149,6 +154,36 @@ def shingle_hashes_col(text: Column, n: int = SHINGLE_N) -> Column:
 
     return F.when(F.size(words) < n, F.array().cast("array<bigint>")).otherwise(
         F.transform(F.sequence(F.lit(0), F.size(words) - n), gram)
+    )
+
+
+def shingle_hash_set_col(text: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct shingle-hash set for Jaccard verification: one md5 per
+    shingle string in a single-level lambda (no nested transform), then
+    integer set semantics downstream — int intersection is much cheaper
+    than string intersection in the pair joins."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    gram = lambda i: (  # noqa: E731
+        h60_col(
+            F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(1, n + 1)]
+            )
+        )
+        % MERSENNE
+    )
+    return F.when(F.size(words) < n, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(words) - n), gram))
+    )
+
+
+def shingle_hash_set_sql(words_expr: str = "w", n: int = SHINGLE_N) -> str:
+    """DuckDB twin of shingle_hash_set_col."""
+    joined = " || ' ' || ".join(f"{words_expr}[i+{j}]" for j in range(n))
+    h = h60_sql(f"({joined})")
+    return (
+        f"CASE WHEN len({words_expr}) < {n} THEN [] "
+        f"ELSE list_distinct(list_transform("
+        f"generate_series(1, len({words_expr}) - {n} + 1), i -> {h} % {MERSENNE})) END"
     )
 
 
@@ -269,8 +304,11 @@ def minhash_dedup_pairs(
     """
     cands = minhash_candidate_pairs(docs, id_col, text_col)
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # verify on hashed shingle SETS — integer intersection is ~an order
+    # of magnitude cheaper than string intersection, deterministic on
+    # both engines (same md5-derived values)
     sh = docs.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
+        F.col(id_col), shingle_hash_set_col(F.col(text_col)).alias("sh")
     )
     pairs = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -304,7 +342,8 @@ def minhash_dedup_pairs_sql(
       SELECT id, w, {word_hashes} AS hw FROM split
     ),
     base AS (
-      SELECT id, {shingles_sql('w')} AS sh, {shingle_hashes_sql('w')} AS shh
+      SELECT id, {shingle_hash_set_sql('w')} AS sh,
+             {shingle_hashes_sql('w')} AS shh
       FROM hashed
     ),
     banded AS (
@@ -500,7 +539,7 @@ def ngram_jaccard_pairs(
     sh = docs.repartition(n_part, F.col(id_col)).select(
         F.col(block_col).alias("blk"),
         F.col(id_col),
-        shingles_col(F.col(text_col)).alias("sh"),
+        shingle_hash_set_col(F.col(text_col)).alias("sh"),
     )
     sh = sh.withColumn("n", F.size("sh"))
     a = sh.select(
@@ -538,7 +577,7 @@ def ngram_jaccard_pairs_sql(
     words = WORDS_SQL.format(text=text_col)
     return f"""
     WITH sh AS (
-      SELECT blk, id, {shingles_sql('w')} AS sh
+      SELECT blk, id, {shingle_hash_set_sql('w')} AS sh
       FROM (SELECT {block_col} AS blk, {id_col} AS id, {words} AS w FROM {table})
     )
     SELECT a.id AS id_a, b.id AS id_b,
