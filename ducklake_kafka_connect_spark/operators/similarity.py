@@ -140,6 +140,98 @@ def ann_lsh_topk(
     )
 
 
+NUM_CELLS = 8
+
+
+def ivf_assign_col(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """IVF coarse quantizer: index of the nearest centroid by dot
+    product (centroids get unit-normalized by the caller). A CASE chain
+    over NUM_CELLS dots — codegen, no UDF."""
+    dots = [_dot_lit(vec, c) for c in centroids]
+    best = F.greatest(*dots) if len(dots) > 1 else dots[0]
+    out = F.lit(len(centroids) - 1)
+    for i in range(len(centroids) - 2, -1, -1):  # earlier index wins ties
+        out = F.when(dots[i] == best, F.lit(i)).otherwise(out)
+    return out
+
+
+def ivf_assign_sql(vec_expr: str, centroids: Sequence[Sequence[float]]) -> str:
+    dots = []
+    for c in centroids:
+        lits = ", ".join(repr(float(x)) for x in c)
+        dots.append(f"list_dot_product({vec_expr}, [{lits}])")
+    best = "greatest(" + ", ".join(dots) + ")"
+    whens = " ".join(f"WHEN {d} = {best} THEN {i}" for i, d in enumerate(dots))
+    return f"(CASE {whens} END)"
+
+
+def _unit(v: Sequence[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [round(float(x) / n, 9) for x in v]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: exact cosine ranking
+    within the query's coarse cell. Centroids come from the caller —
+    at scale a KMeans fit or a deterministic sample; cells map to a
+    bucket-partitioned table layout so the probe is partition pruning.
+    Complementary to SRP-LSH: data-adaptive cells vs data-oblivious
+    hyperplanes."""
+    cents = [_unit(c) for c in centroids]
+    q = [float(x) for x in query]
+    q_cell = max(
+        range(len(cents)),
+        key=lambda i: (sum(a * b for a, b in zip(q, cents[i])), -i),
+    )
+    v = _as_double(F.col(vec_col))
+    scored = df.select(
+        F.col(id_col),
+        ivf_assign_col(v, cents).alias("cell"),
+        F.round(cosine_similarity_col(F.col(vec_col), query), 6).alias("cos_sim"),
+    ).filter(F.col("cell") == q_cell)
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
+    return (
+        scored.select(id_col, "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+) -> str:
+    cents = [_unit(c) for c in centroids]
+    assign = ivf_assign_sql("v", cents)
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
+             {assign} AS cell
+      FROM {table}
+    ),
+    q AS (SELECT v, cell FROM v WHERE id = {query_id})
+    SELECT v.id AS {id_col},
+           ROUND(list_cosine_similarity(v.v, (SELECT v FROM q)), 6) AS cos_sim
+    FROM v
+    WHERE v.cell = (SELECT cell FROM q) AND v.id <> {query_id}
+    ORDER BY cos_sim DESC, v.id
+    LIMIT {k}
+    """
+
+
 def ann_lsh_topk_sql(
     dim: int,
     k: int = 10,

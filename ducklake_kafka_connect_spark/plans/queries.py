@@ -33,7 +33,15 @@ from pyspark.sql import functions as F
 from ..functions.timestamps import parse_iso_timestamp
 from ..lake import LakeCatalog, LakeWriter
 from ..operators import dedup as dedup_ops
-from ..operators.similarity import ann_lsh_topk, ann_lsh_topk_sql, cosine_topk
+from ..operators.similarity import (
+    NUM_CELLS,
+    _lcg_hyperplanes,
+    ann_lsh_topk,
+    ann_lsh_topk_sql,
+    cosine_topk,
+    ivf_topk,
+    ivf_topk_sql,
+)
 from ..operators.text import (
     EN_STOPWORDS,
     fingerprint_col,
@@ -506,6 +514,49 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_order_values",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "Exact interpolated percentiles per group (sort-based agg)",
+)
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "CUBE grouping sets (all 2^k aggregation cells)",
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
     "semi_join_priority_orders",
     """
     SELECT o_orderpriority, count(*) AS order_count
@@ -630,6 +681,20 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ann_lsh_topk(emb, query, k=10, exclude_ids=[0])
+
+
+IVF_CENTROIDS = _lcg_hyperplanes(dim=64, n=NUM_CELLS, seed=11)
+
+
+@register(
+    "ann_ivf_topk",
+    ivf_topk_sql(IVF_CENTROIDS),
+    "ANN via IVF coarse quantizer: nearest-centroid cell probe + exact cosine top-k",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb, query, IVF_CENTROIDS, k=10, exclude_ids=[0])
 
 
 @register(

@@ -6,7 +6,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from ducklake_kafka_connect_spark.operators import dedup as D
-from ducklake_kafka_connect_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from ducklake_kafka_connect_spark.operators.similarity import (
+    _lcg_hyperplanes,
+    ann_lsh_topk,
+    cosine_topk,
+    ivf_topk,
+)
 from ducklake_kafka_connect_spark.operators.text import fingerprint_col, lang_id_col
 
 BASE = (
@@ -99,6 +104,21 @@ class TestAnnLsh:
         # every ANN hit is a real vector ranked by true cosine
         assert all(r.vec_id in exact for r in approx)
         # scores are correctly ordered
+        sims = [r.cos_sim for r in approx]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_ivf_cell_prune_subset_of_exact(self, spark):
+        import random
+
+        rng = random.Random(9)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        q = rows[0][1]
+        centroids = _lcg_hyperplanes(dim=8, n=4, seed=11)
+        exact = [r.vec_id for r in cosine_topk(df, q, k=100, exclude_ids=[0]).collect()]
+        approx = ivf_topk(df, q, centroids, k=10, exclude_ids=[0]).collect()
+        assert 0 < len(approx) <= 10
+        assert all(r.vec_id in exact for r in approx)
         sims = [r.cos_sim for r in approx]
         assert sims == sorted(sims, reverse=True)
 
