@@ -167,28 +167,55 @@ class LakeWriter:
                 manifest, merged_files, _logical_schema_of_batch(df, manifest), stats
             )
 
-    def merge(self, df: DataFrame, order_col: str | None = None) -> None:
+    def merge(
+        self,
+        df: DataFrame,
+        order_col: str | None = None,
+        tombstone_col: str | None = None,
+    ) -> None:
+        """Upsert ``df`` by PK. With ``tombstone_col`` (boolean), rows
+        flagged true DELETE their key instead — the CDC extension the
+        reference lacks (SURVEY §2.G: null-valued records are not
+        deletes there). Tombstones participate in last-write-wins
+        ordering, so delete-then-reinsert within a batch resolves by
+        ``order_col``."""
         with REGISTRY.timer("upsertWithMergeInto"):
-            self._merge(df, order_col)
+            self._merge(df, order_col, tombstone_col)
 
-    def _merge(self, df: DataFrame, order_col: str | None = None) -> None:
+    def _merge(
+        self,
+        df: DataFrame,
+        order_col: str | None = None,
+        tombstone_col: str | None = None,
+    ) -> None:
         if not self.pk:
             raise ValueError(f"merge() on table {self.table.name} requires pk columns")
-        manifest = self._ensure_table(df)
-        final_logical = _logical_schema_of_batch(df, manifest)
+        payload = df.drop(tombstone_col) if tombstone_col else df
+        manifest = self._ensure_table(payload)
+        final_logical = _logical_schema_of_batch(payload, manifest)
         exprs = manifest.partition_exprs
         part_cols = partition_column_names(exprs)
 
-        src = _dedup_last_wins(df, self.pk, order_col)
-        src = _conform(src, final_logical)
+        src0 = _dedup_last_wins(df, self.pk, order_col)
+        if tombstone_col:
+            flag = F.coalesce(F.col(tombstone_col), F.lit(False))
+            dead_keys = src0.filter(flag).select(*self.pk).distinct()
+            src0 = src0.filter(~flag).drop(tombstone_col)
+        else:
+            dead_keys = None
+        src = _conform(src0, final_logical)
         src = with_partition_columns(src, exprs).cache()
-        src_keys = src.select(*self.pk).distinct()
+        live_keys = src.select(*self.pk).distinct()
+        # keys whose old copies must leave their files: updates + deletes
+        src_keys = (
+            live_keys.unionByName(dead_keys).distinct() if dead_keys is not None else live_keys
+        )
 
         # ---- file-level pruning on PK range (parquet footer stats) ----
         # A target row can only match a source key if its file's
         # [min, max] of pk[0] overlaps the batch's key range; files
         # without stats are conservatively kept.
-        bounds = src.agg(
+        bounds = src_keys.agg(
             F.min(self.pk[0]).alias("lo"), F.max(self.pk[0]).alias("hi")
         ).collect()[0]
         overlap_by_part = {
