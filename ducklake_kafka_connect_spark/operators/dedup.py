@@ -524,44 +524,55 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact all-pairs Jaccard within blocking-key groups. The exact
-    baseline for the MinHash path — O(n²) per block, only viable when
-    blocks are bounded; at scale use minhash_dedup_pairs.
+    """Exact Jaccard pairs within blocking-key groups via **prefix
+    filtering** (the set-similarity-join technique of PPJoin; Xiao et
+    al., WWW'08): sort each shingle-hash set ascending; two sets with
+    J ≥ t MUST share at least one element among their first
+    |S| - ⌈t·|S|⌉ + 1 elements, so an inverted-index self-join on
+    prefix elements produces a complete candidate set — no quadratic
+    pair enumeration. Sound + complete: result-identical to the
+    brute-force oracle.
 
-    Physical shape: blocking keys are few, so a plain blk-join would run
-    on #blocks reducers — the left side is salted (id % SALTS) and the
-    right side replicated across salts to use the whole cluster. A
-    size-ratio prefilter (J ≥ t ⟹ |A|/|B| ∈ [t, 1/t], cheap int
-    compare) screens pairs before any array intersection; it cannot
-    change the result set."""
-    SALTS = 16
+    Scale shape: the join key is (blk, prefix-hash) — high cardinality,
+    so it parallelizes without salting; candidate verification applies
+    the size-ratio screen (J ≥ t ⟹ |A|/|B| ∈ [t, 1/t]) before any
+    array intersection."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     sh = docs.repartition(n_part, F.col(id_col)).select(
         F.col(block_col).alias("blk"),
         F.col(id_col),
-        shingle_hash_set_col(F.col(text_col)).alias("sh"),
+        F.array_sort(shingle_hash_set_col(F.col(text_col))).alias("sh"),
     )
     sh = sh.withColumn("n", F.size("sh"))
-    a = sh.select(
+    # prefix length: n - ceil(t*n) + 1
+    pref_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
+    inv = sh.select(
         "blk",
-        (F.col(id_col) % SALTS).alias("salt"),
-        F.col(id_col).alias("id_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("n").alias("n_a"),
+        F.col(id_col),
+        F.explode(F.slice(F.col("sh"), 1, F.greatest(pref_len, F.lit(0)))).alias("p"),
     )
-    b = sh.select(
-        "blk",
-        F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1))).alias("salt"),
-        F.col(id_col).alias("id_b"),
-        F.col("sh").alias("sh_b"),
-        F.col("n").alias("n_b"),
+    cands = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p") == F.col("b.p"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
     )
+    left = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    right = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
     ratio_ok = (F.col("n_a") * F.lit(threshold) <= F.col("n_b")) & (
         F.col("n_b") * F.lit(threshold) <= F.col("n_a")
     )
     return (
-        a.join(b, ["blk", "salt"])
-        .filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
+        cands.join(left, "id_a")
+        .join(right, "id_b")
+        .filter(ratio_ok)
         .select("id_a", "id_b", jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
