@@ -94,6 +94,49 @@ class TestEventTime:
         assert latest[2] == ("2024-01-01 10:20:00", 21.0)
 
 
+class TestWindowedAggToLake:
+    def test_windowed_counts_append_to_lake(self, spark, tmp_path):
+        """Composition: file stream → watermarked tumbling windows →
+        foreachBatch append into a lake table partitioned by day of the
+        window — closed windows land incrementally, exactly once per
+        window under append mode."""
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [
+            {"user_id": u, "ts": ts, "value": v}
+            for u, ts, v in EVENTS
+        ]
+        (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+        stream = (
+            spark.readStream.format("json")
+            .schema("user_id long, ts timestamp, value double")
+            .load(str(src))
+        )
+        agg = windowed_counts(stream, "1 hour", "1 second")
+        catalog = LakeCatalog(spark, str(tmp_path / "lake"))
+        from ducklake_kafka_connect_spark.lake import LakeWriter
+
+        def sink(batch, epoch_id):
+            if not batch.isEmpty():
+                LakeWriter(
+                    catalog.table("hourly_counts"),
+                    partition_by="day(window_start)",
+                ).append(batch)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        table = catalog.table("hourly_counts")
+        out = {str(r["window_start"]): (r["n"], r["sum_value"]) for r in table.read().collect()}
+        assert out == {"2024-01-01 10:00:00": (4, 62.0)}
+        assert any("_pd_day_window_start=1" in k for k in table.manifest().files)
+
+
 class TestStreamedIngestion:
     def test_file_stream_to_lake_with_checkpoint(self, spark, tmp_path):
         src = tmp_path / "kafka_like"
