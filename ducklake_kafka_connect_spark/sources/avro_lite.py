@@ -291,37 +291,63 @@ def decode_avro_lite(
     writer_schema_json: str,
     value_col: str = "value",
     confluent_framing: bool = False,
+    keep_cols: list[str] | None = None,
+    with_corrupt_col: bool = False,
 ) -> DataFrame:
     """Decode a binary column of Avro records (top level must be a
-    record) into typed columns via mapInPandas."""
+    record) into typed columns via mapInPandas.
+
+    ``keep_cols`` pass through untouched (kafka metadata). With
+    ``with_corrupt_col``, undecodable payloads yield an all-null row
+    plus a ``_corrupt`` column holding the payload base64 (DLQ routing,
+    same contract as the JSON decoder); otherwise they raise."""
     schema = json.loads(writer_schema_json)
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
         raise ValueError("top-level Avro schema must be a record")
     # null payloads decode to all-null rows → every output field nullable
-    spark_schema = T.StructType(
-        [
-            T.StructField(f.name, f.dataType, True)
-            for f in avro_to_spark_type(schema).fields
-        ]
-    )
-    field_names = [f.name for f in spark_schema.fields]
-    narrow = df.select(value_col)
+    fields = [
+        T.StructField(f.name, f.dataType, True)
+        for f in avro_to_spark_type(schema).fields
+    ]
+    keep = list(keep_cols or [])
+    narrow = df.select(*keep, value_col)
+    keep_fields = [narrow.schema[c] for c in keep]
+    out_fields = keep_fields + fields
+    if with_corrupt_col:
+        out_fields = out_fields + [T.StructField("_corrupt", T.StringType(), True)]
+    spark_schema = T.StructType(out_fields)
+    field_names = [f.name for f in fields]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
+
         for pdf in batches:
             rows = []
-            for payload in pdf[value_col]:
+            for i, payload in enumerate(pdf[value_col]):
+                row = {c: pdf[c].iloc[i] for c in keep}
+                corrupt = None
                 if payload is None:
-                    rows.append({n: None for n in field_names})
-                    continue
-                raw = bytes(payload)
-                if confluent_framing:
-                    raw = decode_confluent_framing(raw)
-                rec = _decode(schema, _Reader(raw))
-                rows.append(
-                    {n: _convert(rec[n], f["type"])
-                     for n, f in zip(field_names, schema["fields"])}
-                )
-            yield pd.DataFrame(rows, columns=field_names)
+                    row.update({n: None for n in field_names})
+                else:
+                    raw = bytes(payload)
+                    if confluent_framing:
+                        raw = decode_confluent_framing(raw)
+                    try:
+                        rec = _decode(schema, _Reader(raw))
+                        row.update(
+                            {
+                                n: _convert(rec[n], f["type"])
+                                for n, f in zip(field_names, schema["fields"])
+                            }
+                        )
+                    except Exception:
+                        if not with_corrupt_col:
+                            raise
+                        row.update({n: None for n in field_names})
+                        corrupt = base64.b64encode(bytes(payload)).decode("ascii")
+                if with_corrupt_col:
+                    row["_corrupt"] = corrupt
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
 
     return narrow.mapInPandas(decode, spark_schema)

@@ -41,11 +41,21 @@ _TOPIC_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 
 @dataclass
 class TableSpec:
-    """Per-table connector config (ducklake.table.<t>.* analogues)."""
+    """Per-table connector config (ducklake.table.<t>.* analogues plus
+    the worker's value.converter choice as a per-table ``format``)."""
 
     id_columns: list[str] = field(default_factory=list)
     partition_by: str | None = None
     auto_create: bool = False
+    format: str = "json"  # json | avro | arrow | mixed
+    avro_schema: str | None = None
+    confluent_framing: bool = False
+
+    def __post_init__(self):
+        if self.format not in ("json", "avro", "arrow", "mixed"):
+            raise ValueError(f"Unknown format: {self.format!r}")
+        if self.format == "avro" and not self.avro_schema:
+            raise ValueError("format='avro' requires avro_schema")
 
 
 @dataclass
@@ -110,8 +120,7 @@ class IngestPipeline:
     def _ingest_topic_batch(self, part: DataFrame, table: str) -> None:
         spec = self.config.spec_for(table)
         keep = [c for c in ("offset",) if c in part.columns]
-        decoded = decode_json(part, value_col="value", keep_cols=keep)
-        good, bad = split_dlq(decoded)
+        good, bad = self._decode(part, spec, keep)
         order_col = "offset" if "offset" in good.columns else None
         writer = LakeWriter(
             self.catalog.table(table),
@@ -146,6 +155,44 @@ class IngestPipeline:
             auto_create=True,
         )
         dlq_writer.append(bad)
+
+    def _decode(self, part: DataFrame, spec: TableSpec, keep: list[str]):
+        """Per-table format dispatch (the reference's value.converter
+        choice: JsonConverter / AvroConverter / ArrowIpcConverter, plus
+        the mixed per-batch sniff of A7)."""
+        if spec.format == "json":
+            return split_dlq(decode_json(part, value_col="value", keep_cols=keep))
+        if spec.format == "avro":
+            from ..sources.avro_lite import decode_avro_lite
+
+            decoded = decode_avro_lite(
+                part,
+                spec.avro_schema,
+                confluent_framing=spec.confluent_framing,
+                keep_cols=keep,
+                with_corrupt_col=True,
+            )
+            return split_dlq(decoded)
+        if spec.format == "arrow":
+            from ..sources.arrow_ipc import decode_arrow_ipc
+
+            # IPC payloads explode to many rows; transport columns do
+            # not map 1:1 → no offset carry, no per-row DLQ (a corrupt
+            # stream fails the batch, like the reference's converter)
+            good = decode_arrow_ipc(part.filter(F.col("value").isNotNull()), "value")
+            bad = good.sparkSession.createDataFrame(
+                [], "raw_value string, error string, _dlq_at timestamp"
+            )
+            return good, bad
+        from ..sources.mixed_format import decode_mixed
+
+        decoded = decode_mixed(part, value_col="value")
+        if CORRUPT_COL in decoded.columns:
+            return split_dlq(decoded)
+        bad = decoded.sparkSession.createDataFrame(
+            [], "raw_value string, error string, _dlq_at timestamp"
+        )
+        return decoded, bad
 
     # -- streaming wiring --
 

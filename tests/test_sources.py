@@ -190,6 +190,75 @@ class TestIngestPipeline:
         # transport columns never stored
         assert "offset" not in out.columns and "topic" not in out.columns
 
+    def test_avro_format_topic(self, spark, tmp_path):
+        import base64 as b64mod
+        import json as jsonmod
+
+        from ducklake_kafka_connect_spark.sources.avro_lite import encode_avro
+
+        schema = jsonmod.dumps(
+            {
+                "type": "record",
+                "name": "Ev",
+                "fields": [
+                    {"name": "id", "type": "long"},
+                    {"name": "v", "type": ["null", "string"]},
+                ],
+            }
+        )
+        catalog = LakeCatalog(spark, str(tmp_path))
+        cfg = IngestConfig(
+            tables={
+                "av": TableSpec(
+                    id_columns=["id"], auto_create=True,
+                    format="avro", avro_schema=schema,
+                )
+            }
+        )
+        pipe = IngestPipeline(catalog, cfg)
+        good = [encode_avro(schema, {"id": i, "v": f"x{i}"}) for i in range(3)]
+        rows = [(None, p, "av", 0, i, None) for i, p in enumerate(good)]
+        rows.append((None, b"\xff\xff\xff", "av", 0, 99, None))  # undecodable
+        df = spark.createDataFrame(
+            rows,
+            "key binary, value binary, topic string, partition int, "
+            "offset long, timestamp timestamp",
+        )
+        pipe.process_batch(df, 0)
+        table = catalog.table("av")
+        assert {r["id"]: r["v"] for r in table.read().collect()} == {
+            0: "x0", 1: "x1", 2: "x2"
+        }
+        dlq = catalog.table("av_dlq").read().collect()
+        assert len(dlq) == 1
+        assert b64mod.b64decode(dlq[0]["raw_value"]) == b"\xff\xff\xff"
+
+        # second batch: avro upsert by PK
+        upd = [(None, encode_avro(schema, {"id": 1, "v": "updated"}), "av", 0, 100, None)]
+        pipe.process_batch(spark.createDataFrame(upd, df.schema), 1)
+        assert {r["id"]: r["v"] for r in table.read().collect()}[1] == "updated"
+
+    def test_arrow_format_topic(self, spark, tmp_path):
+        import pyarrow as pa
+
+        from ducklake_kafka_connect_spark.sources.arrow_ipc import encode_ipc
+
+        payload = encode_ipc(
+            pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "v": pa.array(["a", "b"], pa.string())})
+        )
+        catalog = LakeCatalog(spark, str(tmp_path))
+        cfg = IngestConfig(tables={"ar": TableSpec(auto_create=True, format="arrow")})
+        pipe = IngestPipeline(catalog, cfg)
+        df = spark.createDataFrame(
+            [(None, payload, "ar", 0, 0, None)],
+            "key binary, value binary, topic string, partition int, "
+            "offset long, timestamp timestamp",
+        )
+        pipe.process_batch(df, 0)
+        out = catalog.table("ar").read()
+        assert {r["id"]: r["v"] for r in out.collect()} == {1: "a", 2: "b"}
+
     def test_schema_drift_across_batches(self, spark, tmp_path):
         # string-vs-int drift on the same field across polls must not
         # crash the pipeline (SchemaMismatchIntegrationTest.java:92-179):
