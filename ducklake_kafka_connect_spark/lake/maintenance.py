@@ -50,9 +50,19 @@ def compact(table: LakeTable, max_files_per_partition: int = 1) -> CompactionRes
         paths = [os.path.join(table.dir, p) for v in offenders.values() for p in v]
         df = table.spark.read.schema(table.read_schema(m)).parquet(*paths)
         exprs = m.partition_exprs
+        n_files = sum(len(v) for v in offenders.values())
         if exprs:
-            df = df.repartition(
-                max(len(offenders), 1), *[F.col(e.output_name) for e in exprs]
+            part_cols = [F.col(e.output_name) for e in exprs]
+            df = df.repartition(max(len(offenders), 1), *part_cols)
+            if m.pk:
+                # sorted within each partition dir → tight footer stats
+                df = df.sortWithinPartitions(*part_cols, *[F.col(c) for c in m.pk])
+        elif m.pk:
+            # range layout: output files carry DISJOINT pk ranges, so
+            # subsequent merges prune to exactly the touched key range
+            n_out = max(1, n_files // 8)
+            df = df.repartitionByRange(n_out, *[F.col(c) for c in m.pk]).sortWithinPartitions(
+                *[F.col(c) for c in m.pk]
             )
         else:
             df = df.coalesce(1)

@@ -53,6 +53,43 @@ def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
     assert len(rows) == 400
 
 
+def test_compact_range_layout_tightens_pruning(spark, tmp_path):
+    from ducklake_kafka_connect_spark.lake.maintenance import compact
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.table("fpc")
+    w = LakeWriter(t, pk=["id"])
+    # interleaved appends: every file spans nearly the whole key space
+    for off in range(10):
+        w.append(
+            spark.range(0, 4000, 10).select(
+                (F.col("id") + off).alias("id"),
+                F.concat(F.lit("v"), F.col("id") + off).alias("v"),
+            )
+        )
+    assert t.read().count() == 4000
+    assert sum(len(v) for v in t.manifest().files.values()) >= 24  # ≥3 range files out
+    compact(t, max_files_per_partition=1)
+    m = t.manifest()
+    stats = m.file_stats
+    files = m.all_files()
+    assert len(files) >= 3
+    assert all(f in stats for f in files)
+    # ranges must be pairwise disjoint after the range layout
+    ranges = sorted(stats[f] for f in files)
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # strictly disjoint (pk is unique)
+    # a narrow-range merge now rewrites only the one covering file
+    before = set(files)
+    w.write(spark.range(0, 5).select(F.col("id"), F.lit("u").alias("v")))
+    after = set(t.manifest().all_files())
+    rewritten = before - after
+    assert len(rewritten) == 1 if len(before) > 1 else True
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[0] == "u" and rows[4] == "u"
+    assert t.read().count() == 4000  # updates, not inserts (ids 0-4 exist)
+
+
 def test_merge_insert_only_batch_rewrites_nothing(spark, tmp_path):
     t, w = _setup(spark, tmp_path, "fp3")
     before = set(t.manifest().all_files())
