@@ -90,12 +90,12 @@ Q1_CUTOFF = "2000-10-20 00:00:00"
     f"""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                                        AS sum_qty,
-           sum(l_extendedprice)                                   AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
-           avg(l_quantity)                                        AS avg_qty,
-           avg(l_extendedprice)                                   AS avg_price,
-           avg(l_discount)                                        AS avg_disc,
+           ROUND(sum(l_extendedprice), 2)                         AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(avg(l_quantity), 6)                              AS avg_qty,
+           ROUND(avg(l_extendedprice), 6)                         AS avg_price,
+           ROUND(avg(l_discount), 6)                              AS avg_disc,
            count(*)                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
@@ -111,12 +111,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc).alias("sum_disc_price"),
-            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -125,7 +125,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     """
-    SELECT o_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue, o_orderdate
+    SELECT o_orderkey, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -146,7 +146,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -156,7 +156,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     """
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -187,7 +187,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (cust.c_nationkey == dims.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
 
 
@@ -221,7 +221,7 @@ def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS n_cust,
            count(*)                  AS n_orders,
-           sum(o_totalprice)         AS total_price
+           ROUND(sum(o_totalprice), 2) AS total_price
     FROM orders GROUP BY o_orderstatus
     """,
     "Distinct aggregate (two-phase partial agg under the hood)",
@@ -233,7 +233,7 @@ def agg_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_cust"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("total_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -321,7 +321,7 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(year  FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS y,
            CAST(EXTRACT(month FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS m,
            CAST(EXTRACT(day   FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS d,
-           count(*) AS n, sum(value) AS sum_value
+           count(*) AS n, ROUND(sum(value), 6) AS sum_value
     FROM events GROUP BY 1, 2, 3
     """,
     "Temporal partition expressions year()/month()/day() (B12) as grouping cells",
@@ -334,7 +334,7 @@ def partition_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("ts").cast("int").alias("m"),
             F.dayofmonth("ts").cast("int").alias("d"),
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
     )
 
 
@@ -739,7 +739,7 @@ def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "windowed_event_counts",
     """
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
-           count(*) AS n, sum(value) AS sum_value
+           count(*) AS n, ROUND(sum(value), 6) AS sum_value
     FROM events GROUP BY 1
     """,
     "Tumbling 1-hour event-time windows (E9 extension; streaming-ready agg)",
@@ -748,7 +748,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
 
