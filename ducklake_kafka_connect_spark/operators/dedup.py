@@ -271,9 +271,16 @@ def minhash_candidate_pairs(
         band_keys_col([F.col(f"s{i}") for i in range(NUM_PERM)]).alias("bk"),
     )
     banded = sigs.select(id_col, F.explode("bk").alias("band_key"))
-    sized = banded.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_key"))
-    ).filter(F.col("bucket_n") <= MAX_BUCKET)
+    # slim (id, band_key) relation feeds both sides of the self-join;
+    # persist so the signature pipeline (scan + window + 16 min-aggs)
+    # runs once instead of twice
+    sized = (
+        banded.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_key"))
+        )
+        .filter(F.col("bucket_n") <= MAX_BUCKET)
+        .persist()
+    )
     a = sized.select(F.col(id_col).alias("id_a"), "band_key")
     b = sized.select(F.col(id_col).alias("id_b"), "band_key")
     return (
@@ -309,7 +316,7 @@ def minhash_dedup_pairs(
     # both engines (same md5-derived values)
     sh = docs.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), shingle_hash_set_col(F.col(text_col)).alias("sh")
-    )
+    ).persist()  # both verify joins read it; shingle work runs once
     pairs = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -455,7 +462,9 @@ def simhash_near_pairs(
     verify with bit_count(xor). Shuffles only (id, simhash) pairs.
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
-    sh = simhash_table(docs, id_col, text_col)
+    # (id, simhash) is tiny; persisting it halves the heavy vote
+    # aggregation, which otherwise runs once per self-join side
+    sh = simhash_table(docs, id_col, text_col).persist()
     bands = sh.select(
         id_col,
         "simhash",
@@ -534,22 +543,31 @@ def ngram_jaccard_pairs(
     brute-force oracle.
 
     Scale shape: the join key is (blk, prefix-hash) — high cardinality,
-    so it parallelizes without salting; candidate verification applies
-    the size-ratio screen (J ≥ t ⟹ |A|/|B| ∈ [t, 1/t]) before any
-    array intersection."""
+    so it parallelizes without salting; the size-ratio screen
+    (J ≥ t ⟹ |A|/|B| ∈ [t, 1/t]) runs inside the candidate join, before
+    the dedup shuffle. The shingle-set relation feeds three plan
+    branches (inverted index + both verify sides); it is persisted so
+    the scan/shingle work runs once — Catalyst cannot reuse the
+    exchange because column pruning specializes each branch's
+    projection below it. The persisted data is dropped by the
+    ContextCleaner when the returned plan is garbage-collected."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     sh = docs.repartition(n_part, F.col(id_col)).select(
         F.col(block_col).alias("blk"),
         F.col(id_col),
         F.array_sort(shingle_hash_set_col(F.col(text_col))).alias("sh"),
     )
-    sh = sh.withColumn("n", F.size("sh"))
+    sh = sh.withColumn("n", F.size("sh")).persist()
     # prefix length: n - ceil(t*n) + 1
     pref_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
     inv = sh.select(
         "blk",
         F.col(id_col),
+        F.col("n"),
         F.explode(F.slice(F.col("sh"), 1, F.greatest(pref_len, F.lit(0)))).alias("p"),
+    )
+    ratio_ok = (F.col("a.n") * F.lit(threshold) <= F.col("b.n")) & (
+        F.col("b.n") * F.lit(threshold) <= F.col("a.n")
     )
     cands = (
         inv.alias("a")
@@ -557,22 +575,19 @@ def ngram_jaccard_pairs(
             inv.alias("b"),
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.p") == F.col("b.p"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & ratio_ok,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
     )
-    left = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
-    right = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
-    ratio_ok = (F.col("n_a") * F.lit(threshold) <= F.col("n_b")) & (
-        F.col("n_b") * F.lit(threshold) <= F.col("n_a")
-    )
+    left = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    right = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         cands.join(left, "id_a")
         .join(right, "id_b")
-        .filter(ratio_ok)
         .select("id_a", "id_b", jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -619,20 +634,22 @@ def embedding_neardup_pairs(
     blocking key. The blocking key bounds the quadratic term; the LSH
     bucketing in ``operators/similarity.py`` is the unblocked scale
     path. Dot products run as zip_with/aggregate — JVM-side, no UDF."""
+    # Norms are per-ROW quantities: computing them here (once per vector,
+    # identical expression → identical doubles) instead of per pair cuts
+    # the interpreted higher-order-function work by 2/3 — only the dot
+    # product remains pair-level. Persisted because both join sides read it.
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     v = emb.select(
         F.col(block_col).alias("blk"),
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    a = v.select("blk", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = v.select("blk", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    ).withColumn("nrm", norm).persist()
+    a = v.select("blk", F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select("blk", F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     return (
         a.join(b, "blk")
@@ -640,7 +657,7 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias("cos_sim"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
