@@ -214,10 +214,28 @@ class LakeWriter:
         # ---- file-level pruning on PK range (parquet footer stats) ----
         # A target row can only match a source key if its file's
         # [min, max] of pk[0] overlaps the batch's key range; files
-        # without stats are conservatively kept.
-        bounds = src_keys.agg(
-            F.min(self.pk[0]).alias("lo"), F.max(self.pk[0]).alias("hi")
-        ).collect()[0]
+        # without stats are conservatively kept. Bounds and the batch's
+        # partition set come from ONE aggregate job over the cached
+        # source (separate jobs only on the rare tombstone path, where
+        # dead keys are outside ``src``).
+        pk0 = self.pk[0]
+        if dead_keys is None and part_cols:
+            row = src.agg(
+                F.min(pk0).alias("lo"),
+                F.max(pk0).alias("hi"),
+                F.collect_set(F.struct(*part_cols)).alias("parts"),
+            ).collect()[0]
+            bounds = row
+            src_parts = [p.asDict() for p in row["parts"]]
+        else:
+            bounds = src_keys.agg(
+                F.min(pk0).alias("lo"), F.max(pk0).alias("hi")
+            ).collect()[0]
+            src_parts = (
+                [r.asDict() for r in src.select(*part_cols).distinct().collect()]
+                if part_cols
+                else []
+            )
         overlap_by_part = {
             k: [f for f in v if _overlaps(manifest.file_stats.get(f), bounds)]
             for k, v in manifest.files.items()
@@ -226,23 +244,33 @@ class LakeWriter:
         # ---- affected partitions (driver-side partition pruning) ----
         if part_cols:
             affected = {
-                tuple(str(r[c]) if r[c] is not None else HIVE_NULL for c in part_cols)
-                for r in src.select(*part_cols).distinct().collect()
+                tuple(str(p[c]) if p[c] is not None else HIVE_NULL for c in part_cols)
+                for p in src_parts
             }
-            # matches can only live in overlapping files — scan just those
-            overlap_files = [f for v in overlap_by_part.values() for f in v]
-            target_overlap = self._read_files(manifest, overlap_files)
-            matched_parts = (
-                target_overlap.select(*self.pk, *part_cols)
-                .join(F.broadcast(src_keys), on=self.pk, how="left_semi")
-                .select(*part_cols)
-                .distinct()
-                .collect()
-            )
-            affected |= {
-                tuple(str(r[c]) if r[c] is not None else HIVE_NULL for c in part_cols)
-                for r in matched_parts
-            }
+            # Old copies of updated keys may live in partitions the new
+            # rows don't touch (partition-value drift). Only files
+            # OUTSIDE the already-affected partitions can add to the
+            # rewrite set — scan just those; usually there are none and
+            # the probe job is skipped entirely.
+            outside_files = [
+                f
+                for k, v in overlap_by_part.items()
+                if self._part_tuple(k, manifest) not in affected
+                for f in v
+            ]
+            if outside_files:
+                target_outside = self._read_files(manifest, outside_files)
+                matched_parts = (
+                    target_outside.select(*self.pk, *part_cols)
+                    .join(F.broadcast(src_keys), on=self.pk, how="left_semi")
+                    .select(*part_cols)
+                    .distinct()
+                    .collect()
+                )
+                affected |= {
+                    tuple(str(r[c]) if r[c] is not None else HIVE_NULL for c in part_cols)
+                    for r in matched_parts
+                }
             if len(affected) > MAX_PRUNED_PARTITIONS:
                 rewrite_files = [f for v in overlap_by_part.values() for f in v]
             else:
