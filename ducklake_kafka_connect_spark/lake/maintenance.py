@@ -19,7 +19,9 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..metrics import REGISTRY
 from .table import LakeTable, Manifest
@@ -32,9 +34,61 @@ class CompactionResult:
     files_after: int
 
 
-def compact(table: LakeTable, max_files_per_partition: int = 1) -> CompactionResult:
+_ZORDER_MAX_BITS = 16
+
+
+def _as_double(name: str, dtype: T.DataType):
+    if isinstance(dtype, T.NumericType) or isinstance(dtype, T.TimestampType):
+        return F.col(name).cast("double")
+    if isinstance(dtype, T.DateType):
+        return F.col(name).cast("timestamp").cast("double")
+    raise ValueError(f"zorder_by column {name!r} has unsupported type {dtype.simpleString()}")
+
+
+def _zorder_value(df: DataFrame, cols: list[str]):
+    """Morton (Z-order) key over ``cols``: each column scaled to a
+    2^bits-bucket grid via one driver-side min/max aggregate +
+    ``width_bucket`` (codegen), bits interleaved with shift/and exprs.
+    Range-partitioning + sorting by this key clusters every listed
+    column simultaneously, so per-file [min, max] stats stay tight on
+    ALL of them — the multi-column data-skipping layout (Delta's
+    OPTIMIZE ZORDER BY)."""
+    k = len(cols)
+    bits = min(_ZORDER_MAX_BITS, 48 // k)
+    n = 1 << bits
+    exprs = {c: _as_double(c, df.schema[c].dataType) for c in cols}
+    row = df.agg(
+        *[F.min(exprs[c]).alias(f"lo_{c}") for c in cols],
+        *[F.max(exprs[c]).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo is None or hi is None or lo == hi:
+            continue  # constant/empty column contributes no bits
+        bucket = F.width_bucket(exprs[c], F.lit(float(lo)), F.lit(float(hi)), F.lit(n)) - 1
+        bucket = F.coalesce(
+            F.least(F.greatest(bucket, F.lit(0)), F.lit(n - 1)), F.lit(0)
+        ).cast("long")
+        for i in range(bits):
+            z = z + F.shiftleft(F.shiftright(bucket, i).bitwiseAND(F.lit(1)), i * k + j)
+    return z
+
+
+def compact(
+    table: LakeTable,
+    max_files_per_partition: int = 1,
+    zorder_by: list[str] | None = None,
+    target_files: int | None = None,
+) -> CompactionResult:
     """Rewrite every partition holding more than ``max_files_per_partition``
     data files into one file per partition-task.
+
+    With ``zorder_by``, ALL files are rewritten into a Morton-ordered
+    range layout instead: ``target_files`` output files (default
+    #files/8) whose footer stats are tight on every listed column, so
+    ``read(where=...)`` skips files for predicates on any of them —
+    not just the primary key.
 
     Scale shape: only offending partitions are read (explicit file list —
     no directory listing), hashed into one task per partition, and
@@ -43,7 +97,10 @@ def compact(table: LakeTable, max_files_per_partition: int = 1) -> CompactionRes
     table with the same commit protocol as writes."""
     with REGISTRY.timer("compactTable"), table.lock():
         m = table.manifest()
-        offenders = {k: v for k, v in m.files.items() if len(v) > max_files_per_partition}
+        if zorder_by:
+            offenders = dict(m.files)  # re-layout everything
+        else:
+            offenders = {k: v for k, v in m.files.items() if len(v) > max_files_per_partition}
         if not offenders:
             return CompactionResult(0, sum(map(len, m.files.values())),
                                     sum(map(len, m.files.values())))
@@ -51,7 +108,17 @@ def compact(table: LakeTable, max_files_per_partition: int = 1) -> CompactionRes
         df = table.spark.read.schema(table.read_schema(m)).parquet(*paths)
         exprs = m.partition_exprs
         n_files = sum(len(v) for v in offenders.values())
-        if exprs:
+        if zorder_by:
+            n_out = target_files or max(1, n_files // 8)
+            zcol = _zorder_value(df, list(zorder_by))
+            part_cols = [F.col(e.output_name) for e in exprs]
+            df = (
+                df.withColumn("__z", zcol)
+                .repartitionByRange(n_out, *part_cols, F.col("__z"))
+                .sortWithinPartitions(*part_cols, "__z")
+                .drop("__z")
+            )
+        elif exprs:
             part_cols = [F.col(e.output_name) for e in exprs]
             df = df.repartition(max(len(offenders), 1), *part_cols)
             if m.pk:

@@ -86,9 +86,11 @@ class Manifest:
     files: dict[str, list[str]]     # partition-dir relpath ("" if unpartitioned) -> file relpaths
     parent: int | None = None
     props: dict = dc_field(default_factory=dict)
-    # per-file [min, max] of the first PK column (parquet footer stats,
-    # harvested at write time) — lets MERGE prune its rewrite set to
-    # files whose key range overlaps the source batch.
+    # per-file {column: [min, max]} (parquet footer stats, harvested at
+    # write time) — MERGE prunes its rewrite set by the PK column's
+    # range, and read(where=...) skips files by any stat-ed column.
+    # For long strings min is truncated (valid lower bound) and max is
+    # None (unbounded above).
     file_stats: dict = dc_field(default_factory=dict)
 
     def to_json(self) -> str:
@@ -109,15 +111,22 @@ class Manifest:
     @staticmethod
     def from_json(text: str) -> "Manifest":
         d = json.loads(text)
+        pk = list(d.get("pk") or [])
+        stats = d.get("file_stats") or {}
+        # legacy form: {file: [min, max]} of pk[0] → normalize to per-column
+        stats = {
+            f: (s if isinstance(s, dict) else ({pk[0]: s} if pk else {}))
+            for f, s in stats.items()
+        }
         return Manifest(
             version=d["version"],
             schema=T.StructType.fromJson(d["schema"]),
-            pk=list(d.get("pk") or []),
+            pk=pk,
             partition_spec=list(d.get("partition_spec") or []),
             files={k: list(v) for k, v in d.get("files", {}).items()},
             parent=d.get("parent"),
             props=d.get("props") or {},
-            file_stats=d.get("file_stats") or {},
+            file_stats=stats,
         )
 
     @property
@@ -249,19 +258,48 @@ class LakeTable:
                 fields.append(T.StructField(e.output_name, T.IntegerType(), True))
         return T.StructType(fields)
 
-    def read(self, version: int | None = None, include_hidden: bool = False) -> DataFrame:
+    def prune_files(
+        self, predicate: str, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-level data skipping: relative paths of files that may
+        hold rows matching ``predicate``, plus how many were pruned.
+        Derived partition columns are stat-ed like any other column, so
+        partition pruning falls out of the same mechanism."""
+        from .skipping import prune_files as _prune
+
+        m = self.manifest(version)
+        return _prune(m.all_files(), m.file_stats, predicate)
+
+    def read(
+        self,
+        version: int | None = None,
+        include_hidden: bool = False,
+        where: str | None = None,
+    ) -> DataFrame:
         """Snapshot read: explicit file list from the manifest, explicit
         schema (no inference scan, no partition discovery — partition
         values are stored as data columns). Old files missing newly-added
-        columns are null-filled by the Parquet reader."""
+        columns are null-filled by the Parquet reader.
+
+        ``where`` applies the predicate AND skips manifest files whose
+        footer stats preclude a match — Spark never opens them. The
+        result is identical to ``read().filter(where)`` (skipping is
+        provably conservative; see ``lake/skipping.py``)."""
         m = self.manifest(version)
         exprs = m.partition_exprs
         schema = self.read_schema(m)
-        files = [os.path.join(self.dir, p) for p in m.all_files()]
+        rel_files = m.all_files()
+        if where is not None:
+            from .skipping import prune_files as _prune
+
+            rel_files, _ = _prune(rel_files, m.file_stats, where)
+        files = [os.path.join(self.dir, p) for p in rel_files]
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*files)
+        if where is not None:
+            df = df.filter(where)
         if not include_hidden:
             hidden = derived_column_names(exprs)
             if hidden:
@@ -275,13 +313,16 @@ class LakeTable:
     ) -> tuple[dict[str, list[str]], dict]:
         """Write a DataFrame as immutable Parquet under a fresh stage dir,
         partitioned by the table's partition columns; return the
-        ({partition-relpath: [file-relpath]}, {file-relpath: [min, max]})
-        pair for the manifest. Stats = footer min/max of the first PK
-        column — read locally here; on an object store the same footers
-        are one ranged GET per file, or come back from the write tasks."""
+        ({partition-relpath: [file-relpath]},
+        {file-relpath: {column: [min, max]}}) pair for the manifest.
+        Stats = footer min/max of every scalar column (PK first, capped
+        at MAX_STATS_COLUMNS) — read locally here; on an object store
+        the same footers are one ranged GET per file, or come back from
+        the write tasks."""
         m = self.manifest() if self.exists() else None
         exprs = m.partition_exprs if m else []
         pk = m.pk if m else []
+        stat_cols = _stats_columns(df.schema, pk)
         stage_rel = os.path.join("data", f"s{version_hint}-{uuid.uuid4().hex[:8]}")
         stage_abs = os.path.join(self.dir, stage_rel)
         df = with_dir_columns(df, exprs)
@@ -305,38 +346,76 @@ class LakeTable:
                     else os.path.join(stage_rel, fn)
                 )
                 files.setdefault(part_key, []).append(rel_file)
-                if pk:
-                    s = _footer_minmax(os.path.join(dirpath, fn), pk[0])
-                    if s is not None:
+                if stat_cols:
+                    s = _footer_stats(os.path.join(dirpath, fn), stat_cols)
+                    if s:
                         stats[rel_file] = s
         return files, stats
 
 
-def _footer_minmax(path: str, column: str):
-    """[min, max] of a column from parquet row-group footer statistics
-    (no data pages read); None when stats are absent or non-scalar."""
+MAX_STATS_COLUMNS = 12
+MAX_STAT_STRING = 64
+
+
+def _stats_columns(schema: T.StructType, pk: list[str]) -> list[str]:
+    """Scalar columns worth stat-ing, PK columns first (they drive MERGE
+    pruning), capped so manifests stay small on wide tables."""
+    scalar = [
+        f.name
+        for f in schema.fields
+        if not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType, T.BinaryType))
+        and f.name != INSERTED_AT
+    ]
+    ordered = [c for c in pk if c in scalar] + [c for c in scalar if c not in pk]
+    return ordered[:MAX_STATS_COLUMNS]
+
+
+def _normalize_stat(lo, hi):
+    """Footer min/max → JSON-safe, comparison-safe [lo, hi]; None = drop.
+    hi=None means unbounded above (truncated long string)."""
+    if lo is None or isinstance(lo, (bytes, bytearray)):
+        return None
+    if isinstance(lo, bool) or isinstance(lo, (int, float, str)):
+        pass
+    else:  # datetime/date → ISO-ish str(); lexicographic order == value order
+        lo, hi = str(lo), str(hi)
+    if isinstance(lo, str) and (len(lo) > MAX_STAT_STRING or len(hi) > MAX_STAT_STRING):
+        # a prefix of min is still a valid lower bound; a truncated max
+        # is NOT a valid upper bound, so it becomes unbounded
+        return [lo[:MAX_STAT_STRING], None]
+    return [lo, hi]
+
+
+def _footer_stats(path: str, columns: list[str]) -> dict:
+    """{column: [min, max]} from parquet row-group footer statistics (no
+    data pages read); columns with absent stats are omitted."""
     try:
         import pyarrow.parquet as pq
 
         f = pq.ParquetFile(path)
-        idx = f.schema_arrow.get_field_index(column)
-        if idx < 0:
-            return None
-        lo = hi = None
-        for rg in range(f.metadata.num_row_groups):
-            col = f.metadata.row_group(rg).column(idx)
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is None or isinstance(lo, (bytes, bytearray)):
-            return None
-        if not isinstance(lo, (int, float, str)):
-            lo, hi = str(lo), str(hi)
-        return [lo, hi]
+        out: dict = {}
+        for column in columns:
+            idx = f.schema_arrow.get_field_index(column)
+            if idx < 0:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(f.metadata.num_row_groups):
+                col = f.metadata.row_group(rg).column(idx)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok:
+                continue
+            norm = _normalize_stat(lo, hi)
+            if norm is not None:
+                out[column] = norm
+        return out
     except Exception:
-        return None
+        return {}
 
 
 class LakeCatalog:

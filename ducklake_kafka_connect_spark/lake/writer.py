@@ -91,16 +91,23 @@ def _conform(df: DataFrame, logical: T.StructType, extra: Sequence[str] = ()) ->
     return df.select(*cols)
 
 
-def _overlaps(stats, bounds) -> bool:
-    """Can a file with [min, max] = stats contain any key in bounds?
-    Conservative: missing/uncomparable stats → True; an empty source
-    key range → False (nothing can match)."""
+def _overlaps(stats, bounds, pk0: str) -> bool:
+    """Can a file whose per-column stats are ``stats`` contain any key in
+    bounds? Conservative: missing/uncomparable stats → True; an empty
+    source key range → False (nothing can match). A None upper bound
+    (truncated string stat) is unbounded above."""
     if bounds["lo"] is None:
         return False
-    if not stats:
+    rng = (stats or {}).get(pk0)
+    if not rng:
         return True
     try:
-        return not (stats[1] < bounds["lo"] or stats[0] > bounds["hi"])
+        lo, hi = rng[0], rng[1]
+        if hi is not None and hi < bounds["lo"]:
+            return False
+        if lo is not None and lo > bounds["hi"]:
+            return False
+        return True
     except TypeError:
         return True
 
@@ -237,7 +244,7 @@ class LakeWriter:
                 else []
             )
         overlap_by_part = {
-            k: [f for f in v if _overlaps(manifest.file_stats.get(f), bounds)]
+            k: [f for f in v if _overlaps(manifest.file_stats.get(f), bounds, pk0)]
             for k, v in manifest.files.items()
         }
 

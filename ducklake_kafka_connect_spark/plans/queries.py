@@ -316,6 +316,43 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zorder_pruned_scan",
+    """
+    SELECT count(*) AS n, ROUND(sum(value), 6) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE user_id BETWEEN 100 AND 200 AND value >= 0.5
+    """,
+    "Z-order compaction + multi-column footer-stat data skipping: the "
+    "predicate scan opens only manifest files whose [min,max] admit a "
+    "match on EITHER clustered column (lake/skipping.py)",
+)
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes events into a lake table, re-layouts it with
+    compact(zorder_by=["user_id", "value"]), then answers a conjunctive
+    range predicate through read(where=...) — manifest-level data
+    skipping feeding an ordinary aggregate. Result must equal the
+    oracle's direct scan of the raw parquet."""
+    from ..lake.maintenance import compact
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_z_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_z"), pk=["event_id"])
+    w.append(ev)
+    compact(cat.table("events_z"), zorder_by=["user_id", "value"], target_files=8)
+    return (
+        cat.table("events_z")
+        .read(where="user_id BETWEEN 100 AND 200 AND value >= 0.5")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
     "partition_cells_events",
     """
     SELECT CAST(EXTRACT(year  FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS y,

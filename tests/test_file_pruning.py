@@ -25,8 +25,11 @@ def test_stats_recorded(spark, tmp_path):
     t, _ = _setup(spark, tmp_path, "fp1")
     m = t.manifest()
     assert m.file_stats, "footer stats should be harvested on write"
-    for f, (lo, hi) in m.file_stats.items():
+    for f, s in m.file_stats.items():
+        lo, hi = s["id"]
         assert lo <= hi
+        # non-PK columns are stat-ed too (data skipping)
+        assert "v" in s
 
 
 def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
@@ -40,7 +43,7 @@ def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
     after = set(t.manifest().all_files())
     surviving = before & after
     expected_untouched = {
-        f for f in before if f in stats and stats[f][0] > 49
+        f for f in before if f in stats and stats[f]["id"][0] > 49
     }
     assert expected_untouched, "setup should produce non-overlapping files"
     assert expected_untouched <= surviving, (
@@ -76,7 +79,7 @@ def test_compact_range_layout_tightens_pruning(spark, tmp_path):
     assert len(files) >= 3
     assert all(f in stats for f in files)
     # ranges must be pairwise disjoint after the range layout
-    ranges = sorted(stats[f] for f in files)
+    ranges = sorted(stats[f]["id"] for f in files)
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi < lo  # strictly disjoint (pk is unique)
     # a narrow-range merge now rewrites only the one covering file

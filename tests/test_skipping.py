@@ -1,0 +1,193 @@
+"""Data skipping: predicate parsing, conservative file pruning, Z-order
+layout. The invariant under test everywhere: ``read(where=p)`` returns
+exactly ``read().filter(p)`` while opening fewer files."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+from ducklake_kafka_connect_spark.lake.maintenance import compact
+from ducklake_kafka_connect_spark.lake.skipping import (
+    Conjunct,
+    file_matches,
+    parse_conjuncts,
+    prune_files,
+)
+
+
+class TestParser:
+    def test_simple_comparisons(self):
+        cs = parse_conjuncts("a > 5 AND b <= 'x' AND c = 3.5")
+        assert [(c.column, c.op, c.value) for c in cs] == [
+            ("a", ">", 5), ("b", "<=", "x"), ("c", "=", 3.5)]
+
+    def test_reversed_literal_side(self):
+        (c,) = parse_conjuncts("10 >= a")
+        assert (c.column, c.op, c.value) == ("a", "<=", 10)
+
+    def test_between_and_in(self):
+        cs = parse_conjuncts("a BETWEEN 1 AND 9 AND b IN ('x', 'y')")
+        assert (cs[0].op, cs[0].value) == ("between", (1, 9))
+        assert (cs[1].op, cs[1].value) == ("in", ["x", "y"])
+
+    def test_timestamp_literal(self):
+        (c,) = parse_conjuncts("ts >= TIMESTAMP '2024-01-02 00:00:00'")
+        assert c.value == "2024-01-02 00:00:00"
+
+    def test_or_defeats_pruning(self):
+        assert parse_conjuncts("a > 5 OR b < 3") == []
+
+    def test_unknown_conjuncts_dropped_but_known_kept(self):
+        cs = parse_conjuncts("length(s) > 3 AND a = 1 AND b IS NOT NULL")
+        assert [(c.column, c.op) for c in cs] == [("a", "=")]
+
+    def test_parenthesized(self):
+        cs = parse_conjuncts("(a > 5) AND (b = 'q')")
+        assert len(cs) == 2
+
+    def test_garbage_is_safe(self):
+        assert parse_conjuncts("@@ not sql %%") == []
+
+
+class TestFileMatches:
+    def test_range_logic(self):
+        st = {"a": [10, 20]}
+        assert not file_matches([Conjunct("a", "=", 5)], st)
+        assert file_matches([Conjunct("a", "=", 15)], st)
+        assert not file_matches([Conjunct("a", "<", 10)], st)
+        assert file_matches([Conjunct("a", "<=", 10)], st)
+        assert not file_matches([Conjunct("a", ">", 20)], st)
+        assert file_matches([Conjunct("a", ">=", 20)], st)
+        assert not file_matches([Conjunct("a", "between", (21, 30))], st)
+        assert not file_matches([Conjunct("a", "in", [1, 2, 30])], st)
+        assert file_matches([Conjunct("a", "in", [1, 15])], st)
+
+    def test_missing_stats_keep(self):
+        assert file_matches([Conjunct("zz", "=", 1)], {"a": [0, 1]})
+        assert file_matches([Conjunct("a", "=", 99)], None)
+
+    def test_type_mismatch_keeps(self):
+        assert file_matches([Conjunct("a", "=", "str")], {"a": [0, 5]})
+
+    def test_unbounded_above_string(self):
+        st = {"s": ["aaa", None]}  # truncated long-string stat
+        assert file_matches([Conjunct("s", ">", "zzz")], st)
+        assert not file_matches([Conjunct("s", "<", "aaa")], st)
+
+    def test_neq_single_value_file(self):
+        assert not file_matches([Conjunct("a", "!=", 7)], {"a": [7, 7]})
+        assert file_matches([Conjunct("a", "!=", 7)], {"a": [7, 8]})
+
+    def test_prune_files_counts(self):
+        stats = {"f1": {"a": [0, 9]}, "f2": {"a": [10, 19]}}
+        kept, pruned = prune_files(["f1", "f2", "f3"], stats, "a >= 10")
+        assert kept == ["f2", "f3"] and pruned == 1
+
+
+def _write_ranged(spark, tmp_path, name):
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.table(name)
+    w = LakeWriter(t, pk=["id"])
+    for base in (0, 1000, 2000, 3000):
+        w.append(
+            spark.range(base, base + 100).select(
+                F.col("id"),
+                (F.col("id") % 7).alias("bucket"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            )
+        )
+    return t, w
+
+
+class TestPrunedRead:
+    def test_pruned_read_equals_filtered_read(self, spark, tmp_path):
+        t, _ = _write_ranged(spark, tmp_path, "sk1")
+        pred = "id BETWEEN 1000 AND 1049"
+        expect = sorted(r["id"] for r in t.read().filter(pred).collect())
+        got = sorted(r["id"] for r in t.read(where=pred).collect())
+        assert got == expect and len(got) == 50
+
+    def test_files_actually_pruned(self, spark, tmp_path):
+        t, _ = _write_ranged(spark, tmp_path, "sk2")
+        total = len(t.manifest().all_files())
+        kept, pruned = t.prune_files("id >= 3000")
+        assert pruned > 0 and len(kept) < total
+        # and on a non-PK column with disjoint ranges per file: v strings
+        kept_v, pruned_v = t.prune_files("v = 'v3050'")
+        assert pruned_v > 0
+
+    def test_unparseable_predicate_still_correct(self, spark, tmp_path):
+        t, _ = _write_ranged(spark, tmp_path, "sk3")
+        pred = "id % 2 = 0 OR bucket = 3"
+        expect = t.read().filter(pred).count()
+        assert t.read(where=pred).count() == expect
+
+    def test_empty_result_predicate(self, spark, tmp_path):
+        t, _ = _write_ranged(spark, tmp_path, "sk4")
+        assert t.read(where="id > 99999").count() == 0
+
+
+class TestZOrder:
+    def test_zorder_prunes_both_columns(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        t = cat.table("zo1")
+        w = LakeWriter(t, pk=["id"])
+        # x and y independently uniform: row-order files have full-range
+        # stats on both; z-order makes BOTH selective
+        n = 20_000
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.hash(F.col("id")) % 1000).alias("x"),
+            (F.hash(F.col("id") + 17) % 1000).alias("y"),
+        )
+        w.append(df)
+        compact(t, zorder_by=["x", "y"], target_files=16)
+        m = t.manifest()
+        assert len(m.all_files()) == 16
+        expect = t.read().filter("x BETWEEN 0 AND 49 AND y BETWEEN 0 AND 49").count()
+        kept_x, pruned_x = t.prune_files("x BETWEEN 0 AND 49")
+        kept_y, pruned_y = t.prune_files("y BETWEEN 0 AND 49")
+        kept_xy, pruned_xy = t.prune_files("x BETWEEN 0 AND 49 AND y BETWEEN 0 AND 49")
+        assert pruned_x > 0 and pruned_y > 0, "z-order must make both columns selective"
+        assert pruned_xy >= max(pruned_x, pruned_y)
+        got = t.read(where="x BETWEEN 0 AND 49 AND y BETWEEN 0 AND 49").count()
+        assert got == expect
+
+    def test_zorder_on_timestamp(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        t = cat.table("zo2")
+        w = LakeWriter(t, pk=["id"])
+        df = spark.range(5000).select(
+            F.col("id"),
+            F.timestamp_seconds(1704067200 + (F.hash("id") % 86400) * 30).alias("ts"),
+            (F.hash(F.col("id") + 3) % 100).alias("val"),
+        )
+        w.append(df)
+        compact(t, zorder_by=["ts", "val"], target_files=8)
+        pred = "ts >= TIMESTAMP '2024-01-15 00:00:00' AND val < 10"
+        expect = t.read().filter(pred).count()
+        assert t.read(where=pred).count() == expect
+        _, pruned = t.prune_files(pred)
+        assert pruned > 0
+
+    def test_zorder_rejects_string_column(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path))
+        t = cat.table("zo3")
+        w = LakeWriter(t, pk=["id"])
+        w.append(spark.range(10).select(F.col("id"), F.lit("s").alias("s")))
+        with pytest.raises(ValueError, match="unsupported type"):
+            compact(t, zorder_by=["s"])
+
+
+class TestLegacyManifest:
+    def test_legacy_list_stats_normalized(self, tmp_path):
+        from ducklake_kafka_connect_spark.lake.table import Manifest
+        from pyspark.sql import types as T
+
+        m = Manifest.from_json(
+            """{"version": 1, "schema": {"type": "struct", "fields":
+            [{"name": "id", "type": "long", "nullable": true, "metadata": {}}]},
+            "pk": ["id"], "partition_spec": [], "files": {"": ["f1"]},
+            "parent": 0, "props": {}, "file_stats": {"f1": [5, 10]}}"""
+        )
+        assert m.file_stats == {"f1": {"id": [5, 10]}}
