@@ -316,6 +316,42 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_latest_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, r.purchase_value AS purchase_value_right
+    FROM clicks l
+    ASOF LEFT JOIN purchases r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "As-of (point-in-time) join: each click stamped with the latest prior "
+    "purchase per user. Spark side is the union-and-sweep plan "
+    "(operators/asof.py — one shuffle, no range-join explosion); oracle is "
+    "DuckDB's native ASOF JOIN.",
+)
+def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")  # deterministic: one right row per (key, ts)
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["purchase_value"],
+    ).select("event_id", "user_id", "purchase_value_right")
+
+
+@register(
     "zorder_pruned_scan",
     """
     SELECT count(*) AS n, ROUND(sum(value), 6) AS sum_value,
