@@ -17,11 +17,31 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state_store(spark: SparkSession) -> None:
+    """Switch stateful streaming to the RocksDB state store (runtime SQL
+    confs — picked up by queries started afterwards). The default
+    HDFS-backed store keeps all state on the executor heap; at
+    watermark-bounded state of ~1e9 keys that's tens of GB of JVM heap,
+    while RocksDB keeps it off-heap on local SSD with changelog
+    checkpointing uploading only per-batch deltas."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
+
 def build_session(
     app_name: str = "ducklake_kafka_connect_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     cpus = int(DEFAULT_CPUS)
     master = master or f"local[{cpus}]"
@@ -49,4 +69,6 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if rocksdb_state_store:
+        enable_rocksdb_state_store(spark)
     return spark

@@ -182,3 +182,50 @@ class TestStreamedIngestion:
         q2.awaitTermination(120)
         rows = {r["id"]: r["v"] for r in table.read().collect()}
         assert rows == {0: "updated", 1: "x1", 2: "x2", 3: "x3", 4: "x4"}
+
+
+class TestRocksDBStateStore:
+    def test_stateful_query_on_rocksdb(self, spark, event_stream, tmp_path):
+        """The windowed aggregate runs on the RocksDB state store
+        provider (off-heap state — the 1e9-key scale configuration) and
+        produces identical results; the checkpoint must actually contain
+        RocksDB changelog/snapshot state files."""
+        from ducklake_kafka_connect_spark.session import (
+            ROCKSDB_PROVIDER,
+            enable_rocksdb_state_store,
+        )
+
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        enable_rocksdb_state_store(spark)
+        ckpt = str(tmp_path / "ckpt_rocks")
+        try:
+            assert (
+                spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+                == ROCKSDB_PROVIDER
+            )
+            q = (
+                windowed_counts(event_stream, "1 hour", "1 second")
+                .writeStream.format("memory")
+                .queryName("rocks_counts")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            rows = {
+                str(r["window_start"]): (r["n"], r["sum_value"])
+                for r in spark.sql("SELECT * FROM rocks_counts").collect()
+            }
+            assert rows["2024-01-01 10:00:00"] == (4, 62.0)
+            state_files = []
+            for dirpath, _d, files in os.walk(os.path.join(ckpt, "state")):
+                state_files += [os.path.join(dirpath, f) for f in files]
+            assert any(
+                f.endswith((".changelog", ".zip", ".sst")) for f in state_files
+            ), f"expected RocksDB state artifacts, got: {state_files[:10]}"
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
