@@ -258,3 +258,116 @@ def ann_lsh_topk_sql(
     ORDER BY cos_sim DESC, v.id
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF over a cell-partitioned lake table: the probe IS partition pruning
+# ---------------------------------------------------------------------------
+
+
+def probe_cells(
+    query: Sequence[float], centroids: Sequence[Sequence[float]], nprobe: int
+) -> list[int]:
+    """Indices of the ``nprobe`` nearest (unit-normalized) centroids by
+    dot product, ties to the lower index — the same ordering the SQL
+    oracle's ``ORDER BY dot DESC, i`` produces."""
+    cents = [_unit(c) for c in centroids]
+    q = [float(x) for x in query]
+    dots = [sum(a * b for a, b in zip(q, c)) for c in cents]
+    return sorted(range(len(cents)), key=lambda i: (-dots[i], i))[:nprobe]
+
+
+def build_ivf_index(
+    table,
+    emb: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write embeddings into a lake table partitioned by IVF cell.
+
+    This is the 100 TB layout: each coarse cell is a partition
+    directory, so an nprobe-cell query turns into manifest-level
+    partition pruning — the scan opens nprobe/NUM_CELLS of the data,
+    no matter how large the corpus. Vectors are cast to double BEFORE
+    the write: the lake stores arrays as JSON text (reference storage
+    semantics) and Jackson's double serialization round-trips
+    bit-exactly, so scores computed after read-back equal scores over
+    the raw parquet."""
+    from ..lake.writer import LakeWriter
+
+    cents = [_unit(c) for c in centroids]
+    indexed = emb.select(
+        F.col(id_col),
+        ivf_assign_col(_as_double(F.col(vec_col)), cents).alias("cell"),
+        _as_double(F.col(vec_col)).alias(vec_col),
+    )
+    LakeWriter(table, pk=[id_col], partition_by="cell", auto_create=True).append(indexed)
+
+
+def ivf_indexed_topk(
+    table,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Top-k by exact cosine within the query's ``nprobe`` nearest
+    cells, read through ``LakeTable.read(where="cell IN (...)")`` —
+    files of unprobed cells are pruned from the manifest and never
+    opened."""
+    cells = probe_cells(query, centroids, nprobe)
+    pred = f"cell IN ({', '.join(str(c) for c in cells)})"
+    df = table.read(where=pred).select(
+        F.col(id_col),
+        F.from_json(F.col(vec_col), "array<double>").alias(vec_col),
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity_col(F.col(vec_col), query), 6).alias("cos_sim"),
+    )
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_indexed_topk_sql(
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+) -> str:
+    """DuckDB oracle: identical nprobe-cell probe expressed statically —
+    centroid literals + ORDER BY dot DESC LIMIT nprobe (no
+    data-dependent constants in the SQL string)."""
+    cents = [_unit(c) for c in centroids]
+    assign = ivf_assign_sql("v", cents)
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])" for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
+             {assign} AS cell
+      FROM {table}
+    ),
+    q AS (SELECT v FROM v WHERE id = {query_id}),
+    cents(i, c) AS (VALUES {cent_rows}),
+    probed AS (
+      SELECT i FROM cents, q
+      ORDER BY list_dot_product(q.v, cents.c) DESC, i
+      LIMIT {nprobe}
+    )
+    SELECT v.id AS {id_col},
+           ROUND(list_cosine_similarity(v.v, (SELECT v FROM q)), 6) AS cos_sim
+    FROM v
+    WHERE v.cell IN (SELECT i FROM probed) AND v.id <> {query_id}
+    ORDER BY cos_sim DESC, v.id
+    LIMIT {k}
+    """

@@ -39,6 +39,7 @@ from ..operators.similarity import (
     ann_lsh_topk,
     ann_lsh_topk_sql,
     cosine_topk,
+    ivf_indexed_topk_sql,
     ivf_topk,
     ivf_topk_sql,
 )
@@ -768,6 +769,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ivf_topk(emb, query, IVF_CENTROIDS, k=10, exclude_ids=[0])
+
+
+@register(
+    "ann_ivf_indexed_topk",
+    ivf_indexed_topk_sql(IVF_CENTROIDS, nprobe=2),
+    "IVF ANN over a cell-partitioned lake index: the nprobe-cell probe is "
+    "manifest partition pruning (build_ivf_index / ivf_indexed_topk) — at "
+    "100 TB the scan opens nprobe/NUM_CELLS of the corpus regardless of size",
+)
+def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import build_ivf_index, ivf_indexed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_ivf_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    t = cat.table("emb_ivf")
+    build_ivf_index(t, emb, IVF_CENTROIDS)
+    return ivf_indexed_topk(t, query, IVF_CENTROIDS, k=10, nprobe=2, exclude_ids=[0])
 
 
 @register(
