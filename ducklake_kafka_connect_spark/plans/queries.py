@@ -353,6 +353,49 @@ def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_click_attribution",
+    """
+    WITH signups AS (
+      SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS s
+      FROM events WHERE event_type = 'signup'
+    ),
+    clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT signup_id, count(*) AS n_clicks, ROUND(sum(value), 6) AS sum_value
+    FROM clicks c
+    JOIN signups s ON c.user_id = s.user_id
+                  AND c.ts BETWEEN s.s AND s.s + INTERVAL 1 DAY
+    GROUP BY signup_id
+    """,
+    "Range (interval-containment) join via bucketization "
+    "(operators/ranges.py): clicks attributed to the 24h window after "
+    "each signup. Equi-join on (key, bucket) + exact filter — no "
+    "theta-join nested loop.",
+)
+def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranges import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return (
+        interval_join(clicks, signups, key="user_id", bucket_seconds=6 * 3600)
+        .groupBy("signup_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "zorder_pruned_scan",
     """
     SELECT count(*) AS n, ROUND(sum(value), 6) AS sum_value,
