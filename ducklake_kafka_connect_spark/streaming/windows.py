@@ -125,3 +125,34 @@ def latest_per_key_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    watermark: str = "1 hour",
+    join_window: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: right rows join left rows of the
+    same key within ``[left_ts, left_ts + join_window]``.
+
+    The time-bound condition is what makes unbounded-stream joins
+    feasible: the watermark plus the interval lets Spark expire state
+    for rows that can no longer match, so state is
+    O(rate x (watermark + window)) per side instead of unbounded.
+    Outer variants emit NULL-padded rows only after the watermark
+    proves no match can arrive (same late-data contract as append-mode
+    aggregations)."""
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[key_col] == r_wm[key_col])
+        & (r_wm[right_ts] >= l_wm[left_ts])
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {join_window}"))
+    )
+    joined = l_wm.join(r_wm, cond, how)
+    return joined.drop(r_wm[key_col])

@@ -229,3 +229,45 @@ class TestRocksDBStateStore:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
             else:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+class TestStreamStreamJoin:
+    def test_windowed_interval_join(self, spark, tmp_path):
+        """Clicks join purchases of the same user within 30 minutes
+        after the click; state is watermark-bounded on both sides."""
+        import json as _json
+
+        from ducklake_kafka_connect_spark.streaming.windows import stream_stream_join
+
+        lsrc = tmp_path / "l"
+        rsrc = tmp_path / "r"
+        lsrc.mkdir(); rsrc.mkdir()
+        clicks = [
+            {"user_id": 1, "ts": "2024-01-01T10:00:00", "value": 1.0},
+            {"user_id": 2, "ts": "2024-01-01T10:00:00", "value": 2.0},
+        ]
+        purchases = [
+            {"user_id": 1, "r_ts": "2024-01-01T10:10:00", "amount": 9.0},   # in window
+            {"user_id": 1, "r_ts": "2024-01-01T11:10:00", "amount": 8.0},   # too late
+            {"user_id": 2, "r_ts": "2024-01-01T09:50:00", "amount": 7.0},   # before click
+        ]
+        (lsrc / "b0.json").write_text("\n".join(_json.dumps(r) for r in clicks))
+        (rsrc / "b0.json").write_text("\n".join(_json.dumps(r) for r in purchases))
+        l = spark.readStream.format("json").schema(
+            "user_id long, ts timestamp, value double").load(str(lsrc))
+        r = spark.readStream.format("json").schema(
+            "user_id long, r_ts timestamp, amount double").load(str(rsrc))
+        q = (
+            stream_stream_join(l, r, join_window="30 minutes")
+            .writeStream.format("memory")
+            .queryName("ss_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = [
+            (r["user_id"], r["amount"])
+            for r in spark.sql("SELECT * FROM ss_join").collect()
+        ]
+        assert rows == [(1, 9.0)]
