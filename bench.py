@@ -43,6 +43,9 @@ def main() -> None:
                 print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
                 break
         timings[name] = round(best, 3)
+        # queries persist diamond-DAG intermediates; drop them so later
+        # queries aren't timed under another query's storage-memory churn
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
