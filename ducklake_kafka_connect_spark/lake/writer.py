@@ -13,7 +13,9 @@ Parity targets (reference ``ingestor/DucklakeWriter.java``):
 MERGE physical strategy (the 100 TB design):
 
 The source micro-batch is small relative to the table, so every join
-broadcasts the source — the target is **never shuffled**. Affected
+broadcasts the source — the target is **never shuffled**. (Batches
+above MERGE_BROADCAST_ROWS — bulk backfills — degrade to ordinary
+shuffle joins instead of OOMing the driver as a broadcast.) Affected
 partitions are computed from (a) the source rows' partition values and
 (b) a column-pruned scan of target (pk + partition columns) semi-joined
 against the broadcast source keys — so keys whose update moves them
@@ -55,6 +57,8 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # Above this many affected partitions, skip per-partition pruning and
 # rewrite via a full-table pass (the OR-filter would not be worth it).
 MAX_PRUNED_PARTITIONS = 1024
+# above this many source rows a MERGE batch is shuffle-joined, not broadcast
+MERGE_BROADCAST_ROWS = 4_000_000
 
 
 def _logical_schema_of(df: DataFrame) -> T.StructType:
@@ -230,19 +234,29 @@ class LakeWriter:
             row = src.agg(
                 F.min(pk0).alias("lo"),
                 F.max(pk0).alias("hi"),
+                F.count(F.lit(1)).alias("n_src"),
                 F.collect_set(F.struct(*part_cols)).alias("parts"),
             ).collect()[0]
             bounds = row
+            n_src = row["n_src"]
             src_parts = [p.asDict() for p in row["parts"]]
         else:
             bounds = src_keys.agg(
-                F.min(pk0).alias("lo"), F.max(pk0).alias("hi")
+                F.min(pk0).alias("lo"),
+                F.max(pk0).alias("hi"),
+                F.count(F.lit(1)).alias("n_src"),
             ).collect()[0]
+            n_src = bounds["n_src"]
             src_parts = (
                 [r.asDict() for r in src.select(*part_cols).distinct().collect()]
                 if part_cols
                 else []
             )
+        # Micro-batches broadcast (hash-join against only the rewrite
+        # files, no shuffle of the table); a bulk backfill batch above
+        # the row threshold would OOM the driver as a broadcast, so it
+        # degrades to ordinary shuffle joins instead.
+        bcast = F.broadcast if n_src <= MERGE_BROADCAST_ROWS else (lambda d: d)
         overlap_by_part = {
             k: [f for f in v if _overlaps(manifest.file_stats.get(f), bounds, pk0)]
             for k, v in manifest.files.items()
@@ -269,7 +283,7 @@ class LakeWriter:
                 target_outside = self._read_files(manifest, outside_files)
                 matched_parts = (
                     target_outside.select(*self.pk, *part_cols)
-                    .join(F.broadcast(src_keys), on=self.pk, how="left_semi")
+                    .join(bcast(src_keys), on=self.pk, how="left_semi")
                     .select(*part_cols)
                     .distinct()
                     .collect()
@@ -299,14 +313,14 @@ class LakeWriter:
         target = _conform(target, final_logical, extra=passthrough)
 
         # ---- the three broadcast joins ----
-        untouched = target.join(F.broadcast(src_keys), on=self.pk, how="left_anti")
+        untouched = target.join(bcast(src_keys), on=self.pk, how="left_anti")
         ins_lookup = target.select(*self.pk, INSERTED_AT)
         matched = (
-            ins_lookup.join(F.broadcast(src), on=self.pk, how="inner")
+            ins_lookup.join(bcast(src), on=self.pk, how="inner")
             .select(*[F.col(c) for c in src.columns if c != INSERTED_AT], F.col(INSERTED_AT))
         )
         inserts = (
-            src.join(F.broadcast(ins_lookup.select(*self.pk)), on=self.pk, how="left_anti")
+            src.join(bcast(ins_lookup.select(*self.pk)), on=self.pk, how="left_anti")
             .withColumn(INSERTED_AT, F.current_timestamp())
         )
         out_cols = (
