@@ -189,6 +189,10 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
                 )
                 if rel not in referenced:
                     os.remove(os.path.join(dirpath, fn))
+                    try:  # bloom sidecar dies with its data file
+                        os.remove(os.path.join(dirpath, fn + ".bloom"))
+                    except FileNotFoundError:
+                        pass
                     deleted += 1
         # prune empty partition dirs bottom-up
         for dirpath, dirnames, filenames in os.walk(table.data_dir, topdown=False):

@@ -264,11 +264,30 @@ class LakeTable:
         """Manifest-level data skipping: relative paths of files that may
         hold rows matching ``predicate``, plus how many were pruned.
         Derived partition columns are stat-ed like any other column, so
-        partition pruning falls out of the same mechanism."""
-        from .skipping import prune_files as _prune
+        partition pruning falls out of the same mechanism. Equality /
+        IN conjuncts on the bloomed PK column additionally probe each
+        surviving file's Bloom sidecar (one small read per file that
+        range stats could not eliminate)."""
+        from .skipping import parse_conjuncts, prune_files as _prune
 
         m = self.manifest(version)
-        return _prune(m.all_files(), m.file_stats, predicate)
+        kept, pruned = _prune(m.all_files(), m.file_stats, predicate)
+        point_probes = [
+            (c.value if c.op == "in" else [c.value])
+            for c in parse_conjuncts(predicate)
+            if c.op in ("=", "in") and m.pk and c.column == m.pk[0]
+        ]
+        if point_probes:
+            from .bloom import sidecar_might_contain
+
+            survivors = []
+            for f in kept:
+                p = os.path.join(self.dir, f)
+                if all(sidecar_might_contain(p, vals) for vals in point_probes):
+                    survivors.append(f)
+            pruned += len(kept) - len(survivors)
+            kept = survivors
+        return kept, pruned
 
     def read(
         self,
@@ -290,9 +309,7 @@ class LakeTable:
         schema = self.read_schema(m)
         rel_files = m.all_files()
         if where is not None:
-            from .skipping import prune_files as _prune
-
-            rel_files, _ = _prune(rel_files, m.file_stats, where)
+            rel_files, _ = self.prune_files(where, version)
         files = [os.path.join(self.dir, p) for p in rel_files]
         if not files:
             df = self.spark.createDataFrame([], schema)
@@ -323,6 +340,7 @@ class LakeTable:
         exprs = m.partition_exprs if m else []
         pk = m.pk if m else []
         stat_cols = _stats_columns(df.schema, pk)
+        bloom_col = _bloom_column(df.schema, pk)
         stage_rel = os.path.join("data", f"s{version_hint}-{uuid.uuid4().hex[:8]}")
         stage_abs = os.path.join(self.dir, stage_rel)
         df = with_dir_columns(df, exprs)
@@ -346,15 +364,41 @@ class LakeTable:
                     else os.path.join(stage_rel, fn)
                 )
                 files.setdefault(part_key, []).append(rel_file)
+                abs_file = os.path.join(dirpath, fn)
                 if stat_cols:
-                    s = _footer_stats(os.path.join(dirpath, fn), stat_cols)
+                    s = _footer_stats(abs_file, stat_cols)
                     if s:
                         stats[rel_file] = s
+                if bloom_col:
+                    _write_bloom_sidecar(abs_file, bloom_col)
         return files, stats
 
 
 MAX_STATS_COLUMNS = 12
 MAX_STAT_STRING = 64
+
+
+def _bloom_column(schema: T.StructType, pk: list[str]) -> str | None:
+    """First PK column, if int/string-typed — the point-lookup Bloom
+    sidecar target (floats excluded: canonical-form parity trap)."""
+    if not pk or pk[0] not in schema.fieldNames():
+        return None
+    dt = schema[pk[0]].dataType
+    ok = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType))
+    return pk[0] if ok else None
+
+
+def _write_bloom_sidecar(path: str, column: str) -> None:
+    try:
+        import pyarrow.parquet as pq
+
+        from .bloom import write_sidecar
+
+        tbl = pq.read_table(path, columns=[column])
+        if tbl.num_columns == 1:
+            write_sidecar(path, tbl.column(0).to_pylist())
+    except Exception:
+        pass  # blooms are an optimization; never fail a write over one
 
 
 def _stats_columns(schema: T.StructType, pk: list[str]) -> list[str]:

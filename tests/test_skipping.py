@@ -191,3 +191,67 @@ class TestLegacyManifest:
             "parent": 0, "props": {}, "file_stats": {"f1": [5, 10]}}"""
         )
         assert m.file_stats == {"f1": {"id": [5, 10]}}
+
+
+class TestBloomSidecars:
+    def test_unit_bloom_roundtrip(self):
+        from ducklake_kafka_connect_spark.lake.bloom import (
+            bloom_might_contain,
+            build_bloom,
+        )
+
+        blob = build_bloom(list(range(0, 5000, 3)) + ["key_x", None])
+        assert all(bloom_might_contain(blob, v) for v in range(0, 5000, 3))
+        assert bloom_might_contain(blob, "key_x")
+        misses = sum(bloom_might_contain(blob, f"absent_{i}") for i in range(2000))
+        assert misses < 60, f"fp rate too high: {misses}/2000"
+        assert bloom_might_contain(b"garbage", 1), "malformed blob must keep"
+
+    def test_point_lookup_prunes_interleaved_files(self, spark, tmp_path):
+        # every file spans nearly the whole key range → min/max prunes
+        # nothing; only the blooms can
+        cat = LakeCatalog(spark, str(tmp_path))
+        t = cat.table("bl1")
+        w = LakeWriter(t, pk=["id"])
+        for off in range(4):
+            w.append(
+                spark.range(0, 4000, 4).select(
+                    (F.col("id") + off).alias("id"),
+                    F.concat(F.lit("v"), F.col("id") + off).alias("v"),
+                )
+            )
+        files = t.manifest().all_files()
+        assert len(files) >= 4
+        kept_range, pruned_range = t.prune_files("id >= 0")
+        assert pruned_range == 0
+        kept, pruned = t.prune_files("id = 1001")  # lives in exactly one file
+        assert pruned >= len(files) - 1, f"bloom should isolate the file: {kept}"
+        rows = t.read(where="id = 1001").collect()
+        assert [r["v"] for r in rows] == ["v1001"]
+
+    def test_in_probe_and_vacuum_cleanup(self, spark, tmp_path):
+        import os as _os
+
+        from ducklake_kafka_connect_spark.lake.maintenance import compact, vacuum
+
+        cat = LakeCatalog(spark, str(tmp_path))
+        t = cat.table("bl2")
+        w = LakeWriter(t, pk=["id"])
+        for off in range(3):
+            w.append(
+                spark.range(0, 3000, 3).select(
+                    (F.col("id") + off).alias("id"), F.lit("x").alias("v")
+                )
+            )
+        kept, pruned = t.prune_files("id IN (7, 3001)")
+        assert pruned > 0
+        got = sorted(r["id"] for r in t.read(where="id IN (7, 3001)").collect())
+        assert got == [7]
+        compact(t)
+        vacuum(t, keep_versions=1)
+        blooms = [
+            f for _d, _dn, fs in _os.walk(t.data_dir) for f in fs if f.endswith(".bloom")
+        ]
+        live = {_os.path.basename(p) for p in t.manifest().all_files()}
+        for b in blooms:
+            assert b[: -len(".bloom")] in live, f"orphan sidecar {b}"
