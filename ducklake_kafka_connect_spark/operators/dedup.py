@@ -435,16 +435,19 @@ def simhash_table(
         .select(F.col(id_col), F.explode(toks).alias("t"))
         .select(F.col(id_col), h60_col(F.col("t")).alias("h"))
     )
+    # branch-free votes: sum of raw bits + one count; bit j set iff
+    # 2·Σbit_j > n — identical to the ±1-vote formulation (ties incl.)
+    # but each row contributes shift-and adds, no per-bit conditionals
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
-    voted = exploded.groupBy(id_col).agg(*votes)
+    voted = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *votes)
     out = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        out = out + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        out = out + F.when(
+            2 * F.col(f"s{j}") > F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0))
     return voted.select(F.col(id_col), out.alias("simhash"))
 
 
