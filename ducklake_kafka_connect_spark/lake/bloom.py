@@ -92,3 +92,36 @@ def sidecar_might_contain(data_file_path: str, values: list) -> bool:
     except OSError:
         return True
     return any(bloom_might_contain(blob, v) for v in values)
+
+
+def membership_filter(paths: list[str], values: list) -> list[bool]:
+    """For each path: False only when that file's sidecar proves NONE of
+    ``values`` is present (missing/malformed sidecars keep the file).
+    Hash pairs are computed once per value, not per (value, file)."""
+    pairs = [_hash_pair(v) for v in values if v is not None]
+    out: list[bool] = []
+    for p in paths:
+        try:
+            with open(sidecar_path(p), "rb") as f:
+                blob = f.read()
+        except OSError:
+            out.append(True)
+            continue
+        if not blob or blob[:4] != MAGIC or len(blob) < 12:
+            out.append(True)
+            continue
+        k, m = struct.unpack("<II", blob[4:12])
+        bits = blob[12:]
+        if m == 0 or len(bits) * 8 < m:
+            out.append(True)
+            continue
+        hit = False
+        for h1, h2 in pairs:
+            if all(
+                (bits[idx >> 3] >> (idx & 7)) & 1
+                for idx in ((h1 + i * h2) % m for i in range(k))
+            ):
+                hit = True
+                break
+        out.append(hit)
+    return out

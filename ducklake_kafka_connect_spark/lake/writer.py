@@ -38,6 +38,7 @@ immutable files into the next snapshot untouched.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +60,9 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 MAX_PRUNED_PARTITIONS = 1024
 # above this many source rows a MERGE batch is shuffle-joined, not broadcast
 MERGE_BROADCAST_ROWS = 4_000_000
+# batches up to this many rows Bloom-probe overlap files to shrink the
+# rewrite set (one driver-side key collect + sidecar reads)
+MERGE_BLOOM_PROBE_KEYS = 100_000
 
 
 def _logical_schema_of(df: DataFrame) -> T.StructType:
@@ -261,6 +265,28 @@ class LakeWriter:
             k: [f for f in v if _overlaps(manifest.file_stats.get(f), bounds, pk0)]
             for k, v in manifest.files.items()
         }
+        # Small batches additionally Bloom-probe the surviving files:
+        # after interleaved appends every file's PK range overlaps every
+        # batch, but the sidecars prove which files actually hold the
+        # keys — the rewrite set shrinks to true containers. One driver
+        # job collects the keys; skipped for bulk batches.
+        n_overlap = sum(len(v) for v in overlap_by_part.values())
+        if 0 < n_src <= MERGE_BLOOM_PROBE_KEYS and n_overlap > 1:
+            from .bloom import membership_filter
+
+            key_vals = [r[0] for r in src_keys.select(pk0).collect()]
+            flat = [f for v in overlap_by_part.values() for f in v]
+            keep = dict(
+                zip(
+                    flat,
+                    membership_filter(
+                        [os.path.join(self.table.dir, f) for f in flat], key_vals
+                    ),
+                )
+            )
+            overlap_by_part = {
+                k: [f for f in v if keep[f]] for k, v in overlap_by_part.items()
+            }
 
         # ---- affected partitions (driver-side partition pruning) ----
         if part_cols:

@@ -101,3 +101,32 @@ def test_merge_insert_only_batch_rewrites_nothing(spark, tmp_path):
     after = set(t.manifest().all_files())
     assert before <= after, "no pre-existing file should be rewritten"
     assert t.read().count() == 410
+
+
+def test_merge_bloom_probe_shrinks_rewrite_set(spark, tmp_path):
+    """Interleaved appends: every file's PK range overlaps every batch,
+    so range pruning alone rewrites everything — the Bloom probe must
+    cut the rewrite set to the files actually holding the keys."""
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.table("fpb")
+    w = LakeWriter(t, pk=["id"])
+    # 4 files, each spanning [off, 4000+off] with stride 4 — all overlap
+    for off in range(4):
+        w.append(
+            spark.range(0, 4000, 4).select(
+                (F.col("id") + off).alias("id"),
+                F.concat(F.lit("v"), F.col("id") + off).alias("v"),
+            )
+        )
+    before = set(t.manifest().all_files())
+    assert len(before) >= 4
+    # keys 0,4,8,...,96 all live in the off=0 file only
+    w.write(
+        spark.range(0, 100, 4).select(F.col("id"), F.lit("u").alias("v"))
+    )
+    after = set(t.manifest().all_files())
+    rewritten = before - after
+    assert len(rewritten) == 1, f"bloom probe should isolate one file, rewrote {len(rewritten)}"
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[0] == "u" and rows[96] == "u" and rows[1] == "v1"
+    assert len(rows) == 4000
