@@ -55,12 +55,52 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "split": split_harness(spark, sf_dir),
                 "sf": sf,
                 "ingest": ingest_harness(spark),
             }
         )
     )
     spark.stop()
+
+
+def split_harness(spark, sf_dir: str) -> dict:
+    """Build-vs-query split for the three queries whose combined number is
+    dominated by one-time index/table construction (bench hygiene: a
+    read-path regression must not hide under build cost). The combined
+    numbers in ``queries`` stay directly comparable with earlier rounds."""
+    from ducklake_kafka_connect_spark.plans.queries import (
+        ivf_index_build,
+        ivf_index_query,
+        merge_upsert_build,
+        merge_upsert_query,
+        zorder_build,
+        zorder_query,
+    )
+
+    out: dict = {}
+
+    def timed(fn, *args):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        return r, round(time.perf_counter() - t0, 3)
+
+    try:
+        cat, b = timed(zorder_build, spark, sf_dir)
+        _, q = timed(lambda: zorder_query(cat).collect())
+        out["zorder_pruned_scan"] = {"build_s": b, "query_s": q}
+
+        (t, qv), b = timed(ivf_index_build, spark, sf_dir)
+        _, q = timed(lambda: ivf_index_query(t, qv).collect())
+        out["ann_ivf_indexed_topk"] = {"build_s": b, "query_s": q}
+
+        (w, batch, mcat), b = timed(merge_upsert_build, spark, sf_dir)
+        _, q = timed(lambda: merge_upsert_query(w, batch, mcat).collect())
+        out["merge_upsert_events"] = {"build_s": b, "query_s": q}
+    except Exception as e:  # keep the bench line intact
+        out["error"] = str(e)[:200]
+    spark.catalog.clearCache()
+    return out
 
 
 def ingest_harness(spark) -> dict:
@@ -79,6 +119,19 @@ def ingest_harness(spark) -> dict:
     lake_dir = tempfile.mkdtemp(prefix="bench_lake_")
     try:
         cat = LakeCatalog(spark, lake_dir)
+        # Steady-state warmup on a scratch table: the first merge anywhere
+        # in a session pays one-time window/parquet codegen that is not
+        # per-batch cost (the reference's 30-100 ms guidance is likewise a
+        # steady-state JMX average, not a cold first batch).
+        wu = LakeWriter(cat.table("bench_warmup"), pk=["id"],
+                        partition_by="month(created_at)")
+        warm = spark.range(1_000).select(
+            F.col("id"),
+            F.lit("w").alias("name"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("created_at"),
+        )
+        wu.write(warm)
+        wu.write(warm)
         base = spark.range(100_000).select(
             F.col("id"),
             F.concat(F.lit("name_"), F.col("id")).alias("name"),

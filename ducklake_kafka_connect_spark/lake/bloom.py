@@ -27,7 +27,10 @@ import os
 import struct
 
 MAGIC = b"DLBF"
-BITS_PER_KEY = 10
+# 20 bits/key (fpp ~6e-5 at k=5): optimized writes consolidate many keys
+# per file, so a rewrite-set false positive costs a whole-file rewrite —
+# worth the still-tiny sidecar (2.5 KB per 1k keys).
+BITS_PER_KEY = 20
 NUM_HASHES = 5
 MAX_BITS = 1 << 23  # 1 MiB cap per sidecar
 
@@ -94,34 +97,63 @@ def sidecar_might_contain(data_file_path: str, values: list) -> bool:
     return any(bloom_might_contain(blob, v) for v in values)
 
 
+def _probe_file(path: str, pairs: list[tuple[int, int]]) -> bool:
+    """True unless this file's sidecar proves NONE of the hashed values
+    is present (missing/malformed sidecars keep the file)."""
+    try:
+        with open(sidecar_path(path), "rb") as f:
+            blob = f.read()
+    except OSError:
+        return True
+    if not blob or blob[:4] != MAGIC or len(blob) < 12:
+        return True
+    k, m = struct.unpack("<II", blob[4:12])
+    bits = blob[12:]
+    if m == 0 or len(bits) * 8 < m:
+        return True
+    for h1, h2 in pairs:
+        if all(
+            (bits[idx >> 3] >> (idx & 7)) & 1
+            for idx in ((h1 + i * h2) % m for i in range(k))
+        ):
+            return True
+    return False
+
+
 def membership_filter(paths: list[str], values: list) -> list[bool]:
-    """For each path: False only when that file's sidecar proves NONE of
-    ``values`` is present (missing/malformed sidecars keep the file).
-    Hash pairs are computed once per value, not per (value, file)."""
+    """Driver-side probe: for each path, False only when that file's
+    sidecar proves NONE of ``values`` is present. Hash pairs are computed
+    once per value, not per (value, file). Right-sized for a handful of
+    files; above MEMBERSHIP_SPARK_THRESHOLD files use
+    membership_filter_spark to keep the write path off the driver."""
     pairs = [_hash_pair(v) for v in values if v is not None]
-    out: list[bool] = []
-    for p in paths:
-        try:
-            with open(sidecar_path(p), "rb") as f:
-                blob = f.read()
-        except OSError:
-            out.append(True)
-            continue
-        if not blob or blob[:4] != MAGIC or len(blob) < 12:
-            out.append(True)
-            continue
-        k, m = struct.unpack("<II", blob[4:12])
-        bits = blob[12:]
-        if m == 0 or len(bits) * 8 < m:
-            out.append(True)
-            continue
-        hit = False
-        for h1, h2 in pairs:
-            if all(
-                (bits[idx >> 3] >> (idx & 7)) & 1
-                for idx in ((h1 + i * h2) % m for i in range(k))
-            ):
-                hit = True
-                break
-        out.append(hit)
+    return [_probe_file(p, pairs) for p in paths]
+
+
+# Below this many files a driver loop beats a Spark job's scheduling cost.
+MEMBERSHIP_SPARK_THRESHOLD = 64
+
+
+def membership_filter_spark(spark, paths: list[str], values: list) -> list[bool]:
+    """Executor-side probe: hash the values ONCE on the driver, broadcast
+    the (h1, h2) pairs, and fan the sidecar reads out over the cluster —
+    wall-time stays flat as the overlap file count grows (the driver loop
+    in membership_filter is O(files) single-threaded). Paths must be
+    executor-readable (posix-mounted or local; an object-store deployment
+    swaps open() for a ranged GET in _probe_file)."""
+    if not paths:
+        return []
+    pairs = [_hash_pair(v) for v in values if v is not None]
+    sc = spark.sparkContext
+    bpairs = sc.broadcast(pairs)
+    n_slices = min(len(paths), sc.defaultParallelism)
+    results = (
+        sc.parallelize(list(enumerate(paths)), n_slices)
+        .map(lambda t: (t[0], _probe_file(t[1], bpairs.value)))
+        .collect()
+    )
+    bpairs.unpersist()
+    out = [True] * len(paths)
+    for i, keep in results:
+        out[i] = keep
     return out

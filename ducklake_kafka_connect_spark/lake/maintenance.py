@@ -35,6 +35,8 @@ class CompactionResult:
 
 
 _ZORDER_MAX_BITS = 16
+# target output file size for compaction (range/Z-order re-layouts)
+COMPACT_FILE_BYTES = 128 * 1024 * 1024
 
 
 def _as_double(name: str, dtype: T.DataType):
@@ -107,9 +109,17 @@ def compact(
         paths = [os.path.join(table.dir, p) for v in offenders.values() for p in v]
         df = table.spark.read.schema(table.read_schema(m)).parquet(*paths)
         exprs = m.partition_exprs
-        n_files = sum(len(v) for v in offenders.values())
+        # Output file count sized by BYTES (manifest __bytes stats), not
+        # input file count — with optimized writes the input files are
+        # already right-sized and a count heuristic would over-merge.
+        total_bytes = sum(
+            int((m.file_stats.get(f) or {}).get("__bytes") or 0)
+            for v in offenders.values()
+            for f in v
+        )
+        n_by_bytes = max(1, (total_bytes + COMPACT_FILE_BYTES - 1) // COMPACT_FILE_BYTES)
         if zorder_by:
-            n_out = target_files or max(1, n_files // 8)
+            n_out = target_files or n_by_bytes
             zcol = _zorder_value(df, list(zorder_by))
             part_cols = [F.col(e.output_name) for e in exprs]
             df = (
@@ -127,7 +137,7 @@ def compact(
         elif m.pk:
             # range layout: output files carry DISJOINT pk ranges, so
             # subsequent merges prune to exactly the touched key range
-            n_out = max(1, n_files // 8)
+            n_out = target_files or n_by_bytes
             df = df.repartitionByRange(n_out, *[F.col(c) for c in m.pk]).sortWithinPartitions(
                 *[F.col(c) for c in m.pk]
             )

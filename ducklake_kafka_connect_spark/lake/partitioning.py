@@ -120,3 +120,87 @@ def dir_key_to_partition_tuple(part_key: str, exprs: list[PartitionExpr]) -> tup
             k, _, v = seg.partition("=")
             d[k] = v
     return tuple(d.get(e.dir_name) for e in exprs)
+
+
+# ---------------------------------------------------------------------------
+# Canonical partition-value encoding.
+#
+# MERGE compares the batch's partition values (Python objects out of
+# Row.asDict) against Hive directory tokens written by Spark. The two
+# encodings differ: Spark writes booleans as 'true'/'false' (Python
+# str(True) == 'True'), %-escapes special characters (':' → '%3A'),
+# formats floats Java-style ('1.0E-7') and trims trailing zeros from
+# timestamp fractions. Comparing raw strings silently missed partitions
+# (old rows never rewritten → duplicate keys). Both sides therefore map
+# into ONE canonical space: values via canon_partition_value, dir tokens
+# via canon_partition_token. Collisions between distinct values only ever
+# ADD partitions to the rewrite set (safe); a missed match is impossible
+# as long as both sides use these functions.
+# ---------------------------------------------------------------------------
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_HIVE_ESC_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_INT_RE = re.compile(r"[+-]?[0-9]+")
+_FLOAT_RE = re.compile(r"[+-]?([0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?")
+_TS_RE = re.compile(
+    r"([0-9]{4}-[0-9]{2}-[0-9]{2})[ T]([0-9]{2}:[0-9]{2}:[0-9]{2})(\.[0-9]+)?"
+)
+
+
+def _unescape_hive(s: str) -> str:
+    return _HIVE_ESC_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
+def _canon_str(s: str) -> str:
+    """Normalize one already-unescaped string into canonical form."""
+    if s in ("true", "True", "false", "False"):
+        return s.lower()
+    if _INT_RE.fullmatch(s):
+        return str(int(s))
+    if _FLOAT_RE.fullmatch(s):
+        try:
+            return repr(float(s))  # parse-then-repr folds '1.0E-7' / '1e-07'
+        except ValueError:
+            pass
+    m = _TS_RE.fullmatch(s)
+    if m:
+        frac = (m.group(3) or "").rstrip("0").rstrip(".")
+        return f"{m.group(1)} {m.group(2)}{frac}"
+    return s
+
+
+def canon_partition_token(token: str | None) -> str | None:
+    """Hive directory token → canonical string (None for the null marker)."""
+    if token is None or token == HIVE_NULL:
+        return None
+    return _canon_str(_unescape_hive(token))
+
+
+def canon_partition_value(v) -> str | None:
+    """Python partition value (from Row) → canonical string (None for null)."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += (".%06d" % v.microsecond).rstrip("0")
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    return _canon_str(str(v))
+
+
+def dir_key_to_canon_tuple(part_key: str, exprs: list[PartitionExpr]) -> tuple:
+    """Directory relpath → tuple of canonical partition values, ordered
+    like ``exprs`` — the comparison-safe twin of dir_key_to_partition_tuple."""
+    return tuple(
+        canon_partition_token(t) for t in dir_key_to_partition_tuple(part_key, exprs)
+    )

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..metrics import REGISTRY
 from .partitioning import (
     PartitionExpr,
     derived_column_names,
@@ -138,37 +139,45 @@ class Manifest:
 
 
 class TableLock:
-    """Exclusive advisory lock via O_CREAT|O_EXCL; stale after 10 min."""
+    """Exclusive advisory lock via ``fcntl.flock`` on a persistent lock
+    file. The kernel owns the lock through the fd: it is released
+    automatically when the holder's process exits, so there is no
+    mtime-based stale-lock breaking — and none of the unlink/recreate
+    TOCTOU races breaking invites (a waiter deciding an old lock is
+    stale could otherwise delete a *new* holder's lock file).
+    ``stale_after`` is retained for API compatibility; flock makes it
+    moot. The lock file itself is never unlinked — all processes flock
+    the same inode forever."""
 
     def __init__(self, path: str, timeout: float = 60.0, stale_after: float = 600.0):
         self.path = path
         self.timeout = timeout
         self.stale_after = stale_after
+        self._fd: int | None = None
 
     def __enter__(self):
+        import fcntl
+
         deadline = time.monotonic() + self.timeout
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
         while True:
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                self._fd = fd
                 return self
-            except FileExistsError:
-                try:
-                    if time.monotonic() - os.path.getmtime(self.path) > self.stale_after:
-                        os.unlink(self.path)
-                        continue
-                except FileNotFoundError:
-                    continue
+            except OSError:
                 if time.monotonic() > deadline:
+                    os.close(fd)
                     raise CommitConflict(f"Timed out acquiring table lock {self.path}")
                 time.sleep(0.05)
 
     def __exit__(self, *exc):
-        try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
+        if self._fd is not None:
+            import fcntl
+
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
 
 
 class LakeTable:
@@ -272,10 +281,33 @@ class LakeTable:
 
         m = self.manifest(version)
         kept, pruned = _prune(m.all_files(), m.file_stats, predicate)
+        # Bloom sidecars hash the canonical str() of the STORED value, so a
+        # probe is only sound when the literal's Python type matches the
+        # bloomed column's type — `pk = 5.0` on a BIGINT column is true in
+        # SQL for pk=5 but hashes '5.0' vs the stored '5' and would wrongly
+        # prune. Mixed/mismatched literals skip the probe (range stats
+        # already guard those conservatively).
+        pk0_type = (
+            m.schema[m.pk[0]].dataType
+            if m.pk and m.pk[0] in m.schema.fieldNames()
+            else None
+        )
+
+        def _probe_ok(v) -> bool:
+            if isinstance(pk0_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                return isinstance(v, int) and not isinstance(v, bool)
+            if isinstance(pk0_type, T.StringType):
+                return isinstance(v, str)
+            return False
+
         point_probes = [
-            (c.value if c.op == "in" else [c.value])
-            for c in parse_conjuncts(predicate)
-            if c.op in ("=", "in") and m.pk and c.column == m.pk[0]
+            vals
+            for vals in (
+                (c.value if c.op == "in" else [c.value])
+                for c in parse_conjuncts(predicate)
+                if c.op in ("=", "in") and m.pk and c.column == m.pk[0]
+            )
+            if all(_probe_ok(v) for v in vals)
         ]
         if point_probes:
             from .bloom import sidecar_might_contain
@@ -326,7 +358,11 @@ class LakeTable:
     # ---------- physical file management (used by the writer) ----------
 
     def write_data_files(
-        self, df: DataFrame, version_hint: int
+        self,
+        df: DataFrame,
+        version_hint: int,
+        layout: str = "natural",
+        skip_bloom: bool = False,
     ) -> tuple[dict[str, list[str]], dict]:
         """Write a DataFrame as immutable Parquet under a fresh stage dir,
         partitioned by the table's partition columns; return the
@@ -344,14 +380,30 @@ class LakeTable:
         stage_rel = os.path.join("data", f"s{version_hint}-{uuid.uuid4().hex[:8]}")
         stage_abs = os.path.join(self.dir, stage_rel)
         df = with_dir_columns(df, exprs)
-        writer = df.write.mode("overwrite")
         dir_cols = dir_column_names(exprs)
+        # layout='single': the caller knows the output is small (micro-batch
+        # merge) — coalesce to one task so the commit writes one right-sized
+        # file instead of a shard per upstream task, with NO extra shuffle.
+        # layout='rebalance' (appends): Delta-style optimized write — one
+        # AQE REBALANCE shuffle sizes output partitions at ~advisory bytes,
+        # so bulk appends emit 64 MB-class files, not one per input task.
+        # layout='natural' keeps upstream parallelism: at scale each task
+        # holds ~maxPartitionBytes of scan output, which is already the
+        # file size you want (used by large merges, whose plan already
+        # avoids shuffling the target).
+        if layout == "single":
+            df = df.coalesce(1)
+        elif layout == "rebalance":
+            df = df.hint("rebalance", *dir_cols) if dir_cols else df.hint("rebalance")
+        writer = df.write.mode("overwrite")
         if dir_cols:
             writer = writer.partitionBy(*dir_cols)
-        writer.parquet(stage_abs)
+        with REGISTRY.timer("write.dataFiles"):
+            writer.parquet(stage_abs)
 
         files: dict[str, list[str]] = {}
-        stats: dict = {}
+        abs_files: list[str] = []
+        rel_files: list[str] = []
         for dirpath, _dirnames, filenames in os.walk(stage_abs):
             for fn in filenames:
                 if not fn.endswith(".parquet"):
@@ -364,14 +416,49 @@ class LakeTable:
                     else os.path.join(stage_rel, fn)
                 )
                 files.setdefault(part_key, []).append(rel_file)
-                abs_file = os.path.join(dirpath, fn)
-                if stat_cols:
-                    s = _footer_stats(abs_file, stat_cols)
-                    if s:
-                        stats[rel_file] = s
-                if bloom_col:
-                    _write_bloom_sidecar(abs_file, bloom_col)
+                abs_files.append(os.path.join(dirpath, fn))
+                rel_files.append(rel_file)
+        with REGISTRY.timer("write.harvest"):
+            stats = self._harvest(
+                abs_files, rel_files, stat_cols, None if skip_bloom else bloom_col
+            )
         return files, stats
+
+    # Above this many freshly-written files, footer-stat/bloom harvesting
+    # fans out as a Spark job instead of a serial driver loop — at bulk
+    # scale the driver reading back every written file is the bottleneck.
+    HARVEST_SPARK_THRESHOLD = 8
+
+    def _harvest(
+        self,
+        abs_files: list[str],
+        rel_files: list[str],
+        stat_cols: list[str],
+        bloom_col: str | None,
+    ) -> dict:
+        """Per-file footer min/max stats + Bloom sidecars for a freshly
+        written stage dir. Small commits run on the driver (no job
+        scheduling cost); larger ones parallelize across executors
+        (files must be executor-readable, as with membership_filter_spark)."""
+        if not abs_files or (not stat_cols and not bloom_col):
+            return {}
+        if len(abs_files) <= self.HARVEST_SPARK_THRESHOLD:
+            return {
+                rel: s
+                for rel, s in zip(
+                    rel_files,
+                    (_harvest_one(p, stat_cols, bloom_col) for p in abs_files),
+                )
+                if s
+            }
+        sc = self.spark.sparkContext
+        pairs = list(zip(abs_files, rel_files))
+        results = (
+            sc.parallelize(pairs, min(len(pairs), sc.defaultParallelism))
+            .map(lambda t: (t[1], _harvest_one(t[0], stat_cols, bloom_col)))
+            .collect()
+        )
+        return {rel: s for rel, s in results if s}
 
 
 MAX_STATS_COLUMNS = 12
@@ -386,6 +473,22 @@ def _bloom_column(schema: T.StructType, pk: list[str]) -> str | None:
     dt = schema[pk[0]].dataType
     ok = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType))
     return pk[0] if ok else None
+
+
+def _harvest_one(abs_path: str, stat_cols: list[str], bloom_col: str | None) -> dict:
+    """Footer stats + bloom sidecar for one data file (runs on the driver
+    for small commits, inside an executor task for large ones). The
+    reserved ``__bytes`` entry records the file size so later merges can
+    size their rewrite set from the manifest alone — no per-file stat
+    calls against an object store in the planning path."""
+    s = _footer_stats(abs_path, stat_cols) if stat_cols else {}
+    try:
+        s["__bytes"] = os.path.getsize(abs_path)
+    except OSError:
+        pass
+    if bloom_col:
+        _write_bloom_sidecar(abs_path, bloom_col)
+    return s
 
 
 def _write_bloom_sidecar(path: str, column: str) -> None:

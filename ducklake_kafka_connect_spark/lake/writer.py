@@ -48,11 +48,12 @@ from pyspark.sql import types as T
 from ..metrics import REGISTRY
 from ..schema.reconcile import INSERTED_AT, plan_evolution
 from .partitioning import (
-    dir_key_to_partition_tuple,
+    canon_partition_value,
+    dir_key_to_canon_tuple,
     partition_column_names,
     with_partition_columns,
 )
-from .table import LakeTable, Manifest, is_complex, to_physical_schema
+from .table import CommitConflict, LakeTable, Manifest, is_complex, to_physical_schema
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # Above this many affected partitions, skip per-partition pruning and
@@ -61,8 +62,76 @@ MAX_PRUNED_PARTITIONS = 1024
 # above this many source rows a MERGE batch is shuffle-joined, not broadcast
 MERGE_BROADCAST_ROWS = 4_000_000
 # batches up to this many rows Bloom-probe overlap files to shrink the
-# rewrite set (one driver-side key collect + sidecar reads)
+# rewrite set (keys already collected by the summarize job)
 MERGE_BLOOM_PROBE_KEYS = 100_000
+# Manifests at or below this many data files skip partition/outside-file
+# pruning entirely: bloom-probing and rewriting a handful of files is
+# cheaper than any extra planning job.
+MERGE_SMALL_MANIFEST_FILES = 8
+# A concurrent commit between planning and the table lock forces a replan
+# (the rewrite set was chosen against a stale file list).
+MERGE_MAX_RETRIES = 3
+# Merges whose rewrite-set + batch estimate fits one output file take the
+# single-shuffle window-merge plan and write exactly one file.
+SMALL_OUTPUT_BYTES = 64 * 1024 * 1024
+EST_ROW_BYTES = 256
+# Tables at or below this total size take the zero-planning-job fast path
+# (rewrite-all window-merge; the merge is the write job).
+MERGE_SMALL_TABLE_BYTES = 32 * 1024 * 1024
+
+
+def _window_merge(
+    target: DataFrame,
+    raw: DataFrame,
+    pk: Sequence[str],
+    out_cols: Sequence[str],
+    order_col: str | None,
+    dead_col: str | None = None,
+) -> DataFrame:
+    """Small-merge plan: union(target-rewrite-rows, un-deduped batch) →
+    one row_number window per PK picks the winner (batch over target,
+    newest batch row over older by order_col / arrival). ``_inserted_at``
+    of a matched key survives via a min-over-partition (target rows carry
+    it, batch rows carry NULL); fresh keys get NOW(). With ``dead_col``,
+    batch rows flagged true are tombstones: they compete in the same
+    last-write-wins order and a winning tombstone deletes its key. One
+    shuffle total, no joins, no broadcasts — the latency-optimal shape
+    when the rewrite set is small."""
+    from pyspark.sql import Window as W
+
+    tgt_side = target.select(
+        *[F.col(c) for c in out_cols],
+        F.lit(0).alias("__pri"),
+        F.lit(None).cast("long").alias("__mono"),
+        F.lit(False).alias("__dead"),
+    )
+    dead = (
+        F.coalesce(F.col(dead_col), F.lit(False)) if dead_col else F.lit(False)
+    )
+    src_side = raw.withColumn(INSERTED_AT, F.lit(None).cast("timestamp")).select(
+        *[F.col(c) for c in out_cols],
+        F.lit(1).alias("__pri"),
+        F.monotonically_increasing_id().alias("__mono"),
+        dead.alias("__dead"),
+    )
+    order = [F.col("__pri").desc()]
+    if order_col:
+        order.append(F.col(order_col).desc())
+    order.append(F.col("__mono").desc())
+    # Both window expressions share one (partition, order) spec — the min
+    # just widens its frame to the whole partition — so Catalyst plans a
+    # single WindowExec pass (a second unordered spec would add another
+    # full pass over the union).
+    wo = W.partitionBy(*pk).orderBy(*order)
+    full_frame = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    u = tgt_side.unionByName(src_side)
+    return (
+        u.withColumn("__rn", F.row_number().over(wo))
+        .withColumn("__ts0", F.min(INSERTED_AT).over(full_frame))
+        .filter((F.col("__rn") == 1) & ~F.col("__dead"))
+        .withColumn(INSERTED_AT, F.coalesce(F.col("__ts0"), F.current_timestamp()))
+        .selectExpr(*out_cols)
+    )
 
 
 def _logical_schema_of(df: DataFrame) -> T.StructType:
@@ -146,11 +215,17 @@ class LakeWriter:
         pk: Sequence[str] | None = None,
         partition_by: str | list[str] | None = None,
         auto_create: bool = True,
+        small_table_fast_path: bool = True,
     ):
         self.table = table
         self.pk = list(pk or [])
         self.partition_by = partition_by
         self.auto_create = auto_create
+        # Rewrite-all window-merge for tables under MERGE_SMALL_TABLE_BYTES
+        # (single partition dir only): trades a little write amplification
+        # on tiny tables for a zero-planning-job merge. Off → every merge
+        # takes the pruning path (file-level rewrite minimization).
+        self.small_table_fast_path = small_table_fast_path
 
     # ---------- public API ----------
 
@@ -172,7 +247,9 @@ class LakeWriter:
         out = self._prepare_insert(df, manifest)
         with self.table.lock():
             manifest = self.table.manifest()  # re-read under lock
-            new_files, new_stats = self.table.write_data_files(out, manifest.version + 1)
+            new_files, new_stats = self.table.write_data_files(
+                out, manifest.version + 1, layout="rebalance"
+            )
             merged_files = {k: list(v) for k, v in manifest.files.items()}
             for k, paths in new_files.items():
                 merged_files.setdefault(k, []).extend(paths)
@@ -205,62 +282,142 @@ class LakeWriter:
     ) -> None:
         if not self.pk:
             raise ValueError(f"merge() on table {self.table.name} requires pk columns")
+        # The rewrite set is planned against a manifest read OUTSIDE the
+        # table lock; if another commit lands before this merge takes the
+        # lock, the planned file list is stale (re-emitting rows a
+        # concurrent compaction already rewrote would duplicate them) —
+        # so the commit re-checks the version under the lock and replans.
+        for _ in range(MERGE_MAX_RETRIES):
+            if self._merge_once(df, order_col, tombstone_col):
+                return
+        raise CommitConflict(
+            f"merge on {self.table.name}: manifest advanced during planning "
+            f"{MERGE_MAX_RETRIES} times"
+        )
+
+    def _merge_once(
+        self,
+        df: DataFrame,
+        order_col: str | None,
+        tombstone_col: str | None,
+    ) -> bool:
         payload = df.drop(tombstone_col) if tombstone_col else df
         manifest = self._ensure_table(payload)
+        planned_version = manifest.version
         final_logical = _logical_schema_of_batch(payload, manifest)
         exprs = manifest.partition_exprs
         part_cols = partition_column_names(exprs)
 
-        src0 = _dedup_last_wins(df, self.pk, order_col)
+        # ---- small-table fast path: zero planning jobs ----
+        # While the whole table fits a few small files in at most ONE
+        # partition dir, pruning machinery has nothing to prune: rewrite
+        # everything through ONE window-merge job (DuckDB's MERGE
+        # effectively rewrites such tables too). No cache, no planning
+        # aggregate, no bloom probe — the merge IS the write job. Multi-
+        # partition tables always take the pruning path below, preserving
+        # the untouched-partitions-keep-their-files contract.
+        n_files_total = sum(len(v) for v in manifest.files.values())
+        if (
+            self.small_table_fast_path
+            and len(manifest.files) <= 1
+            and n_files_total <= MERGE_SMALL_MANIFEST_FILES
+        ):
+            table_bytes = sum(
+                int((manifest.file_stats.get(f) or {}).get("__bytes") or MERGE_SMALL_TABLE_BYTES)
+                for f in manifest.all_files()
+            )
+            if table_bytes <= MERGE_SMALL_TABLE_BYTES:
+                return self._merge_small_table(
+                    df, manifest, planned_version, final_logical, exprs,
+                    part_cols, order_col, tombstone_col,
+                )
+
         if tombstone_col:
+            # Tombstones need last-write-wins resolution BEFORE the
+            # live/dead split (delete-then-reinsert resolves by order),
+            # so this rarer path pays the dedup shuffle eagerly.
+            src0 = _dedup_last_wins(df, self.pk, order_col)
             flag = F.coalesce(F.col(tombstone_col), F.lit(False))
-            dead_keys = src0.filter(flag).select(*self.pk).distinct()
+            dead = src0.filter(flag).drop(tombstone_col)
             src0 = src0.filter(~flag).drop(tombstone_col)
+            raw = _conform(src0, final_logical)
+            raw = with_partition_columns(raw, exprs).cache()
+            src = raw
+            dead_conf = _conform(dead, final_logical)
         else:
-            dead_keys = None
-        src = _conform(src0, final_logical)
-        src = with_partition_columns(src, exprs).cache()
-        live_keys = src.select(*self.pk).distinct()
-        # keys whose old copies must leave their files: updates + deletes
+            # Hot path: cache the batch UN-deduped and run the planning
+            # aggregate straight over it (no shuffle barrier inside the
+            # blocking planning job). Duplicate keys only widen bounds /
+            # add partition values — conservative for planning — and the
+            # dedup window runs lazily inside the write job instead,
+            # where its shuffle overlaps the rest of the plan.
+            raw = _conform(df, final_logical)
+            raw = with_partition_columns(raw, exprs).cache()
+            src = _dedup_last_wins(raw, self.pk, order_col)
+            dead = dead_conf = None
+        # One row per PK after dedup, and the live/dead split is disjoint
+        # — the key frames below are already distinct, no dedup shuffle.
+        live_keys = src.select(*self.pk)
         src_keys = (
-            live_keys.unionByName(dead_keys).distinct() if dead_keys is not None else live_keys
+            live_keys.unionByName(dead_conf.select(*self.pk))
+            if dead_conf is not None
+            else live_keys
         )
 
-        # ---- file-level pruning on PK range (parquet footer stats) ----
-        # A target row can only match a source key if its file's
-        # [min, max] of pk[0] overlaps the batch's key range; files
-        # without stats are conservatively kept. Bounds and the batch's
-        # partition set come from ONE aggregate job over the cached
-        # source (separate jobs only on the rare tombstone path, where
-        # dead keys are outside ``src``).
+        # ---- the ONE planning job ----
+        # A single JVM-side aggregate over the cached source yields exact
+        # row count, pk[0] bounds, and the batch's partition-value set —
+        # replacing the former bounds-agg + partition-distinct job chain
+        # (every extra driver-blocking job is ~100+ ms of scheduling on a
+        # micro-batch). The collect also materializes the cache the write
+        # job reuses. Dead (tombstone) rows count toward bounds/keys but
+        # contribute no partition values (their old copies may live
+        # anywhere; the overlap probe finds them).
         pk0 = self.pk[0]
-        if dead_keys is None and part_cols:
-            row = src.agg(
-                F.min(pk0).alias("lo"),
-                F.max(pk0).alias("hi"),
-                F.count(F.lit(1)).alias("n_src"),
-                F.collect_set(F.struct(*part_cols)).alias("parts"),
-            ).collect()[0]
-            bounds = row
-            n_src = row["n_src"]
-            src_parts = [p.asDict() for p in row["parts"]]
-        else:
-            bounds = src_keys.agg(
-                F.min(pk0).alias("lo"),
-                F.max(pk0).alias("hi"),
-                F.count(F.lit(1)).alias("n_src"),
-            ).collect()[0]
-            n_src = bounds["n_src"]
-            src_parts = (
-                [r.asDict() for r in src.select(*part_cols).distinct().collect()]
-                if part_cols
-                else []
+        probe = raw.select(
+            F.lit(True).alias("__live"),
+            F.col(pk0).alias("__k"),
+            *[F.col(c) for c in part_cols],
+        )
+        if dead_conf is not None:
+            probe = probe.unionByName(
+                dead_conf.select(
+                    F.lit(False).alias("__live"),
+                    F.col(pk0).alias("__k"),
+                    *[
+                        F.lit(None).cast(src.schema[c].dataType).alias(c)
+                        for c in part_cols
+                    ],
+                )
             )
+        agg_cols = [
+            F.count(F.lit(1)).alias("n"),
+            F.min("__k").alias("lo"),
+            F.max("__k").alias("hi"),
+        ]
+        if part_cols:
+            # collect_set skips NULLs, so non-live rows drop out here
+            agg_cols.append(
+                F.collect_set(
+                    F.when(F.col("__live"), F.struct(*part_cols))
+                ).alias("parts")
+            )
+        with REGISTRY.timer("merge.planAgg"):
+            row = probe.agg(*agg_cols).collect()[0]
+        n_src = row["n"]
+        bounds = {"lo": row["lo"], "hi": row["hi"]}
+        src_parts = {tuple(p) for p in row["parts"]} if part_cols else set()
+
         # Micro-batches broadcast (hash-join against only the rewrite
         # files, no shuffle of the table); a bulk backfill batch above
         # the row threshold would OOM the driver as a broadcast, so it
         # degrades to ordinary shuffle joins instead.
         bcast = F.broadcast if n_src <= MERGE_BROADCAST_ROWS else (lambda d: d)
+
+        # ---- file-level pruning on PK range (parquet footer stats) ----
+        # A target row can only match a source key if its file's
+        # [min, max] of pk[0] overlaps the batch's key range; files
+        # without stats are conservatively kept.
         overlap_by_part = {
             k: [f for f in v if _overlaps(manifest.file_stats.get(f), bounds, pk0)]
             for k, v in manifest.files.items()
@@ -268,31 +425,44 @@ class LakeWriter:
         # Small batches additionally Bloom-probe the surviving files:
         # after interleaved appends every file's PK range overlaps every
         # batch, but the sidecars prove which files actually hold the
-        # keys — the rewrite set shrinks to true containers. One driver
-        # job collects the keys; skipped for bulk batches.
+        # keys — the rewrite set shrinks to true containers. The key
+        # collect is one small job against the cache, spent only when
+        # more than one file survived range pruning; large overlap sets
+        # probe executor-side so wall-time stays flat with file count.
         n_overlap = sum(len(v) for v in overlap_by_part.values())
         if 0 < n_src <= MERGE_BLOOM_PROBE_KEYS and n_overlap > 1:
-            from .bloom import membership_filter
+            from .bloom import MEMBERSHIP_SPARK_THRESHOLD, membership_filter, membership_filter_spark
 
-            key_vals = [r[0] for r in src_keys.select(pk0).collect()]
-            flat = [f for v in overlap_by_part.values() for f in v]
-            keep = dict(
-                zip(
-                    flat,
-                    membership_filter(
-                        [os.path.join(self.table.dir, f) for f in flat], key_vals
-                    ),
-                )
-            )
+            with REGISTRY.timer("merge.bloomProbe"):
+                # keys come from the UN-deduped cache (no window shuffle
+                # in this job); duplicates are harmless to a probe set
+                keys_frame = raw.select(pk0)
+                if dead_conf is not None:
+                    keys_frame = keys_frame.unionByName(dead_conf.select(pk0))
+                key_vals = list({r[0] for r in keys_frame.collect()})
+                flat = [f for v in overlap_by_part.values() for f in v]
+                abs_paths = [os.path.join(self.table.dir, f) for f in flat]
+                if len(flat) > MEMBERSHIP_SPARK_THRESHOLD:
+                    kept = membership_filter_spark(self.table.spark, abs_paths, key_vals)
+                else:
+                    kept = membership_filter(abs_paths, key_vals)
+            keep = dict(zip(flat, kept))
             overlap_by_part = {
                 k: [f for f in v if keep[f]] for k, v in overlap_by_part.items()
             }
 
         # ---- affected partitions (driver-side partition pruning) ----
-        if part_cols:
+        # Both sides of the membership test go through ONE canonical
+        # encoding (canon_partition_value / dir_key_to_canon_tuple):
+        # Python str() of a boolean/timestamp/escaped value differs from
+        # the Hive directory token Spark writes, and a raw-string compare
+        # would silently skip partitions (old rows never rewritten →
+        # duplicate keys). Tiny manifests skip partition pruning: probing
+        # and rewriting every overlap file is cheaper than planning.
+        n_files_total = sum(len(v) for v in manifest.files.values())
+        if part_cols and n_files_total > MERGE_SMALL_MANIFEST_FILES:
             affected = {
-                tuple(str(p[c]) if p[c] is not None else HIVE_NULL for c in part_cols)
-                for p in src_parts
+                tuple(canon_partition_value(v) for v in p) for p in src_parts
             }
             # Old copies of updated keys may live in partitions the new
             # rows don't touch (partition-value drift). Only files
@@ -302,7 +472,7 @@ class LakeWriter:
             outside_files = [
                 f
                 for k, v in overlap_by_part.items()
-                if self._part_tuple(k, manifest) not in affected
+                if dir_key_to_canon_tuple(k, exprs) not in affected
                 for f in v
             ]
             if outside_files:
@@ -315,7 +485,7 @@ class LakeWriter:
                     .collect()
                 )
                 affected |= {
-                    tuple(str(r[c]) if r[c] is not None else HIVE_NULL for c in part_cols)
+                    tuple(canon_partition_value(r[c]) for c in part_cols)
                     for r in matched_parts
                 }
             if len(affected) > MAX_PRUNED_PARTITIONS:
@@ -324,11 +494,11 @@ class LakeWriter:
                 rewrite_files = [
                     f
                     for k, v in overlap_by_part.items()
-                    if self._part_tuple(k, manifest) in affected
+                    if dir_key_to_canon_tuple(k, exprs) in affected
                     for f in v
                 ]
         else:
-            affected = None  # unpartitioned → every overlapping file
+            # unpartitioned or tiny manifest → every overlapping file
             rewrite_files = [f for v in overlap_by_part.values() for f in v]
 
         rewrite_set = set(rewrite_files)
@@ -337,49 +507,134 @@ class LakeWriter:
         # added columns, cast widened ones; keep system/partition columns.
         passthrough = [INSERTED_AT] + [c for c in part_cols if c not in final_logical.fieldNames()]
         target = _conform(target, final_logical, extra=passthrough)
-
-        # ---- the three broadcast joins ----
-        untouched = target.join(bcast(src_keys), on=self.pk, how="left_anti")
-        ins_lookup = target.select(*self.pk, INSERTED_AT)
-        matched = (
-            ins_lookup.join(bcast(src), on=self.pk, how="inner")
-            .select(*[F.col(c) for c in src.columns if c != INSERTED_AT], F.col(INSERTED_AT))
-        )
-        inserts = (
-            src.join(bcast(ins_lookup.select(*self.pk)), on=self.pk, how="left_anti")
-            .withColumn(INSERTED_AT, F.current_timestamp())
-        )
         out_cols = (
             [f.name for f in to_physical_schema(final_logical).fields]
             + [INSERTED_AT]
             + [c for c in part_cols if c not in final_logical.fieldNames()]
         )
-        merged = (
-            untouched.selectExpr(*out_cols)
-            .unionByName(matched.selectExpr(*out_cols))
-            .unionByName(inserts.selectExpr(*out_cols))
-        )
 
+        # ---- physical strategy: window-merge vs broadcast 3-join ----
+        # The rewrite set's size is known from the manifest (__bytes per
+        # file). When rewrite ∪ batch fits one output file, a single
+        # shuffle of that union through one row_number window resolves
+        # the whole merge — no broadcasts, no joins, in-batch dup keys
+        # resolved by the same sort, one file written. Above the
+        # threshold the broadcast 3-join keeps the (large) target side
+        # unshuffled, which is the plan that survives 100 TB.
+        est_bytes = self._est_rewrite_bytes(manifest, rewrite_files) + n_src * EST_ROW_BYTES
+        small = dead_conf is None and est_bytes <= SMALL_OUTPUT_BYTES
+        if small:
+            # collapse the (small, cached) batch to one task so every
+            # downstream stage schedules 1-2 tasks, not 32 near-empty ones
+            merged = _window_merge(target, raw.coalesce(1), self.pk, out_cols, order_col)
+        else:
+            # the three broadcast joins (src deduped lazily here)
+            untouched = target.join(bcast(src_keys), on=self.pk, how="left_anti")
+            ins_lookup = target.select(*self.pk, INSERTED_AT)
+            matched = (
+                ins_lookup.join(bcast(src), on=self.pk, how="inner")
+                .select(*[F.col(c) for c in src.columns if c != INSERTED_AT], F.col(INSERTED_AT))
+            )
+            inserts = (
+                src.join(bcast(ins_lookup.select(*self.pk)), on=self.pk, how="left_anti")
+                .withColumn(INSERTED_AT, F.current_timestamp())
+            )
+            merged = (
+                untouched.selectExpr(*out_cols)
+                .unionByName(matched.selectExpr(*out_cols))
+                .unionByName(inserts.selectExpr(*out_cols))
+            )
+
+        try:
+            with self.table.lock():
+                manifest = self.table.manifest()
+                if manifest.version != planned_version:
+                    return False  # concurrent commit — replan against it
+                new_files, new_stats = self.table.write_data_files(
+                    merged, manifest.version + 1,
+                    layout="single" if small else "natural",
+                )
+                # keep every file that was not rewritten (including
+                # non-overlapping files inside affected partitions)
+                merged_files = {
+                    k: [f for f in v if f not in rewrite_set]
+                    for k, v in manifest.files.items()
+                }
+                merged_files = {k: v for k, v in merged_files.items() if v}
+                for k, paths in new_files.items():
+                    merged_files.setdefault(k, []).extend(paths)
+                stats = {
+                    f: s for f, s in manifest.file_stats.items() if f not in rewrite_set
+                }
+                stats.update(new_stats)
+                self._commit_next(manifest, merged_files, final_logical, stats)
+        finally:
+            raw.unpersist()
+        return True
+
+    def _merge_small_table(
+        self,
+        df: DataFrame,
+        manifest: Manifest,
+        planned_version: int,
+        final_logical: T.StructType,
+        exprs,
+        part_cols: list[str],
+        order_col: str | None,
+        tombstone_col: str | None,
+    ) -> bool:
+        """Zero-planning-job merge for tables that fit a few small files:
+        union(whole table, batch) → one window sweep → rewrite everything.
+        Exactly one Spark job (the write); AQE sizes the output files.
+        Tombstones ride the same window (a winning tombstone deletes its
+        key), so this path needs no eager dedup or live/dead split."""
+        extra = (tombstone_col,) if tombstone_col else ()
+        raw = _conform(df, final_logical, extra=extra)
+        raw = with_partition_columns(raw, exprs)
+        rewrite_files = manifest.all_files()
+        target = self._read_files(manifest, rewrite_files)
+        passthrough = [INSERTED_AT] + [
+            c for c in part_cols if c not in final_logical.fieldNames()
+        ]
+        target = _conform(target, final_logical, extra=passthrough)
+        out_cols = (
+            [f.name for f in to_physical_schema(final_logical).fields]
+            + [INSERTED_AT]
+            + [c for c in part_cols if c not in final_logical.fieldNames()]
+        )
+        merged = _window_merge(
+            target, raw, self.pk, out_cols, order_col, dead_col=tombstone_col
+        )
         with self.table.lock():
-            manifest = self.table.manifest()
-            new_files, new_stats = self.table.write_data_files(merged, manifest.version + 1)
-            # keep every file that was not rewritten (including
-            # non-overlapping files inside affected partitions)
-            merged_files = {
-                k: [f for f in v if f not in rewrite_set]
-                for k, v in manifest.files.items()
-            }
-            merged_files = {k: v for k, v in merged_files.items() if v}
-            for k, paths in new_files.items():
-                merged_files.setdefault(k, []).extend(paths)
-            stats = {
-                f: s for f, s in manifest.file_stats.items() if f not in rewrite_set
-            }
-            stats.update(new_stats)
-            self._commit_next(manifest, merged_files, final_logical, stats)
-        src.unpersist()
+            current = self.table.manifest()
+            if current.version != planned_version:
+                return False  # concurrent commit — replan against it
+            # skip_bloom: a table this small is read whole for any point
+            # lookup, so a sidecar buys nothing; once the table graduates
+            # past the size gate, the first pruning-path rewrite restores
+            # sidecars (missing ones are conservatively kept anyway).
+            new_files, new_stats = self.table.write_data_files(
+                merged, current.version + 1, layout="natural", skip_bloom=True
+            )
+            self._commit_next(current, new_files, final_logical, new_stats)
+        return True
 
     # ---------- internals ----------
+
+    def _est_rewrite_bytes(self, manifest: Manifest, rewrite_files: list[str]) -> int:
+        """Rewrite-set size from manifest __bytes stats; files the
+        manifest has no size for fall back to one local stat call, and
+        failing that are assumed large (→ the conservative plan)."""
+        total = 0
+        for f in rewrite_files:
+            b = (manifest.file_stats.get(f) or {}).get("__bytes")
+            if b is None:
+                try:
+                    b = os.path.getsize(os.path.join(self.table.dir, f))
+                except OSError:
+                    b = SMALL_OUTPUT_BYTES
+            total += int(b)
+        return total
 
     def _ensure_table(self, df: DataFrame) -> Manifest:
         if not self.table.exists():
@@ -419,9 +674,6 @@ class LakeWriter:
                 file_stats=file_stats if file_stats is not None else manifest.file_stats,
             )
         )
-
-    def _part_tuple(self, part_key: str, manifest: Manifest) -> tuple:
-        return dir_key_to_partition_tuple(part_key, manifest.partition_exprs)
 
     def _read_files(self, manifest: Manifest, rel_files: list[str]) -> DataFrame:
         """Read an explicit file list under the manifest's read schema."""

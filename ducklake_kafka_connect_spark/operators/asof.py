@@ -64,7 +64,14 @@ def asof_join(
         F.lit(1).alias("__side"),
         null_payload.alias("__p"),
     )
-    tagged_right = right.select(
+    # SQL equality never matches NULL keys: a right row with any NULL key
+    # component can match no left row, so drop it BEFORE the union —
+    # null-keyed left rows then sweep over an all-left partition and get a
+    # NULL payload, exactly like the oracle's ASOF LEFT JOIN.
+    right_nonnull = right
+    for k in keys:
+        right_nonnull = right_nonnull.filter(F.col(k).isNotNull())
+    tagged_right = right_nonnull.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
@@ -73,9 +80,12 @@ def asof_join(
     )
     unioned = tagged_left.unionByName(tagged_right)
 
+    # Tie-break: equal-(key, ts) right rows would otherwise resolve
+    # nondeterministically; ordering by the payload struct itself makes
+    # last() pick the max payload, stable across runs and partitionings.
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__p").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     swept = unioned.select(

@@ -305,6 +305,34 @@ def upsert_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_upsert_build(spark: SparkSession, sf_dir: str):
+    """Build phase: 80% of events loaded as the base table. Returns the
+    (writer, upsert batch, catalog) the query phase merges with."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    batch = (
+        ev.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_merged"), pk=["event_id"])
+    w.write(base)   # create + insert
+    return w, batch, cat
+
+
+def merge_upsert_query(w, batch, cat) -> DataFrame:
+    """Query phase: the 50%-overlap MERGE itself + snapshot read-back."""
+    w.write(batch)  # MERGE upsert
+    return (
+        cat.table("events_merged")
+        .read()
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+
 @register(
     "merge_upsert_events",
     """
@@ -318,24 +346,10 @@ def upsert_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the real write path: 80% of events as the base table, then a
     50%-overlap batch with mutated payload MERGEd on event_id; reads the
-    table back. Final state must equal the oracle's CASE expression."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
-    base = ev.filter(F.col("event_id") % 10 < 8)
-    batch = (
-        ev.filter(F.col("event_id") % 10 >= 5)
-        .withColumn("value", F.col("value") + F.lit(1000.0))
-        .withColumn("event_type", F.lit("updated"))
-    )
-    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
-    cat = LakeCatalog(spark, lake_dir)
-    w = LakeWriter(cat.table("events_merged"), pk=["event_id"])
-    w.write(base)   # create + insert
-    w.write(batch)  # MERGE upsert
-    return (
-        cat.table("events_merged")
-        .read()
-        .select("event_id", "user_id", "event_type", "value")
-    )
+    table back. Final state must equal the oracle's CASE expression.
+    bench.py times merge_upsert_build / merge_upsert_query separately so
+    read-path regressions aren't hidden under table-build cost."""
+    return merge_upsert_query(*merge_upsert_build(spark, sf_dir))
 
 
 @register(
@@ -417,6 +431,34 @@ def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_build(spark: SparkSession, sf_dir: str):
+    """Build phase: load events into a lake table and re-layout with
+    Z-order compaction. Returns the catalog the query phase scans."""
+    from ..lake.maintenance import compact
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_z_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_z"), pk=["event_id"])
+    w.append(ev)
+    compact(cat.table("events_z"), zorder_by=["user_id", "value"], target_files=8)
+    return cat
+
+
+def zorder_query(cat) -> DataFrame:
+    """Query phase: the stat-pruned conjunctive range scan + aggregate."""
+    return (
+        cat.table("events_z")
+        .read(where="user_id BETWEEN 100 AND 200 AND value >= 0.5")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+
 @register(
     "zorder_pruned_scan",
     """
@@ -434,24 +476,9 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact(zorder_by=["user_id", "value"]), then answers a conjunctive
     range predicate through read(where=...) — manifest-level data
     skipping feeding an ordinary aggregate. Result must equal the
-    oracle's direct scan of the raw parquet."""
-    from ..lake.maintenance import compact
-
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_z_{uuid.uuid4().hex[:8]}")
-    cat = LakeCatalog(spark, lake_dir)
-    w = LakeWriter(cat.table("events_z"), pk=["event_id"])
-    w.append(ev)
-    compact(cat.table("events_z"), zorder_by=["user_id", "value"], target_files=8)
-    return (
-        cat.table("events_z")
-        .read(where="user_id BETWEEN 100 AND 200 AND value >= 0.5")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-    )
+    oracle's direct scan of the raw parquet. bench.py times
+    zorder_build / zorder_query separately."""
+    return zorder_query(zorder_build(spark, sf_dir))
 
 
 @register(
@@ -836,6 +863,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query, IVF_CENTROIDS, k=10, exclude_ids=[0])
 
 
+def ivf_index_build(spark: SparkSession, sf_dir: str):
+    """Build phase: cell-partitioned IVF lake index over embeddings.
+    Returns (table, query vector) for the probe phase."""
+    from ..operators.similarity import build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_ivf_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    t = cat.table("emb_ivf")
+    build_ivf_index(t, emb, IVF_CENTROIDS)
+    return t, query
+
+
+def ivf_index_query(t, query) -> DataFrame:
+    """Query phase: nprobe-cell manifest-pruned exact top-k."""
+    from ..operators.similarity import ivf_indexed_topk
+
+    return ivf_indexed_topk(t, query, IVF_CENTROIDS, k=10, nprobe=2, exclude_ids=[0])
+
+
+
 @register(
     "ann_ivf_indexed_topk",
     ivf_indexed_topk_sql(IVF_CENTROIDS, nprobe=2),
@@ -844,15 +893,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB the scan opens nprobe/NUM_CELLS of the corpus regardless of size",
 )
 def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import build_ivf_index, ivf_indexed_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_ivf_{uuid.uuid4().hex[:8]}")
-    cat = LakeCatalog(spark, lake_dir)
-    t = cat.table("emb_ivf")
-    build_ivf_index(t, emb, IVF_CENTROIDS)
-    return ivf_indexed_topk(t, query, IVF_CENTROIDS, k=10, nprobe=2, exclude_ids=[0])
+    """bench.py times ivf_index_build / ivf_index_query separately."""
+    return ivf_index_query(*ivf_index_build(spark, sf_dir))
 
 
 @register(
