@@ -626,36 +626,69 @@ def ngram_jaccard_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
+# An oversized block would be O(n²): past this row count a block is
+# subdivided by a deterministic SRP bit signature before the self-join,
+# the same role MAX_BUCKET plays for MinHash banding. Mirrored exactly
+# in the oracle SQL (shared LCG hyperplanes), so results stay bit-equal
+# whether or not the guard fires.
+MAX_EMB_BLOCK = 1000
+EMB_GUARD_PLANES = 4
+EMB_GUARD_SEED = 23
+
+
+def _guard_planes(dim: int) -> list[list[float]]:
+    from .similarity import _lcg_hyperplanes
+
+    return _lcg_hyperplanes(dim=dim, n=EMB_GUARD_PLANES, seed=EMB_GUARD_SEED)
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.99,
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int = MAX_EMB_BLOCK,
+    dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate embedding pairs (cosine ≥ threshold) within a
-    blocking key. The blocking key bounds the quadratic term; the LSH
-    bucketing in ``operators/similarity.py`` is the unblocked scale
-    path. Dot products run as zip_with/aggregate — JVM-side, no UDF."""
+    blocking key. The blocking key bounds the quadratic term — and
+    blocks larger than ``max_block`` are further subdivided by an SRP
+    (signed-random-projection) bit signature, capping the worst case at
+    ~(n/2^planes)² per block instead of n² (near-identical vectors share
+    signs on every hyperplane, so true near-dups stay co-bucketed with
+    overwhelming probability; exact duplicates always do). Dot products
+    run as zip_with/aggregate — JVM-side, no UDF."""
+    from .similarity import srp_bucket_col
+
     # Norms are per-ROW quantities: computing them here (once per vector,
     # identical expression → identical doubles) instead of per pair cuts
     # the interpreted higher-order-function work by 2/3 — only the dot
     # product remains pair-level. Persisted because both join sides read it.
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    planes = _guard_planes(dim)
     v = emb.select(
         F.col(block_col).alias("blk"),
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", norm).persist()
-    a = v.select("blk", F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = v.select("blk", F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    ).withColumn("nrm", norm)
+    # block sizes are few → aggregate once, broadcast back (no window shuffle)
+    sizes = v.groupBy("blk").agg(F.count(F.lit(1)).alias("__nblk"))
+    v = v.join(F.broadcast(sizes), "blk").withColumn(
+        "sub",
+        F.when(
+            F.col("__nblk") > F.lit(max_block), srp_bucket_col(F.col("v"), planes)
+        ).otherwise(F.lit(0)),
+    ).drop("__nblk").persist()
+    a = v.select("blk", "sub", F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select("blk", "sub", F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "sub"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -672,16 +705,27 @@ def embedding_neardup_pairs_sql(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int = MAX_EMB_BLOCK,
+    dim: int = 64,
 ) -> str:
+    from .similarity import srp_bucket_sql
+
+    sub = srp_bucket_sql("base.v", _guard_planes(dim))
     return f"""
-    WITH v AS (
+    WITH base AS (
       SELECT {block_col} AS blk, {id_col} AS id,
              CAST({vec_col} AS DOUBLE[]) AS v
       FROM {table}
+    ),
+    n AS (SELECT blk, COUNT(*) AS n_blk FROM base GROUP BY blk),
+    v AS (
+      SELECT base.blk, base.id, base.v,
+             CASE WHEN n.n_blk > {max_block} THEN {sub} ELSE 0 END AS sub
+      FROM base JOIN n USING (blk)
     )
     SELECT a.id AS id_a, b.id AS id_b,
            ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-    FROM v a JOIN v b USING (blk)
+    FROM v a JOIN v b ON a.blk = b.blk AND a.sub = b.sub
     WHERE a.id < b.id
       AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
     """
