@@ -30,12 +30,37 @@ from pyspark.sql import types as T
 
 
 class SchemaUnificationError(ValueError):
-    """Cannot unify incompatible types (reference ArrowSchemaMerge.java:212)."""
+    """Cannot unify incompatible types (reference ArrowSchemaMerge.java:212).
 
-    def __init__(self, message: str, field: str | None = None, types: Sequence[T.DataType] = ()):
+    ``samples`` carries offending values from the actual records (the
+    reference attaches per-field sample values to converter errors,
+    ``connect/SinkRecordToArrowConverter.java:305-385``) so a user
+    debugging a DLQ'd batch sees WHICH values conflicted, not just the
+    type names."""
+
+    def __init__(
+        self,
+        message: str,
+        field: str | None = None,
+        types: Sequence[T.DataType] = (),
+        samples: Sequence = (),
+    ):
         self.field = field
         self.types = list(types)
+        self.samples = list(samples)
         super().__init__(message)
+
+    def with_samples(self, samples: Sequence, max_samples: int = 5) -> "SchemaUnificationError":
+        """Return a copy whose message (and .samples) carries up to
+        ``max_samples`` offending values."""
+        kept = list(samples)[:max_samples]
+        shown = ", ".join(repr(s)[:80] for s in kept)
+        return SchemaUnificationError(
+            f"{self.args[0]}; sample values: [{shown}]",
+            field=self.field,
+            types=self.types,
+            samples=kept,
+        )
 
 
 _INT_ORDER = {

@@ -38,7 +38,21 @@ class EvolutionDecision(Enum):
 
 
 class ReconcileError(ValueError):
-    pass
+    """Incompatible table evolution. Carries the conflicting column and
+    both types so callers can enrich the DLQ message with sample values
+    from the offending batch (reference ImprovedErrorMessageTest)."""
+
+    def __init__(
+        self,
+        message: str,
+        field: str | None = None,
+        existing: T.DataType | None = None,
+        incoming: T.DataType | None = None,
+    ):
+        self.field = field
+        self.existing = existing
+        self.incoming = incoming
+        super().__init__(message)
 
 
 def _is_json_column(dtype: T.DataType) -> bool:
@@ -113,11 +127,43 @@ def plan_evolution(existing: T.StructType, incoming: T.StructType) -> EvolutionP
         elif decision is EvolutionDecision.INCOMPATIBLE:
             raise ReconcileError(
                 f"Incompatible schema evolution for column '{f.name}': "
-                f"{cur.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                f"{cur.dataType.simpleString()} -> {f.dataType.simpleString()}",
+                field=f.name,
+                existing=cur.dataType,
+                incoming=f.dataType,
             )
 
     plan.final_schema = T.StructType(list(final_fields.values()))
     return plan
+
+
+def sample_column_values(df, column: str, max_samples: int = 5) -> list:
+    """Up to ``max_samples`` distinct non-null values of ``column`` from
+    the offending batch — one bounded driver collect, used to enrich
+    ReconcileError/SchemaUnificationError messages for DLQ rows."""
+    if column not in df.columns:
+        return []
+    try:
+        return [
+            r[0]
+            for r in df.select(column)
+            .where(df[column].isNotNull())
+            .distinct()
+            .limit(max_samples)
+            .collect()
+        ]
+    except Exception:  # noqa: BLE001 — enrichment must never mask the error
+        return []
+
+
+def enriched_reconcile_message(err: ReconcileError, df, max_samples: int = 5) -> str:
+    """``err`` message + field name, both types, and sample values from
+    the batch (SinkRecordToArrowConverter.java:305-385 parity)."""
+    if not err.field:
+        return str(err)
+    samples = sample_column_values(df, err.field, max_samples)
+    shown = ", ".join(repr(s)[:80] for s in samples)
+    return f"{err}; sample values of '{err.field}': [{shown}]"
 
 
 def reconcile_schemas(existing: T.StructType, incoming: T.StructType) -> T.StructType:

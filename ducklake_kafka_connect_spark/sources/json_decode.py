@@ -37,15 +37,19 @@ DEFAULT_SAMPLE = 1000
 
 
 def infer_batch_schema(
-    df: DataFrame, value_col: str = "value", sample_size: int = DEFAULT_SAMPLE
+    df: DataFrame,
+    value_col: str = "value",
+    sample_size: int = DEFAULT_SAMPLE,
+    conflicts_out: dict | None = None,
 ) -> tuple[T.StructType, int]:
     """Sample raw JSON strings and infer the unified batch schema.
 
     Returns (schema, n_rejected_sample_records). Records whose schema
     cannot unify with the running majority are skipped (they will fail
     from_json later and be DLQ-routed) — mirroring the reference's
-    DLQ triage rather than failing the whole batch.
-    """
+    DLQ triage rather than failing the whole batch. Pass a dict as
+    ``conflicts_out`` to receive {field: {types, samples}} describing
+    the conflicts (used to enrich DLQ error notes)."""
     sample = [
         r[0]
         for r in df.select(value_col).limit(sample_size).collect()
@@ -67,8 +71,16 @@ def infer_batch_schema(
             continue
         try:
             unified = unify_schemas([unified, rec_schema])
-        except SchemaUnificationError:
+        except SchemaUnificationError as e:
             rejects += 1  # conflicting record → will be DLQ'd at parse time
+            # record the offending value for DLQ error enrichment
+            if conflicts_out is not None and e.field is not None:
+                c = conflicts_out.setdefault(
+                    e.field,
+                    {"types": [t.simpleString() for t in e.types], "samples": []},
+                )
+                if isinstance(value, dict) and len(c["samples"]) < 5:
+                    c["samples"].append(value.get(e.field))
     return unified or T.StructType([]), rejects
 
 
@@ -91,15 +103,17 @@ def decode_json(
     schema: T.StructType | None = None,
     sample_size: int = DEFAULT_SAMPLE,
     keep_cols: list[str] | None = None,
+    conflicts_out: dict | None = None,
 ) -> DataFrame:
     """Decode a column of schemaless JSON into typed columns.
 
     Output: one column per schema field (+ any ``keep_cols`` passed
     through, e.g. kafka metadata) and ``_corrupt`` holding the raw value
-    for rows that failed to parse (DLQ candidates).
-    """
+    for rows that failed to parse (DLQ candidates). ``conflicts_out``
+    (a dict) receives per-field conflict info from inference, for DLQ
+    error enrichment."""
     if schema is None:
-        schema, _ = infer_batch_schema(df, value_col, sample_size)
+        schema, _ = infer_batch_schema(df, value_col, sample_size, conflicts_out)
     parse_schema = _parse_schema(schema)
     parsed = df.withColumn(
         "__rec",
@@ -121,15 +135,33 @@ def decode_json(
     return parsed.select(*out_cols)
 
 
-def split_dlq(decoded: DataFrame, value_cols: list[str] | None = None) -> tuple[DataFrame, DataFrame]:
-    """Good rows (corrupt col dropped) vs DLQ rows (raw + error note)."""
+def split_dlq(
+    decoded: DataFrame,
+    value_cols: list[str] | None = None,
+    error_note: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Good rows (corrupt col dropped) vs DLQ rows (raw + error note).
+    ``error_note`` overrides the generic note — callers pass the
+    enriched schema-conflict description (field, types, sample values)."""
     good = decoded.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = (
         decoded.filter(F.col(CORRUPT_COL).isNotNull())
         .select(
             F.col(CORRUPT_COL).alias("raw_value"),
-            F.lit("json_parse_or_schema_conflict").alias("error"),
+            F.lit(error_note or "json_parse_or_schema_conflict").alias("error"),
             F.current_timestamp().alias("_dlq_at"),
         )
     )
     return good, bad
+
+
+def conflict_note(conflicts: dict) -> str | None:
+    """Human-readable summary of inference conflicts for the DLQ error
+    column: field name, the conflicting types, and sample values."""
+    if not conflicts:
+        return None
+    parts = [
+        f"field '{f}' types={c['types']} samples={[repr(s)[:80] for s in c['samples']]}"
+        for f, c in conflicts.items()
+    ]
+    return "schema_conflict: " + "; ".join(parts)

@@ -138,11 +138,17 @@ class IngestPipeline:
             else:
                 writer.write(good.drop(*keep) if keep else good)
         except ReconcileError as e:
-            # whole-batch schema conflict → route every row to the DLQ
+            # whole-batch schema conflict → route every row to the DLQ;
+            # the error note carries the column, both types, and sample
+            # values from the offending batch (reference
+            # SinkRecordToArrowConverter.java:305-385 enrichment)
+            from ..schema.reconcile import enriched_reconcile_message
+
+            note = enriched_reconcile_message(e, good)
             bad = bad.unionByName(
                 good.select(
                     F.to_json(F.struct(*good.columns)).alias("raw_value"),
-                    F.lit(f"reconcile_error: {e}").alias("error"),
+                    F.lit(f"reconcile_error: {note}").alias("error"),
                     F.current_timestamp().alias("_dlq_at"),
                 ),
                 allowMissingColumns=True,
@@ -161,7 +167,13 @@ class IngestPipeline:
         choice: JsonConverter / AvroConverter / ArrowIpcConverter, plus
         the mixed per-batch sniff of A7)."""
         if spec.format == "json":
-            return split_dlq(decode_json(part, value_col="value", keep_cols=keep))
+            from ..sources.json_decode import conflict_note
+
+            conflicts: dict = {}
+            decoded = decode_json(
+                part, value_col="value", keep_cols=keep, conflicts_out=conflicts
+            )
+            return split_dlq(decoded, error_note=conflict_note(conflicts))
         if spec.format == "avro":
             from ..sources.avro_lite import decode_avro_lite
 
