@@ -81,6 +81,68 @@ class MetricsRegistry:
             }
 
 
+# Per-op warning thresholds (ms) from the reference's recommended alerts
+# (METRICS.md:168-189: MERGE avg > 1000 ms, INSERT avg > 500 ms).
+OP_WARN_THRESHOLDS_MS = {
+    "upsertWithMergeInto": 1000.0,
+    "simpleInsert": 500.0,
+}
+
+
+def to_prometheus(registry: "MetricsRegistry", labels: dict[str, str] | None = None) -> str:
+    """Prometheus text exposition of the registry — the same metric
+    names the reference's JMX → Prometheus pipeline exports
+    (``operation_time_avg{operation=...}`` / ``operation_count``,
+    METRICS.md:125-162), so its published alert rules and Grafana board
+    queries work unchanged. Ops whose average exceeds the reference's
+    recommended thresholds additionally emit ``operation_slow`` = 1."""
+    base = dict(labels or {})
+
+    def fmt_labels(extra: dict[str, str]) -> str:
+        all_labels = {**base, **extra}
+        if not all_labels:
+            return ""
+        inner = ",".join(f'{k}="{v}"' for k, v in sorted(all_labels.items()))
+        return "{" + inner + "}"
+
+    snap = registry.snapshot()
+    lines = [
+        "# HELP operation_time_avg Average operation latency in milliseconds",
+        "# TYPE operation_time_avg gauge",
+    ]
+    for op, s in sorted(snap["operations"].items()):
+        lines.append(f"operation_time_avg{fmt_labels({'operation': op})} {s['avg_ms']}")
+    lines += [
+        "# HELP operation_time_max Max operation latency in milliseconds",
+        "# TYPE operation_time_max gauge",
+    ]
+    for op, s in sorted(snap["operations"].items()):
+        lines.append(f"operation_time_max{fmt_labels({'operation': op})} {s['max_ms']}")
+    lines += [
+        "# HELP operation_count Number of completed operations",
+        "# TYPE operation_count counter",
+    ]
+    for op, s in sorted(snap["operations"].items()):
+        lines.append(f"operation_count{fmt_labels({'operation': op})} {s['count']}")
+    lines += [
+        "# HELP operation_slow 1 when an operation's average latency exceeds its recommended threshold",
+        "# TYPE operation_slow gauge",
+    ]
+    for op, thresh in sorted(OP_WARN_THRESHOLDS_MS.items()):
+        s = snap["operations"].get(op)
+        slow = 1 if s and s["avg_ms"] > thresh else 0
+        lines.append(
+            f"operation_slow{fmt_labels({'operation': op, 'threshold_ms': str(int(thresh))})} {slow}"
+        )
+    lines += [
+        "# HELP records_counter Engine counters (records processed, batches, DLQ rows)",
+        "# TYPE records_counter counter",
+    ]
+    for name, v in sorted(snap["counters"].items()):
+        lines.append(f"records_counter{fmt_labels({'counter': name})} {v}")
+    return "\n".join(lines) + "\n"
+
+
 REGISTRY = MetricsRegistry()
 
 

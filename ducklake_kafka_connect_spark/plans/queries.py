@@ -522,6 +522,65 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nested_json_roundtrip",
+    """
+    SELECT event_type AS t,
+           count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid,
+           ROUND(sum(value), 2) AS sum_v,
+           CAST(sum(event_id % 7) AS BIGINT) AS sum_tag0,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    "Nested complex-type round-trip (B9): struct<struct, array, map> "
+    "payload serialized to JSON text by the lake writer, read back, and "
+    "re-extracted — aggregates must equal the oracle's direct scan, "
+    "proving serialize/extract fidelity at every nesting level "
+    "(SinkRecordToArrowConverterTest.java:58-219 parity).",
+)
+def nested_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.col("user_id").alias("uid"), F.col("value").alias("v")
+            ).alias("who"),
+            F.array(
+                (F.col("event_id") % 7).cast("long"),
+                (F.col("event_id") % 11).cast("long"),
+            ).alias("tags"),
+            F.create_map(
+                F.lit("k"), F.get_json_object("props", "$.k").cast("long")
+            ).alias("kv"),
+        ).alias("payload"),
+    )
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_n_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_nested"), pk=["event_id"])
+    w.append(nested)  # complex payload → JSON text column (B9)
+    back = cat.table("events_nested").read()
+    return (
+        back.select(
+            F.get_json_object("payload", "$.t").alias("t"),
+            F.get_json_object("payload", "$.who.uid").cast("long").alias("uid"),
+            F.get_json_object("payload", "$.who.v").cast("double").alias("v"),
+            F.get_json_object("payload", "$.tags[0]").cast("long").alias("tag0"),
+            F.get_json_object("payload", "$.kv.k").cast("long").alias("k"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("uid").alias("sum_uid"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+            F.sum("tag0").alias("sum_tag0"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@register(
     "timestamp_parse_roundtrip",
     r"""
     SELECT count(*) AS n_total,
