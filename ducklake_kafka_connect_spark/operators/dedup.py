@@ -52,6 +52,34 @@ SIMHASH_BANDS = 4  # 4 bands × 8 bits → catches all hamming ≤ 3 pairs
 MAX_BUCKET = 1000  # drop degenerate (boilerplate) buckets
 
 
+
+# Persisted intermediates registered here are released by release_cached()
+# — operators return LAZY frames, so they cannot unpersist before the
+# caller consumes the result; a long-lived driver (streaming) calls
+# release_cached() between batches instead of leaking CacheManager
+# entries until clearCache.
+_CACHED_FRAMES: list = []
+
+
+def _persist(df):
+    df = df.persist()
+    _CACHED_FRAMES.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate cached by dedup operators since the
+    last call. Safe to call after results are consumed."""
+    n = 0
+    while _CACHED_FRAMES:
+        try:
+            _CACHED_FRAMES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def _lcg_coeffs(n: int = NUM_PERM, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the minhash permutations, shared
     verbatim by the Spark expressions and the oracle SQL."""
@@ -279,8 +307,9 @@ def minhash_candidate_pairs(
             "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_key"))
         )
         .filter(F.col("bucket_n") <= MAX_BUCKET)
-        .persist()
+        
     )
+    sized = _persist(sized)
     a = sized.select(F.col(id_col).alias("id_a"), "band_key")
     b = sized.select(F.col(id_col).alias("id_b"), "band_key")
     return (
@@ -316,7 +345,8 @@ def minhash_dedup_pairs(
     # both engines (same md5-derived values)
     sh = docs.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), shingle_hash_set_col(F.col(text_col)).alias("sh")
-    ).persist()  # both verify joins read it; shingle work runs once
+    )
+    sh = _persist(sh)  # both verify joins read it; shingle work runs once
     pairs = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -467,7 +497,7 @@ def simhash_near_pairs(
     width = SIMHASH_BITS // SIMHASH_BANDS
     # (id, simhash) is tiny; persisting it halves the heavy vote
     # aggregation, which otherwise runs once per self-join side
-    sh = simhash_table(docs, id_col, text_col).persist()
+    sh = _persist(simhash_table(docs, id_col, text_col))
     bands = sh.select(
         id_col,
         "simhash",
@@ -560,7 +590,7 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.array_sort(shingle_hash_set_col(F.col(text_col))).alias("sh"),
     )
-    sh = sh.withColumn("n", F.size("sh")).persist()
+    sh = _persist(sh.withColumn("n", F.size("sh")))
     # prefix length: n - ceil(t*n) + 1
     pref_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
     inv = sh.select(
@@ -679,7 +709,8 @@ def embedding_neardup_pairs(
         F.when(
             F.col("__nblk") > F.lit(max_block), srp_bucket_col(F.col("v"), planes)
         ).otherwise(F.lit(0)),
-    ).drop("__nblk").persist()
+    ).drop("__nblk")
+    v = _persist(v)
     a = v.select("blk", "sub", F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = v.select("blk", "sub", F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(

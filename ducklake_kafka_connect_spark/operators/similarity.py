@@ -83,10 +83,20 @@ def _lcg_hyperplanes(dim: int, n: int = NUM_HYPERPLANES, seed: int = 7) -> list[
 
 
 def _dot_lit(vec: Column, plane: Sequence[float]) -> Column:
-    p_lit = F.array(*[F.lit(float(x)) for x in plane])
-    return F.aggregate(
-        F.zip_with(vec, p_lit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
+    """Dot product against a CONSTANT plane as an unrolled codegen'd
+    multiply-add chain. The higher-order aggregate/zip_with form is
+    interpreted per element (~100× slower); unrolling keeps the whole
+    expression inside whole-stage codegen. Left-to-right addition order
+    matches the fold the oracle's list_dot_product uses, so results stay
+    bit-identical."""
+    terms = [
+        F.element_at(vec, i + 1).cast("double") * F.lit(float(x))
+        for i, x in enumerate(plane)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def srp_bucket_col(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
