@@ -707,7 +707,7 @@ def embedding_neardup_pairs(
     v = v.join(F.broadcast(sizes), "blk").withColumn(
         "sub",
         F.when(
-            F.col("__nblk") > F.lit(max_block), srp_bucket_col(F.col("v"), planes)
+            F.col("__nblk") > F.lit(max_block), srp_bucket_col("v", planes)
         ).otherwise(F.lit(0)),
     ).drop("__nblk")
     v = _persist(v)

@@ -22,21 +22,79 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def cosine_similarity_col(vec: Column, query: Sequence[float]) -> Column:
-    """cos(vec, query) as a Catalyst expression (double precision).
+def _elem_sql(vec_sql: str, i: int) -> str:
+    """SQL for element i (0-based) of the vector, cast to double."""
+    return f"CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE)"
 
-    Left-to-right accumulation matches DuckDB's list_cosine_similarity
-    closely enough that results agree after rounding to 6 decimals.
+
+def _dot_sql(vec_sql: str, plane: Sequence[float]) -> str:
+    """Dot product against a CONSTANT plane as an unrolled SQL string.
+
+    Why a string: building the same tree with Column operators costs one
+    py4j round-trip per node (~7 s of driver time for 8 centroids × 64
+    dims, measured); ``F.expr`` parses the whole chain JVM-side in one
+    call. Why unrolled: higher-order ``aggregate``/``zip_with`` lambdas
+    are interpreted per element, outside whole-stage codegen. ``+`` is
+    left-associative in SQL, so the fold order matches the oracle's
+    ``list_dot_product`` and results stay bit-identical.
+
+    SIZE BUDGET: one unrolled 64-dim dot is ~600 Catalyst nodes. A
+    whole-stage-codegen'd operator fuses every expression in the stage
+    into ONE Java method (codegen cannot split code that reads operator
+    local variables), and Janino hard-fails past 64 KB bytecode — Spark
+    then silently re-plans the stage interpreted AFTER paying the
+    compile attempt (~1-2 s). Keep ≤ ~4 unrolled dots per stage; for
+    wider fan-outs (IVF's N centroids) use ``_dot_hof_sql``.
+    """
+    return "(" + " + ".join(
+        f"{_elem_sql(vec_sql, i)} * {float(x)!r}D" for i, x in enumerate(plane)
+    ) + ")"
+
+
+def _dot_hof_sql(vec_sql: str, plane: Sequence[float]) -> str:
+    """Dot product against a CONSTANT plane as a higher-order-function
+    SQL string: tiny expression tree (array literal + two lambdas), so
+    any number of these fit in a codegen'd stage — the lambdas
+    themselves are evaluated interpreted, per element. Use when the
+    unrolled form would blow the 64 KB method limit (see ``_dot_sql``);
+    the fold is the same left-to-right order."""
+    lits = ", ".join(f"{float(x)!r}D" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}), "
+        f"(a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def cosine_similarity_col(
+    vec_sql: str, query: Sequence[float], compact: bool = False
+) -> Column:
+    """cos(vec, query) as a single Catalyst expression (double
+    precision). ``vec_sql`` is a SQL expression (usually a column name)
+    for the ``array<float|double>`` vector column.
+
+    ``compact=False`` unrolls dot and norm into codegen'd multiply-add
+    chains (~400 nodes — fine alone, but see ``_dot_sql``'s stage size
+    budget); ``compact=True`` uses the HOF form (tiny tree, interpreted
+    per element) for stages whose codegen budget is already spent on a
+    hotter expression. Both run the identical left-to-right fold, so
+    they produce the same doubles; accumulation matches DuckDB's
+    list_cosine_similarity closely enough that results agree after
+    rounding to 6 decimals.
     """
     q = [float(x) for x in query]
-    q_lit = F.array(*[F.lit(x) for x in q])
-    v = _as_double(vec)
-    dot = F.aggregate(
-        F.zip_with(v, q_lit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm_v = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     norm_q = math.sqrt(sum(x * x for x in q))
-    return dot / (norm_v * F.lit(norm_q))
+    if compact:
+        dot = _dot_hof_sql(vec_sql, q)
+        norm_v = (
+            f"SQRT(aggregate({vec_sql}, 0D, "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+    else:
+        dot = _dot_sql(vec_sql, q)
+        norm_v = "SQRT(" + " + ".join(
+            f"{_elem_sql(vec_sql, i)} * {_elem_sql(vec_sql, i)}" for i in range(len(q))
+        ) + ")"
+    return F.expr(f"{dot} / ({norm_v} * {norm_q!r}D)")
 
 
 def cosine_topk(
@@ -50,7 +108,7 @@ def cosine_topk(
     """Exact top-k by cosine similarity; deterministic tie-break on id."""
     scored = df.select(
         F.col(id_col),
-        F.round(cosine_similarity_col(F.col(vec_col), query), 6).alias("cos_sim"),
+        F.round(cosine_similarity_col(vec_col, query), 6).alias("cos_sim"),
     )
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
@@ -82,29 +140,15 @@ def _lcg_hyperplanes(dim: int, n: int = NUM_HYPERPLANES, seed: int = 7) -> list[
     return planes
 
 
-def _dot_lit(vec: Column, plane: Sequence[float]) -> Column:
-    """Dot product against a CONSTANT plane as an unrolled codegen'd
-    multiply-add chain. The higher-order aggregate/zip_with form is
-    interpreted per element (~100× slower); unrolling keeps the whole
-    expression inside whole-stage codegen. Left-to-right addition order
-    matches the fold the oracle's list_dot_product uses, so results stay
-    bit-identical."""
+def srp_bucket_col(vec_sql: str, planes: Sequence[Sequence[float]]) -> Column:
+    """Signed-random-projection bucket id: bit i = sign(vec · plane_i).
+    ``vec_sql`` is a SQL expression for the vector column; the whole
+    bucket expression is built as one SQL string (see ``_dot_sql``)."""
     terms = [
-        F.element_at(vec, i + 1).cast("double") * F.lit(float(x))
-        for i, x in enumerate(plane)
+        f"(CASE WHEN {_dot_sql(vec_sql, plane)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
     ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
-def srp_bucket_col(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
-    """Signed-random-projection bucket id: bit i = sign(vec · plane_i)."""
-    out = F.lit(0)
-    for i, plane in enumerate(planes):
-        out = out + F.when(_dot_lit(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return out
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def srp_bucket_sql(vec_expr: str, planes: Sequence[Sequence[float]]) -> str:
@@ -135,11 +179,14 @@ def ann_lsh_topk(
     q_bucket = sum(
         (1 << i) for i, p in enumerate(planes) if sum(a * b for a, b in zip(q, p)) > 0
     )
-    v = _as_double(F.col(vec_col))
+    # bucket filter runs on EVERY row (unrolled, codegen'd — the hot
+    # expression); cosine only on the ~1/2^planes survivors (compact
+    # HOF — together with the pushed-down bucket filter the unrolled
+    # form overflows the stage's 64 KB codegen budget, see _dot_sql)
     scored = df.select(
         F.col(id_col),
-        srp_bucket_col(v, planes).alias("bucket"),
-        F.round(cosine_similarity_col(F.col(vec_col), query), 6).alias("cos_sim"),
+        srp_bucket_col(vec_col, planes).alias("bucket"),
+        F.round(cosine_similarity_col(vec_col, query, compact=True), 6).alias("cos_sim"),
     ).filter(F.col("bucket") == q_bucket)
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
@@ -153,16 +200,36 @@ def ann_lsh_topk(
 NUM_CELLS = 8
 
 
-def ivf_assign_col(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
-    """IVF coarse quantizer: index of the nearest centroid by dot
-    product (centroids get unit-normalized by the caller). A CASE chain
-    over NUM_CELLS dots — codegen, no UDF."""
-    dots = [_dot_lit(vec, c) for c in centroids]
-    best = F.greatest(*dots) if len(dots) > 1 else dots[0]
-    out = F.lit(len(centroids) - 1)
-    for i in range(len(centroids) - 2, -1, -1):  # earlier index wins ties
-        out = F.when(dots[i] == best, F.lit(i)).otherwise(out)
-    return out
+def with_ivf_cell(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    out: str = "cell",
+) -> DataFrame:
+    """IVF coarse quantizer: adds ``out`` = index of the nearest
+    centroid by dot product (centroids unit-normalized by the caller).
+
+    The N per-centroid dots are materialized as intermediate columns
+    (computed once — CollapseProject never re-inlines non-cheap aliases
+    referenced twice) and the argmax runs over the column refs:
+    ``array_position(dots, greatest(dots)) - 1`` (array_position
+    returns the FIRST match → earlier index wins ties, matching the
+    oracle's CASE chain). Dots use the compact HOF form: N unrolled
+    64-dim chains fused into one whole-stage method blow the 64 KB
+    bytecode limit and silently fall back to interpreted eval after a
+    ~2 s failed compile (measured; see ``_dot_sql``'s size budget)."""
+    names = [f"__ivf_d{i}" for i in range(len(centroids))]
+    tmp = df.select(
+        "*",
+        *[
+            F.expr(_dot_hof_sql(vec_col, c)).alias(n)
+            for n, c in zip(names, centroids)
+        ],
+    )
+    refs = [F.col(n) for n in names]
+    best = F.greatest(*refs) if len(refs) > 1 else refs[0]
+    cell = (F.array_position(F.array(*refs), best) - 1).cast("int")
+    return tmp.withColumn(out, cell).drop(*names)
 
 
 def ivf_assign_sql(vec_expr: str, centroids: Sequence[Sequence[float]]) -> str:
@@ -201,11 +268,10 @@ def ivf_topk(
         range(len(cents)),
         key=lambda i: (sum(a * b for a, b in zip(q, cents[i])), -i),
     )
-    v = _as_double(F.col(vec_col))
-    scored = df.select(
+    scored = with_ivf_cell(df, vec_col, cents).select(
         F.col(id_col),
-        ivf_assign_col(v, cents).alias("cell"),
-        F.round(cosine_similarity_col(F.col(vec_col), query), 6).alias("cos_sim"),
+        F.col("cell"),
+        F.round(cosine_similarity_col(vec_col, query), 6).alias("cos_sim"),
     ).filter(F.col("cell") == q_cell)
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
@@ -307,9 +373,9 @@ def build_ivf_index(
     from ..lake.writer import LakeWriter
 
     cents = [_unit(c) for c in centroids]
-    indexed = emb.select(
+    indexed = with_ivf_cell(emb, vec_col, cents).select(
         F.col(id_col),
-        ivf_assign_col(_as_double(F.col(vec_col)), cents).alias("cell"),
+        F.col("cell"),
         _as_double(F.col(vec_col)).alias(vec_col),
     )
     LakeWriter(table, pk=[id_col], partition_by="cell", auto_create=True).append(indexed)
@@ -337,7 +403,7 @@ def ivf_indexed_topk(
     )
     scored = df.select(
         F.col(id_col),
-        F.round(cosine_similarity_col(F.col(vec_col), query), 6).alias("cos_sim"),
+        F.round(cosine_similarity_col(vec_col, query), 6).alias("cos_sim"),
     )
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))

@@ -257,7 +257,7 @@ class TestEmbeddingBlockGuard:
         emb = self._corpus(spark)
         # the degenerate block really is subdivided (bounded pair count)
         subs = (
-            emb.select(srp_bucket_col(F.col("embedding"), _guard_planes(8)).alias("s"))
+            emb.select(srp_bucket_col("embedding", _guard_planes(8)).alias("s"))
             .distinct()
             .count()
         )
