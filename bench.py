@@ -74,6 +74,8 @@ def split_harness(spark, sf_dir: str) -> dict:
         ivf_index_query,
         merge_upsert_build,
         merge_upsert_query,
+        nested_roundtrip_build,
+        nested_roundtrip_query,
         zorder_build,
         zorder_query,
     )
@@ -97,6 +99,10 @@ def split_harness(spark, sf_dir: str) -> dict:
         (w, batch, mcat), b = timed(merge_upsert_build, spark, sf_dir)
         _, q = timed(lambda: merge_upsert_query(w, batch, mcat).collect())
         out["merge_upsert_events"] = {"build_s": b, "query_s": q}
+
+        ncat, b = timed(nested_roundtrip_build, spark, sf_dir)
+        _, q = timed(lambda: nested_roundtrip_query(ncat).collect())
+        out["nested_json_roundtrip"] = {"build_s": b, "query_s": q}
     except Exception as e:  # keep the bench line intact
         out["error"] = str(e)[:200]
     spark.catalog.clearCache()

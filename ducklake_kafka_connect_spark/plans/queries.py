@@ -539,6 +539,14 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(SinkRecordToArrowConverterTest.java:58-219 parity).",
 )
 def nested_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = nested_roundtrip_build(spark, sf_dir)
+    return nested_roundtrip_query(cat)
+
+
+def nested_roundtrip_build(spark: SparkSession, sf_dir: str) -> LakeCatalog:
+    """Build side of ``nested_json_roundtrip``: serialize the nested
+    payload through the lake writer (the one-time table construction;
+    split out in bench.py so read-path regressions stay visible)."""
     ev = _t(spark, sf_dir, "events")
     nested = ev.select(
         "event_id",
@@ -560,6 +568,10 @@ def nested_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = LakeCatalog(spark, lake_dir)
     w = LakeWriter(cat.table("events_nested"), pk=["event_id"])
     w.append(nested)  # complex payload → JSON text column (B9)
+    return cat
+
+
+def nested_roundtrip_query(cat: LakeCatalog) -> DataFrame:
     back = cat.table("events_nested").read()
     return (
         back.select(
