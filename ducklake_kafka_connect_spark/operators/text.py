@@ -109,3 +109,29 @@ def fingerprint_sql(text_expr: str, n: int = 5, k: int = 4) -> str:
     )
     bottom_k = f"list_sort(list_transform({grams}, g -> {h60_sql('g')}))[1:{k}]"
     return f"array_to_string(list_transform({bottom_k}, h -> CAST(h AS VARCHAR)), '_')"
+
+
+def repetition_ratio_col(text: Column) -> Column:
+    """Repeated-bigram fraction: 1 - distinct_bigrams/total_bigrams, the
+    standard boilerplate/degenerate-text quality signal (high ratio =
+    the document repeats itself). NULL for docs under 2 tokens. Pure
+    Catalyst: split → sequence → concat bigrams → array_distinct."""
+    toks = tokens_col(text)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+    )
+    total = F.size(toks) - 1
+    grams = F.transform(F.sequence(F.lit(0), F.size(toks) - 2), gram)
+    ratio = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
+    return F.when(total >= 1, F.round(ratio, 6))
+
+
+def repetition_ratio_sql(text_expr: str) -> str:
+    """DuckDB twin of repetition_ratio_col (1-based list indexing)."""
+    w = f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+    grams = (
+        f"list_transform(generate_series(1, len({w}) - 1), "
+        f"i -> {w}[i] || ' ' || {w}[i+1])"
+    )
+    ratio = f"ROUND(1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / (len({w}) - 1), 6)"
+    return f"(CASE WHEN len({w}) >= 2 THEN {ratio} END)"

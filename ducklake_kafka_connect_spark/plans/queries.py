@@ -49,6 +49,8 @@ from ..operators.text import (
     fingerprint_sql,
     lang_id_col,
     lang_id_sql,
+    repetition_ratio_col,
+    repetition_ratio_sql,
     stopword_ratio_col,
     token_count_col,
 )
@@ -1120,6 +1122,236 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = img.unionByName(aud).unionByName(vid)
     return sizes.join(F.broadcast(metrics), "kind").select(
         "kind", "n_items", "total_bytes", "kind_metric"
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+      AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 forecasting-revenue change: tight multi-conjunct filter + "
+    "single agg — the canonical predicate-pushdown/column-prune showcase",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq USING (l_partkey)
+    WHERE p_brand IN ('Brand#12', 'Brand#23') AND l_quantity < qty_thresh
+    """,
+    "TPC-H Q17 small-quantity revenue: correlated per-part average "
+    "threshold, decorrelated into a pre-aggregation join",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the brand dimension broadcast-semi-joins lineitem
+    FIRST, so the per-part average aggregates only the ~2/25 of rows
+    whose part survives (every lineitem of a surviving part is in the
+    subset, so the average is identical to the oracle's full-table CTE);
+    the threshold join then co-partitions on l_partkey. avg(l_quantity)
+    sums integer-valued doubles — exact in any order, so the strict
+    comparison agrees with DuckDB bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brands = part.filter(F.col("p_brand").isin("Brand#12", "Brand#23")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    li_b = li.join(F.broadcast(brands), "l_partkey")
+    pq = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li_b.join(pq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "user_session_gaps",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    d AS (
+      SELECT event_type,
+             (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+               // 1000000 AS gap_s
+      FROM e
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(sum(gap_s) AS BIGINT) AS total_gap_s
+    FROM d WHERE gap_s IS NOT NULL GROUP BY event_type
+    """,
+    "Per-user inter-event gaps via lag() window (sessionization signal); "
+    "deterministic (us, event_id) tie-break inside each user partition",
+)
+def user_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps in whole seconds: summing raw µs gaps would overflow the
+    2^53 exact-double range under DuckDB's order-insensitive SUM, while
+    second-granularity sums stay exact integers in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn("gap_s", F.expr("(us - prev_us) div 1000000"))
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.sum("gap_s").alias("total_gap_s"),
+        )
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           ROUND(AVG(rep), 6) AS avg_rep,
+           ROUND(MAX(rep), 6) AS max_rep
+    FROM (SELECT lang, {repetition_ratio_sql('text')} AS rep FROM documents)
+    WHERE rep IS NOT NULL GROUP BY lang
+    """,
+    "Repeated-bigram fraction per document, aggregated per language — "
+    "the standard boilerplate/degenerate-text quality signal",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    # single-file scan → spread per-doc bigram hashing across all cores
+    return (
+        docs.repartition(n_part)
+        .select("lang", repetition_ratio_col(F.col("text")).alias("rep"))
+        .filter(F.col("rep").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rep"), 6).alias("avg_rep"),
+            F.round(F.max("rep"), 6).alias("max_rep"),
+        )
+    )
+
+
+CONTAM_BENCH_MOD = 97  # doc_id % MOD == 0 plays the held-out benchmark set
+CONTAM_THRESHOLD = 0.1  # shingle-overlap fraction that flags contamination
+
+
+@register(
+    "contamination_overlap",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, {dedup_ops.WORDS_SQL.format(text='text')} AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, {dedup_ops.shingle_hash_set_sql('w')} AS sh FROM w
+    ),
+    ex AS (
+      SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS h FROM s
+    ),
+    bench AS (
+      SELECT DISTINCT h FROM ex WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    hits AS (
+      SELECT doc_id, lang, n_sh, count(*) AS n_hit
+      FROM ex JOIN bench USING (h)
+      WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+      GROUP BY doc_id, lang, n_sh
+    )
+    SELECT lang,
+           count(*) AS n_contaminated,
+           ROUND(MAX(CAST(n_hit AS DOUBLE) / n_sh), 6) AS max_frac,
+           CAST(SUM(n_hit) AS BIGINT) AS total_hits
+    FROM hits
+    WHERE CAST(n_hit AS DOUBLE) / n_sh >= {CONTAM_THRESHOLD}
+    GROUP BY lang
+    """,
+    "Benchmark-contamination check: corpus docs whose shingle sets "
+    "overlap a held-out benchmark set above a threshold (the n-gram "
+    "decontamination pass of a training-data pipeline)",
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the benchmark shingle set is tiny next to the corpus
+    → collected into a broadcast hash join against the exploded corpus
+    shingles; one shuffle (the per-doc hit count). The md5-derived
+    shingle hashes are bit-identical to the oracle's (h60), so the
+    overlap counts compare exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(n_part)
+        .select(
+            "doc_id",
+            "lang",
+            dedup_ops.shingle_hash_set_col(F.col("text")).alias("sh"),
+        )
+    )
+    ex = sh.select(
+        "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("h")
+    )
+    bench = (
+        ex.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select("h").distinct()
+    )
+    hits = (
+        ex.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "lang", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_sh")
+    return (
+        hits.filter(frac >= CONTAM_THRESHOLD)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.round(F.max(frac), 6).alias("max_frac"),
+            F.sum("n_hit").alias("total_hits"),
+        )
     )
 
 

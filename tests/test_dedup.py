@@ -139,3 +139,23 @@ class TestTextOps:
         fps = [r[0] for r in df.select(fingerprint_col(F.col("text"))).collect()]
         assert fps[0] == fps[1]
         assert fps[0] != fps[2]
+
+    def test_repetition_ratio(self, spark):
+        from ducklake_kafka_connect_spark.operators.text import repetition_ratio_col
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),        # bigrams: ab ba ab ba ab → 2/5 distinct
+                (2, "one two three four"), # all distinct → 0.0
+                (3, "solo"),              # < 2 tokens → NULL
+                (4, ""),                  # empty → NULL
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.rep for r in df.select(
+            "doc_id", repetition_ratio_col(F.col("text")).alias("rep")
+        ).collect()}
+        assert out[1] == 0.6
+        assert out[2] == 0.0
+        assert out[3] is None
+        assert out[4] is None
