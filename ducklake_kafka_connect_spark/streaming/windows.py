@@ -156,3 +156,32 @@ def stream_stream_join(
     )
     joined = l_wm.join(r_wm, cond, how)
     return joined.drop(r_wm[key_col])
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication for at-least-once sources.
+
+    Kafka redelivery (the reference's delivery model — its MERGE upsert
+    makes redelivered batches idempotent, `connect/DucklakeSinkTask.java`
+    at-least-once contract) re-emits the same record, possibly with a
+    slightly different ingestion timestamp. ``dropDuplicatesWithinWatermark``
+    keeps ONE row per key among duplicates whose event times fall inside
+    the watermark horizon — the streaming guard that makes a plain
+    APPEND sink exactly-once, without requiring a keyed MERGE downstream.
+
+    State sizing at scale: one entry per distinct key seen within the
+    watermark delay; state expires as the watermark passes (RocksDB
+    state store territory at 1e9 keys/hour, same note as the header).
+    ``within_watermark=False`` falls back to exact (key, ts) dedup where
+    redeliveries are known to carry identical event times.
+    """
+    s = events.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return s.dropDuplicatesWithinWatermark(list(keys))
+    return s.dropDuplicates([*keys, ts_col])

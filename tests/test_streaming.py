@@ -19,6 +19,7 @@ from ducklake_kafka_connect_spark.streaming.ingest import (
     TableSpec,
 )
 from ducklake_kafka_connect_spark.streaming.windows import (
+    dedup_stream,
     latest_per_key_stream,
     sessionized_counts,
     windowed_counts,
@@ -92,6 +93,32 @@ class TestEventTime:
         latest = {r["user_id"]: (str(r["ts"]), r["value"]) for r in out.collect()}
         assert latest[1] == ("2024-01-01 12:00:00", 12.0)
         assert latest[2] == ("2024-01-01 10:20:00", 21.0)
+
+
+    def test_dedup_stream_within_watermark(self, spark, tmp_path):
+        """At-least-once redelivery: the same event_id arrives twice
+        (second copy with a slightly later ingestion ts). The
+        within-watermark dedup emits exactly one row per id."""
+        src = tmp_path / "dedup_src"
+        src.mkdir()
+        rows = [
+            {"event_id": 1, "ts": "2024-01-01T10:00:00", "value": 10.0},
+            {"event_id": 2, "ts": "2024-01-01T10:01:00", "value": 20.0},
+            # redeliveries: same ids, ts drifted by a few seconds
+            {"event_id": 1, "ts": "2024-01-01T10:00:03", "value": 10.0},
+            {"event_id": 2, "ts": "2024-01-01T10:01:00", "value": 20.0},
+        ]
+        (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+        stream = (
+            spark.readStream.format("json")
+            .schema("event_id long, ts timestamp, value double")
+            .load(str(src))
+        )
+        out = _run_to_memory(
+            spark, dedup_stream(stream, keys=("event_id",)), "dedup_stream_t", "append"
+        )
+        got = sorted((r["event_id"], r["value"]) for r in out.collect())
+        assert got == [(1, 10.0), (2, 20.0)]
 
 
 class TestWindowedAggToLake:
