@@ -114,11 +114,22 @@ def fingerprint_sql(text_expr: str, n: int = 5, k: int = 4) -> str:
 def repetition_ratio_col(text: Column) -> Column:
     """Repeated-bigram fraction: 1 - distinct_bigrams/total_bigrams, the
     standard boilerplate/degenerate-text quality signal (high ratio =
-    the document repeats itself). NULL for docs under 2 tokens. Pure
-    Catalyst: split → sequence → concat bigrams → array_distinct."""
+    the document repeats itself). NULL for docs under 2 tokens.
+
+    Distinctness runs over md5-derived bigram HASHES (h60 % MERSENNE,
+    the repo's shared-hash contract) so the count — collisions included
+    — is bit-identical to the SQL twin's. Array-expression form for
+    per-row use; the corpus-scale plan is the row-wise explode + lead()
+    window in ``plans/queries.py::text_repetition_ratio`` (same hash,
+    same counts)."""
+    from .dedup import MERSENNE, h60_col
+
     toks = tokens_col(text)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+    gram = lambda i: (  # noqa: E731
+        h60_col(
+            F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2))
+        )
+        % MERSENNE
     )
     total = F.size(toks) - 1
     grams = F.transform(F.sequence(F.lit(0), F.size(toks) - 2), gram)
@@ -127,11 +138,12 @@ def repetition_ratio_col(text: Column) -> Column:
 
 
 def repetition_ratio_sql(text_expr: str) -> str:
-    """DuckDB twin of repetition_ratio_col (1-based list indexing)."""
+    """DuckDB twin of repetition_ratio_col (1-based list indexing;
+    identical md5-derived bigram hashes → identical distinct counts)."""
+    from .dedup import MERSENNE, h60_sql
+
     w = f"string_split_regex(trim(lower({text_expr})), '\\s+')"
-    grams = (
-        f"list_transform(generate_series(1, len({w}) - 1), "
-        f"i -> {w}[i] || ' ' || {w}[i+1])"
-    )
+    h = h60_sql(f"({w}[i] || ' ' || {w}[i+1])")
+    grams = f"list_transform(generate_series(1, len({w}) - 1), i -> {h} % {MERSENNE})"
     ratio = f"ROUND(1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / (len({w}) - 1), 6)"
     return f"(CASE WHEN len({w}) >= 2 THEN {ratio} END)"

@@ -1261,19 +1261,43 @@ def user_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the standard boilerplate/degenerate-text quality signal",
 )
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise scale plan (the minhash_signatures shape): repartition →
+    posexplode words → lead() composes bigrams → ONE md5 per bigram →
+    per-doc count/count_distinct → per-lang rollup. No per-doc arrays,
+    no higher-order lambdas (array-form ``repetition_ratio_col`` is the
+    per-row variant; its in-lambda token re-evaluation is quadratic in
+    doc length). The window sort shares the explode's doc_id hash
+    partitioning, so bigram composition adds no shuffle; docs under 2
+    tokens emit no bigram rows, matching the oracle's NULL filter."""
     docs = _t(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
-    # single-file scan → spread per-doc bigram hashing across all cores
-    return (
-        docs.repartition(n_part)
-        .select("lang", repetition_ratio_col(F.col("text")).alias("rep"))
-        .filter(F.col("rep").isNotNull())
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("rep"), 6).alias("avg_rep"),
-            F.round(F.max("rep"), 6).alias("max_rep"),
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = docs.repartition(n_part, "doc_id").select(
+        "doc_id", "lang", F.posexplode(words).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("w1", F.lead("w", 1).over(win))
+        .filter(F.col("w1").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (
+                dedup_ops.h60_col(F.concat_ws(" ", "w", "w1")) % dedup_ops.MERSENNE
+            ).alias("h"),
         )
+    )
+    per_doc = grams.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("h").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("rep")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("rep"), 6).alias("avg_rep"),
+        F.round(F.max("rep"), 6).alias("max_rep"),
     )
 
 
@@ -1323,29 +1347,48 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap counts compare exactly."""
     docs = _t(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
-    sh = (
-        docs.repartition(n_part)
+    # Row-wise shingle rows (the minhash_signatures shape): explode →
+    # lead() window composes each 3-gram string → ONE md5 per shingle →
+    # distinct-per-doc via groupBy. No per-doc arrays: exploding a
+    # computed HOF array re-runs the generator per OUTPUT row (measured
+    # 16 s vs 0.4 s at sf0.1), and the array lambdas re-evaluate the
+    # token split per element. Persisted because the benchmark and the
+    # candidate branch both read it.
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = docs.repartition(n_part, "doc_id").select(
+        "doc_id", "lang", F.posexplode(words).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    sh_rows = dedup_ops._persist(
+        tok.withColumn("w1", F.lead("w", 1).over(win))
+        .withColumn("w2", F.lead("w", 2).over(win))
+        .filter(F.col("w2").isNotNull())
         .select(
             "doc_id",
             "lang",
-            dedup_ops.shingle_hash_set_col(F.col("text")).alias("sh"),
+            (
+                dedup_ops.h60_col(F.concat_ws(" ", "w", "w1", "w2"))
+                % dedup_ops.MERSENNE
+            ).alias("h"),
         )
-    )
-    ex = sh.select(
-        "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("h")
+        .distinct()
     )
     bench = (
-        ex.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select("h").distinct()
+        sh_rows.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("h")
+        .distinct()
     )
+    n_sh = sh_rows.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n_sh"))
     hits = (
-        ex.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        sh_rows.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
         .join(F.broadcast(bench), "h")
-        .groupBy("doc_id", "lang", "n_sh")
+        .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
     frac = F.col("n_hit").cast("double") / F.col("n_sh")
     return (
-        hits.filter(frac >= CONTAM_THRESHOLD)
+        hits.join(n_sh, ["doc_id", "lang"])  # both sides pre-partitioned on the keys
+        .filter(frac >= CONTAM_THRESHOLD)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_contaminated"),
