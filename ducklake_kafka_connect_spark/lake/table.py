@@ -363,6 +363,7 @@ class LakeTable:
         version_hint: int,
         layout: str = "natural",
         skip_bloom: bool = False,
+        range_split: tuple[list[str], int] | None = None,
     ) -> tuple[dict[str, list[str]], dict]:
         """Write a DataFrame as immutable Parquet under a fresh stage dir,
         partitioned by the table's partition columns; return the
@@ -392,7 +393,22 @@ class LakeTable:
         # file size you want (used by large merges, whose plan already
         # avoids shuffling the target).
         if layout == "single":
-            df = df.coalesce(1)
+            # repartition(1), NOT coalesce(1): coalesce removes the stage
+            # boundary, so the upstream scan+merge compute would collapse
+            # into the same single task as the write. The extra round-robin
+            # shuffle moves only the small output rows; the write task
+            # still emits exactly one right-sized file.
+            df = df.repartition(1)
+        elif layout == "range" and range_split:
+            # Range-split by the given columns (the PK for merges): each
+            # task writes a key-DISJOINT file, so the manifest's per-file
+            # min/max stay tight and a later merge's rewrite set is only
+            # the files its batch keys actually overlap — without this,
+            # every merge output spans the full key range and forces the
+            # next merge to rewrite everything (unbounded rewrite
+            # amplification on hot tables).
+            cols, n = range_split
+            df = df.repartitionByRange(n, *[F.col(c) for c in cols])
         elif layout == "rebalance":
             df = df.hint("rebalance", *dir_cols) if dir_cols else df.hint("rebalance")
         writer = df.write.mode("overwrite")
@@ -481,7 +497,7 @@ def _harvest_one(abs_path: str, stat_cols: list[str], bloom_col: str | None) -> 
     reserved ``__bytes`` entry records the file size so later merges can
     size their rewrite set from the manifest alone — no per-file stat
     calls against an object store in the planning path."""
-    s = _footer_stats(abs_path, stat_cols) if stat_cols else {}
+    s = _footer_stats(abs_path, stat_cols)
     try:
         s["__bytes"] = os.path.getsize(abs_path)
     except OSError:
@@ -540,7 +556,7 @@ def _footer_stats(path: str, columns: list[str]) -> dict:
         import pyarrow.parquet as pq
 
         f = pq.ParquetFile(path)
-        out: dict = {}
+        out: dict = {"__rows": f.metadata.num_rows}
         for column in columns:
             idx = f.schema_arrow.get_field_index(column)
             if idx < 0:

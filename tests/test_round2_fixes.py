@@ -306,3 +306,49 @@ class TestAsofNullKeysAndTies:
         for _ in range(3):
             out = asof_join(left, right, key="k", payload=["pay"]).collect()
             assert out[0]["pay_right"] == 9  # max payload struct wins, every run
+
+
+class TestMergeRangeSplitOutput:
+    """Small-merge outputs are range-split by PK into key-disjoint files,
+    so later merges rewrite only the files their batch keys overlap
+    (bounded rewrite amplification on hot tables)."""
+
+    def test_range_split_bounds_later_rewrites(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        w = LakeWriter(cat.table("t"), pk=["id"])
+        for i in range(10):  # >8 disjoint-range files → pruning path
+            w.append(
+                spark.range(i * 10_000, (i + 1) * 10_000).select(
+                    F.col("id"), F.lit(f"v{i}").alias("name")
+                )
+            )
+        t = cat.table("t")
+        before = set(t.manifest().all_files())
+        assert len(before) == 10
+
+        # merge spanning files 0-2 → rewrites those, range-splits output
+        w.write(
+            spark.range(0, 25_000).select(F.col("id"), F.lit("upd").alias("name"))
+        )
+        m1 = set(t.manifest().all_files())
+        untouched = {f for f in before if f in m1}
+        assert len(untouched) == 7, "files 3..9 must survive the first merge"
+        new_files = sorted(m1 - before)
+        assert len(new_files) >= 2, "55k-row output must be range-split"
+
+        # point-range merge → only the low range-split file is rewritten
+        w.write(
+            spark.range(0, 100).select(F.col("id"), F.lit("upd2").alias("name"))
+        )
+        m2 = set(t.manifest().all_files())
+        survivors = {f for f in new_files if f in m2}
+        assert len(survivors) >= 1, (
+            "key-disjoint output files outside the batch range must survive"
+        )
+        # correctness: nothing lost, updates visible
+        rows = t.read().count()
+        assert rows == 100_000
+        assert t.read().filter("id = 50 AND name = 'upd2'").count() == 1
+        assert t.read().filter("id = 20000 AND name = 'upd'").count() == 1
+        assert t.read().filter("id = 80000 AND name = 'v8'").count() == 1
+        assert t.read().filter("id = 95000 AND name = 'v9'").count() == 1
