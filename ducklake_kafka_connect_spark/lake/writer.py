@@ -41,7 +41,7 @@ from __future__ import annotations
 import os
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -135,8 +135,15 @@ def _window_merge(
         .withColumn("__ts0", F.min(INSERTED_AT).over(full_frame))
         .filter((F.col("__rn") == 1) & ~F.col("__dead"))
         .withColumn(INSERTED_AT, F.coalesce(F.col("__ts0"), F.current_timestamp()))
-        .selectExpr(*out_cols)
+        .select(*[_qcol(c) for c in out_cols])
     )
+
+
+def _qcol(name: str) -> Column:
+    """Column ref that resolves ``name`` literally — schemaless field
+    names may contain dots that select()/selectExpr() would misparse as
+    nested traversal (B11 identifier handling)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def _logical_schema_of(df: DataFrame) -> T.StructType:
@@ -555,9 +562,9 @@ class LakeWriter:
                 .withColumn(INSERTED_AT, F.current_timestamp())
             )
             merged = (
-                untouched.selectExpr(*out_cols)
-                .unionByName(matched.selectExpr(*out_cols))
-                .unionByName(inserts.selectExpr(*out_cols))
+                untouched.select(*[_qcol(c) for c in out_cols])
+                .unionByName(matched.select(*[_qcol(c) for c in out_cols]))
+                .unionByName(inserts.select(*[_qcol(c) for c in out_cols]))
             )
 
         try:

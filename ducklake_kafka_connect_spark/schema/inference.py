@@ -6,8 +6,9 @@ Behavioral parity with the reference's recursive inference
 - ``None`` contributes no type (field dropped if all-null).
 - ``dict``  → StructType (children inferred recursively; all-null
   children dropped).
-- ``list``  → ArrayType with element type from the first non-null
-  element; all-null / empty arrays are dropped.
+- ``list``  → ArrayType; element type unified across a bounded sample
+  of non-null elements via the promotion ladder (array<string> on an
+  unresolvable mix); all-null / empty arrays are dropped.
 - ``bool → Boolean``, ``int → Integer/Long`` (by magnitude, matching
   Jackson's Integer-vs-Long), ``float → Double``, ``bytes → Binary``.
 - ``str`` → Timestamp iff it sniffs ISO-8601 AND the field name is not
@@ -28,9 +29,10 @@ from typing import Any, Iterable
 from pyspark.sql import types as T
 
 from ..functions.timestamps import is_id_like_field, is_iso_timestamp_str
-from .merge import unify_schemas
+from .merge import unify_schemas, unify_types
 
 _INT32_MIN, _INT32_MAX = -(2**31), 2**31 - 1
+_ARRAY_SAMPLE = 100  # element-type unification looks at most this many
 
 
 def infer_schema_from_value(value: Any, field_name: str | None = None) -> T.DataType | None:
@@ -53,15 +55,25 @@ def infer_schema_from_value(value: Any, field_name: str | None = None) -> T.Data
             return None  # empty-struct fields are dropped (KafkaSchemaToArrow.java:32-37)
         return T.StructType(fields)
     if isinstance(value, (list, tuple)):
-        elem = None
-        for item in value:
+        # Unify across elements (bounded sample), not just the first
+        # non-null one: [1, 2.5] must type as array<double>, or the
+        # int-typed from_json would silently truncate the 2.5. On an
+        # unresolvable mix ([1, "a"]) fall back to array<string> (the
+        # reference's STRING default for exotic values).
+        elems: list[T.DataType] = []
+        for item in value[:_ARRAY_SAMPLE]:
             if item is not None:
-                elem = infer_schema_from_value(item)
-                if elem is not None:
-                    break
-        if elem is None:
+                e = infer_schema_from_value(item)
+                if e is not None and e not in elems:
+                    elems.append(e)
+        if not elems:
             return None  # all-null arrays dropped
-        return T.ArrayType(elem, containsNull=True)
+        if len(elems) == 1:
+            return T.ArrayType(elems[0], containsNull=True)
+        try:
+            return T.ArrayType(unify_types(elems, field_name), containsNull=True)
+        except Exception:
+            return T.ArrayType(T.StringType(), containsNull=True)
     if isinstance(value, int):
         if _INT32_MIN <= value <= _INT32_MAX:
             return T.IntegerType()

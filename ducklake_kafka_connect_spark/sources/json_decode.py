@@ -124,12 +124,16 @@ def decode_json(
         ),
     )
     out_cols: list[Column] = []
+    rec = F.col("__rec")
     for f in schema.fields:
-        c = F.col(f"__rec.{f.name}")
+        # getField resolves the name LITERALLY — schemaless JSON keys may
+        # contain dots/colons that a "__rec.name" path string would
+        # misparse as nested traversal (B11 identifier handling)
+        c = rec.getField(f.name)
         if isinstance(f.dataType, T.TimestampType):
             c = parse_iso_timestamp(c)
         out_cols.append(c.alias(f.name))
-    out_cols.append(F.col(f"__rec.{CORRUPT_COL}").alias(CORRUPT_COL))
+    out_cols.append(rec.getField(CORRUPT_COL).alias(CORRUPT_COL))
     for k in keep_cols or []:
         out_cols.insert(0, F.col(k))
     return parsed.select(*out_cols)
