@@ -80,6 +80,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def epoch_us_col(df: DataFrame, col: str):
+    """Microseconds since epoch for a timestamp column of EITHER type.
+
+    Parquet written with isAdjustedToUTC=false loads as TIMESTAMP_NTZ
+    (Spark's inferTimestampNTZ default), which ``unix_micros`` rejects.
+    NTZ is pure wall-clock, so NTZ epoch-micros is wall-clock arithmetic
+    against the NTZ epoch literal — timezone-independent, matching
+    DuckDB's ``epoch_us(CAST(ts AS TIMESTAMP))`` on naive timestamps
+    regardless of the Spark session timezone."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    return F.unix_micros(F.col(col))
+
+
 # ---------------------------------------------------------------------------
 # A. Query surface over ingested tables (SURVEY §2.G: free from Spark SQL,
 #    declared so the oracle can verify ingested data is queryable)
@@ -573,15 +589,29 @@ def nested_roundtrip_build(spark: SparkSession, sf_dir: str) -> LakeCatalog:
     return cat
 
 
+NESTED_PAYLOAD_DDL = (
+    "t STRING, who STRUCT<uid: BIGINT, v: DOUBLE>, "
+    "tags ARRAY<BIGINT>, kv MAP<STRING, BIGINT>"
+)
+
+
 def nested_roundtrip_query(cat: LakeCatalog) -> DataFrame:
+    """One ``from_json`` parse per row (schema known), then field selects —
+    five ``get_json_object`` calls would re-parse the same payload five
+    times per row, a real constant factor on wide payloads at corpus
+    scale."""
     back = cat.table("events_nested").read()
+    p = F.from_json("payload", NESTED_PAYLOAD_DDL)
     return (
         back.select(
-            F.get_json_object("payload", "$.t").alias("t"),
-            F.get_json_object("payload", "$.who.uid").cast("long").alias("uid"),
-            F.get_json_object("payload", "$.who.v").cast("double").alias("v"),
-            F.get_json_object("payload", "$.tags[0]").cast("long").alias("tag0"),
-            F.get_json_object("payload", "$.kv.k").cast("long").alias("k"),
+            p.alias("p"),
+        )
+        .select(
+            F.col("p.t").alias("t"),
+            F.col("p.who.uid").alias("uid"),
+            F.col("p.who.v").alias("v"),
+            F.col("p.tags").getItem(0).alias("tag0"),
+            F.col("p.kv").getItem("k").alias("k"),
         )
         .groupBy("t")
         .agg(
@@ -1234,7 +1264,7 @@ def user_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "event_id",
             "user_id",
-            F.unix_micros(F.col("ts")).alias("us"),
+            epoch_us_col(ev, "ts").alias("us"),
         )
         .withColumn("prev_us", F.lag("us").over(w))
         .withColumn("gap_s", F.expr("(us - prev_us) div 1000000"))
