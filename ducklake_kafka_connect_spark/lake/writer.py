@@ -83,6 +83,9 @@ MERGE_RANGE_MAX_FILES = 16
 # Tables at or below this total size take the zero-planning-job fast path
 # (rewrite-all window-merge; the merge is the write job).
 MERGE_SMALL_TABLE_BYTES = 32 * 1024 * 1024
+# merge_many's synthetic (batch ordinal, order) column — rides the merge
+# plan, never enters the table schema
+EPHEMERAL_ORDER = "__merge_seq_ord"
 
 
 def _window_merge(
@@ -101,11 +104,24 @@ def _window_merge(
     batch rows flagged true are tombstones: they compete in the same
     last-write-wins order and a winning tombstone deletes its key. One
     shuffle total, no joins, no broadcasts — the latency-optimal shape
-    when the rewrite set is small."""
+    when the rewrite set is small.
+
+    ``order_col`` may be a column absent from ``out_cols`` (merge_many's
+    ephemeral batch ordinal): it rides the union as an extra column —
+    NULL on the target side, safe because ``__pri`` already ranks every
+    batch row above every target row — and is dropped by the final
+    out_cols projection."""
     from pyspark.sql import Window as W
 
+    carry_order = (
+        [order_col] if order_col and order_col not in out_cols else []
+    )
     tgt_side = target.select(
         *[F.col(c) for c in out_cols],
+        *[
+            F.lit(None).cast(raw.schema[c].dataType).alias(c)
+            for c in carry_order
+        ],
         F.lit(0).alias("__pri"),
         F.lit(None).cast("long").alias("__mono"),
         F.lit(False).alias("__dead"),
@@ -115,6 +131,7 @@ def _window_merge(
     )
     src_side = raw.withColumn(INSERTED_AT, F.lit(None).cast("timestamp")).select(
         *[F.col(c) for c in out_cols],
+        *[F.col(c) for c in carry_order],
         F.lit(1).alias("__pri"),
         F.monotonically_increasing_id().alias("__mono"),
         dead.alias("__dead"),
@@ -250,6 +267,40 @@ class LakeWriter:
         else:
             self.append(df)
 
+    def write_many(self, dfs: Sequence[DataFrame], order_col: str | None = None) -> None:
+        """Group-commit form of :meth:`write`: N batches → one commit.
+        Routing mirrors write(); merge order is batch-sequential (later
+        batches win per key). Falls back to sequential writes when the
+        batches can't union (cross-batch type promotion goes through the
+        schema ladder one merge at a time)."""
+        dfs = [d for d in dfs if d is not None]
+        if not dfs:
+            return
+        if len(dfs) == 1:
+            return self.write(dfs[0], order_col=order_col)
+        pre_existed = self.table.exists()
+        try:
+            if self.pk:
+                if not pre_existed:
+                    # reference routing: the creating write is an append,
+                    # every later batch merges (write()'s exact sequence)
+                    self.write(dfs[0], order_col=order_col)
+                    dfs = dfs[1:]
+                self.merge_many(dfs, order_col=order_col)
+            else:
+                u = dfs[0]
+                for d in dfs[1:]:
+                    u = u.unionByName(d, allowMissingColumns=True)
+                self.append(u)
+        except Exception as e:
+            # unionByName raises eagerly (before any write/commit) on
+            # incompatible column types — replay batch-at-a-time so the
+            # promotion ladder can widen the schema between merges
+            if type(e).__name__ != "AnalysisException":
+                raise
+            for d in dfs:
+                self.write(d, order_col=order_col)
+
     def append(self, df: DataFrame) -> None:
         with REGISTRY.timer("simpleInsert"):
             self._append(df)
@@ -286,11 +337,61 @@ class LakeWriter:
         with REGISTRY.timer("upsertWithMergeInto"):
             self._merge(df, order_col, tombstone_col)
 
+    def merge_many(
+        self,
+        batches: Sequence[DataFrame],
+        order_col: str | None = None,
+        tombstone_col: str | None = None,
+    ) -> None:
+        """Group commit: apply N queued micro-batches as ONE merge — one
+        planning pass, one write job, one commit — amortizing the fixed
+        per-merge overhead (cache materialization, planning collect,
+        write-job scheduling, commit) that dominates small-batch MERGE
+        latency. Equivalent to merging the batches sequentially: a later
+        batch beats an earlier one on the same key, and within a batch
+        last-write-wins by ``order_col`` / arrival — enforced by an
+        ephemeral ``struct(batch_ordinal, order)`` column that rides the
+        merge but never enters the table schema. Batches must be
+        column-type-compatible (unionByName null-fills missing columns;
+        cross-batch type promotion should go through separate merges)."""
+        batches = [b for b in batches if b is not None]
+        if not batches:
+            return
+        if len(batches) == 1 and order_col is not None:
+            # single batch: the plain path needs no ephemeral ordinal
+            with REGISTRY.timer("upsertWithMergeInto"):
+                self._merge(batches[0], order_col, tombstone_col)
+            return
+        with REGISTRY.timer("upsertWithMergeInto"):
+            tagged = []
+            for i, b in enumerate(batches):
+                inner = (
+                    F.col(order_col)
+                    if order_col
+                    else F.monotonically_increasing_id()
+                )
+                tagged.append(
+                    b.withColumn(
+                        EPHEMERAL_ORDER,
+                        F.struct(F.lit(i).alias("s"), inner.alias("o")),
+                    )
+                )
+            u = tagged[0]
+            for t in tagged[1:]:
+                u = u.unionByName(t, allowMissingColumns=True)
+            self._merge(
+                u,
+                order_col=EPHEMERAL_ORDER,
+                tombstone_col=tombstone_col,
+                ephemeral_order=True,
+            )
+
     def _merge(
         self,
         df: DataFrame,
         order_col: str | None = None,
         tombstone_col: str | None = None,
+        ephemeral_order: bool = False,
     ) -> None:
         if not self.pk:
             raise ValueError(f"merge() on table {self.table.name} requires pk columns")
@@ -300,7 +401,7 @@ class LakeWriter:
         # concurrent compaction already rewrote would duplicate them) —
         # so the commit re-checks the version under the lock and replans.
         for _ in range(MERGE_MAX_RETRIES):
-            if self._merge_once(df, order_col, tombstone_col):
+            if self._merge_once(df, order_col, tombstone_col, ephemeral_order):
                 return
         raise CommitConflict(
             f"merge on {self.table.name}: manifest advanced during planning "
@@ -312,8 +413,13 @@ class LakeWriter:
         df: DataFrame,
         order_col: str | None,
         tombstone_col: str | None,
+        ephemeral_order: bool = False,
     ) -> bool:
-        payload = df.drop(tombstone_col) if tombstone_col else df
+        # ephemeral order columns never enter the table schema
+        drop_for_schema = [c for c in (tombstone_col,) if c]
+        if ephemeral_order and order_col:
+            drop_for_schema.append(order_col)
+        payload = df.drop(*drop_for_schema) if drop_for_schema else df
         manifest = self._ensure_table(payload)
         planned_version = manifest.version
         final_logical = _logical_schema_of_batch(payload, manifest)
@@ -346,7 +452,7 @@ class LakeWriter:
             if table_bytes <= MERGE_SMALL_TABLE_BYTES:
                 return self._merge_small_table(
                     df, manifest, planned_version, final_logical, exprs,
-                    part_cols, order_col, tombstone_col,
+                    part_cols, order_col, tombstone_col, ephemeral_order,
                 )
 
         if tombstone_col:
@@ -358,7 +464,8 @@ class LakeWriter:
             dead = src0.filter(flag).drop(tombstone_col)
             src0 = src0.filter(~flag).drop(tombstone_col)
             raw = _conform(src0, final_logical)
-            raw = with_partition_columns(raw, exprs).cache()
+            np_cap = self.table.spark.sparkContext.defaultParallelism
+            raw = with_partition_columns(raw, exprs).coalesce(np_cap).cache()
             src = raw
             dead_conf = _conform(dead, final_logical)
         else:
@@ -368,8 +475,17 @@ class LakeWriter:
             # add partition values — conservative for planning — and the
             # dedup window runs lazily inside the write job instead,
             # where its shuffle overlaps the rest of the plan.
-            raw = _conform(df, final_logical)
-            raw = with_partition_columns(raw, exprs).cache()
+            extra = (order_col,) if ephemeral_order and order_col else ()
+            raw = _conform(df, final_logical, extra=extra)
+            # cap the batch's partition count at the session's parallelism:
+            # a merge_many union of N micro-batches arrives with N×32 tiny
+            # upstream partitions, and every downstream stage (planning
+            # agg, window, write) would schedule one task per partition —
+            # measured 321-task write jobs at ~3 s pure scheduling. A
+            # coalesce never increases partition count, so normal batches
+            # are untouched.
+            np_cap = self.table.spark.sparkContext.defaultParallelism
+            raw = with_partition_columns(raw, exprs).coalesce(np_cap).cache()
             src = _dedup_last_wins(raw, self.pk, order_col)
             dead = dead_conf = None
         # One row per PK after dedup, and the live/dead split is disjoint
@@ -411,6 +527,17 @@ class LakeWriter:
             F.count(F.lit(1)).alias("n"),
             F.min("__k").alias("lo"),
             F.max("__k").alias("hi"),
+            # Fold the bloom-probe key set into this same job (the former
+            # separate key-collect was one more ~100+ ms driver-blocking
+            # job per merge). slice() caps the transferred array at CAP+1:
+            # exactly CAP+1 back means overflow → probing is skipped. NULL
+            # keys don't collect_set, so they're counted separately — any
+            # NULL key disables probing (a sidecar can't prove absence of
+            # a key it never hashed in canonical form).
+            F.slice(
+                F.collect_set("__k"), 1, MERGE_BLOOM_PROBE_KEYS + 1
+            ).alias("ks"),
+            F.count(F.when(F.col("__k").isNull(), 1)).alias("null_keys"),
         ]
         if part_cols:
             # collect_set skips NULLs, so non-live rows drop out here
@@ -424,6 +551,9 @@ class LakeWriter:
         n_src = row["n"]
         bounds = {"lo": row["lo"], "hi": row["hi"]}
         src_parts = {tuple(p) for p in row["parts"]} if part_cols else set()
+        probe_keys = list(row["ks"] or [])
+        if row["null_keys"] or len(probe_keys) > MERGE_BLOOM_PROBE_KEYS:
+            probe_keys = None  # overflow / NULL key → no bloom probing
 
         # Micro-batches broadcast (hash-join against only the rewrite
         # files, no shuffle of the table); a bulk backfill batch above
@@ -447,22 +577,19 @@ class LakeWriter:
         # more than one file survived range pruning; large overlap sets
         # probe executor-side so wall-time stays flat with file count.
         n_overlap = sum(len(v) for v in overlap_by_part.values())
-        if 0 < n_src <= MERGE_BLOOM_PROBE_KEYS and n_overlap > 1:
+        if probe_keys and n_src > 0 and n_overlap > 1:
             from .bloom import MEMBERSHIP_SPARK_THRESHOLD, membership_filter, membership_filter_spark
 
             with REGISTRY.timer("merge.bloomProbe"):
-                # keys come from the UN-deduped cache (no window shuffle
-                # in this job); duplicates are harmless to a probe set
-                keys_frame = raw.select(pk0)
-                if dead_conf is not None:
-                    keys_frame = keys_frame.unionByName(dead_conf.select(pk0))
-                key_vals = list({r[0] for r in keys_frame.collect()})
+                # key set came back with the planning aggregate — the
+                # probe itself is sidecar reads only, no extra Spark job
+                # below the executor-side threshold
                 flat = [f for v in overlap_by_part.values() for f in v]
                 abs_paths = [os.path.join(self.table.dir, f) for f in flat]
                 if len(flat) > MEMBERSHIP_SPARK_THRESHOLD:
-                    kept = membership_filter_spark(self.table.spark, abs_paths, key_vals)
+                    kept = membership_filter_spark(self.table.spark, abs_paths, probe_keys)
                 else:
-                    kept = membership_filter(abs_paths, key_vals)
+                    kept = membership_filter(abs_paths, probe_keys)
             keep = dict(zip(flat, kept))
             overlap_by_part = {
                 k: [f for f in v if keep[f]] for k, v in overlap_by_part.items()
@@ -612,15 +739,22 @@ class LakeWriter:
         part_cols: list[str],
         order_col: str | None,
         tombstone_col: str | None,
+        ephemeral_order: bool = False,
     ) -> bool:
         """Zero-planning-job merge for tables that fit a few small files:
         union(whole table, batch) → one window sweep → rewrite everything.
         Exactly one Spark job (the write); AQE sizes the output files.
         Tombstones ride the same window (a winning tombstone deletes its
         key), so this path needs no eager dedup or live/dead split."""
-        extra = (tombstone_col,) if tombstone_col else ()
+        extra = tuple(c for c in (tombstone_col,) if c)
+        if ephemeral_order and order_col:
+            extra = extra + (order_col,)
         raw = _conform(df, final_logical, extra=extra)
-        raw = with_partition_columns(raw, exprs)
+        # same partition-count cap as the pruning path: a merge_many
+        # union arrives with N×32 micro-partitions and the single write
+        # job would schedule a task per partition
+        np_cap = self.table.spark.sparkContext.defaultParallelism
+        raw = with_partition_columns(raw, exprs).coalesce(np_cap)
         rewrite_files = manifest.all_files()
         target = self._read_files(manifest, rewrite_files)
         passthrough = [INSERTED_AT] + [

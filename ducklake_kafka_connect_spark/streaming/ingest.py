@@ -107,21 +107,38 @@ class IngestPipeline:
     # -- batch entry point (also usable for non-streaming backfills) --
 
     def process_batch(self, batch: DataFrame, epoch_id: int = -1) -> None:
-        """One micro-batch of kafka-shaped rows (topic/value/offset…)."""
+        """One micro-batch of kafka-shaped rows (topic/value/offset…).
+        Topic slices are grouped by TARGET table first: N topics mapped
+        onto one table land as ONE group commit (write_many) instead of
+        N sequential merges — the reference consolidates cross-topic
+        batches per table the same way (BatchConsolidation)."""
         if "topic" in batch.columns:
             topics = [r[0] for r in batch.select("topic").distinct().collect()]
         else:
             topics = [None]
+        by_table: dict[str, list] = {}
         for topic in topics:
             part = batch.filter(F.col("topic") == topic) if topic else batch
             table = self.config.table_for(topic) if topic else "events"
-            self._ingest_topic_batch(part, table)
+            by_table.setdefault(table, []).append(part)
+        for table, parts in by_table.items():
+            self._ingest_table_batches(parts, table)
 
-    def _ingest_topic_batch(self, part: DataFrame, table: str) -> None:
+    def _ingest_table_batches(self, parts: list, table: str) -> None:
         spec = self.config.spec_for(table)
-        keep = [c for c in ("offset",) if c in part.columns]
-        good, bad = self._decode(part, spec, keep)
-        order_col = "offset" if "offset" in good.columns else None
+        goods: list[DataFrame] = []
+        bads: list[DataFrame] = []
+        for part in parts:
+            keep = [c for c in ("offset",) if c in part.columns]
+            good, bad = self._decode(part, spec, keep)
+            order_col = "offset" if "offset" in good.columns else None
+            if order_col and spec.id_columns:
+                # offset orders last-write-wins dedup within the batch
+                # (SURVEY risk #2); it is a transport column — dedup
+                # here, then drop it so it never enters the table schema.
+                good = _dedup_last_wins(good, spec.id_columns, order_col)
+            goods.append(good.drop(*keep) if keep else good)
+            bads.append(bad)
         writer = LakeWriter(
             self.catalog.table(table),
             pk=spec.id_columns,
@@ -129,30 +146,32 @@ class IngestPipeline:
             auto_create=spec.auto_create,
         )
         try:
-            if order_col and spec.id_columns:
-                # offset orders last-write-wins dedup within the batch
-                # (SURVEY risk #2); it is a transport column — dedup
-                # here, then drop it so it never enters the table schema.
-                deduped = _dedup_last_wins(good, spec.id_columns, order_col)
-                writer.write(deduped.drop(*keep))
-            else:
-                writer.write(good.drop(*keep) if keep else good)
-        except ReconcileError as e:
-            # whole-batch schema conflict → route every row to the DLQ;
-            # the error note carries the column, both types, and sample
-            # values from the offending batch (reference
-            # SinkRecordToArrowConverter.java:305-385 enrichment)
-            from ..schema.reconcile import enriched_reconcile_message
+            writer.write_many(goods)
+        except ReconcileError:
+            # group write hit a schema conflict — replay batch-at-a-time
+            # so only the offending slices DLQ, not the whole group
+            for i, good in enumerate(goods):
+                try:
+                    writer.write(good)
+                except ReconcileError as e:
+                    # whole-batch schema conflict → route every row to
+                    # the DLQ; the note carries the column, both types,
+                    # and sample values from the offending batch
+                    # (SinkRecordToArrowConverter.java:305-385 parity)
+                    from ..schema.reconcile import enriched_reconcile_message
 
-            note = enriched_reconcile_message(e, good)
-            bad = bad.unionByName(
-                good.select(
-                    F.to_json(F.struct(*good.columns)).alias("raw_value"),
-                    F.lit(f"reconcile_error: {note}").alias("error"),
-                    F.current_timestamp().alias("_dlq_at"),
-                ),
-                allowMissingColumns=True,
-            )
+                    note = enriched_reconcile_message(e, good)
+                    bads[i] = bads[i].unionByName(
+                        good.select(
+                            F.to_json(F.struct(*good.columns)).alias("raw_value"),
+                            F.lit(f"reconcile_error: {note}").alias("error"),
+                            F.current_timestamp().alias("_dlq_at"),
+                        ),
+                        allowMissingColumns=True,
+                    )
+        bad = bads[0]
+        for b in bads[1:]:
+            bad = bad.unionByName(b, allowMissingColumns=True)
         if bad.isEmpty():
             return
         dlq_writer = LakeWriter(
