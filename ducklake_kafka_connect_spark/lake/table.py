@@ -493,29 +493,45 @@ def _bloom_column(schema: T.StructType, pk: list[str]) -> str | None:
 
 def _harvest_one(abs_path: str, stat_cols: list[str], bloom_col: str | None) -> dict:
     """Footer stats + bloom sidecar for one data file (runs on the driver
-    for small commits, inside an executor task for large ones). The
-    reserved ``__bytes`` entry records the file size so later merges can
-    size their rewrite set from the manifest alone — no per-file stat
-    calls against an object store in the planning path."""
-    s = _footer_stats(abs_path, stat_cols)
+    for small commits, inside an executor task for large ones). One
+    ParquetFile open serves both passes: stats come from the footer
+    metadata, the bloom from a single read of the PK column — no second
+    file open (on an object store: one GET for the footer, one ranged
+    GET for the column chunk). The reserved ``__bytes`` entry records
+    the file size so later merges can size their rewrite set from the
+    manifest alone — no per-file stat calls in the planning path."""
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(abs_path)
+    except Exception:
+        return {}
+    s = _footer_stats_of(pf, stat_cols)
     try:
         s["__bytes"] = os.path.getsize(abs_path)
     except OSError:
         pass
     if bloom_col:
-        _write_bloom_sidecar(abs_path, bloom_col)
+        _write_bloom_sidecar(pf, abs_path, bloom_col)
     return s
 
 
-def _write_bloom_sidecar(path: str, column: str) -> None:
+def _write_bloom_sidecar(pf, path: str, column: str) -> None:
     try:
-        import pyarrow.parquet as pq
-
         from .bloom import write_sidecar
 
-        tbl = pq.read_table(path, columns=[column])
-        if tbl.num_columns == 1:
-            write_sidecar(path, tbl.column(0).to_pylist())
+        if pf.schema_arrow.get_field_index(column) < 0:
+            return
+        tbl = pf.read(columns=[column])
+        if tbl.num_columns != 1:
+            return
+        col = tbl.column(0)
+        import pyarrow as pa
+
+        if col.null_count == 0 and pa.types.is_integer(col.type):
+            write_sidecar(path, col.combine_chunks().to_numpy())
+        else:
+            write_sidecar(path, col.to_pylist())
     except Exception:
         pass  # blooms are an optimization; never fail a write over one
 
@@ -555,7 +571,13 @@ def _footer_stats(path: str, columns: list[str]) -> dict:
     try:
         import pyarrow.parquet as pq
 
-        f = pq.ParquetFile(path)
+        return _footer_stats_of(pq.ParquetFile(path), columns)
+    except Exception:
+        return {}
+
+
+def _footer_stats_of(f, columns: list[str]) -> dict:
+    try:
         out: dict = {"__rows": f.metadata.num_rows}
         for column in columns:
             idx = f.schema_arrow.get_field_index(column)

@@ -255,3 +255,58 @@ class TestBloomSidecars:
         live = {_os.path.basename(p) for p in t.manifest().all_files()}
         for b in blooms:
             assert b[: -len(".bloom")] in live, f"orphan sidecar {b}"
+
+
+class TestBloomVectorizedHash:
+    """The numpy build path and the scalar probe path MUST hash
+    bit-identically — a divergence would let a sidecar 'prove' absence
+    of a present key and silently drop rows from a merge rewrite set."""
+
+    def test_scalar_matches_numpy(self):
+        import numpy as np
+
+        from ducklake_kafka_connect_spark.lake.bloom import (
+            _hash_pair,
+            _int_hash_arrays,
+        )
+
+        vals = [0, 1, -1, 5, -5, 2**62, -(2**62), 2**63 - 1, -(2**63), 123456789]
+        h1s, h2s = _int_hash_arrays(np.array(vals, dtype=np.int64))
+        for v, h1, h2 in zip(vals, h1s.tolist(), h2s.tolist()):
+            assert _hash_pair(v) == (h1, h2), f"hash divergence for {v}"
+
+    def test_numpy_built_bloom_probes_scalar(self):
+        import numpy as np
+
+        from ducklake_kafka_connect_spark.lake.bloom import (
+            bloom_might_contain,
+            build_bloom,
+        )
+
+        keys = np.arange(0, 50_000, 7, dtype=np.int64) - 1000
+        blob = build_bloom(keys)
+        assert all(bloom_might_contain(blob, int(v)) for v in keys[:2000])
+        # +3 shifts the probe residue class mod 7 → genuinely absent keys
+        false_pos = sum(
+            bloom_might_contain(blob, int(v)) for v in range(3, 20_000, 7)
+        )
+        assert false_pos < 40  # fpp ~6e-5 at 20 bits/key
+
+    def test_mixed_int_string_still_works(self):
+        from ducklake_kafka_connect_spark.lake.bloom import (
+            bloom_might_contain,
+            build_bloom,
+        )
+
+        blob = build_bloom(list(range(0, 3000, 3)) + ["k1", "k2", None])
+        assert all(bloom_might_contain(blob, v) for v in range(0, 3000, 3))
+        assert bloom_might_contain(blob, "k1") and bloom_might_contain(blob, "k2")
+        assert not bloom_might_contain(blob, "definitely_absent_key_xyz")
+
+    def test_old_format_sidecar_conservatively_kept(self):
+        import struct
+
+        from ducklake_kafka_connect_spark.lake.bloom import bloom_might_contain
+
+        old = b"DLBF" + struct.pack("<II", 5, 256) + bytes(32)
+        assert bloom_might_contain(old, 42)  # unknown magic → keep
