@@ -82,9 +82,17 @@ def compact(
     max_files_per_partition: int = 1,
     zorder_by: list[str] | None = None,
     target_files: int | None = None,
+    small_file_bytes: int | None = None,
 ) -> CompactionResult:
     """Rewrite every partition holding more than ``max_files_per_partition``
     data files into one file per partition-task.
+
+    With ``small_file_bytes``, only partitions holding more than the
+    threshold count of files UNDER that size are offenders, and only
+    those small files are rewritten — right-sized files stay untouched
+    (the auto-compaction mode: bounded rewrite amplification under a
+    steady micro-batch drip, the analogue of the reference's tiny-batch
+    inlining at ``connect/DucklakeConnectionFactory.java:88-92``).
 
     With ``zorder_by``, ALL files are rewritten into a Morton-ordered
     range layout instead: ``target_files`` output files (default
@@ -101,6 +109,17 @@ def compact(
         m = table.manifest()
         if zorder_by:
             offenders = dict(m.files)  # re-layout everything
+        elif small_file_bytes is not None:
+            offenders = {}
+            for k, v in m.files.items():
+                small = [
+                    f
+                    for f in v
+                    if int((m.file_stats.get(f) or {}).get("__bytes") or 0)
+                    < small_file_bytes
+                ]
+                if len(small) > max_files_per_partition:
+                    offenders[k] = small
         else:
             offenders = {k: v for k, v in m.files.items() if len(v) > max_files_per_partition}
         if not offenders:
@@ -144,10 +163,15 @@ def compact(
         else:
             df = df.coalesce(1)
         new_files, new_stats = table.write_data_files(df, m.version + 1)
-        files = {k: list(v) for k, v in m.files.items() if k not in offenders}
+        # per-FILE carryover (small_file_bytes offenders list only a
+        # partition's small files; its right-sized files must survive)
+        rewritten = {f for v in offenders.values() for f in v}
+        files = {
+            k: [f for f in v if f not in rewritten] for k, v in m.files.items()
+        }
+        files = {k: v for k, v in files.items() if v}
         for k, v in new_files.items():
             files.setdefault(k, []).extend(v)
-        rewritten = {f for v in offenders.values() for f in v}
         stats = {f: s for f, s in m.file_stats.items() if f not in rewritten}
         stats.update(new_stats)
         table._commit(

@@ -86,6 +86,13 @@ MERGE_SMALL_TABLE_BYTES = 32 * 1024 * 1024
 # merge_many's synthetic (batch ordinal, order) column — rides the merge
 # plan, never enters the table schema
 EPHEMERAL_ORDER = "__merge_seq_ord"
+# Auto-compaction (DucklakeConnectionFactory.java:88-92 analogue, Delta
+# autoOptimize shape): a commit that leaves a partition with more than
+# MIN_FILES files under SMALL_BYTES each fires a targeted small-file
+# compaction for the offenders — a steady micro-batch drip stays bounded
+# in file count without an external OPTIMIZE schedule.
+AUTO_COMPACT_MIN_FILES = 8
+AUTO_COMPACT_SMALL_BYTES = 8 * 1024 * 1024
 
 
 def _window_merge(
@@ -245,11 +252,13 @@ class LakeWriter:
         partition_by: str | list[str] | None = None,
         auto_create: bool = True,
         small_table_fast_path: bool = True,
+        auto_compact: bool = True,
     ):
         self.table = table
         self.pk = list(pk or [])
         self.partition_by = partition_by
         self.auto_create = auto_create
+        self.auto_compact = auto_compact
         # Rewrite-all window-merge for tables under MERGE_SMALL_TABLE_BYTES
         # (single partition dir only): trades a little write amplification
         # on tiny tables for a zero-planning-job merge. Off → every merge
@@ -321,6 +330,32 @@ class LakeWriter:
             self._commit_next(
                 manifest, merged_files, _logical_schema_of_batch(df, manifest), stats
             )
+        self._maybe_auto_compact(merged_files, stats)
+
+    def _maybe_auto_compact(self, files: dict, stats: dict) -> None:
+        """Post-commit trigger (runs OUTSIDE the table lock — compact
+        takes it afresh, so a concurrent writer just wins the race and
+        the next commit re-triggers). The check is driver-side over the
+        manifest dicts already in hand: zero I/O unless it fires."""
+        if not self.auto_compact:
+            return
+        for v in files.values():
+            small = sum(
+                1
+                for f in v
+                if int((stats.get(f) or {}).get("__bytes") or 0)
+                < AUTO_COMPACT_SMALL_BYTES
+            )
+            if small > AUTO_COMPACT_MIN_FILES:
+                from .maintenance import compact
+
+                with REGISTRY.timer("autoCompact"):
+                    compact(
+                        self.table,
+                        max_files_per_partition=AUTO_COMPACT_MIN_FILES,
+                        small_file_bytes=AUTO_COMPACT_SMALL_BYTES,
+                    )
+                return
 
     def merge(
         self,
@@ -727,6 +762,7 @@ class LakeWriter:
                 self._commit_next(manifest, merged_files, final_logical, stats)
         finally:
             raw.unpersist()
+        self._maybe_auto_compact(merged_files, stats)
         return True
 
     def _merge_small_table(

@@ -65,19 +65,27 @@ def decode_arrow_ipc(
     narrow = df.select(value_col)
 
     def explode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .consolidate import consolidate_stream
+
         target = pa.ipc.read_schema(pa.py_buffer(schema_capture))
-        for batch in it:
-            col = batch.column(0)
-            for payload in col.to_pylist():
-                if payload is None:
-                    continue
-                with pa.ipc.open_stream(payload) as reader:
-                    for rb in reader:
-                        if rb.num_rows == 0:
-                            continue
-                        if not rb.schema.equals(target):
-                            rb = pa.Table.from_batches([rb]).cast(target).to_batches()[0] if rb.schema.names == target.names else rb
-                        yield rb
+
+        def decoded() -> Iterator[pa.RecordBatch]:
+            for batch in it:
+                col = batch.column(0)
+                for payload in col.to_pylist():
+                    if payload is None:
+                        continue
+                    with pa.ipc.open_stream(payload) as reader:
+                        for rb in reader:
+                            if rb.num_rows == 0:
+                                continue
+                            if not rb.schema.equals(target):
+                                rb = pa.Table.from_batches([rb]).cast(target).to_batches()[0] if rb.schema.names == target.names else rb
+                            yield rb
+
+        # thousands of tiny per-payload batches → right-sized batches
+        # (D5 consolidation, executor-side; BatchConsolidator.java parity)
+        yield from consolidate_stream(decoded())
 
     spark_schema = from_arrow_schema(arrow_schema)
     return narrow.mapInArrow(explode, spark_schema)

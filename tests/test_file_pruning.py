@@ -10,7 +10,7 @@ from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
 def _setup(spark, tmp_path, name):
     cat = LakeCatalog(spark, str(tmp_path))
     t = cat.table(name)
-    w = LakeWriter(t, pk=["id"], small_table_fast_path=False)  # exercises the pruning path
+    w = LakeWriter(t, pk=["id"], small_table_fast_path=False, auto_compact=False)  # pruning path; keep files accreted
     # 4 appends with disjoint key ranges → ≥4 files with tight stats
     for base in (0, 1000, 2000, 3000):
         w.append(
@@ -61,7 +61,7 @@ def test_compact_range_layout_tightens_pruning(spark, tmp_path):
 
     cat = LakeCatalog(spark, str(tmp_path))
     t = cat.table("fpc")
-    w = LakeWriter(t, pk=["id"], small_table_fast_path=False)  # exercises the pruning path
+    w = LakeWriter(t, pk=["id"], small_table_fast_path=False, auto_compact=False)  # pruning path; keep files accreted
     # interleaved appends: every file spans nearly the whole key space
     for off in range(10):
         w.append(
@@ -110,7 +110,7 @@ def test_merge_bloom_probe_shrinks_rewrite_set(spark, tmp_path):
     cut the rewrite set to the files actually holding the keys."""
     cat = LakeCatalog(spark, str(tmp_path))
     t = cat.table("fpb")
-    w = LakeWriter(t, pk=["id"], small_table_fast_path=False)  # exercises the pruning path
+    w = LakeWriter(t, pk=["id"], small_table_fast_path=False, auto_compact=False)  # pruning path; keep files accreted
     # 4 files, each spanning [off, 4000+off] with stride 4 — all overlap
     for off in range(4):
         w.append(

@@ -159,7 +159,7 @@ class TestMergeReplansOnConcurrentCommit:
 
 class TestBloomTypeGuard:
     def _setup(self, spark, catalog, name="bt"):
-        w = LakeWriter(catalog.table(name), pk=["id"], small_table_fast_path=False)
+        w = LakeWriter(catalog.table(name), pk=["id"], small_table_fast_path=False, auto_compact=False)
         w.write(spark.createDataFrame([(i, f"v{i}") for i in range(1, 6)], "id int, v string"))
         w.write(spark.createDataFrame([(i, f"v{i}") for i in range(10, 15)], "id int, v string"))
         return catalog.table(name)
@@ -315,7 +315,8 @@ class TestMergeRangeSplitOutput:
 
     def test_range_split_bounds_later_rewrites(self, spark, tmp_path):
         cat = LakeCatalog(spark, str(tmp_path / "lake"))
-        w = LakeWriter(cat.table("t"), pk=["id"])
+        # auto_compact off: this test NEEDS the 10 accreted range files
+        w = LakeWriter(cat.table("t"), pk=["id"], auto_compact=False)
         for i in range(10):  # >8 disjoint-range files → pruning path
             w.append(
                 spark.range(i * 10_000, (i + 1) * 10_000).select(
