@@ -47,12 +47,12 @@ class TableSpec:
     id_columns: list[str] = field(default_factory=list)
     partition_by: str | None = None
     auto_create: bool = False
-    format: str = "json"  # json | avro | arrow | mixed
+    format: str = "json"  # json | avro | avro_registry | arrow | mixed
     avro_schema: str | None = None
     confluent_framing: bool = False
 
     def __post_init__(self):
-        if self.format not in ("json", "avro", "arrow", "mixed"):
+        if self.format not in ("json", "avro", "avro_registry", "arrow", "mixed"):
             raise ValueError(f"Unknown format: {self.format!r}")
         if self.format == "avro" and not self.avro_schema:
             raise ValueError("format='avro' requires avro_schema")
@@ -100,9 +100,12 @@ class IngestConfig:
 class IngestPipeline:
     """foreachBatch sink writing decoded records into lake tables."""
 
-    def __init__(self, catalog: LakeCatalog, config: IngestConfig):
+    def __init__(self, catalog: LakeCatalog, config: IngestConfig, registry=None):
         self.catalog = catalog
         self.config = config
+        # SchemaRegistryClient for tables with format='avro_registry'
+        # (the worker-level value.converter.schema.registry.url analogue)
+        self.registry = registry
 
     # -- batch entry point (also usable for non-streaming backfills) --
 
@@ -188,11 +191,25 @@ class IngestPipeline:
         if spec.format == "json":
             from ..sources.json_decode import conflict_note
 
+            if dict(part.dtypes).get("value") == "binary":
+                # kafka-shaped value is bytes; JSON decode wants text
+                part = part.withColumn("value", F.col("value").cast("string"))
             conflicts: dict = {}
             decoded = decode_json(
                 part, value_col="value", keep_cols=keep, conflicts_out=conflicts
             )
             return split_dlq(decoded, error_note=conflict_note(conflicts))
+        if spec.format == "avro_registry":
+            from ..sources.schema_registry import decode_avro_registry
+
+            if self.registry is None:
+                raise ValueError(
+                    "format='avro_registry' requires IngestPipeline(registry=...)"
+                )
+            decoded = decode_avro_registry(
+                part, self.registry, value_col="value", keep_cols=keep
+            )
+            return split_dlq(decoded)
         if spec.format == "avro":
             from ..sources.avro_lite import decode_avro_lite
 
