@@ -58,6 +58,7 @@ def main() -> None:
                 "split": split_harness(spark, sf_dir),
                 "sf": sf,
                 "ingest": ingest_harness(spark),
+                "sf1": sf1_harness(spark, sf_dir, timings),
             }
         )
     )
@@ -180,6 +181,150 @@ def ingest_harness(spark) -> dict:
         out["merge_many_10x2k_s"] = round(many_s, 3)
         out["merge_many_batches_per_s"] = round(n_batches / many_s, 1)
     except Exception as e:  # keep the bench line intact on harness failure
+        out["error"] = str(e)[:200]
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    return out
+
+
+# ---- sf1 scale rehearsal (VERDICT r2 #6) ----
+# /root/testdata ships no sf1 dir, so the rehearsal replicates the sf0.1
+# tables 10x with key-space shifts (exact-duplicate text/vectors make
+# the dedup queries a WORST-CASE skew stress on their bucket caps, which
+# is the interesting regime). Heaviest queries first-to-safest order,
+# hard wall-clock budget, one run each — a scaling probe, not a score.
+SF1_COPIES = 10
+SF1_BUDGET_S = 240.0
+SF1_SHIFTS = {
+    "events": {"event_id": 10**12},
+    "documents": {"doc_id": 10**12},
+    "embeddings": {"vec_id": 10**12},
+    "orders": {"o_orderkey": 10**12, "o_custkey": 10**11},
+    "lineitem": {"l_orderkey": 10**12},
+    "customer": {"c_custkey": 10**11},
+}
+SF1_LINKED = ["region", "nation", "supplier", "part"]
+SF1_QUERIES = [  # r3's 10 most expensive, cheap/stable first
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "zorder_pruned_scan",
+    "nested_json_roundtrip",
+    "merge_upsert_events",
+    "ann_ivf_indexed_topk",
+    "contamination_overlap",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_simhash_hamming",
+]
+# >12x wall on 10x data (the VERDICT gate) earns a plan note
+SF1_RATIO_FLAG = 12.0
+
+
+def build_sf1_dir(spark, sf_dir: str) -> str:
+    import functools
+    import tempfile
+
+    from pyspark.sql import DataFrame, functions as F
+
+    from ducklake_kafka_connect_spark.sources.parquet_loader import load_parquet
+
+    out_dir = tempfile.mkdtemp(prefix="bench_sf1_")
+    for name, shifts in SF1_SHIFTS.items():
+        src = load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+        copies = []
+        for i in range(SF1_COPIES):
+            d = src
+            for col, span in shifts.items():
+                d = d.withColumn(col, F.col(col) + F.lit(i * span))
+            copies.append(d)
+        functools.reduce(DataFrame.unionByName, copies).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    for name in SF1_LINKED:
+        os.symlink(
+            os.path.join(sf_dir, f"{name}.parquet"),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+    return out_dir
+
+
+def sf1_harness(spark, sf_dir: str, sf01_timings: dict) -> dict:
+    import shutil
+
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return {"skipped": "SPARK_GRAFT_SF1=0"}
+    out: dict = {"copies": SF1_COPIES, "queries": {}, "ratio_vs_sf01": {}, "notes": []}
+    t0 = time.perf_counter()
+    try:
+        sf1_dir = build_sf1_dir(spark, sf_dir)
+    except Exception as e:
+        return {"error": f"build: {str(e)[:200]}"}
+    out["build_s"] = round(time.perf_counter() - t0, 3)
+    spent = 0.0
+    try:
+        for name in SF1_QUERIES:
+            if spent > SF1_BUDGET_S:
+                out["queries"][name] = "skipped_budget"
+                continue
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name].fn(spark, sf1_dir).collect()
+                el = round(time.perf_counter() - t0, 3)
+                out["queries"][name] = el
+                base = sf01_timings.get(name)
+                if base and base > 0:
+                    ratio = round(el / base, 1)
+                    out["ratio_vs_sf01"][name] = ratio
+                    if ratio > SF1_RATIO_FLAG:
+                        out["notes"].append(
+                            f"{name}: {ratio}x wall on {SF1_COPIES}x data"
+                        )
+                spent += el
+            except Exception as e:
+                out["queries"][name] = -1.0
+                out["notes"].append(f"{name}: {str(e)[:120]}")
+            spark.catalog.clearCache()
+        # merge harness at 10x the sf0.1 scale (1M base, 100k batches)
+        out["ingest"] = sf1_ingest(spark)
+    finally:
+        shutil.rmtree(sf1_dir, ignore_errors=True)
+    return out
+
+
+def sf1_ingest(spark) -> dict:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    out: dict = {}
+    lake_dir = tempfile.mkdtemp(prefix="bench_sf1_lake_")
+    try:
+        cat = LakeCatalog(spark, lake_dir)
+        w = LakeWriter(cat.table("m1"), pk=["id"], partition_by="month(created_at)")
+        base = spark.range(1_000_000).select(
+            F.col("id"),
+            F.concat(F.lit("name_"), F.col("id")).alias("name"),
+            F.timestamp_seconds(1704067200 + F.col("id") % 5_184_000).alias("created_at"),
+        )
+        t0 = time.perf_counter()
+        w.write(base)
+        el = time.perf_counter() - t0
+        out["append_1m_partitioned_s"] = round(el, 3)
+        out["append_rows_per_s"] = round(1_000_000 / el)
+        batch = spark.range(100_000).select(
+            F.when(F.col("id") < 10_000, F.col("id") * 10)
+            .otherwise(F.col("id") + 10_000_000)
+            .alias("id"),
+            F.lit("updated").alias("name"),
+            F.timestamp_seconds(1704067200 + F.col("id") % 5_184_000).alias("created_at"),
+        )
+        t0 = time.perf_counter()
+        w.write(batch)
+        out["merge_100k_conflict10pct_s"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
         out["error"] = str(e)[:200]
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
