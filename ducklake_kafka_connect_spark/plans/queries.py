@@ -1428,6 +1428,169 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q10_returned_item_revenue",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS revenue_micros
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_micros DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10-style: returned-item revenue per customer in a quarter — "
+    "4-way join, wide group key, top-20 (TakeOrderedAndProject)",
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact side carries only pushed-filter survivors; both dims and the
+    quarter-filtered orders broadcast, so lineitem is never shuffled
+    before the aggregate — the q3 shape widened to a per-customer key.
+    Revenue integerizes per-ROW to micros before the sum: a grouped
+    double sum is order-sensitive in its last ulp and one group per few
+    thousand lands on a ROUND(x, 2) half-cent boundary where the two
+    engines disagree; integer sums are exact and order-free."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev_micros = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev_micros).alias("revenue_micros"))
+        .orderBy(F.col("revenue_micros").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q4_priority_returned_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "TPC-H Q4-style priority check (EXISTS adapted to the returned-line "
+    "predicate — this lineitem has no commit/receipt dates): semi-join + "
+    "group-by over a date-windowed fact",
+)
+def q4_priority_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            li.select("l_orderkey"),
+            orders.o_orderkey == li.l_orderkey,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT ROUND(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'
+    """,
+    "TPC-H Q14-style promo revenue share: conditional aggregate ratio in "
+    "one pass over a month of shipments, part dim broadcast",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "merge_many_group_commit",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 5 = 0 THEN 'b3'
+                WHEN event_id % 4 = 0 THEN 'b2'
+                WHEN event_id % 3 = 0 THEN 'b1'
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 5 = 0 THEN value + 300.0
+                WHEN event_id % 4 = 0 THEN value + 200.0
+                WHEN event_id % 3 = 0 THEN value + 100.0
+                ELSE value END AS value
+    FROM events
+    WHERE event_id % 10 < 8
+       OR event_id % 3 = 0 OR event_id % 4 = 0 OR event_id % 5 = 0
+    """,
+    "Group commit (merge_many): three overlapping batches applied as ONE "
+    "merge must equal sequential batch-at-a-time merges — later batches "
+    "win per key, one commit total",
+)
+def merge_many_group_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives LakeWriter.merge_many end-to-end: 80% of events as base,
+    then three derived batches (every-3rd, every-4th, every-5th key,
+    each with a distinct payload) group-committed in one call. Final
+    state must equal the oracle's precedence CASE — b3 over b2 over b1
+    over base — proving batch-sequential semantics survive the single
+    window-merge. Exactly one commit lands (version advances by 1)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    batches = [
+        ev.filter(F.col("event_id") % m == 0)
+        .withColumn("value", F.col("value") + F.lit(float(add)))
+        .withColumn("event_type", F.lit(tag))
+        for m, add, tag in ((3, 100.0, "b1"), (4, 200.0, "b2"), (5, 300.0, "b3"))
+    ]
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_gc_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_gc"), pk=["event_id"])
+    w.write(base)
+    v0 = cat.table("events_gc").current_version()
+    w.merge_many(batches)
+    assert cat.table("events_gc").current_version() == v0 + 1
+    return (
+        cat.table("events_gc")
+        .read()
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in QUERIES.items()}
 
