@@ -786,3 +786,116 @@ def embedding_neardup_pairs_sql(
     WHERE a.id < b.id
       AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over pair edges
+# ---------------------------------------------------------------------------
+
+# Near-dup clusters are shallow (pairs come from similarity buckets, so
+# diameters are tiny); min-label propagation converges in a handful of
+# rounds. The bound is a correctness guard, not an expected count.
+MAX_CC_ITERS = 20
+
+
+def dedup_clusters(pairs: DataFrame, out_id: str = "id") -> DataFrame:
+    """Connected components over near-dup pair edges → (id, cluster_id).
+
+    ``pairs`` carries (id_a, id_b) edges (any extra columns ignored);
+    the result labels every vertex with the minimum id reachable from
+    it — the canonical cluster id. Min-label propagation: each round
+    every vertex takes the min of its own label and its neighbors'
+    labels; labels are monotone non-increasing, so a stable label SUM
+    proves a fixpoint (one cheap aggregate per round, no change-join).
+
+    Scale shape: each round is one join + one groupBy on the edge list
+    — at 100 TB this is the textbook iterative-DataFrame form; corpora
+    whose duplicate graphs have long chains would switch to the
+    large-star/small-star contraction, which halves path lengths per
+    round instead of walking them. Singleton documents (no edges) are
+    not emitted — callers union them back if they need full coverage."""
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    edges = _persist(edges)
+    labels = (
+        edges.select(F.col("u").alias(out_id))
+        .distinct()
+        .withColumn("cluster_id", F.col(out_id))
+    )
+    labels = _persist(labels)
+    prev_sum = None
+    for _ in range(MAX_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges.v == F.col(out_id))
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels[out_id] == nbr.u, "left")
+            .select(
+                F.col(out_id),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # cut lineage each round: the plan would otherwise double per
+        # iteration and planning time would dominate the tiny joins
+        new_labels = new_labels.localCheckpoint(eager=True)
+        row = new_labels.agg(
+            F.sum("cluster_id").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        labels.unpersist()
+        labels = new_labels
+        if prev_sum is not None and row["s"] == prev_sum:
+            break  # labels only decrease; equal sum == fixpoint
+        prev_sum = row["s"]
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ITERS} rounds"
+        )
+    edges.unpersist()
+    return labels
+
+
+def cluster_reps_sql(
+    pairs_sql: str, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle twin of clusters-plus-representatives: reachability
+    closure via WITH RECURSIVE (UNION dedups, so it terminates), then
+    min-reachable-id labels and the same (n_chars DESC, doc_id ASC)
+    representative choice."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM verts
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labels AS (SELECT u AS id, min(v) AS cluster_id FROM reach GROUP BY u),
+    joined AS (
+      SELECT l.cluster_id, d.{id_col}, d.n_chars
+      FROM labels l JOIN {table} d ON l.id = d.{id_col}
+    ),
+    sized AS (
+      SELECT cluster_id, count(*) AS n_members FROM joined GROUP BY cluster_id
+    ),
+    ranked AS (
+      SELECT cluster_id, {id_col}, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, {id_col} ASC) AS rn
+      FROM joined
+    )
+    SELECT r.cluster_id, s.n_members,
+           r.{id_col} AS rep_doc_id, CAST(r.n_chars AS BIGINT) AS rep_chars
+    FROM ranked r JOIN sized s USING (cluster_id)
+    WHERE r.rn = 1
+    """

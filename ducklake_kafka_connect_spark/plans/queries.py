@@ -1429,6 +1429,43 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_keep_best",
+    dedup_ops.cluster_reps_sql(dedup_ops.minhash_dedup_pairs_sql()),
+    "Near-dup clustering: connected components over MinHash-LSH pairs, "
+    "one representative per cluster (longest doc, doc_id tie-break) — "
+    "the canonical final step of a training-corpus dedup pipeline",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairs → min-label connected components (operators/dedup.py:
+    dedup_clusters) → per-cluster member count + representative by
+    (n_chars DESC, doc_id ASC). The oracle walks the same edges with a
+    recursive reachability closure — feasible there because the pair
+    set is small; the Spark side is the shape that scales."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_dedup_pairs(docs)
+    comp = dedup_ops.dedup_clusters(pairs, out_id="id")
+    joined = comp.join(
+        docs.select("doc_id", "n_chars"), comp.id == F.col("doc_id")
+    ).select("cluster_id", "doc_id", "n_chars")
+    sized = joined.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    reps = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("long").alias("rep_chars"),
+        )
+    )
+    return reps.join(sized, "cluster_id").select(
+        "cluster_id", "n_members", "rep_doc_id", "rep_chars"
+    )
+
+
+@register(
     "q10_returned_item_revenue",
     """
     SELECT c_custkey, c_name, n_name,

@@ -159,3 +159,41 @@ class TestTextOps:
         assert out[2] == 0.0
         assert out[3] is None
         assert out[4] is None
+
+
+class TestDedupClusters:
+    """Connected components over pair edges (operators/dedup.py
+    dedup_clusters): min-label propagation must produce the min
+    reachable id per vertex, on chains, triangles, and forests."""
+
+    def _labels(self, spark, edges):
+        from ducklake_kafka_connect_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+        }
+
+    def test_triangle_and_disjoint_pair(self, spark):
+        got = self._labels(spark, [(1, 2), (2, 3), (1, 3), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_chain_propagates_to_min(self, spark):
+        # a 7-hop chain needs several propagation rounds
+        edges = [(i, i + 1) for i in range(1, 8)]
+        got = self._labels(spark, edges)
+        assert set(got.values()) == {1}
+        assert len(got) == 8
+
+    def test_star_graph(self, spark):
+        got = self._labels(spark, [(5, i) for i in (6, 7, 8, 9)])
+        assert got == {5: 5, 6: 5, 7: 5, 8: 5, 9: 5}
+
+    def test_min_id_not_first_seen(self, spark):
+        # min id enters via the far end of the component
+        got = self._labels(spark, [(9, 8), (8, 7), (7, 1)])
+        assert set(got.values()) == {1}
+
+    def test_no_singletons_emitted(self, spark):
+        got = self._labels(spark, [(2, 3)])
+        assert 99 not in got and got == {2: 2, 3: 2}
