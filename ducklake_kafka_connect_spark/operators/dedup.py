@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MERSENNE = 2147483647  # 2^31 - 1; keeps a*h+b inside int64 on both engines
 # Shingle-hash combiners: shingle hash = (h(w0)·C1 % M + h(w1)·C2 % M +
@@ -796,6 +797,12 @@ def embedding_neardup_pairs_sql(
 # diameters are tiny); min-label propagation converges in a handful of
 # rounds. The bound is a correctness guard, not an expected count.
 MAX_CC_ITERS = 20
+# At or below this many (verified) edges the component computation runs
+# as driver-side union-find: a similarity-verified pair list is small by
+# construction (it is the DUPLICATES, not the corpus), and each
+# distributed propagation round costs ~1 s of job scheduling that a
+# 10 ms union-find makes absurd. ~16 MB of collected longs at the cap.
+SMALL_GRAPH_EDGES = 1_000_000
 
 
 def dedup_clusters(pairs: DataFrame, out_id: str = "id") -> DataFrame:
@@ -808,13 +815,29 @@ def dedup_clusters(pairs: DataFrame, out_id: str = "id") -> DataFrame:
     labels; labels are monotone non-increasing, so a stable label SUM
     proves a fixpoint (one cheap aggregate per round, no change-join).
 
-    Scale shape: each round is one join + one groupBy on the edge list
-    — at 100 TB this is the textbook iterative-DataFrame form; corpora
-    whose duplicate graphs have long chains would switch to the
-    large-star/small-star contraction, which halves path lengths per
-    round instead of walking them. Singleton documents (no edges) are
-    not emitted — callers union them back if they need full coverage."""
-    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    Two paths by edge count: at or below SMALL_GRAPH_EDGES the edge
+    list collects (slice-capped) and a driver union-find answers in
+    milliseconds; above it, distributed min-label propagation — each
+    round one join + one groupBy on the edge list, the textbook
+    iterative-DataFrame form. Corpora whose duplicate graphs have long
+    chains would switch to large-star/small-star contraction, which
+    halves path lengths per round instead of walking them. Singleton
+    documents (no edges) are not emitted — callers union them back if
+    they need full coverage."""
+    spark = pairs.sparkSession
+    undirected = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    # One bounded collect decides the path: slice() caps the transfer at
+    # the union-find threshold + 1, so an unexpectedly huge pair set
+    # costs one capped aggregate, not an unbounded driver copy.
+    head = undirected.agg(
+        F.slice(
+            F.collect_list(F.struct("u", "v")), 1, SMALL_GRAPH_EDGES + 1
+        ).alias("es")
+    ).collect()[0]["es"]
+    if len(head) <= SMALL_GRAPH_EDGES:
+        return _union_find_labels(spark, [(e["u"], e["v"]) for e in head], out_id)
+
+    edges = undirected
     edges = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -859,6 +882,47 @@ def dedup_clusters(pairs: DataFrame, out_id: str = "id") -> DataFrame:
         )
     edges.unpersist()
     return labels
+
+
+def _union_find_labels(spark, edge_list: list, out_id: str) -> DataFrame:
+    """Driver-side union-find over a small edge list → (id, cluster_id)
+    DataFrame with cluster_id = min id of each component — identical
+    labels to the distributed propagation path."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_list:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    rows = [(x, comp_min[find(x)]) for x in parent]
+    if rows and not isinstance(rows[0][0], int):
+        schema: object = f"{out_id} string, cluster_id string"
+    else:
+        schema = T.StructType(
+            [
+                T.StructField(out_id, T.LongType(), False),
+                T.StructField("cluster_id", T.LongType(), False),
+            ]
+        )
+    return spark.createDataFrame(rows, schema)
 
 
 def cluster_reps_sql(

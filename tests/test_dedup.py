@@ -197,3 +197,14 @@ class TestDedupClusters:
     def test_no_singletons_emitted(self, spark):
         got = self._labels(spark, [(2, 3)])
         assert 99 not in got and got == {2: 2, 3: 2}
+
+    def test_distributed_path_matches_union_find(self, spark, monkeypatch):
+        from ducklake_kafka_connect_spark.operators import dedup as dd
+
+        edges = [(1, 2), (2, 3), (10, 11), (7, 1), (20, 21), (21, 22), (22, 20)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = {r["id"]: r["cluster_id"] for r in dd.dedup_clusters(pairs).collect()}
+        monkeypatch.setattr(dd, "SMALL_GRAPH_EDGES", 0)  # force distributed
+        slow = {r["id"]: r["cluster_id"] for r in dd.dedup_clusters(pairs).collect()}
+        assert fast == slow
+        assert slow[7] == 1 and slow[22] == 20
