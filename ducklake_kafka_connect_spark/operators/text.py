@@ -147,3 +147,88 @@ def repetition_ratio_sql(text_expr: str) -> str:
     grams = f"list_transform(generate_series(1, len({w}) - 1), i -> {h} % {MERSENNE})"
     ratio = f"ROUND(1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / (len({w}) - 1), 6)"
     return f"(CASE WHEN len({w}) >= 2 THEN {ratio} END)"
+
+
+# ---------------------------------------------------------------------------
+# Normalization + composite quality filtering (C4/Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+# Literal ASCII punctuation class, written out so the Java-regex (Spark)
+# and RE2 (DuckDB) dialects can't disagree on a shorthand like \p{Punct}.
+_PUNCT_CLASS = r"[!\"#$%&'()*+,\-./:;<=>?@\[\]\^_`{|}~]"
+
+# Gopher-flavored keep thresholds (tuned to the synthetic corpus scale;
+# the RULES are the operator, the constants are config)
+QUALITY_MIN_TOKENS = 10
+QUALITY_MAX_TOKENS = 100_000
+QUALITY_MEAN_WORD_LEN = (2.0, 12.0)
+QUALITY_MAX_REPETITION = 0.30
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Canonical text form: lower-case, ASCII punctuation stripped,
+    whitespace collapsed to single spaces, trimmed. Pure Catalyst."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, _PUNCT_CLASS, "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def normalize_text_sql(text_expr: str) -> str:
+    """DuckDB twin of normalize_text_col (regexp_replace with 'g')."""
+    cls = _PUNCT_CLASS.replace("'", "''")
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({text_expr}), "
+        f"'{cls}', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+def mean_word_len_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    return F.when(F.size(toks) == 0, F.lit(None).cast("double")).otherwise(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / F.size(toks)
+    )
+
+
+def mean_word_len_sql(text_expr: str) -> str:
+    from .dedup import WORDS_SQL
+
+    w = WORDS_SQL.format(text=text_expr)
+    return (
+        f"CASE WHEN len({w}) = 0 THEN NULL ELSE "
+        f"CAST(list_sum(list_transform({w}, x -> length(x))) AS DOUBLE)"
+        f" / len({w}) END"
+    )
+
+
+def quality_keep_col(text: Column) -> Column:
+    """Composite C4/Gopher-style keep decision, one codegen'd pass:
+    token-count bounds AND mean-word-length bounds AND repetition cap."""
+    n = token_count_col(text)
+    mwl = mean_word_len_col(text)
+    rep = F.coalesce(repetition_ratio_col(text), F.lit(0.0))
+    lo, hi = QUALITY_MEAN_WORD_LEN
+    return (
+        (n >= QUALITY_MIN_TOKENS)
+        & (n <= QUALITY_MAX_TOKENS)
+        & (mwl >= lo)
+        & (mwl <= hi)
+        & (rep <= QUALITY_MAX_REPETITION)
+    )
+
+
+def quality_keep_sql(text_expr: str) -> str:
+    from .dedup import WORDS_SQL
+
+    w = WORDS_SQL.format(text=text_expr)
+    lo, hi = QUALITY_MEAN_WORD_LEN
+    return (
+        f"(len({w}) >= {QUALITY_MIN_TOKENS} AND len({w}) <= {QUALITY_MAX_TOKENS}"
+        f" AND ({mean_word_len_sql(text_expr)}) >= {lo}"
+        f" AND ({mean_word_len_sql(text_expr)}) <= {hi}"
+        f" AND coalesce(({repetition_ratio_sql(text_expr)}), 0.0)"
+        f" <= {QUALITY_MAX_REPETITION})"
+    )

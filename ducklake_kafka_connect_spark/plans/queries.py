@@ -1429,6 +1429,68 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_normalize_hashsum",
+    None,  # oracle attached below (needs operator SQL builders)
+    "Canonical text normalization (lower, punctuation strip, whitespace "
+    "collapse) proven byte-identical via per-lang hash sums",
+)
+def text_normalize_hashsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive equality proof: sum of bounded per-doc hashes
+    of the NORMALIZED text per language — any engine divergence in the
+    normalization (regex dialect, trim semantics) breaks the sum."""
+    from ..operators.text import normalize_text_col
+
+    docs = _t(spark, sf_dir, "documents")
+    h = dedup_ops.h60_col(normalize_text_col(F.col("text"))) % dedup_ops.MERSENNE
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h).alias("norm_hashsum"),
+    )
+
+
+@register(
+    "corpus_quality_filter",
+    None,  # oracle attached below
+    "Composite C4/Gopher-style quality gate (token bounds, mean word "
+    "length, repetition cap) — per-lang keep/drop counts + kept tokens",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_keep_col, token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = quality_keep_col(F.col("text"))
+    n_tok = token_count_col(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.when(keep, 0).otherwise(1)).alias("n_drop"),
+        F.sum(F.when(keep, n_tok).otherwise(0)).cast("long").alias("kept_tokens"),
+    )
+
+
+def _attach_text_oracles() -> None:
+    from ..operators.dedup import MERSENNE, WORDS_SQL, h60_sql
+    from ..operators.text import normalize_text_sql, quality_keep_sql
+
+    QUERIES["text_normalize_hashsum"].oracle = f"""
+    SELECT lang, count(*) AS n,
+           CAST(sum({h60_sql(normalize_text_sql('text'))} % {MERSENNE})
+                AS BIGINT) AS norm_hashsum
+    FROM documents GROUP BY lang
+    """
+    w = WORDS_SQL.format(text="text")
+    QUERIES["corpus_quality_filter"].oracle = f"""
+    SELECT lang,
+           CAST(sum(CASE WHEN {quality_keep_sql('text')} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN {quality_keep_sql('text')} THEN 0 ELSE 1 END) AS BIGINT) AS n_drop,
+           CAST(sum(CASE WHEN {quality_keep_sql('text')} THEN len({w}) ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM documents GROUP BY lang
+    """
+
+
+_attach_text_oracles()
+
+
+@register(
     "dedup_cluster_keep_best",
     dedup_ops.cluster_reps_sql(dedup_ops.minhash_dedup_pairs_sql()),
     "Near-dup clustering: connected components over MinHash-LSH pairs, "
