@@ -447,3 +447,47 @@ def ivf_indexed_topk_sql(
     ORDER BY cos_sim DESC, v.id
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization (memory-compressed ANN; asymmetric scoring)
+# ---------------------------------------------------------------------------
+
+
+def dequantized_int8_col(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantize→dequantize round-trip:
+    ``scale = max|v| / 127``, ``q_j = round(v_j / scale)``,
+    ``dq_j = q_j * scale``. Models the storage format where embeddings
+    live as int8 + one float scale (4x smaller than float32, ~32x
+    smaller working set than double) while scoring runs asymmetric —
+    full-precision query against dequantized corpus. Zero vectors pass
+    through (no 0/0). Pure Catalyst; bit-identical to the DuckDB twin
+    because both engines do the same double-precision ops."""
+    as_d = F.transform(vec, lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(as_d, F.abs)) / F.lit(127.0)
+    return F.when(scale == F.lit(0.0), as_d).otherwise(
+        F.transform(as_d, lambda x: F.round(x / scale) * scale)
+    )
+
+
+def quantized_topk_sql(table: str = "embeddings", k: int = 10) -> str:
+    """DuckDB oracle twin of int8-dequantized brute cosine top-k."""
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+               FROM {table} WHERE vec_id = 0),
+    d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM {table} WHERE vec_id <> 0),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM d),
+    dq AS (SELECT vec_id,
+                  CASE WHEN scale = 0 THEN v
+                       ELSE list_transform(v, x -> round(x / scale) * scale)
+                  END AS dqv
+           FROM s)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(dqv, (SELECT v FROM q)), 6) AS cos_sim
+    FROM dq
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {k}
+    """

@@ -1429,6 +1429,32 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_quantized_topk",
+    None,  # oracle attached below (operator SQL builder)
+    "Int8-quantized brute cosine top-k: corpus stored as int8+scale "
+    "(4x smaller), scored asymmetric against the full-precision query",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dequantized_int8_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    dq = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", dequantized_int8_col(F.col("embedding")).alias("embedding")
+    )
+    return cosine_topk(dq, qvec, k=10)
+
+
+def _attach_similarity_oracles() -> None:
+    from ..operators.similarity import quantized_topk_sql
+
+    QUERIES["ann_quantized_topk"].oracle = quantized_topk_sql()
+
+
+_attach_similarity_oracles()
+
+
+@register(
     "text_normalize_hashsum",
     None,  # oracle attached below (needs operator SQL builders)
     "Canonical text normalization (lower, punctuation strip, whitespace "
