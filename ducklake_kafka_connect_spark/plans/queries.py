@@ -1516,6 +1516,128 @@ def _attach_text_oracles() -> None:
 _attach_text_oracles()
 
 
+SPAN_WORDS = 8  # non-overlapping span width for exact span dedup
+SAMPLE_RATES = {"en": 60, "es": 40, "de": 40, "fr": 40, "zh": 25}  # pct per lang
+
+
+@register(
+    "dedup_span_exact",
+    None,  # oracle attached below (needs dedup SQL builders)
+    "C4-style exact span dedup signal: non-overlapping 8-word spans "
+    "hashed; spans seen in ≥2 distinct docs are duplicates — per-lang "
+    "affected-doc counts and mean duplicate-span fraction",
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: explode (span_hash, doc_id) — 8x fewer rows than
+    tokens — one groupBy(hash) for the cross-doc duplicate set, one
+    broadcast-ish semi-join back, one per-doc aggregate. The corpus
+    text itself never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_spans = F.floor(F.size(words) / SPAN_WORDS).cast("int")
+    span = lambda i: dedup_ops.h60_col(  # noqa: E731
+        F.concat_ws(" ", F.slice(words, i * SPAN_WORDS + 1, SPAN_WORDS))
+    )
+    chunks = F.when(n_spans <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(F.sequence(F.lit(0), n_spans - 1), span)
+    )
+    ex = (
+        docs.select("doc_id", "lang", F.explode(chunks).alias("h"))
+    )
+    ex = ex.persist()
+    dup = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        ex.join(dup.withColumn("__dup", F.lit(1)), "h", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum(F.when(F.col("n_dup") > 0, 1).otherwise(0)).alias("docs_with_dup"),
+        F.round(
+            F.avg(F.col("n_dup").cast("double") / F.col("n_spans")), 6
+        ).alias("avg_dup_frac"),
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    None,  # oracle attached below
+    "Deterministic stratified sampling for training-mix construction: "
+    "content-stable hash gate per language rate — reproducible across "
+    "engines and runs, no RNG",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    gate = dedup_ops.h60_col(F.col("doc_id").cast("string")) % 100
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in SAMPLE_RATES.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        docs.filter(gate < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+def _attach_span_sample_oracles() -> None:
+    from ..operators.dedup import h60_sql
+
+    w = dedup_ops.WORDS_SQL.format(text="text")
+    span = h60_sql(f"array_to_string(w[i*{SPAN_WORDS}+1 : i*{SPAN_WORDS}+{SPAN_WORDS}], ' ')")
+    QUERIES["dedup_span_exact"].oracle = f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) < {SPAN_WORDS} THEN []
+                  ELSE list_transform(
+                         -- floor() explicitly: DuckDB CAST(x AS INT) rounds
+                         generate_series(0, CAST(floor(len(w) / {SPAN_WORDS}.0) AS INT) - 1),
+                         i -> {span})
+             END AS chunks
+      FROM (SELECT doc_id, lang, {w} AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, lang, unnest(chunks) AS h FROM c WHERE len(chunks) > 0),
+    dup AS (SELECT h FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    per_doc AS (
+      SELECT e.doc_id, e.lang, count(*) AS n_spans,
+             CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM ex e LEFT JOIN dup d ON e.h = d.h
+      GROUP BY e.doc_id, e.lang
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dup,
+           ROUND(avg(CAST(n_dup AS DOUBLE) / n_spans), 6) AS avg_dup_frac
+    FROM per_doc GROUP BY lang
+    """
+    rate_case = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in SAMPLE_RATES.items()
+    )
+    QUERIES["corpus_stratified_sample"].oracle = f"""
+    SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE {h60_sql("CAST(doc_id AS VARCHAR)")} % 100
+          < (CASE lang {rate_case} ELSE 0 END)
+    GROUP BY lang
+    """
+
+
+_attach_span_sample_oracles()
+
+
 @register(
     "dedup_cluster_keep_best",
     dedup_ops.cluster_reps_sql(dedup_ops.minhash_dedup_pairs_sql()),
