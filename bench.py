@@ -213,6 +213,7 @@ SF1_QUERIES = [  # r3's 10 most expensive, cheap/stable first
     "ann_ivf_indexed_topk",
     "contamination_overlap",
     "dedup_minhash_lsh",
+    "dedup_cluster_keep_best",
     "dedup_embedding_cosine",
     "dedup_simhash_hamming",
 ]

@@ -1541,10 +1541,9 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = F.when(n_spans <= 0, F.array().cast("array<bigint>")).otherwise(
         F.transform(F.sequence(F.lit(0), n_spans - 1), span)
     )
-    ex = (
-        docs.select("doc_id", "lang", F.explode(chunks).alias("h"))
-    )
-    ex = ex.persist()
+    ex = docs.select("doc_id", "lang", F.explode(chunks).alias("h"))
+    # tracked persist: released by dedup_ops.release_cached(), not leaked
+    ex = dedup_ops._persist(ex)
     dup = (
         ex.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
