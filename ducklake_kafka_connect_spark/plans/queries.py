@@ -1481,15 +1481,66 @@ def text_normalize_hashsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length, repetition cap) — per-lang keep/drop counts + kept tokens",
 )
 def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import quality_keep_col, token_count_col
+    """Row-wise scale plan (the text_repetition_ratio shape): the
+    repetition signal comes from posexplode → lead() → one md5 per
+    bigram → per-doc distinct/count — NOT the array-lambda
+    ``quality_keep_col`` form, whose in-lambda token re-evaluation is
+    quadratic in doc length (measured 6.9 s vs 0.8 s at sf0.1). Token
+    count and mean word length are linear single-pass array aggregates
+    computed alongside; everything shares one doc_id hash partitioning,
+    so the rep join adds no shuffle."""
+    from ..operators.text import (
+        QUALITY_MAX_REPETITION,
+        QUALITY_MAX_TOKENS,
+        QUALITY_MEAN_WORD_LEN,
+        QUALITY_MIN_TOKENS,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    keep = quality_keep_col(F.col("text"))
-    n_tok = token_count_col(F.col("text"))
-    return docs.groupBy("lang").agg(
+    n_part = spark.sparkContext.defaultParallelism
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    mwl = F.when(F.size(words) == 0, F.lit(None).cast("double")).otherwise(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / F.size(words)
+    )
+    base = docs.repartition(n_part, "doc_id").select(
+        "doc_id", "lang", F.size(words).alias("n_tok"), mwl.alias("mwl")
+    )
+    tok = docs.repartition(n_part, "doc_id").select(
+        "doc_id", F.posexplode(words).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("w1", F.lead("w", 1).over(win))
+        .filter(F.col("w1").isNotNull())
+        .select(
+            "doc_id",
+            (
+                dedup_ops.h60_col(F.concat_ws(" ", "w", "w1")) % dedup_ops.MERSENNE
+            ).alias("h"),
+        )
+    )
+    rep = grams.groupBy("doc_id").agg(
+        F.round(
+            F.lit(1.0) - F.countDistinct("h").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("rep")
+    )
+    lo, hi = QUALITY_MEAN_WORD_LEN
+    j = base.join(rep, "doc_id", "left")
+    keep = (
+        (F.col("n_tok") >= QUALITY_MIN_TOKENS)
+        & (F.col("n_tok") <= QUALITY_MAX_TOKENS)
+        & (F.col("mwl") >= lo)
+        & (F.col("mwl") <= hi)
+        & (F.coalesce(F.col("rep"), F.lit(0.0)) <= QUALITY_MAX_REPETITION)
+    )
+    return j.groupBy("lang").agg(
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_keep"),
         F.sum(F.when(keep, 0).otherwise(1)).alias("n_drop"),
-        F.sum(F.when(keep, n_tok).otherwise(0)).cast("long").alias("kept_tokens"),
+        F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).cast("long").alias("kept_tokens"),
     )
 
 
