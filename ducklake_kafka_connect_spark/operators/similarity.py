@@ -470,6 +470,30 @@ def dequantized_int8_col(vec: Column) -> Column:
     )
 
 
+def dequantize_int8_frame(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Frame-level form of :func:`dequantized_int8_col` that computes
+    the per-vector scale in its OWN projection first. The single-column
+    form captures the scale expression inside the transform lambda, and
+    Catalyst re-evaluates captured outer expressions per element —
+    O(dim²) abs/max work per row. Two projections make it one
+    array_max per row, with the lambda reading a plain column."""
+    others = [c for c in df.columns if c != vec_col]
+    s = df.select(
+        *others,
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+    ).withColumn(
+        "__s", F.array_max(F.transform("__v", F.abs)) / F.lit(127.0)
+    )
+    dq = F.when(F.col("__s") == 0.0, F.col("__v")).otherwise(
+        F.transform(
+            "__v", lambda x: F.round(x / F.col("__s")) * F.col("__s")
+        )
+    )
+    return s.select(*others, dq.alias(vec_col))
+
+
 def quantized_topk_sql(table: str = "embeddings", k: int = 10) -> str:
     """DuckDB oracle twin of int8-dequantized brute cosine top-k."""
     return f"""

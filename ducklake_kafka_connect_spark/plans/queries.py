@@ -1435,12 +1435,12 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(4x smaller), scored asymmetric against the full-precision query",
 )
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import dequantized_int8_col
+    from ..operators.similarity import dequantize_int8_frame
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    dq = emb.filter(F.col("vec_id") != 0).select(
-        "vec_id", dequantized_int8_col(F.col("embedding")).alias("embedding")
+    dq = dequantize_int8_frame(
+        emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
     )
     return cosine_topk(dq, qvec, k=10)
 
