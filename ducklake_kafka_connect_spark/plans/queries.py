@@ -1726,6 +1726,50 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_travel_snapshot",
+    """
+    WITH v1 AS (
+      SELECT event_id, value FROM events WHERE event_id % 10 < 8
+    ),
+    v2 AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 >= 5 THEN value + 1000.0 ELSE value END AS value
+      FROM events
+    )
+    SELECT 'v1' AS snapshot, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM v1
+    UNION ALL
+    SELECT 'v2' AS snapshot, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM v2
+    """,
+    "Snapshot isolation / time travel: a versioned read of the table AS "
+    "OF the pre-merge commit must still see the old rows after the merge "
+    "commits (immutable data files + manifest versioning)",
+)
+def time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds the merge_upsert table (append = v_base, merge = v_base+1),
+    then reads BOTH versions from the same catalog: the old snapshot
+    must be bit-stable against the oracle's pre-merge expression even
+    though the merge rewrote the live file set. Cents-integerized sums
+    keep the comparison order-insensitive exact."""
+    w, batch, cat = merge_upsert_build(spark, sf_dir)
+    t = cat.table("events_merged")
+    v1 = t.current_version()
+    w.write(batch)  # MERGE → v1 + 1
+    # floor, not cast: Spark double→long truncates toward zero while
+    # DuckDB's CAST rounds — floor() agrees everywhere
+    cents = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    a = cents(t.read(version=v1)).withColumn("snapshot", F.lit("v1"))
+    b = cents(t.read()).withColumn("snapshot", F.lit("v2"))
+    return a.unionByName(b).select("snapshot", "n", "value_cents")
+
+
+@register(
     "q10_returned_item_revenue",
     """
     SELECT c_custkey, c_name, n_name,
