@@ -38,6 +38,36 @@ from ..sources.json_decode import CORRUPT_COL, decode_json, split_dlq
 
 _TOPIC_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 
+DEFAULT_INLINING_ROW_LIMIT = 10_000
+
+
+def parse_inlining_limit(value) -> int | None:
+    """``ducklake.data_inlining_row_limit`` semantics
+    (``DucklakeSinkConfig.java`` / ``DucklakeSinkConfigTest.java:58-88``):
+    unset → the 10000 default; ``"off"`` (any case) disables the
+    feature → None; numeric strings / ints parse; anything else raises.
+    In this engine the limit drives write-path auto-compaction — small
+    commits below the threshold get folded together — instead of the
+    reference's catalog inlining, which is the same contract (tiny
+    batches must not accrete as standalone files)."""
+    if value is None:
+        return DEFAULT_INLINING_ROW_LIMIT
+    if isinstance(value, bool):
+        raise ValueError(f"Invalid data-inlining row limit: {value!r}")
+    if isinstance(value, int):
+        n = value
+    else:
+        s = str(value).strip()
+        if s.lower() == "off":
+            return None
+        try:
+            n = int(s)
+        except ValueError:
+            raise ValueError(f"Invalid data-inlining row limit: {value!r}")
+    if n < 0:
+        raise ValueError(f"Invalid data-inlining row limit: {value!r}")
+    return n
+
 
 @dataclass
 class TableSpec:
@@ -50,12 +80,21 @@ class TableSpec:
     format: str = "json"  # json | avro | avro_registry | arrow | mixed
     avro_schema: str | None = None
     confluent_framing: bool = False
+    # DATA_INLINING_ROW_LIMIT analogue: None→default 10000, "off"→disable
+    inlining_row_limit: str | int | None = None
 
     def __post_init__(self):
         if self.format not in ("json", "avro", "avro_registry", "arrow", "mixed"):
             raise ValueError(f"Unknown format: {self.format!r}")
         if self.format == "avro" and not self.avro_schema:
             raise ValueError("format='avro' requires avro_schema")
+        # validate eagerly (ConfigException-at-construction parity) and
+        # ALSO validate partition expressions up front
+        self.inlining_rows = parse_inlining_limit(self.inlining_row_limit)
+        if self.partition_by is not None:
+            from ..lake.partitioning import parse_partition_exprs
+
+            parse_partition_exprs(self.partition_by)
 
 
 @dataclass
@@ -147,6 +186,8 @@ class IngestPipeline:
             pk=spec.id_columns,
             partition_by=spec.partition_by,
             auto_create=spec.auto_create,
+            # 'off' disables write-path auto-compaction for this table
+            auto_compact=spec.inlining_rows is not None,
         )
         try:
             writer.write_many(goods)
