@@ -1725,6 +1725,125 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q18_QTY_THRESHOLD = 300
+
+
+@register(
+    "q18_large_volume_orders",
+    f"""
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(big.q AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS q
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > {Q18_QTY_THRESHOLD}) big
+      ON o_orderkey = big.l_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q18-style large-volume orders: HAVING-filtered aggregate "
+    "subquery joined back to orders/customer, top-10",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregate-then-join shape: lineitem aggregates FIRST (partial
+    agg map-side, one shuffle on l_orderkey), the HAVING filter leaves a
+    tiny relation that broadcasts into orders — the fact never joins
+    row-level. Quantities are integral doubles, so the sums are exact
+    and order-insensitive."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("q").cast("long").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '6 hours'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_type, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_no,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND v <= c
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+                         AND v <= c AND c <= p
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel
+    FROM per_session
+    """,
+    "Sessionized conversion funnel: view → click → purchase ordered "
+    "inside one 6h-gap session (session_window vs gaps-and-islands oracle)",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle (user_id session window), per-session min-per-stage,
+    then a global roll-up — the standard product-analytics funnel on the
+    same sessionization the session_windows query proved equivalent."""
+    ev = _t(spark, sf_dir, "events")
+    stage = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per = ev.groupBy("user_id", F.session_window("ts", "6 hours")).agg(
+        stage("view").alias("v"),
+        stage("click").alias("c"),
+        stage("purchase").alias("p"),
+    )
+    v, c, p = F.col("v"), F.col("c"), F.col("p")
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(v.isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(
+            F.when(v.isNotNull() & c.isNotNull() & (v <= c), 1).otherwise(0)
+        ).alias("n_view_click"),
+        F.sum(
+            F.when(
+                v.isNotNull()
+                & c.isNotNull()
+                & p.isNotNull()
+                & (v <= c)
+                & (c <= p),
+                1,
+            ).otherwise(0)
+        ).alias("n_funnel"),
+    )
+
+
 @register(
     "time_travel_snapshot",
     """
