@@ -232,3 +232,47 @@ def quality_keep_sql(text_expr: str) -> str:
         f" AND coalesce(({repetition_ratio_sql(text_expr)}), 0.0)"
         f" <= {QUALITY_MAX_REPETITION})"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-corpus scrubbing)
+# ---------------------------------------------------------------------------
+
+# Written in the common Java-regex / RE2 subset: explicit classes, \b
+# word boundaries, bounded quantifiers — both engines must match the
+# same spans or the redacted-text hash sums diverge.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+EMAIL_TOKEN = "[EMAIL]"
+PHONE_TOKEN = "[PHONE]"
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Emails then phone numbers replaced by fixed tokens — one
+    codegen'd pass of two regexp_replace calls, the 100 TB-friendly
+    shape for corpus scrubbing."""
+    t = F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN)
+    return F.regexp_replace(t, PHONE_RE, PHONE_TOKEN)
+
+
+def pii_counts_col(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit metrics."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)),
+        F.regexp_count(text, F.lit(PHONE_RE)),
+    )
+
+
+def redact_pii_sql(text_expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({text_expr}, "
+        f"'{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'), "
+        f"'{PHONE_RE}', '{PHONE_TOKEN}', 'g')"
+    )
+
+
+def pii_counts_sql(text_expr: str) -> tuple[str, str]:
+    return (
+        f"len(regexp_extract_all({text_expr}, '{EMAIL_RE}'))",
+        f"len(regexp_extract_all({text_expr}, '{PHONE_RE}'))",
+    )

@@ -1644,6 +1644,71 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pii_redaction",
+    None,  # oracle attached below (operator SQL builders)
+    "PII scrubbing: emails + phone numbers redacted to fixed tokens by "
+    "codegen'd regexp_replace; deterministic injected PII proves the "
+    "Java-regex and RE2 dialects match identical spans (hash-sum check)",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each doc gets one deterministic email + phone appended (synthetic
+    corpus carries none), then the redaction pass runs; the oracle must
+    agree on match COUNTS and on the byte-exact redacted text (per-lang
+    hash sums). At 100 TB this is one narrow projection — no shuffle,
+    no Python."""
+    from ..operators.text import pii_counts_col, redact_pii_col
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    n_email, n_phone = pii_counts_col(enriched)
+    redacted = redact_pii_col(enriched)
+    h = dedup_ops.h60_col(redacted) % dedup_ops.MERSENNE
+    return docs.select(
+        "lang",
+        n_email.alias("ne"),
+        n_phone.alias("np"),
+        h.alias("h"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ne").cast("long").alias("n_emails"),
+        F.sum("np").cast("long").alias("n_phones"),
+        F.sum("h").alias("redacted_hashsum"),
+    )
+
+
+def _attach_pii_oracle() -> None:
+    from ..operators.dedup import MERSENNE, h60_sql
+    from ..operators.text import pii_counts_sql, redact_pii_sql
+
+    enriched = (
+        "(text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or 555-' || "
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+    )
+    ne, np_ = pii_counts_sql(enriched)
+    QUERIES["pii_redaction"].oracle = f"""
+    SELECT lang, count(*) AS n,
+           CAST(sum({ne}) AS BIGINT) AS n_emails,
+           CAST(sum({np_}) AS BIGINT) AS n_phones,
+           CAST(sum({h60_sql(redact_pii_sql(enriched))} % {MERSENNE})
+                AS BIGINT) AS redacted_hashsum
+    FROM documents GROUP BY lang
+    """
+
+
+_attach_pii_oracle()
+
+
 def _attach_span_sample_oracles() -> None:
     from ..operators.dedup import h60_sql
 
