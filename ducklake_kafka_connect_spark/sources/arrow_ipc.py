@@ -61,7 +61,21 @@ def decode_arrow_ipc(
     """
     if arrow_schema is None:
         arrow_schema = infer_ipc_schema(df, value_col)
-    schema_capture = arrow_schema.serialize().to_pybytes()
+    # physical form: TIME columns carry their integer representation
+    # (Spark has no TIME type; see _from_arrow_type)
+    phys = pa.schema(
+        [
+            pa.field(
+                f.name,
+                (pa.int32() if f.type.bit_width == 32 else pa.int64())
+                if pa.types.is_time(f.type)
+                else f.type,
+                f.nullable,
+            )
+            for f in arrow_schema
+        ]
+    )
+    schema_capture = phys.serialize().to_pybytes()
     narrow = df.select(value_col)
 
     def explode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -79,8 +93,10 @@ def decode_arrow_ipc(
                         for rb in reader:
                             if rb.num_rows == 0:
                                 continue
-                            if not rb.schema.equals(target):
-                                rb = pa.Table.from_batches([rb]).cast(target).to_batches()[0] if rb.schema.names == target.names else rb
+                            if not rb.schema.equals(target) and list(rb.schema.names) == list(target.names):
+                                # covers promoted widths AND time→int
+                                # physical conversion in one cast
+                                rb = pa.Table.from_batches([rb]).cast(target).to_batches()[0]
                             yield rb
 
         # thousands of tiny per-payload batches → right-sized batches
@@ -122,6 +138,15 @@ def _from_arrow_type(t: pa.DataType) -> T.DataType:
         return T.TimestampType()
     if pa.types.is_date(t):
         return T.DateType()
+    if pa.types.is_decimal(t):
+        # Kafka Connect Decimal logical type → Arrow decimal → Spark
+        # DecimalType (KafkaSchemaToArrow.java logical-type mapping)
+        return T.DecimalType(t.precision, t.scale)
+    if pa.types.is_time(t):
+        # Spark has no TIME type; Kafka Time (millis past midnight) maps
+        # to the integral micros/millis value, mirroring the reference's
+        # storage of TIME as its integer representation
+        return T.IntegerType() if t.bit_width == 32 else T.LongType()
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return T.ArrayType(_from_arrow_type(t.value_type), True)
     if pa.types.is_map(t):

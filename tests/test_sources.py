@@ -271,3 +271,57 @@ class TestIngestPipeline:
         out = catalog.table("ev").read()
         assert out.count() == 2
         assert dict(out.dtypes)["value"] == "bigint"
+
+
+class TestArrowLogicalTypes:
+    """KafkaSchemaToArrowTimestampTest.java logical-type matrix: decimal
+    and time columns through the IPC decode path (Kafka Connect Decimal
+    → DecimalType; Time → integer representation, Spark has no TIME)."""
+
+    def test_decimal_and_time_roundtrip(self, spark):
+        import pyarrow as pa
+
+        from ducklake_kafka_connect_spark.sources.arrow_ipc import (
+            decode_arrow_ipc,
+            encode_ipc,
+        )
+
+        from decimal import Decimal
+
+        tbl = pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "price": pa.array(
+                    [Decimal("10.50"), Decimal("29.99")], pa.decimal128(10, 2)
+                ),
+                "t_ms": pa.array([3_600_000, 7_200_000], pa.time32("ms")),
+                "t_us": pa.array(
+                    [3_600_000_000, 7_200_000_000], pa.time64("us")
+                ),
+            }
+        )
+        df = spark.createDataFrame([(encode_ipc(tbl),)], "value binary")
+        out = decode_arrow_ipc(df, "value")
+        types = dict(out.dtypes)
+        assert types["price"] == "decimal(10,2)"
+        assert types["t_ms"] == "int"
+        assert types["t_us"] == "bigint"
+        rows = {r["id"]: r for r in out.collect()}
+        assert str(rows[1]["price"]) == "10.50"
+        assert rows[2]["t_ms"] == 7_200_000
+        assert rows[1]["t_us"] == 3_600_000_000
+
+    def test_nullable_decimal(self, spark):
+        import pyarrow as pa
+
+        from ducklake_kafka_connect_spark.sources.arrow_ipc import (
+            decode_arrow_ipc,
+            encode_ipc,
+        )
+
+        tbl = pa.table({"v": pa.array([None, 5], pa.decimal128(5, 1))})
+        df = spark.createDataFrame([(encode_ipc(tbl),)], "value binary")
+        vals = sorted(
+            (str(r["v"]) for r in decode_arrow_ipc(df, "value").collect()),
+        )
+        assert vals == ["5.0", "None"]
