@@ -33,7 +33,9 @@ retries (``ducklake_max_retry_count``).
 
 from __future__ import annotations
 
+import decimal
 import json
+import math
 import os
 import time
 import uuid
@@ -556,6 +558,13 @@ def _normalize_stat(lo, hi):
         return None
     if isinstance(lo, bool) or isinstance(lo, (int, float, str)):
         pass
+    elif isinstance(lo, decimal.Decimal):
+        # str(Decimal) orders lexicographically, NOT numerically ("10.5"
+        # < "9.1") — a silent wrong-pruning trap. Store floats nudged
+        # one ulp outward so the bounds stay conservative despite the
+        # float conversion's rounding direction being unknown.
+        lo = math.nextafter(float(lo), -math.inf)
+        hi = math.nextafter(float(hi), math.inf)
     else:  # datetime/date → ISO-ish str(); lexicographic order == value order
         lo, hi = str(lo), str(hi)
     if isinstance(lo, str) and (len(lo) > MAX_STAT_STRING or len(hi) > MAX_STAT_STRING):
@@ -579,10 +588,21 @@ def _footer_stats(path: str, columns: list[str]) -> dict:
 def _footer_stats_of(f, columns: list[str]) -> dict:
     try:
         out: dict = {"__rows": f.metadata.num_rows}
-        for column in columns:
+    except Exception:
+        return {}
+    for column in columns:
+        # per-COLUMN isolation: pyarrow raises decoding some columns'
+        # statistics (e.g. Spark-written decimals) — one bad column must
+        # not discard every other column's stats (that silently disables
+        # ALL merge/read pruning for the file)
+        try:
             idx = f.schema_arrow.get_field_index(column)
             if idx < 0:
                 continue
+            import pyarrow as pa
+
+            ftype = f.schema_arrow.field(idx).type
+            dec_scale = ftype.scale if pa.types.is_decimal(ftype) else None
             lo = hi = None
             ok = True
             for rg in range(f.metadata.num_row_groups):
@@ -591,16 +611,35 @@ def _footer_stats_of(f, columns: list[str]) -> dict:
                 if st is None or not st.has_min_max:
                     ok = False
                     break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                if dec_scale is not None:
+                    # Spark stores decimals as unscaled INT32/INT64/FLBA;
+                    # pyarrow's typed st.min/max raises on them, but the
+                    # raw values decode directly
+                    mn = _decimal_from_raw(st.min_raw, dec_scale)
+                    mx = _decimal_from_raw(st.max_raw, dec_scale)
+                else:
+                    mn, mx = st.min, st.max
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
             if not ok:
                 continue
             norm = _normalize_stat(lo, hi)
             if norm is not None:
                 out[column] = norm
-        return out
-    except Exception:
-        return {}
+        except Exception:
+            continue
+    return out
+
+
+def _decimal_from_raw(raw, scale: int) -> decimal.Decimal:
+    """Unscaled parquet decimal statistic (int for INT32/INT64 storage,
+    big-endian two's-complement bytes for FIXED_LEN_BYTE_ARRAY) →
+    Decimal."""
+    if isinstance(raw, (bytes, bytearray)):
+        unscaled = int.from_bytes(raw, "big", signed=True)
+    else:
+        unscaled = int(raw)
+    return decimal.Decimal(unscaled).scaleb(-scale)
 
 
 class LakeCatalog:

@@ -95,6 +95,14 @@ def unify_types(types: Sequence[T.DataType], field: str | None = None) -> T.Data
                 return t
         return uniq[0]
 
+    if _all_isinstance(uniq, T.DecimalType):
+        from .reconcile import combined_decimal
+
+        out = uniq[0]
+        for t in uniq[1:]:
+            out = combined_decimal(out, t)
+        return out
+
     if _all_isinstance(uniq, _NUMERIC):
         if any(isinstance(t, T.DoubleType) for t in uniq):
             return T.DoubleType()

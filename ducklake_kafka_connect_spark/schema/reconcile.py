@@ -86,7 +86,33 @@ def decide_column(existing: T.DataType, incoming: T.DataType) -> EvolutionDecisi
     if isinstance(existing, T.DoubleType) and isinstance(incoming, T.FloatType):
         return EvolutionDecision.COMPATIBLE_KEEP
 
+    if isinstance(existing, T.DecimalType) and isinstance(incoming, T.DecimalType):
+        # widen to the union of integral digits and scale; KEEP when the
+        # stored type already covers the incoming one
+        return (
+            EvolutionDecision.COMPATIBLE_KEEP
+            if combined_decimal(existing, incoming) == existing
+            else EvolutionDecision.UPGRADE
+        )
+
     return EvolutionDecision.INCOMPATIBLE
+
+
+def combined_decimal(a: T.DecimalType, b: T.DecimalType) -> T.DecimalType:
+    """Smallest decimal covering both: max integral digits + max scale,
+    capped at Spark's 38-digit limit (scale preserved under the cap)."""
+    scale = max(a.scale, b.scale)
+    integral = max(a.precision - a.scale, b.precision - b.scale)
+    return T.DecimalType(min(38, integral + scale), scale)
+
+
+def widen_target(existing: T.DataType, incoming: T.DataType) -> T.DataType:
+    """Type a column widens TO on UPGRADE — the incoming type, except
+    decimals, whose union may be wider than either side
+    ((10,2) ∪ (8,4) → (12,4))."""
+    if isinstance(existing, T.DecimalType) and isinstance(incoming, T.DecimalType):
+        return combined_decimal(existing, incoming)
+    return incoming
 
 
 @dataclass
@@ -122,8 +148,9 @@ def plan_evolution(existing: T.StructType, incoming: T.StructType) -> EvolutionP
             continue
         decision = decide_column(cur.dataType, f.dataType)
         if decision is EvolutionDecision.UPGRADE:
-            plan.widen_columns[f.name] = f.dataType
-            final_fields[f.name] = T.StructField(f.name, f.dataType, nullable=cur.nullable)
+            target = widen_target(cur.dataType, f.dataType)
+            plan.widen_columns[f.name] = target
+            final_fields[f.name] = T.StructField(f.name, target, nullable=cur.nullable)
         elif decision is EvolutionDecision.INCOMPATIBLE:
             raise ReconcileError(
                 f"Incompatible schema evolution for column '{f.name}': "

@@ -161,3 +161,67 @@ class TestReconcile:
     def test_incompatible_raises(self):
         with pytest.raises(ReconcileError):
             plan_evolution(struct(v=T.StringType()), struct(v=T.IntegerType()))
+
+
+class TestDecimalLadder:
+    """Decimal unification + widening (decimals arrive via the Arrow
+    logical-type mapping; Kafka Connect Decimal parity)."""
+
+    def test_unify_same(self):
+        from pyspark.sql import types as T
+
+        from ducklake_kafka_connect_spark.schema.merge import unify_types
+
+        assert unify_types([T.DecimalType(10, 2), T.DecimalType(10, 2)]) == T.DecimalType(10, 2)
+
+    def test_unify_widens_both_dimensions(self):
+        from pyspark.sql import types as T
+
+        from ducklake_kafka_connect_spark.schema.merge import unify_types
+
+        # (10,2): 8 integral; (8,4): 4 integral → 8 integral + 4 scale
+        assert unify_types([T.DecimalType(10, 2), T.DecimalType(8, 4)]) == T.DecimalType(12, 4)
+
+    def test_unify_caps_at_38(self):
+        from pyspark.sql import types as T
+
+        from ducklake_kafka_connect_spark.schema.merge import unify_types
+
+        out = unify_types([T.DecimalType(38, 0), T.DecimalType(20, 10)])
+        assert out.precision == 38 and out.scale == 10
+
+    def test_decimal_plus_double_is_error(self):
+        import pytest as _pytest
+        from pyspark.sql import types as T
+
+        from ducklake_kafka_connect_spark.schema.merge import (
+            SchemaUnificationError,
+            unify_types,
+        )
+
+        with _pytest.raises(SchemaUnificationError):
+            unify_types([T.DecimalType(10, 2), T.DoubleType()])
+
+    def test_reconcile_keep_and_upgrade(self):
+        from pyspark.sql import types as T
+
+        from ducklake_kafka_connect_spark.schema.reconcile import (
+            EvolutionDecision,
+            decide_column,
+            plan_evolution,
+        )
+
+        assert (
+            decide_column(T.DecimalType(12, 4), T.DecimalType(10, 2))
+            is EvolutionDecision.COMPATIBLE_KEEP
+        )
+        assert (
+            decide_column(T.DecimalType(10, 2), T.DecimalType(8, 4))
+            is EvolutionDecision.UPGRADE
+        )
+        plan = plan_evolution(
+            T.StructType([T.StructField("v", T.DecimalType(10, 2))]),
+            T.StructType([T.StructField("v", T.DecimalType(8, 4))]),
+        )
+        assert plan.widen_columns == {"v": T.DecimalType(12, 4)}
+        assert plan.final_schema["v"].dataType == T.DecimalType(12, 4)

@@ -310,3 +310,39 @@ class TestBloomVectorizedHash:
 
         old = b"DLBF" + struct.pack("<II", 5, 256) + bytes(32)
         assert bloom_might_contain(old, 42)  # unknown magic → keep
+
+
+class TestDecimalStats:
+    """Decimal footer stats must stay numerically ordered and
+    conservative — str(Decimal) would order lexicographically and prune
+    wrongly."""
+
+    def test_normalize_is_numeric_and_conservative(self):
+        from decimal import Decimal
+
+        from ducklake_kafka_connect_spark.lake.table import _normalize_stat
+
+        lo, hi = _normalize_stat(Decimal("9.10"), Decimal("10.50"))
+        assert isinstance(lo, float) and isinstance(hi, float)
+        assert lo <= 9.10 and hi >= 10.50
+        assert lo < hi  # numeric, not lexicographic
+
+    def test_decimal_table_prunes_correctly(self, spark, tmp_path):
+        from decimal import Decimal
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        w = LakeWriter(cat.table("dec"), pk=["id"], auto_compact=False)
+        rows_a = [(i, Decimal(f"{i}.25")) for i in range(0, 50)]
+        rows_b = [(i, Decimal(f"{i}.25")) for i in range(1000, 1050)]
+        schema = "id long, amount decimal(10,2)"
+        w.append(spark.createDataFrame(rows_a, schema))
+        w.append(spark.createDataFrame(rows_b, schema))
+        t = cat.table("dec")
+        kept, pruned = t.prune_files("amount > 900.0")
+        assert pruned >= 1, "low-range file should be pruned"
+        got = t.read(where="amount > 900.0").count()
+        assert got == 50
+        # boundary: a predicate exactly at a stored min must NOT prune it
+        assert t.read(where="amount >= 1000.25").count() == 50
