@@ -1645,6 +1645,60 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_bigrams_per_lang",
+    """
+    WITH w AS (
+      SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT lang, unnest(list_transform(
+               generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]
+             )) AS bigram
+      FROM w WHERE len(w) >= 2
+    ),
+    counted AS (
+      SELECT lang, bigram, count(*) AS n FROM grams GROUP BY lang, bigram
+    ),
+    ranked AS (
+      SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, bigram ASC) AS rn
+      FROM counted
+    )
+    SELECT lang, bigram, n FROM ranked WHERE rn <= 5
+    """,
+    "Corpus statistics: top-5 bigrams per language by frequency "
+    "(explode → count → per-group top-k), deterministic tie-break",
+)
+def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same row-wise shape as the repetition plan, keeping the bigram
+    STRING (the output) instead of its hash: posexplode → lead() under
+    the doc_id partitioning → per-(lang, bigram) count — the count
+    aggregation does map-side partial combine, so the shuffle carries
+    (lang, bigram, partial_n), not token rows."""
+    docs = _t(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = docs.repartition(n_part, "doc_id").select(
+        "doc_id", "lang", F.posexplode(words).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("w1", F.lead("w", 1).over(win))
+        .filter(F.col("w1").isNotNull())
+        .select("lang", F.concat_ws(" ", "w", "w1").alias("bigram"))
+    )
+    counted = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    rank = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", "n")
+    )
+
+
+@register(
     "pii_redaction",
     None,  # oracle attached below (operator SQL builders)
     "PII scrubbing: emails + phone numbers redacted to fixed tokens by "
