@@ -133,7 +133,17 @@ def decode_json(
         if isinstance(f.dataType, T.TimestampType):
             c = parse_iso_timestamp(c)
         out_cols.append(c.alias(f.name))
-    out_cols.append(rec.getField(CORRUPT_COL).alias(CORRUPT_COL))
+    # PERMISSIVE from_json accepts an empty/whitespace-only payload as an
+    # all-null row with no corrupt marker; the reference's JsonConverter
+    # rejects it → DLQ. NULL payloads stay untouched (Kafka tombstones
+    # are not corrupt records).
+    raw = F.col(value_col).cast("string")
+    out_cols.append(
+        F.coalesce(
+            rec.getField(CORRUPT_COL),
+            F.when(F.trim(raw) == "", F.coalesce(raw, F.lit(""))),
+        ).alias(CORRUPT_COL)
+    )
     for k in keep_cols or []:
         out_cols.insert(0, F.col(k))
     return parsed.select(*out_cols)

@@ -192,3 +192,113 @@ class TestPiiRedaction:
         out = [r["r"] for r in df.select(redact_pii_col(F.col("text")).alias("r")).collect()]
         assert out[0] == "id 9555-123-45678 stays"
         assert out[1] == "but [PHONE] goes"
+
+
+class TestJsonPrimitiveMatrix:
+    """Value-conversion matrix in the spirit of the reference's
+    SinkRecordToArrowConverterTest primitive coverage: numeric widths,
+    boundaries, special floats, unicode, and null placement through the
+    schemaless JSON decode path."""
+
+    def _decode(self, spark, payloads):
+        from ducklake_kafka_connect_spark.sources.json_decode import decode_json
+
+        df = spark.createDataFrame([(p,) for p in payloads], "value string")
+        return decode_json(df, value_col="value")
+
+    def test_int_widths_and_boundaries(self, spark):
+        out = self._decode(
+            spark,
+            [
+                '{"small": 1, "big": 3000000000, "i64max": 9223372036854775807,'
+                ' "i64min": -9223372036854775808}'
+            ],
+        )
+        types = dict(out.dtypes)
+        assert types["small"] == "int"
+        assert types["big"] == "bigint"
+        [r] = out.collect()
+        assert r["i64max"] == 9223372036854775807
+        assert r["i64min"] == -9223372036854775808
+
+    def test_int32_boundary_exact(self, spark):
+        out = self._decode(
+            spark, ['{"at_max": 2147483647, "over": 2147483648}']
+        )
+        types = dict(out.dtypes)
+        assert types["at_max"] == "int"
+        assert types["over"] == "bigint"
+
+    def test_floats_and_scientific(self, spark):
+        out = self._decode(
+            spark, ['{"f": 1.5, "sci": 1.5e10, "neg": -2.25e-3}']
+        )
+        types = dict(out.dtypes)
+        assert types["f"] == "double" and types["sci"] == "double"
+        [r] = out.collect()
+        assert r["sci"] == 1.5e10 and r["neg"] == -2.25e-3
+
+    def test_mixed_int_float_promotes_double(self, spark):
+        out = self._decode(spark, ['{"v": 1}', '{"v": 2.5}'])
+        assert dict(out.dtypes)["v"] == "double"
+        assert sorted(r["v"] for r in out.collect()) == [1.0, 2.5]
+
+    def test_int_then_long_promotes(self, spark):
+        out = self._decode(spark, ['{"v": 5}', '{"v": 3000000000}'])
+        assert dict(out.dtypes)["v"] == "bigint"
+
+    def test_booleans(self, spark):
+        out = self._decode(spark, ['{"t": true, "f": false}'])
+        types = dict(out.dtypes)
+        assert types["t"] == "boolean" and types["f"] == "boolean"
+        [r] = out.collect()
+        assert r["t"] is True and r["f"] is False
+
+    def test_unicode_strings_roundtrip(self, spark):
+        out = self._decode(
+            spark,
+            ['{"s": "caf\\u00e9 \\u4e2d\\u6587 \\ud83d\\ude00", "plain": "ascii"}'],
+        )
+        [r] = out.collect()
+        assert r["s"] == "café 中文 😀"
+
+    def test_null_fields_and_missing_fields(self, spark):
+        out = self._decode(
+            spark, ['{"a": 1, "b": null}', '{"a": null}', '{"b": 2}']
+        )
+        rows = out.select("a", "b").collect()
+        a_vals = sorted((r["a"] for r in rows), key=lambda x: (x is None, x))
+        assert a_vals == [1, None, None]
+
+    def test_empty_object_row(self, spark):
+        out = self._decode(spark, ['{"a": 1}', "{}"])
+        assert out.count() == 2
+
+    def test_deeply_nested_struct(self, spark):
+        out = self._decode(
+            spark, ['{"o": {"p": {"q": {"r": 7}}}, "tag": "deep"}']
+        )
+        [r] = out.collect()
+        assert r["o"]["p"]["q"]["r"] == 7
+
+    def test_array_of_structs(self, spark):
+        out = self._decode(
+            spark, ['{"items": [{"k": 1}, {"k": 2}], "n": 2}']
+        )
+        [r] = out.collect()
+        assert [x["k"] for x in r["items"]] == [1, 2]
+
+    def test_heterogeneous_numeric_array_promotes(self, spark):
+        out = self._decode(spark, ['{"xs": [1, 2.5, 3]}'])
+        assert dict(out.dtypes)["xs"] == "array<double>"
+
+    def test_negative_zero_is_double(self, spark):
+        out = self._decode(spark, ['{"z": -0.0}'])
+        assert dict(out.dtypes)["z"] == "double"
+
+    def test_whitespace_payload_is_corrupt(self, spark):
+        from ducklake_kafka_connect_spark.sources.json_decode import split_dlq
+
+        good, bad = split_dlq(self._decode(spark, ['{"a": 1}', "   ", "not json"]))
+        assert good.count() == 1
+        assert bad.count() == 2
