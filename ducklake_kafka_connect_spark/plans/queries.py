@@ -1644,6 +1644,72 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RARE_TOKEN_MAX_COUNT = 2  # corpus frequency at or below this = rare
+
+
+@register(
+    "rare_token_ratio",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    per_doc AS (
+      SELECT t.doc_id, t.lang,
+             count(*) AS n_tok,
+             CAST(sum(CASE WHEN f.n <= {RARE_TOKEN_MAX_COUNT}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM tok t JOIN freq f ON t.w = f.w
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           ROUND(avg(CAST(n_rare AS DOUBLE) / n_tok), 6) AS avg_rare_frac,
+           CAST(sum(CASE WHEN n_rare * 2 > n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_noisy_docs,
+           CAST(sum(n_rare) AS BIGINT) AS total_rare
+    FROM per_doc GROUP BY lang
+    """,
+    "Rare-token quality signal: fraction of tokens whose CORPUS "
+    "frequency is tiny — high fractions flag garbage/misspelled text. "
+    "Two-pass plan, all-integer until the final ratio (exact cross-engine)",
+)
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass 1 aggregates corpus token frequencies (map-side combine, one
+    shuffle on the token — vocab-sized output); pass 2 joins tokens back
+    to their frequency and rolls up per doc then per lang. 'Noisy doc'
+    uses integer cross-multiplication (n_rare·2 > n_tok), so every
+    comparison is exact — no float threshold parity risk."""
+    docs = _t(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = docs.repartition(n_part, "doc_id").select(
+        "doc_id", "lang", F.explode(words).alias("w")
+    )
+    tok = dedup_ops._persist(tok)  # both passes read it
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        tok.join(freq, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("n") <= RARE_TOKEN_MAX_COUNT, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.round(
+            F.avg(F.col("n_rare").cast("double") / F.col("n_tok")), 6
+        ).alias("avg_rare_frac"),
+        F.sum(
+            F.when(F.col("n_rare") * 2 > F.col("n_tok"), 1).otherwise(0)
+        ).cast("long").alias("n_noisy_docs"),
+        F.sum("n_rare").cast("long").alias("total_rare"),
+    )
+
+
 @register(
     "top_bigrams_per_lang",
     """
