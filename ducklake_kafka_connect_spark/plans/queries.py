@@ -1644,6 +1644,53 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BINS = 10
+HIST_LO, HIST_HI = 0.0, 1000.0  # fixed edges: no data-derived float parity risk
+
+
+@register(
+    "value_histogram_by_type",
+    f"""
+    SELECT event_type,
+           CASE WHEN value < {HIST_LO} THEN 0
+                WHEN value >= {HIST_HI} THEN {HIST_BINS + 1}
+                ELSE CAST(floor((value - {HIST_LO}) / {HIST_HI - HIST_LO}
+                                * {HIST_BINS}) AS BIGINT) + 1
+           END AS bin,
+           count(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+    "Grouped equi-width histogram of event values (explicit bucket "
+    "arithmetic, identical IEEE op order on both engines; out-of-range "
+    "values land in the 0 / n+1 overflow bins)",
+)
+def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass, map-side partial agg on (event_type, bin) — the
+    histogram shuffle carries bin counts, never rows. The bucket
+    expression is written out (not width_bucket) so BOTH engines run
+    byte-identical arithmetic; fixed edges avoid data-derived float
+    parity risk."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    span = HIST_HI - HIST_LO
+    bin_col = (
+        F.when(v < HIST_LO, 0)
+        .when(v >= HIST_HI, HIST_BINS + 1)
+        .otherwise(
+            F.floor((v - HIST_LO) / span * HIST_BINS).cast("long") + 1
+        )
+    )
+    return (
+        ev.filter(v.isNotNull())
+        .groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
 RARE_TOKEN_MAX_COUNT = 2  # corpus frequency at or below this = rare
 
 
