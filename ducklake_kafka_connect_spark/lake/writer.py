@@ -310,6 +310,50 @@ class LakeWriter:
             for d in dfs:
                 self.write(d, order_col=order_col)
 
+    def delete_where(self, predicate: str) -> None:
+        """Predicate DELETE (``DELETE FROM t WHERE p``): only files whose
+        stats admit a match are rewritten with the surviving rows;
+        everything else carries its immutable files into the next
+        snapshot. Same manifest-prune machinery as MERGE — at scale this
+        touches exactly the partitions/files the predicate can reach.
+        (The reference has no DELETE; CDC-style per-key deletes go
+        through merge(tombstone_col=...) instead.)"""
+        with REGISTRY.timer("deleteWhere"), self.table.lock():
+            manifest = self.table.manifest()
+            affected, _ = self.table.prune_files(predicate)
+            if not affected:
+                return
+            survivors = self._read_files(manifest, affected).filter(
+                f"NOT ({predicate}) OR ({predicate}) IS NULL"
+            )
+            new_files, new_stats = self.table.write_data_files(
+                survivors, manifest.version + 1, layout="natural"
+            )
+            dropped = set(affected)
+            files = {
+                k: [f for f in v if f not in dropped]
+                for k, v in manifest.files.items()
+            }
+            files = {k: v for k, v in files.items() if v}
+            for k, v in new_files.items():
+                files.setdefault(k, []).extend(v)
+            stats = {
+                f: s for f, s in manifest.file_stats.items() if f not in dropped
+            }
+            stats.update(new_stats)
+            self.table._commit(
+                Manifest(
+                    version=manifest.version + 1,
+                    schema=manifest.schema,
+                    pk=manifest.pk,
+                    partition_spec=manifest.partition_spec,
+                    files=files,
+                    parent=manifest.version,
+                    props=manifest.props,
+                    file_stats=stats,
+                )
+            )
+
     def append(self, df: DataFrame) -> None:
         with REGISTRY.timer("simpleInsert"):
             self._append(df)

@@ -1644,6 +1644,42 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELETE_PRED = "event_type = 'error' OR value < 50.0"
+
+
+@register(
+    "delete_where_events",
+    f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE NOT ({DELETE_PRED})
+    GROUP BY event_type
+    """,
+    "Predicate DELETE over the lake table: only stat-admitting files "
+    "rewritten, survivors must equal the oracle's complement filter",
+)
+def delete_where_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loads events into a lake table, runs LakeWriter.delete_where
+    (file-pruned rewrite), reads the surviving snapshot back. floor()
+    before the cents cast (Spark truncates double→long, DuckDB rounds)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_del_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_del"), pk=["event_id"])
+    w.append(ev)
+    w.delete_where(DELETE_PRED)
+    return (
+        cat.table("events_del")
+        .read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
 HIST_BINS = 10
 HIST_LO, HIST_HI = 0.0, 1000.0  # fixed edges: no data-derived float parity risk
 

@@ -220,3 +220,83 @@ class TestTimeTravel:
         t = catalog.table("tt")
         assert t.read(version=1).collect()[0]["name"] == "a"
         assert t.read(version=2).collect()[0]["name"] == "b"
+
+
+class TestDeleteWhere:
+    """Predicate DELETE: file-pruned rewrite of survivors only."""
+
+    def test_delete_semantics_and_pruning(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        w = LakeWriter(cat.table("d"), pk=["id"], auto_compact=False)
+        # two disjoint-range files: only one admits the predicate
+        for lo in (0, 10_000):
+            w.append(
+                spark.range(lo, lo + 1000).select(
+                    F.col("id"), (F.col("id") % 7).alias("v")
+                )
+            )
+        t = cat.table("d")
+        before = set(t.manifest().all_files())
+        w.delete_where("id < 500")
+        after = t.manifest()
+        assert t.read().count() == 1500
+        assert t.read().filter("id < 500").count() == 0
+        # the high-range file was untouched (same physical file carried)
+        untouched = before & set(after.all_files())
+        assert untouched, "non-matching file should carry over unchanged"
+
+    def test_delete_null_predicate_rows_survive(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        w = LakeWriter(cat.table("dn"), pk=["id"], auto_compact=False)
+        w.append(
+            spark.createDataFrame(
+                [(1, 5), (2, None), (3, 50)], "id long, v int"
+            )
+        )
+        w.delete_where("v < 10")
+        got = {r["id"] for r in cat.table("dn").read().collect()}
+        assert got == {2, 3}  # NULL predicate row survives (SQL DELETE)
+
+    def test_delete_no_match_is_noop_commit(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        w = LakeWriter(cat.table("dz"), pk=["id"], auto_compact=False)
+        w.append(spark.range(100).select(F.col("id"), F.lit("x").alias("s")))
+        v0 = cat.table("dz").current_version()
+        w.delete_where("id > 99999")
+        assert cat.table("dz").current_version() == v0  # pruned to nothing
+        assert cat.table("dz").read().count() == 100
+
+    def test_delete_on_partitioned_table(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        w = LakeWriter(
+            cat.table("dp"), pk=["id"], partition_by="month(created_at)",
+            auto_compact=False,
+        )
+        w.append(
+            spark.range(2000).select(
+                F.col("id"),
+                F.timestamp_seconds(
+                    1704067200 + (F.col("id") * 3000) % 5_184_000
+                ).alias("created_at"),
+            )
+        )
+        t = cat.table("dp")
+        w.delete_where("id BETWEEN 100 AND 199")
+        assert t.read().count() == 1900
+        assert t.read().filter("id BETWEEN 100 AND 199").count() == 0
+        # partition layout preserved
+        assert len(t.manifest().files) >= 2
