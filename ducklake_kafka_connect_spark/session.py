@@ -36,6 +36,39 @@ def enable_rocksdb_state_store(spark: SparkSession) -> None:
     )
 
 
+# Capability probes are paid once per SparkContext, not per decode call:
+# each probe constructs a throwaway reader/expression and catches the
+# AnalysisException the missing jar raises, which costs a JVM round-trip.
+_CAPS_CACHE: dict[str, dict[str, bool]] = {}
+
+
+def jvm_capabilities(
+    spark: SparkSession, probes: dict | None = None
+) -> dict[str, bool]:
+    """Which optional JVM fast paths this session can execute:
+
+    - ``avro``: spark-avro module jar → ``sources.avro_decode`` (the
+      codegen'd `from_avro` path) instead of the pure-Python
+      ``sources.avro_lite`` fallback.
+    - ``kafka``: spark-sql-kafka jar → ``sources.kafka_source.
+      kafka_stream`` instead of the file-stream stand-in.
+
+    ``probes`` overrides the probe functions (unit tests mock them);
+    results are cached per SparkContext application id.
+    """
+    key = spark.sparkContext.applicationId
+    if probes is None and key in _CAPS_CACHE:
+        return _CAPS_CACHE[key]
+    from .sources.avro_decode import avro_available
+    from .sources.kafka_source import kafka_available
+
+    p = {"avro": avro_available, "kafka": kafka_available, **(probes or {})}
+    caps = {"avro": bool(p["avro"](spark)), "kafka": bool(p["kafka"](spark))}
+    if probes is None:
+        _CAPS_CACHE[key] = caps
+    return caps
+
+
 def build_session(
     app_name: str = "ducklake_kafka_connect_spark",
     master: str | None = None,

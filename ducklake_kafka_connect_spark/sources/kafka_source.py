@@ -90,3 +90,29 @@ def file_stream_source(
         .schema(schema or KAFKA_LIKE_SCHEMA)
         .load(path)
     )
+
+
+def stream_source_auto(
+    spark: SparkSession,
+    bootstrap_servers: str | None = None,
+    topics: str | None = None,
+    fallback_dir: str | None = None,
+    caps: dict | None = None,
+    **kafka_kwargs,
+) -> DataFrame:
+    """Prefer the real Kafka source when the spark-sql-kafka jar is on
+    the classpath (and broker/topics are configured); otherwise fall
+    back to the file-stream stand-in reading ``fallback_dir``. ``caps``
+    injects a precomputed capability dict (``session.jvm_capabilities``)
+    so tests can pin the selection."""
+    from ..session import jvm_capabilities
+
+    ok = caps["kafka"] if caps is not None else jvm_capabilities(spark)["kafka"]
+    if ok and bootstrap_servers and topics:
+        return kafka_stream(spark, bootstrap_servers, topics, **kafka_kwargs)
+    if fallback_dir is None:
+        raise KafkaNotAvailable(
+            "Kafka source unavailable (jar missing or no broker configured) "
+            "and no fallback_dir given for the file-stream stand-in"
+        )
+    return file_stream_source(spark, fallback_dir)

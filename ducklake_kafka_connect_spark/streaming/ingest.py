@@ -252,9 +252,11 @@ class IngestPipeline:
             )
             return split_dlq(decoded)
         if spec.format == "avro":
-            from ..sources.avro_lite import decode_avro_lite
+            # auto-selects the JVM from_avro fast path when the
+            # spark-avro jar is present; pure-Python fallback otherwise
+            from ..sources.avro_decode import decode_avro_auto
 
-            decoded = decode_avro_lite(
+            decoded = decode_avro_auto(
                 part,
                 spec.avro_schema,
                 confluent_framing=spec.confluent_framing,
