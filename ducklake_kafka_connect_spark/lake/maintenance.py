@@ -162,7 +162,7 @@ def compact(
             )
         else:
             df = df.coalesce(1)
-        new_files, new_stats = table.write_data_files(df, m.version + 1)
+        new_files, new_stats = table.write_data_files(df, m.version + 1, manifest=m)
         # per-FILE carryover (small_file_bytes offenders list only a
         # partition's small files; its right-sized files must survive)
         rewritten = {f for v in offenders.values() for f in v}
@@ -184,7 +184,8 @@ def compact(
                 parent=m.version,
                 props=m.props,
                 file_stats=stats,
-            )
+            ),
+            parent_manifest=m,
         )
         return CompactionResult(
             len(offenders),
@@ -205,7 +206,7 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
         retained: list[int] = []
         v = latest
         while v >= 0 and len(retained) < keep_versions:
-            if os.path.exists(os.path.join(table.meta_dir, f"v{v}.json")):
+            if table.has_version(v):
                 retained.append(v)
             v -= 1
         referenced = {
@@ -213,6 +214,17 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
             for rv in retained
             for p in table.manifest(rv).all_files()
         }
+        # chain compaction: materialize the oldest retained version as a
+        # full base (resolved BEFORE any segment is deleted), so no
+        # retained version's resolution chain reaches past the window —
+        # then every older manifest file is droppable
+        oldest = min(retained)
+        oldest_full = os.path.join(table.meta_dir, f"v{oldest}.json")
+        if not os.path.exists(oldest_full):
+            m_oldest = table.manifest(oldest)
+            with open(oldest_full, "w") as f:
+                f.write(m_oldest.to_json())
+        keep_meta = {fn for rv in retained for fn in table.chain_filenames(rv)}
         deleted = 0
         for dirpath, _dirnames, filenames in os.walk(table.data_dir):
             for fn in filenames:
@@ -232,10 +244,11 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
         for dirpath, dirnames, filenames in os.walk(table.data_dir, topdown=False):
             if not dirnames and not filenames and dirpath != table.data_dir:
                 os.rmdir(dirpath)
-        # drop manifests older than the retained window
+        # drop manifest files outside every retained version's chain
         for fn in os.listdir(table.meta_dir):
-            if fn.startswith("v") and fn.endswith(".json"):
-                mv = int(fn[1:-5])
-                if mv not in retained:
-                    os.remove(os.path.join(table.meta_dir, fn))
+            is_manifest = fn.startswith("v") and (
+                fn.endswith(".json") or fn.endswith(".delta.json")
+            )
+            if is_manifest and fn not in keep_meta:
+                os.remove(os.path.join(table.meta_dir, fn))
         return deleted

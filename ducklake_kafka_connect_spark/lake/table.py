@@ -80,6 +80,12 @@ class CommitConflict(RuntimeError):
     pass
 
 
+# Full base manifest at least every N commits; intermediate commits
+# serialize only their file/stat delta. Bounds both per-commit metadata
+# I/O (O(changed files), not O(table files)) and resolution chain length.
+COMPACT_EVERY = 8
+
+
 @dataclass
 class Manifest:
     version: int
@@ -95,6 +101,10 @@ class Manifest:
     # For long strings min is truncated (valid lower bound) and max is
     # None (unbounded above).
     file_stats: dict = dc_field(default_factory=dict)
+    # how many delta segments sit between this version and its full
+    # base (0 = this version has a full manifest). Resolution metadata,
+    # not serialized — _commit uses it to place the next full base.
+    delta_depth: int = 0
 
     def to_json(self) -> str:
         return json.dumps(
@@ -138,6 +148,64 @@ class Manifest:
 
     def all_files(self) -> list[str]:
         return [p for paths in self.files.values() for p in paths]
+
+
+def _make_delta(parent: Manifest, child: Manifest) -> dict:
+    """Delta segment: schema/pk/spec/props travel whole (small, and
+    schema evolution must survive the chain); the big files/stats dicts
+    travel as add/remove sets only."""
+    add: dict[str, list[str]] = {}
+    remove: dict[str, list[str]] = {}
+    for part in set(parent.files) | set(child.files):
+        old = set(parent.files.get(part, []))
+        new = set(child.files.get(part, []))
+        # preserve child ordering for added files (read order stability)
+        added = [f for f in child.files.get(part, []) if f not in old]
+        removed = sorted(old - new)
+        if added:
+            add[part] = added
+        if removed:
+            remove[part] = removed
+    added_flat = {f for fs in add.values() for f in fs}
+    stats_add = {f: s for f, s in child.file_stats.items() if f in added_flat}
+    return {
+        "delta": True,
+        "version": child.version,
+        "parent": parent.version,
+        "schema": child.schema.jsonValue(),
+        "pk": child.pk,
+        "partition_spec": child.partition_spec,
+        "props": child.props,
+        "files_add": add,
+        "files_remove": remove,
+        "stats_add": stats_add,
+    }
+
+
+def _apply_delta(parent: Manifest, d: dict) -> Manifest:
+    files = {k: list(v) for k, v in parent.files.items()}
+    for part, removed in d.get("files_remove", {}).items():
+        kept = [f for f in files.get(part, []) if f not in set(removed)]
+        if kept:
+            files[part] = kept
+        else:
+            files.pop(part, None)
+    for part, added in d.get("files_add", {}).items():
+        files.setdefault(part, []).extend(added)
+    removed_flat = {f for fs in d.get("files_remove", {}).values() for f in fs}
+    stats = {f: s for f, s in parent.file_stats.items() if f not in removed_flat}
+    stats.update(d.get("stats_add", {}))
+    return Manifest(
+        version=d["version"],
+        schema=T.StructType.fromJson(d["schema"]),
+        pk=list(d.get("pk") or []),
+        partition_spec=list(d.get("partition_spec") or []),
+        files=files,
+        parent=d["parent"],
+        props=d.get("props") or {},
+        file_stats=stats,
+        delta_depth=parent.delta_depth + 1,
+    )
 
 
 class TableLock:
@@ -200,22 +268,92 @@ class LakeTable:
             return int(f.read().strip())
 
     def manifest(self, version: int | None = None) -> Manifest:
+        """Resolve a version: full manifests load directly; delta
+        segments walk parents to the nearest full base and re-apply
+        (bounded by COMPACT_EVERY — a full base is written at least
+        every N commits, so the chain is short by construction)."""
         v = self.current_version() if version is None else version
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            return Manifest.from_json(f.read())
+        full = os.path.join(self.meta_dir, f"v{v}.json")
+        if os.path.exists(full):
+            with open(full) as f:
+                return Manifest.from_json(f.read())
+        deltas: list[dict] = []
+        cur: int | None = v
+        while cur is not None and not os.path.exists(
+            os.path.join(self.meta_dir, f"v{cur}.json")
+        ):
+            dpath = os.path.join(self.meta_dir, f"v{cur}.delta.json")
+            try:
+                with open(dpath) as f:
+                    deltas.append(json.load(f))
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"Version {v} of {self.name} is not resolvable: "
+                    f"neither v{cur}.json nor v{cur}.delta.json exists"
+                ) from None
+            cur = deltas[-1]["parent"]
+        if cur is None:
+            raise FileNotFoundError(
+                f"Version {v} of {self.name} has a delta chain with no full base"
+            )
+        with open(os.path.join(self.meta_dir, f"v{cur}.json")) as f:
+            m = Manifest.from_json(f.read())
+        for d in reversed(deltas):
+            m = _apply_delta(m, d)
+        return m
+
+    def has_version(self, version: int) -> bool:
+        return os.path.exists(
+            os.path.join(self.meta_dir, f"v{version}.json")
+        ) or os.path.exists(os.path.join(self.meta_dir, f"v{version}.delta.json"))
+
+    def chain_filenames(self, version: int) -> list[str]:
+        """Manifest filenames needed to resolve ``version`` (itself plus
+        any delta ancestors down to the full base)."""
+        out: list[str] = []
+        cur: int | None = version
+        while cur is not None:
+            full = f"v{cur}.json"
+            if os.path.exists(os.path.join(self.meta_dir, full)):
+                out.append(full)
+                return out
+            out.append(f"v{cur}.delta.json")
+            with open(os.path.join(self.meta_dir, f"v{cur}.delta.json")) as f:
+                cur = json.load(f)["parent"]
+        return out
 
     def lock(self) -> TableLock:
         os.makedirs(self.meta_dir, exist_ok=True)
         return TableLock(os.path.join(self.meta_dir, "LOCK"))
 
-    def _commit(self, manifest: Manifest) -> None:
-        """Write v{N}.json, then atomically flip LATEST (rename is the txn)."""
+    def _commit(self, manifest: Manifest, parent_manifest: Manifest | None = None) -> None:
+        """Commit a new version, then atomically flip LATEST (rename is
+        the txn).
+
+        Compacted manifest chain (SCALE.md): when the parent manifest is
+        in hand and the chain since the last full base is shorter than
+        COMPACT_EVERY, only a DELTA segment (files added/removed + their
+        stats) is serialized — O(changed files) per commit instead of
+        O(table files). Every COMPACT_EVERY commits a full base manifest
+        is written (the compaction step), bounding resolution cost.
+        Time travel resolves any committed version through the chain.
+        """
         os.makedirs(self.meta_dir, exist_ok=True)
         mpath = os.path.join(self.meta_dir, f"v{manifest.version}.json")
-        if os.path.exists(mpath):
+        dpath = os.path.join(self.meta_dir, f"v{manifest.version}.delta.json")
+        if os.path.exists(mpath) or os.path.exists(dpath):
             raise CommitConflict(f"Version {manifest.version} already committed on {self.name}")
-        with open(mpath, "w") as f:
-            f.write(manifest.to_json())
+        as_delta = (
+            parent_manifest is not None
+            and manifest.parent == parent_manifest.version
+            and parent_manifest.delta_depth + 1 < COMPACT_EVERY
+        )
+        if as_delta:
+            with open(dpath, "w") as f:
+                f.write(json.dumps(_make_delta(parent_manifest, manifest), indent=1))
+        else:
+            with open(mpath, "w") as f:
+                f.write(manifest.to_json())
         tmp = os.path.join(self.meta_dir, f".LATEST.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
             f.write(str(manifest.version))
@@ -366,6 +504,7 @@ class LakeTable:
         layout: str = "natural",
         skip_bloom: bool = False,
         range_split: tuple[list[str], int] | None = None,
+        manifest: Manifest | None = None,
     ) -> tuple[dict[str, list[str]], dict]:
         """Write a DataFrame as immutable Parquet under a fresh stage dir,
         partitioned by the table's partition columns; return the
@@ -374,8 +513,9 @@ class LakeTable:
         Stats = footer min/max of every scalar column (PK first, capped
         at MAX_STATS_COLUMNS) — read locally here; on an object store
         the same footers are one ranged GET per file, or come back from
-        the write tasks."""
-        m = self.manifest() if self.exists() else None
+        the write tasks. Callers that already hold the current manifest
+        pass it via ``manifest`` to skip a redundant chain resolution."""
+        m = manifest if manifest is not None else (self.manifest() if self.exists() else None)
         exprs = m.partition_exprs if m else []
         pk = m.pk if m else []
         stat_cols = _stats_columns(df.schema, pk)

@@ -327,7 +327,8 @@ class LakeWriter:
                 f"NOT ({predicate}) OR ({predicate}) IS NULL"
             )
             new_files, new_stats = self.table.write_data_files(
-                survivors, manifest.version + 1, layout="natural"
+                survivors, manifest.version + 1, layout="natural",
+                manifest=manifest,
             )
             dropped = set(affected)
             files = {
@@ -351,7 +352,8 @@ class LakeWriter:
                     parent=manifest.version,
                     props=manifest.props,
                     file_stats=stats,
-                )
+                ),
+                parent_manifest=manifest,
             )
 
     def append(self, df: DataFrame) -> None:
@@ -364,7 +366,8 @@ class LakeWriter:
         with self.table.lock():
             manifest = self.table.manifest()  # re-read under lock
             new_files, new_stats = self.table.write_data_files(
-                out, manifest.version + 1, layout="rebalance"
+                out, manifest.version + 1, layout="rebalance",
+                manifest=manifest,
             )
             merged_files = {k: list(v) for k, v in manifest.files.items()}
             for k, paths in new_files.items():
@@ -784,11 +787,13 @@ class LakeWriter:
                     new_files, new_stats = self.table.write_data_files(
                         merged, manifest.version + 1,
                         layout="range", range_split=(list(self.pk), n_out),
+                        manifest=manifest,
                     )
                 else:
                     new_files, new_stats = self.table.write_data_files(
                         merged, manifest.version + 1,
                         layout="single" if small else "natural",
+                        manifest=manifest,
                     )
                 # keep every file that was not rewritten (including
                 # non-overlapping files inside affected partitions)
@@ -858,7 +863,8 @@ class LakeWriter:
             # past the size gate, the first pruning-path rewrite restores
             # sidecars (missing ones are conservatively kept anyway).
             new_files, new_stats = self.table.write_data_files(
-                merged, current.version + 1, layout="natural", skip_bloom=True
+                merged, current.version + 1, layout="natural", skip_bloom=True,
+                manifest=current,
             )
             self._commit_next(current, new_files, final_logical, new_stats)
         return True
@@ -930,7 +936,8 @@ class LakeWriter:
                 parent=manifest.version,
                 props=manifest.props,
                 file_stats=file_stats if file_stats is not None else manifest.file_stats,
-            )
+            ),
+            parent_manifest=manifest,
         )
 
     def _read_files(self, manifest: Manifest, rel_files: list[str]) -> DataFrame:
