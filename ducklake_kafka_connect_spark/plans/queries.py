@@ -1372,24 +1372,25 @@ CONTAM_THRESHOLD = 0.1  # shingle-overlap fraction that flags contamination
 def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the benchmark shingle set is tiny next to the corpus
     → collected into a broadcast hash join against the exploded corpus
-    shingles; one shuffle (the per-doc hit count). The md5-derived
-    shingle hashes are bit-identical to the oracle's (h60), so the
-    overlap counts compare exactly."""
+    shingles. Shingle generation is row-wise (explode → lead() window →
+    ONE md5 per shingle; exploding a computed HOF array re-runs the
+    generator per OUTPUT row — measured 16-30 s vs <1 s at sf0.1), and
+    the per-doc dedup is a ``collect_set`` whose groupBy REUSES the
+    window's doc_id hash-partitioning — no global distinct shuffle of
+    all shingle rows (r4 shape: distinct + two more (doc,lang) shuffles;
+    measured 0.86 s → 0.71 s under the bench protocol, and at corpus
+    scale the removed shuffle is O(total shingles)). The persisted
+    per-doc sets are bounded by document length. The md5-derived hashes
+    are bit-identical to the oracle's (h60), so overlap counts compare
+    exactly."""
     docs = _t(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
-    # Row-wise shingle rows (the minhash_signatures shape): explode →
-    # lead() window composes each 3-gram string → ONE md5 per shingle →
-    # distinct-per-doc via groupBy. No per-doc arrays: exploding a
-    # computed HOF array re-runs the generator per OUTPUT row (measured
-    # 16 s vs 0.4 s at sf0.1), and the array lambdas re-evaluate the
-    # token split per element. Persisted because the benchmark and the
-    # candidate branch both read it.
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     tok = docs.repartition(n_part, "doc_id").select(
         "doc_id", "lang", F.posexplode(words).alias("pos", "w")
     )
     win = W.partitionBy("doc_id").orderBy("pos")
-    sh_rows = dedup_ops._persist(
+    sh_set = dedup_ops._persist(
         tok.withColumn("w1", F.lead("w", 1).over(win))
         .withColumn("w2", F.lead("w", 2).over(win))
         .filter(F.col("w2").isNotNull())
@@ -1401,24 +1402,25 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % dedup_ops.MERSENNE
             ).alias("h"),
         )
-        .distinct()
+        .groupBy("doc_id", "lang")  # reuses the window's doc_id partitioning
+        .agg(F.collect_set("h").alias("hs"))
+        .withColumn("n_sh", F.size("hs"))
     )
     bench = (
-        sh_rows.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
-        .select("h")
+        sh_set.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select(F.explode("hs").alias("h"))
         .distinct()
     )
-    n_sh = sh_rows.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n_sh"))
     hits = (
-        sh_rows.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        sh_set.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .select("doc_id", "lang", "n_sh", F.explode("hs").alias("h"))
         .join(F.broadcast(bench), "h")
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id", "lang", "n_sh")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
     frac = F.col("n_hit").cast("double") / F.col("n_sh")
     return (
-        hits.join(n_sh, ["doc_id", "lang"])  # both sides pre-partitioned on the keys
-        .filter(frac >= CONTAM_THRESHOLD)
+        hits.filter(frac >= CONTAM_THRESHOLD)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_contaminated"),
