@@ -1,0 +1,153 @@
+"""Driver-side Arrow small-merge fast path: must be semantics-identical
+to the Spark window-merge plan it replaces (lake/writer.py
+``_merge_small_table_arrow``), and must fall back transparently whenever
+an eligibility gate trips."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+from ducklake_kafka_connect_spark.lake import writer as wmod
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    return str(tmp_path / "lake")
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _base(spark, n=200):
+    return spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("v"), F.col("id")).alias("name"),
+        F.timestamp_seconds(1704067200 + F.col("id") % 2_592_000).alias("created_at"),
+    )
+
+
+def _spark_only(monkeypatch):
+    monkeypatch.setattr(
+        wmod.LakeWriter, "_merge_small_table_arrow", lambda self, *a, **k: None
+    )
+
+
+def test_arrow_merge_matches_spark_merge(spark, tmp_path, monkeypatch):
+    """Same base + same batch through both paths → identical tables."""
+    batch_expr = lambda s: s.range(100).select(  # noqa: E731
+        (F.col("id") * 3).alias("id"),
+        F.lit("upd").alias("name"),
+        F.timestamp_seconds(1704067200 + F.col("id")).alias("created_at"),
+    )
+    out = {}
+    for mode in ("arrow", "spark"):
+        cat = LakeCatalog(spark, str(tmp_path / mode))
+        w = LakeWriter(cat.table("t"), pk=["id"], partition_by="month(created_at)")
+        if mode == "spark":
+            _spark_only(monkeypatch)
+        w.write(_base(spark))
+        w.write(batch_expr(spark))
+        out[mode] = _rows(cat.table("t").read(), "id", "name", "created_at")
+        monkeypatch.undo()
+    assert out["arrow"] == out["spark"]
+
+
+def test_arrow_merge_used_and_inserted_at_stable(spark, lake):
+    cat = LakeCatalog(spark, lake)
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    w.write(spark.range(50).select(F.col("id"), F.lit("a").alias("name")))
+    before = {
+        r["id"]: r["_inserted_at"]
+        for r in cat.table("t").read(include_hidden=True).collect()
+    }
+    from ducklake_kafka_connect_spark.metrics import REGISTRY
+
+    evals = REGISTRY.ops.get("merge.arrowWrite")
+    n0 = evals.count if evals else 0
+    w.write(spark.range(25).select(F.col("id"), F.lit("b").alias("name")))
+    evals = REGISTRY.ops.get("merge.arrowWrite")
+    assert evals is not None and evals.count > n0, "arrow path did not engage"
+    after = {
+        r["id"]: (r["name"], r["_inserted_at"])
+        for r in cat.table("t").read(include_hidden=True).collect()
+    }
+    assert len(after) == 50
+    for i in range(25):
+        assert after[i][0] == "b"
+        assert after[i][1] == before[i], "matched key must keep its stamp"
+    for i in range(25, 50):
+        assert after[i][0] == "a"
+
+
+def test_arrow_merge_order_col_last_write_wins(spark, lake):
+    cat = LakeCatalog(spark, lake)
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    w.write(spark.range(10).select(F.col("id"), F.lit(0).alias("seq"),
+                                   F.lit("base").alias("name")))
+    # in-batch duplicate keys: higher seq must win regardless of row order
+    batch = spark.createDataFrame(
+        [(1, 5, "low"), (1, 9, "high"), (2, 9, "high"), (2, 5, "low")],
+        "id long, seq int, name string",
+    )
+    w.merge(batch, order_col="seq")
+    got = {r["id"]: r["name"] for r in cat.table("t").read().collect()}
+    assert got[1] == "high" and got[2] == "high"
+    assert got[3] == "base"
+
+
+def test_arrow_merge_many_group_commit(spark, lake):
+    cat = LakeCatalog(spark, lake)
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    w.write(spark.range(20).select(F.col("id"), F.lit("base").alias("name")))
+    batches = [
+        spark.range(20).filter(F.col("id") % m == 0).select(
+            F.col("id"), F.lit(tag).alias("name"))
+        for m, tag in ((2, "b1"), (3, "b2"), (5, "b3"))
+    ]
+    v0 = cat.table("t").current_version()
+    w.merge_many(batches)
+    assert cat.table("t").current_version() == v0 + 1
+    got = {r["id"]: r["name"] for r in cat.table("t").read().collect()}
+    for i in range(20):
+        exp = "b3" if i % 5 == 0 else "b2" if i % 3 == 0 else "b1" if i % 2 == 0 else "base"
+        assert got[i] == exp, f"id={i}"
+
+
+def test_arrow_fallback_on_new_partition_value(spark, lake):
+    """A batch whose rows land outside the single existing partition dir
+    must fall back to the Spark path (which creates the new dir)."""
+    cat = LakeCatalog(spark, lake)
+    w = LakeWriter(cat.table("t"), pk=["id"], partition_by="month(created_at)")
+    w.write(spark.range(50).select(
+        F.col("id"), F.lit("a").alias("name"),
+        F.timestamp_seconds(F.lit(1704067200)).alias("created_at")))  # Jan
+    batch = spark.range(10).select(
+        F.col("id"), F.lit("feb").alias("name"),
+        F.timestamp_seconds(F.lit(1706832000)).alias("created_at"))  # Feb
+    w.write(batch)
+    m = cat.table("t").manifest()
+    assert len(m.files) == 2, f"expected two partition dirs, got {list(m.files)}"
+    got = {r["id"]: r["name"] for r in cat.table("t").read().collect()}
+    assert got[5] == "feb" and got[49] == "a"
+
+
+def test_arrow_written_file_prunes_and_rereads(spark, lake):
+    """Manifest stats harvested from the Arrow-written file must drive
+    file pruning exactly like Spark-written ones."""
+    cat = LakeCatalog(spark, lake)
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    w.write(spark.range(100).select(F.col("id"), F.lit("x").alias("name")))
+    w.write(spark.range(10).select(F.col("id"), F.lit("y").alias("name")))
+    m = cat.table("t").manifest()
+    f = m.all_files()
+    assert len(f) == 1
+    stats = m.file_stats[f[0]]
+    assert stats["id"] == [0, 99]
+    assert stats["__rows"] == 100
+    kept, pruned = cat.table("t").prune_files("id > 1000")
+    assert kept == [] and pruned == 1
+    assert cat.table("t").read(where="id < 5").count() == 5
