@@ -4,15 +4,14 @@ Beyond-parity module (SURVEY §7 phase 5): media travels as opaque
 ``binary`` columns next to a typed metadata struct — the lakehouse
 pattern for 100 TB multimodal training data. The Spark-side plumbing
 (schemas, partition-preserving ``mapInPandas``, Arrow batch shapes,
-UDF signatures) is real and tested; the codec layer is stubbed because
-this container has no image/audio libraries:
-
-- ``decode_image`` / ``load_waveform`` raise ``NotImplementedError``
-  unless Pillow / soundfile are importable (import-try gated).
-- ``fake_decode_image`` / ``fake_audio_stats`` are deterministic
-  stand-ins computing "decoded" properties as pure functions of the
-  payload bytes — so the whole pipeline stays oracle-checkable in
-  DuckDB, which no real JPEG decoder would be.
+UDF signatures) is real and tested, and the codec layer is REAL for
+uncompressed formats (round 5): ``decode_image`` handles PPM/PGM/BMP
+and ``decode_audio`` PCM WAV via the zero-dependency numpy/stdlib
+codecs in ``operators/codecs.py``; ``resize_images`` produces real
+thumbnails. Compressed formats (JPEG/PNG) remain behind the Pillow
+import-try gate — absent in this container, those rows decode as NULLs.
+``fake_decode_image`` / ``audio_stats_col`` stay as the deterministic
+stand-ins the DuckDB oracle can verify (no SQL engine decodes BMP).
 
 Schema conventions:
 
@@ -143,15 +142,133 @@ def fake_decode_image(media: DataFrame) -> DataFrame:
     return narrow.mapInPandas(decode, DECODED_IMAGE_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Real decode path: requires Pillow, absent in this container.
-    The mapInPandas shape is identical to fake_decode_image."""
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "Pillow is not installed; use fake_decode_image for the "
-            "deterministic stand-in (same plumbing)"
-        )
-    raise NotImplementedError("real decode not exercised in this environment")
+def decode_image(media: DataFrame) -> DataFrame:
+    """REAL decode path over ``mapInPandas`` — same plumbing as
+    ``fake_decode_image``, but the body runs the built-in numpy codecs
+    (PPM/PGM/BMP, ``operators/codecs.py``) on each payload. Compressed
+    formats (JPEG/PNG) dispatch to Pillow when importable; otherwise
+    those rows decode as NULLs (the import-try gate, visible in the
+    output rather than an exception so one bad payload can't kill a
+    100 TB scan). ``byte_sum`` = sum of decoded pixel values mod
+    1,000,003 — a content checksum downstream dedup can group on."""
+    from . import codecs
+
+    narrow = media.select("media_id", "data")  # column-prune before Python
+
+    def one(p) -> tuple:
+        if p is None:
+            return (None,) * 4
+        payload = bytes(p)
+        try:
+            arr = codecs.decode_image_array(payload)
+        except codecs.CodecError:
+            if HAVE_PIL and codecs.sniff_format(payload) in ("jpeg", "png"):
+                import io
+
+                import numpy as np
+
+                with Image.open(io.BytesIO(payload)) as im:
+                    arr = np.asarray(im.convert("RGB"))
+            else:
+                return (None,) * 4
+        h, w, ch = arr.shape
+        return (w, h, ch, int(arr.sum()) % 1_000_003)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [one(p) for p in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "byte_sum": [d[3] for d in dims],
+                }
+            )
+
+    return narrow.mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+
+
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode for PCM WAV payloads (stdlib ``wave`` + numpy,
+    ``operators/codecs.py``); non-WAV payloads yield NULL rows. Emits
+    framing plus RMS amplitude — the stats a quality-filter stage gates
+    on before a (model-based) feature extractor runs."""
+    from . import codecs
+
+    narrow = media.select("media_id", "data")
+
+    def one(p) -> tuple:
+        if p is None:
+            return (None,) * 4
+        try:
+            arr, rate = codecs.decode_wav(bytes(p))
+        except codecs.CodecError:
+            return (None,) * 4
+        rms = float((arr.astype("float64") ** 2).mean() ** 0.5) if arr.size else 0.0
+        return (rate, arr.shape[1], arr.shape[0], round(rms, 6))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(p) for p in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_channels": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "rms": [r[3] for r in rows],
+                }
+            )
+
+    return narrow.mapInPandas(decode, DECODED_AUDIO_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (PPM) thumbnail
+    column, all inside one Arrow batch pass — the shape of a real
+    thumbnailing stage (decode and transform co-located so pixels never
+    cross a stage boundary). Undecodable payloads → NULL thumb."""
+    from . import codecs
+
+    narrow = media.select("media_id", "data")
+
+    def one(p):
+        if p is None:
+            return None
+        try:
+            arr = codecs.decode_image_array(bytes(p))
+        except codecs.CodecError:
+            return None
+        return codecs.encode_ppm(codecs.resize_nearest(arr, width, height))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "thumb": [one(p) for p in pdf["data"]]}
+            )
+
+    return narrow.mapInPandas(run, RESIZED_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:

