@@ -291,26 +291,72 @@ def minhash_candidate_pairs(
     """LSH candidate pairs (id_a < id_b): identical-signature star edges
     plus banded cross-signature candidates over DISTINCT signatures.
 
-    Duplicate-skew guard (the 100 TB scale-killer): a corpus where one
-    text occurs d times used to put d identical signatures in every
-    band bucket, so the self-join emitted d·(d−1)/2 pairs per band —
-    quadratic in the duplicate count. Instead, identical full
-    signatures are collapsed first (window min over s0..s15 →
-    canonical member per signature group), banding runs over one
-    representative per DISTINCT signature, and identical groups
-    contribute only (canonical, member) star edges — linear in d, and
-    union-find-equivalent to the full clique for clustering.
+    Duplicate-skew guard (the 100 TB scale-killer), two layers:
+
+    1. **Text collapse BEFORE signatures**: identical texts are grouped
+       by md5 in one cheap pass (no tokenization), each group's min-id
+       representative carries the group into the LSH pipeline, and
+       members emit (canonical, member) star edges directly. The whole
+       explode→window→16-min-agg signature computation then scales with
+       DISTINCT texts, not corpus rows — a corpus that is 90% exact
+       duplicates costs ~10% of the naive pipeline.
+    2. **Signature collapse** (for different texts that still hash to
+       identical full signatures): window min over s0..s15 → canonical
+       per signature group; banding runs over one representative per
+       DISTINCT signature.
+
+    Both layers emit star edges instead of cliques — linear in the
+    duplicate count d (was d·(d−1)/2 per band), and union-find-
+    equivalent to the full clique for clustering. Canonicals compose
+    (min of mins = global min), so the edge set is identical to the
+    single-layer form the oracle SQL computes.
     """
     sig_cols = [f"s{i}" for i in range(NUM_PERM)]
-    sig_table = minhash_signatures(docs, id_col, text_col)
+    # ---- layer 1: text collapse ----
+    # ONE aggregate on the text hash replaces the old repartition as the
+    # single place corpus text crosses the wire: min-id representative +
+    # one text copy per DISTINCT text. Everything downstream of this
+    # shuffle scales with distinct texts, not corpus rows. (first(text)
+    # is deterministic here: all rows in a group carry identical text.)
+    hashed = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__th"), F.col(text_col)
+    )
+    groups = _persist(
+        hashed.groupBy("__th").agg(
+            F.min(id_col).alias("__trep"), F.first(text_col).alias(text_col)
+        )
+    )
+    sig_table = minhash_signatures(
+        groups.select(F.col("__trep").alias(id_col), text_col), id_col, text_col
+    )
+    # members join their group on the slim (id, th) projection — corpus
+    # text never shuffles a second time
+    text_members = (
+        hashed.select(F.col(id_col), "__th")
+        .join(groups.select("__th", "__trep"), "__th")
+        .filter(F.col(id_col) != F.col("__trep"))
+        .select("__trep", F.col(id_col).alias("id_b"))
+    )
+    # ---- layer 2: signature collapse over distinct texts ----
     # one shuffle on the full signature; min(id) tags every member with
     # its group canonical without collecting member lists driver-side
     withrep = sig_table.withColumn(
         "rep", F.min(id_col).over(W.partitionBy(*sig_cols))
     )
     withrep = _persist(withrep)  # feeds star edges + reps below
-    star = withrep.filter(F.col(id_col) != F.col("rep")).select(
-        F.col("rep").alias("id_a"), F.col(id_col).alias("id_b")
+    # Text members anchor to their rep's SIGNATURE-group canonical (not
+    # the text rep itself) — exactly the edge the single-layer collapse
+    # the oracle mirrors would emit when one signature group spans
+    # several text groups. The join also gates members on their rep
+    # having a signature row at all (short docs produce none, and their
+    # members must vanish exactly like the single-layer form).
+    text_star = text_members.join(
+        withrep.select(F.col(id_col).alias("__trep"), "rep"), "__trep"
+    ).select(F.col("rep").alias("id_a"), "id_b")
+    star = (
+        withrep.filter(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        .unionByName(text_star)
     )
     reps = withrep.filter(F.col(id_col) == F.col("rep")).select(id_col, *sig_cols)
     banded = reps.select(
@@ -363,6 +409,38 @@ def minhash_dedup_pairs(
     """
     cands = minhash_candidate_pairs(docs, id_col, text_col)
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # Exact-duplicate shortcut (duplicate-skew guard, part 2): a pair of
+    # byte-identical texts has jaccard exactly 1.0 — no set intersection
+    # needed. Under heavy duplication (the sf1 rehearsal: every doc x10)
+    # nearly every candidate is such a star edge, and verifying 45k of
+    # them through array_intersect was the remaining superlinear term.
+    # Routed by a cheap per-doc text md5; only genuinely-different pairs
+    # pay the shingle-set join. Same results: jaccard of identical texts
+    # IS 1.0, so the oracle SQL needs no mirror of this routing.
+    # md5 projected AT THE SCAN, then only (id, 32-byte hash) moves —
+    # repartitioning before the projection would shuffle the corpus text
+    txt = _persist(
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("th")).repartition(
+            n_part, F.col(id_col)
+        )
+    )
+    routed = _persist(
+        cands.join(
+            txt.select(F.col(id_col).alias("id_a"), F.col("th").alias("th_a")),
+            "id_a",
+        ).join(
+            txt.select(F.col(id_col).alias("id_b"), F.col("th").alias("th_b")),
+            "id_b",
+        )
+    )
+    exact = routed.filter(F.col("th_a") == F.col("th_b")).select(
+        "id_a", "id_b", F.lit(1.0).alias("jaccard")
+    )
+    rest = routed.filter(F.col("th_a") != F.col("th_b")).select("id_a", "id_b")
+    if rest.limit(1).count() == 0:
+        # pure-duplication corpora skip the shingle-set build entirely
+        # (one bounded probe job against the persisted routed frame)
+        return exact
     # verify on hashed shingle SETS — integer intersection is ~an order
     # of magnitude cheaper than string intersection, deterministic on
     # both engines (same md5-derived values)
@@ -371,11 +449,14 @@ def minhash_dedup_pairs(
     )
     sh = _persist(sh)  # both verify joins read it; shingle work runs once
     pairs = (
-        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        rest.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .select("id_a", "id_b", jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
     )
-    return pairs.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return (
+        exact.unionByName(pairs.filter(F.col("jaccard") >= threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_dedup_pairs_sql(
