@@ -1,0 +1,235 @@
+"""Training-data pipeline queries, round 5: change-data feed between
+lake snapshots, token-budget sequence packing, temperature-based
+multilingual sampling, and per-source dedup accounting.
+
+Same conventions as plans/queries.py: every computed column aliased
+identically in the Spark plan and the DuckDB oracle; doubles either
+rounded or integerized per row before grouping so sums are exact and
+order-insensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .queries import _t, merge_upsert_build, register
+
+# ---------------------------------------------------------------------------
+# Snapshot change feed (CDC between two committed lake versions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff_changefeed",
+    """
+    WITH v1 AS (
+      SELECT event_id, value FROM events WHERE event_id % 10 < 8
+    ),
+    v2 AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 >= 5 THEN value + 1000.0 ELSE value END AS value
+      FROM events
+    ),
+    j AS (
+      SELECT v1.event_id AS old_id, v2.event_id AS new_id,
+             CAST(floor(v1.value * 100) AS BIGINT) AS oc,
+             CAST(floor(v2.value * 100) AS BIGINT) AS nc
+      FROM v1 FULL JOIN v2 ON v1.event_id = v2.event_id
+    )
+    SELECT CASE WHEN old_id IS NULL THEN 'insert'
+                WHEN new_id IS NULL THEN 'delete'
+                WHEN oc <> nc THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n,
+           CAST(sum(coalesce(nc, oc)) AS BIGINT) AS value_cents
+    FROM j
+    GROUP BY 1
+    """,
+    "Change-data feed between two lake snapshots: full-outer diff of a "
+    "pre-merge and post-merge version of the same table, classified "
+    "insert/update/delete/unchanged (the CDC read a downstream "
+    "incremental consumer would run)",
+)
+def snapshot_diff_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the real write path twice (append → v1, MERGE → v2), then
+    diffs the two committed versions via one full-outer join on the PK —
+    both sides are manifest-versioned reads of the SAME catalog, proving
+    immutable data files + manifest versioning give a usable change feed
+    without any change-log machinery. Values compare as per-row floor
+    cents (exact, order-free). At scale the join shuffles only
+    (pk, cents) pairs, never payloads."""
+    w, batch, cat = merge_upsert_build(spark, sf_dir)
+    t = cat.table("events_merged")
+    v1 = t.current_version()
+    w.write(batch)  # MERGE → v1 + 1
+    cents = lambda c: F.floor(c * 100).cast("long")  # noqa: E731
+    old = t.read(version=v1).select(
+        F.col("event_id").alias("old_id"), cents(F.col("value")).alias("oc")
+    )
+    new = t.read().select(
+        F.col("event_id").alias("new_id"), cents(F.col("value")).alias("nc")
+    )
+    j = old.join(new, old.old_id == new.new_id, "full_outer")
+    change = (
+        F.when(F.col("old_id").isNull(), "insert")
+        .when(F.col("new_id").isNull(), "delete")
+        .when(F.col("oc") != F.col("nc"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change_type"), F.coalesce("nc", "oc").alias("c"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_TOKEN_BUDGET = 2048
+
+
+@register(
+    "pack_sequences_token_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_tok,
+             CAST(floor(CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE)
+                        / {PACK_TOKEN_BUDGET}) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY lang, pack_id
+    """,
+    "Token-budget sequence packing: documents packed into "
+    f"~{PACK_TOKEN_BUDGET}-token training chunks per language shard via "
+    "a running-sum boundary (the batch-construction step of an LLM "
+    "pretraining pipeline)",
+)
+def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit packing as ONE window pass: the running token sum per
+    language shard assigns each document the pack its first token lands
+    in — deterministic, no driver loop, and the shard (lang) is the
+    parallel unit exactly as a real packer shards its corpus. One
+    shuffle (the lang window); the aggregate reuses its partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    win = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = docs.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        F.floor(
+            (F.sum(n_tok).over(win) - n_tok).cast("double") / PACK_TOKEN_BUDGET
+        ).alias("pack_id"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature (alpha) sampling weights for multilingual mixing
+# ---------------------------------------------------------------------------
+
+SAMPLE_BUDGET = 100_000
+
+
+@register(
+    "lang_temperature_sampling",
+    f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM counts)
+    SELECT lang, n_docs,
+           ROUND(sqrt(CAST(n_docs AS DOUBLE)) / z, 6) AS weight,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / z * {SAMPLE_BUDGET} + 0.5)
+                AS BIGINT) AS expected_samples
+    FROM counts, tot
+    """,
+    "Temperature-sampled language mix (alpha = 0.5): per-language "
+    "sampling weights proportional to sqrt(doc count) and expected "
+    "draws from a fixed budget — the multilingual rebalancing step of a "
+    "pretraining data recipe",
+)
+def lang_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha = 0.5 on purpose: sqrt is IEEE-correctly-rounded, so both
+    engines compute bit-identical weights (a pow(x, alpha) would differ
+    in the last ulp between libm implementations). The normalizer is a
+    1-row broadcast cross join — counts never leave the executors until
+    the 5-row result."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"))
+    wcol = F.sqrt(F.col("n_docs").cast("double")) / F.col("z")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(wcol, 6).alias("weight"),
+        F.floor(wcol * SAMPLE_BUDGET + 0.5).cast("long").alias("expected_samples"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_dedup_accounting",
+    """
+    WITH hashed AS (
+      SELECT source, octet_length(encode(text)) AS n_bytes,
+             row_number() OVER (PARTITION BY source, md5(text) ORDER BY doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(1.0 - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 6) AS dup_rate,
+           CAST(sum(CASE WHEN rn = 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+             AS kept_bytes
+    FROM hashed
+    GROUP BY source
+    """,
+    "Per-source dedup accounting: exact-duplicate rate and surviving "
+    "bytes after keep-first dedup within each source (the crawl-source "
+    "quality report of a corpus pipeline)",
+)
+def source_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup scoped per source, reported as source-level
+    accounting. One shuffle on (source, text-hash) for the ranking
+    window; the source rollup reuses the source prefix of that
+    partitioning. Text never shuffles — the window runs on its md5."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    hashed = docs.select(
+        "source",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.row_number().over(W.partitionBy("source", h).orderBy("doc_id")).alias("rn"),
+    )
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return hashed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        kept.alias("n_kept"),
+        F.round(1.0 - kept.cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_bytes")).otherwise(0)).alias(
+            "kept_bytes"
+        ),
+    )

@@ -2321,9 +2321,10 @@ def merge_many_group_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# TPC-H completion set (Q2/Q7-Q9/Q11-Q13/Q15/Q16/Q19-Q22) registers on
-# import; late import because tpch.py needs register/_t from this module.
-from . import tpch  # noqa: E402,F401  (registration side effect)
+# TPC-H completion set (Q2/Q7-Q9/Q11-Q13/Q15/Q16/Q19-Q22) and the
+# round-5 pipeline queries register on import; late imports because both
+# modules need register/_t from this module.
+from . import pipeline, tpch  # noqa: E402,F401  (registration side effect)
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
