@@ -16,6 +16,148 @@ from pyspark.sql import functions as F
 from .queries import _t, merge_upsert_build, register
 
 # ---------------------------------------------------------------------------
+# Deterministic quantized k-means (iterative algorithm demo)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_DIM = 64
+KMEANS_QSCALE = 1000
+
+
+def _kmeans_sql() -> str:
+    """CTE-unrolled oracle: the same integer-quantized Lloyd iterations.
+    All arithmetic is exact (quantized BIGINT coordinates; dot products
+    < 2^53 so their DOUBLE representation is exact), so the two engines
+    agree bit-for-bit with no rounding epsilon."""
+    dq = "CAST(v.q AS DOUBLE[])"
+    blocks = [
+        f"""
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_QSCALE}) AS BIGINT)
+             ) AS q
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, q AS c FROM v WHERE vec_id < {KMEANS_K})"""
+    ]
+    for i in range(KMEANS_ITERS + 1):
+        blocks.append(f"""
+    a{i} AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (
+          SELECT v.vec_id, c{i}.cid,
+                 list_dot_product({dq}, {dq})
+                 + list_dot_product(CAST(c{i}.c AS DOUBLE[]), CAST(c{i}.c AS DOUBLE[]))
+                 - 2 * list_dot_product({dq}, CAST(c{i}.c AS DOUBLE[])) AS dist
+          FROM v, c{i}
+        ) d
+      ) r WHERE rn = 1
+    )""")
+        if i < KMEANS_ITERS:
+            blocks.append(f"""
+    c{i + 1} AS (
+      SELECT cid, list(cval ORDER BY d) AS c FROM (
+        SELECT a{i}.cid, dims.d,
+               CAST(floor(CAST(sum(v.q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+        FROM a{i} JOIN v USING (vec_id),
+             (SELECT unnest(generate_series(1, {KMEANS_DIM})) AS d) dims
+        GROUP BY a{i}.cid, dims.d
+      ) g GROUP BY cid
+    )""")
+    return (
+        "WITH" + ",".join(blocks) + f"""
+    SELECT cid, count(*) AS n_members,
+           CAST(sum(dist) AS BIGINT) AS inertia
+    FROM a{KMEANS_ITERS} GROUP BY cid
+    """
+    )
+
+
+@register(
+    "kmeans_embedding_clusters",
+    _kmeans_sql(),
+    f"Deterministic k-means over the embedding corpus: {KMEANS_ITERS} "
+    f"Lloyd iterations on {KMEANS_QSCALE}x-quantized integer "
+    "coordinates (exact arithmetic — no cross-engine float drift), "
+    "k=8, min-id init; the clustering step of an embedding-space "
+    "curation pipeline",
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook Spark k-means shape: centroids live on the DRIVER
+    (k x dim integers — two bounded 8-row collects), assignment is a
+    map-side expression over broadcast centroid literals (zero shuffle),
+    and each centroid update is one posexplode + (cid, dim) aggregate.
+    Quantized integer coordinates make every distance and every
+    floor-divided mean exact, so assignments match the oracle without
+    any tolerance. At 100 TB this is exactly MLlib's iteration
+    structure: per-iteration cost is one scan + one small aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * KMEANS_QSCALE),
+        ).alias("q"),
+    ).persist()
+    cents = {
+        r["vec_id"]: list(r["q"])
+        for r in vecs.filter(F.col("vec_id") < KMEANS_K).collect()
+    }
+
+    def assigned(cent_map: dict) -> DataFrame:
+        cids = sorted(cent_map)
+        cents_arr = F.array(
+            *[F.array(*[F.lit(v) for v in cent_map[cid]]) for cid in cids]
+        )
+        cids_arr = F.array(*[F.lit(c).cast("long") for c in cids])
+        # one transform over the centroid array — k aggregates share a
+        # single codegen'd expression instead of k column-wide copies
+        dists = F.transform(
+            cents_arr,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        df = vecs.select("vec_id", "q", dists.alias("ds"))
+        best = F.array_min("ds")
+        # array_position finds the FIRST minimum → ties break to the
+        # lowest cid, matching the oracle's ORDER BY (dist, cid)
+        pick = F.element_at(cids_arr, F.array_position("ds", best).cast("int"))
+        return df.select("vec_id", "q", pick.alias("cid"), best.alias("dist"))
+
+    for _ in range(KMEANS_ITERS):
+        a = assigned(cents)
+        rows = (
+            a.select("cid", F.posexplode("q").alias("d", "val"))
+            .groupBy("cid", "d")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .collect()
+        )
+        cents = {}
+        for r in rows:
+            cents.setdefault(r["cid"], {})[r["d"]] = r["cval"]
+        cents = {cid: [v[d] for d in sorted(v)] for cid, v in cents.items()}
+
+    return (
+        assigned(cents)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
 # Snapshot change feed (CDC between two committed lake versions)
 # ---------------------------------------------------------------------------
 

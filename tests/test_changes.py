@@ -1,0 +1,92 @@
+"""LakeTable.changes(): CDC feed between committed versions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    base = spark.range(20).select(
+        F.col("id"), (F.col("id") * 10).alias("v"), F.lit("a").alias("tag")
+    )
+    w.write(base)  # v0-ish (create + append)
+    return cat.table("t"), w
+
+
+def _by_type(df):
+    out = {"insert": {}, "update": {}, "delete": {}}
+    for r in df.collect():
+        out[r["_change_type"]][r["id"]] = (r["v"], r["tag"])
+    return out
+
+
+def test_changes_classifies_insert_update_delete(spark, table):
+    t, w = table
+    v0 = t.current_version()
+    batch = spark.createDataFrame(
+        [(5, 999, "b"), (7, 70, "a"), (100, 1, "new")], "id long, v long, tag string"
+    )
+    # id=7 payload identical to base (7*10=70, 'a') → must NOT appear
+    w.write(batch)
+    ch = _by_type(t.changes(v0))
+    assert ch["insert"] == {100: (1, "new")}
+    assert ch["update"] == {5: (999, "b")}
+    assert ch["delete"] == {}
+    assert 7 not in ch["update"]
+
+
+def test_changes_reports_deletes_with_last_values(spark, table):
+    t, w = table
+    v0 = t.current_version()
+    w.delete_where("id >= 18")
+    ch = _by_type(t.changes(v0))
+    assert ch["delete"] == {18: (180, "a"), 19: (190, "a")}
+    assert ch["insert"] == {} and ch["update"] == {}
+
+
+def test_changes_skips_shared_files(spark, tmp_path):
+    """A multi-file table where one partition's files survive untouched:
+    the diff must scan only the changed files (and stay correct)."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake2"))
+    w = LakeWriter(cat.table("p"), pk=["id"], partition_by="bucket")
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).alias("bucket"), F.lit(1.0).alias("x")
+    )
+    w.write(base)
+    t = cat.table("p")
+    v0 = t.current_version()
+    # touch only bucket 0
+    batch = spark.createDataFrame([(2, 0, 5.0), (101, 1, 7.0)], "id long, bucket int, x double")
+    w.write(batch)
+    ch = t.changes(v0)
+    rows = {r["id"]: (r["_change_type"], r["x"]) for r in ch.collect()}
+    assert rows == {2: ("update", 5.0), 101: ("insert", 7.0)}
+
+
+def test_changes_across_multiple_versions_and_requires_pk(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake3"))
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    w.write(spark.range(5).select(F.col("id"), F.lit(0).alias("v")))
+    t = cat.table("t")
+    v0 = t.current_version()
+    w.write(spark.range(5).select(F.col("id"), F.lit(1).alias("v")))
+    w.write(spark.range(3).select((F.col("id") + 5).alias("id"), F.lit(2).alias("v")))
+    # cumulative diff v0 → latest: 5 updates + 3 inserts
+    ch = _by_type_simple(t.changes(v0))
+    assert ch == {"insert": {5, 6, 7}, "update": {0, 1, 2, 3, 4}, "delete": set()}
+
+    wn = LakeWriter(cat.table("nopk"))
+    wn.write(spark.range(3).select(F.col("id")))
+    with pytest.raises(ValueError, match="requires pk"):
+        cat.table("nopk").changes(0)
+
+
+def _by_type_simple(df):
+    out = {"insert": set(), "update": set(), "delete": set()}
+    for r in df.collect():
+        out[r["_change_type"]].add(r["id"])
+    return out
