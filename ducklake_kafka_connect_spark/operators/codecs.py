@@ -167,7 +167,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             nch = f.getnchannels()
             width = f.getsampwidth()
             frames = f.readframes(f.getnframes())
-    except wave.Error as e:
+    # wave raises EOFError (not wave.Error) on empty/truncated chunks
+    except (wave.Error, EOFError, struct.error) as e:
         raise CodecError(f"bad WAV payload: {e}") from e
     if width == 2:
         arr = np.frombuffer(frames, dtype="<i2")

@@ -158,6 +158,52 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
+# Skew-resistant aggregation (salted two-phase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skewed_event_stats_salted",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           min(event_id) AS first_id,
+           max(event_id) AS last_id
+    FROM events
+    GROUP BY event_type
+    """,
+    "Hot-key aggregation through the salted two-phase operator: 5 event "
+    "types fan out over 16 salts before merging, so no reducer owns a "
+    "whole key — results identical to the plain GROUP BY the oracle runs",
+)
+def skewed_event_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/skew.py::salted_aggregate: partials on
+    (event_type, salt), merge on event_type. The oracle is the PLAIN
+    aggregate — proving the salt changes only the physical distribution.
+    Values integerize to cents per row so the two-phase addition order
+    cannot drift."""
+    from ..operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "cents"),
+            "value_cents": ("sum", "cents"),
+            "first_id": ("min", "event_id"),
+            "last_id": ("max", "event_id"),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
 # Snapshot change feed (CDC between two committed lake versions)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis): invariants that unit fixtures
+cannot sweep — codec roundtrips over arbitrary shapes/contents,
+partition-value canonicalization agreement, and data-skipping
+conservativeness."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ducklake_kafka_connect_spark.lake.partitioning import (
+    canon_partition_token,
+    canon_partition_value,
+)
+from ducklake_kafka_connect_spark.lake.skipping import parse_conjuncts, prune_files
+from ducklake_kafka_connect_spark.operators import codecs
+
+# --------------------------------------------------------------------------
+# codecs: decode(encode(x)) == x for every shape and content
+# --------------------------------------------------------------------------
+
+dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@settings(max_examples=50, deadline=None)
+@given(dims, st.integers(0, 2**32 - 1), st.sampled_from([1, 3]))
+def test_pnm_roundtrip_any_shape(shape, seed, ch):
+    h, w = shape
+    arr = np.random.RandomState(seed).randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = codecs.decode_ppm(codecs.encode_ppm(arr))
+    assert out.shape == arr.shape and np.array_equal(out, arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(dims, st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_any_shape(shape, seed):
+    h, w = shape
+    arr = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = codecs.decode_bmp(codecs.encode_bmp(arr))
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 2000), st.sampled_from([1, 2]), st.integers(0, 2**32 - 1),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_any_length(n, ch, seed, rate):
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-(2**15), 2**15, size=(n, ch)).astype(np.int16)
+    arr, r = codecs.decode_wav(codecs.encode_wav(samples, rate=rate))
+    assert r == rate and np.array_equal(arr, samples)
+
+
+@settings(max_examples=50, deadline=None)
+@given(dims, dims, st.integers(0, 2**32 - 1))
+def test_resize_shape_and_pixel_provenance(src, dst, seed):
+    h, w = src
+    th, tw = dst
+    arr = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = codecs.resize_nearest(arr, tw, th)
+    assert out.shape == (th, tw, 3)
+    # nearest-neighbor: every output pixel exists somewhere in the input
+    src_px = {bytes(p) for p in arr.reshape(-1, 3)}
+    assert all(bytes(p) in src_px for p in out.reshape(-1, 3))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=64))
+def test_codec_errors_never_crash(payload):
+    """Arbitrary garbage either decodes or raises CodecError — never an
+    unhandled exception (one bad payload must not kill a corpus scan)."""
+    for fn in (codecs.decode_ppm, codecs.decode_bmp, codecs.decode_wav,
+               codecs.decode_image_array):
+        try:
+            fn(payload)
+        except codecs.CodecError:
+            pass
+    codecs.sniff_format(payload)
+
+
+# --------------------------------------------------------------------------
+# partition canonicalization: value-side and token-side must agree
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.one_of(
+    st.integers(-(2**50), 2**50),
+    st.booleans(),
+    st.text(alphabet=st.characters(codec="ascii", exclude_characters="/\x00"),
+            max_size=20),
+))
+def test_canon_value_token_agreement(v):
+    """A partition value written as its Hive token must canonicalize to
+    the same string from BOTH directions (Row value vs dir token) — the
+    invariant that makes MERGE's partition pruning safe."""
+    canon_v = canon_partition_value(v)
+    token = "true" if v is True else "false" if v is False else str(v)
+    assert canon_partition_token(token) == canon_v
+
+
+# --------------------------------------------------------------------------
+# data skipping: pruning is conservative (never drops a matching file)
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(-100, 100), st.integers(0, 50)),
+             min_size=1, max_size=6),
+    st.integers(-120, 120),
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+)
+def test_prune_never_drops_matching_file(ranges, lit, op):
+    files = [f"f{i}" for i in range(len(ranges))]
+    stats = {
+        f: {"x": [lo, lo + width]} for f, (lo, width) in zip(files, ranges)
+    }
+    pred = f"x {op} {lit}"
+    kept, _ = prune_files(files, stats, pred)
+    # brute force: a file whose [lo, hi] contains ANY value satisfying
+    # the predicate must be kept
+    ops = {"=": lambda a: a == lit, "<": lambda a: a < lit,
+           "<=": lambda a: a <= lit, ">": lambda a: a > lit,
+           ">=": lambda a: a >= lit}
+    for f, (lo, width) in zip(files, ranges):
+        if any(ops[op](v) for v in range(lo, lo + width + 1)):
+            assert f in kept, f"{f} [{lo},{lo+width}] pruned but matches {pred}"
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=40))
+def test_parse_conjuncts_never_crashes(s):
+    """Arbitrary predicate text parses to conjuncts or none — a parse
+    the skipper cannot understand must degrade to 'keep everything',
+    never to an exception in the read path."""
+    parse_conjuncts(s)
