@@ -496,12 +496,21 @@ class LakeTable:
         return df
 
     def changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        preimages: bool = False,
     ) -> DataFrame:
         """Change-data feed between two committed versions: one row per
         PK whose content changed, with ``_change_type`` in
-        ('insert', 'update', 'delete'). Requires a PK (the identity that
-        makes 'update' meaningful). Built as a full-outer join of the
+        ('insert', 'update', 'delete'). With ``preimages=True`` each
+        update instead emits TWO rows — ``update_preimage`` (old values)
+        and ``update_postimage`` (new values), Delta CDF semantics — so a
+        downstream consumer can maintain aggregates incrementally:
+        sign every row +1 (insert/postimage) or -1 (delete/preimage) and
+        the signed deltas fold into any SUM/COUNT-shaped state, including
+        rows that migrate between group keys. Requires a PK (the identity
+        that makes 'update' meaningful). Built as a full-outer join of the
         two snapshot reads on the PK — no change-log machinery, just
         immutable files + manifest versioning. File-level optimization:
         files present in BOTH manifests are identical objects (files are
@@ -570,6 +579,60 @@ class LakeTable:
         out_pk = [
             F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in pk
         ]
+        changed = j.filter(
+            is_insert
+            | is_delete
+            # eqNullSafe: null fields compare equal (a row whose only
+            # nulls persisted must not surface as an update)
+            | ~F.col("__o_payload").eqNullSafe(F.col("__n_payload"))
+        )
+        if preimages:
+            # update → two rows (pre/post image); insert/delete → one.
+            # Both payload structs are aligned to the TO-side physical
+            # schema above, so the array element types unify.
+            n_payload = F.struct(
+                *[F.col(c).alias(c) for c in data_cols]
+            )
+            rows = (
+                F.when(
+                    is_insert,
+                    F.array(
+                        F.struct(
+                            F.lit("insert").alias("ct"),
+                            n_payload.alias("p"),
+                        )
+                    ),
+                )
+                .when(
+                    is_delete,
+                    F.array(
+                        F.struct(
+                            F.lit("delete").alias("ct"),
+                            F.col("__o_payload").alias("p"),
+                        )
+                    ),
+                )
+                .otherwise(
+                    F.array(
+                        F.struct(
+                            F.lit("update_preimage").alias("ct"),
+                            F.col("__o_payload").alias("p"),
+                        ),
+                        F.struct(
+                            F.lit("update_postimage").alias("ct"),
+                            n_payload.alias("p"),
+                        ),
+                    )
+                )
+            )
+            return (
+                changed.select(*out_pk, F.explode(rows).alias("__r"))
+                .select(
+                    *pk,
+                    *[F.col("__r.p")[c].alias(c) for c in data_cols],
+                    F.col("__r.ct").alias("_change_type"),
+                )
+            )
         # deletes carry their last-seen values (Delta CDF semantics)
         out_data = [
             F.when(is_delete, F.col("__o_payload")[c])
@@ -577,16 +640,7 @@ class LakeTable:
             .alias(c)
             for c in data_cols
         ]
-        return (
-            j.filter(
-                is_insert
-                | is_delete
-                # eqNullSafe: null fields compare equal (a row whose only
-                # nulls persisted must not surface as an update)
-                | ~F.col("__o_payload").eqNullSafe(F.col("__n_payload"))
-            )
-            .select(*out_pk, *out_data, change.alias("_change_type"))
-        )
+        return changed.select(*out_pk, *out_data, change.alias("_change_type"))
 
     # ---------- physical file management (used by the writer) ----------
 

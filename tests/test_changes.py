@@ -90,3 +90,55 @@ def _by_type_simple(df):
     for r in df.collect():
         out[r["_change_type"]].add(r["id"])
     return out
+
+
+def test_changes_preimages_cdf_mode(spark, table):
+    """preimages=True: updates emit pre+post image rows whose signed
+    deltas fold into any SUM/COUNT state, including group migration."""
+    t, w = table
+    v0 = t.current_version()
+    batch = spark.createDataFrame(
+        [(5, 999, "b"), (100, 1, "new")], "id long, v long, tag string"
+    )
+    w.write(batch)
+    w.delete_where("id = 19")
+    feed = t.changes(v0, preimages=True)
+    rows = {(r["id"], r["_change_type"]): (r["v"], r["tag"]) for r in feed.collect()}
+    assert rows == {
+        (100, "insert"): (1, "new"),
+        (5, "update_preimage"): (50, "a"),
+        (5, "update_postimage"): (999, "b"),
+        (19, "delete"): (190, "a"),
+    }
+    # signed fold reproduces a per-tag count/sum recompute exactly
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    base = (
+        t.read(version=v0).groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    delta = (
+        feed.select("tag", sign.alias("s"), "v")
+        .groupBy("tag")
+        .agg(F.sum("s").alias("dn"), F.sum(F.col("s") * F.col("v")).alias("dsv"))
+    )
+    z = F.lit(0).cast("long")
+    maintained = {
+        r["tag"]: (r["n"], r["sv"])
+        for r in base.join(delta, "tag", "full_outer")
+        .select(
+            "tag",
+            (F.coalesce("n", z) + F.coalesce("dn", z)).alias("n"),
+            (F.coalesce("sv", z) + F.coalesce("dsv", z)).alias("sv"),
+        )
+        .collect()
+        if r["n"] > 0
+    }
+    recomputed = {
+        r["tag"]: (r["n"], r["sv"])
+        for r in t.read().groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert maintained == recomputed
