@@ -10,6 +10,10 @@ order-insensitive.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -491,3 +495,196 @@ def incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("vc", zero) + F.coalesce("dvc", zero)).alias("value_cents"),
     )
     return merged.filter(F.col("n_events") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents_overlap",
+    f"""
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           CAST(1 + k * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(length(substring(text, CAST(1 + k * {CHUNK_STRIDE} AS INTEGER),
+                                 {CHUNK_CHARS})) AS BIGINT) AS chunk_chars,
+           md5(substring(text, CAST(1 + k * {CHUNK_STRIDE} AS INTEGER),
+                         {CHUNK_CHARS})) AS chunk_md5
+    FROM documents,
+         LATERAL unnest(generate_series(
+           0,
+           CAST(floor((greatest(length(text), 1) - 1) / {CHUNK_STRIDE})
+                AS BIGINT)
+         )) AS g(k)
+    """,
+    f"Sliding-window document chunking: {CHUNK_CHARS}-char chunks every "
+    f"{CHUNK_STRIDE} chars ({CHUNK_CHARS - CHUNK_STRIDE}-char overlap) — "
+    "the context-window preparation step before embedding or training; "
+    "chunk text verified by md5 on both engines",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure narrow transformation: sequence() builds the per-doc start
+    offsets, transform() slices each window, posexplode flattens — one
+    codegen'd stage, ZERO shuffles, output rows ~ len/stride per doc.
+    At 100 TB chunking is embarrassingly parallel and this plan keeps it
+    that way: no repartition, no Python boundary, ~1.3 output rows per
+    input row at these parameters, and the md5 column means downstream
+    exact-dedup of chunks needs no re-read of the text."""
+    docs = _t(spark, sf_dir, "documents")
+    windows = F.expr(
+        f"transform(sequence(1, greatest(length(text), 1), {CHUNK_STRIDE}),"
+        f" s -> struct(s AS start, substring(text, s, {CHUNK_CHARS}) AS chunk))"
+    )
+    return docs.select(
+        "doc_id", F.posexplode(windows).alias("chunk_id", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.start").cast("long").alias("chunk_start"),
+        F.length("c.chunk").cast("long").alias("chunk_chars"),
+        F.md5(F.col("c.chunk")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function suite (sequencing / neighbors / tiles / running totals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_suite",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER seq AS BIGINT) AS seq,
+           cents,
+           lag(cents) OVER seq  AS prev_cents,
+           lead(cents) OVER seq AS next_cents,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY cents, o_orderkey) AS BIGINT)
+             AS spend_quartile,
+           CAST(sum(cents) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_cents
+    FROM o
+    WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "Analytic window suite per customer: order sequencing (row_number), "
+    "neighbor access (lag/lead), spend quartiles (ntile), and running "
+    "totals — the session-feature extraction shape, one shuffle on the "
+    "partition key shared by all four window frames",
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four analytic functions share the o_custkey partitioning, so
+    the plan is ONE hash exchange followed by two sorts (the two frame
+    orderings); no window re-shuffles. Cents integerization keeps
+    running sums exact. At 100 TB window width = one customer's orders —
+    bounded state per key, no skew risk on this key family."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    tile = W.partitionBy("o_custkey").orderBy("cents", "o_orderkey")
+    run = seq.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(seq).cast("long").alias("seq"),
+        "cents",
+        F.lag("cents").over(seq).alias("prev_cents"),
+        F.lead("cents").over(seq).alias("next_cents"),
+        F.ntile(4).over(tile).cast("long").alias("spend_quartile"),
+        F.sum("cents").over(run).alias("running_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (shuffle-free repeated joins)
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+
+def write_bucketed(df: DataFrame, key: str, name: str, path: str) -> None:
+    """Bucketed + sorted parquet table via the session catalog: both the
+    hash-bucket layout and per-file sort order are recorded in table
+    metadata, so later equi-joins on ``key`` between two such tables
+    need NO exchange and NO sort — the scan itself satisfies the join's
+    distribution and ordering requirements."""
+    (
+        df.write.format("parquet")
+        .bucketBy(N_BUCKETS, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+
+
+def bucketed_join_frames(spark: SparkSession, sf_dir: str):
+    """Build-phase: bucket orders and customer on the join key; return
+    (joined_df, plain_join_df) for plan/equivalence checks."""
+    tag = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"ducklake_bkt_{tag}")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ot, ct = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    write_bucketed(orders, "o_custkey", ot, os.path.join(base, "orders"))
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
+        ct, os.path.join(base, "customer"),
+    )
+    bo, bc = spark.table(ot), spark.table(ct)
+    # hint("merge"): without it the planner broadcasts the small side at
+    # test scale and never reads the bucket metadata; at 100 TB neither
+    # side is broadcastable and SMJ-over-buckets is the real plan shape
+    joined = bo.hint("merge").join(bc.hint("merge"), "o_custkey")
+    plain = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    return joined, plain
+
+
+@register(
+    "bucketed_colocated_join",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "Customer-orders revenue by market segment through BUCKETED tables: "
+    "both sides pre-hashed into 8 buckets on the join key, so the join "
+    "runs with zero exchanges — the co-location strategy for any join "
+    "repeated often enough to amortize one bucketed write",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeated-join answer at 100 TB: shuffling a 100 TB fact for
+    every join is the bottleneck; bucketing pays that shuffle ONCE at
+    write time and every subsequent equi-join on the bucket key is
+    exchange-free (scan → join). The build here is the one-time cost;
+    the query plan over the bucketed tables contains no Exchange before
+    the join (asserted in tests/test_bucketed.py). The final group-by
+    aggregates 5 segments — its exchange moves 5 rows per partition."""
+    joined, _ = bucketed_join_frames(spark, sf_dir)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
