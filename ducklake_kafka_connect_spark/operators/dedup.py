@@ -932,7 +932,12 @@ MAX_CC_ITERS = 20
 SMALL_GRAPH_EDGES = 1_000_000
 
 
-def dedup_clusters(pairs: DataFrame, out_id: str = "id") -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    out_id: str = "id",
+    method: str = "star",
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+) -> DataFrame:
     """Connected components over near-dup pair edges → (id, cluster_id).
 
     ``pairs`` carries (id_a, id_b) edges (any extra columns ignored);
@@ -942,13 +947,16 @@ def dedup_clusters(pairs: DataFrame, out_id: str = "id") -> DataFrame:
     labels; labels are monotone non-increasing, so a stable label SUM
     proves a fixpoint (one cheap aggregate per round, no change-join).
 
-    Two paths by edge count: at or below SMALL_GRAPH_EDGES the edge
+    Two paths by edge count: at or below ``small_graph_edges`` the edge
     list collects (slice-capped) and a driver union-find answers in
-    milliseconds; above it, distributed min-label propagation — each
-    round one join + one groupBy on the edge list, the textbook
-    iterative-DataFrame form. Corpora whose duplicate graphs have long
-    chains would switch to large-star/small-star contraction, which
-    halves path lengths per round instead of walking them. Singleton
+    milliseconds; above it, distributed alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — path lengths HALVE per round instead of
+    shrinking by one, so a duplicate chain of length L resolves in
+    O(log L) rounds where plain min-label propagation needs L. Each
+    round is two join+groupBy passes over the (shrinking) edge list.
+    ``method`` selects 'star' (default) or 'minlabel' (the simpler
+    propagation, kept for graphs known to be shallow). Singleton
     documents (no edges) are not emitted — callers union them back if
     they need full coverage."""
     spark = pairs.sparkSession
@@ -958,11 +966,13 @@ def dedup_clusters(pairs: DataFrame, out_id: str = "id") -> DataFrame:
     # costs one capped aggregate, not an unbounded driver copy.
     head = undirected.agg(
         F.slice(
-            F.collect_list(F.struct("u", "v")), 1, SMALL_GRAPH_EDGES + 1
+            F.collect_list(F.struct("u", "v")), 1, small_graph_edges + 1
         ).alias("es")
     ).collect()[0]["es"]
-    if len(head) <= SMALL_GRAPH_EDGES:
+    if len(head) <= small_graph_edges:
         return _union_find_labels(spark, [(e["u"], e["v"]) for e in head], out_id)
+    if method == "star":
+        return _star_contract_labels(undirected, out_id)
 
     edges = undirected
     edges = edges.unionByName(
@@ -1009,6 +1019,77 @@ def dedup_clusters(pairs: DataFrame, out_id: str = "id") -> DataFrame:
         )
     edges.unpersist()
     return labels
+
+
+def _star_contract_labels(edges: DataFrame, out_id: str) -> DataFrame:
+    """Alternating large-star/small-star contraction over an undirected
+    edge list → (out_id, cluster_id) with cluster_id = component min.
+
+    Large-star hangs every strictly-greater neighbor of u onto
+    min(Γ(u) ∪ {u}); small-star hangs every smaller-or-equal neighbor
+    (and u itself) onto the same min over the smaller side. Each pass is
+    one groupBy (per-node min) + one join (re-emit), and alternation
+    provably converges to per-component stars rooted at the minimum id
+    in O(log²) rounds — the right shape when duplicate graphs contain
+    long chains (transitive near-dup runs), where min-label propagation
+    needs diameter rounds. Fixpoint test: the (count, xxhash-sum) edge
+    signature is stable across a round."""
+    e = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(MAX_CC_ITERS):
+        # large-star
+        b = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = b.groupBy("u").agg(F.min("v").alias("mn"))
+        e = (
+            b.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star (edges now oriented u > v)
+        o = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("mn"))
+        e = (
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(mins.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # cut lineage every round
+        )
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: xxhash64 longs overflow BIGINT addition
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {MAX_CC_ITERS} rounds"
+        )
+    # converged edges are stars u → component-min v; roots label themselves
+    return (
+        e.select(F.col("u").alias(out_id), F.col("v").alias("cluster_id"))
+        .unionByName(
+            e.select(F.col("v").alias(out_id), F.col("v").alias("cluster_id"))
+        )
+        .distinct()
+    )
 
 
 def _union_find_labels(spark, edge_list: list, out_id: str) -> DataFrame:

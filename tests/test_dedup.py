@@ -208,3 +208,43 @@ class TestDedupClusters:
         slow = {r["id"]: r["cluster_id"] for r in dd.dedup_clusters(pairs).collect()}
         assert fast == slow
         assert slow[7] == 1 and slow[22] == 20
+
+
+# ---------------------------------------------------------------------------
+# Star-contraction connected components (distributed path)
+# ---------------------------------------------------------------------------
+
+
+def _labels(df):
+    return {r["id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_star_contraction_matches_union_find_on_chains_and_random(spark):
+    import random
+
+    from ducklake_kafka_connect_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    # long chain (worst case for min-label), a star, a cycle, and noise
+    edges = [(i, i + 1) for i in range(60)]
+    edges += [(100, 100 + i) for i in range(1, 8)]
+    edges += [(200, 201), (201, 202), (202, 200)]
+    edges += [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(40)]
+    edges = [e for e in edges if e[0] != e[1]]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    star = _labels(dedup_clusters(pairs, method="star", small_graph_edges=0))
+    uf = _labels(dedup_clusters(pairs, method="minlabel", small_graph_edges=10**9))
+    assert star == uf
+    # chain collapses to min id 0
+    assert all(star[i] == 0 for i in range(61))
+
+
+def test_star_contraction_string_ids(spark):
+    from ducklake_kafka_connect_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = _labels(dedup_clusters(pairs, method="star", small_graph_edges=0))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
