@@ -688,3 +688,55 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded export accounting
+# ---------------------------------------------------------------------------
+
+N_EXPORT_SHARDS = 16
+
+
+@register(
+    "export_shard_accounting",
+    f"""
+    SELECT ({{h60}} % {N_EXPORT_SHARDS}) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """.replace(
+        "{h60}", "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    ),
+    "Deterministic export sharding: content-stable shard id (60-bit md5 "
+    "of the key mod 16) with per-shard row/byte/range accounting — the "
+    "manifest a trainer reads before streaming the shard files",
+)
+def export_shard_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounting half of lake/export.py: one hash-groupBy on the
+    shard id (the identical expression the writer partitions by), no
+    data movement beyond the 16-group aggregate. Shard stability means a
+    re-export after upstream edits rewrites only shards whose membership
+    changed — at 100 TB that is the difference between a nightly
+    full-copy and a delta push."""
+    from ..lake.export import shard_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "shard", shard_col(F.col("doc_id").cast("string"), N_EXPORT_SHARDS)
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length(F.encode(F.col("text"), "UTF-8"))).alias(
+                "text_bytes"
+            ),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
