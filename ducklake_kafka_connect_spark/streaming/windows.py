@@ -185,3 +185,77 @@ def dedup_stream(
     if within_watermark:
         return s.dropDuplicatesWithinWatermark(list(keys))
     return s.dropDuplicates([*keys, ts_col])
+
+
+# ---------------------------------------------------------------------------
+# transformWithState: arbitrary per-key state (Spark 4 API)
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("value_cents", T.LongType(), False),
+    ]
+)
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-key running count + integer-cents sum via the Spark 4
+    ``transformWithStateInPandas`` API (the successor of
+    ``applyInPandasWithState``: typed state handles, composable value/
+    list/map state, optional TTL and timers). Emits the updated running
+    totals for a key once per micro-batch that touches it — the
+    changelog shape a lake MERGE consumes downstream.
+
+    Runtime gate: the transformWithState worker protocol needs the
+    ``protobuf`` package (pyspark's StateMessage proto). Absent it, plan
+    CONSTRUCTION still works but query start fails — the e2e test skips
+    with that reason in this env, same policy as the jar-gated Kafka and
+    Avro fast paths.
+
+    State = one (n, cents) pair per key in a ValueState handle; at 1e9
+    keys this lives in the RocksDB state store like every other stateful
+    operator here. Cents stay integers end-to-end so totals are exact
+    under any batch arrival order."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n LONG, cents LONG")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            n += int(len(pdf))
+            cents += int(pdf["cents"].sum())
+        self._totals.update((n, cents))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "value_cents": [cents]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_stream(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Running per-event-type totals over a stream: floor-cents
+    integerization map-side, then one transformWithStateInPandas keyed
+    on event_type. Update output mode; each emitted row is the key's
+    cumulative state after the batch."""
+    cents = F.floor(F.col(value_col) * 100).cast("long").alias("cents")
+    return (
+        events.select("event_type", cents)
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

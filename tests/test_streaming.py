@@ -298,3 +298,74 @@ class TestStreamStreamJoin:
             for r in spark.sql("SELECT * FROM ss_join").collect()
         ]
         assert rows == [(1, 9.0)]
+
+
+class TestTransformWithState:
+    def test_plan_construction_and_output_schema(self, spark, tmp_path):
+        """Plan building needs no protobuf: the operator must construct
+        with the declared output schema even where the runtime gate
+        (below) is closed."""
+        from ducklake_kafka_connect_spark.streaming.windows import (
+            running_totals_stream,
+        )
+
+        src = tmp_path / "rt_schema_src"
+        src.mkdir()
+        schema = "event_type string, value double"
+        stream = spark.readStream.format("json").schema(schema).load(str(src))
+        out = running_totals_stream(stream)
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == [
+            "event_type", "n_events", "value_cents",
+        ]
+
+    @pytest.mark.skipif(
+        __import__("importlib.util", fromlist=["util"]).find_spec("google") is None,
+        reason="transformWithStateInPandas runtime needs protobuf "
+        "(pyspark's StateMessage proto); not installed in this env",
+    )
+    def test_running_totals_across_batches(self, spark, tmp_path):
+        """Two micro-batches; state carries totals across them and the
+        second emission reflects the cumulative sum."""
+        import json as _json
+
+        from ducklake_kafka_connect_spark.streaming.windows import (
+            running_totals_stream,
+        )
+
+        src = tmp_path / "rt_src"
+        src.mkdir()
+        b0 = [
+            {"event_type": "click", "value": 1.25},
+            {"event_type": "click", "value": 2.50},
+            {"event_type": "view", "value": 10.00},
+        ]
+        (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b0))
+        schema = "event_type string, value double"
+        stream = spark.readStream.format("json").schema(schema).load(str(src))
+        out = running_totals_stream(stream)
+        ckpt = str(tmp_path / "rt_ckpt")
+
+        def run_once(name):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                r["event_type"]: (r["n_events"], r["value_cents"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+
+        got = run_once("rt1")
+        assert got == {"click": (2, 375), "view": (1, 1000)}
+
+        b1 = [{"event_type": "click", "value": 0.25}]
+        (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+        got2 = run_once("rt2")
+        # only the touched key emits; totals are cumulative via state
+        assert got2 == {"click": (3, 400)}
