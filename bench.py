@@ -236,6 +236,12 @@ SF1_QUERIES = [  # r3's 10 most expensive, cheap/stable first
     "dedup_cluster_keep_best",
     "dedup_embedding_cosine",
     "dedup_simhash_hamming",
+    # round-5 additions: iterative algorithm, CDC-maintained aggregate,
+    # shared-exchange windows, and the linear chunker
+    "kmeans_embedding_clusters",
+    "incremental_agg_view",
+    "window_rank_suite",
+    "chunk_documents_overlap",
 ]
 # >12x wall on 10x data (the VERDICT gate) earns a plan note
 SF1_RATIO_FLAG = 12.0
