@@ -248,3 +248,22 @@ def test_star_contraction_string_ids(spark):
     )
     got = _labels(dedup_clusters(pairs, method="star", small_graph_edges=0))
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cluster_query_distributed_path_matches_driver_path(spark):
+    """Full pipeline equivalence: minhash pairs → clusters via the
+    distributed star-contraction path vs the driver union-find path."""
+    from ducklake_kafka_connect_spark.operators import dedup as d
+    from ducklake_kafka_connect_spark.sources.parquet_loader import load_parquet
+
+    docs = load_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    pairs = d.minhash_dedup_pairs(docs)
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in d.dedup_clusters(pairs, method="star", small_graph_edges=0).collect()
+    }
+    uf = {
+        r["id"]: r["cluster_id"]
+        for r in d.dedup_clusters(pairs).collect()
+    }
+    assert star == uf and len(star) > 0
