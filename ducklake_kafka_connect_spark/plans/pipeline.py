@@ -740,3 +740,90 @@ def export_shard_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture materialization: deterministic per-language sampling
+# ---------------------------------------------------------------------------
+
+MIX_FRACTION = 0.2  # sample budget = 20% of the corpus, rebalanced by alpha=0.5
+
+
+@register(
+    "mixture_sampled_corpus",
+    f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z,
+             CAST(sum(n_docs) AS DOUBLE) AS total FROM counts
+    ),
+    rates AS (
+      SELECT lang, n_docs,
+             CAST(floor(least(
+               1.0,
+               sqrt(CAST(n_docs AS DOUBLE)) / z * (total * {MIX_FRACTION})
+                 / CAST(n_docs AS DOUBLE)
+             ) * 1e9) AS BIGINT) AS gate
+      FROM counts, tot
+    )
+    SELECT d.lang,
+           r.n_docs,
+           count(*) AS n_selected,
+           CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS selected_bytes,
+           min(d.doc_id) AS first_doc_id
+    FROM documents d
+    JOIN rates r USING (lang)
+    WHERE (CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 1000000000) < r.gate
+    GROUP BY d.lang, r.n_docs
+    """,
+    "Mixture materialization: the documents actually selected under "
+    "alpha=0.5 temperature rebalancing at a 20%-of-corpus budget — "
+    "content-stable hash gates per language, so the sample is "
+    "reproducible run-to-run and engine-to-engine",
+)
+def mixture_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the sampling story: lang_temperature_sampling computes
+    the weights; this query SELECTS the documents. Per-language accept
+    rate = min(1, weight x budget / n_lang), gated by the same 60-bit
+    md5 the export sharder uses (mod 1e9 against floor(rate x 1e9)) —
+    no RNG, so resampling after corpus edits keeps every surviving
+    doc's verdict. All rate arithmetic is sqrt/divide/multiply in IEEE
+    order mirrored in the oracle, so gates agree bit-for-bit. The plan:
+    one 5-row rates aggregate broadcast into the corpus scan, one
+    filter, one group-by — linear, single wide pass at 100 TB."""
+    from ..operators.dedup import h60_col
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+        F.sum("n_docs").cast("double").alias("total"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.sqrt(F.col("n_docs").cast("double"))
+        / F.col("z")
+        * (F.col("total") * MIX_FRACTION)
+        / F.col("n_docs").cast("double"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.floor(rate * 1e9).cast("long").alias("gate"),
+    )
+    gate_hash = h60_col(F.col("doc_id").cast("string")) % F.lit(1_000_000_000)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(gate_hash < F.col("gate"))
+        .groupBy("lang", "n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.octet_length(F.encode(F.col("text"), "UTF-8"))).alias(
+                "selected_bytes"
+            ),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
