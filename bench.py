@@ -246,6 +246,25 @@ SF1_QUERIES = [  # r3's 10 most expensive, cheap/stable first
 # >12x wall on 10x data (the VERDICT gate) earns a plan note
 SF1_RATIO_FLAG = 12.0
 
+# Queries whose RESULT grows linearly with the corpus (one row per
+# order/event): collect() would time Python-driver row materialization,
+# not the plan. These sink to parquet — the production path — and their
+# sf0.1 baseline is re-timed with the same sink inside the rehearsal so
+# the ratio compares like with like.
+SF1_SINK_TO_PARQUET = {"window_rank_suite", "merge_upsert_events"}
+
+
+def _run_query(spark, name: str, data_dir: str, sink_dir: str | None) -> float:
+    """Time one query end-to-end; large-output queries write parquet
+    instead of collecting through the Python driver."""
+    t0 = time.perf_counter()
+    df = QUERIES[name].fn(spark, data_dir)
+    if name in SF1_SINK_TO_PARQUET and sink_dir is not None:
+        df.write.mode("overwrite").parquet(os.path.join(sink_dir, name))
+    else:
+        df.collect()
+    return round(time.perf_counter() - t0, 3)
+
 
 def build_sf1_dir(spark, sf_dir: str) -> str:
     import functools
@@ -293,12 +312,17 @@ def sf1_harness(spark, sf_dir: str, sf01_timings: dict) -> dict:
             if spent > SF1_BUDGET_S:
                 out["queries"][name] = "skipped_budget"
                 continue
-            t0 = time.perf_counter()
             try:
-                QUERIES[name].fn(spark, sf1_dir).collect()
-                el = round(time.perf_counter() - t0, 3)
+                sink = sf1_dir if name in SF1_SINK_TO_PARQUET else None
+                el = _run_query(spark, name, sf1_dir, sink)
                 out["queries"][name] = el
-                base = sf01_timings.get(name)
+                if sink is not None:
+                    # re-time the sf0.1 side with the same parquet sink so
+                    # the ratio is plan-vs-plan, not collect-vs-write
+                    base = _run_query(spark, name, sf_dir, sink)
+                    out.setdefault("sf01_resunk", {})[name] = base
+                else:
+                    base = sf01_timings.get(name)
                 if base and base > 0:
                     ratio = round(el / base, 1)
                     out["ratio_vs_sf01"][name] = ratio

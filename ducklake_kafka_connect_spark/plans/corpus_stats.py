@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.dedup import h60_col, h60_sql
+from ..operators.similarity import ivf_assign_sql, with_ivf_cell
 from .queries import _t, register
 
 TOKEN_SPLIT = r"\s+"
@@ -378,4 +379,383 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sample_docs"
             )
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog distinct sketch (grouped)
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+# alpha_m * m^2 for m=256 (Flajolet et al. 2007) — the SAME Python float
+# literal is embedded in the Spark plan and the oracle SQL, so both
+# engines start from an identical double.
+HLL_ALPHA_M2 = repr((0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M)
+HLL_2P53 = 1 << 53  # register scale: sum(2^(53-rho)) stays integer-exact
+
+
+@register(
+    "hll_distinct_sketch",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {h60_sql('CAST(user_id AS VARCHAR)')} AS hv
+      FROM events
+    ),
+    split AS (
+      SELECT event_type, hv % {HLL_M} AS idx, hv >> {HLL_P} AS w FROM h
+    ),
+    reg AS (
+      SELECT event_type, idx,
+             max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
+      FROM split GROUP BY event_type, idx
+    ),
+    sk AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << (53 - r)) AS BIGINT)
+               + ({HLL_M} - count(*)) * {HLL_2P53}::BIGINT AS s,
+             {HLL_M} - count(*) AS v
+      FROM reg GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, v,
+             {HLL_ALPHA_M2} / (CAST(s AS DOUBLE) / {HLL_2P53}) AS e_raw
+      FROM sk
+    ),
+    corrected AS (
+      SELECT event_type,
+             CASE WHEN e_raw <= 2.5 * {HLL_M} AND v > 0
+                  THEN {HLL_M} * ln({HLL_M} / CAST(v AS DOUBLE))
+                  ELSE e_raw END AS e
+      FROM est
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT exact.event_type, n_exact,
+           ROUND(e, 4) AS hll_estimate,
+           ROUND((e - n_exact) / n_exact * 100, 4) AS rel_err_pct
+    FROM exact JOIN corrected ON exact.event_type = corrected.event_type
+    """,
+    "Deterministic HyperLogLog (p=8) distinct-user sketch per event "
+    "type, register maxima from md5-derived 60-bit hashes — integer "
+    "register sums make the normally-approximate sketch bit-identical "
+    "across engines; reported against the exact distinct count",
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch is ONE map-side-combinable aggregation (register maxima
+    over (group, idx) — at most m=256 rows per group survive the map
+    side), then a 256-row rollup per group: the mergeable-state shape
+    that lets 1000 executors sketch 100 TB with a KB of state per
+    group. The exact count here is the verification twin; production
+    would drop it. Registers sum as BIGINT 2^(53-rho) terms, so the
+    estimate's double arithmetic starts from identical integers in both
+    engines; the small-range correction branch compares identical
+    doubles."""
+    ev = _t(spark, sf_dir, "events")
+    hv = h60_col(F.col("user_id").cast("string"))
+    split = ev.select(
+        "event_type",
+        (hv % HLL_M).alias("idx"),
+        F.shiftright(hv, HLL_P).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, 53).otherwise(
+        53 - F.length(F.bin(F.col("w")))
+    )
+    reg = split.groupBy("event_type", "idx").agg(F.max(rho).alias("r"))
+    sk = reg.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(HLL_2P53)
+        )
+        .cast("long")
+        .alias("s"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    e_raw = F.lit(float(HLL_ALPHA_M2)) / (
+        F.col("s").cast("double") / F.lit(float(HLL_2P53))
+    )
+    e = F.when(
+        (e_raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v").cast("double")),
+    ).otherwise(e_raw)
+    corrected = sk.select("event_type", e.alias("e"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(F.broadcast(corrected), "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round(F.col("e"), 4).alias("hll_estimate"),
+        F.round((F.col("e") - F.col("n_exact")) / F.col("n_exact") * 100, 4).alias(
+            "rel_err_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: IVF probe vs exact brute force
+# ---------------------------------------------------------------------------
+
+RECALL_QUERY_MOD = 25  # vec_id % 25 == 0 → the sampled query set
+RECALL_K = 10
+
+
+@register(
+    "ann_recall_eval",
+    None,  # placeholder replaced below (needs centroid literals)
+    "",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the ANN family: recall@10 of the IVF cell
+    probe against exact brute force, on a deterministic sampled query
+    set. Corpus vectors + cell assignments compute ONCE and persist;
+    the query set broadcasts into both rankings (corpus never shuffles
+    — the two row_number windows partition by query id over the
+    broadcast-join product). At 100 TB recall eval always runs on a
+    sampled query set exactly like this; the exact ranking is the
+    expensive side and is the thing being sampled."""
+    from .queries import IVF_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = with_ivf_cell(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ),
+        "v",
+        [_unit_c(c) for c in IVF_CENTROIDS],
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    v = v.withColumn("nrm", nrm)
+    v.persist()
+    q = v.filter(F.col("vec_id") % RECALL_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    pairs = (
+        v.join(F.broadcast(q), v.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            "cell",
+            "qcell",
+            F.round(dot / (F.col("nrm") * F.col("qnrm")), 6).alias("cos"),
+        )
+    )
+    pairs.persist()
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    )
+    brute = (
+        pairs.withColumn("rn", rn).filter(F.col("rn") <= RECALL_K)
+        .select("qid", "vec_id")
+    )
+    ivf = (
+        pairs.filter(F.col("cell") == F.col("qcell"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= RECALL_K)
+        .select("qid", "vec_id")
+    )
+    hits = brute.join(ivf, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    perq = q.select("qid").join(hits, "qid", "left").select(
+        "qid", F.coalesce("h", F.lit(0)).alias("h")
+    )
+    return perq.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("h").cast("long").alias("sum_hits"),
+        F.round(
+            F.sum("h") / (F.lit(float(RECALL_K)) * F.count(F.lit(1))), 6
+        ).alias("avg_recall_at_10"),
+        F.sum(F.when(F.col("h") == RECALL_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_perfect"),
+    )
+
+
+def _unit_c(vec):
+    import math
+
+    n = math.sqrt(sum(x * x for x in vec)) or 1.0
+    return [round(float(x) / n, 9) for x in vec]
+
+
+def _ann_recall_oracle() -> str:
+    from .queries import IVF_CENTROIDS, QUERIES
+
+    assign = ivf_assign_sql("CAST(embedding AS DOUBLE[])", [_unit_c(c) for c in IVF_CENTROIDS])
+    return f"""
+    WITH v AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+             {assign} AS cell
+      FROM embeddings
+    ),
+    q AS (
+      SELECT id AS qid, v AS qv, cell AS qcell FROM v
+      WHERE id % {RECALL_QUERY_MOD} = 0
+    ),
+    pairs AS (
+      SELECT q.qid, v.id, v.cell, q.qcell,
+             ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cos
+      FROM v, q WHERE v.id <> q.qid
+    ),
+    brute AS (
+      SELECT qid, id FROM (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, id) AS rn
+        FROM pairs
+      ) r WHERE rn <= {RECALL_K}
+    ),
+    ivf AS (
+      SELECT qid, id FROM (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, id) AS rn
+        FROM pairs WHERE cell = qcell
+      ) r WHERE rn <= {RECALL_K}
+    ),
+    hits AS (
+      SELECT b.qid, count(*) AS h
+      FROM brute b JOIN ivf i ON b.qid = i.qid AND b.id = i.id
+      GROUP BY b.qid
+    ),
+    perq AS (
+      SELECT q.qid, COALESCE(h, 0) AS h FROM q LEFT JOIN hits USING (qid)
+    )
+    SELECT count(*) AS n_queries,
+           CAST(sum(h) AS BIGINT) AS sum_hits,
+           ROUND(sum(h) / ({RECALL_K}.0 * count(*)), 6) AS avg_recall_at_10,
+           CAST(sum(CASE WHEN h = {RECALL_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_perfect
+    FROM perq
+    """
+
+
+def _finalize_ann_recall() -> None:
+    from .queries import QUERIES
+
+    qd = QUERIES["ann_recall_eval"]
+    QUERIES["ann_recall_eval"] = type(qd)(
+        fn=qd.fn,
+        oracle=_ann_recall_oracle(),
+        description="ANN evaluation harness: recall@10 of the IVF cell "
+        "probe vs exact brute-force cosine ranking over a deterministic "
+        "sampled query set — sum-of-hits integers, exact cross-engine",
+    )
+
+
+_finalize_ann_recall()
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+# 3 * 1.4826 (the normal-consistency constant) as an integer cross-
+# multiplication: |dev| * 10000 > 44478 * MAD — float-free flagging.
+MAD_K_X10000 = 44478
+
+
+@register(
+    "robust_value_outliers",
+    f"""
+    WITH ev AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM ev GROUP BY event_type),
+    r1 AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn
+      FROM ev
+    ),
+    med AS (
+      SELECT r1.event_type, r1.c AS median_cents
+      FROM r1 JOIN n ON r1.event_type = n.event_type
+      WHERE r1.rn = (n.n + 1) // 2
+    ),
+    dev AS (
+      SELECT ev.event_type, abs(ev.c - med.median_cents) AS d
+      FROM ev JOIN med ON ev.event_type = med.event_type
+    ),
+    r2 AS (
+      SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM dev
+    ),
+    mad AS (
+      SELECT r2.event_type, r2.d AS mad_cents
+      FROM r2 JOIN n ON r2.event_type = n.event_type
+      WHERE r2.rn = (n.n + 1) // 2
+    )
+    SELECT n.event_type, n.n AS n_events,
+           med.median_cents, mad.mad_cents,
+           (SELECT CAST(sum(CASE WHEN dev.d * 10000 > {MAD_K_X10000} * mad.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT)
+            FROM dev WHERE dev.event_type = n.event_type) AS n_outliers
+    FROM n JOIN med ON n.event_type = med.event_type
+            JOIN mad ON n.event_type = mad.event_type
+    """,
+    "Robust outlier detection per event type: lower-median + MAD on "
+    "integer cents, outliers flagged by integer cross-multiplication "
+    "(3x1.4826 consistency scale) — no float thresholds anywhere",
+)
+def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics: two ranked passes (median of values, then
+    median of absolute deviations), each a per-group sort; group counts
+    and the two medians travel as broadcast joins, so the events table
+    never shuffles beyond the rank exchanges. This is the exact
+    formulation — at 100 TB the same pipeline runs on per-partition
+    pre-aggregated value histograms (value_histogram_by_type) or an
+    approx-quantile sketch; the flagging arithmetic is unchanged."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    ev.persist()
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    rn1 = F.row_number().over(W.partitionBy("event_type").orderBy("c"))
+    r1 = ev.withColumn("rn", rn1).join(F.broadcast(n), "event_type")
+    med = r1.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", F.col("c").alias("median_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("median_cents")).alias("d")
+    )
+    dev.persist()
+    rn2 = F.row_number().over(W.partitionBy("event_type").orderBy("d"))
+    r2 = dev.withColumn("rn", rn2).join(F.broadcast(n), "event_type")
+    mad = r2.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", F.col("d").alias("mad_cents")
+    )
+    outl = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("d") * 10000 > MAD_K_X10000 * F.col("mad_cents"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        n.select("event_type", F.col("n").alias("n_events"))
+        .join(med, "event_type")
+        .join(mad, "event_type")
+        .join(outl, "event_type")
+        .select("event_type", "n_events", "median_cents", "mad_cents", "n_outliers")
     )
