@@ -443,9 +443,22 @@ def minhash_dedup_pairs(
         return exact
     # verify on hashed shingle SETS — integer intersection is ~an order
     # of magnitude cheaper than string intersection, deterministic on
-    # both engines (same md5-derived values)
-    sh = docs.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col), shingle_hash_set_col(F.col(text_col)).alias("sh")
+    # both engines (same md5-derived values). Shingles build ONLY for
+    # docs that appear in a non-identical candidate pair (semi join on
+    # the small candidate-id set): under duplicate skew nearly all
+    # candidates short-circuit as exact, and shingling the whole corpus
+    # for the few survivors was the last corpus-sized term in the
+    # verify path (sf1 rehearsal: 50k-doc shingle build 5.1 s for 1.6k
+    # surviving pairs → ~0.2 s on the ~3k candidate docs).
+    cand_ids = (
+        rest.select(F.col("id_a").alias(id_col))
+        .unionByName(rest.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, id_col, "left_semi")
+        .repartition(n_part, F.col(id_col))
+        .select(F.col(id_col), shingle_hash_set_col(F.col(text_col)).alias("sh"))
     )
     sh = _persist(sh)  # both verify joins read it; shingle work runs once
     pairs = (
