@@ -759,3 +759,225 @@ def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(outl, "event_type")
         .select("event_type", "n_events", "median_cents", "mad_cents", "n_outliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # counters per row
+CMS_TOP = 10
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '{TOKEN_SPLIT}')) AS w
+      FROM documents
+    ),
+    rows_ AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r),
+    cells AS (
+      SELECT r, {h60_sql("w || '#' || CAST(r AS VARCHAR)")} % {CMS_W} AS idx,
+             count(*) AS c
+      FROM tok, rows_ GROUP BY r, idx
+    ),
+    exact AS (SELECT w, count(*) AS n_exact FROM tok GROUP BY w),
+    top AS (
+      SELECT w, n_exact FROM (
+        SELECT w, n_exact,
+               row_number() OVER (ORDER BY n_exact DESC, w ASC) AS rn
+        FROM exact
+      ) t WHERE rn <= {CMS_TOP}
+    ),
+    probes AS (
+      SELECT top.w, top.n_exact, r.r,
+             {h60_sql("top.w || '#' || CAST(r.r AS VARCHAR)")} % {CMS_W} AS idx
+      FROM top, rows_ r
+    )
+    SELECT p.w AS token, p.n_exact,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate,
+           CAST(min(c.c) - p.n_exact AS BIGINT) AS overestimate
+    FROM probes p JOIN cells c ON p.r = c.r AND p.idx = c.idx
+    GROUP BY p.w, p.n_exact
+    """,
+    f"Count-min sketch ({CMS_D}x{CMS_W}) heavy-hitter estimation over "
+    "corpus tokens, md5-salted row hashes — integer counters make the "
+    "sketch bit-identical across engines; reported with the exact "
+    "counts and the (always >= 0) collision overestimate",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch is a {d x w} counter grid: one explode over tokens,
+    d salted hashes per token (a small array explode — no joins), one
+    map-side-combinable groupBy into d*w=256 cells. That is the
+    mergeable-state shape: 1000 executors each reduce their split to a
+    KB-sized grid and the grids ADD. Heavy-hitter probes then read d
+    cells per candidate token via a broadcast join. Everything is
+    BIGINT; min-of-counters is exact on both engines."""
+    tok = _tokens(spark, sf_dir).select("w")
+    salted = tok.select(
+        "w",
+        F.posexplode(
+            F.array(
+                *[
+                    h60_col(F.concat(F.col("w"), F.lit(f"#{r}"))) % CMS_W
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("r", "idx"),
+    )
+    cells = salted.groupBy("r", "idx").agg(F.count(F.lit(1)).alias("c"))
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = (
+        exact.orderBy(F.col("n_exact").desc(), F.col("w").asc())
+        .limit(CMS_TOP)
+    )
+    probes = top.select(
+        "w",
+        "n_exact",
+        F.posexplode(
+            F.array(
+                *[
+                    h60_col(F.concat(F.col("w"), F.lit(f"#{r}"))) % CMS_W
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("r", "idx"),
+    )
+    return (
+        cells.join(F.broadcast(probes), ["r", "idx"])
+        .groupBy(F.col("w").alias("token"), "n_exact")
+        .agg(
+            F.min("c").cast("long").alias("cms_estimate"),
+            (F.min("c") - F.first("n_exact")).cast("long").alias("overestimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality scoring (Laplace-smoothed)
+# ---------------------------------------------------------------------------
+
+BIGRAM_LOW_MICRO = -3_450_000  # avg ln p(w2|w1) < -3.45 → incoherent doc
+
+
+@register(
+    "bigram_lm_quality",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '{TOKEN_SPLIT}') AS ws
+      FROM documents
+    ),
+    tok AS (SELECT unnest(ws) AS t FROM w),
+    vocab AS (SELECT count(DISTINCT t) AS v FROM tok),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM w WHERE len(ws) >= 2
+    ),
+    c2 AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+    c1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      FROM c2 GROUP BY w1
+    ),
+    model AS (
+      SELECT c2.bg,
+             {_micronats_sql(
+                 'CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + (SELECT v FROM vocab))'
+             )} AS lp
+      FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+    ),
+    per_doc AS (
+      SELECT g.doc_id, g.lang, count(*) AS n_bg,
+             CAST(sum(m.lp) AS BIGINT) AS sum_lp
+      FROM grams g JOIN model m ON g.bg = m.bg
+      GROUP BY g.doc_id, g.lang
+    ),
+    scored AS (
+      SELECT lang,
+             CAST(floor(CAST(sum_lp AS DOUBLE) / n_bg) AS BIGINT) AS score_micro
+      FROM per_doc
+    )
+    SELECT lang, count(*) AS n_docs,
+           ROUND(avg(CAST(score_micro AS DOUBLE)) / 1000000, 6)
+             AS avg_bigram_logprob,
+           CAST(sum(CASE WHEN score_micro < {BIGRAM_LOW_MICRO}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+    FROM scored GROUP BY lang
+    """,
+    "Bigram LM quality scoring: Laplace-smoothed p(w2|w1) from corpus "
+    "bigram/context counts, per-doc mean log-prob in integer micro-nats "
+    "— the fluency-filter complement to the unigram model (captures "
+    "word-order incoherence unigrams cannot)",
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigrams form per-row (posexplode + lead under the doc partition,
+    same shape as top_bigrams_per_lang); the model is bigram-TYPE-sized
+    (c2 → c1 reduces c2 again), so log() runs once per distinct bigram
+    and docs join the integer micro-nat model by bigram string. At
+    100 TB the model table is at most vocab², still tiny relative to
+    the corpus, so AQE broadcast-hashes the model side and the corpus
+    bigrams never shuffle for the scoring join."""
+    docs = _t(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    words = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    tok = docs.repartition(n_part, "doc_id").select(
+        "doc_id", "lang", F.posexplode(words).alias("pos", "w")
+    )
+    tok.persist()
+    vocab = tok.agg(F.countDistinct("w").alias("v"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("w2", F.lead("w", 1).over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id", "lang", F.concat_ws(" ", "w", "w2").alias("bg")
+        )
+    )
+    grams.persist()
+    c2 = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c2.persist()
+    c1 = (
+        c2.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c2").cast("long").alias("c1"))
+    )
+    model = (
+        c2.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            _micronats_col(
+                (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = (
+        grams.join(model, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum("lp").cast("long").alias("sum_lp"),
+        )
+    )
+    scored = per_doc.select(
+        "lang",
+        F.floor(F.col("sum_lp").cast("double") / F.col("n_bg"))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("score_micro").cast("double")) / 1000000.0, 6).alias(
+            "avg_bigram_logprob"
+        ),
+        F.sum(
+            F.when(F.col("score_micro") < BIGRAM_LOW_MICRO, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low_quality"),
+    )
