@@ -981,3 +981,83 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_low_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching via deletion-variant blocking (record linkage)
+# ---------------------------------------------------------------------------
+
+FUZZY_DIGITS = 9  # Customer#DDDDDDDDD
+
+
+@register(
+    "fuzzy_name_matching",
+    f"""
+    WITH names AS (
+      SELECT c_custkey AS id, substr(c_name, 10, {FUZZY_DIGITS}) AS d
+      FROM customer
+    ),
+    variants AS (
+      SELECT id, d, i,
+             substr(d, 1, i) || '*' || substr(d, i + 2) AS vkey
+      FROM names, (SELECT unnest(generate_series(0, {FUZZY_DIGITS - 1})) AS i)
+    )
+    SELECT a.i AS edit_pos, count(*) AS n_pairs,
+           CAST(min(a.id) AS BIGINT) AS min_id_a,
+           CAST(max(b.id) AS BIGINT) AS max_id_b
+    FROM variants a JOIN variants b ON a.vkey = b.vkey AND a.i = b.i
+    WHERE a.id < b.id AND a.d <> b.d
+    GROUP BY a.i
+    """,
+    "Record linkage by single-substitution fuzzy match: deletion-variant "
+    "blocking (FastSS) — each name emits 9 wildcard variants, pairs "
+    "agreeing on a variant differ in exactly that position. Linear "
+    "candidate generation, no quadratic all-pairs, no edit-distance UDF",
+)
+def fuzzy_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each of the N names explodes into {FUZZY_DIGITS} wildcard keys —
+    candidate generation is one equi-join on the variant key, so cost
+    scales with the number of true near-matches, never N². The same
+    blocking runs any edit-distance-1 workload (spell variants, typo'd
+    entity names); here the verify step is free because agreeing on a
+    variant while differing as strings IS the edit-1 predicate for the
+    substitution case. At 100 TB the variant table is 9x names — a
+    shuffle of short strings — and heavy wildcard keys (shared
+    boilerplate) would take the MAX_BUCKET-style cap the LSH family
+    uses."""
+    names = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.substring("c_name", 10, FUZZY_DIGITS).alias("d"),
+    )
+    variants = names.select(
+        "id",
+        "d",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(
+                        F.substring("d", 1, i),
+                        F.lit("*"),
+                        F.substring("d", i + 2, FUZZY_DIGITS),
+                    )
+                    for i in range(FUZZY_DIGITS)
+                ]
+            )
+        ).alias("i", "vkey"),
+    )
+    a = variants.select(
+        F.col("id").alias("id_a"), F.col("d").alias("d_a"), "i", "vkey"
+    )
+    b = variants.select(
+        F.col("id").alias("id_b"), F.col("d").alias("d_b"), "i", "vkey"
+    )
+    return (
+        a.join(b, ["vkey", "i"])
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("d_a") != F.col("d_b")))
+        .groupBy(F.col("i").alias("edit_pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("id_a").cast("long").alias("min_id_a"),
+            F.max("id_b").cast("long").alias("max_id_b"),
+        )
+    )
