@@ -242,6 +242,11 @@ SF1_QUERIES = [  # r3's 10 most expensive, cheap/stable first
     "incremental_agg_view",
     "window_rank_suite",
     "chunk_documents_overlap",
+    # round-5 second wave: the corpus-heavy LM/sketch stages (two corpus
+    # shuffles each; the sketch should be flat — mergeable KB state)
+    "unigram_logprob_quality",
+    "bigram_lm_quality",
+    "cms_heavy_hitters",
 ]
 # >12x wall on 10x data (the VERDICT gate) earns a plan note
 SF1_RATIO_FLAG = 12.0

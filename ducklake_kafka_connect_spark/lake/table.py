@@ -949,3 +949,23 @@ class LakeCatalog:
             if os.path.isdir(os.path.join(self.root, d))
             and os.path.exists(os.path.join(self.root, d, "_meta", "LATEST"))
         )
+
+    def sql(self, query: str, versions: dict[str, int] | None = None):
+        """Run a Spark SQL string against the lake's tables.
+
+        Every committed table in the catalog is registered as a temp
+        view under its own name (the reference exposes tables to DuckDB
+        SQL as ``lake.main.<name>``; here Catalyst is the SQL engine —
+        `DucklakeTableManager.java:161-164` parity at the API level).
+        ``versions={"t": 3}`` pins a table to a committed snapshot, so
+        ``AS OF``-style time travel composes with plain SQL. Views are
+        plan pointers over the manifest's file list — registration is
+        metadata-only; scans still go through pruning/pushdown exactly
+        like ``LakeTable.read``.
+        """
+        for name in self.list_tables():
+            df = self.table(name).read(
+                version=(versions or {}).get(name)
+            )
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)

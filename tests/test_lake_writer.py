@@ -357,3 +357,34 @@ class TestManifestChain:
         # both retained versions still resolve through their chains
         assert {r["id"] for r in t.read(version=latest).collect()} == set(range(5))
         assert {r["id"] for r in t.read(version=latest - 1).collect()} == set(range(4))
+
+
+class TestCatalogSql:
+    def test_sql_joins_lake_tables(self, spark, catalog):
+        LakeWriter(catalog.table("users"), pk=["id"]).write(
+            users_df(spark, [(1, "ann", TS), (2, "bob", TS)])
+        )
+        orders = spark.createDataFrame(
+            [(10, 1, 5.0), (11, 1, 7.0), (12, 2, 3.0)],
+            "order_id int, user_id int, amount double",
+        )
+        LakeWriter(catalog.table("orders"), pk=["order_id"]).write(orders)
+        out = catalog.sql(
+            """
+            SELECT u.name, CAST(sum(o.amount) AS DOUBLE) AS total
+            FROM orders o JOIN users u ON o.user_id = u.id
+            GROUP BY u.name ORDER BY u.name
+            """
+        ).collect()
+        assert [(r.name, r.total) for r in out] == [("ann", 12.0), ("bob", 3.0)]
+
+    def test_sql_version_pinning_time_travel(self, spark, catalog):
+        w = LakeWriter(catalog.table("users"), pk=["id"])
+        w.write(users_df(spark, [(1, "ann", TS)]))
+        v1 = catalog.table("users").current_version()
+        w.write(users_df(spark, [(2, "bob", TS)]))
+        assert catalog.sql("SELECT count(*) AS n FROM users").collect()[0].n == 2
+        pinned = catalog.sql(
+            "SELECT count(*) AS n FROM users", versions={"users": v1}
+        )
+        assert pinned.collect()[0].n == 1
