@@ -56,6 +56,7 @@ def main() -> None:
         "split": split_harness(spark, sf_dir),
         "sf": sf,
         "ingest": ingest_harness(spark),
+        "replay": replay_harness(spark),
         "sf1": sf1_harness(spark, sf_dir, timings),
     }
     # Full record to a repo file FIRST: the driver captures only the tail
@@ -204,6 +205,80 @@ def ingest_harness(spark) -> dict:
         out["error"] = str(e)[:200]
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
+    return out
+
+
+def replay_harness(spark) -> dict:
+    """Connector throughput: a recorded Kafka-shaped micro-batch (100k
+    schemaless-JSON records with topic/partition/offset/headers columns,
+    read back from parquet like a real replay) driven through the FULL
+    ingest pipeline — routing → sampled schema inference → one from_json
+    decode → DLQ split → auto-create MERGE — the reference's
+    EndToEndIntegrationTest dataflow as a rate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ducklake_kafka_connect_spark.lake import LakeCatalog
+    from ducklake_kafka_connect_spark.streaming.ingest import (
+        IngestConfig,
+        IngestPipeline,
+        TableSpec,
+    )
+
+    out: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="bench_replay_")
+    n = 100_000
+    try:
+        payload = F.to_json(
+            F.struct(
+                F.col("id"),
+                F.concat(F.lit("item_"), F.col("id") % 1000).alias("item"),
+                (F.col("id") % 50).alias("qty"),
+                F.date_format(
+                    F.timestamp_seconds(1704067200 + F.col("id") % 86400),
+                    "yyyy-MM-dd'T'HH:mm:ss'Z'",
+                ).alias("created_at"),
+            )
+        ).cast("binary")
+        fixture = spark.range(n).select(
+            F.lit("orders_json").alias("topic"),
+            (F.col("id") % 32).cast("int").alias("partition"),
+            F.col("id").alias("offset"),
+            F.lit("2024-01-01T00:00:00").alias("ts"),
+            F.lit(None)
+            .cast("array<struct<key: string, value: binary>>")
+            .alias("headers"),
+            payload.alias("value"),
+        )
+        path = f"{root}/recorded_batch.parquet"
+        fixture.write.parquet(path)
+        batch = spark.read.parquet(path)
+        cat = LakeCatalog(spark, f"{root}/lake")
+        # two runs into separate tables: the first pays one-time
+        # inference/decode codegen (like the merge warmup above), the
+        # second is the steady-state rate a running connector sustains
+        for run, table in (("cold", "orders_cold"), ("steady", "orders_t")):
+            cfg = IngestConfig(
+                topic2table={"orders_json": table},
+                tables={
+                    table: TableSpec(
+                        id_columns=["id"], auto_create=True, format="json"
+                    )
+                },
+            )
+            pipe = IngestPipeline(cat, cfg)
+            t0 = time.perf_counter()
+            pipe.process_batch(batch)
+            el = time.perf_counter() - t0
+            out[f"replay_100k_json_{run}_s"] = round(el, 3)
+            out[f"replay_rows_per_s_{run}"] = round(n / el)
+        out["replay_rows_landed"] = cat.table("orders_t").read().count()
+    except Exception as e:
+        out["error"] = str(e)[:200]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 
