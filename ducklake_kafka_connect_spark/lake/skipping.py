@@ -1,11 +1,12 @@
 """Predicate-based data skipping over manifest file statistics.
 
-The manifest stores per-file ``{column: [min, max]}`` harvested from
+The manifest stores per-file ``{column: [min, max]}`` (plus a third
+``null_count`` element when every row group reports one) harvested from
 parquet row-group footers at write time (``table.write_data_files``).
 Given a SQL predicate string, this module extracts the top-level AND
 conjuncts it can prove things about — ``col <op> literal``,
-``col BETWEEN a AND b``, ``col IN (...)`` — and drops files whose
-stats make a conjunct unsatisfiable.
+``col BETWEEN a AND b``, ``col IN (...)``, ``col IS [NOT] NULL`` — and
+drops files whose stats make a conjunct unsatisfiable.
 
 Everything here is **conservative**: any construct the parser does not
 understand (OR at the top level, function calls, column-to-column
@@ -66,7 +67,8 @@ def _tokenize(text: str) -> list[tuple[str, object]] | None:
 @dataclass
 class Conjunct:
     column: str
-    op: str          # '=', '!=', '<', '<=', '>', '>=', 'between', 'in'
+    op: str          # '=', '!=', '<', '<=', '>', '>=', 'between', 'in',
+                     # 'is_null', 'is_not_null'
     value: object    # scalar, (lo, hi) for between, list for in
 
 
@@ -153,6 +155,17 @@ def _balanced(toks: list) -> bool:
 def _match_conjunct(g: list) -> Conjunct | None:
     if not g:
         return None
+    # col IS NULL | col IS NOT NULL
+    if len(g) == 3 and g[0][0] == "ident" and g[1] == ("kw", "is") and g[2] == ("kw", "null"):
+        return Conjunct(g[0][1], "is_null", None)
+    if (
+        len(g) == 4
+        and g[0][0] == "ident"
+        and g[1] == ("kw", "is")
+        and g[2] == ("kw", "not")
+        and g[3] == ("kw", "null")
+    ):
+        return Conjunct(g[0][1], "is_not_null", None)
     # col <op> lit   |   lit <op> col
     if len(g) >= 3 and g[0][0] == "ident" and g[1][0] == "cmp":
         lit, nxt = _literal(g, 2)
@@ -250,14 +263,32 @@ def _impossible(c: Conjunct, lo, hi) -> bool:
 
 def file_matches(conjuncts: list[Conjunct], stats: dict | None) -> bool:
     """True ⇔ the file might contain matching rows. ``stats`` maps
-    column → [min, max]; absent columns / absent stats → keep."""
+    column → [min, max] or [min, max, null_count]; absent columns /
+    absent stats → keep (older manifests carry no null counts and stay
+    valid — every new check degrades to 'keep' without one)."""
     if not conjuncts or not stats:
         return True
+    nrows = stats.get("__rows")
     for c in conjuncts:
         rng = stats.get(c.column)
         if not rng:
             continue
         lo, hi = rng[0], rng[1]
+        nulls = rng[2] if len(rng) > 2 else None
+        if c.op == "is_null":
+            if nulls == 0:
+                return False
+            continue
+        if c.op == "is_not_null":
+            if nulls is not None and nrows is not None and nulls == nrows:
+                return False
+            continue
+        # comparisons never match NULL: an all-NULL column fails every
+        # remaining conjunct shape regardless of bounds
+        if nulls is not None and nrows is not None and nulls == nrows:
+            return False
+        if lo is None and hi is None:
+            continue  # null-count-only entry: no bounds to test
         if _impossible(c, lo, hi):
             return False
     return True

@@ -862,8 +862,9 @@ def _normalize_stat(lo, hi):
 
 
 def _footer_stats(path: str, columns: list[str]) -> dict:
-    """{column: [min, max]} from parquet row-group footer statistics (no
-    data pages read); columns with absent stats are omitted."""
+    """{column: [min, max(, null_count)]} from parquet row-group footer
+    statistics (no data pages read); columns with absent stats are
+    omitted, all-NULL columns keep a null-count-only entry."""
     try:
         import pyarrow.parquet as pq
 
@@ -891,13 +892,24 @@ def _footer_stats_of(f, columns: list[str]) -> dict:
             ftype = f.schema_arrow.field(idx).type
             dec_scale = ftype.scale if pa.types.is_decimal(ftype) else None
             lo = hi = None
-            ok = True
+            mm_ok = True
+            nulls = 0
+            nulls_ok = True
             for rg in range(f.metadata.num_row_groups):
                 col = f.metadata.row_group(rg).column(idx)
                 st = col.statistics
-                if st is None or not st.has_min_max:
-                    ok = False
+                if st is None:
+                    mm_ok = nulls_ok = False
                     break
+                if st.has_null_count:
+                    nulls += st.null_count
+                else:
+                    nulls_ok = False
+                if not st.has_min_max:
+                    # all-NULL columns legitimately lack min/max; keep
+                    # accumulating null counts so IS NOT NULL can prune
+                    mm_ok = False
+                    continue
                 if dec_scale is not None:
                     # Spark stores decimals as unscaled INT32/INT64/FLBA;
                     # pyarrow's typed st.min/max raises on them, but the
@@ -908,11 +920,16 @@ def _footer_stats_of(f, columns: list[str]) -> dict:
                     mn, mx = st.min, st.max
                 lo = mn if lo is None else min(lo, mn)
                 hi = mx if hi is None else max(hi, mx)
-            if not ok:
-                continue
-            norm = _normalize_stat(lo, hi)
-            if norm is not None:
-                out[column] = norm
+            norm = _normalize_stat(lo, hi) if (mm_ok and lo is not None) else None
+            if norm is None:
+                if not nulls_ok:
+                    continue
+                # null-count-only entry ([None, None, nulls]): min/max
+                # unusable but NULL pruning still sound
+                norm = [None, None]
+            if nulls_ok:
+                norm = norm + [nulls]
+            out[column] = norm
         except Exception:
             continue
     return out

@@ -146,7 +146,7 @@ def test_arrow_written_file_prunes_and_rereads(spark, lake):
     f = m.all_files()
     assert len(f) == 1
     stats = m.file_stats[f[0]]
-    assert stats["id"] == [0, 99]
+    assert stats["id"][:2] == [0, 99]
     assert stats["__rows"] == 100
     kept, pruned = cat.table("t").prune_files("id > 1000")
     assert kept == [] and pruned == 1

@@ -26,7 +26,7 @@ def test_stats_recorded(spark, tmp_path):
     m = t.manifest()
     assert m.file_stats, "footer stats should be harvested on write"
     for f, s in m.file_stats.items():
-        lo, hi = s["id"]
+        lo, hi = s["id"][:2]
         assert lo <= hi
         # non-PK columns are stat-ed too (data skipping)
         assert "v" in s
@@ -80,7 +80,7 @@ def test_compact_range_layout_tightens_pruning(spark, tmp_path):
     assert len(files) >= 3
     assert all(f in stats for f in files)
     # ranges must be pairwise disjoint after the range layout
-    ranges = sorted(stats[f]["id"] for f in files)
+    ranges = sorted(stats[f]["id"][:2] for f in files)
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi < lo  # strictly disjoint (pk is unique)
     # a narrow-range merge now rewrites only the one covering file

@@ -39,7 +39,10 @@ class TestParser:
 
     def test_unknown_conjuncts_dropped_but_known_kept(self):
         cs = parse_conjuncts("length(s) > 3 AND a = 1 AND b IS NOT NULL")
-        assert [(c.column, c.op) for c in cs] == [("a", "=")]
+        assert [(c.column, c.op) for c in cs] == [
+            ("a", "="),
+            ("b", "is_not_null"),
+        ]
 
     def test_parenthesized(self):
         cs = parse_conjuncts("(a > 5) AND (b = 'q')")
@@ -346,3 +349,59 @@ class TestDecimalStats:
         assert got == 50
         # boundary: a predicate exactly at a stored min must NOT prune it
         assert t.read(where="amount >= 1000.25").count() == 50
+
+
+class TestNullCountPruning:
+    def test_parser_is_null_forms(self):
+        cs = parse_conjuncts("a IS NULL AND b IS NOT NULL")
+        assert [(c.column, c.op) for c in cs] == [
+            ("a", "is_null"),
+            ("b", "is_not_null"),
+        ]
+
+    def test_is_null_prunes_zero_null_files(self):
+        cs = parse_conjuncts("v IS NULL")
+        assert not file_matches(cs, {"__rows": 10, "v": [1, 9, 0]})
+        assert file_matches(cs, {"__rows": 10, "v": [1, 9, 3]})
+        # legacy 2-element stats: unknown null count → keep
+        assert file_matches(cs, {"__rows": 10, "v": [1, 9]})
+
+    def test_is_not_null_prunes_all_null_files(self):
+        cs = parse_conjuncts("v IS NOT NULL")
+        assert not file_matches(cs, {"__rows": 10, "v": [None, None, 10]})
+        assert file_matches(cs, {"__rows": 10, "v": [1, 9, 3]})
+
+    def test_comparison_prunes_all_null_files(self):
+        # comparisons never match NULL, so an all-NULL column defeats
+        # any bound-testable conjunct even without usable min/max
+        cs = parse_conjuncts("v = 5")
+        assert not file_matches(cs, {"__rows": 10, "v": [None, None, 10]})
+        # null-count-only entry with SOME non-nulls: no bounds → keep
+        assert file_matches(cs, {"__rows": 10, "v": [None, None, 3]})
+
+    def test_end_to_end_null_pruning(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        w = LakeWriter(cat.table("nt"), pk=["id"], auto_compact=False)
+        dense = spark.range(0, 100).select(
+            F.col("id"), F.col("id").cast("double").alias("v")
+        )
+        sparse = spark.range(100, 200).select(
+            F.col("id"), F.lit(None).cast("double").alias("v")
+        )
+        w.append(dense)
+        w.append(sparse)
+        t = cat.table("nt")
+        kept, pruned = t.prune_files("v IS NULL")
+        assert pruned >= 1, "fully-dense file should be pruned for IS NULL"
+        assert t.read(where="v IS NULL").count() == 100
+        kept, pruned = t.prune_files("v IS NOT NULL")
+        assert pruned >= 1, "all-null file should be pruned for IS NOT NULL"
+        assert t.read(where="v IS NOT NULL").count() == 100
+        # comparison predicates skip the all-null file too
+        kept, pruned = t.prune_files("v > 1000")
+        assert pruned >= 1
+        assert t.read(where="v > 1000").count() == 0
