@@ -57,15 +57,16 @@ EPOCH_US_SQL = "epoch_us(CAST(ts AS TIMESTAMP))"
              CAST(floor({EPOCH_US_SQL} / ({US_PER_DAY} * 7.0)) AS BIGINT) AS week
       FROM events
     ),
-    cohort AS (
-      SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+    c AS (
+      SELECT week, min(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM uw
     )
-    SELECT c.cohort_week,
-           uw.week - c.cohort_week AS week_offset,
+    SELECT cohort_week,
+           week - cohort_week AS week_offset,
            count(*) AS n_active
-    FROM uw JOIN cohort c USING (user_id)
-    GROUP BY c.cohort_week, week_offset
-    ORDER BY c.cohort_week, week_offset
+    FROM c
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
     """,
     "Weekly retention triangle: users cohorted by first-active week, "
     "active-user counts at each week offset",
@@ -74,18 +75,18 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic retention triangle over the events stream.
 
     Scale shape: the fact collapses to DISTINCT (user, week) in one
-    partially-aggregated shuffle keyed by user — everything after runs
-    on |users|·|weeks| rows, not events. The cohort join is
-    user-keyed aggregate ⋈ user-keyed aggregate (same key, AQE plans a
-    co-partitioned join; no second fact scan). The final groupBy output
-    is |weeks|² rows regardless of corpus size.
+    partially-aggregated shuffle — everything after runs on
+    |users|·|weeks| rows, not events. The cohort week comes from a
+    window min over the SAME rows (no self-join, no second fact scan —
+    the join formulation scans the fact twice). The final groupBy
+    output is |weeks|² rows regardless of corpus size.
     """
     ev = _t(spark, sf_dir, "events")
     week = F.floor(epoch_us_col(ev, "ts") / (US_PER_DAY * 7.0)).cast("long")
     uw = ev.select(F.col("user_id"), week.alias("week")).distinct()
-    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_week = F.min("week").over(W.partitionBy("user_id"))
     return (
-        uw.join(cohort, "user_id")
+        uw.select("week", cohort_week.alias("cohort_week"))
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
@@ -189,7 +190,7 @@ def session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grid AS (
       SELECT t.event_type, g.hour_idx
-      FROM (SELECT DISTINCT event_type FROM events) t,
+      FROM (SELECT DISTINCT event_type FROM hourly) t,
            (SELECT unnest(generate_series(lo, hi)) AS hour_idx
               FROM bounds) g
     )
@@ -210,7 +211,9 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time_bucket_gapfill + locf, Spark-first.
 
     Scale shape: the fact collapses to (type, hour) partial-aggregated
-    sums first — the only shuffle that sees event rows. The dense grid
+    sums first — the ONLY operator that sees event rows; the aggregate
+    is persisted and feeds the bounds row, the distinct-types list, and
+    the probe join, so the fact is scanned exactly once. The dense grid
     is |types| × |hours| (data-independent of row count), built from a
     1-row global bounds aggregate cross-joined with the distinct types
     (both broadcast). The LOCF window then runs over grid-sized data.
@@ -226,10 +229,11 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour_idx")
         .agg(F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents"))
     )
+    hourly.persist()
     bounds = hourly.agg(
         F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi")
     )
-    types = ev.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_idx"),
