@@ -303,6 +303,10 @@ class LakeWriter:
         self.partition_by = partition_by
         self.auto_create = auto_create
         self.auto_compact = auto_compact
+        # idempotent-commit marker for the in-flight write (set by the
+        # public API's txn= parameter, folded into manifest props at
+        # commit time — Delta txnAppId/txnVersion analogue)
+        self._txn: tuple[str, int] | None = None
         # Rewrite-all window-merge for tables under MERGE_SMALL_TABLE_BYTES
         # (single partition dir only): trades a little write amplification
         # on tiny tables for a zero-planning-job merge. Off → every merge
@@ -311,39 +315,83 @@ class LakeWriter:
 
     # ---------- public API ----------
 
-    def write(self, df: DataFrame, order_col: str | None = None) -> None:
-        """Reference routing (DucklakeWriter.java:85-96): MERGE when PKs
-        are configured and the table pre-existed, else plain INSERT."""
-        pre_existed = self.table.exists()
-        if self.pk and pre_existed:
-            self.merge(df, order_col=order_col)
-        else:
-            self.append(df)
+    def txn_applied(self, txn: tuple[str, int] | None) -> bool:
+        """True iff an idempotent-commit marker (app_id, epoch) is
+        already recorded at or past ``epoch`` — i.e. this micro-batch
+        landed in a previous run and must not be written again.
 
-    def write_many(self, dfs: Sequence[DataFrame], order_col: str | None = None) -> None:
+        Exactly-once upgrade for foreachBatch (SURVEY §2 E8): Spark
+        re-delivers a batch whose write finished but whose checkpoint
+        advance did not; MERGE absorbs the replay per key, but APPEND
+        tables would duplicate. The marker travels in manifest props
+        (whole through delta segments), so the check is one driver-side
+        dict lookup. Single-writer-per-table deployment assumption as
+        documented in SCALE.md — the marker is re-checked nowhere else."""
+        if txn is None or not self.table.exists():
+            return False
+        app, epoch = txn
+        last = self.table.manifest().props.get("txns", {}).get(app)
+        return last is not None and int(last) >= int(epoch)
+
+    def write(
+        self,
+        df: DataFrame,
+        order_col: str | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
+        """Reference routing (DucklakeWriter.java:85-96): MERGE when PKs
+        are configured and the table pre-existed, else plain INSERT.
+        ``txn=(app_id, epoch)`` makes the write idempotent: a replayed
+        epoch is skipped entirely (see :meth:`txn_applied`)."""
+        if self.txn_applied(txn):
+            return
+        self._txn = txn
+        try:
+            pre_existed = self.table.exists()
+            if self.pk and pre_existed:
+                self.merge(df, order_col=order_col)
+            else:
+                self.append(df)
+        finally:
+            self._txn = None
+
+    def write_many(
+        self,
+        dfs: Sequence[DataFrame],
+        order_col: str | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Group-commit form of :meth:`write`: N batches → one commit.
         Routing mirrors write(); merge order is batch-sequential (later
         batches win per key). Falls back to sequential writes when the
         batches can't union (cross-batch type promotion goes through the
-        schema ladder one merge at a time)."""
+        schema ladder one merge at a time). ``txn`` as in write() —
+        the whole group is one epoch, skipped wholesale on replay."""
         dfs = [d for d in dfs if d is not None]
         if not dfs:
             return
+        if self.txn_applied(txn):
+            return
         if len(dfs) == 1:
-            return self.write(dfs[0], order_col=order_col)
+            return self.write(dfs[0], order_col=order_col, txn=txn)
         pre_existed = self.table.exists()
         try:
             if self.pk:
                 if not pre_existed:
                     # reference routing: the creating write is an append,
-                    # every later batch merges (write()'s exact sequence)
+                    # every later batch merges (write()'s exact sequence).
+                    # The txn marker goes on the group's FINAL commit
+                    # only — a replay after a partial group re-routes the
+                    # creating batch through the idempotent PK merge.
                     self.write(dfs[0], order_col=order_col)
                     dfs = dfs[1:]
+                self._txn = txn
                 self.merge_many(dfs, order_col=order_col)
             else:
                 u = dfs[0]
                 for d in dfs[1:]:
                     u = u.unionByName(d, allowMissingColumns=True)
+                self._txn = txn
                 self.append(u)
         except Exception as e:
             # unionByName raises eagerly (before any write/commit) on
@@ -351,8 +399,12 @@ class LakeWriter:
             # promotion ladder can widen the schema between merges
             if type(e).__name__ != "AnalysisException":
                 raise
-            for d in dfs:
+            self._txn = None
+            for d in dfs[:-1]:
                 self.write(d, order_col=order_col)
+            self.write(dfs[-1], order_col=order_col, txn=txn)
+        finally:
+            self._txn = None
 
     def delete_where(self, predicate: str) -> None:
         """Predicate DELETE (``DELETE FROM t WHERE p``): only files whose
@@ -400,9 +452,17 @@ class LakeWriter:
                 parent_manifest=manifest,
             )
 
-    def append(self, df: DataFrame) -> None:
-        with REGISTRY.timer("simpleInsert"):
-            self._append(df)
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
+        if self.txn_applied(txn):
+            return
+        if txn is not None:
+            self._txn = txn
+        try:
+            with REGISTRY.timer("simpleInsert"):
+                self._append(df)
+        finally:
+            if txn is not None:
+                self._txn = None
 
     def _append(self, df: DataFrame) -> None:
         manifest = self._ensure_table(df)
@@ -1182,6 +1242,13 @@ class LakeWriter:
     ) -> None:
         fields = [f for f in final_logical.fields if f.name != INSERTED_AT]
         fields.append(T.StructField(INSERTED_AT, T.TimestampType(), True))
+        props = manifest.props
+        if self._txn is not None:
+            app, epoch = self._txn
+            props = dict(props)
+            txns = dict(props.get("txns", {}))
+            txns[str(app)] = int(epoch)
+            props["txns"] = txns
         self.table._commit(
             Manifest(
                 version=manifest.version + 1,
@@ -1190,7 +1257,7 @@ class LakeWriter:
                 partition_spec=manifest.partition_spec,
                 files=files,
                 parent=manifest.version,
-                props=manifest.props,
+                props=props,
                 file_stats=file_stats if file_stats is not None else manifest.file_stats,
             ),
             parent_manifest=manifest,

@@ -164,9 +164,11 @@ class IngestPipeline:
             table = self.config.table_for(topic) if topic else "events"
             by_table.setdefault(table, []).append(part)
         for table, parts in by_table.items():
-            self._ingest_table_batches(parts, table)
+            self._ingest_table_batches(parts, table, epoch_id=epoch_id)
 
-    def _ingest_table_batches(self, parts: list, table: str) -> None:
+    def _ingest_table_batches(
+        self, parts: list, table: str, epoch_id: int = -1
+    ) -> None:
         spec = self.config.spec_for(table)
         goods: list[DataFrame] = []
         bads: list[DataFrame] = []
@@ -189,8 +191,13 @@ class IngestPipeline:
             # 'off' disables write-path auto-compaction for this table
             auto_compact=spec.inlining_rows is not None,
         )
+        # idempotent epoch commit (E8 exactly-once upgrade): a replayed
+        # foreachBatch epoch whose commit already landed is skipped at
+        # the manifest-marker check — APPEND tables stop duplicating on
+        # restart, MERGE tables stop paying a no-op replay write
+        txn = (f"ingest:{table}", epoch_id) if epoch_id >= 0 else None
         try:
-            writer.write_many(goods)
+            writer.write_many(goods, txn=txn)
         except ReconcileError:
             # group write hit a schema conflict — replay batch-at-a-time
             # so only the offending slices DLQ, not the whole group
@@ -223,7 +230,9 @@ class IngestPipeline:
             pk=[],
             auto_create=True,
         )
-        dlq_writer.append(bad)
+        dlq_writer.append(
+            bad, txn=(f"ingest_dlq:{table}", epoch_id) if epoch_id >= 0 else None
+        )
 
     def _decode(self, part: DataFrame, spec: TableSpec, keep: list[str]):
         """Per-table format dispatch (the reference's value.converter
