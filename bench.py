@@ -322,6 +322,13 @@ SF1_QUERIES = [  # r3's 10 most expensive, cheap/stable first
     "unigram_logprob_quality",
     "bigram_lm_quality",
     "cms_heavy_hitters",
+    # round-5 third wave: iterative graph ranking, the exact-distinct
+    # profiler (shuffle ∝ distinct values), corpus-sized sessionization,
+    # and the full ingest dataflow (decode→DLQ→merge write path)
+    "textrank_keywords",
+    "table_profile_lineitem",
+    "session_assembly",
+    "ingest_replay_pipeline",
 ]
 # >12x wall on 10x data (the VERDICT gate) earns a plan note
 SF1_RATIO_FLAG = 12.0
@@ -331,7 +338,7 @@ SF1_RATIO_FLAG = 12.0
 # not the plan. These sink to parquet — the production path — and their
 # sf0.1 baseline is re-timed with the same sink inside the rehearsal so
 # the ratio compares like with like.
-SF1_SINK_TO_PARQUET = {"window_rank_suite", "merge_upsert_events"}
+SF1_SINK_TO_PARQUET = {"window_rank_suite", "merge_upsert_events", "session_assembly"}
 
 
 def _run_query(spark, name: str, data_dir: str, sink_dir: str | None) -> float:
