@@ -395,6 +395,52 @@ class LakeTable:
                 self._commit(m)
         return self.manifest()
 
+    def evolve_partition_spec(self, partition_by: str | list[str] | None) -> None:
+        """Iceberg-style partition evolution: change how FUTURE writes
+        are laid out, without rewriting a byte of data.
+
+        Safe by construction in this engine because partition dirs are
+        pure layout/skipping metadata: partition values live as real
+        columns inside every file (``PartitionExpr.dir_name`` docstring)
+        and all pruning is per-file footer stats, so reads and predicate
+        skipping never depend on the directory scheme a file was written
+        under. After evolution: old files keep their old dirs; MERGE's
+        driver-side partition pruning canonicalizes old-spec dirs to an
+        all-None tuple, which routes them through the outside-partition
+        key probe — conservative, never missing an old copy (pinned in
+        tests/test_partition_evolution.py). Prior specs are recorded in
+        manifest props for lineage.
+        """
+        exprs = parse_partition_exprs(partition_by)
+        with self.lock():
+            m = self.manifest()
+            for e in exprs:
+                if e.column not in m.schema.fieldNames():
+                    raise ValueError(
+                        f"Partition expression {e.spec_string()!r} references "
+                        f"unknown column {e.column!r}"
+                    )
+            new_spec = [e.spec_string() for e in exprs]
+            if new_spec == m.partition_spec:
+                return
+            props = dict(m.props)
+            hist = [list(s) for s in props.get("prior_partition_specs", [])]
+            hist.append(list(m.partition_spec))
+            props["prior_partition_specs"] = hist
+            self._commit(
+                Manifest(
+                    version=m.version + 1,
+                    schema=m.schema,
+                    pk=m.pk,
+                    partition_spec=new_spec,
+                    files=m.files,
+                    parent=m.version,
+                    props=props,
+                    file_stats=m.file_stats,
+                ),
+                parent_manifest=m,
+            )
+
     # ---------- read ----------
 
     def read_schema(self, m: Manifest) -> T.StructType:
