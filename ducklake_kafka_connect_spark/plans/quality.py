@@ -373,3 +373,168 @@ def quantile_bin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function parity matrix
+# ---------------------------------------------------------------------------
+
+# (case, spark_expr, duckdb_expr, table): each expression AGGREGATES a
+# scalar function over a full column, so the matrix proves whole-column
+# execution (codegen'd, pushdown-friendly), not literal folding. Spark
+# and DuckDB spellings differ where noted; semantics are pinned equal.
+_FN_CASES = [
+    # -- string functions over customer.c_name ('Customer#000000123') --
+    ("upper_min", "min(upper(c_name))", None, "customer"),
+    ("substr_len_sum", "sum(length(substr(c_name, 3, 5)))", None, "customer"),
+    ("lpad_max", "max(lpad(CAST(c_custkey AS STRING), 12, '0'))",
+     "max(lpad(CAST(c_custkey AS VARCHAR), 12, '0'))", "customer"),
+    ("replace_len_sum", "sum(length(replace(c_name, '0', '')))", None, "customer"),
+    ("reverse_min", "min(reverse(c_name))", None, "customer"),
+    ("instr_sum", "sum(instr(c_name, '1'))", None, "customer"),
+    ("split_part_min", "min(split_part(c_name, '#', 2))", None, "customer"),
+    ("translate_min", "min(translate(c_name, '0123456789', 'abcdefghij'))", None, "customer"),
+    ("repeat_len_sum", "sum(length(repeat(substr(c_name, 1, 2), 3)))", None, "customer"),
+    ("left_right_min", "min(concat(left(c_name, 3), right(c_name, 2)))", None, "customer"),
+    ("ascii_sum", "sum(ascii(c_name))", None, "customer"),
+    ("md5_min", "min(md5(c_name))", None, "customer"),
+    ("trim_len_sum", "sum(length(trim(concat(' ', c_name, ' '))))", None, "customer"),
+    ("chr_min", "min(chr(65 + CAST(c_custkey % 26 AS INT)))",
+     "min(chr(CAST(65 + c_custkey % 26 AS INT)))", "customer"),
+    ("regexp_strip_min", "min(regexp_replace(c_name, '[0-9]+', ''))",
+     "min(regexp_replace(c_name, '[0-9]+', '', 'g'))", "customer"),
+    # -- math functions over orders keys/prices --
+    ("mod_sum", "sum(mod(o_orderkey, 7))", None, "orders"),
+    ("abs_sum", "sum(abs(o_orderkey - 1000))", None, "orders"),
+    ("sign_sum", "sum(CAST(sign(o_orderkey - 1000) AS BIGINT))", None, "orders"),
+    ("power_sum", "sum(CAST(floor(power(mod(o_orderkey, 5), 2)) AS BIGINT))", None, "orders"),
+    ("ceil_floor_sum",
+     "sum(CAST(ceil(o_totalprice / 1000) + floor(o_totalprice / 1000) AS BIGINT))",
+     None, "orders"),
+    ("greatest_least_sum",
+     "sum(greatest(mod(o_orderkey, 7), mod(o_orderkey, 11))"
+     " - least(mod(o_orderkey, 7), mod(o_orderkey, 11)))", None, "orders"),
+    ("sqrt_floor_sum", "sum(CAST(floor(sqrt(o_orderkey) * 1000) AS BIGINT))", None, "orders"),
+    ("ln_floor_sum", "sum(CAST(floor(ln(o_orderkey + 1) * 1000000) AS BIGINT))", None, "orders"),
+    ("exp_floor_sum", "sum(CAST(floor(exp(mod(o_orderkey, 5)) * 1000) AS BIGINT))", None, "orders"),
+    # -- date functions over o_orderdate (stored TIMESTAMP; cast first) --
+    ("date_trunc_min", "min(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE))",
+     "min(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE))", "orders"),
+    ("last_day_max", "max(last_day(CAST(o_orderdate AS DATE)))", None, "orders"),
+    ("year_month_sum", "sum(year(o_orderdate) * 100 + month(o_orderdate))", None, "orders"),
+    ("dow_sum", "sum(dayofweek(CAST(o_orderdate AS DATE)) - 1)",
+     "sum(date_part('dow', CAST(o_orderdate AS DATE)))", "orders"),
+    ("datediff_sum", "sum(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01'))",
+     "sum(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)))", "orders"),
+]
+
+
+def _fn_matrix_oracle() -> str:
+    branches = []
+    for case, spark_e, duck_e, table in _FN_CASES:
+        e = duck_e or spark_e
+        branches.append(
+            f"SELECT '{case}' AS fn_case, CAST({e} AS VARCHAR) AS result FROM {table}"
+        )
+    return "\nUNION ALL\n".join(branches) + "\nORDER BY fn_case"
+
+
+@register(
+    "scalar_function_matrix",
+    _fn_matrix_oracle(),
+    "Scalar-function parity matrix: 29 string/math/date functions each "
+    "aggregated over a full column, one hash-checked row per function",
+)
+def scalar_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth proof for the scalar function surface: every case runs a
+    function over a whole column inside one codegen'd aggregate, so the
+    matrix certifies execution semantics (collation, 1-based indexing,
+    rounding, date arithmetic), not constant folding. Cross-dialect
+    spellings (regexp 'g' flag, dow origin, datediff argument order,
+    chr typing) are pinned in `_FN_CASES`.
+
+    Scale shape: one scan + one wide aggregate per source table — all
+    cases over a table share the scan; the stack unpivot runs on the
+    1-row aggregate output.
+    """
+    by_table: dict[str, list] = {}
+    for case, spark_e, _, table in _FN_CASES:
+        by_table.setdefault(table, []).append((case, spark_e))
+    parts = []
+    for table, cases in by_table.items():
+        t = _t(spark, sf_dir, table)
+        wide = t.agg(
+            *[
+                F.expr(e).cast("string").alias(f"__{case}")
+                for case, e in cases
+            ]
+        )
+        stack_args = ", ".join(f"'{case}', __{case}" for case, _ in cases)
+        parts.append(
+            wide.select(
+                F.expr(
+                    f"stack({len(cases)}, {stack_args}) AS (fn_case, result)"
+                )
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fn_case")
+
+
+# Aggregate-function parity matrix — exact-result aggregates only (the
+# streaming-moment aggregates stddev/corr are NOT hash-stable across
+# engines; their exact-sum formulations live in grouped_linreg_trend).
+_AGG_CASES = [
+    ("count_all", "count(*)", None),
+    ("count_distinct_mod", "count(DISTINCT c_custkey % 10)", None),
+    ("sum_key", "sum(c_custkey)", None),
+    ("sum_distinct_mod", "sum(DISTINCT c_custkey % 10)", None),
+    ("min_name", "min(c_name)", None),
+    ("max_name", "max(c_name)", None),
+    ("avg_cents_round",
+     "round(avg(CAST(floor(c_acctbal * 100) AS BIGINT)) / 100, 4)", None),
+    ("bool_and_nonneg", "bool_and(c_custkey >= 0)", None),
+    ("bool_or_large", "bool_or(c_custkey > 100)", None),
+    ("bit_and_key", "bit_and(c_custkey)", None),
+    ("bit_or_key", "bit_or(c_custkey)", None),
+    ("bit_xor_key", "bit_xor(c_custkey)", None),
+    ("max_by_key", "max_by(c_name, c_custkey)", None),
+    ("min_by_key", "min_by(c_name, c_custkey)", None),
+    ("count_if_even", "count_if(c_custkey % 2 = 0)", None),
+    ("listagg_sorted",
+     "array_join(array_sort(collect_set(substr(c_name, 10, 1))), ',')",
+     "array_to_string(list_sort(list(DISTINCT substr(c_name, 10, 1))), ',')"),
+]
+
+
+@register(
+    "agg_function_matrix",
+    "\nUNION ALL\n".join(
+        f"SELECT '{case}' AS fn_case, CAST({duck or spark} AS VARCHAR) AS result FROM customer"
+        for case, spark, duck in _AGG_CASES
+    )
+    + "\nORDER BY fn_case",
+    "Aggregate-function parity matrix: 16 exact aggregates (set/bit/"
+    "bool/arg-extrema/filtered/ordered-list) over the customer table",
+)
+def agg_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to scalar_function_matrix for the aggregate surface:
+    multi-distinct, bitwise, boolean, arg-extrema (`max_by` is
+    deterministic here because the ordering key is unique), filtered
+    count, and order-canonicalized list aggregation (`collect_set` has
+    no order — both engines sort before joining, making the string
+    deterministic). One scan, one wide aggregate, stack unpivot.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.agg(
+        *[
+            F.expr(spark_e).cast("string").alias(f"__{case}")
+            for case, spark_e, _ in _AGG_CASES
+        ]
+    )
+    stack_args = ", ".join(f"'{case}', __{case}" for case, _, _ in _AGG_CASES)
+    return wide.select(
+        F.expr(f"stack({len(_AGG_CASES)}, {stack_args}) AS (fn_case, result)")
+    ).orderBy("fn_case")
