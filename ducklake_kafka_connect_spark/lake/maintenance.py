@@ -209,6 +209,12 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
             if table.has_version(v):
                 retained.append(v)
             v -= 1
+        # tagged snapshots are retention roots: their files and manifest
+        # chains survive regardless of the keep_versions window
+        retained += [
+            tv for tv in set(table.tags().values())
+            if tv not in retained and table.has_version(tv)
+        ]
         referenced = {
             os.path.normpath(p)
             for rv in retained

@@ -307,6 +307,54 @@ class LakeTable:
             os.path.join(self.meta_dir, f"v{version}.json")
         ) or os.path.exists(os.path.join(self.meta_dir, f"v{version}.delta.json"))
 
+    # ---------- named snapshot refs (tags) ----------
+
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs: tag name → committed version."""
+        try:
+            with open(self._refs_path) as f:
+                return {k: int(v) for k, v in json.load(f).get("tags", {}).items()}
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a name to a committed version (Iceberg tag / Delta named
+        snapshot). Tagged versions are retention roots: vacuum keeps
+        their files and manifest chains regardless of keep_versions.
+        Returns the pinned version."""
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"Invalid tag name: {name!r}")
+        with self.lock():
+            v = self.current_version() if version is None else int(version)
+            if not self.has_version(v):
+                raise ValueError(f"Version {v} of {self.name} does not exist")
+            refs = {"tags": self.tags()}
+            refs["tags"][name] = v
+            tmp = self._refs_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(refs, f, indent=1)
+            os.replace(tmp, self._refs_path)  # atomic flip, like LATEST
+            return v
+
+    def delete_tag(self, name: str) -> None:
+        with self.lock():
+            tags = self.tags()
+            tags.pop(name, None)
+            tmp = self._refs_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"tags": tags}, f, indent=1)
+            os.replace(tmp, self._refs_path)
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"Unknown tag {name!r} on {self.name}")
+        return tags[name]
+
     def chain_filenames(self, version: int) -> list[str]:
         """Manifest filenames needed to resolve ``version`` (itself plus
         any delta ancestors down to the full base)."""
@@ -512,6 +560,7 @@ class LakeTable:
         version: int | None = None,
         include_hidden: bool = False,
         where: str | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot read: explicit file list from the manifest, explicit
         schema (no inference scan, no partition discovery — partition
@@ -521,7 +570,12 @@ class LakeTable:
         ``where`` applies the predicate AND skips manifest files whose
         footer stats preclude a match — Spark never opens them. The
         result is identical to ``read().filter(where)`` (skipping is
-        provably conservative; see ``lake/skipping.py``)."""
+        provably conservative; see ``lake/skipping.py``).
+        ``tag`` reads a named snapshot ref (see :meth:`tag`)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("Pass version= or tag=, not both")
+            version = self.resolve_tag(tag)
         m = self.manifest(version)
         exprs = m.partition_exprs
         schema = self.read_schema(m)

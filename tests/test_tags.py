@@ -1,0 +1,78 @@
+"""Named snapshot refs (tags): pin a table version under a name, read
+it back, and survive vacuum — tagged snapshots are retention roots.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+from ducklake_kafka_connect_spark.lake.maintenance import vacuum
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "lake"))
+
+
+def _batch(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("payload")
+    )
+
+
+def test_tag_and_read_back(spark, cat):
+    t = cat.table("t")
+    w = LakeWriter(t, pk=["k"])
+    w.write(_batch(spark, 0, 10, "v0"))
+    v = t.tag("release-1")
+    w.write(_batch(spark, 0, 10, "v1"))
+    assert t.tags() == {"release-1": v}
+    assert t.read(tag="release-1").filter("payload = 'v0'").count() == 10
+    assert t.read().filter("payload = 'v1'").count() == 10
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, tag="release-1")
+    with pytest.raises(ValueError, match="Unknown tag"):
+        t.read(tag="nope")
+
+
+def test_tag_validation(spark, cat):
+    t = cat.table("t")
+    LakeWriter(t, pk=["k"]).write(_batch(spark, 0, 5))
+    with pytest.raises(ValueError, match="does not exist"):
+        t.tag("x", version=99)
+    for bad in ("", "a/b", ".hidden"):
+        with pytest.raises(ValueError, match="Invalid tag name"):
+            t.tag(bad)
+
+
+def test_vacuum_keeps_tagged_snapshot(spark, cat):
+    t = cat.table("t")
+    w = LakeWriter(t, pk=[])
+    w.append(_batch(spark, 0, 10, "gen0"))
+    tagged = t.tag("keep-me")
+    for i in range(5):
+        w.append(_batch(spark, 100 + i * 10, 110 + i * 10, f"gen{i+1}"))
+    vacuum(t, keep_versions=1)
+    # the tagged snapshot still reads in full after vacuum
+    assert t.read(tag="keep-me").count() == 10
+    assert t.manifest(tagged).version == tagged
+    # latest unchanged
+    assert t.read().count() == 60
+
+
+def test_vacuum_drops_untagged_after_delete_tag(spark, cat):
+    t = cat.table("t")
+    w = LakeWriter(t, pk=[])
+    w.append(_batch(spark, 0, 10))
+    old = t.tag("tmp")
+    # rewrite everything so the old files are unreferenced by latest
+    from ducklake_kafka_connect_spark.lake.maintenance import compact
+
+    for i in range(3):
+        w.append(_batch(spark, 100 + i * 10, 110 + i * 10))
+    compact(t)
+    t.delete_tag("tmp")
+    vacuum(t, keep_versions=1)
+    assert not t.has_version(old)
+    with pytest.raises(ValueError, match="Unknown tag"):
+        t.read(tag="tmp")
