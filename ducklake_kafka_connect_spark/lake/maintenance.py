@@ -182,7 +182,7 @@ def compact(
                 partition_spec=m.partition_spec,
                 files=files,
                 parent=m.version,
-                props=m.props,
+                props={**m.props, "last_op": "COMPACT"},
                 file_stats=stats,
             ),
             parent_manifest=m,

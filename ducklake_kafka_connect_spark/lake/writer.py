@@ -446,7 +446,7 @@ class LakeWriter:
                     partition_spec=manifest.partition_spec,
                     files=files,
                     parent=manifest.version,
-                    props=manifest.props,
+                    props={**manifest.props, "last_op": "DELETE"},
                     file_stats=stats,
                 ),
                 parent_manifest=manifest,
@@ -479,7 +479,8 @@ class LakeWriter:
             stats = dict(manifest.file_stats)
             stats.update(new_stats)
             self._commit_next(
-                manifest, merged_files, _logical_schema_of_batch(df, manifest), stats
+                manifest, merged_files, _logical_schema_of_batch(df, manifest), stats,
+                op="INSERT",
             )
         self._maybe_auto_compact(merged_files, stats)
 
@@ -912,7 +913,7 @@ class LakeWriter:
                     f: s for f, s in manifest.file_stats.items() if f not in rewrite_set
                 }
                 stats.update(new_stats)
-                self._commit_next(manifest, merged_files, final_logical, stats)
+                self._commit_next(manifest, merged_files, final_logical, stats, op="MERGE")
         finally:
             raw.unpersist()
         self._maybe_auto_compact(merged_files, stats)
@@ -978,7 +979,7 @@ class LakeWriter:
                 merged, current.version + 1, layout="natural", skip_bloom=True,
                 manifest=current,
             )
-            self._commit_next(current, new_files, final_logical, new_stats)
+            self._commit_next(current, new_files, final_logical, new_stats, op="MERGE")
         return True
 
     def _merge_small_table_arrow(
@@ -1239,13 +1240,14 @@ class LakeWriter:
         files: dict[str, list[str]],
         final_logical: T.StructType,
         file_stats: dict | None = None,
+        op: str = "WRITE",
     ) -> None:
         fields = [f for f in final_logical.fields if f.name != INSERTED_AT]
         fields.append(T.StructField(INSERTED_AT, T.TimestampType(), True))
-        props = manifest.props
+        props = dict(manifest.props)
+        props["last_op"] = op  # history()/DESCRIBE-HISTORY lineage
         if self._txn is not None:
             app, epoch = self._txn
-            props = dict(props)
             txns = dict(props.get("txns", {}))
             txns[str(app)] = int(epoch)
             props["txns"] = txns
