@@ -2327,9 +2327,51 @@ def merge_many_group_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import corpus_stats, graph, ingest_replay, pipeline, quality, timeseries, tpch  # noqa: E402,F401  (registration side effect)
 
 
+# Keys that have already earned a driver-side CORRECTNESS row (rounds 1-5).
+# The driver hashes only the first 50 registered queries per round, so we
+# emit never-driver-checked queries first; this rotates the whole surface
+# through the hard-signal window across rounds (VERDICT r5 "Next round" #1).
+_DRIVER_CHECKED: frozenset[str] = frozenset({
+    "agg_distinct_orders", "ann_ivf_indexed_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "ann_quantized_topk", "anti_join_idle_customers", "asof_latest_purchase",
+    "contamination_overlap", "corpus_quality_filter", "corpus_stratified_sample",
+    "cube_returnflag_status", "dedup_embedding_cosine", "dedup_exact_stats",
+    "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash_hamming", "dedup_span_exact", "delete_where_events",
+    "doc_fingerprint_groups", "grouping_sets_orders", "json_extract_props",
+    "lang_id_confusion", "merge_upsert_events", "multimodal_pipeline",
+    "nested_json_roundtrip", "outer_join_nation_activity", "partition_cells_events",
+    "percentile_order_values", "q17_small_qty_revenue", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "range_join_click_attribution", "rollup_lineitem_qty", "schema_promotion_union",
+    "semi_join_priority_orders", "session_windows", "similarity_topk",
+    "text_normalize_hashsum", "text_quality_scores", "text_repetition_ratio",
+    "text_token_stats", "timestamp_parse_roundtrip", "top_k_per_group",
+    "upsert_latest_per_key", "user_session_gaps", "windowed_event_counts",
+    "zorder_pruned_scan",
+})
+
+
+def _rotated_names() -> list[str]:
+    """Registration order with never-driver-checked queries first.
+
+    Within each group the original registration order is preserved, so the
+    ordering is deterministic and every query lands in the driver's 50-slot
+    window within two rounds.
+    """
+    names = list(QUERIES)
+    fresh = [n for n in names if n not in _DRIVER_CHECKED]
+    checked = [n for n in names if n in _DRIVER_CHECKED]
+    return fresh + checked
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _rotated_names()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {name: q.oracle.strip() for name, q in QUERIES.items() if q.oracle}
+    return {
+        name: QUERIES[name].oracle.strip()
+        for name in _rotated_names()
+        if QUERIES[name].oracle
+    }
