@@ -1972,26 +1972,30 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive reachability closure — feasible there because the pair
     set is small; the Spark side is the shape that scales."""
     docs = _t(spark, sf_dir, "documents")
+    # tiny verified pair list (it is the DUPLICATES) — persisted by the
+    # operator itself, so the component collect and any re-run read it back
     pairs = dedup_ops.minhash_dedup_pairs(docs)
     comp = dedup_ops.dedup_clusters(pairs, out_id="id")
-    joined = comp.join(
+    # comp has one row per clustered doc — broadcast it so the corpus
+    # scan joins map-side (no shuffle of the documents table)
+    joined = F.broadcast(comp).join(
         docs.select("doc_id", "n_chars"), comp.id == F.col("doc_id")
     ).select("cluster_id", "doc_id", "n_chars")
-    sized = joined.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
-    w = W.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    reps = (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    # representative = max over (n_chars, -doc_id) ≡ (n_chars DESC,
+    # doc_id ASC); a single struct-max aggregate replaces the old
+    # window + row_number + re-join (three shuffles → one)
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("m")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), best)
         .select(
             "cluster_id",
-            F.col("doc_id").alias("rep_doc_id"),
-            F.col("n_chars").cast("long").alias("rep_chars"),
+            "n_members",
+            (-F.col("m.neg_id")).alias("rep_doc_id"),
+            F.col("m.n_chars").cast("long").alias("rep_chars"),
         )
-    )
-    return reps.join(sized, "cluster_id").select(
-        "cluster_id", "n_members", "rep_doc_id", "rep_chars"
     )
 
 
