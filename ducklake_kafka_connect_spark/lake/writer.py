@@ -39,6 +39,7 @@ immutable files into the next snapshot untouched.
 from __future__ import annotations
 
 import os
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -467,6 +468,8 @@ class LakeWriter:
     def _append(self, df: DataFrame) -> None:
         manifest = self._ensure_table(df)
         out = self._prepare_insert(df, manifest)
+        if self._append_small_arrow(out, df, manifest):
+            return
         with self.table.lock():
             manifest = self.table.manifest()  # re-read under lock
             new_files, new_stats = self.table.write_data_files(
@@ -483,6 +486,118 @@ class LakeWriter:
                 op="INSERT",
             )
         self._maybe_auto_compact(merged_files, stats)
+
+    # Appends whose optimizer-estimated batch size is at or below this
+    # take the driver-side Arrow path: ONE Spark job (toArrow), then the
+    # partition split, parquet write, stats harvest, and commit happen
+    # in-process — the same latency shape as _merge_small_table_arrow.
+    # Large appends never reach it, and any doubt (escaped partition
+    # tokens, nulls in partition values, harvest failure) falls back to
+    # the Spark write path.
+    ARROW_APPEND_MAX_BYTES = 16 * 1024 * 1024
+    _SIMPLE_TOKEN = re.compile(r"^[A-Za-z0-9._-]+$")
+
+    def _append_small_arrow(self, out: DataFrame, df: DataFrame, manifest) -> bool:
+        """Driver-side Arrow append for small batches. Returns True when
+        the batch was written and committed; False → Spark path runs."""
+        import datetime
+        import uuid as _uuid
+
+        try:
+            est = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            return False
+        if est > self.ARROW_APPEND_MAX_BYTES:
+            return False
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from .table import _harvest_one, _stats_columns, _bloom_column
+
+            with REGISTRY.timer("append.arrowBatchEval"):
+                batch = out.toArrow()  # the ONE Spark job
+            if batch.num_rows == 0:
+                return False
+            exprs = manifest.partition_exprs
+            part_cols = [e.output_name for e in exprs]
+            dir_names = [e.dir_name for e in exprs]
+            # partition → row-index groups, with dir tokens formatted the
+            # way Spark's partitionBy would write them (fall back on any
+            # token needing Hive escaping or a null partition value)
+            groups: dict[str, list[int]] = {}
+            if exprs:
+                cols = [batch.column(c).to_pylist() for c in part_cols]
+                for i in range(batch.num_rows):
+                    toks = []
+                    for vals in cols:
+                        t = canon_partition_value(vals[i])
+                        if t is None or not self._SIMPLE_TOKEN.match(t):
+                            return False
+                        toks.append(t)
+                    key = "/".join(
+                        f"{d}={t}" for d, t in zip(dir_names, toks)
+                    )
+                    groups.setdefault(key, []).append(i)
+            else:
+                groups[""] = list(range(batch.num_rows))
+            # match the Spark reader/writer: timestamps as MICROS
+            out_fields = [
+                pa.field(f.name, pa.timestamp("us", tz=f.type.tz))
+                if pa.types.is_timestamp(f.type)
+                else f
+                for f in batch.schema
+            ]
+            batch = batch.cast(pa.schema(out_fields))
+            stat_cols = _stats_columns(out.schema, self.pk)
+            bloom_col = _bloom_column(out.schema, self.pk)
+            with self.table.lock():
+                current = self.table.manifest()
+                stage_rel = os.path.join(
+                    "data", f"s{current.version + 1}-{_uuid.uuid4().hex[:8]}"
+                )
+                new_files: dict[str, list[str]] = {}
+                new_stats: dict = {}
+                with REGISTRY.timer("append.arrowWrite"):
+                    for part_key, idxs in groups.items():
+                        rel_dir = (
+                            os.path.join(stage_rel, part_key)
+                            if part_key
+                            else stage_rel
+                        )
+                        os.makedirs(
+                            os.path.join(self.table.dir, rel_dir), exist_ok=True
+                        )
+                        fn = f"part-00000-{_uuid.uuid4().hex[:8]}.parquet"
+                        rel_file = os.path.join(rel_dir, fn)
+                        abs_file = os.path.join(self.table.dir, rel_file)
+                        sub = (
+                            batch
+                            if len(groups) == 1
+                            else batch.take(pa.array(idxs))
+                        )
+                        pq.write_table(sub, abs_file, compression="snappy")
+                        new_files.setdefault(part_key, []).append(rel_file)
+                        s = _harvest_one(abs_file, stat_cols, bloom_col)
+                        if s:
+                            new_stats[rel_file] = s
+                merged_files = {k: list(v) for k, v in current.files.items()}
+                for k, paths in new_files.items():
+                    merged_files.setdefault(k, []).extend(paths)
+                stats = dict(current.file_stats)
+                stats.update(new_stats)
+                self._commit_next(
+                    current,
+                    merged_files,
+                    _logical_schema_of_batch(df, current),
+                    stats,
+                    op="INSERT",
+                )
+            self._maybe_auto_compact(merged_files, stats)
+            return True
+        except Exception:
+            REGISTRY.inc("append.arrowFallback")
+            return False
 
     def _maybe_auto_compact(self, files: dict, stats: dict) -> None:
         """Post-commit trigger (runs OUTSIDE the table lock — compact
@@ -1120,30 +1235,49 @@ class LakeWriter:
             now = datetime.datetime.now(datetime.timezone.utc)
             if ts_type.tz is None:
                 now = now.replace(tzinfo=None)
-            ts_pd = out_tbl.column(INSERTED_AT).to_pandas()
-            if ts_pd.isna().any():
+            # carry-over computed on int64 epoch-µs values: vectorized,
+            # and immune to pandas' unit/tz dtype variation (ns vs us vs
+            # Arrow-backed) across files written by Spark (INT96→ns) and
+            # the Arrow fast paths (us)
+            import numpy as np
+
+            us_type = pa.timestamp("us", tz=ts_type.tz)
+            ts_us = (
+                out_tbl.column(INSERTED_AT).cast(us_type).cast(pa.int64()).to_pandas()
+            )
+            if ts_us.isna().any():
+                if now.tzinfo is not None:
+                    now_us = int(now.timestamp() * 1_000_000)
+                else:
+                    now_us = int(
+                        (now - datetime.datetime(1970, 1, 1)).total_seconds()
+                        * 1_000_000
+                    )
                 if n_t:
                     old = key_df.iloc[:n_t].copy()
-                    old["__old_ts"] = target.column(INSERTED_AT).to_pandas().values
-                    m = (
-                        winners.merge(
-                            old[list(self.pk) + ["__old_ts"]],
-                            on=list(self.pk),
-                            how="left",
-                        )["__old_ts"]
+                    old["__old_us"] = (
+                        target.column(INSERTED_AT)
+                        .cast(us_type)
+                        .cast(pa.int64())
+                        .to_pandas()
+                        .values
                     )
-                    ts_pd = pd.Series(
-                        [
-                            t if pd.notna(t) else (o if pd.notna(o) else now)
-                            for t, o in zip(ts_pd.values, m.values)
-                        ]
-                    )
+                    m = winners.merge(
+                        old[list(self.pk) + ["__old_us"]],
+                        on=list(self.pk),
+                        how="left",
+                    )["__old_us"]
+                    filled = np.where(
+                        ts_us.notna(),
+                        ts_us.values,
+                        np.where(m.notna(), m.values, now_us),
+                    ).astype("int64")
                 else:
-                    ts_pd = ts_pd.fillna(now)
+                    filled = ts_us.fillna(now_us).astype("int64").values
                 out_tbl = out_tbl.set_column(
                     out_tbl.column_names.index(INSERTED_AT),
                     pa.field(INSERTED_AT, ts_type),
-                    pa.array(ts_pd, type=ts_type),
+                    pa.array(filled).cast(us_type).cast(ts_type),
                 )
 
             # ---- write + commit (same protocol as the Spark path) ----

@@ -1384,6 +1384,12 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-identical to the oracle's (h60), so overlap counts compare
     exactly."""
     docs = _t(spark, sf_dir, "documents")
+    return dedup_ops._memo_plan(
+        docs, "contamination_overlap", (), lambda: _build_contamination(spark, docs)
+    )
+
+
+def _build_contamination(spark: SparkSession, docs: DataFrame) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     tok = docs.repartition(n_part, "doc_id").select(

@@ -151,3 +151,87 @@ def test_arrow_written_file_prunes_and_rereads(spark, lake):
     kept, pruned = cat.table("t").prune_files("id > 1000")
     assert kept == [] and pruned == 1
     assert cat.table("t").read(where="id < 5").count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Arrow small-APPEND fast path (lake/writer.py ``_append_small_arrow``)
+# ---------------------------------------------------------------------------
+
+
+def _append_spark_only(monkeypatch):
+    monkeypatch.setattr(
+        wmod.LakeWriter, "_append_small_arrow", lambda self, *a, **k: False
+    )
+
+
+def test_arrow_append_matches_spark_append(spark, tmp_path, monkeypatch):
+    """Same batch through both append paths → identical table contents,
+    partition dirs, and manifest stats columns."""
+    out = {}
+    for mode in ("arrow", "spark"):
+        cat = LakeCatalog(spark, str(tmp_path / mode))
+        w = LakeWriter(cat.table("t"), pk=["id"], partition_by="month(created_at)")
+        if mode == "spark":
+            _append_spark_only(monkeypatch)
+        w.append(_base(spark, 500))
+        m = cat.table("t").manifest()
+        out[mode] = (
+            _rows(cat.table("t").read(), "id", "name", "created_at"),
+            sorted(m.files.keys()),
+            set().union(*(s.keys() for s in m.file_stats.values())),
+        )
+        monkeypatch.undo()
+    assert out["arrow"][0] == out["spark"][0]
+    assert out["arrow"][1] == out["spark"][1]
+    # Arrow-path stats must cover at least the Spark path's (µs
+    # timestamps additionally get footer min/max that INT96 lacks)
+    assert out["spark"][2] <= out["arrow"][2]
+
+
+def test_arrow_append_multi_partition_dirs(spark, lake):
+    """An Arrow append spanning two months writes two partition dirs."""
+    from ducklake_kafka_connect_spark.metrics import REGISTRY
+
+    cat = LakeCatalog(spark, lake)
+    w = LakeWriter(cat.table("t"), pk=["id"], partition_by="month(created_at)")
+    before = REGISTRY.snapshot()["operations"].get("append.arrowWrite", {}).get("count", 0)
+    batch = spark.range(100).select(
+        F.col("id"),
+        F.lit("x").alias("name"),
+        F.timestamp_seconds(
+            F.when(F.col("id") < 50, 1704067200).otherwise(1706832000)
+        ).alias("created_at"),
+    )
+    w.append(batch)
+    after = REGISTRY.snapshot()["operations"].get("append.arrowWrite", {}).get("count", 0)
+    assert after == before + 1, "small append should take the Arrow path"
+    m = cat.table("t").manifest()
+    assert len(m.files) == 2
+    assert cat.table("t").read().count() == 100
+
+
+def test_arrow_append_then_arrow_merge(spark, lake):
+    """Files written by the Arrow append must stay eligible for the
+    Arrow merge path (timestamp unit/tz differences must not trip it)."""
+    from ducklake_kafka_connect_spark.metrics import REGISTRY
+
+    cat = LakeCatalog(spark, lake)
+    w = LakeWriter(cat.table("t"), pk=["id"], partition_by="month(created_at)")
+    w.append(_base(spark, 300))
+    stamps = {
+        r["id"]: r["_inserted_at"]
+        for r in cat.table("t").read().select("id", "_inserted_at").collect()
+    }
+    fb_before = REGISTRY.snapshot()["counters"].get("merge.arrowFallback", 0)
+    batch = spark.range(50).select(
+        (F.col("id") * 2).alias("id"),
+        F.lit("upd").alias("name"),
+        F.timestamp_seconds(1704067200 + F.col("id")).alias("created_at"),
+    )
+    w.write(batch)
+    fb_after = REGISTRY.snapshot()["counters"].get("merge.arrowFallback", 0)
+    assert fb_after == fb_before, "arrow merge fell back after arrow append"
+    got = {r["id"]: r for r in cat.table("t").read().collect()}
+    assert got[0]["name"] == "upd" and got[1]["name"] == "v1"
+    # matched keys keep their original _inserted_at stamp
+    assert got[2]["_inserted_at"] == stamps[2]
