@@ -9,10 +9,14 @@ uncompressed media:
 - **BMP** (24/32-bit uncompressed BITMAPINFOHEADER): struct header,
   bottom-up row order, 4-byte row padding.
 - **WAV** (PCM): stdlib ``wave`` for framing, numpy for samples.
+- **PNG** (8-bit gray/gray+alpha/RGB/RGBA/palette, non-interlaced):
+  stdlib ``zlib`` inflate + numpy row unfiltering (all five filter
+  types) — a real COMPRESSED format with zero third-party deps.
 
-Compressed formats (JPEG/PNG/FLAC/…) still require Pillow/soundfile and
-stay behind the import-try gate in ``multimodal.py`` — ``sniff_format``
-tells callers which path a payload needs. Resize is nearest-neighbor
+Remaining compressed formats (JPEG/FLAC/…, plus 16-bit or Adam7 PNG)
+still require Pillow/soundfile and stay behind the import-try gate in
+``multimodal.py`` — ``sniff_format`` tells callers which path a payload
+needs. Resize is nearest-neighbor
 index sampling (the deterministic choice: no filter kernels to disagree
 about).
 """
@@ -197,6 +201,135 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# PNG (non-interlaced, 8-bit depth; gray / gray+alpha / RGB / RGBA /
+# palette) — stdlib zlib inflate + numpy row unfiltering. The first
+# COMPRESSED format the engine decodes with zero third-party deps.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise CodecError("truncated PNG chunk")
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+    raise CodecError("PNG missing IEND")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, ch) uint8. Supports bit depth 8, color types
+    0/2/3/4/6, non-interlaced (Adam7 → CodecError). Palette images
+    expand through PLTE to RGB."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise CodecError("not a PNG payload")
+    w = h = None
+    ctype_code = depth = interlace = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, ctype_code, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if w is None:
+        raise CodecError("PNG missing IHDR")
+    if depth != 8:
+        raise CodecError(f"unsupported PNG bit depth {depth}")
+    if interlace:
+        raise CodecError("interlaced (Adam7) PNG not supported")
+    if ctype_code not in _PNG_CHANNELS:
+        raise CodecError(f"unsupported PNG color type {ctype_code}")
+    ch = _PNG_CHANNELS[ctype_code]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise CodecError(
+            f"PNG data size mismatch: {len(raw)} != {h * (stride + 1)}"
+        )
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int16)  # headroom for filter arithmetic
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = filters[y]
+        row = data[y]
+        prev = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub — sequential in x, vectorize per pixel column
+            cur = row.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise CodecError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+    img = out.reshape(h, w, ch)
+    if ctype_code == 3:
+        if plte is None:
+            raise CodecError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 1|2|3|4) uint8 → PNG (filter 0 rows, one zlib stream)."""
+    import zlib
+
+    h, w, ch = arr.shape
+    ctype_code = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    body = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * ch)], axis=1
+    ).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import binascii
+
+        crc = binascii.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize: deterministic (no kernel choices), pure
     index arithmetic — identical on every platform."""
@@ -214,4 +347,6 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "png":
+        return decode_png(payload)
     raise CodecError(f"no built-in decoder for format {fmt!r}")

@@ -145,12 +145,13 @@ def fake_decode_image(media: DataFrame) -> DataFrame:
 def decode_image(media: DataFrame) -> DataFrame:
     """REAL decode path over ``mapInPandas`` — same plumbing as
     ``fake_decode_image``, but the body runs the built-in numpy codecs
-    (PPM/PGM/BMP, ``operators/codecs.py``) on each payload. Compressed
-    formats (JPEG/PNG) dispatch to Pillow when importable; otherwise
-    those rows decode as NULLs (the import-try gate, visible in the
-    output rather than an exception so one bad payload can't kill a
-    100 TB scan). ``byte_sum`` = sum of decoded pixel values mod
-    1,000,003 — a content checksum downstream dedup can group on."""
+    (PPM/PGM/BMP + zlib-based PNG, ``operators/codecs.py``) on each
+    payload. Formats the built-ins can't handle (JPEG; 16-bit or
+    interlaced PNG) dispatch to Pillow when importable; otherwise those
+    rows decode as NULLs (the import-try gate, visible in the output
+    rather than an exception so one bad payload can't kill a 100 TB
+    scan). ``byte_sum`` = sum of decoded pixel values mod 1,000,003 —
+    a content checksum downstream dedup can group on."""
     from . import codecs
 
     narrow = media.select("media_id", "data")  # column-prune before Python

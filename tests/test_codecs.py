@@ -129,3 +129,121 @@ class TestSparkPipeline:
         assert "meta" not in plan.split("ArrowEvalPython")[0] or True
         # the narrow select keeps only (media_id, data) ahead of Python
         assert decode_image(df).columns == ["media_id", "width", "height", "channels", "byte_sum"]
+
+
+class TestPng:
+    """Pure-zlib PNG codec: round-trips, an independently-filtered
+    fixture for every PNG filter type, palette expansion, and the
+    unsupported-variant gates."""
+
+    @staticmethod
+    def _forward_filter(arr: np.ndarray, ftype: int) -> bytes:
+        """Reference ENCODER-side filtering per the PNG spec (written
+        independently of the decoder's inverse) + zlib, one filter type
+        for every row."""
+        import struct as st
+        import zlib
+
+        h, w, ch = arr.shape
+        stride = w * ch
+        flat = arr.reshape(h, stride).astype(int)
+        rows = []
+        for y in range(h):
+            cur = flat[y]
+            prev = flat[y - 1] if y else np.zeros(stride, int)
+            out = np.zeros(stride, int)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (cur[x] - pred) % 256
+            rows.append(bytes([ftype]) + out.astype(np.uint8).tobytes())
+        idat = zlib.compress(b"".join(rows))
+
+        def chunk(ctype, data):
+            import binascii
+
+            crc = binascii.crc32(ctype + data) & 0xFFFFFFFF
+            return st.pack(">I", len(data)) + ctype + data + st.pack(">I", crc)
+
+        ctype_code = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        ihdr = st.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+
+    def test_roundtrip_rgb(self):
+        arr = _img(7, 5)
+        out = codecs.decode_png(codecs.encode_png(arr))
+        assert np.array_equal(out, arr)
+
+    def test_roundtrip_rgba_and_gray(self):
+        rng = np.random.RandomState(3)
+        for ch in (1, 2, 4):
+            arr = rng.randint(0, 256, size=(4, 6, ch), dtype=np.uint8)
+            assert np.array_equal(codecs.decode_png(codecs.encode_png(arr)), arr)
+
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_every_filter_type_inverts(self, ftype):
+        arr = _img(6, 4, seed=ftype + 11)
+        payload = self._forward_filter(arr, ftype)
+        assert np.array_equal(codecs.decode_png(payload), arr)
+
+    def test_palette_expands_to_rgb(self):
+        import struct as st
+        import zlib
+        import binascii
+
+        def chunk(ctype, data):
+            crc = binascii.crc32(ctype + data) & 0xFFFFFFFF
+            return st.pack(">I", len(data)) + ctype + data + st.pack(">I", crc)
+
+        palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R,G,B entries
+        idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+        body = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", palette)
+            + chunk(b"IDAT", zlib.compress(body))
+            + chunk(b"IEND", b"")
+        )
+        out = codecs.decode_png(payload)
+        assert out.shape == (2, 2, 3)
+        assert list(out[0, 0]) == [255, 0, 0]
+        assert list(out[0, 1]) == [0, 255, 0]
+        assert list(out[1, 0]) == [0, 0, 255]
+
+    def test_unsupported_variants_raise(self):
+        import struct as st
+
+        arr = _img(3, 3)
+        ok = codecs.encode_png(arr)
+        # corrupt the IHDR: 16-bit depth
+        deep = bytearray(ok)
+        deep[8 + 8 + 8] = 16  # depth byte inside IHDR data
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_png(bytes(deep))
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+
+    def test_sniff_and_dispatch(self):
+        arr = _img(3, 4)
+        payload = codecs.encode_png(arr)
+        assert codecs.sniff_format(payload) == "png"
+        assert np.array_equal(codecs.decode_image_array(payload), arr)
