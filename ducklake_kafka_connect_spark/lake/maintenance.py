@@ -225,11 +225,20 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
         # retained version's resolution chain reaches past the window —
         # then every older manifest file is droppable
         oldest = min(retained)
-        oldest_full = os.path.join(table.meta_dir, f"v{oldest}.json")
-        if not os.path.exists(oldest_full):
+        if table._read_full_segment(oldest) is None:
             m_oldest = table.manifest(oldest)
-            with open(oldest_full, "w") as f:
-                f.write(m_oldest.to_json())
+            if table.manifest_format == "binary":
+                from .table import encode_segment_binary
+
+                with open(
+                    os.path.join(table.meta_dir, f"v{oldest}.avro"), "wb"
+                ) as f:
+                    f.write(encode_segment_binary(m_oldest.to_dict()))
+            else:
+                with open(
+                    os.path.join(table.meta_dir, f"v{oldest}.json"), "w"
+                ) as f:
+                    f.write(m_oldest.to_json())
         keep_meta = {fn for rv in retained for fn in table.chain_filenames(rv)}
         deleted = 0
         for dirpath, _dirnames, filenames in os.walk(table.data_dir):
@@ -252,9 +261,7 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
                 os.rmdir(dirpath)
         # drop manifest files outside every retained version's chain
         for fn in os.listdir(table.meta_dir):
-            is_manifest = fn.startswith("v") and (
-                fn.endswith(".json") or fn.endswith(".delta.json")
-            )
+            is_manifest = fn.startswith("v") and fn.endswith((".json", ".avro"))
             if is_manifest and fn not in keep_meta:
                 os.remove(os.path.join(table.meta_dir, fn))
         return deleted

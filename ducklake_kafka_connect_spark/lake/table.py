@@ -106,24 +106,27 @@ class Manifest:
     # not serialized — _commit uses it to place the next full base.
     delta_depth: int = 0
 
+    def to_dict(self) -> dict:
+        return {
+            "version": self.version,
+            "schema": self.schema.jsonValue(),
+            "pk": self.pk,
+            "partition_spec": self.partition_spec,
+            "files": self.files,
+            "parent": self.parent,
+            "props": self.props,
+            "file_stats": self.file_stats,
+        }
+
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "version": self.version,
-                "schema": self.schema.jsonValue(),
-                "pk": self.pk,
-                "partition_spec": self.partition_spec,
-                "files": self.files,
-                "parent": self.parent,
-                "props": self.props,
-                "file_stats": self.file_stats,
-            },
-            indent=1,
-        )
+        return json.dumps(self.to_dict(), indent=1)
 
     @staticmethod
     def from_json(text: str) -> "Manifest":
-        d = json.loads(text)
+        return Manifest.from_dict(json.loads(text))
+
+    @staticmethod
+    def from_dict(d: dict) -> "Manifest":
         pk = list(d.get("pk") or [])
         stats = d.get("file_stats") or {}
         # legacy form: {file: [min, max]} of pk[0] → normalize to per-column
@@ -208,6 +211,103 @@ def _apply_delta(parent: Manifest, d: dict) -> Manifest:
     )
 
 
+# ---------------------------------------------------------------------------
+# Binary manifest segments (the object-store form).
+#
+# Iceberg stores manifests as Avro for a reason: at object-store scale
+# the metadata path is dominated by bytes moved per commit/resolution,
+# and a text-JSON segment repeats key names per file entry. The binary
+# form encodes each segment (full or delta) as ONE Avro record via the
+# in-repo pure-Python codec (sources/avro_lite.py — the same machinery
+# the Kafka Avro decode path uses), deflate-compressed, behind a
+# per-table ``manifest_format`` flag. Readers never need the flag: every
+# resolution probes both extensions, so mixed chains (a table that
+# switched formats mid-history) resolve fine, and time travel + tags
+# work identically in both modes. Per-file stat dicts travel as JSON
+# leaf strings inside the Avro map — the big wins (file-name keys, the
+# repeated per-entry structure) are Avro-native, while the heterogeneous
+# stat values (int/float/str bounds) keep one stable encoding.
+# ---------------------------------------------------------------------------
+
+MANIFEST_MAGIC = b"DLMS1\n"
+_SEGMENT_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "ManifestSegment",
+    "fields": [
+        {"name": "delta", "type": "boolean"},
+        {"name": "version", "type": "long"},
+        {"name": "parent", "type": ["null", "long"]},
+        {"name": "schema", "type": "string"},
+        {"name": "pk", "type": {"type": "array", "items": "string"}},
+        {"name": "partition_spec", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": "string"},
+        {"name": "files", "type": {"type": "map", "values": {"type": "array", "items": "string"}}},
+        {"name": "files_remove", "type": {"type": "map", "values": {"type": "array", "items": "string"}}},
+        {"name": "stats", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+
+def encode_segment_binary(d: dict) -> bytes:
+    """Segment dict (full-manifest or delta shape) → magic + deflate(Avro)."""
+    import zlib
+
+    from ..sources.avro_lite import encode_avro
+
+    is_delta = bool(d.get("delta"))
+    rec = {
+        "delta": is_delta,
+        "version": int(d["version"]),
+        "parent": d.get("parent"),
+        "schema": json.dumps(d["schema"]),
+        "pk": list(d.get("pk") or []),
+        "partition_spec": list(d.get("partition_spec") or []),
+        "props": json.dumps(d.get("props") or {}),
+        "files": d.get("files_add" if is_delta else "files") or {},
+        "files_remove": d.get("files_remove") or {},
+        "stats": {
+            f: json.dumps(s)
+            for f, s in (d.get("stats_add" if is_delta else "file_stats") or {}).items()
+        },
+    }
+    return MANIFEST_MAGIC + zlib.compress(
+        encode_avro(json.dumps(_SEGMENT_AVRO_SCHEMA), rec)
+    )
+
+
+def decode_segment_binary(payload: bytes) -> dict:
+    """Inverse of encode_segment_binary, returning the exact dict shape
+    the JSON form uses (so resolution code is format-blind)."""
+    import zlib
+
+    from ..sources.avro_lite import _Reader, _decode
+
+    if not payload.startswith(MANIFEST_MAGIC):
+        raise ValueError("not a binary manifest segment")
+    rec = _decode(
+        _SEGMENT_AVRO_SCHEMA, _Reader(zlib.decompress(payload[len(MANIFEST_MAGIC):]))
+    )
+    stats = {f: json.loads(s) for f, s in rec["stats"].items()}
+    base = {
+        "version": rec["version"],
+        "parent": rec["parent"],
+        "schema": json.loads(rec["schema"]),
+        "pk": rec["pk"],
+        "partition_spec": rec["partition_spec"],
+        "props": json.loads(rec["props"]),
+    }
+    if rec["delta"]:
+        base.update(
+            delta=True,
+            files_add=rec["files"],
+            files_remove=rec["files_remove"],
+            stats_add=stats,
+        )
+    else:
+        base.update(files=rec["files"], file_stats=stats)
+    return base
+
+
 class TableLock:
     """Exclusive advisory lock via ``fcntl.flock`` on a persistent lock
     file. The kernel owns the lock through the fd: it is released
@@ -251,12 +351,51 @@ class TableLock:
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str, name: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        manifest_format: str | None = None,
+    ):
+        # default comes from $DUCKLAKE_MANIFEST_FORMAT so whole suites
+        # can exercise the binary form without touching call sites
+        if manifest_format is None:
+            manifest_format = os.environ.get("DUCKLAKE_MANIFEST_FORMAT", "json")
+        if manifest_format not in ("json", "binary"):
+            raise ValueError(f"unknown manifest_format {manifest_format!r}")
         self.spark = spark
         self.name = name
         self.dir = os.path.join(root, name)
         self.meta_dir = os.path.join(self.dir, "_meta")
         self.data_dir = os.path.join(self.dir, "data")
+        # write-side choice only: resolution always probes both forms,
+        # so mixed-format chains (format switched mid-history) resolve
+        self.manifest_format = manifest_format
+
+    # ---------- segment I/O (format-blind reads) ----------
+
+    def _read_full_segment(self, version: int) -> dict | None:
+        p = os.path.join(self.meta_dir, f"v{version}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        p = os.path.join(self.meta_dir, f"v{version}.avro")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return decode_segment_binary(f.read())
+        return None
+
+    def _read_delta_segment(self, version: int) -> dict | None:
+        p = os.path.join(self.meta_dir, f"v{version}.delta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        p = os.path.join(self.meta_dir, f"v{version}.delta.avro")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return decode_segment_binary(f.read())
+        return None
 
     # ---------- metadata ----------
 
@@ -273,39 +412,34 @@ class LakeTable:
         (bounded by COMPACT_EVERY — a full base is written at least
         every N commits, so the chain is short by construction)."""
         v = self.current_version() if version is None else version
-        full = os.path.join(self.meta_dir, f"v{v}.json")
-        if os.path.exists(full):
-            with open(full) as f:
-                return Manifest.from_json(f.read())
+        base = self._read_full_segment(v)
+        if base is not None:
+            return Manifest.from_dict(base)
         deltas: list[dict] = []
         cur: int | None = v
-        while cur is not None and not os.path.exists(
-            os.path.join(self.meta_dir, f"v{cur}.json")
-        ):
-            dpath = os.path.join(self.meta_dir, f"v{cur}.delta.json")
-            try:
-                with open(dpath) as f:
-                    deltas.append(json.load(f))
-            except FileNotFoundError:
+        while cur is not None and (base := self._read_full_segment(cur)) is None:
+            d = self._read_delta_segment(cur)
+            if d is None:
                 raise FileNotFoundError(
                     f"Version {v} of {self.name} is not resolvable: "
-                    f"neither v{cur}.json nor v{cur}.delta.json exists"
-                ) from None
-            cur = deltas[-1]["parent"]
+                    f"no full or delta segment for v{cur}"
+                )
+            deltas.append(d)
+            cur = d["parent"]
         if cur is None:
             raise FileNotFoundError(
                 f"Version {v} of {self.name} has a delta chain with no full base"
             )
-        with open(os.path.join(self.meta_dir, f"v{cur}.json")) as f:
-            m = Manifest.from_json(f.read())
+        m = Manifest.from_dict(base)
         for d in reversed(deltas):
             m = _apply_delta(m, d)
         return m
 
     def has_version(self, version: int) -> bool:
-        return os.path.exists(
-            os.path.join(self.meta_dir, f"v{version}.json")
-        ) or os.path.exists(os.path.join(self.meta_dir, f"v{version}.delta.json"))
+        return any(
+            os.path.exists(os.path.join(self.meta_dir, f"v{version}{ext}"))
+            for ext in (".json", ".avro", ".delta.json", ".delta.avro")
+        )
 
     # ---------- named snapshot refs (tags) ----------
 
@@ -361,13 +495,22 @@ class LakeTable:
         out: list[str] = []
         cur: int | None = version
         while cur is not None:
-            full = f"v{cur}.json"
-            if os.path.exists(os.path.join(self.meta_dir, full)):
-                out.append(full)
-                return out
-            out.append(f"v{cur}.delta.json")
-            with open(os.path.join(self.meta_dir, f"v{cur}.delta.json")) as f:
-                cur = json.load(f)["parent"]
+            hit = False
+            for full in (f"v{cur}.json", f"v{cur}.avro"):
+                if os.path.exists(os.path.join(self.meta_dir, full)):
+                    out.append(full)
+                    return out
+            for dname in (f"v{cur}.delta.json", f"v{cur}.delta.avro"):
+                if os.path.exists(os.path.join(self.meta_dir, dname)):
+                    out.append(dname)
+                    hit = True
+                    break
+            if not hit:
+                raise FileNotFoundError(
+                    f"no segment for v{cur} of {self.name}"
+                )
+            d = self._read_delta_segment(cur)
+            cur = d["parent"] if d else None
         return out
 
     def lock(self) -> TableLock:
@@ -387,21 +530,33 @@ class LakeTable:
         Time travel resolves any committed version through the chain.
         """
         os.makedirs(self.meta_dir, exist_ok=True)
-        mpath = os.path.join(self.meta_dir, f"v{manifest.version}.json")
-        dpath = os.path.join(self.meta_dir, f"v{manifest.version}.delta.json")
-        if os.path.exists(mpath) or os.path.exists(dpath):
+        if self.has_version(manifest.version):
             raise CommitConflict(f"Version {manifest.version} already committed on {self.name}")
         as_delta = (
             parent_manifest is not None
             and manifest.parent == parent_manifest.version
             and parent_manifest.delta_depth + 1 < COMPACT_EVERY
         )
+        binary = self.manifest_format == "binary"
         if as_delta:
-            with open(dpath, "w") as f:
-                f.write(json.dumps(_make_delta(parent_manifest, manifest), indent=1))
+            d = _make_delta(parent_manifest, manifest)
+            if binary:
+                dpath = os.path.join(self.meta_dir, f"v{manifest.version}.delta.avro")
+                with open(dpath, "wb") as f:
+                    f.write(encode_segment_binary(d))
+            else:
+                dpath = os.path.join(self.meta_dir, f"v{manifest.version}.delta.json")
+                with open(dpath, "w") as f:
+                    f.write(json.dumps(d, indent=1))
         else:
-            with open(mpath, "w") as f:
-                f.write(manifest.to_json())
+            if binary:
+                mpath = os.path.join(self.meta_dir, f"v{manifest.version}.avro")
+                with open(mpath, "wb") as f:
+                    f.write(encode_segment_binary(manifest.to_dict()))
+            else:
+                mpath = os.path.join(self.meta_dir, f"v{manifest.version}.json")
+                with open(mpath, "w") as f:
+                    f.write(manifest.to_json())
         tmp = os.path.join(self.meta_dir, f".LATEST.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
             f.write(str(manifest.version))
@@ -1049,13 +1204,16 @@ def _decimal_from_raw(raw, scale: int) -> decimal.Decimal:
 class LakeCatalog:
     """A directory of LakeTables — the engine's 'lake.main' namespace."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, manifest_format: str | None = None
+    ):
         self.spark = spark
         self.root = root
+        self.manifest_format = manifest_format
         os.makedirs(root, exist_ok=True)
 
     def table(self, name: str) -> LakeTable:
-        return LakeTable(self.spark, self.root, name)
+        return LakeTable(self.spark, self.root, name, manifest_format=self.manifest_format)
 
     def table_exists(self, name: str) -> bool:
         return self.table(name).exists()

@@ -315,11 +315,12 @@ class TestManifestChain:
         for i in range(n):
             w.write(users_df(spark, [(i, f"v{i}", TS)]))
         t = catalog.table("chain")
+        ext = "avro" if t.manifest_format == "binary" else "json"
         meta = sorted(os.listdir(t.meta_dir))
-        fulls = [f for f in meta if f.endswith(".json") and ".delta." not in f and f.startswith("v")]
-        deltas = [f for f in meta if f.endswith(".delta.json")]
+        fulls = [f for f in meta if f.endswith("." + ext) and ".delta." not in f and f.startswith("v")]
+        deltas = [f for f in meta if f.endswith(".delta." + ext)]
         # v0 (create) and vCOMPACT_EVERY are full; the rest are deltas
-        assert "v0.json" in fulls and f"v{COMPACT_EVERY}.json" in fulls
+        assert f"v0.{ext}" in fulls and f"v{COMPACT_EVERY}.{ext}" in fulls
         assert len(deltas) == n - 1  # every non-base commit is a delta
         # every committed version resolves and reads correctly
         for v in range(1, n + 1):
