@@ -687,6 +687,19 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
+    return _memo_plan(
+        docs,
+        "simhash_pairs",
+        (max_hamming, id_col, text_col),
+        lambda: _persist(
+            _build_simhash_near_pairs(docs, max_hamming, id_col, text_col)
+        ),
+    )
+
+
+def _build_simhash_near_pairs(
+    docs: DataFrame, max_hamming: int, id_col: str, text_col: str
+) -> DataFrame:
     """Near-dup edges with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Banding: split the 32-bit fingerprint into SIMHASH_BANDS 8-bit
@@ -797,6 +810,23 @@ def ngram_jaccard_pairs(
     block_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+) -> DataFrame:
+    return _memo_plan(
+        docs,
+        "ngram_jaccard_pairs",
+        (threshold, block_col, id_col, text_col),
+        lambda: _persist(
+            _build_ngram_jaccard_pairs(docs, threshold, block_col, id_col, text_col)
+        ),
+    )
+
+
+def _build_ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    block_col: str,
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
     """Exact Jaccard pairs within blocking-key groups via **prefix
     filtering** (the set-similarity-join technique of PPJoin; Xiao et
@@ -912,6 +942,27 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     max_block: int = MAX_EMB_BLOCK,
     dim: int = 64,
+) -> DataFrame:
+    return _memo_plan(
+        emb,
+        "embedding_neardup",
+        (threshold, block_col, id_col, vec_col, max_block, dim),
+        lambda: _persist(
+            _build_embedding_neardup_pairs(
+                emb, threshold, block_col, id_col, vec_col, max_block, dim
+            )
+        ),
+    )
+
+
+def _build_embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    max_block: int,
+    dim: int,
 ) -> DataFrame:
     """Near-duplicate embedding pairs (cosine ≥ threshold) within a
     blocking key. The blocking key bounds the quadratic term — and

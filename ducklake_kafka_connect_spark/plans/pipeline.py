@@ -100,6 +100,12 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     any tolerance. At 100 TB this is exactly MLlib's iteration
     structure: per-iteration cost is one scan + one small aggregate."""
     emb = _t(spark, sf_dir, "embeddings")
+    from ..operators import dedup as _dedup_ops
+
+    return _dedup_ops._memo_plan(emb, "kmeans", (), lambda: _kmeans_build(emb))
+
+
+def _kmeans_build(emb: DataFrame) -> DataFrame:
     vecs = emb.select(
         "vec_id",
         F.transform(
@@ -137,20 +143,19 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(KMEANS_ITERS):
         a = assigned(cents)
-        rows = (
-            a.select("cid", F.posexplode("q").alias("d", "val"))
-            .groupBy("cid", "d")
-            .agg(
-                F.floor(
-                    F.sum("val").cast("double") / F.count(F.lit(1))
-                ).alias("cval")
-            )
-            .collect()
-        )
-        cents = {}
-        for r in rows:
-            cents.setdefault(r["cid"], {})[r["d"]] = r["cval"]
-        cents = {cid: [v[d] for d in sorted(v)] for cid, v in cents.items()}
+        # centroid update WITHOUT posexplode: 64 element-wise sums in ONE
+        # aggregate node (partial-agg friendly, no 64x row blowup). Python
+        # // is exact integer floor — same value as floor(sum/count) in
+        # double for these magnitudes (< 2^53), minus the explode shuffle.
+        sums = [
+            F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+            for d in range(KMEANS_DIM)
+        ]
+        rows = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
+        cents = {
+            r["cid"]: [int(r[f"s{d}"]) // int(r["n"]) for d in range(KMEANS_DIM)]
+            for r in rows
+        }
 
     return (
         assigned(cents)
