@@ -832,3 +832,135 @@ def mixture_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95  # train < 90 <= val < 95 <= test
+
+
+@register(
+    "corpus_split_train_val_test",
+    f"""
+    WITH b AS (
+      SELECT lang, n_chars,
+             CAST(CONCAT('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY 1, 2
+    """,
+    "Deterministic hash-gated train/val/test split (90/5/5): assignment "
+    "is a pure function of doc_id, so it is stable across runs, "
+    "engines, and repartitions — the split step every training-corpus "
+    "pipeline needs, with per-split per-lang accounting",
+)
+def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle assignment (one md5 per row at the scan) + one
+    partial-aggregated rollup. At 100 TB the split column would be
+    written back; here the accounting IS the query."""
+    from ..operators.dedup import h60_col
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        h60_col(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum buckets (ntile by document length within language)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curriculum_ntile_buckets",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ntile(10) OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT lang, bucket,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM ranked
+    GROUP BY lang, bucket
+    """,
+    "Curriculum assignment: ntile(10) difficulty buckets by document "
+    "length within each language (longest-first), with per-bucket "
+    "bounds — the staged-sampling precursor of curriculum training",
+)
+def curriculum_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on lang for the ntile window (total order per lang,
+    doc_id tie-break makes it deterministic); the rollup reuses the
+    window's lang partitioning prefix."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select("lang", "n_chars", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate overlap matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_overlap",
+    """
+    WITH h AS (SELECT DISTINCT source, md5(text) AS th FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+    FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    "Cross-source contamination matrix: per source pair, the count of "
+    "distinct texts appearing in both — the mirror/syndication report "
+    "that decides which crawl sources are worth keeping",
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text collapses to md5 AT THE SCAN (32-byte hashes shuffle, text
+    never does); the distinct and the self-join share the th hash
+    partitioning. Source cardinality is tiny, so the output is a small
+    matrix regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select("source", F.md5("text").alias("th")).distinct()
+    a = h.select(F.col("source").alias("source_a"), "th")
+    b = h.select(F.col("source").alias("source_b"), "th")
+    return (
+        a.join(b, "th")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
