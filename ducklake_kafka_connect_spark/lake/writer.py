@@ -90,6 +90,12 @@ MERGE_SMALL_TABLE_BYTES = 32 * 1024 * 1024
 # reference's in-process DuckDB MERGE. Guarded by strict eligibility
 # checks with transparent fallback to the Spark plan.
 ARROW_MERGE_MAX_BYTES = 32 * 1024 * 1024
+# {table_dir: (version, pyarrow.Table)} — contents as of that committed
+# version, populated by successful Arrow merges. Bounded (≤4 tables, each
+# ≤ARROW_MERGE_MAX_BYTES); any non-Arrow write bumps the version so the
+# entry just misses. In-process analogue of an embedded engine's buffer
+# pool: sequential small merges stop re-reading the whole table.
+_ARROW_TARGET_CACHE: dict = {}
 # merge_many's synthetic (batch ordinal, order) column — rides the merge
 # plan, never enters the table schema
 EPHEMERAL_ORDER = "__merge_seq_ord"
@@ -1153,12 +1159,30 @@ class LakeWriter:
                         return None
 
             files = manifest.all_files()
-            targets = [
-                pq.read_table(os.path.join(self.table.dir, f)) for f in files
-            ]
-            if sum(t.nbytes for t in targets) + batch.nbytes > ARROW_MERGE_MAX_BYTES:
-                return None
-            target = pa.concat_tables(targets) if targets else None
+            # in-process target cache (the embedded-engine buffer-pool
+            # analogue): a successful Arrow merge KNOWS the table's full
+            # contents at the version it just committed, so the next
+            # merge skips re-reading every target file. Version-keyed —
+            # any write through another path bumps the version and the
+            # entry just misses.
+            cached = _ARROW_TARGET_CACHE.get(self.table.dir)
+            if cached is not None and cached[0] == manifest.version:
+                target = cached[1]
+                if (
+                    target is not None
+                    and target.nbytes + batch.nbytes > ARROW_MERGE_MAX_BYTES
+                ):
+                    return None
+            else:
+                targets = [
+                    pq.read_table(os.path.join(self.table.dir, f)) for f in files
+                ]
+                if (
+                    sum(t.nbytes for t in targets) + batch.nbytes
+                    > ARROW_MERGE_MAX_BYTES
+                ):
+                    return None
+                target = pa.concat_tables(targets) if targets else None
 
             # ---- align both sides to out_cols with one common schema ----
             if target is not None:
@@ -1315,6 +1339,9 @@ class LakeWriter:
                 self._commit_next(
                     current, {part_key: [rel_file]}, final_logical, stats
                 )
+            if len(_ARROW_TARGET_CACHE) >= 4:
+                _ARROW_TARGET_CACHE.clear()
+            _ARROW_TARGET_CACHE[self.table.dir] = (current.version + 1, out_tbl)
             return True
         except Exception:
             REGISTRY.inc("merge.arrowFallback")
