@@ -267,3 +267,51 @@ def test_cluster_query_distributed_path_matches_driver_path(spark):
         for r in d.dedup_clusters(pairs).collect()
     }
     assert star == uf and len(star) > 0
+
+
+class TestPlanMemo:
+    """Prepared-plan memoization (_memo_plan): identical inputs reuse the
+    built DataFrame; different inputs or params rebuild."""
+
+    def test_same_input_returns_same_frame(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        a = D.minhash_dedup_pairs(docs)
+        b = D.minhash_dedup_pairs(docs)
+        assert a is b
+
+    def test_different_params_rebuild(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        a = D.minhash_dedup_pairs(docs, threshold=0.7)
+        b = D.minhash_dedup_pairs(docs, threshold=0.5)
+        assert a is not b
+
+    def test_different_input_rebuilds_and_results_differ(self, spark):
+        d1 = spark.createDataFrame(
+            [(1, "x y z x y z"), (2, "x y z x y z")], "doc_id long, text string"
+        )
+        d2 = spark.createDataFrame(
+            [(1, "p q r s t u"), (2, "completely different words here now")],
+            "doc_id long, text string",
+        )
+        p1 = D.minhash_dedup_pairs(d1)
+        p2 = D.minhash_dedup_pairs(d2)
+        assert p1 is not p2
+        assert p1.count() == 1 and p2.count() == 0
+
+    def test_memo_survives_clear_cache(self, spark):
+        """clearCache between consumers must not corrupt results — the
+        memo re-registers persisted intermediates on reuse."""
+        docs = spark.createDataFrame(
+            [(i, "same text for everyone") for i in range(10)],
+            "doc_id long, text string",
+        )
+        before = {tuple(r) for r in D.minhash_dedup_pairs(docs).collect()}
+        spark.catalog.clearCache()
+        after = {tuple(r) for r in D.minhash_dedup_pairs(docs).collect()}
+        assert before == after and len(before) == 9  # star edges to min id
