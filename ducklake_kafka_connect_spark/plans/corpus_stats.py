@@ -1061,3 +1061,206 @@ def fuzzy_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("id_b").cast("long").alias("max_id_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage (OOV-rate distribution)
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 1000  # top-K corpus tokens play the tokenizer vocabulary
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    vocab AS (SELECT w FROM freq ORDER BY n DESC, w LIMIT {VOCAB_SIZE}),
+    per_doc AS (
+      SELECT t.doc_id, t.lang, count(*) AS n_tok,
+             CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok t LEFT JOIN vocab v ON t.w = v.w
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           ROUND(avg(CAST(n_oov AS DOUBLE) / n_tok), 6) AS avg_oov_frac,
+           CAST(sum(CASE WHEN n_oov * 2 > n_tok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_oov_docs,
+           CAST(sum(n_oov) AS BIGINT) AS total_oov
+    FROM per_doc GROUP BY lang
+    """,
+    f"Tokenizer-vocabulary coverage: per-language out-of-vocabulary "
+    f"rate against the top-{VOCAB_SIZE} corpus tokens (deterministic "
+    "frequency-then-token tie-break) — the coverage check run before "
+    "committing to a tokenizer vocab",
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass: corpus token frequencies (vocab-sized shuffle), top-K
+    cut with a (n DESC, w ASC) total order so the boundary is identical
+    on both engines, vocab broadcast into a left join flagging OOV
+    tokens, then per-doc → per-lang rollups. 'High-OOV doc' uses
+    integer cross-multiplication — no float threshold."""
+    from ..operators import dedup as dedup_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    words = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    tok = docs.repartition(n_part, "doc_id").select(
+        "doc_id", "lang", F.explode(words).alias("w")
+    )
+    tok = dedup_ops._persist(tok)  # frequency pass + join both read it
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(VOCAB_SIZE)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.round(F.avg(F.col("n_oov").cast("double") / F.col("n_tok")), 6).alias(
+            "avg_oov_frac"
+        ),
+        F.sum(
+            F.when(F.col("n_oov") * 2 > F.col("n_tok"), 1).otherwise(0)
+        ).alias("n_high_oov_docs"),
+        F.sum("n_oov").alias("total_oov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers by median/MAD distance to the label centroid
+# ---------------------------------------------------------------------------
+
+EMB_OUT_QSCALE = 1000
+EMB_OUT_DIM = 64
+EMB_OUT_K = 3  # dist > median + 3*MAD → outlier
+
+
+@register(
+    "embedding_outlier_mad",
+    f"""
+    WITH q AS (
+      SELECT label, vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {EMB_OUT_QSCALE}) AS BIGINT)
+             ) AS q
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dims.d,
+             CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      FROM q, (SELECT unnest(generate_series(1, {EMB_OUT_DIM})) AS d) dims
+      GROUP BY label, dims.d
+    ),
+    centl AS (SELECT label, list(c ORDER BY d) AS c FROM cent GROUP BY label),
+    dist AS (
+      SELECT q.label, q.vec_id,
+             list_sum(list_transform(generate_series(1, {EMB_OUT_DIM}),
+               i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS dist
+      FROM q JOIN centl c USING (label)
+    ),
+    med AS (SELECT label, median(dist) AS med_dist FROM dist GROUP BY label),
+    mad AS (
+      SELECT d.label, median(abs(d.dist - m.med_dist)) AS mad_dist
+      FROM dist d JOIN med m USING (label) GROUP BY d.label
+    )
+    SELECT d.label, count(*) AS n_vecs,
+           CAST(sum(CASE WHEN d.dist > m.med_dist + {EMB_OUT_K} * md.mad_dist
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(m.med_dist, 1) AS med_dist,
+           ROUND(md.mad_dist, 1) AS mad_dist
+    FROM dist d JOIN med m USING (label) JOIN mad md USING (label)
+    GROUP BY d.label, m.med_dist, md.mad_dist
+    """,
+    "Embedding outlier detection: quantized-integer distance to the "
+    "per-label centroid, flagged by the robust median + 3*MAD rule — "
+    "the mislabeled/garbage-embedding sweep of an embedding-space "
+    "curation pipeline (exact arithmetic end to end)",
+)
+def embedding_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroids via one aggregate of 64 element-wise sums (no explode);
+    distances as integer zip_with/aggregate expressions; median and MAD
+    are exact medians (sort-based) of exact integers, so the outlier
+    comparison has no cross-engine float drift. Labels are few → the
+    centroid/median frames broadcast."""
+    from ..operators import dedup as dedup_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * EMB_OUT_QSCALE)
+        ).alias("q"),
+    )
+    q = dedup_ops._persist(q)
+    sums = [
+        F.sum(F.element_at("q", d + 1)).alias(f"s{d}") for d in range(EMB_OUT_DIM)
+    ]
+    cent = (
+        q.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .select(
+            "label",
+            F.array(
+                *[
+                    F.floor(
+                        F.col(f"s{d}").cast("double") / F.col("n")
+                    ).cast("long")
+                    for d in range(EMB_OUT_DIM)
+                ]
+            ).alias("c"),
+        )
+    )
+    dist_expr = F.aggregate(
+        F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = dedup_ops._persist(
+        q.join(F.broadcast(cent), "label").select(
+            "label", "vec_id", dist_expr.alias("dist")
+        )
+    )
+    med = dist.groupBy("label").agg(F.median("dist").alias("med_dist"))
+    mad = (
+        dist.join(F.broadcast(med), "label")
+        .groupBy("label")
+        .agg(F.median(F.abs(F.col("dist") - F.col("med_dist"))).alias("mad_dist"))
+    )
+    return (
+        dist.join(F.broadcast(med), "label")
+        .join(F.broadcast(mad), "label")
+        .groupBy("label", "med_dist", "mad_dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(
+                    F.col("dist")
+                    > F.col("med_dist") + EMB_OUT_K * F.col("mad_dist"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_outliers",
+            F.round("med_dist", 1).alias("med_dist"),
+            F.round("mad_dist", 1).alias("mad_dist"),
+        )
+    )
