@@ -25,6 +25,20 @@ def main() -> None:
     spark = build_session(app_name="ducklake-bench")
     # warm up JVM / parquet footer caches with a trivial action
     spark.range(1000).count()
+    # JIT/codegen warmup at sf0.001: the first few timed queries of a
+    # fresh JVM otherwise absorb one-time whole-stage-codegen + operator
+    # JIT for the whole operator family (measured ~2.5 s of phantom cost
+    # on whichever query happens to run first), which min-of-2 does not
+    # fully skim because BOTH runs of query #1 are early-JIT. Tiny data,
+    # same operator shapes, results discarded.
+    warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
+    if os.path.isdir(warm_dir):
+        for wname in list(QUERIES)[:6]:
+            try:
+                QUERIES[wname].fn(spark, warm_dir).collect()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, qd in QUERIES.items():

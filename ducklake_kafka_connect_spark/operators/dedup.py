@@ -92,6 +92,23 @@ _PLAN_MEMO: dict = {}
 _PLAN_MEMO_CAP = 32
 
 
+def _plan_actually_cached(df: DataFrame) -> bool:
+    """True iff the plan is REGISTERED in the session's CacheManager.
+
+    ``DataFrame.is_cached`` reads the Dataset's storage-level flag, which
+    stays True after ``spark.catalog.clearCache()`` — trusting it left
+    memo reuses permanently uncached (every traversal recomputed the
+    whole pipeline; measured 4x wall on the cluster query under the
+    bench's clearCache-between-queries protocol)."""
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        return not cm.lookupCachedData(
+            df._jdf.queryExecution().analyzed()
+        ).isEmpty()
+    except Exception:
+        return False
+
+
 def _memo_plan(docs: DataFrame, tag: str, params: tuple, build):
     try:
         key = (id(docs.sparkSession), tag, docs.semanticHash(), params)
@@ -106,7 +123,7 @@ def _memo_plan(docs: DataFrame, tag: str, params: tuple, build):
             # plan's diamond intermediates — re-register them so shared
             # subtrees still evaluate once
             for s in subs:
-                if not s.is_cached:
+                if not _plan_actually_cached(s):
                     _persist(s)
             return result
         except Exception:
