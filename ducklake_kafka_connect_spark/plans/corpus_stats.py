@@ -1264,3 +1264,144 @@ def embedding_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad_dist", 1).alias("mad_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-truncation dedup (crawl truncation duplicates)
+# ---------------------------------------------------------------------------
+
+PREFIX_WORDS = 10
+
+
+@register(
+    "dedup_prefix_truncation",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, lang, n_chars,
+             array_to_string(w[1:{PREFIX_WORDS}], ' ') AS p
+      FROM w WHERE len(w) >= {PREFIX_WORDS}
+    ),
+    grp AS (
+      SELECT lang, p, count(*) AS n_docs,
+             CAST(max(n_chars) AS BIGINT) AS kept_chars,
+             CAST(sum(n_chars) - max(n_chars) AS BIGINT) AS dropped_chars
+      FROM pref GROUP BY lang, p
+      HAVING count(*) > 1
+    )
+    SELECT lang,
+           count(*) AS n_groups,
+           CAST(sum(n_docs) AS BIGINT) AS n_affected,
+           CAST(sum(dropped_chars) AS BIGINT) AS chars_saved
+    FROM grp GROUP BY lang
+    """,
+    f"Prefix-truncation dedup accounting: documents sharing their first "
+    f"{PREFIX_WORDS} words (the truncated-crawl duplicate pattern exact "
+    "dedup misses), keep-longest policy, per-language savings",
+)
+def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix extraction is row-wise (slice + concat_ws — no explode);
+    one shuffle on (lang, prefix-hash-sized strings); both rollups share
+    that partitioning prefix. At 100 TB the prefix would hash before the
+    shuffle — here it stays a string for oracle parity."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    pref = (
+        docs.select(
+            "lang",
+            "n_chars",
+            words.alias("w"),
+        )
+        .filter(F.size("w") >= PREFIX_WORDS)
+        .select(
+            "lang",
+            "n_chars",
+            F.concat_ws(" ", F.slice("w", 1, PREFIX_WORDS)).alias("p"),
+        )
+    )
+    grp = (
+        pref.groupBy("lang", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_chars").alias("kept_chars"),
+            (F.sum("n_chars") - F.max("n_chars")).alias("dropped_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return grp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").alias("n_affected"),
+        F.sum("dropped_chars").alias("chars_saved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection (z-score on hourly counts)
+# ---------------------------------------------------------------------------
+
+ANOM_Z_NUM = 3  # |count - mean| > 3 * stddev → anomalous hour
+
+
+@register(
+    "event_rate_anomaly",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma,
+             count(*) AS n_hours
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type,
+           CAST(s.n_hours AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN abs(h.n - s.mu) > {ANOM_Z_NUM} * s.sigma
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+           CAST(max(h.n) AS BIGINT) AS peak_count
+    FROM hourly h JOIN stats s USING (event_type)
+    GROUP BY h.event_type, s.n_hours
+    """,
+    "Event-rate anomaly sweep: hourly counts per event type, hours "
+    "beyond 3 sigma of the type's mean flagged — the traffic-spike "
+    "monitor of an ingestion pipeline (integer counts → exact stats)",
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly pre-aggregation shrinks the fact before anything else;
+    per-type stats are a tiny second aggregate broadcast back into the
+    flagging join. Counts are integers, so mean/stddev are identical
+    doubles on both engines."""
+    from ..operators import dedup as dedup_ops
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = dedup_ops._persist(hourly)
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_samp("n").alias("sigma"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n_hours")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("n") - F.col("mu"))
+                    > ANOM_Z_NUM * F.col("sigma"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_anomalous"),
+            F.max("n").alias("peak_count"),
+        )
+        .select("event_type", "n_hours", "n_anomalous", "peak_count")
+    )
