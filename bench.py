@@ -365,7 +365,7 @@ def _run_query(
     built plans and persist intermediates; a single cold sf1 run
     against a warm sf0.1 baseline would read as a phantom scale
     blowup)."""
-    best = None
+    first = best = None
     for _ in range(runs):
         t0 = time.perf_counter()
         df = QUERIES[name].fn(spark, data_dir)
@@ -374,8 +374,10 @@ def _run_query(
         else:
             df.collect()
         el = time.perf_counter() - t0
+        if first is None:
+            first = el
         best = el if best is None else min(best, el)
-    return round(best, 3)
+    return round(first, 3), round(best, 3)
 
 
 def build_sf1_dir(spark, sf_dir: str) -> str:
@@ -426,12 +428,16 @@ def sf1_harness(spark, sf_dir: str, sf01_timings: dict) -> dict:
                 continue
             try:
                 sink = sf1_dir if name in SF1_SINK_TO_PARQUET else None
-                el = _run_query(spark, name, sf1_dir, sink)
+                cold, el = _run_query(spark, name, sf1_dir, sink)
                 out["queries"][name] = el
+                # first-run (cold-cache) wall for transparency: the warm
+                # min is the ratio basis (symmetric with sf0.1), but the
+                # cold number is what a one-shot pipeline run would pay
+                out.setdefault("queries_cold", {})[name] = cold
                 if sink is not None:
                     # re-time the sf0.1 side with the same parquet sink so
                     # the ratio is plan-vs-plan, not collect-vs-write
-                    base = _run_query(spark, name, sf_dir, sink)
+                    _, base = _run_query(spark, name, sf_dir, sink)
                     out.setdefault("sf01_resunk", {})[name] = base
                 else:
                     base = sf01_timings.get(name)
