@@ -235,3 +235,26 @@ def test_arrow_append_then_arrow_merge(spark, lake):
     assert got[0]["name"] == "upd" and got[1]["name"] == "v1"
     # matched keys keep their original _inserted_at stamp
     assert got[2]["_inserted_at"] == stamps[2]
+
+
+def test_arrow_append_falls_back_on_exotic_partition_tokens(spark, lake, monkeypatch):
+    """A string partition value needing Hive escaping must route the
+    append to the Spark path (whose partitionBy does the escaping),
+    not silently mis-name the directory."""
+    from ducklake_kafka_connect_spark.metrics import REGISTRY
+
+    cat = LakeCatalog(spark, lake)
+    w = LakeWriter(cat.table("t"), pk=["id"], partition_by="kind")
+    before = (
+        REGISTRY.snapshot()["operations"].get("append.arrowWrite", {}).get("count", 0)
+    )
+    batch = spark.createDataFrame(
+        [(1, "a b:c"), (2, "plain")], "id long, kind string"
+    )
+    w.append(batch)
+    after = (
+        REGISTRY.snapshot()["operations"].get("append.arrowWrite", {}).get("count", 0)
+    )
+    assert after == before, "escaped token should NOT take the Arrow path"
+    got = {r["id"]: r["kind"] for r in cat.table("t").read().collect()}
+    assert got == {1: "a b:c", 2: "plain"}

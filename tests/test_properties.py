@@ -133,3 +133,55 @@ def test_parse_conjuncts_never_crashes(s):
     the skipper cannot understand must degrade to 'keep everything',
     never to an exception in the read path."""
     parse_conjuncts(s)
+
+
+# ---------------------------------------------------------------------------
+# Binary manifest segment codec: round-trip over arbitrary shapes
+# ---------------------------------------------------------------------------
+
+_stat_val = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+    st.booleans(),
+)
+_rel = st.text(alphabet="abcdefghij0123456789/_-.", min_size=1, max_size=60)
+
+
+@given(
+    files=st.dictionaries(
+        st.text(alphabet="abcxyz=0123456789/_-", max_size=30),
+        st.lists(_rel, max_size=5),
+        max_size=5,
+    ),
+    stats=st.dictionaries(
+        _rel,
+        st.dictionaries(
+            st.text(alphabet="abc_", min_size=1, max_size=8),
+            st.one_of(_stat_val, st.lists(_stat_val, min_size=2, max_size=2)),
+            max_size=4,
+        ),
+        max_size=5,
+    ),
+    version=st.integers(min_value=0, max_value=10**6),
+    parent=st.one_of(st.none(), st.integers(min_value=0, max_value=10**6)),
+)
+@settings(max_examples=60, deadline=None)
+def test_binary_segment_roundtrip_arbitrary(files, stats, version, parent):
+    from ducklake_kafka_connect_spark.lake.table import (
+        decode_segment_binary,
+        encode_segment_binary,
+    )
+
+    d = {
+        "version": version,
+        "schema": {"type": "struct", "fields": []},
+        "pk": ["id"],
+        "partition_spec": [],
+        "files": files,
+        "parent": parent,
+        "props": {"last_op": "WRITE"},
+        "file_stats": stats,
+    }
+    assert decode_segment_binary(encode_segment_binary(d)) == d
