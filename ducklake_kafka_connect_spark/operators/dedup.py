@@ -102,9 +102,7 @@ def _plan_actually_cached(df: DataFrame) -> bool:
     bench's clearCache-between-queries protocol)."""
     try:
         cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
-        return not cm.lookupCachedData(
-            df._jdf.queryExecution().analyzed()
-        ).isEmpty()
+        return not cm.lookupCachedData(df._jdf).isEmpty()
     except Exception:
         return False
 
