@@ -1405,3 +1405,61 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_hours", "n_anomalous", "peak_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar-shard round trip
+# ---------------------------------------------------------------------------
+
+WDS_SHARDS = 8
+
+
+@register(
+    "webdataset_roundtrip",
+    f"""
+    SELECT 'shard-' || CAST(doc_id % {WDS_SHARDS} AS VARCHAR) AS shard,
+           count(*) AS n_samples,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS txt_bytes,
+           CAST(sum({h60_sql('text')} % 1000003) AS BIGINT) AS checksum
+    FROM documents
+    GROUP BY 1
+    """,
+    "WebDataset tar-shard round trip: documents packed into "
+    f"{WDS_SHARDS} deterministic tar shards (txt + json members per "
+    "sample, stdlib tarfile in mapInPandas), decoded back, and "
+    "checksummed per shard — the multimodal container format of "
+    "large-scale training pipelines, verified against the source table",
+)
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build members (txt payload + json sidecar) → encode_shards (one
+    shuffle on shard id; deterministic bytes) → decode_members (one
+    sequential pass per shard) → per-shard aggregate over the decoded
+    txt payloads. The oracle aggregates the SOURCE table directly —
+    equality proves the container preserved every payload byte."""
+    from ..operators.dedup import h60_col
+    from ..sources.webdataset import decode_members, encode_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = docs.select(
+        F.concat(F.lit("shard-"), (F.col("doc_id") % WDS_SHARDS).cast("string")).alias("shard"),
+        F.format_string("%012d", F.col("doc_id")).alias("key"),
+        F.lit("txt").alias("ext"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    meta = docs.select(
+        F.concat(F.lit("shard-"), (F.col("doc_id") % WDS_SHARDS).cast("string")).alias("shard"),
+        F.format_string("%012d", F.col("doc_id")).alias("key"),
+        F.lit("json").alias("ext"),
+        F.encode(F.to_json(F.struct("lang", "source")), "UTF-8").alias("payload"),
+    )
+    shards = encode_shards(txt.unionByName(meta))
+    decoded = decode_members(shards)
+    return (
+        decoded.filter(F.col("ext") == "txt")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.octet_length("payload")).alias("txt_bytes"),
+            F.sum(h60_col(F.col("payload")) % 1000003).alias("checksum"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""WebDataset tar-shard source/sink: deterministic shard bytes, member
+round-trips, sample grouping, and bad-shard tolerance."""
+
+import io
+import tarfile
+
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.sources.webdataset import (
+    _write_tar,
+    decode_members,
+    encode_shards,
+    members_to_samples,
+)
+
+
+def _members_df(spark, n=20, shards=3):
+    docs = spark.range(n)
+    txt = docs.select(
+        F.concat(F.lit("s"), (F.col("id") % shards).cast("string")).alias("shard"),
+        F.format_string("%06d", F.col("id")).alias("key"),
+        F.lit("txt").alias("ext"),
+        F.encode(F.concat(F.lit("body-"), F.col("id")), "UTF-8").alias("payload"),
+    )
+    meta = docs.select(
+        F.concat(F.lit("s"), (F.col("id") % shards).cast("string")).alias("shard"),
+        F.format_string("%06d", F.col("id")).alias("key"),
+        F.lit("cls").alias("ext"),
+        F.encode((F.col("id") % 7).cast("string"), "UTF-8").alias("payload"),
+    )
+    return txt.unionByName(meta)
+
+
+def test_roundtrip_preserves_every_member(spark):
+    members = _members_df(spark, 20, 3)
+    shards = encode_shards(members)
+    rows = shards.collect()
+    assert len(rows) == 3
+    assert sum(r["n_members"] for r in rows) == 40
+    back = decode_members(spark.createDataFrame(rows))
+    want = sorted(
+        (r["shard"], r["key"], r["ext"], bytes(r["payload"]))
+        for r in members.collect()
+    )
+    got = sorted(
+        (r["shard"], r["key"], r["ext"], bytes(r["payload"]))
+        for r in back.collect()
+    )
+    assert got == want
+
+
+def test_shard_bytes_deterministic_across_partitionings(spark):
+    members = _members_df(spark, 30, 2)
+    a = {r["shard"]: bytes(r["tar"]) for r in encode_shards(members).collect()}
+    b = {
+        r["shard"]: bytes(r["tar"])
+        for r in encode_shards(members.repartition(7).orderBy(F.rand(42))).collect()
+    }
+    assert a == b
+
+
+def test_standard_tarfile_reads_our_shards(spark):
+    """Interop: a shard must be a plain POSIX tar any loader can read."""
+    members = _members_df(spark, 6, 1)
+    tar = bytes(encode_shards(members).collect()[0]["tar"])
+    with tarfile.open(fileobj=io.BytesIO(tar)) as tf:
+        names = tf.getnames()
+        assert "000000.txt" in names and "000000.cls" in names
+        assert tf.extractfile("000003.txt").read() == b"body-3"
+
+
+def test_members_to_samples_groups_by_key(spark):
+    members = _members_df(spark, 10, 2)
+    samples = members_to_samples(members)
+    rows = samples.collect()
+    assert len(rows) == 10
+    r = {row["key"]: row["parts"] for row in rows}
+    assert bytes(r["000004"]["txt"]) == b"body-4"
+    assert bytes(r["000004"]["cls"]) == b"4"
+
+
+def test_corrupt_shard_yields_no_rows_not_an_error(spark):
+    good = _write_tar([("k.txt", b"ok")])
+    df = spark.createDataFrame(
+        [("good", bytearray(good)), ("bad", bytearray(b"not a tar at all"))],
+        "shard string, tar binary",
+    )
+    rows = decode_members(df).collect()
+    assert [(r["shard"], r["key"]) for r in rows] == [("good", "k")]
