@@ -2385,17 +2385,17 @@ def _driver_checked() -> frozenset[str]:
 
 
 def _rotated_names() -> list[str]:
-    """Registration order with never-driver-checked queries first.
-
-    Within each group the original registration order is preserved, so the
-    ordering is deterministic within a round, and every query lands in the
-    driver's 50-slot window within two rounds as the artifacts accumulate.
-    """
+    """Never-driver-checked queries first, newest registrations first
+    within that group (a query added this round gets a hard correctness
+    row this round); already-checked queries follow in registration
+    order. Deterministic within a round, and every query lands in the
+    driver's 50-slot window within two rounds as the artifacts
+    accumulate."""
     checked_set = _driver_checked()
     names = list(QUERIES)
     fresh = [n for n in names if n not in checked_set]
     checked = [n for n in names if n in checked_set]
-    return fresh + checked
+    return list(reversed(fresh)) + checked
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
