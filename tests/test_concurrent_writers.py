@@ -77,3 +77,44 @@ def test_two_processes_interleaved_appends(spark, tmp_path):
     m = t.manifest()
     for v in range(m.version + 1):
         assert t.manifest(v).version == v
+
+
+def test_two_processes_binary_manifest_mode(spark, tmp_path, monkeypatch):
+    """Same interleaving with binary (Avro) manifest segments: the
+    flock + version re-read protocol must be format-agnostic."""
+    monkeypatch.setenv("DUCKLAKE_MANIFEST_FORMAT", "binary")
+    lake_dir = str(tmp_path / "lake_b")
+    cat = LakeCatalog(spark, lake_dir, manifest_format="binary")
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    w.write(
+        spark.range(0, 50).select(
+            F.col("id"), F.concat(F.lit("seed"), F.col("id")).alias("name")
+        )
+    )
+    script = WORKER.format(repo=REPO)
+    env = dict(os.environ, DUCKLAKE_MANIFEST_FORMAT="binary")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script, lake_dir, "500", "650"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=env,
+    )
+    try:
+        for start in range(900, 1050, 50):
+            w.write(
+                spark.range(start, start + 50).select(
+                    F.col("id"), F.concat(F.lit("m"), F.col("id")).alias("name")
+                )
+            )
+        out, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert "WORKER_DONE" in out
+    t = cat.table("t")
+    assert t.read().count() == 50 + 150 + 150
+    meta = os.listdir(t.meta_dir)
+    assert not any(f.startswith("v") and f.endswith(".json") for f in meta)
+    for v in range(t.manifest().version + 1):
+        assert t.manifest(v).version == v
