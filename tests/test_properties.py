@@ -91,9 +91,19 @@ def test_codec_errors_never_crash(payload):
 def test_canon_value_token_agreement(v):
     """A partition value written as its Hive token must canonicalize to
     the same string from BOTH directions (Row value vs dir token) — the
-    invariant that makes MERGE's partition pruning safe."""
+    invariant that makes MERGE's partition pruning safe. The token is
+    built WITH writer-side escaping (a string containing a literal '%'
+    is %-escaped in the directory name; hypothesis found the raw-token
+    model falsified by the string '%00')."""
+
+    def esc(s: str) -> str:
+        return "".join(
+            f"%{ord(c):02X}" if c == "%" or ord(c) < 0x20 or c in '"#*:=?\\' else c
+            for c in s
+        )
+
     canon_v = canon_partition_value(v)
-    token = "true" if v is True else "false" if v is False else str(v)
+    token = "true" if v is True else "false" if v is False else esc(str(v))
     assert canon_partition_token(token) == canon_v
 
 
