@@ -258,3 +258,31 @@ def test_arrow_append_falls_back_on_exotic_partition_tokens(spark, lake, monkeyp
     assert after == before, "escaped token should NOT take the Arrow path"
     got = {r["id"]: r["kind"] for r in cat.table("t").read().collect()}
     assert got == {1: "a b:c", 2: "plain"}
+
+
+def test_arrow_append_schema_evolution(spark, lake):
+    """An append that ADDS a column must evolve the table through the
+    Arrow path: old rows read back null-filled, manifest schema grows."""
+    from ducklake_kafka_connect_spark.metrics import REGISTRY
+
+    cat = LakeCatalog(spark, lake)
+    LakeWriter(cat.table("t"), pk=["id"]).append(
+        spark.range(10).select(F.col("id"), F.lit("a").alias("name"))
+    )
+    before = (
+        REGISTRY.snapshot()["operations"].get("append.arrowWrite", {}).get("count", 0)
+    )
+    LakeWriter(cat.table("t"), pk=["id"]).append(
+        spark.range(10, 15).select(
+            F.col("id"), F.lit("b").alias("name"), F.lit(3.5).alias("score")
+        )
+    )
+    after = (
+        REGISTRY.snapshot()["operations"].get("append.arrowWrite", {}).get("count", 0)
+    )
+    assert after == before + 1
+    t = cat.table("t")
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.read().collect()}
+    assert len(rows) == 15
+    assert rows[0] == ("a", None) and rows[12] == ("b", 3.5)
+    assert "score" in [f.name for f in t.manifest().schema.fields]
