@@ -142,6 +142,27 @@ def decode_members(
     return narrow.mapInPandas(explode, MEMBER_SCHEMA)
 
 
+def stream_shards(spark, shard_dir: str, pattern: str = "*.tar") -> DataFrame:
+    """Streaming shard consumption: ``binaryFile`` file stream over a
+    shard directory → (shard, tar) rows ready for
+    :func:`decode_members`. New shard files landing in the directory
+    become new micro-batch rows — the training-loader-style sequential
+    shard reader, expressed as a Structured Streaming source. One shard
+    file = one row = one decode task."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", pattern)
+        .load(shard_dir)
+    )
+    return raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("shard"),
+        F.col("content").alias("tar"),
+    )
+
+
 def members_to_samples(members: DataFrame) -> DataFrame:
     """Member rows → one row per sample: (shard, key, parts) with
     ``parts`` a map<ext, payload>. Pure DataFrame pivot (map_from_entries

@@ -87,3 +87,32 @@ def test_corrupt_shard_yields_no_rows_not_an_error(spark):
     )
     rows = decode_members(df).collect()
     assert [(r["shard"], r["key"]) for r in rows] == [("good", "k")]
+
+
+def test_stream_shards_decodes_incrementally(spark, tmp_path):
+    """binaryFile stream over a shard dir → decode_members: shard files
+    appearing in the directory surface as decoded member rows."""
+    from ducklake_kafka_connect_spark.sources.webdataset import stream_shards
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    (shard_dir / "s0.tar").write_bytes(
+        _write_tar([("a.txt", b"one"), ("a.cls", b"1")])
+    )
+    (shard_dir / "s1.tar").write_bytes(_write_tar([("b.txt", b"two")]))
+    stream = decode_members(stream_shards(spark, str(shard_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wds_members")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["shard"], r["key"], r["ext"]): bytes(r["payload"])
+        for r in spark.sql("SELECT * FROM wds_members").collect()
+    }
+    assert rows[("s0.tar", "a", "txt")] == b"one"
+    assert rows[("s0.tar", "a", "cls")] == b"1"
+    assert rows[("s1.tar", "b", "txt")] == b"two"
