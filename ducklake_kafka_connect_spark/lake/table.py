@@ -562,6 +562,67 @@ class LakeTable:
             f.write(str(manifest.version))
         os.replace(tmp, os.path.join(self.meta_dir, "LATEST"))
 
+    # ---------- history / restore ----------
+
+    def history(self) -> "DataFrame":
+        """DESCRIBE-HISTORY analogue: one row per resolvable committed
+        version — (version, parent, op, n_files, n_bytes). Vacuumed
+        versions are skipped (their segments are gone by design)."""
+        rows = []
+        for v in range(self.current_version() + 1):
+            if not self.has_version(v):
+                continue
+            m = self.manifest(v)
+            n_bytes = sum(
+                int((m.file_stats.get(f) or {}).get("__bytes") or 0)
+                for f in m.all_files()
+            )
+            rows.append(
+                (
+                    v,
+                    m.parent,
+                    str(m.props.get("last_op") or "WRITE"),
+                    len(m.all_files()),
+                    n_bytes,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "version long, parent long, op string, n_files long, n_bytes long"
+        )
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE analogue: commit a NEW version whose content is
+        the state at ``version`` — time travel moves forward through the
+        log (history is preserved; nothing is rewritten, the new
+        manifest re-references the old immutable files). Refuses if any
+        referenced data file has been vacuumed away. Returns the new
+        version number."""
+        with self.lock():
+            old = self.manifest(version)
+            missing = [
+                f
+                for f in old.all_files()
+                if not os.path.exists(os.path.join(self.dir, f))
+            ]
+            if missing:
+                raise ValueError(
+                    f"cannot restore {self.name} to v{version}: "
+                    f"{len(missing)} data file(s) vacuumed (e.g. {missing[0]})"
+                )
+            cur = self.manifest()
+            new = Manifest(
+                version=cur.version + 1,
+                schema=old.schema,
+                pk=old.pk,
+                partition_spec=old.partition_spec,
+                files={k: list(v) for k, v in old.files.items()},
+                parent=cur.version,
+                props={**cur.props, "last_op": f"RESTORE({version})"},
+                file_stats=dict(old.file_stats),
+            )
+            self._commit(new, parent_manifest=cur)
+            return new.version
+
     # ---------- create ----------
 
     def create(

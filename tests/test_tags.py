@@ -76,3 +76,60 @@ def test_vacuum_drops_untagged_after_delete_tag(spark, cat):
     assert not t.has_version(old)
     with pytest.raises(ValueError, match="Unknown tag"):
         t.read(tag="tmp")
+
+
+class TestHistoryRestore:
+    """DESCRIBE-HISTORY and RESTORE analogues over the manifest chain."""
+
+    def test_history_rows_and_ops(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+        from pyspark.sql import functions as F
+
+        cat = LakeCatalog(spark, str(tmp_path))
+        w = LakeWriter(cat.table("t"), pk=["id"])
+        w.write(spark.range(10).select(F.col("id"), F.lit("a").alias("name")))
+        w.write(spark.range(5).select(F.col("id"), F.lit("b").alias("name")))
+        h = {r["version"]: r for r in cat.table("t").history().collect()}
+        assert set(h) >= {1, 2}
+        assert h[2]["parent"] == 1
+        assert h[2]["n_files"] >= 1 and h[2]["n_bytes"] > 0
+
+    def test_restore_recovers_old_state_forward(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+        from pyspark.sql import functions as F
+
+        cat = LakeCatalog(spark, str(tmp_path))
+        w = LakeWriter(cat.table("t"), pk=["id"])
+        w.write(spark.range(10).select(F.col("id"), F.lit("good").alias("name")))
+        v_good = cat.table("t").current_version()
+        w.write(spark.range(10).select(F.col("id"), F.lit("BAD").alias("name")))
+        t = cat.table("t")
+        assert t.read().filter(F.col("name") == "BAD").count() == 10
+        v_new = t.restore(v_good)
+        assert v_new == t.current_version()
+        got = {r["name"] for r in t.read().collect()}
+        assert got == {"good"}
+        # history preserved: the BAD version still resolves
+        assert t.manifest(v_good + 1).version == v_good + 1
+        ops = {r["version"]: r["op"] for r in t.history().collect()}
+        assert ops[v_new].startswith("RESTORE(")
+        # and writing after a restore continues the chain normally
+        w2 = LakeWriter(cat.table("t"), pk=["id"])
+        w2.write(spark.range(3).select(F.col("id"), F.lit("after").alias("name")))
+        assert cat.table("t").read().filter(F.col("name") == "after").count() == 3
+
+    def test_restore_refuses_vacuumed_version(self, spark, tmp_path):
+        import pytest
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+        from ducklake_kafka_connect_spark.lake.maintenance import vacuum
+        from pyspark.sql import functions as F
+
+        cat = LakeCatalog(spark, str(tmp_path))
+        w = LakeWriter(cat.table("t"), pk=["id"])
+        w.write(spark.range(10).select(F.col("id"), F.lit("v1").alias("name")))
+        v1 = cat.table("t").current_version()
+        # rewrite everything so v1's files become unreferenced
+        w.write(spark.range(10).select(F.col("id"), F.lit("v2").alias("name")))
+        vacuum(cat.table("t"), keep_versions=1)
+        with pytest.raises((ValueError, FileNotFoundError)):
+            cat.table("t").restore(v1)
