@@ -459,6 +459,85 @@ class LakeWriter:
                 parent_manifest=manifest,
             )
 
+    def update_where(self, predicate: str, assignments: dict[str, str]) -> None:
+        """Predicate UPDATE (``UPDATE t SET c = expr WHERE p``): files
+        whose stats admit a match are rewritten with SET expressions
+        applied to matching rows; non-matching rows and untouched files
+        pass through byte-identical. PK columns cannot be assigned —
+        rewriting keys inside a subset of files could create duplicate
+        PKs against rows in files the predicate never touched (use
+        merge()/delete for key changes). Same prune machinery as
+        delete_where: cost ∝ files the predicate can reach."""
+        bad = [c for c in assignments if c in (self.pk or [])]
+        if bad:
+            raise ValueError(f"update_where cannot assign PK column(s) {bad}")
+        with REGISTRY.timer("updateWhere"), self.table.lock():
+            manifest = self.table.manifest()
+            # partition source/output columns are immutable under UPDATE:
+            # moving a row between partition dirs is a merge-shaped
+            # operation (delete + reinsert), not an in-place file rewrite
+            part_cols = {
+                c
+                for e in manifest.partition_exprs
+                for c in (e.column, e.output_name)
+            }
+            bad = [c for c in assignments if c in part_cols]
+            if bad:
+                raise ValueError(
+                    f"update_where cannot assign partition column(s) {bad}"
+                )
+            unknown = [
+                c
+                for c in assignments
+                if c not in manifest.schema.fieldNames()
+            ]
+            if unknown:
+                raise ValueError(f"update_where: unknown column(s) {unknown}")
+            affected, _ = self.table.prune_files(predicate)
+            if not affected:
+                return
+            src = self._read_files(manifest, affected)
+            cond = F.expr(predicate)
+            rewritten = src.select(
+                *[
+                    F.when(cond, F.expr(assignments[c]).cast(src.schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in src.columns
+                ]
+            )
+            new_files, new_stats = self.table.write_data_files(
+                rewritten, manifest.version + 1, layout="natural",
+                manifest=manifest,
+            )
+            dropped = set(affected)
+            files = {
+                k: [f for f in v if f not in dropped]
+                for k, v in manifest.files.items()
+            }
+            files = {k: v for k, v in files.items() if v}
+            for k, v in new_files.items():
+                files.setdefault(k, []).extend(v)
+            stats = {
+                f: s for f, s in manifest.file_stats.items() if f not in dropped
+            }
+            stats.update(new_stats)
+            self.table._commit(
+                Manifest(
+                    version=manifest.version + 1,
+                    schema=manifest.schema,
+                    pk=manifest.pk,
+                    partition_spec=manifest.partition_spec,
+                    files=files,
+                    parent=manifest.version,
+                    props={**manifest.props, "last_op": "UPDATE"},
+                    file_stats=stats,
+                ),
+                parent_manifest=manifest,
+            )
+
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
         if self.txn_applied(txn):
             return

@@ -1463,3 +1463,60 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(h60_col(F.col("payload")) % 1000003).alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Predicate UPDATE over the lake table
+# ---------------------------------------------------------------------------
+
+UPDATE_PRED = "event_type = 'click'"
+
+
+@register(
+    "update_where_events",
+    f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN {UPDATE_PRED}
+                    THEN CAST(floor(value * 100) AS BIGINT) * 2
+                    ELSE CAST(floor(value * 100) AS BIGINT) END) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    "Predicate UPDATE over the lake table: stat-admitting files "
+    "rewritten in place with SET expressions (matching rows doubled), "
+    "untouched files carried — end state must equal the oracle's CASE "
+    "projection",
+)
+def update_where_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loads events into a lake table, runs LakeWriter.update_where
+    (file-pruned in-place rewrite doubling matching rows' cents), reads
+    the final snapshot back. Values integerize to cents BEFORE the
+    update so both engines double exact integers."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..lake import LakeCatalog, LakeWriter
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_upd_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_upd"), pk=["event_id"])
+    w.append(ev)
+    w.update_where(UPDATE_PRED, {"value_cents": "value_cents * 2"})
+    return (
+        cat.table("events_upd")
+        .read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )

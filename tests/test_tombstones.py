@@ -106,3 +106,75 @@ class TestSchemaConflictDLQ:
         bad = dlq.read().collect()
         assert len(bad) == 1
         assert "reconcile_error" in bad[0]["error"]
+
+
+class TestUpdateWhere:
+    """Predicate UPDATE: file-pruned in-place rewrite with SET
+    expressions; guards on PK and partition columns."""
+
+    def test_update_where_rewrites_only_matching_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+        cat = LakeCatalog(spark, str(tmp_path))
+        w = LakeWriter(cat.table("t"), pk=["id"])
+        w.write(
+            spark.range(100).select(
+                F.col("id"),
+                (F.col("id") % 5).alias("grade"),
+                F.lit("x").alias("name"),
+            )
+        )
+        w.update_where("grade = 3", {"name": "'promoted'", "grade": "grade + 10"})
+        rows = {r["id"]: (r["grade"], r["name"]) for r in cat.table("t").read().collect()}
+        assert len(rows) == 100
+        for i in range(100):
+            if i % 5 == 3:
+                assert rows[i] == (13, "promoted")
+            else:
+                assert rows[i] == (i % 5, "x")
+        # history records the op
+        ops = [r["op"] for r in cat.table("t").history().collect()]
+        assert "UPDATE" in ops
+
+    def test_update_where_prunes_untouched_partitions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+        cat = LakeCatalog(spark, str(tmp_path))
+        w = LakeWriter(cat.table("t"), pk=["id"], partition_by="bucket")
+        w.write(
+            spark.range(40).select(
+                F.col("id"), (F.col("id") % 2).alias("bucket"), F.lit(1.0).alias("v")
+            )
+        )
+        m0 = cat.table("t").manifest()
+        w.update_where("bucket = 1 AND id >= 0", {"v": "v * 2"})
+        m1 = cat.table("t").manifest()
+        # bucket=0's files are carried, not rewritten
+        b0_key = [k for k in m0.files if "bucket=0" in k or k.endswith("0")]
+        assert b0_key and m0.files[b0_key[0]] == m1.files[b0_key[0]]
+        got = {r["id"]: r["v"] for r in cat.table("t").read().collect()}
+        assert got[1] == 2.0 and got[2] == 1.0
+
+    def test_update_where_guards(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+        cat = LakeCatalog(spark, str(tmp_path))
+        w = LakeWriter(cat.table("t"), pk=["id"], partition_by="bucket")
+        w.write(
+            spark.range(10).select(
+                F.col("id"), (F.col("id") % 2).alias("bucket"), F.lit(1.0).alias("v")
+            )
+        )
+        with pytest.raises(ValueError, match="PK"):
+            w.update_where("v > 0", {"id": "id + 1"})
+        with pytest.raises(ValueError, match="partition"):
+            w.update_where("v > 0", {"bucket": "1 - bucket"})
+        with pytest.raises(ValueError, match="unknown"):
+            w.update_where("v > 0", {"nope": "1"})
