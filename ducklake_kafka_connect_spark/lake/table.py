@@ -659,6 +659,48 @@ class LakeTable:
                 self._commit(m)
         return self.manifest()
 
+    def drop_column(self, name: str) -> int:
+        """Metadata-only DROP COLUMN (Iceberg-style): commit a new
+        manifest whose schema omits the column — no data file is
+        touched, and because reads always apply the manifest's EXPLICIT
+        schema, the column simply stops being projected (time travel to
+        older versions still sees it). Refuses PK, partition
+        source/output, and system columns. Returns the new version."""
+        from ..schema.reconcile import INSERTED_AT
+
+        with self.lock():
+            m = self.manifest()
+            if name not in m.schema.fieldNames():
+                raise ValueError(f"no column {name!r} on {self.name}")
+            if name in (m.pk or []):
+                raise ValueError(f"cannot drop PK column {name!r}")
+            part_cols = {
+                c
+                for e in m.partition_exprs
+                for c in (e.column, e.output_name)
+            }
+            if name in part_cols:
+                raise ValueError(f"cannot drop partition column {name!r}")
+            if name == INSERTED_AT:
+                raise ValueError("cannot drop the system _inserted_at column")
+            fields = [f for f in m.schema.fields if f.name != name]
+            stats = {
+                f: {c: v for c, v in s.items() if c != name}
+                for f, s in m.file_stats.items()
+            }
+            new = Manifest(
+                version=m.version + 1,
+                schema=T.StructType(fields),
+                pk=m.pk,
+                partition_spec=m.partition_spec,
+                files={k: list(v) for k, v in m.files.items()},
+                parent=m.version,
+                props={**m.props, "last_op": f"DROP COLUMN({name})"},
+                file_stats=stats,
+            )
+            self._commit(new, parent_manifest=m)
+            return new.version
+
     def evolve_partition_spec(self, partition_by: str | list[str] | None) -> None:
         """Iceberg-style partition evolution: change how FUTURE writes
         are laid out, without rewriting a byte of data.

@@ -389,3 +389,40 @@ class TestCatalogSql:
             "SELECT count(*) AS n FROM users", versions={"users": v1}
         )
         assert pinned.collect()[0].n == 1
+
+
+class TestDropColumn:
+    """Metadata-only DROP COLUMN: no file rewrites, reads stop
+    projecting, time travel still sees the column."""
+
+    def test_drop_and_time_travel(self, spark, catalog):
+        w = LakeWriter(catalog.table("dc"), pk=["id"])
+        w.write(spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id int, name string, extra int"))
+        t = catalog.table("dc")
+        files_before = t.manifest().all_files()
+        v = t.drop_column("extra")
+        t2 = catalog.table("dc")
+        assert t2.manifest().all_files() == files_before  # no rewrite
+        assert "extra" not in t2.read().columns
+        assert "extra" in t2.read(version=v - 1).columns  # time travel
+        rows = {r["id"]: r["name"] for r in t2.read().collect()}
+        assert rows == {1: "a", 2: "b"}
+        # merging after the drop works against the narrowed schema
+        w2 = LakeWriter(catalog.table("dc"), pk=["id"])
+        w2.write(spark.createDataFrame([(2, "B")], "id int, name string"))
+        got = {r["id"]: r["name"] for r in catalog.table("dc").read().collect()}
+        assert got == {1: "a", 2: "B"}
+
+    def test_drop_guards(self, spark, catalog):
+        import pytest
+
+        w = LakeWriter(catalog.table("dcg"), pk=["id"], partition_by="bucket")
+        w.write(spark.createDataFrame([(1, 0, "x")], "id int, bucket int, name string"))
+        t = catalog.table("dcg")
+        with pytest.raises(ValueError, match="PK"):
+            t.drop_column("id")
+        with pytest.raises(ValueError, match="partition"):
+            t.drop_column("bucket")
+        with pytest.raises(ValueError, match="no column"):
+            t.drop_column("ghost")
