@@ -1,3 +1,3 @@
 from .partitioning import PartitionExpr, parse_partition_exprs  # noqa: F401
 from .table import LakeCatalog, LakeTable  # noqa: F401
-from .writer import LakeWriter  # noqa: F401
+from .writer import ConstraintViolation, LakeWriter  # noqa: F401

@@ -56,6 +56,10 @@ from .partitioning import (
 )
 from .table import CommitConflict, LakeTable, Manifest, is_complex, to_physical_schema
 
+
+class ConstraintViolation(ValueError):
+    """A batch failed a writer CHECK constraint; nothing was written."""
+
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # Above this many affected partitions, skip per-partition pruning and
 # rewrite via a full-table pass (the OR-filter would not be worth it).
@@ -304,12 +308,19 @@ class LakeWriter:
         auto_create: bool = True,
         small_table_fast_path: bool = True,
         auto_compact: bool = True,
+        check_constraints: dict[str, str] | None = None,
     ):
         self.table = table
         self.pk = list(pk or [])
         self.partition_by = partition_by
         self.auto_create = auto_create
         self.auto_compact = auto_compact
+        # Delta-style CHECK constraints: {name: sql_predicate}. Every
+        # incoming batch is validated BEFORE any file is written; a
+        # violating batch rejects the whole commit (ConstraintViolation
+        # with per-constraint counts). One extra aggregate job per write
+        # when configured; zero cost otherwise.
+        self.check_constraints = dict(check_constraints or {})
         # idempotent-commit marker for the in-flight write (set by the
         # public API's txn= parameter, folded into manifest props at
         # commit time — Delta txnAppId/txnVersion analogue)
@@ -321,6 +332,31 @@ class LakeWriter:
         self.small_table_fast_path = small_table_fast_path
 
     # ---------- public API ----------
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Reject the batch if any CHECK constraint is violated. One
+        aggregate job computes every constraint's violation count at
+        once (NULL predicate counts as a violation, matching SQL CHECK
+        semantics where only TRUE passes). Constraints referencing
+        columns the batch lacks fail analysis → surfaced as-is."""
+        if not self.check_constraints:
+            return
+        aggs = [
+            F.sum(
+                F.when(F.expr(pred), 0).otherwise(1)
+            ).alias(name)
+            for name, pred in self.check_constraints.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {n: int(row[n]) for n in self.check_constraints if row[n]}
+        if bad:
+            raise ConstraintViolation(
+                f"batch violates CHECK constraint(s) on {self.table.name}: "
+                + ", ".join(
+                    f"{n} ({c} row(s), predicate: {self.check_constraints[n]!r})"
+                    for n, c in bad.items()
+                )
+            )
 
     def txn_applied(self, txn: tuple[str, int] | None) -> bool:
         """True iff an idempotent-commit marker (app_id, epoch) is
@@ -551,6 +587,7 @@ class LakeWriter:
                 self._txn = None
 
     def _append(self, df: DataFrame) -> None:
+        self._enforce_constraints(df)
         manifest = self._ensure_table(df)
         out = self._prepare_insert(df, manifest)
         if self._append_small_arrow(out, df, manifest):
@@ -782,6 +819,7 @@ class LakeWriter:
     ) -> None:
         if not self.pk:
             raise ValueError(f"merge() on table {self.table.name} requires pk columns")
+        self._enforce_constraints(df)
         # The rewrite set is planned against a manifest read OUTSIDE the
         # table lock; if another commit lands before this merge takes the
         # lock, the planned file list is stale (re-emitting rows a

@@ -426,3 +426,40 @@ class TestDropColumn:
             t.drop_column("bucket")
         with pytest.raises(ValueError, match="no column"):
             t.drop_column("ghost")
+
+
+class TestCheckConstraints:
+    """Delta-style CHECK constraints: violating batches reject before
+    any file is written; NULL predicates count as violations."""
+
+    def test_violating_batch_rejected_whole(self, spark, catalog):
+        from ducklake_kafka_connect_spark.lake import ConstraintViolation
+
+        w = LakeWriter(
+            catalog.table("c"), pk=["id"],
+            check_constraints={"value_nonneg": "v >= 0", "name_set": "name IS NOT NULL"},
+        )
+        w.write(spark.createDataFrame([(1, 5.0, "a")], "id int, v double, name string"))
+        with pytest.raises(ConstraintViolation, match="value_nonneg"):
+            w.write(spark.createDataFrame(
+                [(2, -1.0, "b"), (3, 2.0, None)], "id int, v double, name string"))
+        # nothing from the bad batch landed
+        assert catalog.table("c").read().count() == 1
+
+    def test_null_predicate_is_violation(self, spark, catalog):
+        from ducklake_kafka_connect_spark.lake import ConstraintViolation
+
+        w = LakeWriter(
+            catalog.table("c2"), pk=["id"], check_constraints={"pos": "v > 0"}
+        )
+        with pytest.raises(ConstraintViolation, match="pos"):
+            w.write(spark.createDataFrame([(1, None)], "id int, v double"))
+
+    def test_clean_batches_unaffected(self, spark, catalog):
+        w = LakeWriter(
+            catalog.table("c3"), pk=["id"], check_constraints={"pos": "v > 0"}
+        )
+        w.write(spark.createDataFrame([(1, 1.0)], "id int, v double"))
+        w.write(spark.createDataFrame([(1, 2.0), (2, 3.0)], "id int, v double"))
+        got = {r["id"]: r["v"] for r in catalog.table("c3").read().collect()}
+        assert got == {1: 2.0, 2: 3.0}
