@@ -82,6 +82,11 @@ class TableSpec:
     confluent_framing: bool = False
     # DATA_INLINING_ROW_LIMIT analogue: None→default 10000, "off"→disable
     inlining_row_limit: str | int | None = None
+    # CHECK constraints with CONNECTOR semantics: violating ROWS route to
+    # the DLQ with the violated constraint names (the pipeline must not
+    # crash on bad data — contrast LakeWriter(check_constraints=...),
+    # which rejects whole batches at the lake boundary)
+    check_constraints: dict = field(default_factory=dict)
 
     def __post_init__(self):
         if self.format not in ("json", "avro", "avro_registry", "arrow", "mixed"):
@@ -181,6 +186,8 @@ class IngestPipeline:
                 # (SURVEY risk #2); it is a transport column — dedup
                 # here, then drop it so it never enters the table schema.
                 good = _dedup_last_wins(good, spec.id_columns, order_col)
+            if spec.check_constraints:
+                good, bad = self._route_constraint_violations(good, bad, spec)
             goods.append(good.drop(*keep) if keep else good)
             bads.append(bad)
         writer = LakeWriter(
@@ -232,6 +239,33 @@ class IngestPipeline:
         )
         dlq_writer.append(
             bad, txn=(f"ingest_dlq:{table}", epoch_id) if epoch_id >= 0 else None
+        )
+
+    def _route_constraint_violations(
+        self, good: DataFrame, bad: DataFrame, spec: TableSpec
+    ):
+        """Row-level CHECK constraint routing: rows failing any predicate
+        (NULL = fail, SQL CHECK semantics) move to the DLQ with the
+        violated constraint names; clean rows continue. One codegen'd
+        filter pass each way — no extra job."""
+        fails = {
+            name: ~F.coalesce(F.expr(pred), F.lit(False))
+            for name, pred in spec.check_constraints.items()
+        }
+        any_fail = None
+        for c in fails.values():
+            any_fail = c if any_fail is None else (any_fail | c)
+        which = F.concat_ws(
+            ",", *[F.when(c, F.lit(n)) for n, c in fails.items()]
+        )
+        viol = good.filter(any_fail).select(
+            F.to_json(F.struct(*good.columns)).alias("raw_value"),
+            F.concat(F.lit("check_constraint: "), which).alias("error"),
+            F.current_timestamp().alias("_dlq_at"),
+        )
+        return (
+            good.filter(~any_fail),
+            bad.unionByName(viol, allowMissingColumns=True),
         )
 
     def _decode(self, part: DataFrame, spec: TableSpec, keep: list[str]):

@@ -119,3 +119,48 @@ class TestIngestEpochIdempotence:
         pipe.process_batch(batch, epoch_id=1)  # new epoch: merge absorbs,
         assert cat.table("tbl").read().count() == 2
         assert cat.table("tbl_dlq").read().count() == 2  # appends land again
+
+
+def test_check_constraints_route_rows_to_dlq(spark, tmp_path):
+    """TableSpec CHECK constraints: violating rows DLQ with the violated
+    constraint names; clean rows land; the pipeline never raises."""
+    from pyspark.sql import functions as F
+
+    from ducklake_kafka_connect_spark.lake import LakeCatalog
+    from ducklake_kafka_connect_spark.streaming.ingest import (
+        IngestConfig,
+        IngestPipeline,
+        TableSpec,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cfg = IngestConfig(
+        topic2table={"t1": "orders"},
+        tables={
+            "orders": TableSpec(
+                id_columns=["id"],
+                auto_create=True,
+                check_constraints={"qty_pos": "qty > 0", "item_set": "item IS NOT NULL"},
+            )
+        },
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("id"),
+            F.when(F.col("id") == 2, -5).otherwise(F.col("id") + 10).alias("qty"),
+            F.when(F.col("id") == 3, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("item_"), F.col("id")))
+            .alias("item"),
+        )
+    )
+    batch = spark.range(5).select(
+        F.lit("t1").alias("topic"), F.col("id").alias("offset"), payload.alias("value")
+    )
+    IngestPipeline(cat, cfg).process_batch(batch)
+    good = {r["id"] for r in cat.table("orders").read().collect()}
+    assert good == {0, 1, 4}
+    dlq = cat.table("orders_dlq").read().collect()
+    errs = {r["error"] for r in dlq}
+    assert len(dlq) == 2
+    assert any("qty_pos" in e for e in errs)
+    assert any("item_set" in e for e in errs)
