@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -265,3 +265,65 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
             if is_manifest and fn not in keep_meta:
                 os.remove(os.path.join(table.meta_dir, fn))
         return deleted
+
+
+def dedup_rewrite(
+    table: LakeTable,
+    columns: list[str] | None = None,
+    keep_order: list[str] | None = None,
+) -> int:
+    """Table-wide exact-duplicate removal as ONE versioned rewrite — the
+    dedup-compaction pass of a training-data lake. Rows identical on
+    ``columns`` (default: every non-system column) collapse to one
+    survivor; ``keep_order`` picks it deterministically (min of those
+    columns wins; default: arbitrary-but-single via row_number over the
+    dedup key alone, deterministic given the key ordering below).
+
+    Shape: one shuffle on the dedup-key hash, survivors written with the
+    table's layout, untouched NOTHING — this is a full rewrite by
+    design (use LakeWriter MERGE for incremental key-based dedup).
+    Returns the number of duplicate rows removed. Time travel keeps the
+    pre-dedup snapshot readable."""
+    from ..schema.reconcile import INSERTED_AT
+
+    with REGISTRY.timer("dedupRewrite"), table.lock():
+        m = table.manifest()
+        df = table.read(include_hidden=True)
+        key = columns or [
+            f.name for f in m.schema.fields if f.name != INSERTED_AT
+        ]
+        missing = [c for c in key if c not in df.columns]
+        if missing:
+            raise ValueError(f"dedup_rewrite: unknown column(s) {missing}")
+        order = [F.col(c).asc_nulls_last() for c in (keep_order or [])] or [
+            F.col(c).asc_nulls_last() for c in key
+        ]
+        w = W.partitionBy(*key).orderBy(*order)
+        n_before = df.count()
+        survivors = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        new_files, new_stats = table.write_data_files(
+            survivors, m.version + 1, layout="rebalance", manifest=m
+        )
+        table._commit(
+            Manifest(
+                version=m.version + 1,
+                schema=m.schema,
+                pk=m.pk,
+                partition_spec=m.partition_spec,
+                files=new_files,
+                parent=m.version,
+                props={**m.props, "last_op": "DEDUP"},
+                file_stats=new_stats,
+            ),
+            parent_manifest=m,
+        )
+        n_after = sum(
+            int((new_stats.get(f) or {}).get("__rows") or 0)
+            for fs in new_files.values()
+            for f in fs
+        )
+        return int(n_before - n_after)

@@ -148,3 +148,48 @@ class TestAutoCompaction:
         assert big_files <= kept, "right-sized file was rewritten"
         assert res.files_after < res.files_before
         assert t.read().count() == 50_012
+
+
+class TestDedupRewrite:
+    """Table-wide exact-dedup rewrite: one versioned pass, survivors
+    deterministic, time travel keeps the pre-dedup snapshot."""
+
+    def test_removes_exact_duplicates(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+        from ducklake_kafka_connect_spark.lake.maintenance import dedup_rewrite
+
+        cat = LakeCatalog(spark, str(tmp_path))
+        w = LakeWriter(cat.table("t"), pk=[])
+        base = spark.range(100).select(
+            (F.col("id") % 25).alias("k"), F.lit("v").alias("name")
+        )
+        w.append(base)  # every (k, name) appears 4x
+        t = cat.table("t")
+        v0 = t.current_version()
+        removed = dedup_rewrite(t, columns=["k", "name"])
+        assert removed == 75
+        t2 = cat.table("t")
+        assert t2.read().count() == 25
+        assert t2.read(version=v0).count() == 100  # time travel intact
+        ops = [r["op"] for r in t2.history().collect()]
+        assert "DEDUP" in ops
+
+    def test_keep_order_picks_deterministic_survivor(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+        from ducklake_kafka_connect_spark.lake.maintenance import dedup_rewrite
+
+        cat = LakeCatalog(spark, str(tmp_path))
+        w = LakeWriter(cat.table("t"), pk=[])
+        rows = spark.createDataFrame(
+            [("a", 3, "third"), ("a", 1, "first"), ("a", 2, "second"), ("b", 9, "only")],
+            "k string, seq int, tag string",
+        )
+        w.append(rows)
+        removed = dedup_rewrite(cat.table("t"), columns=["k"], keep_order=["seq"])
+        assert removed == 2
+        got = {r["k"]: r["tag"] for r in cat.table("t").read().collect()}
+        assert got == {"a": "first", "b": "only"}
