@@ -195,3 +195,23 @@ def test_binary_segment_roundtrip_arbitrary(files, stats, version, parent):
         "file_stats": stats,
     }
     assert decode_segment_binary(encode_segment_binary(d)) == d
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_tar_member_parse_never_crashes(payload):
+    """Garbage tar payloads must yield zero members, never an exception
+    (the shard-level DLQ philosophy). Pure-Python harness over the same
+    parse the Spark decode uses."""
+    import io
+    import tarfile
+
+    rows = []
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r") as tf:
+            for info in tf:
+                if info.isfile():
+                    rows.append(info.name)
+    except (tarfile.TarError, EOFError, OSError):
+        pass  # exactly what decode_members swallows per shard
+    assert isinstance(rows, list)
