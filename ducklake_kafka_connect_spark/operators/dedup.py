@@ -88,6 +88,12 @@ def release_cached() -> int:
 # the way a SQL engine reuses a prepared statement. Keyed on the input
 # plan's semanticHash + operator params; guarded so a stopped session
 # or hash failure just rebuilds.
+#
+# Consistency contract: memo reuse has the SAME snapshot semantics as
+# any persisted DataFrame in Spark — if the underlying files are
+# rewritten in place mid-session, cached intermediates keep serving the
+# data they were computed from. Callers that mutate source paths should
+# clearCache() (re-registration then recomputes from current files).
 _PLAN_MEMO: dict = {}
 _PLAN_MEMO_CAP = 32
 
