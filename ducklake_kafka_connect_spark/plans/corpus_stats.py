@@ -1520,3 +1520,113 @@ def update_where_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_cents").alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-k eval-set sampling (deterministic per-stratum draw)
+# ---------------------------------------------------------------------------
+
+EVAL_K = 50
+
+
+@register(
+    "eval_set_exact_k",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {h60_sql("'eval:' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_selected,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM ranked WHERE rk <= {EVAL_K}
+    GROUP BY lang
+    """,
+    f"Exact-k eval-set draw: the {EVAL_K} lowest-hash documents per "
+    "language — a uniform, content-stable sample of EXACTLY k per "
+    "stratum (rate-based sampling can't promise counts), the held-out "
+    "eval construction step of a training pipeline",
+)
+def eval_set_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window shuffle on lang ordered by the doc-id hash (doc_id
+    tie-break keeps the total order engine-agnostic); at 100 TB this is
+    a per-stratum top-k — rank truncation happens before anything else
+    moves."""
+    docs = _t(spark, sf_dir, "documents")
+    h = h60_col(F.concat(F.lit("eval:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= EVAL_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between corpus halves
+# ---------------------------------------------------------------------------
+
+DRIFT_PCT = 20  # |share_new - share_old| > 20% relative → drift flag
+
+
+@register(
+    "lang_share_drift",
+    f"""
+    WITH halves AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+             CAST(sum(n_new) AS BIGINT) AS t_new
+      FROM halves
+    )
+    SELECT h.lang, h.n_old, h.n_new,
+           CASE WHEN abs(h.n_new * t.t_old - h.n_old * t.t_new) * 100
+                     > {DRIFT_PCT} * h.n_old * t.t_new
+                THEN 1 ELSE 0 END AS drifted
+    FROM halves h, tot t
+    """,
+    "Language-share drift between two corpus halves (doc-id parity "
+    "plays yesterday/today): relative share change beyond 20% flags, "
+    "computed with integer cross-multiplication — no float thresholds, "
+    "bit-identical across engines",
+)
+def lang_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregate builds both halves' counts; totals come back as a
+    broadcast 1-row cross join. The drift test is pure integer
+    arithmetic — the distribution-shift monitor between corpus
+    refreshes, exact on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    halves = docs.groupBy("lang").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("n_new"),
+    )
+    tot = halves.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    drift = (
+        F.abs(F.col("n_new") * F.col("t_old") - F.col("n_old") * F.col("t_new"))
+        * 100
+        > DRIFT_PCT * F.col("n_old") * F.col("t_new")
+    )
+    return halves.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_old",
+        "n_new",
+        F.when(drift, 1).otherwise(0).alias("drifted"),
+    )
