@@ -2395,7 +2395,19 @@ def _driver_checked() -> frozenset[str]:
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(p) as f:
-                keys.update(json.load(f).keys())
+                for name, row in json.load(f).items():
+                    # Only a GREEN row counts as checked: a query that
+                    # failed its driver hash must re-enter the 50-slot
+                    # window next round (VERDICT r6 "Next round" #2).
+                    # Rows-only checks (no oracle) are green when rows
+                    # matched without error.
+                    green = bool(row.get("hash_match")) or (
+                        row.get("hash_match") is None
+                        and bool(row.get("rows_match"))
+                        and not row.get("err")
+                    )
+                    if green:
+                        keys.add(name)
         except Exception:
             continue
     return frozenset(keys) or _DRIVER_CHECKED_FALLBACK

@@ -111,9 +111,10 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY {EPOCH_US_SQL}, event_id)
     ),
     sess AS (
-      SELECT *, sum(starts) OVER (PARTITION BY user_id
-                                  ORDER BY us, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_ord
+      SELECT *, CAST(sum(starts) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_ord
       FROM seq
     )
     SELECT user_id, session_ord,
@@ -404,7 +405,8 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     f"""
     SELECT CAST(floor({EPOCH_US_SQL} / {US_PER_DAY}) AS BIGINT) AS day_idx,
            {", ".join(
-               f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+               f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS n_{t}"
                for t in EVENT_TYPES
            )},
            count(*) AS n_total

@@ -44,6 +44,55 @@ def df_rows(columns, rows):
 QUERY_NAMES = sorted(entry_mod.oracle_sql().keys())
 
 
+# The driver's value-hash is TYPE-sensitive (a DuckDB HUGEINT hashes
+# differently from a Spark BIGINT even when every value is equal), while
+# canon() above stringifies — so equal-looking results can still fail the
+# driver gate.  This map pins the oracle output type each Spark type must
+# produce; anything outside it (HUGEINT from an uncast sum(), DECIMAL from
+# integer avg(), …) fails locally before the driver ever sees it.
+_DDB_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_SPARK_TO_DDB_TYPES = {
+    # Integer WIDTH drift is fine: DuckDB materializes all of these as plain
+    # Python ints, so the driver hash agrees (verified: int-vs-BIGINT queries
+    # have green driver rows).  HUGEINT/DECIMAL materialize as Decimal — the
+    # failure mode this guard exists for.
+    "bigint": _DDB_INTS,
+    "int": _DDB_INTS,
+    "smallint": _DDB_INTS,
+    "tinyint": _DDB_INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "binary": {"BLOB"},
+}
+
+
+def _assert_oracle_types(name, sdf, ddb, sql):
+    desc = ddb.execute(f"DESCRIBE {sql}").fetchall()
+    ddb_types = {row[0]: row[1] for row in desc}
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    problems = []
+    for col, stype in spark_types.items():
+        dtype = ddb_types.get(col)
+        if dtype is None:
+            continue  # column-name mismatch is caught by the main assert
+        if "HUGEINT" in dtype:
+            problems.append(f"{col}: oracle {dtype} (uncast integer sum?)")
+            continue
+        if dtype.startswith("DECIMAL") and not stype.startswith("decimal"):
+            problems.append(f"{col}: oracle {dtype} vs spark {stype}")
+            continue
+        expected = _SPARK_TO_DDB_TYPES.get(stype)
+        if expected is not None and dtype not in expected:
+            problems.append(f"{col}: oracle {dtype} vs spark {stype}")
+    assert not problems, (
+        f"{name}: oracle/Spark result-type drift (driver hash would "
+        f"mismatch even on equal values): {problems}"
+    )
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, ddb, name):
     q = entry_mod.queries()[name]
@@ -51,7 +100,9 @@ def test_query_matches_oracle(spark, ddb, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    cur = ddb.execute(entry_mod.oracle_sql()[name])
+    sql = entry_mod.oracle_sql()[name]
+    _assert_oracle_types(name, sdf, ddb, sql)
+    cur = ddb.execute(sql)
     ddb_cols = [d[0] for d in cur.description]
     ddb_rows = cur.fetchall()
 
