@@ -336,14 +336,16 @@ class LakeWriter:
     def _enforce_constraints(self, df: DataFrame) -> None:
         """Reject the batch if any CHECK constraint is violated. One
         aggregate job computes every constraint's violation count at
-        once (NULL predicate counts as a violation, matching SQL CHECK
-        semantics where only TRUE passes). Constraints referencing
-        columns the batch lacks fail analysis → surfaced as-is."""
+        once. A row violates only when the predicate evaluates FALSE;
+        NULL/UNKNOWN passes — standard SQL CHECK (and Delta Lake)
+        semantics, where a constraint rejects only rows that provably
+        break it. Constraints referencing columns the batch lacks fail
+        analysis → surfaced as-is."""
         if not self.check_constraints:
             return
         aggs = [
             F.sum(
-                F.when(F.expr(pred), 0).otherwise(1)
+                F.when(F.coalesce(F.expr(pred), F.lit(True)), 0).otherwise(1)
             ).alias(name)
             for name, pred in self.check_constraints.items()
         ]
@@ -544,6 +546,10 @@ class LakeWriter:
                     for c in src.columns
                 ]
             )
+            # SET expressions must not commit rows that append()/merge()
+            # would have rejected — validate the rewritten rows against
+            # the table's CHECK constraints before any file is written.
+            self._enforce_constraints(rewritten)
             new_files, new_stats = self.table.write_data_files(
                 rewritten, manifest.version + 1, layout="natural",
                 manifest=manifest,
@@ -673,6 +679,16 @@ class LakeWriter:
             batch = batch.cast(pa.schema(out_fields))
             stat_cols = _stats_columns(out.schema, self.pk)
             bloom_col = _bloom_column(out.schema, self.pk)
+        except Exception:
+            REGISTRY.inc("append.arrowFallback")
+            return False
+        # From here the commit is the point of no return: once
+        # _commit_next succeeds, NO exception may reach the caller's
+        # fallback — the Spark path would re-append the same batch
+        # (append, unlike the Arrow merge path, is not idempotent on
+        # retry). Pre-commit failures still fall back cleanly.
+        committed = False
+        try:
             with self.table.lock():
                 current = self.table.manifest()
                 stage_rel = os.path.join(
@@ -715,11 +731,17 @@ class LakeWriter:
                     stats,
                     op="INSERT",
                 )
-            self._maybe_auto_compact(merged_files, stats)
-            return True
+                committed = True
         except Exception:
+            if committed:
+                raise
             REGISTRY.inc("append.arrowFallback")
             return False
+        # Post-commit, outside the try: a compaction failure propagates
+        # (same as the Spark path) instead of triggering a duplicate
+        # append via the False fallback.
+        self._maybe_auto_compact(merged_files, stats)
+        return True
 
     def _maybe_auto_compact(self, files: dict, stats: dict) -> None:
         """Post-commit trigger (runs OUTSIDE the table lock — compact

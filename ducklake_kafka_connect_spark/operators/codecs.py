@@ -230,7 +230,24 @@ def _png_chunks(payload: bytes):
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → (h, w, ch) uint8. Supports bit depth 8, color types
     0/2/3/4/6, non-interlaced (Adam7 → CodecError). Palette images
-    expand through PLTE to RGB."""
+    expand through PLTE to RGB.
+
+    Every corrupt-payload failure surfaces as CodecError: the per-row
+    handler in decode_image catches only CodecError, so a raw
+    zlib.error / IndexError / ValueError from a malformed payload would
+    otherwise kill the whole mapInPandas task — one bad PNG must never
+    abort a scan."""
+    import zlib
+
+    try:
+        return _decode_png_impl(payload)
+    except CodecError:
+        raise
+    except (zlib.error, ValueError, IndexError, struct.error, OverflowError) as e:
+        raise CodecError(f"corrupt PNG payload: {type(e).__name__}: {e}") from e
+
+
+def _decode_png_impl(payload: bytes) -> np.ndarray:
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -301,7 +318,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ctype_code == 3:
         if plte is None:
             raise CodecError("palette PNG missing PLTE")
-        img = plte[img[:, :, 0]]
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise CodecError(
+                f"palette index {int(idx.max())} >= PLTE size {len(plte)}"
+            )
+        img = plte[idx]
     return img
 
 

@@ -244,12 +244,14 @@ class IngestPipeline:
     def _route_constraint_violations(
         self, good: DataFrame, bad: DataFrame, spec: TableSpec
     ):
-        """Row-level CHECK constraint routing: rows failing any predicate
-        (NULL = fail, SQL CHECK semantics) move to the DLQ with the
-        violated constraint names; clean rows continue. One codegen'd
-        filter pass each way — no extra job."""
+        """Row-level CHECK constraint routing: rows whose predicate
+        evaluates FALSE move to the DLQ with the violated constraint
+        names; NULL/UNKNOWN passes (standard SQL CHECK / Delta Lake
+        semantics — only rows that provably break the constraint are
+        rejected, matching LakeWriter._enforce_constraints). One
+        codegen'd filter pass each way — no extra job."""
         fails = {
-            name: ~F.coalesce(F.expr(pred), F.lit(False))
+            name: ~F.coalesce(F.expr(pred), F.lit(True))
             for name, pred in spec.check_constraints.items()
         }
         any_fail = None

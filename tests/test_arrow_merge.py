@@ -210,6 +210,27 @@ def test_arrow_append_multi_partition_dirs(spark, lake):
     assert cat.table("t").read().count() == 100
 
 
+def test_arrow_append_post_commit_failure_no_duplicate(spark, lake, monkeypatch):
+    """Once the Arrow append's manifest commit lands, a post-commit
+    failure (auto-compact) must PROPAGATE, not fall through to the Spark
+    append path — that would write the same batch twice (ADVICE r6)."""
+    cat = LakeCatalog(spark, lake)
+    w = LakeWriter(cat.table("t_pc"), pk=["id"])
+    w.append(spark.range(10).select(F.col("id"), F.lit("a").alias("name")))
+    base = cat.table("t_pc").read().count()
+
+    def boom(self, *a, **k):
+        raise RuntimeError("post-commit failure")
+
+    monkeypatch.setattr(wmod.LakeWriter, "_maybe_auto_compact", boom)
+    with pytest.raises(RuntimeError, match="post-commit"):
+        w.append(spark.range(10, 20).select(F.col("id"), F.lit("b").alias("name")))
+    monkeypatch.undo()
+    # the batch landed exactly once despite the raised error
+    assert cat.table("t_pc").read().count() == base + 10
+    assert cat.table("t_pc").read().filter(F.col("name") == "b").count() == 10
+
+
 def test_arrow_append_then_arrow_merge(spark, lake):
     """Files written by the Arrow append must stay eligible for the
     Arrow merge path (timestamp unit/tz differences must not trip it)."""

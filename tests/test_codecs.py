@@ -242,6 +242,36 @@ class TestPng:
         with pytest.raises(codecs.CodecError):
             codecs.decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
 
+    def test_corrupt_payloads_raise_codec_error_only(self):
+        """Every malformed-payload failure mode must surface as
+        CodecError (never raw zlib.error/IndexError/ValueError) — the
+        mapInPandas per-row handler catches only CodecError, so anything
+        else kills the whole scan task (ADVICE r6)."""
+        import struct as st
+        import zlib
+
+        def chunk(ctype, data):
+            import binascii
+
+            crc = binascii.crc32(ctype + data) & 0xFFFFFFFF
+            return st.pack(">I", len(data)) + ctype + data + st.pack(">I", crc)
+
+        magic = b"\x89PNG\r\n\x1a\n"
+        ihdr_gray = chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        # 1) bad IDAT stream → zlib.error inside
+        bad_idat = magic + ihdr_gray + chunk(b"IDAT", b"\xde\xad\xbe\xef") + chunk(b"IEND", b"")
+        # 2) palette index beyond PLTE length
+        ihdr_pal = chunk(b"IHDR", st.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        plte1 = chunk(b"PLTE", bytes([10, 20, 30]))  # 1 entry
+        body = b"\x00" + bytes([0, 5])  # index 5 >= 1
+        over_idx = magic + ihdr_pal + plte1 + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+        # 3) PLTE length not a multiple of 3 → reshape ValueError inside
+        plte_bad = chunk(b"PLTE", bytes([1, 2, 3, 4]))
+        bad_plte = magic + ihdr_pal + plte_bad + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b"")
+        for payload in (bad_idat, over_idx, bad_plte):
+            with pytest.raises(codecs.CodecError):
+                codecs.decode_png(payload)
+
     def test_sniff_and_dispatch(self):
         arr = _img(3, 4)
         payload = codecs.encode_png(arr)

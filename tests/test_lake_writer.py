@@ -430,7 +430,8 @@ class TestDropColumn:
 
 class TestCheckConstraints:
     """Delta-style CHECK constraints: violating batches reject before
-    any file is written; NULL predicates count as violations."""
+    any file is written; a NULL/UNKNOWN predicate passes (standard SQL
+    CHECK semantics — only rows whose predicate is FALSE violate)."""
 
     def test_violating_batch_rejected_whole(self, spark, catalog):
         from ducklake_kafka_connect_spark.lake import ConstraintViolation
@@ -446,14 +447,36 @@ class TestCheckConstraints:
         # nothing from the bad batch landed
         assert catalog.table("c").read().count() == 1
 
-    def test_null_predicate_is_violation(self, spark, catalog):
+    def test_null_predicate_passes(self, spark, catalog):
+        # v > 0 with v NULL evaluates UNKNOWN → passes (SQL/Delta CHECK:
+        # only FALSE violates); an explicit IS NOT NULL still rejects.
         from ducklake_kafka_connect_spark.lake import ConstraintViolation
 
         w = LakeWriter(
             catalog.table("c2"), pk=["id"], check_constraints={"pos": "v > 0"}
         )
+        w.write(spark.createDataFrame([(1, None)], "id int, v double"))
+        assert catalog.table("c2").read().count() == 1
+        w2 = LakeWriter(
+            catalog.table("c2b"), pk=["id"],
+            check_constraints={"v_set": "v IS NOT NULL"},
+        )
+        with pytest.raises(ConstraintViolation, match="v_set"):
+            w2.write(spark.createDataFrame([(1, None)], "id int, v double"))
+
+    def test_update_where_enforces_constraints(self, spark, catalog):
+        # SET expressions cannot commit rows append()/merge() would
+        # reject (ADVICE r6: update_where skipped _enforce_constraints).
+        from ducklake_kafka_connect_spark.lake import ConstraintViolation
+
+        w = LakeWriter(
+            catalog.table("c2u"), pk=["id"], check_constraints={"pos": "v > 0"}
+        )
+        w.write(spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double"))
         with pytest.raises(ConstraintViolation, match="pos"):
-            w.write(spark.createDataFrame([(1, None)], "id int, v double"))
+            w.update_where("id = 2", {"v": "-5.0"})
+        got = {r["id"]: r["v"] for r in catalog.table("c2u").read().collect()}
+        assert got == {1: 1.0, 2: 2.0}
 
     def test_clean_batches_unaffected(self, spark, catalog):
         w = LakeWriter(
