@@ -1150,6 +1150,35 @@ EMB_OUT_DIM = 64
 EMB_OUT_K = 3  # dist > median + 3*MAD → outlier
 
 
+def _median_over_label(df: DataFrame, value_col: str, cnt_col: str, out_col: str):
+    """Exact weighted median as INLINE window expressions — no separate
+    aggregate frame, no join back. Matches sort-based median semantics
+    (even counts average the two middle values, the DuckDB/Spark
+    `median` contract): the lower/upper middle are the smallest values
+    whose cumulative count reaches floor((n+1)/2) and floor(n/2)+1.
+    Returns df + [_n, out_col]. One sort per call (the window's
+    orderBy); ties need no pre-grouping — a cumulative row frame over
+    tied values still yields the correct smallest-qualifying value."""
+    from pyspark.sql import Window
+
+    w_lbl = Window.partitionBy("label")
+    w_cum = (
+        Window.partitionBy("label")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(cnt_col).over(w_cum)
+    n = F.sum(cnt_col).over(w_lbl)
+    df = df.withColumn("_cum", cum).withColumn("_n", n)
+    lo_pos = F.floor((F.col("_n") + 1) / 2)
+    up_pos = F.floor(F.col("_n") / 2) + 1
+    med = (
+        F.min(F.when(F.col("_cum") >= lo_pos, F.col(value_col))).over(w_lbl)
+        + F.min(F.when(F.col("_cum") >= up_pos, F.col(value_col))).over(w_lbl)
+    ) / 2.0
+    return df.withColumn(out_col, med).drop("_cum")
+
+
 @register(
     "embedding_outlier_mad",
     f"""
@@ -1193,77 +1222,83 @@ EMB_OUT_K = 3  # dist > median + 3*MAD → outlier
 )
 def embedding_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroids via one aggregate of 64 element-wise sums (no explode);
-    distances as integer zip_with/aggregate expressions; median and MAD
-    are exact medians (sort-based) of exact integers, so the outlier
-    comparison has no cross-engine float drift. Labels are few → the
-    centroid/median frames broadcast."""
-    from ..operators import dedup as dedup_ops
+    distances as integer zip_with/aggregate HOFs. Median and MAD come
+    from ONE per-label (dist, cnt) histogram: a single shuffle collapses
+    the N distance rows to their distinct-value support, then both exact
+    medians are inline window expressions over that histogram (smallest
+    value whose cumulative count reaches the middle positions — same
+    semantics as sort-based median, even counts average the two middle
+    values). Previously the persisted dist frame was scanned three times
+    with two sort-based medians over N rows. The histogram is the 100×
+    form: mergeable per-partition counts, windows over the (small)
+    support, no cross-engine float drift (integer distances end to end).
 
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "label",
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * EMB_OUT_QSCALE)
-        ).alias("q"),
+    Emitted as ONE spark.sql statement: the 64-wide centroid aggregate
+    built column-by-column through the DataFrame API spent ~0.8 s per
+    call just constructing Column objects over Py4J — a single SQL parse
+    is milliseconds for the identical Catalyst plan."""
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("emb_out_src")
+    sums = ", ".join(f"sum(q[{d}]) AS s{d}" for d in range(EMB_OUT_DIM))
+    cent_arr = ", ".join(
+        f"CAST(floor(CAST(s{d} AS DOUBLE) / n) AS BIGINT)"
+        for d in range(EMB_OUT_DIM)
     )
-    q = dedup_ops._persist(q)
-    sums = [
-        F.sum(F.element_at("q", d + 1)).alias(f"s{d}") for d in range(EMB_OUT_DIM)
-    ]
-    cent = (
-        q.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n"), *sums)
-        .select(
-            "label",
-            F.array(
-                *[
-                    F.floor(
-                        F.col(f"s{d}").cast("double") / F.col("n")
-                    ).cast("long")
-                    for d in range(EMB_OUT_DIM)
-                ]
-            ).alias("c"),
-        )
+    return spark.sql(f"""
+    WITH q AS (
+      SELECT label,
+             transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {EMB_OUT_QSCALE}) AS BIGINT)
+             ) AS q
+      FROM emb_out_src
+    ),
+    agg AS (SELECT label, count(1) AS n, {sums} FROM q GROUP BY label),
+    cent AS (SELECT label, array({cent_arr}) AS c FROM agg),
+    hist AS (
+      SELECT /*+ BROADCAST(c) */ q.label,
+             aggregate(zip_with(q.q, c.c, (a, b) -> (a - b) * (a - b)),
+                       CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist,
+             count(1) AS cnt
+      FROM q JOIN cent c ON q.label = c.label
+      GROUP BY q.label, 2
+    ),
+    m1 AS (
+      SELECT *,
+             sum(cnt) OVER (PARTITION BY label ORDER BY dist
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY label) AS n
+      FROM hist
+    ),
+    m2 AS (
+      SELECT *,
+             (min(CASE WHEN cum >= floor((n + 1) / 2) THEN dist END)
+                OVER (PARTITION BY label)
+            + min(CASE WHEN cum >= floor(n / 2) + 1 THEN dist END)
+                OVER (PARTITION BY label)) / double(2) AS med_dist
+      FROM m1
+    ),
+    m3 AS (
+      SELECT label, dist, cnt, n, med_dist,
+             abs(dist - med_dist) AS adist,
+             sum(cnt) OVER (PARTITION BY label ORDER BY abs(dist - med_dist)
+                            ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM m2
+    ),
+    m4 AS (
+      SELECT *,
+             (min(CASE WHEN cum2 >= floor((n + 1) / 2) THEN adist END)
+                OVER (PARTITION BY label)
+            + min(CASE WHEN cum2 >= floor(n / 2) + 1 THEN adist END)
+                OVER (PARTITION BY label)) / double(2) AS mad_dist
+      FROM m3
     )
-    dist_expr = F.aggregate(
-        F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    dist = dedup_ops._persist(
-        q.join(F.broadcast(cent), "label").select(
-            "label", "vec_id", dist_expr.alias("dist")
-        )
-    )
-    med = dist.groupBy("label").agg(F.median("dist").alias("med_dist"))
-    mad = (
-        dist.join(F.broadcast(med), "label")
-        .groupBy("label")
-        .agg(F.median(F.abs(F.col("dist") - F.col("med_dist"))).alias("mad_dist"))
-    )
-    return (
-        dist.join(F.broadcast(med), "label")
-        .join(F.broadcast(mad), "label")
-        .groupBy("label", "med_dist", "mad_dist")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.sum(
-                F.when(
-                    F.col("dist")
-                    > F.col("med_dist") + EMB_OUT_K * F.col("mad_dist"),
-                    1,
-                ).otherwise(0)
-            ).alias("n_outliers"),
-        )
-        .select(
-            "label",
-            "n_vecs",
-            "n_outliers",
-            F.round("med_dist", 1).alias("med_dist"),
-            F.round("mad_dist", 1).alias("mad_dist"),
-        )
-    )
+    SELECT label, sum(cnt) AS n_vecs,
+           sum(CASE WHEN dist > med_dist + {EMB_OUT_K} * mad_dist
+                    THEN cnt ELSE CAST(0 AS BIGINT) END) AS n_outliers,
+           round(med_dist, 1) AS med_dist,
+           round(mad_dist, 1) AS mad_dist
+    FROM m4
+    GROUP BY label, med_dist, mad_dist
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -1452,7 +1487,7 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("json").alias("ext"),
         F.encode(F.to_json(F.struct("lang", "source")), "UTF-8").alias("payload"),
     )
-    shards = encode_shards(txt.unionByName(meta))
+    shards = encode_shards(txt.unionByName(meta), num_partitions=WDS_SHARDS)
     decoded = decode_members(shards)
     return (
         decoded.filter(F.col("ext") == "txt")

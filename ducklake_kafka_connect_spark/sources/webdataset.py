@@ -75,12 +75,16 @@ def encode_shards(
     key_col: str = "key",
     ext_col: str = "ext",
     payload_col: str = "payload",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(shard, key, ext, payload) rows → (shard, tar, n_members), one
     tar archive per shard. The shuffle moves payload bytes once (the
     groupBy); member order inside a shard is key-sorted, so identical
     logical content yields identical shard bytes regardless of input
-    partitioning."""
+    partitioning. Pass ``num_partitions`` when the shard count is known
+    and small — the default spark.sql.shuffle.partitions leaves most
+    post-shuffle tasks empty (pure scheduling overhead) when shards ≪
+    partitions."""
     narrow = members.select(
         F.col(shard_col).alias("shard"),
         F.col(key_col).alias("key"),
@@ -100,7 +104,12 @@ def encode_shards(
             yield pd.DataFrame(rows, columns=["shard", "tar", "n_members"])
 
     # repartition BY shard so each shard's members land in one batch
-    return narrow.repartition("shard").mapInPandas(build, SHARD_SCHEMA)
+    part = (
+        narrow.repartition(num_partitions, "shard")
+        if num_partitions
+        else narrow.repartition("shard")
+    )
+    return part.mapInPandas(build, SHARD_SCHEMA)
 
 
 def decode_members(

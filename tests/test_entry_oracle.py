@@ -84,6 +84,11 @@ def _assert_oracle_types(name, sdf, ddb, sql):
         if dtype.startswith("DECIMAL") and not stype.startswith("decimal"):
             problems.append(f"{col}: oracle {dtype} vs spark {stype}")
             continue
+        if stype.startswith("decimal") and not dtype.startswith("DECIMAL"):
+            # e.g. a SQL literal like `/ 2.0` silently making the Spark
+            # side DECIMAL while the oracle stays DOUBLE
+            problems.append(f"{col}: spark {stype} vs oracle {dtype}")
+            continue
         expected = _SPARK_TO_DDB_TYPES.get(stype)
         if expected is not None and dtype not in expected:
             problems.append(f"{col}: oracle {dtype} vs spark {stype}")
