@@ -229,34 +229,54 @@ def _logical_schema_of(df: DataFrame) -> T.StructType:
     return T.StructType([f for f in df.schema.fields if f.name != INSERTED_AT])
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for selectExpr."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _conform_exprs(
+    df: DataFrame, logical: T.StructType, extra: Sequence[str] = ()
+) -> list[str]:
+    """SQL expression strings projecting a batch onto the table's
+    logical schema in physical form (see _conform). String-built so the
+    whole projection is ONE selectExpr/Py4J round trip — building the
+    same projection Column-by-Column costs ~1 ms per call on the merge
+    hot path."""
+    physical = to_physical_schema(logical)
+    cols: list[str] = []
+    taken: set[str] = set()
+    df_cols = set(df.columns)
+    schema = None
+    for lf, pf in zip(logical.fields, physical.fields):
+        if lf.name == INSERTED_AT:
+            continue
+        taken.add(lf.name)
+        q = _bt(lf.name)
+        if lf.name not in df_cols:
+            cols.append(f"CAST(NULL AS {pf.dataType.simpleString()}) AS {q}")
+        elif is_complex(lf.dataType):
+            if schema is None:
+                schema = df.schema
+            src_type = schema[lf.name].dataType
+            if isinstance(src_type, T.StringType):
+                cols.append(q)  # pre-serialized
+            else:
+                cols.append(f"to_json({q}) AS {q}")
+        else:
+            cols.append(f"CAST({q} AS {pf.dataType.simpleString()}) AS {q}")
+    for name in extra:
+        if name in df_cols and name not in taken:
+            taken.add(name)
+            cols.append(_bt(name))
+    return cols
+
+
 def _conform(df: DataFrame, logical: T.StructType, extra: Sequence[str] = ()) -> DataFrame:
     """Project a batch onto the table's logical schema in physical form:
     missing columns null-filled (B1), complex columns serialized to JSON
     (B9), scalars cast to the (possibly widened) table type. ``extra``
     columns (system / partition columns) pass through untouched."""
-    physical = to_physical_schema(logical)
-    cols = []
-    taken: set[str] = set()
-    df_cols = set(df.columns)
-    for lf, pf in zip(logical.fields, physical.fields):
-        if lf.name == INSERTED_AT:
-            continue
-        taken.add(lf.name)
-        if lf.name not in df_cols:
-            cols.append(F.lit(None).cast(pf.dataType).alias(lf.name))
-        elif is_complex(lf.dataType):
-            src_type = df.schema[lf.name].dataType
-            if isinstance(src_type, T.StringType):
-                cols.append(F.col(lf.name).alias(lf.name))  # pre-serialized
-            else:
-                cols.append(F.to_json(F.col(lf.name)).alias(lf.name))
-        else:
-            cols.append(F.col(lf.name).cast(pf.dataType).alias(lf.name))
-    for name in extra:
-        if name in df_cols and name not in taken:
-            taken.add(name)
-            cols.append(F.col(name))
-    return df.select(*cols)
+    return df.selectExpr(*_conform_exprs(df, logical, extra))
 
 
 def _overlaps(stats, bounds, pk0: str) -> bool:
@@ -1199,14 +1219,26 @@ class LakeWriter:
         extra = tuple(c for c in (tombstone_col,) if c)
         if ephemeral_order and order_col:
             extra = extra + (order_col,)
-        raw = _conform(df, final_logical, extra=extra)
-        raw = with_partition_columns(raw, exprs)
-        rewrite_files = manifest.all_files()
-        target = self._read_files(manifest, rewrite_files)
-        passthrough = [INSERTED_AT] + [
-            c for c in part_cols if c not in final_logical.fieldNames()
-        ]
-        target = _conform(target, final_logical, extra=passthrough)
+        # conform + derived partition columns as ONE selectExpr (one
+        # Py4J round trip on the per-batch hot path). Derived exprs wrap
+        # the conform cast of their source column so they see the same
+        # value a post-conform withColumn would.
+        proj = _conform_exprs(df, final_logical, extra=extra)
+        logical_types = {f.name: f for f in to_physical_schema(final_logical).fields}
+        _part_sql = {"year": "year", "month": "month", "day": "dayofmonth"}
+        if all(
+            (not e.is_derived) or e.column in logical_types for e in exprs
+        ):
+            for e in exprs:
+                if e.is_derived:
+                    ddl = logical_types[e.column].dataType.simpleString()
+                    proj.append(
+                        f"{_part_sql[e.fn]}(CAST({_bt(e.column)} AS {ddl}))"
+                        f" AS {_bt(e.output_name)}"
+                    )
+            raw = df.selectExpr(*proj)
+        else:
+            raw = with_partition_columns(df.selectExpr(*proj), exprs)
         out_cols = (
             [f.name for f in to_physical_schema(final_logical).fields]
             + [INSERTED_AT]
@@ -1219,6 +1251,15 @@ class LakeWriter:
             )
             if done is not None:
                 return done
+        # target is only needed by the Spark window plan — building the
+        # read + conform DataFrames costs ~60 ms of Py4J per call, so it
+        # waits until the Arrow path has actually declined the batch
+        rewrite_files = manifest.all_files()
+        target = self._read_files(manifest, rewrite_files)
+        passthrough = [INSERTED_AT] + [
+            c for c in part_cols if c not in final_logical.fieldNames()
+        ]
+        target = _conform(target, final_logical, extra=passthrough)
         # single_partition: the whole table is ≤ MERGE_SMALL_TABLE_BYTES
         # by this path's gate, so the union fits one task and the merge
         # runs as ONE shuffle-free stage (also subsumes the old
@@ -1287,7 +1328,12 @@ class LakeWriter:
                 return None  # no existing dir token to reuse for new dirs
             part_key = part_keys[0] if part_keys else ""
             with REGISTRY.timer("merge.arrowBatchEval"):
-                batch = raw.toArrow()  # the ONE Spark job
+                # coalesce: a small batch often arrives in 32 map
+                # partitions; collecting 32 near-empty Arrow streams is
+                # pure task-scheduling overhead (~70→30 ms for 10k rows).
+                # coalesce merges ADJACENT partitions, so the concat
+                # order (the __mono arrival order below) is unchanged.
+                batch = raw.coalesce(4).toArrow()  # the ONE Spark job
             # batch rows must all land in the single existing partition
             # dir — otherwise Spark's partitionBy must create new dirs
             if part_cols and batch.num_rows:
@@ -1353,8 +1399,12 @@ class LakeWriter:
             # ---- winner selection (the row_number window, in pandas) ----
             if any(combined.column(k).null_count for k in self.pk):
                 return None  # window null-group semantics — let Spark do it
+            import numpy as _np0
+
             key_df = combined.select(self.pk).to_pandas()
-            key_df["__pri"] = [0] * n_t + [1] * n_b
+            key_df["__pri"] = _np0.repeat(
+                _np0.array([0, 1], dtype="int8"), [n_t, n_b]
+            )
 
             def _batch_only(series: "pd.Series") -> "pd.Series":
                 # full-length object column, null on the target side —
@@ -1381,16 +1431,42 @@ class LakeWriter:
                 key_df["__ord"] = o_pd
                 sort_cols.append("__ord")
             # arrival order within the batch (monotonically_increasing_id
-            # twin: toArrow concatenates partitions in order)
-            key_df["__mono"] = list(range(-n_t, 0)) + list(range(n_b))
-            sort_cols.append("__mono")
-            key_df["__idx"] = range(len(key_df))
-            winners = (
-                key_df.sort_values(
-                    sort_cols, ascending=False, kind="stable", na_position="last"
-                )
-                .drop_duplicates(subset=list(self.pk), keep="first")
+            # twin: toArrow concatenates partitions in order); numpy —
+            # a 100k-element Python list costs ~15 ms in sanitize alone
+            import numpy as _np
+
+            key_df["__mono"] = _np.concatenate(
+                [_np.arange(-n_t, 0), _np.arange(n_b)]
             )
+            sort_cols.append("__mono")
+            key_df["__idx"] = _np.arange(len(key_df))
+            pk_cols = list(self.pk)
+            if sort_cols == ["__pri", "__mono"]:
+                # no order column → winner is simply the LAST batch
+                # occurrence of a key, else the (unique-keyed) target
+                # row. Hash-based: O(n) vs the O(n log n) full sort.
+                b_w = key_df.iloc[n_t:].drop_duplicates(
+                    subset=pk_cols, keep="last"
+                )
+                if n_t:
+                    t_keys = key_df.iloc[:n_t]
+                    if len(pk_cols) == 1:
+                        keep = ~t_keys[pk_cols[0]].isin(b_w[pk_cols[0]]).values
+                    else:
+                        keep = ~pd.MultiIndex.from_frame(
+                            t_keys[pk_cols]
+                        ).isin(pd.MultiIndex.from_frame(b_w[pk_cols]))
+                    winners = pd.concat([t_keys[keep], b_w])
+                else:
+                    winners = b_w
+            else:
+                winners = (
+                    key_df.sort_values(
+                        sort_cols, ascending=False, kind="stable",
+                        na_position="last",
+                    )
+                    .drop_duplicates(subset=pk_cols, keep="first")
+                )
             out_tbl = combined.take(pa.array(winners["__idx"].to_numpy()))
 
             # ---- _inserted_at: keep the matched key's original stamp ----
@@ -1417,23 +1493,36 @@ class LakeWriter:
                         * 1_000_000
                     )
                 if n_t:
-                    old = key_df.iloc[:n_t].copy()
-                    old["__old_us"] = (
+                    # target keys are unique (merge invariant) → an
+                    # Index lookup replaces the pandas join: O(n_t)
+                    # build + O(|winners|) probe, no row realignment
+                    old_us = (
                         target.column(INSERTED_AT)
                         .cast(us_type)
                         .cast(pa.int64())
                         .to_pandas()
                         .values
                     )
-                    m = winners.merge(
-                        old[list(self.pk) + ["__old_us"]],
-                        on=list(self.pk),
-                        how="left",
-                    )["__old_us"]
+                    if len(self.pk) == 1:
+                        old_index = pd.Index(key_df[self.pk[0]].values[:n_t])
+                        w_keys = winners[self.pk[0]].values
+                    else:
+                        old_index = pd.MultiIndex.from_frame(
+                            key_df.iloc[:n_t][list(self.pk)]
+                        )
+                        w_keys = pd.MultiIndex.from_frame(
+                            winners[list(self.pk)]
+                        )
+                    pos = old_index.get_indexer(w_keys)
+                    m_vals = np.where(
+                        pos >= 0,
+                        old_us[np.maximum(pos, 0)].astype("float64"),
+                        np.nan,
+                    )
                     filled = np.where(
                         ts_us.notna(),
                         ts_us.values,
-                        np.where(m.notna(), m.values, now_us),
+                        np.where(~np.isnan(m_vals), m_vals, now_us),
                     ).astype("int64")
                 else:
                     filled = ts_us.fillna(now_us).astype("int64").values
