@@ -88,6 +88,11 @@ MERGE_RANGE_MAX_FILES = 16
 # Tables at or below this total size take the zero-planning-job fast path
 # (rewrite-all window-merge; the merge is the write job).
 MERGE_SMALL_TABLE_BYTES = 32 * 1024 * 1024
+
+# Within the small-table window-merge, unions at or below this many rows
+# run as ONE shuffle-free task; above it the window distributes across a
+# pk-hash shuffle (serial sort+write dominates past a few hundred k rows)
+SMALL_MERGE_SINGLE_TASK_ROWS = 300_000
 # Within the small-table path, tables whose whole content fits in the
 # driver comfortably are merged DRIVER-SIDE over Arrow (one Spark job to
 # evaluate the batch, zero to merge/write) — the latency analogue of the
@@ -1261,12 +1266,18 @@ class LakeWriter:
         ]
         target = _conform(target, final_logical, extra=passthrough)
         # single_partition: the whole table is ≤ MERGE_SMALL_TABLE_BYTES
-        # by this path's gate, so the union fits one task and the merge
-        # runs as ONE shuffle-free stage (also subsumes the old
+        # by this path's gate, so the union usually fits one task and the
+        # merge runs as ONE shuffle-free stage (also subsumes the old
         # coalesce(np_cap) cap on merge_many's N×32 micro-partitions).
+        # ADAPTIVE: near the top of the size gate (≳ a few hundred k
+        # rows) one serial task becomes the bottleneck — a pk-hash
+        # shuffle across cores wins there (measured at the 1M-row sf1
+        # rehearsal: 1.65 s serial vs 1.32 s distributed, and the
+        # multi-file output reads back faster too).
+        est_rows = self._est_rewrite_rows(manifest, manifest.all_files())
         merged = _window_merge(
             target, raw, self.pk, out_cols, order_col, dead_col=tombstone_col,
-            single_partition=True,
+            single_partition=est_rows <= SMALL_MERGE_SINGLE_TASK_ROWS,
         )
         with self.table.lock():
             current = self.table.manifest()
@@ -1546,9 +1557,6 @@ class LakeWriter:
                 )
                 rel_dir = os.path.join(stage_rel, part_key) if part_key else stage_rel
                 os.makedirs(os.path.join(self.table.dir, rel_dir), exist_ok=True)
-                fn = f"part-00000-{_uuid.uuid4().hex[:8]}.parquet"
-                rel_file = os.path.join(rel_dir, fn)
-                abs_file = os.path.join(self.table.dir, rel_file)
                 with REGISTRY.timer("merge.arrowWrite"):
                     # micro-precision timestamps: Spark reads TIMESTAMP
                     # (MICROS) everywhere; a ns-unit column (INT96 files
@@ -1561,11 +1569,61 @@ class LakeWriter:
                         for f in out_tbl.schema
                     ]
                     out_tbl = out_tbl.cast(pa.schema(out_fields))
-                    pq.write_table(out_tbl, abs_file, compression="snappy")
                     stat_cols = _stats_columns_arrow(common, list(self.pk))
-                    stats = {rel_file: _harvest_one(abs_file, stat_cols, None)}
+                    # Range-split: tables past one MERGE_TARGET_FILE_ROWS
+                    # chunk are pk-sorted and written as N files — (a)
+                    # per-file pk ranges are disjoint, so the NEXT
+                    # merge's overlap prune has something to prune, and
+                    # (b) the parquet encoding (GIL-released) runs in a
+                    # thread pool instead of one serial write_table.
+                    n_rows = out_tbl.num_rows
+                    if n_rows > 2 * MERGE_TARGET_FILE_ROWS:
+                        order = pc.sort_indices(
+                            out_tbl,
+                            sort_keys=[(k, "ascending") for k in self.pk],
+                        )
+                        out_tbl = out_tbl.take(order)
+                        n_files = min(
+                            16, -(-n_rows // MERGE_TARGET_FILE_ROWS)
+                        )
+                        step = -(-n_rows // n_files)
+                        slices = [
+                            out_tbl.slice(i * step, step)
+                            for i in range(n_files)
+                            if i * step < n_rows
+                        ]
+                    else:
+                        slices = [out_tbl]
+                    rel_files, abs_files = [], []
+                    for _ in slices:
+                        fn = f"part-{len(rel_files):05d}-{_uuid.uuid4().hex[:8]}.parquet"
+                        rel_files.append(os.path.join(rel_dir, fn))
+                        abs_files.append(
+                            os.path.join(self.table.dir, rel_files[-1])
+                        )
+
+                    def _write_one(i: int):
+                        pq.write_table(
+                            slices[i], abs_files[i], compression="snappy"
+                        )
+                        return _harvest_one(abs_files[i], stat_cols, None)
+
+                    if len(slices) == 1:
+                        harvested = [_write_one(0)]
+                    else:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        with ThreadPoolExecutor(
+                            max_workers=min(8, len(slices))
+                        ) as ex:
+                            harvested = list(
+                                ex.map(_write_one, range(len(slices)))
+                            )
+                    stats = {
+                        rf: h for rf, h in zip(rel_files, harvested) if h
+                    }
                 self._commit_next(
-                    current, {part_key: [rel_file]}, final_logical, stats
+                    current, {part_key: rel_files}, final_logical, stats
                 )
             if len(_ARROW_TARGET_CACHE) >= 4:
                 _ARROW_TARGET_CACHE.clear()
