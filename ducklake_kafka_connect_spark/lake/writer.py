@@ -89,6 +89,11 @@ MERGE_RANGE_MAX_FILES = 16
 # (rewrite-all window-merge; the merge is the write job).
 MERGE_SMALL_TABLE_BYTES = 32 * 1024 * 1024
 
+# Merge batches whose optimizer size estimate is at or below this are
+# coalesced to 4 partitions before toArrow (stream-count overhead wins);
+# larger/unknown estimates keep their parallelism (compute wins)
+EVAL_COALESCE_MAX_BYTES = 4 * 1024 * 1024
+
 # Within the small-table window-merge, unions at or below this many rows
 # run as ONE shuffle-free task; above it the window distributes across a
 # pk-hash shuffle (serial sort+write dominates past a few hundred k rows)
@@ -1344,7 +1349,23 @@ class LakeWriter:
                 # pure task-scheduling overhead (~70→30 ms for 10k rows).
                 # coalesce merges ADJACENT partitions, so the concat
                 # order (the __mono arrival order below) is unchanged.
-                batch = raw.coalesce(4).toArrow()  # the ONE Spark job
+                # Gate on the optimizer's size estimate: coalescing a
+                # COMPUTE-heavy batch (e.g. a JSON-decode pipeline)
+                # would serialize that compute onto 4 cores — only
+                # plans the optimizer thinks are tiny qualify.
+                eval_df = raw
+                try:
+                    est = int(
+                        raw._jdf.queryExecution()
+                        .optimizedPlan()
+                        .stats()
+                        .sizeInBytes()
+                    )
+                    if est <= EVAL_COALESCE_MAX_BYTES:
+                        eval_df = raw.coalesce(4)
+                except Exception:
+                    pass
+                batch = eval_df.toArrow()  # the ONE Spark job
             # batch rows must all land in the single existing partition
             # dir — otherwise Spark's partitionBy must create new dirs
             if part_cols and batch.num_rows:
