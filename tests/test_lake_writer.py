@@ -428,6 +428,62 @@ class TestDropColumn:
             t.drop_column("ghost")
 
 
+class TestConformIdentifiers:
+    """_conform builds its projection as selectExpr SQL strings (one
+    Py4J round trip on the merge hot path) — hostile identifiers must
+    survive the quoting: spaces, dots, embedded backticks, unicode,
+    reserved words."""
+
+    def test_hostile_names_roundtrip(self, spark):
+        from pyspark.sql import types as T
+
+        from ducklake_kafka_connect_spark.lake.writer import _conform
+
+        names = ["plain", "with space", "dot.ted", "back`tick", "uni-ç", "select"]
+        df = spark.createDataFrame(
+            [tuple(range(1, len(names) + 1))],
+            T.StructType([T.StructField(n, T.IntegerType()) for n in names]),
+        )
+        logical = T.StructType([T.StructField(n, T.LongType()) for n in names])
+        out = _conform(df, logical)
+        assert out.columns == names
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "bigint"
+        ] * len(names)
+        assert list(out.collect()[0]) == list(range(1, len(names) + 1))
+
+    def test_complex_and_missing_with_spaces(self, spark):
+        from pyspark.sql import types as T
+
+        from ducklake_kafka_connect_spark.lake.writer import _conform
+
+        logical = T.StructType(
+            [
+                T.StructField("with space", T.LongType()),
+                T.StructField(
+                    "nested j", T.StructType([T.StructField("a", T.LongType())])
+                ),
+                T.StructField("missing col", T.StringType()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(7, (9,))],
+            T.StructType(
+                [
+                    T.StructField("with space", T.IntegerType()),
+                    T.StructField(
+                        "nested j",
+                        T.StructType([T.StructField("a", T.LongType())]),
+                    ),
+                ]
+            ),
+        )
+        r = _conform(df, logical).collect()[0]
+        assert r["with space"] == 7
+        assert r["nested j"] == '{"a":9}'  # complex → JSON (B9)
+        assert r["missing col"] is None  # missing → typed NULL (B1)
+
+
 class TestCheckConstraints:
     """Delta-style CHECK constraints: violating batches reject before
     any file is written; a NULL/UNKNOWN predicate passes (standard SQL
