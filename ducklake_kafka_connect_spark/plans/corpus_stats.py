@@ -209,6 +209,125 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Okapi k1=1.2, b=0.75)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["table", "merge", "window", "scan"]
+BM25_TOP_K = 10
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "bm25_retrieval_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '{TOKEN_SPLIT}')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, lang, count(*) AS dl FROM tok GROUP BY doc_id, lang),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok
+      WHERE w IN ({_BM25_IN}) GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((CAST(s.n_docs AS DOUBLE) - df.df + CAST(0.5 AS DOUBLE))
+                  / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+               * (tf.tf * CAST(2.2 AS DOUBLE))
+               / (tf.tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * d.dl / s.avgdl))
+               * 1000000) AS BIGINT) AS c_micro
+      FROM tf JOIN df ON tf.w = df.w JOIN dl d ON tf.doc_id = d.doc_id, stats s
+    ),
+    scored AS (
+      SELECT c.doc_id, d.lang,
+             CAST(count(*) AS BIGINT) AS matched_terms,
+             CAST(sum(c.c_micro) AS BIGINT) AS score_micro
+      FROM contrib c JOIN dl d ON c.doc_id = d.doc_id
+      GROUP BY c.doc_id, d.lang
+    )
+    SELECT doc_id, lang, matched_terms, score_micro,
+           ROUND(CAST(score_micro AS DOUBLE) / 1000000, 6) AS score
+    FROM scored ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOP_K}
+    """,
+    f"Okapi BM25 top-{BM25_TOP_K} retrieval over the corpus for a fixed "
+    f"term set {BM25_TERMS} (k1=1.2, b=0.75) — the dense-free retrieval "
+    "baseline of a RAG / eval-harness pipeline; per-(doc,term) "
+    "contributions integerize to micro-nats BEFORE the sum, so ranking "
+    "is integer-exact and tie-break is total (score, doc_id)",
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus shuffle (tokens → per-doc tf over the FILTERED term
+    set); doc lengths reduce from the same token frame; df and the
+    (n_docs, avgdl) scalars come back as broadcasts — at 100 TB the
+    probe side stays corpus-linear with vocab-tiny build sides, the
+    same shape as contamination_overlap. The BM25 kernel is one codegen
+    expression per (doc, term) row, rounded to integer micro-nats
+    before the per-doc sum so cross-engine ranking cannot drift."""
+    tok = _tokens(spark, sf_dir)
+    tok.persist()
+    dl = tok.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("dl"))
+    dl.persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl.drop("lang"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tfnorm * 1000000.0, 0).cast("long").alias("c_micro"),
+        )
+    )
+    scored = (
+        contrib.join(dl.select("doc_id", "lang"), "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.sum("c_micro").alias("score_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(BM25_TOP_K)
+        .select(
+            "doc_id",
+            "lang",
+            "matched_terms",
+            "score_micro",
+            F.round(F.col("score_micro").cast("double") / 1000000.0, 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
 @register(
     "incremental_dedup_new_batch",
     f"""
