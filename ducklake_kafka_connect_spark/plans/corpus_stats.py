@@ -210,6 +210,72 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge-pair counting (first iteration of BPE vocab training)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 5
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '{TOKEN_SPLIT}')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, length(w) - 1),
+                                   i -> substring(w, i, 2))) AS pair
+      FROM tok WHERE length(w) >= 2
+    ),
+    cnt AS (SELECT lang, pair, count(*) AS n FROM pairs GROUP BY lang, pair),
+    ranked AS (
+      SELECT lang, pair, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, pair ASC) AS rank
+      FROM cnt
+    )
+    SELECT lang, rank, pair, n FROM ranked WHERE rank <= {BPE_TOP_K}
+    """,
+    f"BPE merge-candidate counting: adjacent character-pair frequencies "
+    f"per language, top-{BPE_TOP_K} with a total (count, pair) order — "
+    "the first iteration of BPE tokenizer training, distributed (the "
+    "merge loop repeats this count on re-segmented words)",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character pairs via a higher-order transform over an index
+    sequence (no Python, no explode-per-character): each word of length
+    L emits its L-1 adjacent pairs in one codegen'd expression, then one
+    (lang, pair)-keyed count — alphabet²-sized state, fully map-side
+    combined, linear in corpus bytes at any scale. The guard
+    ``length(w) >= 2`` matters cross-engine: Spark's sequence(1, 0)
+    DESCENDS while DuckDB's generate_series(1, 0) is empty."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    tok = docs.select("lang", F.explode(words).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = tok.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    cnt = pairs.groupBy("lang", "pair").agg(F.count(F.lit(1)).alias("n"))
+    win = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        cnt.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= BPE_TOP_K)
+        .select("lang", "rank", "pair", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 retrieval scoring (Okapi k1=1.2, b=0.75)
 # ---------------------------------------------------------------------------
 
