@@ -898,52 +898,55 @@ MAD_K_X10000 = 44478
     "(3x1.4826 consistency scale) — no float thresholds anywhere",
 )
 def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact order statistics: two ranked passes (median of values, then
-    median of absolute deviations), each a per-group sort; group counts
-    and the two medians travel as broadcast joins, so the events table
-    never shuffles beyond the rank exchanges. This is the exact
-    formulation — at 100 TB the same pipeline runs on per-partition
-    pre-aggregated value histograms (value_histogram_by_type) or an
-    approx-quantile sketch; the flagging arithmetic is unchanged."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    """Exact order statistics from ONE (event_type, cents) histogram:
+    the lower median is the smallest value whose cumulative count
+    reaches (n+1)÷2, read off a cumulative window over the histogram;
+    the MAD repeats the trick on |c − median| without re-grouping
+    (cumulative row frames handle deviation ties correctly). Previously
+    two full row_number sorts over all events. The histogram support is
+    bounded by the cents domain (~10k values) — corpus-size-INDEPENDENT
+    at 100 TB, and mergeable per partition. One SQL statement (same
+    Py4J-cost rationale as embedding_outlier_mad)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("rvo_events")
+    return spark.sql(f"""
+    WITH hist AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c,
+             count(1) AS cnt
+      FROM rvo_events GROUP BY event_type, 2
+    ),
+    m1 AS (
+      SELECT *,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    m2 AS (
+      SELECT *,
+             min(CASE WHEN cum >= (n + 1) DIV 2 THEN c END)
+               OVER (PARTITION BY event_type) AS median_cents
+      FROM m1
+    ),
+    m3 AS (
+      SELECT event_type, c, cnt, n, median_cents,
+             abs(c - median_cents) AS d,
+             sum(cnt) OVER (PARTITION BY event_type
+                            ORDER BY abs(c - median_cents)
+                            ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM m2
+    ),
+    m4 AS (
+      SELECT *,
+             min(CASE WHEN cum2 >= (n + 1) DIV 2 THEN d END)
+               OVER (PARTITION BY event_type) AS mad_cents
+      FROM m3
     )
-    ev.persist()
-    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    rn1 = F.row_number().over(W.partitionBy("event_type").orderBy("c"))
-    r1 = ev.withColumn("rn", rn1).join(F.broadcast(n), "event_type")
-    med = r1.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
-        "event_type", F.col("c").alias("median_cents")
-    )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", F.abs(F.col("c") - F.col("median_cents")).alias("d")
-    )
-    dev.persist()
-    rn2 = F.row_number().over(W.partitionBy("event_type").orderBy("d"))
-    r2 = dev.withColumn("rn", rn2).join(F.broadcast(n), "event_type")
-    mad = r2.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
-        "event_type", F.col("d").alias("mad_cents")
-    )
-    outl = (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("d") * 10000 > MAD_K_X10000 * F.col("mad_cents"), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_outliers")
-        )
-    )
-    return (
-        n.select("event_type", F.col("n").alias("n_events"))
-        .join(med, "event_type")
-        .join(mad, "event_type")
-        .join(outl, "event_type")
-        .select("event_type", "n_events", "median_cents", "mad_cents", "n_outliers")
-    )
+    SELECT event_type, sum(cnt) AS n_events, median_cents, mad_cents,
+           sum(CASE WHEN d * 10000 > {MAD_K_X10000} * mad_cents
+                    THEN cnt ELSE CAST(0 AS BIGINT) END) AS n_outliers
+    FROM m4
+    GROUP BY event_type, median_cents, mad_cents
+    """).select("event_type", "n_events", "median_cents", "mad_cents", "n_outliers")
 
 
 # ---------------------------------------------------------------------------
