@@ -210,6 +210,92 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# N-gram novelty decay across ingestion waves
+# ---------------------------------------------------------------------------
+
+NOVELTY_WAVES = 10
+NOVELTY_N = 3  # trigrams
+
+
+@register(
+    "ngram_novelty_curve",
+    f"""
+    WITH w AS (
+      SELECT doc_id % {NOVELTY_WAVES} AS wave,
+             string_split_regex(trim(lower(text)), '{TOKEN_SPLIT}') AS ws
+      FROM documents
+    ),
+    tri AS (
+      SELECT wave,
+             unnest(list_transform(generate_series(1, len(ws) - {NOVELTY_N - 1}),
+                    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+      FROM w WHERE len(ws) >= {NOVELTY_N}
+    ),
+    per_wave AS (
+      SELECT wave, g, count(*) AS n FROM tri GROUP BY wave, g
+    ),
+    first_seen AS (SELECT g, min(wave) AS first_wave FROM per_wave GROUP BY g)
+    SELECT p.wave,
+           CAST(sum(p.n) AS BIGINT) AS n_ngrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN f.first_wave = p.wave THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(sum(CASE WHEN f.first_wave = p.wave THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty_rate
+    FROM per_wave p JOIN first_seen f ON p.g = f.g
+    GROUP BY p.wave ORDER BY p.wave
+    """,
+    f"Trigram novelty decay across {NOVELTY_WAVES} ingestion waves: the "
+    "fraction of each wave's distinct n-grams never seen in an earlier "
+    "wave — the 'is more data still adding information' curve used to "
+    "decide when a crawl source is mined out",
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigrams come from one higher-order transform per document (no
+    per-token explode-then-window); novelty is a self-aggregation —
+    distinct (wave, gram) counts, then min-wave per gram joined back.
+    Two shuffles, both on the gram key, both map-side combined; gram
+    cardinality (not corpus size) bounds the join, and the min-wave
+    frame is exactly the incremental-dedup corpus index shape."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    w = docs.select(
+        (F.col("doc_id") % NOVELTY_WAVES).alias("wave"), ws.alias("ws")
+    ).filter(F.size("ws") >= NOVELTY_N)
+    tri = w.select(
+        "wave",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (NOVELTY_N - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ws", i),
+                    F.element_at("ws", i + 1),
+                    F.element_at("ws", i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    per_wave = tri.groupBy("wave", "g").agg(F.count(F.lit(1)).alias("n"))
+    per_wave.persist()
+    first_seen = per_wave.groupBy("g").agg(F.min("wave").alias("first_wave"))
+    novel = F.when(F.col("first_wave") == F.col("wave"), 1).otherwise(0)
+    return (
+        per_wave.join(first_seen, "g")
+        .groupBy("wave")
+        .agg(
+            F.sum("n").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("wave")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE merge-pair counting (first iteration of BPE vocab training)
 # ---------------------------------------------------------------------------
 
