@@ -56,6 +56,30 @@ def test_arrow_merge_matches_spark_merge(spark, tmp_path, monkeypatch):
     assert out["arrow"] == out["spark"]
 
 
+def test_arrow_merge_range_splits_large_output(spark, lake, monkeypatch):
+    """Past 2×MERGE_TARGET_FILE_ROWS the Arrow merge writes pk-sorted
+    slices: multiple files, DISJOINT pk ranges in the manifest stats
+    (the next merge's overlap prune depends on it), identical content."""
+    monkeypatch.setattr(wmod, "MERGE_TARGET_FILE_ROWS", 100)
+    cat = LakeCatalog(spark, lake)
+    w = LakeWriter(cat.table("t_rs"), pk=["id"])
+    w.write(spark.range(450).select(F.col("id"), F.lit("a").alias("name")))
+    w.write(
+        spark.range(100, 200).select(F.col("id"), F.lit("b").alias("name"))
+    )  # Arrow merge → 550-row rewrite? no: 450 rows, 100 overlap → 450
+    m = cat.table("t_rs").manifest()
+    files = m.all_files()
+    assert len(files) >= 4, files  # 450 rows / 100-target → ≥4 slices
+    ranges = sorted(
+        tuple(m.file_stats[f]["id"][:2]) for f in files if m.file_stats.get(f)
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping pk ranges: {ranges}"
+    got = {r["id"]: r["name"] for r in cat.table("t_rs").read().collect()}
+    assert len(got) == 450
+    assert got[150] == "b" and got[50] == "a" and got[300] == "a"
+
+
 def test_arrow_merge_used_and_inserted_at_stable(spark, lake):
     cat = LakeCatalog(spark, lake)
     w = LakeWriter(cat.table("t"), pk=["id"])
