@@ -1026,9 +1026,46 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Marker-token language-ID vs stored label (confusion cells)",
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-parallel marker counting instead of the per-row CASE chain:
+    tokens explode once, a broadcast (marker, lang) table joins hits
+    (a token in two languages' sets — 'la' es/fr — counts for both,
+    same as the per-set filters), and the per-doc argmax window picks
+    the winner with the (hits DESC, lang ASC) tie-break; docs with no
+    marker hits come back as 'und' via the left join. The inline
+    `lang_id_col` CASE repeats its token-split per branch (~35 subtree
+    copies/row); this shape evaluates the split once and scales as one
+    token-keyed broadcast join + doc-keyed window."""
+    from ..operators.text import LANG_MARKERS
+
     docs = _t(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        [(m, lang) for lang, ms in LANG_MARKERS.items() for m in ms],
+        "w string, mlang string",
+    )
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    hits = (
+        tok.join(F.broadcast(markers), "w")
+        .groupBy("doc_id", "lang", "mlang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    win = W.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("mlang").asc()
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("mlang").alias("pred_lang"))
+    )
     return (
-        docs.select("lang", lang_id_col(F.col("text")).alias("pred_lang"))
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "lang", F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang")
+        )
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
