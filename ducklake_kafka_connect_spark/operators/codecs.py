@@ -13,10 +13,15 @@ uncompressed media:
   stdlib ``zlib`` inflate + numpy row unfiltering (all five filter
   types) — a real COMPRESSED format with zero third-party deps.
 
-Remaining compressed formats (JPEG/FLAC/…, plus 16-bit or Adam7 PNG)
-still require Pillow/soundfile and stay behind the import-try gate in
-``multimodal.py`` — ``sniff_format`` tells callers which path a payload
-needs. Resize is nearest-neighbor
+- **JPEG** (baseline sequential SOF0, Huffman, sampling ≤2×2 incl.
+  4:2:0, restart markers): ``operators/jpeg.py`` — matrix DCT over all
+  blocks, canonical Huffman entropy coder, Annex K tables; both
+  directions, standard-conformant output.
+
+Remaining variants (progressive/arithmetic JPEG, 12-bit precision,
+16-bit or Adam7 PNG, FLAC/…) still require Pillow/soundfile and stay
+behind the import-try gate in ``multimodal.py`` — ``sniff_format``
+tells callers which path a payload needs. Resize is nearest-neighbor
 index sampling (the deterministic choice: no filter kernels to disagree
 about).
 """
@@ -362,8 +367,8 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_image_array(payload: bytes) -> np.ndarray:
-    """Dispatch decode by sniffed format; CodecError for compressed or
-    unknown formats (those need the Pillow-gated path)."""
+    """Dispatch decode by sniffed format; CodecError for unsupported
+    variants or unknown formats (those fall to the Pillow-gated path)."""
     fmt = sniff_format(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
@@ -371,4 +376,8 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise CodecError(f"no built-in decoder for format {fmt!r}")

@@ -1,0 +1,692 @@
+"""Baseline JPEG codec — numpy + stdlib only, no Pillow.
+
+Closes the last Pillow-gated slot in the multimodal codec family
+(VERDICT r6 "What's missing" #4): ``decode_jpeg`` handles baseline
+sequential DCT JPEG/JFIF (SOF0, 8-bit, Huffman, 1 or 3 components,
+sampling factors up to 2×2 incl. 4:2:0, restart markers), and
+``encode_jpeg`` produces standard-conformant 4:4:4 baseline files with
+the Annex K quantization/Huffman tables, so any third-party decoder can
+read them and the round trip is self-checking.
+
+Scale shape: the codec runs per-payload inside the Arrow-batched
+``mapInPandas`` slot (`multimodal.decode_image`) — the per-image work is
+numpy-vectorized (matrix DCT over all blocks at once; the only Python
+loop is the Huffman entropy coder, which is linear in coefficient
+count). Production deployments still prefer Pillow/libjpeg-turbo for
+raw throughput when present — this module removes the *correctness*
+dependency, not the fast path.
+
+Reference scope: the Kafka connector has no media codecs (SURVEY §2.A
+ends at Avro/JSON/Arrow); this is part of the beyond-parity multimodal
+surface. Format per ITU-T T.81 (JPEG) + JFIF; tables from Annex K.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import CodecError
+
+# ---------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+_STD_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+_STD_CHR_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# zigzag[i] = block index (row-major) of the i-th coefficient in zigzag order
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUM_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHR_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(spec):
+    """Canonical Huffman: (BITS, HUFFVAL) → {symbol: (code, length)}."""
+    bits, vals = spec
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(spec):
+    """Canonical Huffman: (BITS, HUFFVAL) → {(length, code): symbol}."""
+    bits, vals = spec
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# Orthonormal DCT-II basis (8-point)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    _a = np.sqrt(0.125) if _k == 0 else np.sqrt(0.25)
+    for _n in range(8):
+        _C[_k, _n] = _a * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _dct2(blocks: np.ndarray) -> np.ndarray:
+    """(N,8,8) spatial → (N,8,8) DCT coefficients."""
+    return np.einsum("kn,bnm,lm->bkl", _C, blocks, _C, optimize=True)
+
+
+def _idct2(coefs: np.ndarray) -> np.ndarray:
+    """(N,8,8) DCT coefficients → (N,8,8) spatial (B = Cᵀ F C)."""
+    return np.einsum("kn,bkl,lm->bnm", _C, coefs, _C, optimize=True)
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+class _BitReader:
+    """Reads entropy-coded bits, un-stuffing FF00 and stopping at any
+    other marker (position of which is exposed via ``marker``)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise CodecError("truncated JPEG entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                # restart marker — consumed by the caller via sync()
+                self.marker = nxt
+                raise _RestartPending()
+            else:
+                self.marker = nxt
+                raise CodecError("marker inside entropy stream")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Skip to just past the next RSTn marker; clears bit state."""
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos = p + 2
+                self.acc = 0
+                self.nbits = 0
+                self.marker = None
+                return
+            p += 1
+        raise CodecError("expected JPEG restart marker")
+
+
+class _RestartPending(Exception):
+    pass
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG signed-magnitude DIFF decode (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Encoder (baseline, 4:4:4, single interleaved scan)
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
+    y = arr[:, :, 0]
+    cb = arr[:, :, 1] - 128.0
+    cr = arr[:, :, 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H,W) with H,W % 8 == 0 → (n_v, n_h, 8, 8) → (N,8,8) row-major."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _encode_blocks(writer, zz, dc_codes, ac_codes, pred):
+    """Entropy-code one component block (zigzag int array); returns new
+    DC predictor."""
+    dc = int(zz[0])
+    diff = dc - pred
+    size = _category(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        v = diff if diff >= 0 else diff + (1 << size) - 1
+        writer.write(v, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        bits = v if v >= 0 else v + (1 << size) - 1
+        writer.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 1|3) uint8 → baseline JFIF bytes (Annex K tables,
+    quality-scaled quantization). ``subsample`` is '4:4:4' or '4:2:0'
+    (3-component only; chroma 2×2 box-averaged). ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every N MCUs."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise CodecError(f"encode_jpeg expects (h,w,1|3), got {arr.shape}")
+    h, w, ncomp = arr.shape
+    if h == 0 or w == 0:
+        raise CodecError("empty image")
+    if subsample not in ("4:4:4", "4:2:0"):
+        raise CodecError(f"unsupported subsampling {subsample!r}")
+    sub420 = subsample == "4:2:0" and ncomp == 3
+    qlum = _quality_scale(_STD_LUM_Q, quality)
+    qchr = _quality_scale(_STD_CHR_Q, quality)
+
+    # MCU geometry: (h_i, v_i) per component
+    if ncomp == 1:
+        samp = [(1, 1)]
+    elif sub420:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    if ncomp == 3:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+        qtabs = [qlum, qchr, qchr]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        qtabs = [qlum]
+
+    # per-component quantized-zigzag block grids, shape (bh, bw, 64)
+    grids = []
+    for (hi, vi), plane, q in zip(samp, planes, qtabs):
+        if sub420 and (hi, vi) == (1, 1):
+            # chroma: pad to even dims, then 2×2 box average
+            ph0 = -(-plane.shape[0] // 2) * 2
+            pw0 = -(-plane.shape[1] // 2) * 2
+            p = np.pad(
+                plane,
+                ((0, ph0 - plane.shape[0]), (0, pw0 - plane.shape[1])),
+                mode="edge",
+            )
+            plane = p.reshape(ph0 // 2, 2, pw0 // 2, 2).mean(axis=(1, 3))
+        bh = mcus_y * vi
+        bw = mcus_x * hi
+        padded = np.pad(
+            plane,
+            ((0, bh * 8 - plane.shape[0]), (0, bw * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        coefs = _dct2(_blockify(padded) - 128.0)
+        qmat = q.reshape(8, 8).astype(np.float64)
+        quant = np.round(coefs / qmat).astype(np.int32)
+        grids.append(quant.reshape(bh, bw, 64)[:, :, _ZIGZAG])
+
+    dc_lum = _huff_codes(_DC_LUM_SPEC)
+    ac_lum = _huff_codes(_AC_LUM_SPEC)
+    dc_chr = _huff_codes(_DC_CHR_SPEC)
+    ac_chr = _huff_codes(_AC_CHR_SPEC)
+    tables = [
+        (dc_lum, ac_lum) if ci == 0 else (dc_chr, ac_chr)
+        for ci in range(ncomp)
+    ]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    ntab = 1 if ncomp == 1 else 2
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65 * ntab)
+    out += b"\x00" + bytes(int(qlum[z]) for z in _ZIGZAG)
+    if ntab == 2:
+        out += b"\x01" + bytes(int(qchr[z]) for z in _ZIGZAG)
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
+    out += struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hv = (samp[ci][0] << 4) | samp[ci][1]
+        out += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+
+    def dht(cls, tid, spec):
+        bits, vals = spec
+        seg = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+
+    out += dht(0, 0, _DC_LUM_SPEC) + dht(1, 0, _AC_LUM_SPEC)
+    if ncomp == 3:
+        out += dht(0, 1, _DC_CHR_SPEC) + dht(1, 1, _AC_CHR_SPEC)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp])
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()
+                out += writer.out
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                writer = _BitWriter()
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = grids[ci][my * vi + by, mx * hi + bx]
+                        preds[ci] = _encode_blocks(
+                            writer, zz, tables[ci][0], tables[ci][1], preds[ci]
+                        )
+            mcu_count += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder (baseline sequential, sampling factors ≤ 2×2, restart markers)
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w, 1|3) uint8. Progressive (SOF2), arithmetic
+    coding, 12-bit precision, and sampling factors > 2 raise CodecError.
+    All corrupt-payload failures surface as CodecError (the mapInPandas
+    per-row handler depends on it — same contract as decode_png)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except CodecError:
+        raise
+    except (IndexError, ValueError, KeyError, struct.error, ZeroDivisionError) as e:
+        raise CodecError(f"corrupt JPEG payload: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"\xff\xd8":
+        raise CodecError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise CodecError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise CodecError("JPEG without scan data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise CodecError("16-bit quant tables not supported")
+                tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(
+                    np.int32
+                )
+                full = np.zeros(64, dtype=np.int32)
+                full[_ZIGZAG] = tbl
+                qtabs[tq] = full
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                table = _huff_decode_table((bits, vals))
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise CodecError(f"unsupported precision {precision}")
+            fh, fw = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise CodecError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise CodecError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise CodecError(f"scan references unknown component {cs}")
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            return _decode_scan(
+                payload, pos + seglen, frame, scan, qtabs, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += seglen
+    raise CodecError("truncated JPEG (no SOS)")
+
+
+def _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interval):
+    h, w = frame["h"], frame["w"]
+    if h == 0 or w == 0:
+        raise CodecError("zero-dimension JPEG")
+    comps = [c for c, _, _ in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise CodecError(f"unsupported sampling {hmax}x{vmax}")
+    for c in comps:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            raise CodecError("unsupported per-component sampling")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component coefficient planes (in blocks)
+    planes = []
+    for c in comps:
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
+
+    def read_block(reader, dc_table, ac_table, pred):
+        sym = _read_huff(reader, dc_table)
+        diff = _extend(reader.receive(sym), sym) if sym else 0
+        dc = pred + diff
+        zz = np.zeros(64, dtype=np.int32)
+        zz[0] = dc
+        k = 1
+        while k < 64:
+            sym = _read_huff(reader, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k >= 64 or size == 0:
+                raise CodecError("AC coefficient index out of range")
+            zz[k] = _extend(reader.receive(size), size)
+            k += 1
+        return zz, dc
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                preds = [0] * len(comps)
+            try:
+                for ci, (c, td, ta) in enumerate(scan):
+                    q = qtabs.get(c["tq"])
+                    if q is None:
+                        raise CodecError(f"missing quant table {c['tq']}")
+                    dct = huff_dc.get(td)
+                    act = huff_ac.get(ta)
+                    if dct is None or act is None:
+                        raise CodecError("missing Huffman table")
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz, preds[ci] = read_block(reader, dct, act, preds[ci])
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[_ZIGZAG] = zz * q[_ZIGZAG]
+                            block = _idct2(coef.reshape(1, 8, 8))[0] + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            except _RestartPending:
+                raise CodecError("unexpected restart marker")
+            mcu_count += 1
+
+    # upsample + crop
+    out_planes = []
+    for c, plane in zip(comps, planes):
+        ry = vmax // c["v"]
+        rx = hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        img = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return img[:, :, None]
+    ycc = np.stack(out_planes, axis=-1)
+    rgb = _ycbcr_to_rgb(ycc)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _read_huff(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise CodecError("invalid Huffman code")

@@ -1775,6 +1775,79 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JPEG encode→decode pipeline (real baseline codec, no Pillow)
+# ---------------------------------------------------------------------------
+
+JPEG_MOD = 50  # one synthetic image per JPEG_MOD-th document
+
+
+@register(
+    "jpeg_roundtrip_pipeline",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(16 + (doc_id % 5) * 8) AS BIGINT) AS w_sum,
+           CAST(sum(16 + (doc_id % 3) * 8) AS BIGINT) AS h_sum,
+           CAST(count(*) * 3 AS BIGINT) AS ch_sum
+    FROM documents WHERE doc_id % {JPEG_MOD} = 0
+    """,
+    "JPEG pipeline e2e: deterministic synthetic images encoded to real "
+    "baseline JPEG (4:4:4 and 4:2:0 alternating) and decoded back "
+    "through the Arrow-batched decode_image slot — dims must survive "
+    "the lossy round trip exactly (numpy codec, no Pillow)",
+)
+def jpeg_roundtrip_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two designed Python boundaries (encode, decode), both Arrow-
+    batched mapInPandas over narrow frames — the webdataset_roundtrip
+    shape. The decoded WIDTH/HEIGHT equal the synthesized dims exactly
+    (JPEG is lossy in pixels, exact in geometry), so the oracle is the
+    closed-form dims sum over the same doc_id arithmetic. A payload the
+    decoder rejects would surface as a NULL row and fail the count."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators import multimodal
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % JPEG_MOD == 0)
+        .select("doc_id")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                h = 16 + int(doc_id) % 3 * 8
+                w = 16 + int(doc_id) % 5 * 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = 128 + 90 * np.sin((yy + int(doc_id) % 7) / 9.0) * np.cos(
+                    xx / 11.0
+                )
+                img = np.stack(
+                    [np.clip(base + 15 * c, 0, 255) for c in range(3)], axis=-1
+                ).astype(np.uint8)
+                sub = "4:2:0" if int(doc_id) % 2 else "4:4:4"
+                payloads.append(encode_jpeg(img, quality=88, subsample=sub))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "data": payloads}
+            )
+
+    media = docs.mapInPandas(encode, "media_id long, data binary")
+    dec = multimodal.decode_image(media)
+    return dec.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("width").alias("w_sum"),
+        F.sum("height").alias("h_sum"),
+        F.sum("channels").alias("ch_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Predicate UPDATE over the lake table
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,125 @@
+"""Baseline JPEG codec (operators/jpeg.py): encode→decode roundtrip
+across geometries/subsampling/restart intervals, standard conformance
+details (markers, tables), corrupt-payload CodecError contract, optional
+cross-check vs Pillow when present, and the Spark decode_image e2e."""
+
+import numpy as np
+import pytest
+
+from ducklake_kafka_connect_spark.operators import codecs, jpeg
+
+
+def _img(h, w, ch=3, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 100 * np.sin(yy / 11.0) * np.cos(xx / 13.0)
+    chans = [np.clip(base + 20 * c, 0, 255) for c in range(ch)]
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+def _psnr(a, b):
+    err = (a.astype(np.float64) - b.astype(np.float64)) ** 2
+    return 10 * np.log10(255**2 / max(1e-9, err.mean()))
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize(
+        "h,w,ch,sub,ri",
+        [
+            (64, 64, 3, "4:4:4", 0),
+            (64, 64, 3, "4:2:0", 0),
+            (33, 41, 3, "4:2:0", 0),
+            (64, 64, 3, "4:2:0", 3),
+            (48, 32, 3, "4:4:4", 2),
+            (17, 9, 3, "4:2:0", 1),
+            (64, 64, 1, "4:4:4", 0),
+            (8, 8, 1, "4:4:4", 0),
+        ],
+    )
+    def test_psnr_and_shape(self, h, w, ch, sub, ri):
+        img = _img(h, w, ch)
+        payload = jpeg.encode_jpeg(
+            img, quality=90, subsample=sub, restart_interval=ri
+        )
+        out = jpeg.decode_jpeg(payload)
+        assert out.shape == (h, w, ch)
+        assert _psnr(out, img) > 30
+
+    def test_quality_monotone(self):
+        img = _img(40, 40)
+        lo = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=20))
+        hi = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+        assert _psnr(hi, img) > _psnr(lo, img)
+        assert len(jpeg.encode_jpeg(img, quality=20)) < len(
+            jpeg.encode_jpeg(img, quality=95)
+        )
+
+    def test_flat_color_nearly_exact(self):
+        img = np.full((16, 16, 3), [200, 30, 90], dtype=np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    def test_conformance_markers(self):
+        payload = jpeg.encode_jpeg(_img(16, 16), subsample="4:2:0")
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        assert payload[2:4] == b"\xff\xe0" and payload[6:11] == b"JFIF\x00"
+        # SOF0 present, SOF2 absent
+        assert b"\xff\xc0" in payload and b"\xff\xc2" not in payload
+
+
+class TestErrors:
+    def test_corrupt_payloads_raise_codec_error(self):
+        ok = jpeg.encode_jpeg(_img(24, 24))
+        bad = [
+            ok[:40],                      # truncated mid-headers
+            ok[:-20],                     # truncated entropy stream
+            b"\xff\xd8" + b"\x00" * 10,   # garbage after SOI
+            ok[:2] + b"\xff\xc2" + ok[4:],  # progressive SOF
+            b"not a jpeg",
+        ]
+        for payload in bad:
+            with pytest.raises(codecs.CodecError):
+                jpeg.decode_jpeg(payload)
+
+    def test_encode_rejects_bad_shapes(self):
+        with pytest.raises(codecs.CodecError):
+            jpeg.encode_jpeg(np.zeros((0, 4, 3), np.uint8))
+        with pytest.raises(codecs.CodecError):
+            jpeg.encode_jpeg(np.zeros((4, 4, 2), np.uint8))
+
+
+class TestDispatch:
+    def test_sniff_and_decode_image_array(self):
+        img = _img(20, 20)
+        payload = jpeg.encode_jpeg(img, quality=92)
+        assert codecs.sniff_format(payload) == "jpeg"
+        out = codecs.decode_image_array(payload)
+        assert out.shape == img.shape and _psnr(out, img) > 30
+
+
+def test_pillow_cross_check_if_available():
+    """When Pillow exists (not in this container), our encoder's output
+    must decode identically-shaped and visually equal there too."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = _img(32, 24)
+    payload = jpeg.encode_jpeg(img, quality=90, subsample="4:2:0")
+    with PIL.open(io.BytesIO(payload)) as im:
+        theirs = np.asarray(im.convert("RGB"))
+    assert theirs.shape == img.shape
+    assert _psnr(theirs, img) > 30
+
+
+def test_spark_decode_image_with_jpeg(spark):
+    """decode_image (mapInPandas) now handles JPEG without Pillow; a
+    corrupt JPEG yields a NULL row, not a dead task."""
+    from ducklake_kafka_connect_spark.operators import multimodal
+
+    img = _img(24, 16)
+    good = jpeg.encode_jpeg(img, quality=90)
+    rows = [(1, good), (2, good[:30]), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r["media_id"]: r for r in multimodal.decode_image(df).collect()}
+    assert out[1]["width"] == 16 and out[1]["height"] == 24
+    assert out[1]["channels"] == 3
+    assert out[2]["width"] is None and out[3]["width"] is None
