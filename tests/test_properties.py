@@ -62,6 +62,29 @@ def test_resize_shape_and_pixel_provenance(src, dst, seed):
     assert all(bytes(p) in src_px for p in out.reshape(-1, 3))
 
 
+@settings(max_examples=25, deadline=None)
+@given(dims, st.integers(0, 2**32 - 1), st.sampled_from([1, 3]),
+       st.sampled_from(["4:4:4", "4:2:0"]), st.sampled_from([0, 2]))
+def test_jpeg_roundtrip_any_shape(shape, seed, ch, sub, ri):
+    """JPEG is lossy in pixels but EXACT in geometry, and smooth inputs
+    must clear a PSNR floor at q90 for every shape/subsampling/restart
+    combination."""
+    from ducklake_kafka_connect_spark.operators import jpeg
+
+    h, w = shape
+    rng = np.random.RandomState(seed)
+    base = 128 + 80 * np.sin(np.add.outer(np.arange(h), np.arange(w)) / 7.0)
+    arr = np.stack(
+        [np.clip(base + rng.randint(-10, 10), 0, 255) for _ in range(ch)],
+        axis=-1,
+    ).astype(np.uint8)
+    payload = jpeg.encode_jpeg(arr, quality=90, subsample=sub, restart_interval=ri)
+    out = jpeg.decode_jpeg(payload)
+    assert out.shape == arr.shape
+    mse = ((out.astype(float) - arr.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(1e-9, mse)) > 28
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.binary(max_size=64))
 def test_codec_errors_never_crash(payload):
@@ -74,6 +97,19 @@ def test_codec_errors_never_crash(payload):
         except codecs.CodecError:
             pass
     codecs.sniff_format(payload)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=96))
+def test_jpeg_garbage_never_crashes(payload):
+    """Garbage after a JPEG SOI must raise CodecError, never a raw
+    IndexError/KeyError/struct.error from the bit/marker machinery."""
+    from ducklake_kafka_connect_spark.operators import jpeg
+
+    try:
+        jpeg.decode_jpeg(b"\xff\xd8" + payload)
+    except codecs.CodecError:
+        pass
 
 
 # --------------------------------------------------------------------------
