@@ -325,6 +325,76 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+DECODED_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), True),
+        T.StructField("frame_ts_ms", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+    ]
+)
+
+
+def decode_video_frames(
+    media: DataFrame, every_ms: int | None = None
+) -> DataFrame:
+    """REAL frame extraction for animated GIF payloads (`operators/
+    gif.py`, pure numpy LZW): one row per (sampled) frame with its
+    timestamp (cumulative delays) and a pixel checksum. ``every_ms``
+    keeps only the first frame at or after each sampling tick — the
+    frame-sample stage of a video-training pipeline, but on actual
+    pixels rather than metadata arithmetic. Non-GIF / corrupt payloads
+    yield a single NULL row per media_id (mapInPandas-safety contract:
+    one bad payload never kills the scan)."""
+    from . import gif as gif_codec
+    from .codecs import CodecError
+
+    narrow = media.select("media_id", "data")
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["data"]):
+                if payload is None:
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                try:
+                    frames, delays = gif_codec.decode_gif(bytes(payload))
+                except CodecError:
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                ts = 0
+                next_tick = 0
+                for fi in range(frames.shape[0]):
+                    take = every_ms is None or ts >= next_tick
+                    if take:
+                        h, w = frames.shape[1:3]
+                        rows.append(
+                            (
+                                media_id,
+                                fi,
+                                ts,
+                                w,
+                                h,
+                                int(frames[fi].sum()) % 1_000_003,
+                            )
+                        )
+                        if every_ms is not None:
+                            next_tick += every_ms
+                    ts += delays[fi]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_index", "frame_ts_ms",
+                    "width", "height", "pixel_sum",
+                ],
+            )
+
+    return narrow.mapInPandas(explode_frames, DECODED_FRAME_SCHEMA)
+
+
 def audio_stats_col(meta: Column) -> Column:
     """Fake audio stats from metadata (sample count at a nominal 16 kHz
     mono 8-bit): where soundfile would decode, this derives from bytes."""

@@ -1848,6 +1848,85 @@ def jpeg_roundtrip_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GIF frame sampling (real animated container, LZW codec)
+# ---------------------------------------------------------------------------
+
+GIF_MOD = 100  # one synthetic animation per GIF_MOD-th document
+
+
+@register(
+    "gif_frame_sampling",
+    f"""
+    WITH a AS (
+      SELECT doc_id, (2 + doc_id % 4 + 1) // 2 AS m
+      FROM documents WHERE doc_id % {GIF_MOD} = 0
+    )
+    SELECT CAST(sum(m) AS BIGINT) AS n_frames_sampled,
+           CAST(sum(50 * m * (m - 1)) AS BIGINT) AS ts_sum,
+           CAST(sum(m * 8) AS BIGINT) AS w_sum,
+           CAST(sum(m * (8 + (doc_id % 3) * 4)) AS BIGINT) AS h_sum
+    FROM a
+    """,
+    "Video-modality frame sampling e2e: deterministic synthetic GIF "
+    "animations (2-5 frames, 50 ms delays) decoded by the built-in LZW "
+    "codec and sampled every 100 ms in the Arrow-batched frame-explode "
+    "slot — sampled counts/timestamps/dims must match the closed-form "
+    "oracle exactly",
+)
+def gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-boundary shape as jpeg_roundtrip_pipeline (encode,
+    decode+sample — both Arrow-batched mapInPandas over narrow frames).
+    Frame geometry and timing are doc_id arithmetic, so the oracle is
+    closed-form: sampling every 100 ms over 50 ms-delay frames keeps
+    every other frame, m = ceil(n/2) of n = 2 + doc_id%4 frames. A
+    frame the decoder drops or mis-times breaks the sums."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators import multimodal
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % GIF_MOD == 0)
+        .select("doc_id")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.gif import encode_gif
+
+        pal = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+             [255, 255, 0], [0, 255, 255], [255, 0, 255], [255, 255, 255]],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 2 + d % 4
+                h = 8 + d % 3 * 4
+                w = 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = np.stack(
+                    [pal[(yy + xx + fi + d) % 8] for fi in range(n)]
+                )
+                payloads.append(encode_gif(frames, delays_ms=50))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": payloads})
+
+    media = docs.mapInPandas(encode, "media_id long, data binary")
+    frames = multimodal.decode_video_frames(media, every_ms=100)
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum("frame_ts_ms").alias("ts_sum"),
+        F.sum("width").cast("long").alias("w_sum"),
+        F.sum("height").cast("long").alias("h_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Predicate UPDATE over the lake table
 # ---------------------------------------------------------------------------
 
