@@ -343,6 +343,10 @@ SF1_QUERIES = [  # r3's 10 most expensive, cheap/stable first
     "table_profile_lineitem",
     "session_assembly",
     "ingest_replay_pipeline",
+    # round-7 additions: sparse retrieval (corpus shuffle + broadcast
+    # stats) and the gram-keyed novelty self-aggregation
+    "bm25_retrieval_topk",
+    "ngram_novelty_curve",
 ]
 # >12x wall on 10x data (the VERDICT gate) earns a plan note
 SF1_RATIO_FLAG = 12.0
