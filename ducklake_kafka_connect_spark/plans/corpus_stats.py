@@ -1848,6 +1848,72 @@ def jpeg_roundtrip_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WAV audio stats (real PCM decode — completes the modality trio)
+# ---------------------------------------------------------------------------
+
+WAV_MOD = 100
+
+
+@register(
+    "wav_audio_stats",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(500 + doc_id % 250) AS BIGINT) AS frames_sum,
+           CAST(sum(8000 + (doc_id % 3) * 4000) AS BIGINT) AS rate_sum,
+           CAST(sum(1 + doc_id % 2) AS BIGINT) AS ch_sum
+    FROM documents WHERE doc_id % {WAV_MOD} = 0
+    """,
+    "Audio-modality decode e2e: deterministic synthetic PCM WAV clips "
+    "(varying rate/channels/length by doc_id) decoded through the "
+    "Arrow-batched decode_audio slot — framing stats must match the "
+    "closed-form oracle exactly (stdlib wave + numpy, no soundfile)",
+)
+def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-boundary shape as jpeg_roundtrip_pipeline /
+    gif_frame_sampling: encode and decode are Arrow-batched mapInPandas
+    over narrow frames; WAV framing (rate, channels, frame count)
+    survives the PCM round trip exactly, so the oracle is the doc_id
+    arithmetic that generated the clips."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators import multimodal
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % WAV_MOD == 0)
+        .select("doc_id")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 500 + d % 250
+                rate = 8000 + (d % 3) * 4000
+                ch = 1 + d % 2
+                t = np.arange(n * ch, dtype=np.int64).reshape(n, ch)
+                samples = ((t * (d % 7 + 1)) % 4096 - 2048).astype(np.int16)
+                payloads.append(encode_wav(samples, rate=rate))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": payloads})
+
+    media = docs.mapInPandas(encode, "media_id long, data binary")
+    dec = multimodal.decode_audio(media)
+    return dec.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_frames").alias("frames_sum"),
+        F.sum("sample_rate").cast("long").alias("rate_sum"),
+        F.sum("n_channels").cast("long").alias("ch_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # GIF frame sampling (real animated container, LZW codec)
 # ---------------------------------------------------------------------------
 
