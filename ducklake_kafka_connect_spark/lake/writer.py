@@ -1279,7 +1279,18 @@ class LakeWriter:
         # shuffle across cores wins there (measured at the 1M-row sf1
         # rehearsal: 1.65 s serial vs 1.32 s distributed, and the
         # multi-file output reads back faster too).
+        # Gate on table AND batch size (mirrors the + n_src term in the
+        # pruning path's gate): a huge batch into a small table must not
+        # serial-sort the whole union in one task. No planning job here,
+        # so the batch side comes from the optimizer's size estimate.
         est_rows = self._est_rewrite_rows(manifest, manifest.all_files())
+        try:
+            batch_bytes = int(
+                raw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            est_rows += batch_bytes // EST_ROW_BYTES
+        except Exception:
+            pass
         merged = _window_merge(
             target, raw, self.pk, out_cols, order_col, dead_col=tombstone_col,
             single_partition=est_rows <= SMALL_MERGE_SINGLE_TASK_ROWS,
@@ -1605,7 +1616,8 @@ class LakeWriter:
                         )
                         out_tbl = out_tbl.take(order)
                         n_files = min(
-                            16, -(-n_rows // MERGE_TARGET_FILE_ROWS)
+                            MERGE_RANGE_MAX_FILES,
+                            -(-n_rows // MERGE_TARGET_FILE_ROWS),
                         )
                         step = -(-n_rows // n_files)
                         slices = [

@@ -55,10 +55,16 @@ def _decode_gif_impl(payload: bytes):
     frames: list[np.ndarray] = []
     delays: list[int] = []
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    # "Restore to background" (disposal 2) fills the frame region with the
+    # logical screen's declared background color; black when the header
+    # names no usable palette entry.
+    if gct is not None and _bg < len(gct):
+        bg_rgb = gct[_bg]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
     transparent = None
     delay_ms = 0
     disposal = 0
-    prev_canvas = None
 
     while pos < len(payload):
         block = payload[pos]
@@ -123,12 +129,11 @@ def _decode_gif_impl(payload: bytes):
                 idx = out
             if int(idx.max(initial=0)) >= len(table):
                 raise CodecError("GIF pixel index beyond palette")
-            if disposal == 3 and prev_canvas is not None:
-                base = prev_canvas.copy()
-            else:
-                base = canvas.copy()
-            prev_canvas = canvas.copy()
-            region = base[it : it + ih, il : il + iw]
+            # Disposal applies AFTER the frame carrying the GCE is shown
+            # (GIF89a spec 23.c): render onto the live canvas, emit the
+            # composite, THEN dispose to prepare the next frame's base.
+            before = canvas.copy()
+            region = canvas[it : it + ih, il : il + iw]
             if region.shape[:2] != (ih, iw):
                 raise CodecError("GIF frame region outside canvas")
             rgb = table[idx]
@@ -137,14 +142,12 @@ def _decode_gif_impl(payload: bytes):
                 region[mask] = rgb[mask]
             else:
                 region[:] = rgb
-            base[it : it + ih, il : il + iw] = region
-            frames.append(base)
+            frames.append(canvas.copy())
             delays.append(delay_ms)
-            if disposal == 2:  # restore to background: clear the region
-                canvas = base.copy()
-                canvas[it : it + ih, il : il + iw] = 0
-            else:
-                canvas = base
+            if disposal == 2:  # restore to background color
+                canvas[it : it + ih, il : il + iw] = bg_rgb
+            elif disposal == 3:  # restore to previous: pre-frame canvas
+                canvas = before
             transparent = None
             delay_ms = 0
             disposal = 0

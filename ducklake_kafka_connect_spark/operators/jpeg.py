@@ -523,6 +523,10 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise CodecError(f"expected marker at {pos}")
+        # Any number of 0xFF fill bytes may pad the space before a
+        # marker code (ITU-T T.81 B.1.1.2) — skip to the last 0xFF.
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS
@@ -575,6 +579,16 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise CodecError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # Baseline allows one scan per component
+                # (non-interleaved); this decoder handles only the
+                # single fully-interleaved scan — refuse loudly rather
+                # than silently returning the first component alone.
+                raise CodecError(
+                    f"non-interleaved JPEG ({ns} of "
+                    f"{len(frame['comps'])} components in scan) not "
+                    "supported"
+                )
             scan = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si : 3 + 2 * si]

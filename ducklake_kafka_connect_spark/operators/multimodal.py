@@ -382,7 +382,12 @@ def decode_video_frames(
                             )
                         )
                         if every_ms is not None:
-                            next_tick += every_ms
+                            # Next tick is the first grid point STRICTLY
+                            # after this frame's timestamp — a frame
+                            # whose delay spans several ticks must not
+                            # cause later frames to be taken for ticks
+                            # that frame already covered.
+                            next_tick = (ts // every_ms + 1) * every_ms
                     ts += delays[fi]
             yield pd.DataFrame(
                 rows,

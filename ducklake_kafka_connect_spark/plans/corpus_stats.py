@@ -1424,35 +1424,6 @@ EMB_OUT_DIM = 64
 EMB_OUT_K = 3  # dist > median + 3*MAD → outlier
 
 
-def _median_over_label(df: DataFrame, value_col: str, cnt_col: str, out_col: str):
-    """Exact weighted median as INLINE window expressions — no separate
-    aggregate frame, no join back. Matches sort-based median semantics
-    (even counts average the two middle values, the DuckDB/Spark
-    `median` contract): the lower/upper middle are the smallest values
-    whose cumulative count reaches floor((n+1)/2) and floor(n/2)+1.
-    Returns df + [_n, out_col]. One sort per call (the window's
-    orderBy); ties need no pre-grouping — a cumulative row frame over
-    tied values still yields the correct smallest-qualifying value."""
-    from pyspark.sql import Window
-
-    w_lbl = Window.partitionBy("label")
-    w_cum = (
-        Window.partitionBy("label")
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = F.sum(cnt_col).over(w_cum)
-    n = F.sum(cnt_col).over(w_lbl)
-    df = df.withColumn("_cum", cum).withColumn("_n", n)
-    lo_pos = F.floor((F.col("_n") + 1) / 2)
-    up_pos = F.floor(F.col("_n") / 2) + 1
-    med = (
-        F.min(F.when(F.col("_cum") >= lo_pos, F.col(value_col))).over(w_lbl)
-        + F.min(F.when(F.col("_cum") >= up_pos, F.col(value_col))).over(w_lbl)
-    ) / 2.0
-    return df.withColumn(out_col, med).drop("_cum")
-
-
 @register(
     "embedding_outlier_mad",
     f"""

@@ -82,3 +82,96 @@ def test_spark_decode_video_frames(spark):
         df.filter("media_id = 1"), every_ms=200
     ).collect()
     assert sorted(r["frame_ts_ms"] for r in sampled) == [0, 200, 400]
+
+
+class TestDisposal:
+    """Hand-built GIFs with explicit disposal methods (the encoder only
+    writes disposal 0, so these payloads are constructed directly)."""
+
+    @staticmethod
+    def _build(w, h, pal, frames, bg=0):
+        """frames: [(left, top, idx2d, disposal, delay_ms)] → GIF bytes."""
+        import struct
+
+        depth = max(2, int(np.ceil(np.log2(max(2, len(pal))))))
+        size = 1 << depth
+        p = np.zeros((size, 3), np.uint8)
+        p[: len(pal)] = pal
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), bg, 0)
+        out += p.tobytes()
+        for il, it, idx, disposal, delay in frames:
+            out += b"\x21\xf9\x04"
+            out += bytes([(disposal & 7) << 2])
+            out += struct.pack("<H", delay // 10) + b"\x00\x00"
+            ih, iw = idx.shape
+            out += b"\x2c" + struct.pack("<HHHHB", il, it, iw, ih, 0)
+            min_code = max(2, depth)
+            out += bytes([min_code])
+            lzw = gif._lzw_encode(idx.astype(np.int32), min_code)
+            for off in range(0, len(lzw), 255):
+                chunk = lzw[off : off + 255]
+                out += bytes([len(chunk)]) + chunk
+            out += b"\x00"
+        out += b"\x3b"
+        return bytes(out)
+
+    PAL = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], np.uint8)
+
+    def test_restore_to_previous_applies_after_frame(self):
+        # frame1 = all red, disposal 3 ("restore to previous"); frame2 =
+        # 2x2 green patch. Spec: frame2 composites onto the PRE-frame1
+        # canvas (black) — red must not leak into frame2.
+        payload = self._build(
+            4, 4, self.PAL,
+            [
+                (0, 0, np.full((4, 4), 1), 3, 100),
+                (1, 1, np.full((2, 2), 2), 0, 100),
+            ],
+        )
+        dec, _ = gif.decode_gif(payload)
+        assert np.array_equal(dec[0], np.tile(self.PAL[1], (4, 4, 1)))
+        assert np.array_equal(dec[1][1, 1], self.PAL[2])  # green patch
+        assert np.array_equal(dec[1][3, 3], self.PAL[0])  # black, not red
+
+    def test_restore_to_background_uses_declared_color(self):
+        # background index 1 (red); frame1 = all green, disposal 2;
+        # frame2 = 1x1 black dot. The disposed region must be RED (the
+        # declared background color), not cleared to black.
+        payload = self._build(
+            4, 4, self.PAL,
+            [
+                (0, 0, np.full((4, 4), 2), 2, 100),
+                (0, 0, np.full((1, 1), 0), 0, 100),
+            ],
+            bg=1,
+        )
+        dec, _ = gif.decode_gif(payload)
+        assert np.array_equal(dec[0], np.tile(self.PAL[2], (4, 4, 1)))
+        assert np.array_equal(dec[1][0, 0], self.PAL[0])  # the dot
+        assert np.array_equal(dec[1][3, 3], self.PAL[1])  # red background
+
+    def test_disposal_none_keeps_composite(self):
+        payload = self._build(
+            4, 4, self.PAL,
+            [
+                (0, 0, np.full((4, 4), 1), 0, 100),
+                (1, 1, np.full((2, 2), 2), 0, 100),
+            ],
+        )
+        dec, _ = gif.decode_gif(payload)
+        assert np.array_equal(dec[1][3, 3], self.PAL[1])  # red persists
+
+
+def test_spark_sampling_multi_tick_delay(spark):
+    """A frame whose delay spans several sampling ticks must not cause
+    every following frame to be taken for the ticks it already covered:
+    ticks are a fixed grid, 'first frame at or after each tick'."""
+    from ducklake_kafka_connect_spark.operators import multimodal
+
+    payload = gif.encode_gif(_anim(4), delays_ms=[500, 10, 10, 10])
+    df = spark.createDataFrame([(1, payload)], "media_id long, data binary")
+    out = multimodal.decode_video_frames(df, every_ms=100).collect()
+    # frames at ts 0,500,510,520; grid 0,100,...: frame0 covers tick 0,
+    # frame1 (ts 500) covers tick 500; next tick 600 > all later frames.
+    assert sorted(r["frame_index"] for r in out) == [0, 1]

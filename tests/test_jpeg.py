@@ -123,3 +123,30 @@ def test_spark_decode_image_with_jpeg(spark):
     assert out[1]["width"] == 16 and out[1]["height"] == 24
     assert out[1]["channels"] == 3
     assert out[2]["width"] is None and out[3]["width"] is None
+
+
+class TestConformanceEdges:
+    def test_fill_bytes_before_marker_tolerated(self):
+        # ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+        # a marker code. Pad the DQT marker and expect identical pixels.
+        img = _img(24, 16)
+        payload = jpeg.encode_jpeg(img)
+        i = payload.index(b"\xff\xdb")
+        padded = payload[:i] + b"\xff\xff" + payload[i:]
+        assert np.array_equal(jpeg.decode_jpeg(padded), jpeg.decode_jpeg(payload))
+
+    def test_non_interleaved_scan_raises_not_misdecodes(self):
+        # A color SOF with a single-component SOS (legal baseline,
+        # non-interleaved) must raise CodecError — not silently return a
+        # 1-channel image with a wrong byte_sum.
+        payload = jpeg.encode_jpeg(_img(16, 16))
+        i = payload.index(b"\xff\xda")
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        entropy = payload[i + 2 + seglen :]
+        # rebuild SOS with ns=1, component id/tables from the original
+        orig = payload[i + 4 :]
+        ns, c1, t1 = orig[0], orig[1], orig[2]
+        assert ns == 3
+        sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, c1, t1, 0, 63, 0])
+        with pytest.raises(codecs.CodecError, match="non-interleaved"):
+            jpeg.decode_jpeg(payload[:i] + sos + entropy)
