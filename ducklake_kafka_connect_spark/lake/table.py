@@ -170,7 +170,16 @@ def _make_delta(parent: Manifest, child: Manifest) -> dict:
         if removed:
             remove[part] = removed
     added_flat = {f for fs in add.values() for f in fs}
-    stats_add = {f: s for f, s in child.file_stats.items() if f in added_flat}
+    # Stats travel for added files AND for retained files whose stats
+    # object changed (metadata-only ops like drop_column strip columns
+    # from every file's stats without touching the file sets — a delta
+    # that only carried added-file stats would silently resurrect the
+    # parent's stats on resolution).
+    stats_add = {
+        f: s
+        for f, s in child.file_stats.items()
+        if f in added_flat or parent.file_stats.get(f) != s
+    }
     return {
         "delta": True,
         "version": child.version,
@@ -517,6 +526,18 @@ class LakeTable:
         os.makedirs(self.meta_dir, exist_ok=True)
         return TableLock(os.path.join(self.meta_dir, "LOCK"))
 
+    def _write_segment_atomic(self, path: str, payload: "bytes | str") -> None:
+        """tmp + os.replace, like LATEST/refs: a crash mid-write must
+        never leave a partial v{N} segment — has_version(N) would see
+        the orphan and every later commit planning version N would raise
+        CommitConflict forever (and time-travel readers of N would get
+        parse errors instead of clean not-found)."""
+        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+        mode = "wb" if isinstance(payload, bytes) else "w"
+        with open(tmp, mode) as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
     def _commit(self, manifest: Manifest, parent_manifest: Manifest | None = None) -> None:
         """Commit a new version, then atomically flip LATEST (rename is
         the txn).
@@ -542,21 +563,19 @@ class LakeTable:
             d = _make_delta(parent_manifest, manifest)
             if binary:
                 dpath = os.path.join(self.meta_dir, f"v{manifest.version}.delta.avro")
-                with open(dpath, "wb") as f:
-                    f.write(encode_segment_binary(d))
+                payload: bytes | str = encode_segment_binary(d)
             else:
                 dpath = os.path.join(self.meta_dir, f"v{manifest.version}.delta.json")
-                with open(dpath, "w") as f:
-                    f.write(json.dumps(d, indent=1))
+                payload = json.dumps(d, indent=1)
+            self._write_segment_atomic(dpath, payload)
         else:
             if binary:
                 mpath = os.path.join(self.meta_dir, f"v{manifest.version}.avro")
-                with open(mpath, "wb") as f:
-                    f.write(encode_segment_binary(manifest.to_dict()))
+                payload = encode_segment_binary(manifest.to_dict())
             else:
                 mpath = os.path.join(self.meta_dir, f"v{manifest.version}.json")
-                with open(mpath, "w") as f:
-                    f.write(manifest.to_json())
+                payload = manifest.to_json()
+            self._write_segment_atomic(mpath, payload)
         tmp = os.path.join(self.meta_dir, f".LATEST.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
             f.write(str(manifest.version))
@@ -666,8 +685,6 @@ class LakeTable:
         schema, the column simply stops being projected (time travel to
         older versions still sees it). Refuses PK, partition
         source/output, and system columns. Returns the new version."""
-        from ..schema.reconcile import INSERTED_AT
-
         with self.lock():
             m = self.manifest()
             if name not in m.schema.fieldNames():
@@ -760,7 +777,10 @@ class LakeTable:
         return T.StructType(fields)
 
     def prune_files(
-        self, predicate: str, version: int | None = None
+        self,
+        predicate: str,
+        version: int | None = None,
+        manifest: Manifest | None = None,
     ) -> tuple[list[str], int]:
         """Manifest-level data skipping: relative paths of files that may
         hold rows matching ``predicate``, plus how many were pruned.
@@ -771,7 +791,11 @@ class LakeTable:
         range stats could not eliminate)."""
         from .skipping import parse_conjuncts, prune_files as _prune
 
-        m = self.manifest(version)
+        # Accept an already-resolved manifest so callers holding a
+        # snapshot (read(where=...)) stay pinned to it — re-resolving
+        # LATEST here could see a concurrent commit and return a file
+        # list from a NEWER version than the schema the caller planned.
+        m = manifest if manifest is not None else self.manifest(version)
         kept, pruned = _prune(m.all_files(), m.file_stats, predicate)
         # Bloom sidecars hash the canonical str() of the STORED value, so a
         # probe is only sound when the literal's Python type matches the
@@ -839,7 +863,7 @@ class LakeTable:
         schema = self.read_schema(m)
         rel_files = m.all_files()
         if where is not None:
-            rel_files, _ = self.prune_files(where, version)
+            rel_files, _ = self.prune_files(where, manifest=m)
         files = [os.path.join(self.dir, p) for p in rel_files]
         if not files:
             df = self.spark.createDataFrame([], schema)
@@ -1340,8 +1364,22 @@ class LakeCatalog:
         plan pointers over the manifest's file list — registration is
         metadata-only; scans still go through pruning/pushdown exactly
         like ``LakeTable.read``.
+
+        Only tables the query (or ``versions``) actually references are
+        registered — a 50-table catalog must not pay 50 manifest chain
+        resolutions for a one-table SELECT, and unrelated temp views
+        sharing a table's name must not be clobbered. The reference test
+        is a word-boundary match on the SQL text: conservative (a name
+        in a string literal registers too), never under-registers.
         """
+        import re as _re
+
+        pinned = set(versions or {})
         for name in self.list_tables():
+            if name not in pinned and not _re.search(
+                rf"(?<![A-Za-z0-9_]){_re.escape(name)}(?![A-Za-z0-9_])", query
+            ):
+                continue
             df = self.table(name).read(
                 version=(versions or {}).get(name)
             )
