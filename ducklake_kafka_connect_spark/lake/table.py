@@ -1352,18 +1352,34 @@ class LakeCatalog:
             and os.path.exists(os.path.join(self.root, d, "_meta", "LATEST"))
         )
 
-    def sql(self, query: str, versions: dict[str, int] | None = None):
+    def sql(
+        self,
+        query: str,
+        versions: dict[str, int] | None = None,
+        where_hints: dict[str, str] | None = None,
+    ):
         """Run a Spark SQL string against the lake's tables.
 
-        Every committed table in the catalog is registered as a temp
-        view under its own name (the reference exposes tables to DuckDB
-        SQL as ``lake.main.<name>``; here Catalyst is the SQL engine —
-        `DucklakeTableManager.java:161-164` parity at the API level).
-        ``versions={"t": 3}`` pins a table to a committed snapshot, so
-        ``AS OF``-style time travel composes with plain SQL. Views are
-        plan pointers over the manifest's file list — registration is
-        metadata-only; scans still go through pruning/pushdown exactly
-        like ``LakeTable.read``.
+        Every committed table the query references is registered as a
+        temp view under its own name (the reference exposes tables to
+        DuckDB SQL as ``lake.main.<name>``; here Catalyst is the SQL
+        engine — `DucklakeTableManager.java:161-164` parity at the API
+        level). ``versions={"t": 3}`` pins a table to a committed
+        snapshot, so ``AS OF``-style time travel composes with plain
+        SQL.
+
+        Manifest-level file skipping applies to the SQL path too: the
+        statement's top-level WHERE conjuncts are attributed per table
+        (``lake/sql_prune.py``, conservative — any shape it cannot
+        prove is simply not pruned) and each view is registered over
+        the stat/Bloom-pruned file list via ``read(where=...)``, so a
+        selective point query opens the same file count through SQL as
+        through ``read(where=)``. ``where_hints={"t": "pk = 42"}``
+        overrides extraction for a table when the predicate is implied
+        by the query but not top-level (e.g. under an OR the caller
+        knows is exhaustive) — hints are trusted and applied as both a
+        prune AND a row filter on that view, so a hint NOT implied by
+        the query changes results; it is the caller's assertion.
 
         Only tables the query (or ``versions``) actually references are
         registered — a 50-table catalog must not pay 50 manifest chain
@@ -1374,14 +1390,33 @@ class LakeCatalog:
         """
         import re as _re
 
+        from .sql_prune import extract_table_predicates
+
         pinned = set(versions or {})
-        for name in self.list_tables():
-            if name not in pinned and not _re.search(
+        hints = dict(where_hints or {})
+        referenced = [
+            name
+            for name in self.list_tables()
+            if name in pinned
+            or name in hints
+            or _re.search(
                 rf"(?<![A-Za-z0-9_]){_re.escape(name)}(?![A-Za-z0-9_])", query
-            ):
-                continue
-            df = self.table(name).read(
-                version=(versions or {}).get(name)
+            )
+        ]
+        tables = {name: self.table(name) for name in referenced}
+        manifests = {
+            name: t.manifest((versions or {}).get(name))
+            for name, t in tables.items()
+        }
+        auto = extract_table_predicates(
+            query,
+            set(referenced),
+            {n: set(m.schema.fieldNames()) for n, m in manifests.items()},
+        )
+        for name, t in tables.items():
+            df = t.read(
+                version=(versions or {}).get(name),
+                where=hints.get(name, auto.get(name)),
             )
             df.createOrReplaceTempView(name)
         return self.spark.sql(query)
