@@ -123,3 +123,79 @@ def ingest_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_dlq"))
     )
     return final.crossJoin(F.broadcast(n_dlq))
+
+
+KEY_GATE = KEY_MOD // 2  # keys >= 250 violate the over-strict constraint
+
+
+@register(
+    "dlq_reprocess_pipeline",
+    f"""
+    WITH good AS (
+      SELECT event_id, event_id % {KEY_MOD} AS key_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_id % {CORRUPT_MOD} <> 0
+    ),
+    latest AS (
+      SELECT key_id, user_id, event_type, value_cents,
+             row_number() OVER (PARTITION BY key_id
+                                ORDER BY event_id DESC) AS rn
+      FROM good
+    )
+    SELECT key_id, user_id, event_type, value_cents,
+           (SELECT count(*) FROM events
+             WHERE event_id % {CORRUPT_MOD} = 0) AS n_residual
+    FROM latest WHERE rn = 1
+    """,
+    "Operational DLQ replay loop e2e: over-strict CHECK constraint DLQs "
+    f"every key >= {KEY_GATE}, the config is fixed, reprocess_dlq lands "
+    "them and swaps the DLQ to the still-corrupt residual — the final "
+    "table must equal a clean ingest (same oracle as "
+    "ingest_replay_pipeline), proving replay loses and duplicates "
+    "nothing",
+)
+def dlq_reprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's recovery loop (fix schema/config → replay the DLQ
+    topic) as an oracle-twinned query: ingest the replay frame under an
+    over-strict CHECK constraint (``key_id < KEY_GATE``) so every event
+    of the upper half of the key space routes to the DLQ, then
+    reprocess with the fixed (constraint-free) config. End state must be
+    byte-identical to a clean ingest — last-write-wins per key over all
+    non-corrupt events — with only the genuinely corrupt payloads left
+    as DLQ residual. Exercises: constraint routing, DLQ persistence,
+    JSON re-decode of serialized rejects, offset-ordered replay dedup,
+    idempotent merge, single-commit DLQ swap
+    (streaming/ingest.py::reprocess_dlq)."""
+    frame = build_replay_frame(spark, sf_dir)
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_dlqfix_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+
+    def spec(constraints):
+        return TableSpec(
+            id_columns=["key_id"], auto_create=True, format="json",
+            check_constraints=constraints,
+        )
+
+    strict = IngestConfig(
+        topic2table={"ev_a": "events_fixed", "ev_b": "events_fixed"},
+        tables={"events_fixed": spec({"key_gate": f"key_id < {KEY_GATE}"})},
+    )
+    IngestPipeline(cat, strict).process_batch(frame)
+    fixed = IngestConfig(
+        topic2table=strict.topic2table,
+        tables={"events_fixed": spec({})},
+    )
+    IngestPipeline(cat, fixed).reprocess_dlq("events_fixed")
+    final = (
+        cat.table("events_fixed")
+        .read()
+        .select("key_id", "user_id", "event_type", "value_cents")
+    )
+    n_residual = (
+        cat.table("events_fixed_dlq")
+        .read()
+        .agg(F.count("*").alias("n_residual"))
+    )
+    return final.crossJoin(F.broadcast(n_residual))

@@ -330,6 +330,134 @@ class IngestPipeline:
         )
         return decoded, bad
 
+    # -- DLQ reprocessing (operational replay loop) --
+
+    def reprocess_dlq(self, table: str) -> dict:
+        """Replay ``<table>_dlq`` through decode → constraint routing →
+        write, landing rows that now succeed and atomically swapping the
+        processed DLQ snapshot for the residual failures.
+
+        The reference's operational loop is "fix the schema/config, then
+        replay the DLQ topic through the connector"
+        (`EndToEndIntegrationTest.java` recovery story); with the DLQ as
+        a lake table the replay is a batch job over it. All DLQ
+        ``raw_value`` payloads are JSON text by construction — corrupt
+        source rows keep their original JSON, and constraint/reconcile
+        rejects are stored as ``to_json(struct(...))`` — so reprocessing
+        always decodes JSON, then applies the table's CURRENT spec
+        (constraints, pk, partitioning). Rows that fail again (still
+        corrupt, still conflicting) stay in the DLQ with a fresh error.
+
+        Exactly-once across crashes: the main-table write carries
+        ``txn=("dlq_reprocess:<t>", dlq_version)`` — a crash between the
+        write and the DLQ swap re-runs safely (the replayed write is
+        skipped at the marker, then the swap completes). The swap itself
+        is ONE manifest commit that drops exactly the processed
+        snapshot's files and adds the residual file, so DLQ rows
+        appended concurrently (files newer than the snapshot) are
+        untouched and a crash can never lose residuals to a
+        delete-then-append window."""
+        from ..lake.table import Manifest
+        from ..sources.json_decode import conflict_note
+
+        dlq_t = self.catalog.table(f"{table}{self.config.dlq_suffix}")
+        out = {"attempted": 0, "landed": 0, "residual": 0}
+        if not dlq_t.exists():
+            return out
+        snap = dlq_t.manifest()
+        rows = dlq_t.read(version=snap.version)
+        if "raw_value" not in rows.columns:
+            return {**out, "error": "DLQ table has no raw_value column"}
+        attempted = rows.count()
+        if attempted == 0:
+            return out
+        spec = self.config.spec_for(table)
+        conflicts: dict = {}
+        decoded = decode_json(
+            rows.select(F.col("raw_value").alias("value")),
+            value_col="value",
+            conflicts_out=conflicts,
+        )
+        good, bad = split_dlq(decoded, error_note=conflict_note(conflicts))
+        # constraint/reconcile DLQ rows serialize the transport `offset`
+        # into raw_value (it is dropped only after routing on first
+        # ingest), so the replay re-runs the offset-ordered last-write-
+        # wins dedup and then drops it — same contract as process_batch:
+        # deterministic winners, no transport column in the table schema
+        if "offset" in good.columns:
+            if spec.id_columns:
+                good = _dedup_last_wins(good, spec.id_columns, "offset")
+            good = good.drop("offset")
+        if spec.check_constraints:
+            good, bad = self._route_constraint_violations(good, bad, spec)
+        writer = LakeWriter(
+            self.catalog.table(table),
+            pk=spec.id_columns,
+            partition_by=spec.partition_by,
+            auto_create=spec.auto_create,
+            auto_compact=spec.inlining_rows is not None,
+        )
+        if not good.isEmpty():
+            try:
+                writer.write(good, txn=(f"dlq_reprocess:{table}", snap.version))
+            except ReconcileError as e:
+                # schema still conflicts: the batch stays in the DLQ with
+                # the enriched note (same contract as first ingest)
+                from ..schema.reconcile import enriched_reconcile_message
+
+                note = enriched_reconcile_message(e, good)
+                bad = bad.unionByName(
+                    good.select(
+                        F.to_json(F.struct(*good.columns)).alias("raw_value"),
+                        F.lit(f"reconcile_error: {note}").alias("error"),
+                        F.current_timestamp().alias("_dlq_at"),
+                    ),
+                    allowMissingColumns=True,
+                )
+        residual = bad.count()
+        with dlq_t.lock():
+            latest = dlq_t.manifest()
+            drop = set(snap.all_files()) & set(latest.all_files())
+            new_files: dict = {}
+            new_stats: dict = {}
+            if residual:
+                dlq_writer = LakeWriter(dlq_t, pk=[], auto_create=True)
+                prepared = dlq_writer._prepare_insert(bad, latest)
+                new_files, new_stats = dlq_t.write_data_files(
+                    prepared, latest.version + 1, layout="natural",
+                    manifest=latest,
+                )
+            files = {
+                k: [f for f in v if f not in drop]
+                for k, v in latest.files.items()
+            }
+            files = {k: v for k, v in files.items() if v}
+            for k, v in new_files.items():
+                files.setdefault(k, []).extend(v)
+            fstats = {
+                f: s for f, s in latest.file_stats.items() if f not in drop
+            }
+            fstats.update(new_stats)
+            dlq_t._commit(
+                Manifest(
+                    version=latest.version + 1,
+                    schema=latest.schema,
+                    pk=latest.pk,
+                    partition_spec=latest.partition_spec,
+                    files=files,
+                    parent=latest.version,
+                    props={**latest.props, "last_op": "DLQ_REPROCESS"},
+                    file_stats=fstats,
+                ),
+                parent_manifest=latest,
+            )
+        return {
+            "attempted": attempted,
+            "landed": attempted - residual,
+            "residual": residual,
+            "dlq_version": latest.version + 1,
+        }
+
     # -- streaming wiring --
 
     def start(
