@@ -13,15 +13,17 @@ uncompressed media:
   stdlib ``zlib`` inflate + numpy row unfiltering (all five filter
   types) — a real COMPRESSED format with zero third-party deps.
 
-- **JPEG** (baseline sequential SOF0, Huffman, sampling ≤2×2 incl.
-  4:2:0, restart markers): ``operators/jpeg.py`` — matrix DCT over all
-  blocks, canonical Huffman entropy coder, Annex K tables; both
-  directions, standard-conformant output.
+- **JPEG** (baseline sequential SOF0 AND progressive SOF2 — spectral
+  selection, successive approximation, EOB runs — Huffman, sampling
+  ≤2×2 incl. 4:2:0, restart markers): ``operators/jpeg.py`` — matrix
+  DCT over all blocks, canonical Huffman entropy coder, Annex K tables
+  (per-scan optimal tables for progressive); both directions,
+  standard-conformant output.
 
-Remaining variants (progressive/arithmetic JPEG, 12-bit precision,
-16-bit or Adam7 PNG, FLAC/…) still require Pillow/soundfile and stay
-behind the import-try gate in ``multimodal.py`` — ``sniff_format``
-tells callers which path a payload needs. Resize is nearest-neighbor
+Remaining variants (arithmetic-coded JPEG, 12-bit precision, 16-bit or
+Adam7 PNG, FLAC/…) still require Pillow/soundfile and stay behind the
+import-try gate in ``multimodal.py`` — ``sniff_format`` tells callers
+which path a payload needs. Resize is nearest-neighbor
 index sampling (the deterministic choice: no filter kernels to disagree
 about).
 """

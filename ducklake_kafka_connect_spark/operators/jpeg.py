@@ -363,11 +363,19 @@ def encode_jpeg(
     quality: int = 85,
     subsample: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """(h, w, 1|3) uint8 → baseline JFIF bytes (Annex K tables,
     quality-scaled quantization). ``subsample`` is '4:4:4' or '4:2:0'
     (3-component only; chroma 2×2 box-averaged). ``restart_interval``
-    > 0 emits a DRI segment and RSTn markers every N MCUs."""
+    > 0 emits a DRI segment and RSTn markers every N MCUs.
+
+    ``progressive=True`` emits SOF2 with a libjpeg-style scan script —
+    interleaved DC first scan at Al=1 + DC refinement, per-component
+    spectral-split AC first scans (1-5, 6-63) at Al=1, then AC
+    refinement scans — exercising every progressive decode path
+    (spectral selection, successive approximation, EOB runs) so the
+    round trip is self-checking without third-party codecs."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
@@ -443,7 +451,8 @@ def encode_jpeg(
     out += b"\x00" + bytes(int(qlum[z]) for z in _ZIGZAG)
     if ntab == 2:
         out += b"\x01" + bytes(int(qchr[z]) for z in _ZIGZAG)
-    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
     out += struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         hv = (samp[ci][0] << 4) | samp[ci][1]
@@ -459,6 +468,13 @@ def encode_jpeg(
         out += dht(0, 1, _DC_CHR_SPEC) + dht(1, 1, _AC_CHR_SPEC)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if progressive:
+        _encode_progressive_scans(
+            out, grids, samp, tables, mcus_x, mcus_y, restart_interval,
+            frame_dims=(h, w), hmax=hmax, vmax=vmax,
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp])
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -493,15 +509,343 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoding (ITU-T T.81 §G.1): libjpeg-style scan script with
+# successive approximation, so every progressive decode path round-trips.
+# ---------------------------------------------------------------------------
+
+_PROG_AL = 1  # successive-approximation point: first scans at Al=1
+
+
+def _emit_sos(out, scan_comps, Ss, Se, Ah, Al) -> None:
+    seg = bytes([len(scan_comps)])
+    for cid, td, ta in scan_comps:
+        seg += bytes([cid + 1, (td << 4) | ta])
+    seg += bytes([Ss, Se, (Ah << 4) | Al])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+
+class _RestartingWriter:
+    """BitWriter wrapper that segments output at restart intervals
+    (shared by the progressive scan emitters)."""
+
+    def __init__(self, out: bytearray, interval: int):
+        self.out = out
+        self.interval = interval
+        self.w = _BitWriter()
+        self.count = 0
+        self.rst = 0
+
+    def unit_boundary(self, on_reset=None) -> None:
+        """Call before each MCU/block; emits RSTn when due."""
+        if self.interval and self.count and self.count % self.interval == 0:
+            self.w.flush()
+            self.out += self.w.out
+            self.out += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) % 8
+            self.w = _BitWriter()
+            if on_reset:
+                on_reset()
+        self.count += 1
+
+    def finish(self) -> None:
+        self.w.flush()
+        self.out += self.w.out
+
+
+def _encode_progressive_scans(
+    out, grids, samp, tables, mcus_x, mcus_y, restart_interval, frame_dims,
+    hmax, vmax,
+) -> None:
+    ncomp = len(grids)
+    h, w = frame_dims
+    al = _PROG_AL
+
+    def comp_blocks(ci: int) -> tuple[int, int]:
+        hi, vi = samp[ci]
+        return -(-(-(-h * vi // vmax)) // 8), -(-(-(-w * hi // hmax)) // 8)
+
+    # -- scan 1: DC first, all components interleaved, Al=al
+    _emit_sos(out, [(ci, 0 if ci == 0 else 1, 0) for ci in range(ncomp)],
+              0, 0, 0, al)
+    rw = _RestartingWriter(out, restart_interval)
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            rw.unit_boundary(lambda: preds.__setitem__(
+                slice(None), [0] * ncomp))
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(grids[ci][my * vi + by, mx * hi + bx, 0]) >> al
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        size = _category(diff)
+                        code, length = tables[ci][0][size]
+                        rw.w.write(code, length)
+                        if size:
+                            v = diff if diff >= 0 else diff + (1 << size) - 1
+                            rw.w.write(v, size)
+    rw.finish()
+
+    # -- per-component AC first scans (spectral split), Al=al
+    for ci in range(ncomp):
+        nbh, nbw = comp_blocks(ci)
+        for ss, se in ((1, 5), (6, 63)):
+            _emit_ac_scan(
+                out, grids[ci], nbh, nbw, ss, se, 0, al, restart_interval, ci,
+            )
+
+    # -- DC refinement (raw bits, no Huffman), Ah=al → Al=0
+    _emit_sos(out, [(ci, 0, 0) for ci in range(ncomp)], 0, 0, al, 0)
+    rw = _RestartingWriter(out, restart_interval)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            rw.unit_boundary()
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        rw.w.write(
+                            int(grids[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1
+                        )
+    rw.finish()
+
+    # -- per-component AC refinement, Ah=al → Al=0 (same band split as
+    # the first scans: refinement bands must match previously-coded ones)
+    for ci in range(ncomp):
+        nbh, nbw = comp_blocks(ci)
+        for ss, se in ((1, 5), (6, 63)):
+            _emit_ac_scan(
+                out, grids[ci], nbh, nbw, ss, se, al, 0, restart_interval, ci,
+            )
+
+
+class _CountingCodes:
+    """ac_codes stand-in for the statistics pass: every lookup counts the
+    symbol and returns a dummy 1-bit code (control flow in the scan
+    emitters depends only on coefficient values, never on code words)."""
+
+    def __init__(self):
+        self.freq: dict[int, int] = {}
+
+    def __getitem__(self, sym: int):
+        self.freq[sym] = self.freq.get(sym, 0) + 1
+        return (0, 1)
+
+
+def _optimal_huff_spec(freq: dict[int, int]):
+    """Frequencies → (BITS[1..16], HUFFVAL) per ITU-T T.81 Annex K.2
+    (the two-pass optimal-table flow): Huffman code sizes by pair
+    merging, 16-bit length cap adjustment, and a reserved pseudo-symbol
+    so no real symbol gets the all-1s code word."""
+    freqs = [0] * 257
+    for s, f in freq.items():
+        freqs[s] = f
+    freqs[256] = 1  # reserved: keeps the all-1s code unused
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        # two least-frequent chains (ties → larger symbol first, K.2 figure)
+        c1 = c2 = -1
+        v1 = v2 = float("inf")
+        for i in range(257):
+            f = freqs[i]
+            if f and f <= v1:
+                v1, c1 = f, i
+        for i in range(257):
+            f = freqs[i]
+            if f and f <= v2 and i != c1:
+                v2, c2 = f, i
+        if c2 < 0:
+            break
+        freqs[c1] += freqs[c2]
+        freqs[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # cap code lengths at 16 (K.2 "Adjust_BITS")
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved pseudo-symbol
+    huffval = [
+        s
+        for size in range(1, 33)
+        for s in range(256)
+        if codesize[s] == size
+    ]
+    return bits[1:17], huffval
+
+
+def _emit_ac_scan(
+    out, grid, nbh, nbw, Ss, Se, Ah, Al, restart_interval, ci
+) -> None:
+    """Statistics pass → optimal AC table → DHT + SOS + entropy data.
+    Progressive AC scans need EOBn symbols the Annex K sequential tables
+    do not define, so each scan ships its own optimal table (libjpeg
+    does the same — progressive always runs Huffman optimization)."""
+    counter = _CountingCodes()
+    _encode_ac_scan(
+        bytearray(), grid, counter, nbh, nbw, Ss, Se, Ah, Al, restart_interval
+    )
+    if not counter.freq:
+        counter.freq[0x00] = 1
+    spec = _optimal_huff_spec(counter.freq)
+    ta = 0 if ci == 0 else 1
+    bits, vals = spec
+    seg = bytes([(1 << 4) | ta]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    _emit_sos(out, [(ci, 0, ta)], Ss, Se, Ah, Al)
+    _encode_ac_scan(
+        out, grid, _huff_codes(spec), nbh, nbw, Ss, Se, Ah, Al,
+        restart_interval,
+    )
+
+
+def _encode_ac_scan(
+    out, grid, ac_codes, nbh, nbw, Ss, Se, Ah, Al, restart_interval
+) -> None:
+    """One progressive AC scan (first when Ah == 0, refinement
+    otherwise) with EOB-run accumulation across blocks — the encoder
+    mirror of `_decode_ac_first_block` / `_decode_ac_refine_block`,
+    following the T.81 §G.1.2.2-3 flow (eager ZRL emission keeps
+    buffered correction bits inside the span the decoder walks)."""
+    rw = _RestartingWriter(out, restart_interval)
+    state = {"eobrun": 0, "pend": []}
+
+    def flush_eob() -> None:
+        if state["eobrun"] > 0:
+            nbits = state["eobrun"].bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            rw.w.write(code, length)
+            if nbits:
+                rw.w.write(state["eobrun"] & ((1 << nbits) - 1), nbits)
+            state["eobrun"] = 0
+        for b in state["pend"]:
+            rw.w.write(b, 1)
+        state["pend"] = []
+
+    def reset() -> None:
+        state["eobrun"] = 0
+        state["pend"] = []
+
+    for by in range(nbh):
+        for bx in range(nbw):
+            if (
+                rw.interval
+                and rw.count
+                and rw.count % rw.interval == 0
+            ):
+                flush_eob()  # EOB runs cannot cross a restart boundary
+            rw.unit_boundary(reset)
+            zz = grid[by, bx]
+            if Ah == 0:
+                _encode_ac_first_block(rw, ac_codes, zz, Ss, Se, Al, state, flush_eob)
+            else:
+                _encode_ac_refine_block(rw, ac_codes, zz, Ss, Se, Al, state, flush_eob)
+    flush_eob()
+    rw.finish()
+
+
+def _encode_ac_first_block(rw, ac_codes, zz, Ss, Se, Al, state, flush_eob) -> None:
+    r = 0
+    for k in range(Ss, Se + 1):
+        v = int(zz[k])
+        t = abs(v) >> Al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            flush_eob()
+            code, length = ac_codes[0xF0]  # ZRL
+            rw.w.write(code, length)
+            r -= 16
+        flush_eob()
+        size = t.bit_length()
+        code, length = ac_codes[(r << 4) | size]
+        rw.w.write(code, length)
+        rw.w.write(t if v >= 0 else (1 << size) - 1 - t, size)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            flush_eob()
+
+
+def _encode_ac_refine_block(rw, ac_codes, zz, Ss, Se, Al, state, flush_eob) -> None:
+    absv = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+    eob = Ss - 1  # position of the last newly-significant coefficient
+    for i, k in enumerate(range(Ss, Se + 1)):
+        if absv[i] == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for i, k in enumerate(range(Ss, Se + 1)):
+        t = absv[i]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            flush_eob()
+            code, length = ac_codes[0xF0]
+            rw.w.write(code, length)
+            r -= 16
+            for b in br:
+                rw.w.write(b, 1)
+            br = []
+        if t > 1:  # already significant: buffered correction bit
+            br.append(t & 1)
+            continue
+        flush_eob()
+        code, length = ac_codes[(r << 4) | 1]
+        rw.w.write(code, length)
+        rw.w.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in br:
+            rw.w.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["pend"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            flush_eob()
+
+
+# ---------------------------------------------------------------------------
 # Decoder (baseline sequential, sampling factors ≤ 2×2, restart markers)
 # ---------------------------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w, 1|3) uint8. Progressive (SOF2), arithmetic
-    coding, 12-bit precision, and sampling factors > 2 raise CodecError.
-    All corrupt-payload failures surface as CodecError (the mapInPandas
-    per-row handler depends on it — same contract as decode_png)."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG → (h, w, 1|3) uint8.
+    Progressive support covers the full Huffman feature set: spectral
+    selection, successive approximation (DC + AC first/refinement
+    scans), EOB runs, and restart intervals — per ITU-T T.81 §G.2.
+    Arithmetic coding, 12-bit precision, hierarchical (SOF5+), and
+    sampling factors > 2 raise CodecError. All corrupt-payload failures
+    surface as CodecError (the mapInPandas per-row handler depends on
+    it — same contract as decode_png)."""
     try:
         return _decode_jpeg_impl(payload)
     except CodecError:
@@ -519,8 +863,10 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # progressive: zigzag coef grids
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise CodecError(f"expected marker at {pos}")
         # Any number of 0xFF fill bytes may pad the space before a
@@ -529,10 +875,14 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             pos += 1
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and coefs is not None:
+                return _reconstruct_progressive(frame, coefs, qtabs)
             raise CodecError("JPEG without scan data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        if pos + 2 > n:
+            break
         seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -558,7 +908,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 table = _huff_decode_table((bits, vals))
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise CodecError(f"unsupported precision {precision}")
@@ -571,14 +921,42 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise CodecError("only baseline sequential JPEG supported")
+            progressive = marker == 0xC2
+            if progressive:
+                hmax, vmax, mcus_x, mcus_y = _geometry(frame)
+                coefs = [
+                    np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+                    for c in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise CodecError("only baseline/progressive Huffman JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise CodecError("SOS before SOF")
             ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise CodecError(f"scan references unknown component {cs}")
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            if progressive:
+                band = (
+                    seg[1 + 2 * ns],
+                    seg[2 + 2 * ns],
+                    seg[3 + 2 * ns] >> 4,
+                    seg[3 + 2 * ns] & 0x0F,
+                )
+                pos = _decode_progressive_scan(
+                    payload, pos + seglen, frame, scan, band, huff_dc,
+                    huff_ac, restart_interval, coefs,
+                )
+                continue
             if ns != len(frame["comps"]):
                 # Baseline allows one scan per component
                 # (non-interleaved); this decoder handles only the
@@ -589,15 +967,6 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                     f"{len(frame['comps'])} components in scan) not "
                     "supported"
                 )
-            scan = []
-            for si in range(ns):
-                cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
-                comp = next(
-                    (c for c in frame["comps"] if c["id"] == cs), None
-                )
-                if comp is None:
-                    raise CodecError(f"scan references unknown component {cs}")
-                scan.append((comp, tdta >> 4, tdta & 0x0F))
             return _decode_scan(
                 payload, pos + seglen, frame, scan, qtabs, huff_dc, huff_ac,
                 restart_interval,
@@ -605,6 +974,29 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
         # APPn / COM / others: skip
         pos += seglen
     raise CodecError("truncated JPEG (no SOS)")
+
+
+def _geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise CodecError(f"unsupported sampling {hmax}x{vmax}")
+    for c in comps:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            raise CodecError("unsupported per-component sampling")
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _noninterleaved_blocks(frame, c) -> tuple[int, int]:
+    """Block-grid dims of a single-component (non-interleaved) scan:
+    padded to 8, NOT to the MCU multiple (T.81 A.2.2)."""
+    hmax, vmax, _, _ = _geometry(frame)
+    comp_w = -(-frame["w"] * c["h"] // hmax)
+    comp_h = -(-frame["h"] * c["v"] // vmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
 
 
 def _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interval):
@@ -680,7 +1072,12 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interv
                 raise CodecError("unexpected restart marker")
             mcu_count += 1
 
-    # upsample + crop
+    return _assemble_planes(h, w, hmax, vmax, comps, planes)
+
+
+def _assemble_planes(h, w, hmax, vmax, comps, planes) -> np.ndarray:
+    """Upsample subsampled components, crop to frame dims, and convert
+    YCbCr→RGB (shared by the baseline and progressive paths)."""
     out_planes = []
     for c, plane in zip(comps, planes):
         ry = vmax // c["v"]
@@ -694,6 +1091,204 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff_dc, huff_ac, restart_interv
     ycc = np.stack(out_planes, axis=-1)
     rgb = _ycbcr_to_rgb(ycc)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoding (ITU-T T.81 §G.2): each SOS refines the frame's
+# coefficient grids; reconstruction happens once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, band, huff_dc, huff_ac, restart_interval, coefs
+) -> int:
+    """Decode one progressive scan's entropy data into ``coefs``
+    (per-component (bh, bw, 64) int32 grids in zigzag index order) and
+    return the byte position of the next marker."""
+    Ss, Se, Ah, Al = band
+    comps_all = frame["comps"]
+    hmax, vmax, mcus_x, mcus_y = _geometry(frame)
+    reader = _BitReader(data, pos)
+
+    def maybe_restart(count, reset):
+        if restart_interval and count and count % restart_interval == 0:
+            reader.sync_restart()
+            return reset()
+        return None
+
+    if Ss == 0:
+        if Se != 0:
+            raise CodecError("progressive DC scan must have Se = 0")
+        grids = [coefs[comps_all.index(c)] for c, _, _ in scan]
+        tables = []
+        for c, td, _ta in scan:
+            t = huff_dc.get(td)
+            if t is None and Ah == 0:
+                raise CodecError("missing DC Huffman table")
+            tables.append(t)
+        preds = [0] * len(scan)
+        interleaved = len(scan) > 1
+        if interleaved:
+            blocks_iter = (
+                (my, mx) for my in range(mcus_y) for mx in range(mcus_x)
+            )
+        else:
+            nbh, nbw = _noninterleaved_blocks(frame, scan[0][0])
+            blocks_iter = ((by, bx) for by in range(nbh) for bx in range(nbw))
+        count = 0
+        for my, mx in blocks_iter:
+            maybe_restart(count, lambda: preds.__setitem__(
+                slice(None), [0] * len(scan)))
+            for si, (c, _td, _ta) in enumerate(scan):
+                reps = (
+                    [(by, bx) for by in range(c["v"]) for bx in range(c["h"])]
+                    if interleaved
+                    else [(0, 0)]
+                )
+                for by, bx in reps:
+                    y = my * c["v"] + by if interleaved else my
+                    x = mx * c["h"] + bx if interleaved else mx
+                    blk = grids[si][y, x]
+                    if Ah == 0:
+                        sym = _read_huff(reader, tables[si])
+                        diff = _extend(reader.receive(sym), sym) if sym else 0
+                        preds[si] += diff
+                        blk[0] = preds[si] << Al
+                    else:  # DC refinement: one raw bit per block
+                        if reader.bit():
+                            blk[0] = int(blk[0]) | (1 << Al)
+            count += 1
+        return _skip_to_marker(data, reader.pos)
+
+    # AC scan: always single-component (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise CodecError("progressive AC scan must be single-component")
+    c, _td, ta = scan[0]
+    act = huff_ac.get(ta)
+    if act is None:
+        raise CodecError("missing AC Huffman table")
+    grid = coefs[comps_all.index(c)]
+    nbh, nbw = _noninterleaved_blocks(frame, c)
+    eobrun = 0
+    count = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            if restart_interval and count and count % restart_interval == 0:
+                reader.sync_restart()
+                eobrun = 0
+            blk = grid[by, bx]
+            if Ah == 0:
+                eobrun = _decode_ac_first_block(reader, act, blk, Ss, Se, Al, eobrun)
+            else:
+                eobrun = _decode_ac_refine_block(reader, act, blk, Ss, Se, Al, eobrun)
+            count += 1
+    return _skip_to_marker(data, reader.pos)
+
+
+def _decode_ac_first_block(reader, act, blk, Ss, Se, Al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1  # whole block inside the EOB run
+    k = Ss
+    while k <= Se:
+        sym = _read_huff(reader, act)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun - 1
+        k += r
+        if k > Se:
+            raise CodecError("AC coefficient index out of band")
+        blk[k] = _extend(reader.receive(s), s) << Al
+        k += 1
+    return 0
+
+
+def _refine_bit(reader, blk, k, p1) -> None:
+    """Correction bit for an already-nonzero coefficient (T.81 G.2.2)."""
+    if reader.bit():
+        v = int(blk[k])
+        if (v & p1) == 0:
+            blk[k] = v + (p1 if v >= 0 else -p1)
+
+
+def _decode_ac_refine_block(reader, act, blk, Ss, Se, Al, eobrun) -> int:
+    p1 = 1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = _read_huff(reader, act)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise CodecError("invalid newly-significant magnitude")
+                newval = p1 if reader.bit() else -p1
+            while k <= Se:
+                if blk[k] != 0:
+                    _refine_bit(reader, blk, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= Se and newval:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if blk[k] != 0:
+                _refine_bit(reader, blk, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Past any pad bits / stuffing / restart markers to the next real
+    marker's 0xFF byte."""
+    n = len(data)
+    p = pos
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise CodecError("truncated JPEG (no marker after scan)")
+
+
+def _reconstruct_progressive(frame, coefs, qtabs) -> np.ndarray:
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    if h == 0 or w == 0:
+        raise CodecError("zero-dimension JPEG")
+    hmax, vmax, _, _ = _geometry(frame)
+    planes = []
+    for c, zz in zip(comps, coefs):
+        q = qtabs.get(c["tq"])
+        if q is None:
+            raise CodecError(f"missing quant table {c['tq']}")
+        bh, bw, _ = zz.shape
+        nat = np.zeros((bh * bw, 64), dtype=np.float64)
+        nat[:, _ZIGZAG] = zz.reshape(-1, 64) * q[_ZIGZAG][None, :]
+        blocks = _idct2(nat.reshape(-1, 8, 8)) + 128.0
+        planes.append(
+            blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+    return _assemble_planes(h, w, hmax, vmax, comps, planes)
 
 
 def _read_huff(reader: _BitReader, table: dict) -> int:

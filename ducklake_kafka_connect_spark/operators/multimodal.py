@@ -147,9 +147,10 @@ def decode_image(media: DataFrame) -> DataFrame:
     """REAL decode path over ``mapInPandas`` — same plumbing as
     ``fake_decode_image``, but the body runs the built-in numpy codecs
     (PPM/PGM/BMP + zlib-based PNG, ``operators/codecs.py``) on each
-    payload. Formats the built-ins can't handle (progressive JPEG;
-    16-bit or interlaced PNG) dispatch to Pillow when importable (the
-    built-ins cover baseline JPEG and standard PNG); otherwise those
+    payload. Formats the built-ins can't handle (arithmetic/12-bit
+    JPEG; 16-bit or interlaced PNG) dispatch to Pillow when importable
+    (the built-ins cover baseline AND progressive JPEG plus standard
+    PNG); otherwise those
     rows decode as NULLs (the import-try gate, visible in the output
     rather than an exception so one bad payload can't kill a 100 TB
     scan). ``byte_sum`` = sum of decoded pixel values mod 1,000,003 —

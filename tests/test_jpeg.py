@@ -150,3 +150,75 @@ class TestConformanceEdges:
         sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, c1, t1, 0, 63, 0])
         with pytest.raises(codecs.CodecError, match="non-interleaved"):
             jpeg.decode_jpeg(payload[:i] + sos + entropy)
+
+
+class TestProgressive:
+    """SOF2 round trip: the progressive scan script (DC first+refine,
+    spectral-split AC first+refine, per-scan optimal tables, EOB runs)
+    must decode to EXACTLY the pixels of the baseline encoding of the
+    same image — both paths share the quantized coefficient grids, so
+    any bit drift in the successive-approximation machinery shows up as
+    a pixel diff."""
+
+    @pytest.mark.parametrize(
+        "h,w,ch,sub,ri",
+        [
+            (64, 64, 3, "4:4:4", 0),
+            (64, 64, 3, "4:2:0", 0),
+            (33, 41, 3, "4:2:0", 0),
+            (48, 32, 3, "4:4:4", 2),
+            (17, 9, 3, "4:2:0", 1),
+            (64, 64, 1, "4:4:4", 0),
+            (8, 8, 1, "4:4:4", 0),
+            (120, 88, 3, "4:2:0", 7),
+        ],
+    )
+    def test_progressive_equals_baseline(self, h, w, ch, sub, ri):
+        img = _img(h, w, ch)
+        prog = jpeg.encode_jpeg(
+            img, quality=90, subsample=sub, restart_interval=ri,
+            progressive=True,
+        )
+        base = jpeg.encode_jpeg(
+            img, quality=90, subsample=sub, restart_interval=ri
+        )
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+        out = jpeg.decode_jpeg(prog)
+        assert out.shape == (h, w, ch)
+        assert np.array_equal(out, jpeg.decode_jpeg(base))
+
+    def test_noise_image_exercises_eob_runs_and_zrl(self):
+        # dense high-frequency noise → long runs, ZRLs, and multi-block
+        # EOB runs in both first and refinement scans
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (56, 72, 3)).astype(np.uint8)
+        prog = jpeg.encode_jpeg(img, quality=35, progressive=True)
+        base = jpeg.encode_jpeg(img, quality=35)
+        assert np.array_equal(jpeg.decode_jpeg(prog), jpeg.decode_jpeg(base))
+
+    def test_flat_image_is_all_eob(self):
+        # flat color: every AC band is a pure EOB run (the degenerate
+        # extreme of the EOBRUN accumulator)
+        img = np.full((32, 24, 3), [10, 200, 55], dtype=np.uint8)
+        prog = jpeg.encode_jpeg(img, quality=90, progressive=True)
+        base = jpeg.encode_jpeg(img, quality=90)
+        assert np.array_equal(jpeg.decode_jpeg(prog), jpeg.decode_jpeg(base))
+
+    def test_multiple_scans_parsed(self):
+        # 3-component file: 1 DC first + 6 AC first + 1 DC refine +
+        # 6 AC refine = 14 SOS markers
+        prog = jpeg.encode_jpeg(_img(16, 16, 3), progressive=True)
+        n_sos = prog.count(b"\xff\xda")
+        assert n_sos == 14
+
+    def test_corrupt_progressive_raises(self):
+        prog = bytearray(jpeg.encode_jpeg(_img(24, 24, 3), progressive=True))
+        with pytest.raises(codecs.CodecError):
+            jpeg.decode_jpeg(bytes(prog[: len(prog) // 2]))  # truncated
+
+    def test_dispatch_decodes_progressive(self):
+        img = _img(20, 28, 3)
+        prog = jpeg.encode_jpeg(img, progressive=True)
+        assert codecs.sniff_format(prog) == "jpeg"
+        out = codecs.decode_image_array(prog)
+        assert out.shape == (20, 28, 3)
