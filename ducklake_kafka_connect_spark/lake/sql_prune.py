@@ -87,6 +87,35 @@ def _lex(query: str):
     return out
 
 
+def strip_catalog_prefix(query: str, prefix: str = "lake.main.") -> str:
+    """Rewrite ``lake.main.<table>`` references to bare ``<table>`` —
+    the reference exposes its tables to SQL under the DuckDB attachment
+    namespace ``lake.main`` (`DucklakeTableManager.java:161-164`), so
+    queries written against it should run unchanged on
+    ``LakeCatalog.sql``. Lexer-based: only identifier tokens are
+    rewritten, string literals pass through untouched; if the statement
+    does not lex, it is returned unchanged (the bare-name path still
+    works)."""
+    toks = _lex(query)
+    if not toks:
+        return query
+    pieces = []
+    last = 0
+    pl = prefix.lower()
+    for kind, val, _s, e in toks:
+        if kind != "word" or not val.startswith(pl) or len(val) == len(pl):
+            continue
+        rest = val[len(pl):]  # "t" or "t.col" — both drop the namespace
+        word_start = e - len(val)  # token span includes leading whitespace
+        pieces.append(query[last:word_start])
+        pieces.append(query[e - len(rest): e])  # original-case table name
+        last = e
+    if not pieces:
+        return query
+    pieces.append(query[last:])
+    return "".join(pieces)
+
+
 def extract_table_predicates(
     query: str, tables: set[str], schemas: dict[str, set[str]]
 ) -> dict[str, str]:

@@ -877,6 +877,30 @@ class LakeTable:
                 df = df.drop(*hidden)
         return df
 
+    def row_count(self, version: int | None = None) -> int:
+        """Metadata-only COUNT(*): sum of the per-file ``__rows`` footer
+        stats recorded in the manifest — zero file opens, zero Spark
+        jobs. DuckDB answers ``SELECT count(*)`` on a ducklake table
+        from catalog metadata the same way; at 100 TB this is the
+        difference between a dict sum and a full scan. Files written
+        before ``__rows`` harvesting fall back to one pruned-scan count
+        over just those files."""
+        m = self.manifest(version)
+        total = 0
+        missing: list[str] = []
+        for f in m.all_files():
+            r = (m.file_stats.get(f) or {}).get("__rows")
+            if r is None:
+                missing.append(f)
+            else:
+                total += int(r)
+        if missing:
+            files = [os.path.join(self.dir, p) for p in missing]
+            total += self.spark.read.schema(self.read_schema(m)).parquet(
+                *files
+            ).count()
+        return total
+
     def changes(
         self,
         from_version: int,
@@ -1390,8 +1414,11 @@ class LakeCatalog:
         """
         import re as _re
 
-        from .sql_prune import extract_table_predicates
+        from .sql_prune import extract_table_predicates, strip_catalog_prefix
 
+        # reference namespace parity: queries written for the DuckDB
+        # attachment (`lake.main.<table>`) run unchanged
+        query = strip_catalog_prefix(query)
         pinned = set(versions or {})
         hints = dict(where_hints or {})
         referenced = [

@@ -541,6 +541,59 @@ def sql_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_catalog_join_pruned",
+    """
+    WITH users AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, count(*) AS n, max(u.n_events) AS user_events,
+           max(u.sum_cents) AS user_cents
+    FROM events e JOIN users u ON e.user_id = u.user_id
+    WHERE e.user_id BETWEEN 5 AND 12 AND e.value >= 0.5 AND u.n_events >= 2
+    GROUP BY e.user_id
+    """,
+    "SQL entry point, join form: alias-qualified WHERE conjuncts are "
+    "attributed per table and BOTH joined views register over pruned "
+    "file lists (lake/sql_prune.py) — the `lake.main.` namespace the "
+    "reference exposes to DuckDB also resolves.",
+)
+def sql_catalog_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A two-table join through ``LakeCatalog.sql`` using the
+    reference's ``lake.main.<table>`` naming: per-alias WHERE conjunct
+    attribution must prune each side's file list independently, and the
+    namespace prefix must resolve to the catalog's tables
+    (`DucklakeTableManager.java:161-164` parity)."""
+    src = _t(spark, sf_dir, "events")
+
+    def build():
+        cat = _zorder_catalog(spark, sf_dir)
+        if not cat.table_exists("users_z"):
+            users = src.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+            LakeWriter(cat.table("users_z"), pk=["user_id"]).append(users)
+        return cat.sql(
+            """
+            SELECT e.user_id, count(*) AS n, max(u.n_events) AS user_events,
+                   max(u.sum_cents) AS user_cents
+            FROM lake.main.events_z e JOIN lake.main.users_z u
+              ON e.user_id = u.user_id
+            WHERE e.user_id BETWEEN 5 AND 12 AND e.value >= 0.5
+              AND u.n_events >= 2
+            GROUP BY e.user_id
+            """
+        )
+
+    return dedup_ops._memo_plan(src, "sql_join_pruned", (), build)
+
+
 _ZORDER_CAT_MEMO: dict = {}
 
 

@@ -206,3 +206,70 @@ class TestCatalogSqlPruning:
             versions={"sq5": v},
         ).collect()[0]["n"]
         assert got == 100
+
+
+class TestCatalogPrefix:
+    def test_strip_basic(self):
+        from ducklake_kafka_connect_spark.lake.sql_prune import (
+            strip_catalog_prefix as sp,
+        )
+
+        assert (
+            sp("SELECT * FROM lake.main.orders WHERE o_orderkey = 1")
+            == "SELECT * FROM orders WHERE o_orderkey = 1"
+        )
+        # qualified column through the namespace also drops it
+        assert (
+            sp("SELECT lake.main.orders.o_orderkey FROM lake.main.orders")
+            == "SELECT orders.o_orderkey FROM orders"
+        )
+        # string literals untouched
+        q = "SELECT * FROM orders WHERE c = 'lake.main.orders'"
+        assert sp(q) == q
+        # unlexable input returned unchanged
+        q2 = "SELECT * FROM `lake.main.orders`"
+        assert sp(q2) == q2
+
+    def test_sql_accepts_reference_namespace(self, spark, tmp_path):
+        cat, t = _write_ranged(spark, tmp_path, "sq6")
+        df = cat.sql(
+            "SELECT count(*) AS n FROM lake.main.sq6 WHERE id >= 3000"
+        )
+        assert df.collect()[0]["n"] == 100
+        assert len(df.inputFiles()) == len(t.read(where="id >= 3000").inputFiles())
+
+
+class TestRowCount:
+    def test_metadata_only_count(self, spark, tmp_path):
+        cat, t = _write_ranged(spark, tmp_path, "sq7")
+        assert t.row_count() == 400
+        assert t.row_count() == t.read().count()
+        # earlier version still answers from its own manifest
+        v1 = t.manifest().version
+        LakeWriter(t, pk=["id"]).append(
+            spark.range(9000, 9050).select(
+                F.col("id"),
+                (F.col("id") % 7).alias("bucket"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            )
+        )
+        assert t.row_count() == 450
+        assert t.row_count(version=v1) == 400
+
+    def test_missing_rows_stat_falls_back_to_scan(self, spark, tmp_path):
+        cat, t = _write_ranged(spark, tmp_path, "sq8")
+        m = t.manifest()
+        f0 = m.all_files()[0]
+        m.file_stats[f0].pop("__rows", None)  # simulate a pre-__rows file
+        assert sum(
+            1 for f in m.all_files() if "__rows" not in (m.file_stats.get(f) or {})
+        ) == 1
+        # count directly off the doctored manifest object path
+        import ducklake_kafka_connect_spark.lake.table as tbl
+
+        orig = t.manifest
+        t.manifest = lambda version=None: m
+        try:
+            assert t.row_count() == 400
+        finally:
+            t.manifest = orig
