@@ -251,3 +251,116 @@ def test_tar_member_parse_never_crashes(payload):
     except (tarfile.TarError, EOFError, OSError):
         pass  # exactly what decode_members swallows per shard
     assert isinstance(rows, list)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG: must decode to EXACTLY the baseline pixels (shared
+# quantized coefficients) for any geometry/subsampling/restart combo
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(dims, st.integers(0, 2**32 - 1), st.sampled_from([1, 3]),
+       st.sampled_from(["4:4:4", "4:2:0"]), st.sampled_from([0, 2]))
+def test_progressive_jpeg_equals_baseline(shape, seed, ch, sub, ri):
+    from ducklake_kafka_connect_spark.operators import jpeg
+
+    h, w = shape
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg(
+        arr, quality=80, subsample=sub, restart_interval=ri, progressive=True
+    ))
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(
+        arr, quality=80, subsample=sub, restart_interval=ri
+    ))
+    assert np.array_equal(prog, base)
+
+
+# ---------------------------------------------------------------------------
+# SQL WHERE-conjunct extraction: conservative by construction — any row
+# satisfying the full WHERE must satisfy every extracted per-table
+# predicate (else pruning with it could drop matching rows)
+# ---------------------------------------------------------------------------
+
+from ducklake_kafka_connect_spark.lake.sql_prune import (  # noqa: E402
+    extract_table_predicates,
+    strip_catalog_prefix,
+)
+
+_atom = st.one_of(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.sampled_from(["=", "<", "<=", ">", ">=", "!="]),
+              st.integers(-20, 20)),
+    st.tuples(st.just("s"), st.just("="),
+              st.text(alphabet="xy'", max_size=4)),
+)
+
+
+def _atom_sql(a):
+    col, op, lit = a
+    return f"{col} {op} {lit}" if isinstance(lit, int) else (
+        f"{col} {op} '" + lit.replace("'", "''") + "'"
+    )
+
+
+def _atom_true(a, row):
+    col, op, lit = a
+    v = row[col]
+    return {"=": v == lit, "!=": v != lit, "<": v < lit,
+            "<=": v <= lit, ">": v > lit, ">=": v >= lit}[op]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(_atom, min_size=1, max_size=4),
+    st.booleans(),  # inject a top-level OR → extraction must bail
+    st.lists(
+        st.fixed_dictionaries({
+            "a": st.integers(-25, 25),
+            "b": st.integers(-25, 25),
+            "s": st.text(alphabet="xy'", max_size=4),
+        }),
+        min_size=1, max_size=8,
+    ),
+)
+def test_sql_extraction_is_conservative(atoms, with_or, rows):
+    where = " AND ".join(_atom_sql(a) for a in atoms)
+    if with_or:
+        where += " OR a = 999"
+    q = f"SELECT * FROM t WHERE {where}"
+    got = extract_table_predicates(q, {"t"}, {"t": {"a", "b", "s"}})
+    if with_or:
+        assert got == {}
+        return
+    if "t" not in got:
+        return  # extracting nothing is always safe
+    extracted = got["t"]
+    # re-parse the rendered predicate with the skipper's own parser: the
+    # rendered text must parse back to provable conjuncts
+    from ducklake_kafka_connect_spark.lake.skipping import parse_conjuncts
+
+    back = parse_conjuncts(extracted)
+    assert back, f"rendered predicate did not re-parse: {extracted!r}"
+    for row in rows:
+        if all(_atom_true(a, row) for a in atoms):
+            # row matches the full WHERE → must match every extracted
+            # conjunct (conservativeness)
+            for c in back:
+                assert _atom_true((c.column, c.op, c.value), row), (
+                    f"row {row} satisfies WHERE but fails extracted {c}"
+                )
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=60))
+def test_sql_extraction_never_crashes(s):
+    extract_table_predicates(s, {"t"}, {"t": {"a"}})
+    strip_catalog_prefix(s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=60))
+def test_strip_prefix_identity_without_namespace(s):
+    if "lake.main." not in s.lower():
+        assert strip_catalog_prefix(s) == s
