@@ -177,6 +177,7 @@ class IngestPipeline:
         spec = self.config.spec_for(table)
         goods: list[DataFrame] = []
         bads: list[DataFrame] = []
+        cached: list[DataFrame] = []
         for part in parts:
             keep = [c for c in ("offset",) if c in part.columns]
             good, bad = self._decode(part, spec, keep)
@@ -186,6 +187,15 @@ class IngestPipeline:
                 # (SURVEY risk #2); it is a transport column — dedup
                 # here, then drop it so it never enters the table schema.
                 good = _dedup_last_wins(good, spec.id_columns, order_col)
+            # multi-consumer point: the decoded frame feeds the MERGE
+            # planning aggregate, the write, the constraint split, and
+            # the DLQ append — each is its own Spark job, and without a
+            # persist every one re-runs the full decode. Micro-batches
+            # are threshold-bounded (E1), so MEMORY_AND_DISK is safe;
+            # released in the finally below.
+            good = good.persist()
+            bad = bad.persist()
+            cached += [good, bad]
             if spec.check_constraints:
                 good, bad = self._route_constraint_violations(good, bad, spec)
             goods.append(good.drop(*keep) if keep else good)
@@ -204,42 +214,53 @@ class IngestPipeline:
         # restart, MERGE tables stop paying a no-op replay write
         txn = (f"ingest:{table}", epoch_id) if epoch_id >= 0 else None
         try:
-            writer.write_many(goods, txn=txn)
-        except ReconcileError:
-            # group write hit a schema conflict — replay batch-at-a-time
-            # so only the offending slices DLQ, not the whole group
-            for i, good in enumerate(goods):
-                try:
-                    writer.write(good)
-                except ReconcileError as e:
-                    # whole-batch schema conflict → route every row to
-                    # the DLQ; the note carries the column, both types,
-                    # and sample values from the offending batch
-                    # (SinkRecordToArrowConverter.java:305-385 parity)
-                    from ..schema.reconcile import enriched_reconcile_message
+            try:
+                writer.write_many(goods, txn=txn)
+            except ReconcileError:
+                # group write hit a schema conflict — replay batch-at-a-
+                # time so only the offending slices DLQ, not the whole
+                # group
+                for i, good in enumerate(goods):
+                    try:
+                        writer.write(good)
+                    except ReconcileError as e:
+                        # whole-batch schema conflict → route every row
+                        # to the DLQ; the note carries the column, both
+                        # types, and sample values from the offending
+                        # batch (SinkRecordToArrowConverter.java:305-385
+                        # parity)
+                        from ..schema.reconcile import (
+                            enriched_reconcile_message,
+                        )
 
-                    note = enriched_reconcile_message(e, good)
-                    bads[i] = bads[i].unionByName(
-                        good.select(
-                            F.to_json(F.struct(*good.columns)).alias("raw_value"),
-                            F.lit(f"reconcile_error: {note}").alias("error"),
-                            F.current_timestamp().alias("_dlq_at"),
-                        ),
-                        allowMissingColumns=True,
-                    )
-        bad = bads[0]
-        for b in bads[1:]:
-            bad = bad.unionByName(b, allowMissingColumns=True)
-        if bad.isEmpty():
-            return
-        dlq_writer = LakeWriter(
-            self.catalog.table(f"{table}{self.config.dlq_suffix}"),
-            pk=[],
-            auto_create=True,
-        )
-        dlq_writer.append(
-            bad, txn=(f"ingest_dlq:{table}", epoch_id) if epoch_id >= 0 else None
-        )
+                        note = enriched_reconcile_message(e, good)
+                        bads[i] = bads[i].unionByName(
+                            good.select(
+                                F.to_json(F.struct(*good.columns)).alias(
+                                    "raw_value"
+                                ),
+                                F.lit(f"reconcile_error: {note}").alias("error"),
+                                F.current_timestamp().alias("_dlq_at"),
+                            ),
+                            allowMissingColumns=True,
+                        )
+            bad = bads[0]
+            for b in bads[1:]:
+                bad = bad.unionByName(b, allowMissingColumns=True)
+            if bad.isEmpty():
+                return
+            dlq_writer = LakeWriter(
+                self.catalog.table(f"{table}{self.config.dlq_suffix}"),
+                pk=[],
+                auto_create=True,
+            )
+            dlq_writer.append(
+                bad,
+                txn=(f"ingest_dlq:{table}", epoch_id) if epoch_id >= 0 else None,
+            )
+        finally:
+            for c in cached:
+                c.unpersist()
 
     def _route_constraint_violations(
         self, good: DataFrame, bad: DataFrame, spec: TableSpec
@@ -377,80 +398,88 @@ class IngestPipeline:
             rows.select(F.col("raw_value").alias("value")),
             value_col="value",
             conflicts_out=conflicts,
-        )
-        good, bad = split_dlq(decoded, error_note=conflict_note(conflicts))
-        # constraint/reconcile DLQ rows serialize the transport `offset`
-        # into raw_value (it is dropped only after routing on first
-        # ingest), so the replay re-runs the offset-ordered last-write-
-        # wins dedup and then drops it — same contract as process_batch:
-        # deterministic winners, no transport column in the table schema
-        if "offset" in good.columns:
-            if spec.id_columns:
-                good = _dedup_last_wins(good, spec.id_columns, "offset")
-            good = good.drop("offset")
-        if spec.check_constraints:
-            good, bad = self._route_constraint_violations(good, bad, spec)
-        writer = LakeWriter(
-            self.catalog.table(table),
-            pk=spec.id_columns,
-            partition_by=spec.partition_by,
-            auto_create=spec.auto_create,
-            auto_compact=spec.inlining_rows is not None,
-        )
-        if not good.isEmpty():
-            try:
-                writer.write(good, txn=(f"dlq_reprocess:{table}", snap.version))
-            except ReconcileError as e:
-                # schema still conflicts: the batch stays in the DLQ with
-                # the enriched note (same contract as first ingest)
-                from ..schema.reconcile import enriched_reconcile_message
-
-                note = enriched_reconcile_message(e, good)
-                bad = bad.unionByName(
-                    good.select(
-                        F.to_json(F.struct(*good.columns)).alias("raw_value"),
-                        F.lit(f"reconcile_error: {note}").alias("error"),
-                        F.current_timestamp().alias("_dlq_at"),
-                    ),
-                    allowMissingColumns=True,
-                )
-        residual = bad.count()
-        with dlq_t.lock():
-            latest = dlq_t.manifest()
-            drop = set(snap.all_files()) & set(latest.all_files())
-            new_files: dict = {}
-            new_stats: dict = {}
-            if residual:
-                dlq_writer = LakeWriter(dlq_t, pk=[], auto_create=True)
-                prepared = dlq_writer._prepare_insert(bad, latest)
-                new_files, new_stats = dlq_t.write_data_files(
-                    prepared, latest.version + 1, layout="natural",
-                    manifest=latest,
-                )
-            files = {
-                k: [f for f in v if f not in drop]
-                for k, v in latest.files.items()
-            }
-            files = {k: v for k, v in files.items() if v}
-            for k, v in new_files.items():
-                files.setdefault(k, []).extend(v)
-            fstats = {
-                f: s for f, s in latest.file_stats.items() if f not in drop
-            }
-            fstats.update(new_stats)
-            dlq_t._commit(
-                Manifest(
-                    version=latest.version + 1,
-                    schema=latest.schema,
-                    pk=latest.pk,
-                    partition_spec=latest.partition_spec,
-                    files=files,
-                    parent=latest.version,
-                    props={**latest.props, "last_op": "DLQ_REPROCESS"},
-                    file_stats=fstats,
-                ),
-                parent_manifest=latest,
+        ).persist()  # consumed by isEmpty + write + residual count/write:
+        # one decode pass, not four (released in the finally below)
+        try:
+            good, bad = split_dlq(decoded, error_note=conflict_note(conflicts))
+            # constraint/reconcile DLQ rows serialize the transport
+            # `offset` into raw_value (it is dropped only after routing
+            # on first ingest), so the replay re-runs the offset-ordered
+            # last-write-wins dedup and then drops it — same contract as
+            # process_batch: deterministic winners, no transport column
+            # in the table schema
+            if "offset" in good.columns:
+                if spec.id_columns:
+                    good = _dedup_last_wins(good, spec.id_columns, "offset")
+                good = good.drop("offset")
+            if spec.check_constraints:
+                good, bad = self._route_constraint_violations(good, bad, spec)
+            writer = LakeWriter(
+                self.catalog.table(table),
+                pk=spec.id_columns,
+                partition_by=spec.partition_by,
+                auto_create=spec.auto_create,
+                auto_compact=spec.inlining_rows is not None,
             )
+            if not good.isEmpty():
+                try:
+                    writer.write(
+                        good, txn=(f"dlq_reprocess:{table}", snap.version)
+                    )
+                except ReconcileError as e:
+                    # schema still conflicts: the batch stays in the DLQ
+                    # with the enriched note (same contract as first
+                    # ingest)
+                    from ..schema.reconcile import enriched_reconcile_message
+
+                    note = enriched_reconcile_message(e, good)
+                    bad = bad.unionByName(
+                        good.select(
+                            F.to_json(F.struct(*good.columns)).alias("raw_value"),
+                            F.lit(f"reconcile_error: {note}").alias("error"),
+                            F.current_timestamp().alias("_dlq_at"),
+                        ),
+                        allowMissingColumns=True,
+                    )
+            residual = bad.count()
+            with dlq_t.lock():
+                latest = dlq_t.manifest()
+                drop = set(snap.all_files()) & set(latest.all_files())
+                new_files: dict = {}
+                new_stats: dict = {}
+                if residual:
+                    dlq_writer = LakeWriter(dlq_t, pk=[], auto_create=True)
+                    prepared = dlq_writer._prepare_insert(bad, latest)
+                    new_files, new_stats = dlq_t.write_data_files(
+                        prepared, latest.version + 1, layout="natural",
+                        manifest=latest,
+                    )
+                files = {
+                    k: [f for f in v if f not in drop]
+                    for k, v in latest.files.items()
+                }
+                files = {k: v for k, v in files.items() if v}
+                for k, v in new_files.items():
+                    files.setdefault(k, []).extend(v)
+                fstats = {
+                    f: s for f, s in latest.file_stats.items() if f not in drop
+                }
+                fstats.update(new_stats)
+                dlq_t._commit(
+                    Manifest(
+                        version=latest.version + 1,
+                        schema=latest.schema,
+                        pk=latest.pk,
+                        partition_spec=latest.partition_spec,
+                        files=files,
+                        parent=latest.version,
+                        props={**latest.props, "last_op": "DLQ_REPROCESS"},
+                        file_stats=fstats,
+                    ),
+                    parent_manifest=latest,
+                )
+        finally:
+            decoded.unpersist()
         return {
             "attempted": attempted,
             "landed": attempted - residual,
