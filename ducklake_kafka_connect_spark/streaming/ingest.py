@@ -379,8 +379,13 @@ class IngestPipeline:
         untouched and a crash can never lose residuals to a
         delete-then-append window."""
         from ..lake.table import Manifest
+        from ..metrics import REGISTRY
         from ..sources.json_decode import conflict_note
 
+        with REGISTRY.timer("dlqReprocess"):
+            return self._reprocess_dlq(table, Manifest, conflict_note)
+
+    def _reprocess_dlq(self, table: str, Manifest, conflict_note) -> dict:
         dlq_t = self.catalog.table(f"{table}{self.config.dlq_suffix}")
         out = {"attempted": 0, "landed": 0, "residual": 0}
         if not dlq_t.exists():
