@@ -1440,10 +1440,20 @@ class LakeCatalog:
             set(referenced),
             {n: set(m.schema.fieldNames()) for n, m in manifests.items()},
         )
+        pruned: list[str] = []
         for name, t in tables.items():
-            df = t.read(
-                version=(versions or {}).get(name),
-                where=hints.get(name, auto.get(name)),
-            )
+            where = hints.get(name, auto.get(name))
+            df = t.read(version=(versions or {}).get(name), where=where)
             df.createOrReplaceTempView(name)
-        return self.spark.sql(query)
+            if where is not None:
+                pruned.append(name)
+        result = self.spark.sql(query)  # analysis resolves the views NOW
+        # Temp views outlive this call (D1: tables stay SQL-visible), so
+        # a predicate-narrowed view must not linger under the table's
+        # name — re-register pruned views unfiltered. The already-
+        # analyzed `result` plan is unaffected.
+        for name in pruned:
+            tables[name].read(
+                version=(versions or {}).get(name)
+            ).createOrReplaceTempView(name)
+        return result

@@ -273,3 +273,16 @@ class TestRowCount:
             assert t.row_count() == 400
         finally:
             t.manifest = orig
+
+
+class TestViewHygiene:
+    def test_pruned_view_does_not_linger(self, spark, tmp_path):
+        """Temp views outlive catalog.sql (D1), so the pruned+filtered
+        registration must be swapped back to the full table afterwards —
+        a later direct spark.sql must see every row."""
+        cat, t = _write_ranged(spark, tmp_path, "sq9")
+        df = cat.sql("SELECT count(*) AS n FROM sq9 WHERE id = 2050")
+        assert df.collect()[0]["n"] == 1
+        assert spark.sql("SELECT count(*) AS n FROM sq9").collect()[0]["n"] == 400
+        # and the pruned result itself stays correct after re-registration
+        assert df.collect()[0]["n"] == 1
