@@ -2128,3 +2128,217 @@ def lang_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.when(drift, 1).otherwise(0).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE tokenizer training (the merge LOOP, not just round one)
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 3
+
+
+def _bpe_train_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """Oracle twin of bpe_train_merges: each round is one chained CTE
+    pair (count → top-1) plus a re-segmentation CTE; the scalar
+    subqueries on m{r} mirror the Spark side's 1-row collect."""
+    blocks = [
+        f"""
+    wc AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                             '{TOKEN_SPLIT}')) AS w
+            FROM documents)
+      WHERE length(w) >= 1 GROUP BY w
+    ),
+    s0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS st, n
+           FROM wc)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        blocks.append(f"""
+    p{r} AS (
+      SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                                     i -> sy[i] || ' ' || sy[i + 1])) AS pair,
+               n
+        FROM (SELECT string_split(st, ' ') AS sy, n FROM {prev})
+      ) GROUP BY pair
+    ),
+    m{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1)""")
+        if r < rounds:
+            blocks.append(f"""
+    s{r} AS (
+      SELECT trim(replace(' ' || st || ' ',
+                          ' ' || (SELECT pair FROM m{r}) || ' ',
+                          ' ' || replace((SELECT pair FROM m{r}), ' ', '')
+                              || ' ')) AS st,
+             n
+      FROM {prev}
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair, cnt FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(blocks) + " " + sel
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_train_sql(),
+    f"Iterative BPE tokenizer training: {BPE_MERGE_ROUNDS} merge rounds "
+    "over the word-frequency table — each round counts adjacent symbol "
+    "pairs (weighted by word count), adopts the (count DESC, pair ASC) "
+    "winner, and re-segments; returns the learned merge table",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE training loop, distributed the way k-means is: the
+    symbol-state table lives in the cluster (persisted vocab × state
+    string — the vocab aggregate, tiny relative to the corpus), each
+    round is one map-side pair explosion + one (pair) aggregate, and
+    only the single winning pair crosses to the driver (a 1-row
+    bounded collect, like kmeans' centroid rows). Merge application is
+    a literal string replace with space boundaries — leftmost
+    non-overlapping single-pass in BOTH engines (identical scan
+    semantics), so re-segmentation stays bit-identical; an
+    immediately-adjacent repeat of the same pair defers to the next
+    round (fastBPE's apply has the same property). At 100 TB the
+    corpus is scanned ONCE (the wc aggregate); every later round costs
+    |vocab|, not corpus bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    wc = (
+        docs.select(F.explode(words).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = wc.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("st"), "n"
+    ).persist()
+    merges: list[tuple[int, str, int]] = []
+    cur = st
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        seg = cur.select(F.split("st", " ").alias("sy"), "n")
+        idx = F.when(
+            F.size("sy") >= 2, F.sequence(F.lit(1), F.size("sy") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = seg.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("sy", i),
+                        F.element_at("sy", i + 1),
+                    ),
+                )
+            ).alias("pair"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd, top["pair"], int(top["cnt"])))
+        if rnd < BPE_MERGE_ROUNDS:
+            merged = top["pair"].replace(" ", "")
+            cur = cur.select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("st"), F.lit(" ")),
+                        F.lit(f" {top['pair']} "),
+                        F.lit(f" {merged} "),
+                    )
+                ).alias("st"),
+                "n",
+            )
+    st.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round int, pair string, cnt bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality bands (gibberish / degenerate-doc detector)
+# ---------------------------------------------------------------------------
+
+# Shannon char entropy in micro-nats; word-soup English sits ~2.7-2.9,
+# repetitive/degenerate docs fall below. The threshold is calibrated so
+# the low band is non-empty on the synthetic corpus.
+ENTROPY_LOW_MICRO = 2_770_000
+
+
+@register(
+    "char_entropy_quality",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, lang,
+             unnest(string_split(regexp_replace(lower(text), '\\s+', '', 'g'),
+                                 '')) AS c
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id, lang, c, CAST(count(*) AS BIGINT) AS n
+      FROM ch GROUP BY doc_id, lang, c
+    ),
+    ent AS (
+      SELECT doc_id, lang,
+             {_micronats_sql('CAST(sum(n) AS DOUBLE)')}
+               - CAST(floor(
+                   CAST(sum(n * {_micronats_sql('CAST(n AS DOUBLE)')})
+                        AS DOUBLE)
+                   / sum(n)) AS BIGINT) AS h_micro
+      FROM hist GROUP BY doc_id, lang
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(avg(CAST(h_micro AS DOUBLE)) / 1000000, 6) AS avg_entropy,
+           CAST(sum(CASE WHEN h_micro < {ENTROPY_LOW_MICRO} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_entropy
+    FROM ent GROUP BY lang
+    """,
+    "Per-document Shannon character entropy (integer micro-nats, exact "
+    "cross-engine) -> per-lang mean entropy + low-entropy doc count; "
+    "the cheap degenerate-text detector of a quality pipeline",
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(doc) = ln N - (1/N)·Σ n_c·ln n_c over the doc's char
+    histogram, all in per-row integerized micro-nats (the determinism
+    contract at module top): the inner Σ is an exact integer sum, the
+    division floors, so every doc's h_micro is bit-identical across
+    engines. Scale shape: explode-per-char is linear in corpus BYTES
+    (the same order as reading the data); the histogram aggregate is
+    (doc, char)-keyed — map-side combined, alphabet-bounded state per
+    doc; no shuffle carries raw text."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), r"\s+", ""), "")
+        ).alias("c"),
+    )
+    hist = chars.groupBy("doc_id", "lang", "c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ent = hist.groupBy("doc_id", "lang").agg(
+        (
+            _micronats_col(F.sum("n").cast("double"))
+            - F.floor(
+                F.sum(F.col("n") * _micronats_col(F.col("n").cast("double")))
+                .cast("double")
+                / F.sum("n")
+            ).cast("long")
+        ).alias("h_micro")
+    )
+    return ent.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("h_micro").cast("double")) / 1000000.0, 6).alias(
+            "avg_entropy"
+        ),
+        F.sum(
+            F.when(F.col("h_micro") < ENTROPY_LOW_MICRO, 1).otherwise(0)
+        ).cast("long").alias("n_low_entropy"),
+    )

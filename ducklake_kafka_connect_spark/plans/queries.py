@@ -1063,6 +1063,104 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+#    SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+#    prune within-cluster semantic duplicates, keeping one representative
+#    per near-dup ball. Deterministic variant: fixed seeded centroids
+#    (training them is kmeans_embedding_clusters' job), keep-lowest-id.
+SEM_THRESHOLD = 0.35  # ~15% prune rate on the synthetic corpus
+SEM_CENTROIDS: list[list[float]] = []
+
+
+def _sem_centroids() -> list[list[float]]:
+    from ..operators.similarity import _unit
+
+    if not SEM_CENTROIDS:
+        SEM_CENTROIDS.extend(
+            _unit(c) for c in _lcg_hyperplanes(dim=64, n=NUM_CELLS, seed=29)
+        )
+    return SEM_CENTROIDS
+
+
+def _semdedup_oracle() -> str:
+    from ..operators.similarity import ivf_assign_sql, srp_bucket_sql
+
+    cell = ivf_assign_sql("CAST(embedding AS DOUBLE[])", _sem_centroids())
+    sub = srp_bucket_sql("base.v", dedup_ops._guard_planes(64))
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+             {cell} AS cell
+      FROM embeddings
+    ),
+    n AS (SELECT cell, COUNT(*) AS n_blk FROM base GROUP BY cell),
+    v AS (
+      SELECT base.cell, base.id, base.v,
+             CASE WHEN n.n_blk > {dedup_ops.MAX_EMB_BLOCK} THEN {sub}
+                  ELSE 0 END AS sub
+      FROM base JOIN n USING (cell)
+    ),
+    pruned AS (
+      SELECT DISTINCT b.id
+      FROM v a JOIN v b ON a.cell = b.cell AND a.sub = b.sub
+      WHERE a.id < b.id
+        AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= {SEM_THRESHOLD}
+    )
+    SELECT base.cell, COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN pruned.id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+           ROUND(SUM(CASE WHEN pruned.id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS prune_rate
+    FROM base LEFT JOIN pruned ON base.id = pruned.id
+    GROUP BY base.cell
+    """
+
+
+@register(
+    "semdedup_prune",
+    None,  # oracle attached below (needs centroid/plane literal builders)
+    "SemDeDup semantic pruning: assign embeddings to coarse cells, drop "
+    "within-cell cosine near-dups (keep-lowest-id) — per-cell members, "
+    "pruned count, prune rate",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-prune semantic dedup (SemDeDup). Scale shape: the
+    cell assignment is one map-side expression (broadcast centroid
+    literals, no shuffle); the quadratic prune term is bounded by the
+    (cell, SRP-sub-bucket) blocking that embedding_neardup_pairs
+    already enforces above MAX_EMB_BLOCK rows — the same cap that
+    holds dedup_embedding_cosine sub-linear at sf10. At 100 TB cells
+    come from kmeans_embedding_clusters' centroids and the per-cell
+    work distributes; the keep-lowest-id rule replaces the paper's
+    keep-farthest-from-centroid for cross-engine determinism."""
+    from ..operators.similarity import with_ivf_cell
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = with_ivf_cell(
+        emb.select("vec_id", "embedding"), "embedding", _sem_centroids(), out="cell"
+    )
+    pairs = dedup_ops.embedding_neardup_pairs(
+        cells, threshold=SEM_THRESHOLD, block_col="cell"
+    )
+    pruned = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    flagged = cells.join(
+        pruned.withColumn("__p", F.lit(1)), "vec_id", "left"
+    )
+    return (
+        flagged.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("__p", F.lit(0))).cast("long").alias("n_pruned"),
+        )
+        .withColumn(
+            "prune_rate",
+            F.round(F.col("n_pruned") / F.col("n_members").cast("double"), 6),
+        )
+    )
+
+
+QUERIES["semdedup_prune"].oracle = _semdedup_oracle()
+
+
 @register(
     "ann_lsh_topk",
     ann_lsh_topk_sql(dim=64),
@@ -1620,10 +1718,32 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(dq, qvec, k=10)
 
 
+@register(
+    "ann_pq_topk",
+    None,  # oracle attached below (operator SQL builder)
+    "Product-quantized ANN top-k: 8 subspaces x 16 seeded integer "
+    "codewords, asymmetric ADC scoring (8 table lookups per row) — "
+    "the 4-bytes-per-vector storage path of an IVF-PQ index",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode is map-side (write-time in a real index); scoring reads
+    8 small-int codes per vector and ranks via per-partition partial
+    top-k. At 100 TB the PQ codes column is 64x smaller than the
+    float32 embeddings — the scan is the win, the ADC math is noise.
+    Exactness: integer floor-quantization + integer codebooks, so the
+    DuckDB twin matches bit-for-bit (operators/similarity.py:pq_topk)."""
+    from ..operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return pq_topk(emb, qvec, k=10, exclude_ids=[0])
+
+
 def _attach_similarity_oracles() -> None:
-    from ..operators.similarity import quantized_topk_sql
+    from ..operators.similarity import pq_topk_sql, quantized_topk_sql
 
     QUERIES["ann_quantized_topk"].oracle = quantized_topk_sql()
+    QUERIES["ann_pq_topk"].oracle = pq_topk_sql()
 
 
 _attach_similarity_oracles()

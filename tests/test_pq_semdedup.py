@@ -1,0 +1,238 @@
+"""Round-9 operators: product-quantized ANN, SemDeDup pruning,
+iterative BPE training, char-entropy quality.
+
+Reference parity anchor: inyo-global/ducklake-kafka-connect has no
+vector/tokenizer ops — these extend the beyond-parity LLM-pipeline
+family (SURVEY §6); correctness is oracle-twinned in
+tests/test_entry_oracle.py, these tests pin operator-level invariants.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.operators.similarity import (
+    PQ_CB_HALF,
+    PQ_K,
+    PQ_M,
+    PQ_QSCALE,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
+from ducklake_kafka_connect_spark.sources.parquet_loader import load_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codebooks_shape_and_determinism():
+    b1 = pq_codebooks()
+    b2 = pq_codebooks()
+    assert b1 == b2, "codebooks must be pure functions of the seed"
+    assert len(b1) == PQ_M and all(len(s) == PQ_K for s in b1)
+    assert all(len(c) == 64 // PQ_M for s in b1 for c in s)
+    flat = [v for s in b1 for c in s for v in c]
+    assert all(isinstance(v, int) for v in flat), "integer codewords only"
+    assert min(flat) >= -PQ_CB_HALF and max(flat) < PQ_CB_HALF
+
+
+def test_pq_encode_codes_in_range(spark):
+    emb = load_parquet(spark, f"{SF}/embeddings.parquet")
+    enc = pq_encode(emb)
+    aggs = enc.agg(
+        *[F.min(f"__pq_c{s}").alias(f"lo{s}") for s in range(PQ_M)],
+        *[F.max(f"__pq_c{s}").alias(f"hi{s}") for s in range(PQ_M)],
+    ).head()
+    for s in range(PQ_M):
+        assert 1 <= aggs[f"lo{s}"] and aggs[f"hi{s}"] <= PQ_K
+
+
+def test_pq_dist_matches_python_adc(spark):
+    """One row's pq_dist recomputed in pure Python from the codebooks —
+    pins the quantize→encode→ADC arithmetic end to end."""
+    emb = load_parquet(spark, f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    probe = pq_topk(emb, q, k=1, exclude_ids=[0]).head()
+    v = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == probe["vec_id"])
+        .select("embedding")
+        .head()[0]
+    ]
+    books = pq_codebooks()
+    sub = 64 // PQ_M
+    qq = [math.floor(x * PQ_QSCALE) for x in q]
+    vv = [math.floor(x * PQ_QSCALE) for x in v]
+    expect = 0
+    for s, codes in enumerate(books):
+        vs = vv[s * sub : (s + 1) * sub]
+        dists = [sum((a - b) * (a - b) for a, b in zip(vs, c)) for c in codes]
+        code = dists.index(min(dists))
+        qs = qq[s * sub : (s + 1) * sub]
+        expect += sum((a - b) * (a - b) for a, b in zip(qs, codes[code]))
+    assert probe["pq_dist"] == expect
+
+
+def test_pq_topk_recall_against_exact_l2(spark):
+    """ADC approximates the L2 distance, so the comparison target is
+    the exact L2 top-10. Untrained (seeded) codebooks with 2-dim
+    subcells hit 6/10 on this corpus — assert a margin below that."""
+    emb = load_parquet(spark, f"{SF}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    q = next([float(x) for x in r["embedding"]] for r in rows if r["vec_id"] == 0)
+    l2 = sorted(
+        (
+            sum((float(a) - b) * (float(a) - b) for a, b in zip(r["embedding"], q)),
+            r["vec_id"],
+        )
+        for r in rows
+        if r["vec_id"] != 0
+    )
+    exact = {vid for _, vid in l2[:10]}
+    approx = {r["vec_id"] for r in pq_topk(emb, q, k=10, exclude_ids=[0]).collect()}
+    assert len(approx) == 10
+    assert len(approx & exact) >= 3
+
+
+def test_pq_duplicate_vector_ranks_first(spark):
+    """An exact duplicate of the query gets identical codes, and its
+    ADC is the query's own quantization residual — on this corpus the
+    minimum. The duplicate must rank first."""
+    emb = load_parquet(spark, f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    dup = spark.createDataFrame(
+        [(99999, q, 0)], "vec_id long, embedding array<double>, label long"
+    )
+    pool = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.col("label").cast("long").alias("label"),
+    ).unionByName(dup)
+    top = pq_topk(pool, q, k=1, exclude_ids=[0]).head()
+    assert top["vec_id"] == 99999
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_prune_invariants(spark):
+    from ducklake_kafka_connect_spark.plans.queries import semdedup_prune
+
+    out = semdedup_prune(spark, SF).collect()
+    assert out, "cells must be non-empty"
+    total = sum(r["n_members"] for r in out)
+    n_emb = load_parquet(spark, f"{SF}/embeddings.parquet").count()
+    assert total == n_emb, "every vector lands in exactly one cell"
+    for r in out:
+        assert 0 <= r["n_pruned"] < r["n_members"] or (
+            r["n_members"] == 1 and r["n_pruned"] == 0
+        ), "a cell always keeps at least one representative"
+        assert r["prune_rate"] == pytest.approx(
+            round(r["n_pruned"] / r["n_members"], 6)
+        )
+
+
+def test_semdedup_keeps_lowest_id(spark):
+    """Constructed cell with three mutual near-dups: only the lowest id
+    survives; an orthogonal vector is never pruned."""
+    from ducklake_kafka_connect_spark.operators import dedup as dedup_ops
+
+    base = [1.0] * 8 + [0.0] * 56
+    near = [1.0] * 8 + [0.02] * 56
+    ortho = [0.0] * 56 + [1.0] * 8
+    df = spark.createDataFrame(
+        [
+            (10, base, 0),
+            (11, near, 0),
+            (12, base, 0),
+            (20, ortho, 0),
+        ],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    pairs = dedup_ops.embedding_neardup_pairs(
+        df, threshold=0.9, block_col="cell"
+    )
+    pruned = {r["id_b"] for r in pairs.collect()}
+    assert pruned == {11, 12}, "near-dups of 10 pruned; ortho kept"
+
+
+# ---------------------------------------------------------------------------
+# BPE training loop
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_merges_known_corpus(spark, tmp_path, monkeypatch):
+    """Tiny corpus with hand-computable merges: 'abab' x3, 'ab' x2.
+    Round 1 must pick ('a b') with count 3*2+2*1 = 8; after merging,
+    round 2 sees 'ab ab' (single-pass replace leaves the second 'a b'
+    of each 'a b a b' unmerged only when ADJACENT — here 'ab' 'a' 'b'
+    remains, so pair ('ab a') vs ('a b')... pinned empirically below
+    against the DuckDB oracle, which is the real invariant."""
+    import duckdb
+
+    from ducklake_kafka_connect_spark.plans.corpus_stats import (
+        _bpe_train_sql,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "en", "abab abab abab ab ab")],
+        "doc_id long, lang string, text string",
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(p)
+    # the query reads <sf_dir>/documents.parquet
+    rows = sorted(
+        tuple(r)
+        for r in bpe_train_merges(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    oracle = sorted(tuple(r) for r in con.execute(_bpe_train_sql()).fetchall())
+    assert rows == oracle
+    # round 1: 'a b' appears twice per 'abab' (3 docs-words) + once per 'ab'
+    assert rows[0] == (1, "a b", 8)
+
+
+def test_bpe_single_pass_replace_semantics(spark):
+    """' a a a ' merges leftmost non-overlapping identically in Spark
+    and Python's str.replace — the documented deterministic rule."""
+    df = spark.createDataFrame([(" a a a ",)], "st string")
+    got = df.select(
+        F.replace(F.col("st"), F.lit(" a a "), F.lit(" aa ")).alias("r")
+    ).head()["r"]
+    assert got == " a a a ".replace(" a a ", " aa ") == " aa a "
+
+
+# ---------------------------------------------------------------------------
+# Char entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_uniform_and_degenerate(spark, tmp_path):
+    from ducklake_kafka_connect_spark.plans.corpus_stats import (
+        char_entropy_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "abcd" * 25),  # uniform over 4 chars → ln 4
+            (1, "xx", "aaaa" * 25),  # degenerate → 0
+        ],
+        "doc_id long, lang string, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["lang"]: r for r in char_entropy_quality(spark, str(tmp_path)).collect()}
+    assert out["en"]["avg_entropy"] == pytest.approx(math.log(4), abs=1e-5)
+    assert out["xx"]["avg_entropy"] == 0.0
+    assert out["xx"]["n_low_entropy"] == 1
