@@ -727,3 +727,145 @@ def pq_topk_sql(
     ORDER BY pq_dist, codes.vec_id
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells for pruning + PQ codes for storage (the full index)
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    table,
+    emb: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    books: Sequence[Sequence[Sequence[int]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the FAISS-style IVF-PQ layout into a lake table: rows are
+    (id, cell, pqc0..pqc{M-1}) — the raw embedding is NOT stored. Cell
+    partitions give manifest-level pruning (the nprobe probe opens
+    nprobe/NUM_CELLS of the files); PQ codes shrink what remains to
+    M small ints per vector. At 100 TB this is the only vector layout
+    whose query cost is independent of corpus bytes: the probe prunes
+    files, the codes bound bytes-per-row, and ADC never touches a
+    float vector."""
+    from ..lake.writer import LakeWriter
+
+    books = books or pq_codebooks()
+    cents = [_unit(c) for c in centroids]
+    coded = pq_encode(with_ivf_cell(emb, vec_col, cents), vec_col, books)
+    cols = [F.col(id_col), F.col("cell")] + [
+        F.col(f"__pq_c{s}").alias(f"pqc{s}") for s in range(len(books))
+    ]
+    LakeWriter(table, pk=[id_col], partition_by="cell", auto_create=True).append(
+        coded.select(*cols)
+    )
+
+
+def ivfpq_indexed_topk(
+    table,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    books: Sequence[Sequence[Sequence[int]]] | None = None,
+    id_col: str = "vec_id",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """ADC top-k over the probed cells of an IVF-PQ index: the scan
+    reads only pruned-manifest files and only code columns; scoring is
+    M list_extract lookups against driver-built ADC tables; ranking is
+    a per-partition partial top-k."""
+    books = books or pq_codebooks()
+    sub = len(books[0][0])
+    q = [float(x) for x in query]
+    qq = [math.floor(x * PQ_QSCALE) for x in q]
+    cells = probe_cells(query, centroids, nprobe)
+    pred = f"cell IN ({', '.join(str(c) for c in cells)})"
+    df = table.read(where=pred)
+    terms = []
+    for s, codes in enumerate(books):
+        qs = qq[s * sub : (s + 1) * sub]
+        adc = [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in codes]
+        lits = ", ".join(f"CAST({int(v)} AS BIGINT)" for v in adc)
+        terms.append(f"element_at(array({lits}), CAST(pqc{s} AS INT))")
+    scored = df.select(
+        F.col(id_col), F.expr("(" + " + ".join(terms) + ")").alias("pq_dist")
+    )
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
+    return scored.orderBy(F.col("pq_dist"), F.col(id_col)).limit(k)
+
+
+def ivfpq_indexed_topk_sql(
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    table: str = "embeddings",
+    query_id: int = 0,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle: recomputes cells + codes from the raw vectors
+    (no index), with the identical probe ordering and ADC arithmetic —
+    static SQL, no data-dependent constants."""
+    books = pq_codebooks(dim=dim)
+    sub = len(books[0][0])
+    cents = [_unit(c) for c in centroids]
+    assign = ivf_assign_sql("CAST(embedding AS DOUBLE[])", cents)
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+
+    def qe(i: int) -> str:
+        return (
+            f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {PQ_QSCALE}) AS BIGINT)"
+        )
+
+    e_cols = ", ".join(f"{qe(i)} AS e{i}" for i in range(dim))
+    adc_lists = []
+    dl_lists = []
+    for s, codes in enumerate(books):
+        a_els, d_els = [], []
+        for c in codes:
+            a_els.append(
+                "(" + " + ".join(
+                    f"({qe(s * sub + d)} - {c[d]}) * ({qe(s * sub + d)} - {c[d]})"
+                    for d in range(sub)
+                ) + ")"
+            )
+            d_els.append(
+                "(" + " + ".join(
+                    f"(e{s * sub + d} - {c[d]}) * (e{s * sub + d} - {c[d]})"
+                    for d in range(sub)
+                ) + ")"
+            )
+        adc_lists.append("list_value(" + ", ".join(a_els) + f") AS adc{s}")
+        dl_lists.append("list_value(" + ", ".join(d_els) + f") AS dl{s}")
+    code_cols = ", ".join(
+        f"list_position(dl{s}, list_min(dl{s})) AS c{s}" for s in range(len(books))
+    )
+    score = " + ".join(
+        f"list_extract(q.adc{s}, codes.c{s})" for s in range(len(books))
+    )
+    return f"""
+    WITH raw AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM {table}
+                 WHERE vec_id = {query_id}),
+    cents(i, c) AS (VALUES {cent_rows}),
+    probed AS (
+      SELECT i FROM cents, raw
+      ORDER BY list_dot_product(raw.v, cents.c) DESC, i
+      LIMIT {nprobe}
+    ),
+    q AS (SELECT {", ".join(adc_lists)} FROM {table} WHERE vec_id = {query_id}),
+    v AS (SELECT vec_id, {e_cols}, {assign} AS cell FROM {table}
+          WHERE vec_id <> {query_id}),
+    flt AS (SELECT * FROM v WHERE cell IN (SELECT i FROM probed)),
+    dl AS (SELECT vec_id, {", ".join(dl_lists)} FROM flt),
+    codes AS (SELECT vec_id, {code_cols} FROM dl)
+    SELECT codes.vec_id, ({score}) AS pq_dist
+    FROM codes, q
+    ORDER BY pq_dist, codes.vec_id
+    LIMIT {k}
+    """

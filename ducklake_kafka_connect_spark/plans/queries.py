@@ -1739,11 +1739,51 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, qvec, k=10, exclude_ids=[0])
 
 
+@register(
+    "ann_ivfpq_topk",
+    None,  # oracle attached below (operator SQL builder)
+    "Full IVF-PQ index query: nprobe-cell manifest pruning over a "
+    "cell-partitioned lake index that stores only PQ codes (no raw "
+    "vectors), ADC scoring on the survivors",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS-layout composition of ann_ivf_indexed_topk (coarse
+    pruning) and ann_pq_topk (code storage): query cost is independent
+    of corpus bytes — files prune by cell, rows cost M small ints.
+    Index build is memoized per source, same as ann_ivf_indexed_topk
+    (an index is built once, probed many times)."""
+    from ..operators.similarity import build_ivfpq_index, ivfpq_indexed_topk
+
+    src = _t(spark, sf_dir, "embeddings")
+
+    def _build():
+        emb = src
+        query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        lake_dir = os.path.join(
+            tempfile.gettempdir(), f"ducklake_ivfpq_{uuid.uuid4().hex[:8]}"
+        )
+        cat = LakeCatalog(spark, lake_dir)
+        t = cat.table("emb_ivfpq")
+        build_ivfpq_index(t, emb, IVF_CENTROIDS)
+        return ivfpq_indexed_topk(
+            t, query, IVF_CENTROIDS, k=10, nprobe=2, exclude_ids=[0]
+        )
+
+    return dedup_ops._memo_plan(src, "ivfpq_indexed", (), _build)
+
+
 def _attach_similarity_oracles() -> None:
-    from ..operators.similarity import pq_topk_sql, quantized_topk_sql
+    from ..operators.similarity import (
+        ivfpq_indexed_topk_sql,
+        pq_topk_sql,
+        quantized_topk_sql,
+    )
 
     QUERIES["ann_quantized_topk"].oracle = quantized_topk_sql()
     QUERIES["ann_pq_topk"].oracle = pq_topk_sql()
+    QUERIES["ann_ivfpq_topk"].oracle = ivfpq_indexed_topk_sql(
+        IVF_CENTROIDS, nprobe=2
+    )
 
 
 _attach_similarity_oracles()

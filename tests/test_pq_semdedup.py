@@ -236,3 +236,40 @@ def test_char_entropy_uniform_and_degenerate(spark, tmp_path):
     assert out["en"]["avg_entropy"] == pytest.approx(math.log(4), abs=1e-5)
     assert out["xx"]["avg_entropy"] == 0.0
     assert out["xx"]["n_low_entropy"] == 1
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed index
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_index_layout_and_pruning(spark, tmp_path):
+    """The index must store only (id, cell, codes) — no raw vectors —
+    and the nprobe probe must prune unprobed cells' files from the
+    manifest."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog
+    from ducklake_kafka_connect_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_indexed_topk,
+        probe_cells,
+        _lcg_hyperplanes,
+        NUM_CELLS,
+    )
+
+    cents = _lcg_hyperplanes(dim=64, n=NUM_CELLS, seed=11)
+    emb = load_parquet(spark, f"{SF}/embeddings.parquet")
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.table("emb_ivfpq")
+    build_ivfpq_index(t, emb, cents)
+    cols = set(t.read().columns)
+    assert "embedding" not in cols, "IVF-PQ stores codes, not vectors"
+    assert {"vec_id", "cell"} <= cols
+    assert sum(c.startswith("pqc") for c in cols) == PQ_M
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cells = probe_cells(query, cents, nprobe=2)
+    kept, pruned = t.prune_files(f"cell IN ({cells[0]}, {cells[1]})")
+    assert pruned > 0, "unprobed cells' files must never be opened"
+    top = ivfpq_indexed_topk(t, query, cents, k=5, nprobe=2, exclude_ids=[0])
+    rows = top.collect()
+    assert len(rows) == 5
+    assert all(r["pq_dist"] >= 0 for r in rows)
