@@ -2342,3 +2342,189 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("h_micro") < ENTROPY_LOW_MICRO, 1).otherwise(0)
         ).cast("long").alias("n_low_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ recall evaluation: ADC ranking vs exact integer L2
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pq_recall_eval",
+    None,  # placeholder replaced below (needs codebook literals)
+    "",
+)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the PQ family: recall@10 of the
+    PQ-reconstruction ranking against exact quantized-L2 brute force,
+    on the same deterministic query sample as ann_recall_eval. Corpus
+    rows encode ONCE (codes → reconstructed integer vector, a
+    write-time cost in a real index); each (query, corpus) pair then
+    pays one 64-dim integer L2 on both rankings — the reconstruction
+    ranking IS what an ADC scan computes, expressed pairwise so a
+    broadcast query set needs no driver-side ADC tables. All
+    arithmetic is int64 → bit-identical oracle."""
+    from ..operators.similarity import PQ_QSCALE, pq_codebooks, pq_encode
+
+    books = pq_codebooks()
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = pq_encode(emb)
+    cb_arrays = []
+    for s, codes in enumerate(books):
+        lits = ", ".join(
+            "array(" + ", ".join(str(v) for v in c) + ")" for c in codes
+        )
+        cb_arrays.append(f"element_at(array({lits}), __pq_c{s})")
+    recon = f"flatten(array({', '.join(cb_arrays)}))"
+    qvec = (
+        f"transform(embedding, x -> floor(CAST(x AS DOUBLE) * {PQ_QSCALE}))"
+    )
+    v = coded.select(
+        "vec_id",
+        F.expr(qvec).alias("qq"),
+        F.expr(recon).alias("recon"),
+    )
+    v.persist()
+    q = v.filter(F.col("vec_id") % RECALL_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("qq").alias("qv")
+    )
+    l2 = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    pairs = (
+        v.join(F.broadcast(q), v.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(l2.format(a="qq", b="qv")).alias("d_exact"),
+            F.expr(l2.format(a="recon", b="qv")).alias("d_pq"),
+        )
+    )
+    pairs.persist()
+    exact_rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("d_exact"), F.col("vec_id"))
+    )
+    pq_rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("d_pq"), F.col("vec_id"))
+    )
+    brute = (
+        pairs.withColumn("rn", exact_rn)
+        .filter(F.col("rn") <= RECALL_K)
+        .select("qid", "vec_id")
+    )
+    approx = (
+        pairs.withColumn("rn", pq_rn)
+        .filter(F.col("rn") <= RECALL_K)
+        .select("qid", "vec_id")
+    )
+    hits = brute.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    perq = q.select("qid").join(hits, "qid", "left").select(
+        "qid", F.coalesce("h", F.lit(0)).alias("h")
+    )
+    return perq.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("h").cast("long").alias("sum_hits"),
+        F.round(
+            F.sum("h") / (F.lit(float(RECALL_K)) * F.count(F.lit(1))), 6
+        ).alias("avg_recall_at_10"),
+        F.sum(F.when(F.col("h") == RECALL_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_perfect"),
+    )
+
+
+def _pq_recall_oracle() -> str:
+    from ..operators.similarity import PQ_QSCALE, pq_codebooks
+
+    books = pq_codebooks()
+    sub = len(books[0][0])
+    dim = sub * len(books)
+    qvec = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* {PQ_QSCALE}) AS BIGINT))"
+    )
+    cb_lists = []
+    code_cols = []
+    for s, codes in enumerate(books):
+        lit = "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in c) + "]" for c in codes
+        ) + "]"
+        dl = "list_value(" + ", ".join(
+            "(" + " + ".join(
+                f"(qq[{s * sub + d + 1}] - {c[d]}) * (qq[{s * sub + d + 1}] - {c[d]})"
+                for d in range(sub)
+            ) + ")"
+            for c in codes
+        ) + ")"
+        code_cols.append(f"list_position({dl}, list_min({dl})) AS c{s}")
+        cb_lists.append(f"list_extract({lit}, c{s})")
+    recon = f"flatten(list_value({', '.join(cb_lists)}))"
+    l2 = (
+        "list_sum(list_transform(generate_series(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, {qvec} AS qq FROM embeddings
+    ),
+    codes AS (SELECT vec_id, qq, {", ".join(code_cols)} FROM base),
+    v AS (SELECT vec_id, qq, {recon} AS recon FROM codes),
+    q AS (SELECT vec_id AS qid, qq AS qv FROM v
+          WHERE vec_id % {RECALL_QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.qid, v.vec_id,
+             CAST({l2.format(n=dim, a="v.qq", b="q.qv")} AS BIGINT) AS d_exact,
+             CAST({l2.format(n=dim, a="v.recon", b="q.qv")} AS BIGINT) AS d_pq
+      FROM v, q WHERE v.vec_id <> q.qid
+    ),
+    brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d_exact, vec_id) AS rn
+        FROM pairs
+      ) r WHERE rn <= {RECALL_K}
+    ),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d_pq, vec_id) AS rn
+        FROM pairs
+      ) r WHERE rn <= {RECALL_K}
+    ),
+    hits AS (
+      SELECT b.qid, count(*) AS h
+      FROM brute b JOIN approx a ON b.qid = a.qid AND b.vec_id = a.vec_id
+      GROUP BY b.qid
+    ),
+    perq AS (
+      SELECT q.qid, COALESCE(h, 0) AS h FROM q LEFT JOIN hits USING (qid)
+    )
+    SELECT count(*) AS n_queries,
+           CAST(sum(h) AS BIGINT) AS sum_hits,
+           ROUND(sum(h) / ({RECALL_K}.0 * count(*)), 6) AS avg_recall_at_10,
+           CAST(sum(CASE WHEN h = {RECALL_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_perfect
+    FROM perq
+    """
+
+
+def _finalize_pq_recall() -> None:
+    from .queries import QUERIES
+
+    qd = QUERIES["pq_recall_eval"]
+    QUERIES["pq_recall_eval"] = type(qd)(
+        fn=qd.fn,
+        oracle=_pq_recall_oracle(),
+        description="PQ evaluation harness: recall@10 of the "
+        "PQ-reconstruction (ADC) ranking vs exact quantized-L2 brute "
+        "force over the deterministic query sample — int64-exact "
+        "cross-engine",
+    )
+
+
+_finalize_pq_recall()
