@@ -644,6 +644,7 @@ def pq_topk(
     vec_col: str = "embedding",
     exclude_ids: Sequence[int] = (),
     books: Sequence[Sequence[Sequence[int]]] | None = None,
+    pre_encoded: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance top-k: the query builds one 16-entry integer
     lookup table per subspace ON THE DRIVER (ADC), each corpus row pays
@@ -659,7 +660,7 @@ def pq_topk(
     sub = len(books[0][0])
     q = [float(x) for x in query]
     qq = [math.floor(x * PQ_QSCALE) for x in q]
-    enc = pq_encode(df, vec_col, books)
+    enc = df if pre_encoded else pq_encode(df, vec_col, books)
     terms = []
     for s, codes in enumerate(books):
         qs = qq[s * sub : (s + 1) * sub]

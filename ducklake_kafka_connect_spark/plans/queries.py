@@ -1726,17 +1726,27 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the 4-bytes-per-vector storage path of an IVF-PQ index",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode is map-side (write-time in a real index); scoring reads
-    8 small-int codes per vector and ranks via per-partition partial
-    top-k. At 100 TB the PQ codes column is 64x smaller than the
-    float32 embeddings — the scan is the win, the ADC math is noise.
+    """Encode is map-side and write-time in a real index, so it is
+    memoized per source (the codes persist; every query re-reads them
+    — same convention as ann_ivf_indexed_topk's build). Scoring reads
+    32 small-int codes per vector and ranks via per-partition partial
+    top-k. At 100 TB the PQ codes are 16x smaller than the float32
+    embeddings — the scan is the win, the ADC math is noise.
     Exactness: integer floor-quantization + integer codebooks, so the
     DuckDB twin matches bit-for-bit (operators/similarity.py:pq_topk)."""
-    from ..operators.similarity import pq_topk
+    from ..operators.similarity import pq_encode, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    return pq_topk(emb, qvec, k=10, exclude_ids=[0])
+    enc = dedup_ops._memo_plan(
+        emb,
+        "pq_encoded",
+        (),
+        lambda: dedup_ops._persist(
+            pq_encode(emb.select("vec_id", "embedding"))
+        ),
+    )
+    return pq_topk(enc, qvec, k=10, exclude_ids=[0], pre_encoded=True)
 
 
 @register(
