@@ -371,6 +371,14 @@ SF1_QUERIES = [  # r3's 10 most expensive, cheap/stable first
     # stats) and the gram-keyed novelty self-aggregation
     "bm25_retrieval_topk",
     "ngram_novelty_curve",
+    # round-9 addition: the DLQ replay loop (two full connector
+    # dataflows + the single-commit swap — the heaviest e2e query)
+    "dlq_reprocess_pipeline",
+    # round-10 additions: the quadratic-guard evidence for SemDeDup's
+    # within-cell prune, and the IVF-PQ index (build memoized once +
+    # manifest-pruned ADC probe — the corpus-size-independent path)
+    "semdedup_prune",
+    "ann_ivfpq_topk",
 ]
 # >12x wall on 10x data (the VERDICT gate) earns a plan note
 SF1_RATIO_FLAG = 12.0
@@ -499,6 +507,14 @@ def sf1_ingest(spark) -> dict:
     out: dict = {}
     lake_dir = tempfile.mkdtemp(prefix="bench_sf1_lake_")
     try:
+        # the rehearsal queries just churned the heap (the DLQ replay at
+        # sf1 decodes 1M-row frames twice); settle the JVM so the ingest
+        # numbers measure the write path, not the previous query's GC debt
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         cat = LakeCatalog(spark, lake_dir)
         w = LakeWriter(cat.table("m1"), pk=["id"], partition_by="month(created_at)")
         base = spark.range(1_000_000).select(
