@@ -1,0 +1,365 @@
+"""Perceptual-fingerprint, in-engine-training, and CDC-apply queries.
+
+Round-9 wave of the beyond-parity surface (SURVEY §7 phase 5 / §2.G
+extensions; the reference delegates all of this to DuckDB over the
+tables it writes):
+
+- ``image_phash_dedup``: DCT perceptual hash over a synthetic PNG
+  corpus — real codec round trip + scale-invariance checked by the
+  oracle's closed-form grouping.
+- ``audio_dominant_freq``: PCM WAV synthesis → zero-dep decode → FFT
+  dominant-bin analysis, oracle = generation arithmetic.
+- ``quality_classifier_logreg``: a fastText-style document-quality
+  classifier trained **inside the engine** — batch gradient descent
+  where each iteration is one distributed aggregate (driver holds 4
+  scalars, cost ∝ one scan per iteration); the DuckDB oracle unrolls
+  the same three iterations as chained CTEs.
+- ``cdc_upsert_tombstones``: CDC changelog apply through the lake
+  MERGE with delete semantics (``tombstone_col``) — the
+  `whenMatchedDelete` extension SURVEY §2.G calls out as absent in the
+  reference (no DELETE anywhere in `src/main`;
+  `connect/SinkRecordToArrowConverter.java:414-424` nulls the row
+  instead of deleting).
+
+All four keep the repo's determinism conventions: seeded-LCG synthetic
+media, integer-exact invariants where possible, ROUND(.., k) on every
+float output, aliases identical on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake import LakeCatalog, LakeWriter
+from .queries import _t, register
+
+# ---------------------------------------------------------------------------
+# image_phash_dedup
+# ---------------------------------------------------------------------------
+
+PHASH_MOD = 10  # one synthetic image per PHASH_MOD-th document
+PHASH_GROUPS = 13  # distinct base rasters; ~4 images/group at sf0.01
+
+
+@register(
+    "image_phash_dedup",
+    f"""
+    WITH imgs AS (
+      SELECT doc_id, (doc_id // {PHASH_MOD}) % {PHASH_GROUPS} AS grp
+      FROM documents WHERE doc_id % {PHASH_MOD} = 0
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc,
+           CAST(count(*) AS BIGINT) AS n_imgs,
+           CAST(count(DISTINCT (doc_id // {PHASH_MOD}) % 2) AS BIGINT) AS n_scales
+    FROM imgs GROUP BY grp HAVING count(*) >= 2
+    """,
+    "Image near-dup by DCT perceptual hash: synthetic PNGs (13 base "
+    "rasters, alternating 32px and 64px pyramid variants) encoded and "
+    "decoded through the zero-dep codec, pHashed in an Arrow-batched "
+    "slot, grouped on the 63-bit fingerprint — scale invariance makes "
+    "the groups match the generator's arithmetic exactly",
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Python boundaries (synthesize+encode, decode+hash), both
+    Arrow-batched mapInPandas over (media_id, data) frames; the groupBy
+    shuffles one long per image. At 100 TB the same fingerprint keys the
+    banded-LSH join in operators/dedup.py instead of an exact groupBy."""
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % PHASH_MOD == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.codecs import encode_png
+        from ..operators.perceptual import synth_gray_image
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                grp = (d // PHASH_MOD) % PHASH_GROUPS
+                scale = 1 + (d // PHASH_MOD) % 2
+                img = synth_gray_image(seed=grp * 2654435761 + 11, scale=scale)
+                payloads.append(encode_png(img[:, :, None]))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": payloads})
+
+    media = docs.mapInPandas(synth, "media_id long, data binary")
+
+    def hash_imgs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.codecs import decode_image_array
+        from ..operators.perceptual import phash63
+
+        for pdf in batches:
+            hashes = [
+                phash63(decode_image_array(bytes(p))) for p in pdf["data"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
+
+    hashed = media.mapInPandas(hash_imgs, "media_id long, phash long")
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.min("media_id").alias("rep_doc"),
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.countDistinct((F.col("media_id") / PHASH_MOD).cast("long") % 2)
+            .alias("n_scales"),
+        )
+        .filter(F.col("n_imgs") >= 2)
+        .select("rep_doc", "n_imgs", "n_scales")
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio_dominant_freq
+# ---------------------------------------------------------------------------
+
+AUDIO_N = 1024  # clip length (samples); integer-bin sines leak nothing
+AUDIO_BINS = 37
+
+
+@register(
+    "audio_dominant_freq",
+    f"""
+    SELECT CAST(5 + doc_id % {AUDIO_BINS} AS BIGINT) AS dom_bin,
+           CAST(count(*) AS BIGINT) AS n_clips
+    FROM documents WHERE doc_id % 3 = 1
+    GROUP BY 1
+    """,
+    "Audio spectral analysis e2e: synthetic int16 sine clips (bin = "
+    "5 + doc_id % 37) through PCM WAV encode → zero-dep decode → numpy "
+    "rfft dominant-bin argmax in an Arrow-batched slot; integer-bin "
+    "sines make the dominant bin exact, so the oracle is the generator "
+    "arithmetic",
+)
+def audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.codecs import encode_wav
+
+        n = np.arange(AUDIO_N, dtype=np.float64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = 5 + int(doc_id) % AUDIO_BINS
+                wave = np.round(
+                    12000.0 * np.sin(2.0 * np.pi * k * n / AUDIO_N)
+                ).astype(np.int16)
+                payloads.append(encode_wav(wave, rate=16000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": payloads})
+
+    media = docs.mapInPandas(synth, "media_id long, data binary")
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.codecs import decode_wav
+        from ..operators.perceptual import dominant_bin
+
+        for pdf in batches:
+            bins = []
+            for p in pdf["data"]:
+                samples, _rate = decode_wav(bytes(p))
+                bins.append(dominant_bin(samples))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "dom_bin": bins})
+
+    analyzed = media.mapInPandas(analyze, "media_id long, dom_bin long")
+    return (
+        analyzed.groupBy("dom_bin")
+        .agg(F.count(F.lit(1)).alias("n_clips"))
+        .select("dom_bin", "n_clips")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_logreg
+# ---------------------------------------------------------------------------
+
+LOGREG_ITERS = 3
+LOGREG_LR = 1.0
+# gradient / weight rounding keeps the iterate bit-identical across
+# engines: double-sum reassociation noise (~1e-15) is far below the
+# 5e-10 rounding boundary
+LOGREG_ROUND = 9
+
+
+def _logreg_feature_sql() -> str:
+    """Shared feature definitions (DuckDB dialect; Spark mirrors them
+    with identical arithmetic). y = 1 for English docs."""
+    return """
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             length(text) / 500.0 AS x1,
+             CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+               / length(text) AS x2,
+             CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)
+               / length(text) AS x3
+      FROM documents
+    """
+
+
+def _logreg_oracle() -> str:
+    """Unrolled 3-iteration batch GD as chained CTEs. Iteration 1 is
+    closed-form (w=0 → sigmoid=0.5); iterations 2-3 cross-join the
+    1-row weight CTE."""
+    feat = _logreg_feature_sql()
+    r = LOGREG_ROUND
+    lr = LOGREG_LR
+
+    def step(prev: str, cur: str) -> str:
+        z = f"({prev}.w0 + {prev}.w1*x1 + {prev}.w2*x2 + {prev}.w3*x3)"
+        p = f"(1.0 / (1.0 + exp(-{z})))"
+        return f"""
+    {cur} AS (
+      SELECT ROUND({prev}.w0 - {lr} * sum(({p} - y) * 1.0) / count(*), {r}) AS w0,
+             ROUND({prev}.w1 - {lr} * sum(({p} - y) * x1) / count(*), {r}) AS w1,
+             ROUND({prev}.w2 - {lr} * sum(({p} - y) * x2) / count(*), {r}) AS w2,
+             ROUND({prev}.w3 - {lr} * sum(({p} - y) * x3) / count(*), {r}) AS w3
+      FROM f CROSS JOIN {prev}
+      GROUP BY {prev}.w0, {prev}.w1, {prev}.w2, {prev}.w3
+    )"""
+
+    return f"""
+    WITH f AS ({feat}),
+    w1 AS (
+      SELECT ROUND(0.0 - {lr} * sum((0.5 - y) * 1.0) / count(*), {r}) AS w0,
+             ROUND(0.0 - {lr} * sum((0.5 - y) * x1) / count(*), {r}) AS w1,
+             ROUND(0.0 - {lr} * sum((0.5 - y) * x2) / count(*), {r}) AS w2,
+             ROUND(0.0 - {lr} * sum((0.5 - y) * x3) / count(*), {r}) AS w3
+      FROM f
+    ),{step("w1", "w2")},{step("w2", "w3")}
+    SELECT ROUND(w3.w0, 6) AS w0, ROUND(w3.w1, 6) AS w1,
+           ROUND(w3.w2, 6) AS w2, ROUND(w3.w3, 6) AS w3,
+           CAST(sum(CASE WHEN ((w3.w0 + w3.w1*x1 + w3.w2*x2 + w3.w3*x3) > 0)
+                              = (y = 1.0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM f CROSS JOIN w3
+    GROUP BY w3.w0, w3.w1, w3.w2, w3.w3
+    """
+
+
+@register(
+    "quality_classifier_logreg",
+    _logreg_oracle(),
+    "In-engine quality-classifier training: 3 iterations of batch "
+    "gradient descent for logistic regression (features: length, space "
+    "ratio, 'e' ratio; label: lang='en'), each iteration one distributed "
+    "aggregate — driver holds 4 scalars. Oracle unrolls the identical "
+    "iterations as DuckDB CTEs; per-iteration ROUND pins the float path",
+)
+def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fastText-shaped pipeline op (DCLM/FineWeb-style quality
+    gating trains exactly such linear models over document features).
+    Scale: each GD step is a map-side-combined agg over one scan —
+    no shuffle growth with corpus size; the model (4 doubles) rides the
+    closure. The bounded .first() per iteration is planning state, the
+    same convention as kmeans_embedding_clusters (plans/pipeline.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    ln = F.length("text").cast("double")
+    feat = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (ln / 500.0).alias("x1"),
+        ((ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))) / ln)
+        .alias("x2"),
+        ((ln - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))) / ln)
+        .alias("x3"),
+    )
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(LOGREG_ITERS):
+        z = F.lit(w[0]) + F.lit(w[1]) * xs[1] + F.lit(w[2]) * xs[2] + F.lit(w[3]) * xs[3]
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feat.agg(
+            *[F.sum((p - F.col("y")) * x).alias(f"g{j}") for j, x in enumerate(xs)],
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n = row["n"]
+        w = [
+            round(w[j] - LOGREG_LR * row[f"g{j}"] / n, LOGREG_ROUND)
+            for j in range(4)
+        ]
+
+    score = F.lit(w[0]) + F.lit(w[1]) * xs[1] + F.lit(w[2]) * xs[2] + F.lit(w[3]) * xs[3]
+    return feat.agg(
+        F.round(F.lit(w[0]), 6).alias("w0"),
+        F.round(F.lit(w[1]), 6).alias("w1"),
+        F.round(F.lit(w[2]), 6).alias("w2"),
+        F.round(F.lit(w[3]), 6).alias("w3"),
+        F.sum(
+            F.when((score > 0) == (F.col("y") == 1.0), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_upsert_tombstones
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_upsert_tombstones",
+    """
+    WITH last AS (
+      SELECT user_id,
+             arg_max(event_type, event_id) AS et,
+             arg_max(value, event_id) AS v,
+             max(event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_live,
+           ROUND(sum(v), 2) AS sum_value,
+           CAST(sum(seq) AS BIGINT) AS seq_sum
+    FROM last WHERE et <> 'error'
+    """,
+    "CDC changelog apply with delete semantics: per-user base snapshot, "
+    "then the whole event stream as a changelog MERGE (order_col=event "
+    "sequence, tombstone_col=error events) — last-write-wins including "
+    "winning tombstones deleting their key. The whenMatchedDelete "
+    "extension over the reference's MERGE (SURVEY §2.G)",
+)
+def cdc_upsert_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the lake MERGE's tombstone path end-to-end (pytest
+    covers it unit-level in test_tombstones.py; this adds the driver
+    oracle). A user whose LAST event is an 'error' is tombstoned out of
+    the final table; everyone else carries their latest event's payload."""
+    ev = _t(spark, sf_dir, "events")
+    base = (
+        ev.groupBy("user_id")
+        .agg(F.lit("base").alias("event_type"), F.lit(0.0).alias("value"),
+             F.lit(0).cast("long").alias("seq"))
+    )
+    changelog = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "error").alias("_deleted"),
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_cdc_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("user_state"), pk=["user_id"])
+    w.write(base)
+    w.merge(changelog, order_col="seq", tombstone_col="_deleted")
+    final = cat.table("user_state").read()
+    return final.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum("seq").alias("seq_sum"),
+    )
