@@ -307,6 +307,194 @@ def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bpe_encode_tokens
+# ---------------------------------------------------------------------------
+
+# Fixed (pre-trained) merge table — ranks 1-6 of bpe_train_merges on the
+# corpus; shipped-tokenizer semantics: training happens offline, apply
+# happens in-pipeline. "m er" composes with rank-1 "e r", so ordered
+# application matters and the query proves it's honored.
+BPE_MERGES = ["e r", "i n", "o w", "o r", "s t", "m er"]
+
+
+def _bpe_apply_sql(expr: str) -> str:
+    """Chain the fixed merges over a spaced-symbol string (DuckDB
+    dialect) — boundary-padded literal replace, leftmost
+    non-overlapping, identical to the training re-segmentation."""
+    out = f"' ' || {expr} || ' '"
+    for pair in BPE_MERGES:
+        merged = pair.replace(" ", "")
+        out = f"replace({out}, ' {pair} ', ' {merged} ')"
+    return f"trim({out})"
+
+
+_BPE_ENC_SQL = _bpe_apply_sql(r"trim(regexp_replace(word, '(.)', '\1 ', 'g'))")
+
+
+@register(
+    "bpe_encode_tokens",
+    f"""
+    WITH w AS (
+      SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    enc AS (
+      SELECT lang,
+             {_BPE_ENC_SQL}
+               AS st
+      FROM w WHERE length(word) >= 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(1 + length(st) - length(replace(st, ' ', ''))) AS BIGINT)
+             AS total_tokens,
+           ROUND(sum(1 + length(st) - length(replace(st, ' ', '')))
+                 / CAST(count(*) AS DOUBLE), 6) AS tokens_per_word
+    FROM enc GROUP BY lang
+    """,
+    "Tokenizer APPLY (the other half of bpe_train_merges): encode every "
+    "word with a fixed 6-merge BPE table in ranked order — all literal "
+    "boundary-padded replaces inside whole-stage codegen, zero Python; "
+    "per-language token counts must match the oracle's identical chain",
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear per-row transform (explode words → 6 chained replaces →
+    length arithmetic) + a tiny-cardinality groupBy: the 100 TB shape
+    for tokenizer throughput accounting. Merge application reuses the
+    exact replace semantics bpe_train_merges pinned as bit-identical
+    across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    w = docs.select("lang", F.explode(words).alias("word")).filter(
+        F.length("word") >= 1
+    )
+    st = F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    padded = F.concat(F.lit(" "), st, F.lit(" "))
+    for pair in BPE_MERGES:
+        merged = pair.replace(" ", "")
+        padded = F.replace(padded, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    st = F.trim(padded)
+    tokens = (
+        F.lit(1) + F.length(st) - F.length(F.replace(st, F.lit(" "), F.lit("")))
+    ).cast("long")
+    return (
+        w.select("lang", tokens.alias("tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("tokens").alias("total_tokens"),
+            F.round(
+                F.sum("tokens") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_power
+# ---------------------------------------------------------------------------
+
+PCA_DIM = 64
+PCA_ITERS = 3
+PCA_ROUND = 9  # per-iteration vector rounding (same rationale as LOGREG_ROUND)
+
+
+def _pca_oracle() -> str:
+    """Power iteration in pure SQL: long-format (vec_id, idx, val)
+    explode via a lateral range join, then per-iteration (dot, update,
+    normalize+round) CTE triples. v0 = 1/sqrt(64) = 0.125 exactly."""
+    steps = []
+    prev = "v0"
+    for it in range(1, PCA_ITERS + 1):
+        steps.append(f"""
+    d{it} AS (
+      SELECT e.vec_id, sum(e.val * {prev}.v) AS dot
+      FROM e JOIN {prev} ON e.idx = {prev}.idx GROUP BY e.vec_id
+    ),
+    u{it} AS (
+      SELECT e.idx, sum(d{it}.dot * e.val) AS u
+      FROM e JOIN d{it} ON e.vec_id = d{it}.vec_id GROUP BY e.idx
+    ),
+    v{it} AS (
+      SELECT idx,
+             ROUND(u / sqrt((SELECT sum(u * u) FROM u{it})), {PCA_ROUND}) AS v
+      FROM u{it}
+    )""")
+        prev = f"v{it}"
+    chain = ",".join(steps)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, i AS idx, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, {PCA_DIM + 1}) t(i)
+    ),
+    v0 AS (SELECT i AS idx, 0.125 AS v FROM range(1, {PCA_DIM + 1}) t(i)),
+    {chain},
+    df AS (
+      SELECT e.vec_id, sum(e.val * {prev}.v) AS dot
+      FROM e JOIN {prev} ON e.idx = {prev}.idx GROUP BY e.vec_id
+    )
+    SELECT ROUND((SELECT sum(dot * dot) FROM df)
+                 / (SELECT count(*) FROM embeddings), 6) AS lambda1,
+           ROUND((SELECT v FROM {prev} WHERE idx = 1), 6) AS v_0,
+           ROUND((SELECT v FROM {prev} WHERE idx = 2), 6) AS v_1,
+           ROUND((SELECT v FROM {prev} WHERE idx = 3), 6) AS v_2,
+           ROUND((SELECT v FROM {prev} WHERE idx = 4), 6) AS v_3
+    """
+
+
+@register(
+    "embedding_pca_power",
+    _pca_oracle(),
+    "Top principal direction of the embedding second-moment matrix via "
+    "3 power iterations — each iteration ONE distributed aggregate (an "
+    "unrolled dot + 64 update sums, all inside whole-stage codegen); "
+    "driver holds only the 64-vector. Oracle runs the identical "
+    "iterations as long-format SQL joins; per-iteration ROUND pins the "
+    "float path",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative in-engine linear algebra, the kmeans/SRP convention
+    (plans/pipeline.py): no explode, no shuffle of vectors — one scan
+    per iteration with map-side-combined sums; the iterate (64 doubles)
+    rides the closure as literals. Cost is iterations x one scan,
+    independent of dimensionality tricks — the 100 TB shape."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+
+    def dot_expr(v: list[float]):
+        terms = [
+            f"CAST(embedding[{j}] AS DOUBLE) * {v[j]!r}" for j in range(PCA_DIM)
+        ]
+        return F.expr("(" + " + ".join(terms) + ")")
+
+    v = [0.125] * PCA_DIM  # 1/sqrt(64), exact
+    for _ in range(PCA_ITERS):
+        dot = dot_expr(v).alias("dot")
+        row = emb.select(dot, "embedding").agg(
+            *[
+                F.sum(
+                    F.col("dot") * F.col("embedding").getItem(j).cast("double")
+                ).alias(f"u{j}")
+                for j in range(PCA_DIM)
+            ]
+        ).first()
+        u = [row[f"u{j}"] for j in range(PCA_DIM)]
+        norm = math.sqrt(sum(x * x for x in u))
+        v = [round(x / norm, PCA_ROUND) for x in u]
+
+    dot = dot_expr(v)
+    return emb.agg(
+        F.round(F.sum(dot * dot) / F.count(F.lit(1)), 6).alias("lambda1"),
+        F.round(F.lit(v[0]), 6).alias("v_0"),
+        F.round(F.lit(v[1]), 6).alias("v_1"),
+        F.round(F.lit(v[2]), 6).alias("v_2"),
+        F.round(F.lit(v[3]), 6).alias("v_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # cdc_upsert_tombstones
 # ---------------------------------------------------------------------------
 
