@@ -379,6 +379,12 @@ SF1_QUERIES = [  # r3's 10 most expensive, cheap/stable first
     # manifest-pruned ADC probe — the corpus-size-independent path)
     "semdedup_prune",
     "ann_ivfpq_topk",
+    # round-9 second wave: in-engine training loops (per-iteration scan
+    # cost should be flat-ish) and the perceptual-hash media pipeline
+    # (two Arrow boundaries, linear)
+    "quality_classifier_logreg",
+    "embedding_pca_power",
+    "image_phash_dedup",
 ]
 # >12x wall on 10x data (the VERDICT gate) earns a plan note
 SF1_RATIO_FLAG = 12.0

@@ -1321,3 +1321,126 @@ def cluster_reps_sql(
     FROM ranked r JOIN sized s USING (cluster_id)
     WHERE r.rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric n-gram containment (doc-in-doc detection)
+# ---------------------------------------------------------------------------
+
+# A shingle seen in more than DF_CAP docs of a block is a stop-shingle:
+# it is dropped from the universe BEFORE pairing (and before sizes are
+# counted, so containment stays a true ratio over the capped universe).
+# This bounds candidate pairs at sum(df^2) <= DF_CAP * |postings| —
+# linear in the corpus — the standard frequent-token guard of
+# inverted-index set-similarity joins. Mirrored exactly in the oracle.
+CONTAIN_DF_CAP = 20
+CONTAIN_TOP_K = 20
+
+
+def containment_pairs(
+    docs: DataFrame,
+    top_k: int = CONTAIN_TOP_K,
+    df_cap: int = CONTAIN_DF_CAP,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k document pairs by n-gram CONTAINMENT |A∩B| / min(|A|,|B|)
+    — the asymmetric near-dup measure that catches a short doc embedded
+    in a long one, which symmetric Jaccard dilutes (Broder's
+    containment, the measure behind doc-in-doc leakage checks).
+
+    Plan shape: postings explode → per-(block, shingle) df filter →
+    self-join on the (block, shingle) key → pair-count aggregate.
+    Shuffles carry (id, hash) longs only; the df cap bounds the
+    candidate blowup; ranking is a total order (score desc, id_a,
+    id_b) so top-k is deterministic."""
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        shingle_hash_set_col(F.col(text_col)).alias("sh"),
+    )
+    post = sh.select("blk", "id", F.explode("sh").alias("g"))
+    capped = (
+        post.groupBy("blk", "g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("blk", "g")
+    )
+    pf = post.join(capped, ["blk", "g"])
+    sz = pf.groupBy("blk", "id").agg(F.count(F.lit(1)).alias("n"))
+    a = pf.alias("a")
+    b = pf.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.blk").alias("blk"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("blk"), F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("blk"), F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    scored = (
+        inter.join(sa, ["blk", "id_a"])
+        .join(sb, ["blk", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-k then a driver merge of k*partitions rows — never a global
+    # single-partition sort
+    return scored.orderBy(
+        F.col("containment").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(top_k)
+
+
+def containment_pairs_sql(
+    table: str = "documents",
+    top_k: int = CONTAIN_TOP_K,
+    df_cap: int = CONTAIN_DF_CAP,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of containment_pairs."""
+    words = WORDS_SQL.format(text=text_col)
+    return f"""
+    WITH sh AS (
+      SELECT blk, id, {shingle_hash_set_sql('w')} AS sh
+      FROM (SELECT {block_col} AS blk, {id_col} AS id, {words} AS w FROM {table})
+    ),
+    post AS (SELECT blk, id, unnest(sh) AS g FROM sh),
+    capped AS (
+      SELECT blk, g FROM post GROUP BY blk, g HAVING count(*) <= {df_cap}
+    ),
+    pf AS (SELECT post.* FROM post JOIN capped USING (blk, g)),
+    sz AS (SELECT blk, id, count(*) AS n FROM pf GROUP BY blk, id),
+    inter AS (
+      SELECT a.blk, a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM pf a JOIN pf b ON a.blk = b.blk AND a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+      FROM inter
+      JOIN sz sa ON sa.blk = inter.blk AND sa.id = inter.id_a
+      JOIN sz sb ON sb.blk = inter.blk AND sb.id = inter.id_b
+    )
+    SELECT id_a, id_b, containment FROM scored
+    ORDER BY containment DESC, id_a ASC, id_b ASC LIMIT {top_k}
+    """

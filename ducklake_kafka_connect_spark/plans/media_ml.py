@@ -307,6 +307,31 @@ def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle() -> str:
+    from ..operators.dedup import containment_pairs_sql
+
+    return containment_pairs_sql()
+
+
+@register(
+    "dedup_containment_pairs",
+    _containment_oracle(),
+    "Asymmetric n-gram containment |A∩B|/min(|A|,|B|) top-20 pairs — "
+    "the doc-in-doc measure symmetric Jaccard dilutes; inverted-index "
+    "self-join with a frequent-shingle df cap bounding candidates "
+    "linearly, total-order ranking for a deterministic top-k",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # bpe_encode_tokens
 # ---------------------------------------------------------------------------
 
