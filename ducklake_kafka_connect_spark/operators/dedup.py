@@ -1354,22 +1354,28 @@ def containment_pairs(
     self-join on the (block, shingle) key → pair-count aggregate.
     Shuffles carry (id, hash) longs only; the df cap bounds the
     candidate blowup; ranking is a total order (score desc, id_a,
-    id_b) so top-k is deterministic."""
-    from pyspark.sql import Window
+    id_b) so top-k is deterministic.
 
-    sh = docs.select(
+    The postings relation is repartitioned (the corpus parquet is one
+    file — shingle hashing must not run on one task) and persisted: it
+    feeds the df filter plus BOTH self-join sides, and Catalyst cannot
+    share the exchange across differently-pruned branches (the same
+    measured pathology ngram_jaccard_pairs documents — unpersisted,
+    the md5 explode recomputed 4x single-threaded: 67 s at sf0.1)."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(n_part, F.col(id_col)).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         shingle_hash_set_col(F.col(text_col)).alias("sh"),
     )
-    post = sh.select("blk", "id", F.explode("sh").alias("g"))
+    post = _persist(sh.select("blk", "id", F.explode("sh").alias("g")))
     capped = (
         post.groupBy("blk", "g")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= df_cap)
         .select("blk", "g")
     )
-    pf = post.join(capped, ["blk", "g"])
+    pf = _persist(post.join(capped, ["blk", "g"]))
     sz = pf.groupBy("blk", "id").agg(F.count(F.lit(1)).alias("n"))
     a = pf.alias("a")
     b = pf.alias("b")
