@@ -307,6 +307,155 @@ def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# knn_label_eval
+# ---------------------------------------------------------------------------
+
+KNN_QUERY_MOD = 31  # deterministic query sample: vec_id % 31 == 0
+KNN_K = 10
+KNN_DIM = 64
+
+
+def _knn_dot(a: str, b: str) -> str:
+    """Unrolled left-assoc dot (similarity._dot_sql convention): fold
+    order identical to the oracle's chain, inputs are the same floats,
+    so cosines are bit-identical across engines."""
+    return " + ".join(
+        f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+        for j in range(KNN_DIM)
+    )
+
+
+def _knn_dot_ddb(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+        for j in range(1, KNN_DIM + 1)
+    )
+
+
+def _knn_oracle() -> str:
+    nrm_v = _knn_dot_ddb("embedding", "embedding")
+    dot = _knn_dot_ddb("q.embedding", "c.embedding")
+    return f"""
+    WITH vn AS (
+      SELECT vec_id, label, embedding, sqrt({nrm_v}) AS nrm FROM embeddings
+    ),
+    qn AS (SELECT * FROM vn WHERE vec_id % {KNN_QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS cid,
+             c.label AS clabel,
+             ROUND(({dot}) / (q.nrm * c.nrm), 6) AS sim
+      FROM qn q JOIN vn c ON c.vec_id <> q.vec_id
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT qid, qlabel, clabel, sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, cid ASC) AS rn
+        FROM pairs
+      ) WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+      SELECT qid, qlabel, clabel, count(*) AS cnt
+      FROM top GROUP BY qid, qlabel, clabel
+    ),
+    winner AS (
+      SELECT qid, qlabel, clabel AS pred FROM (
+        SELECT qid, qlabel, clabel, cnt,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cnt DESC, clabel ASC) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT CAST(qlabel AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM winner GROUP BY 1
+    """
+
+
+@register(
+    "knn_label_eval",
+    _knn_oracle(),
+    "kNN classification eval: sampled query vectors classified by the "
+    "majority label of their 10 cosine-nearest neighbors (self "
+    "excluded, deterministic tie-breaks) — per-label accuracy counts; "
+    "the classifier-eval complement of ann_recall_eval, bit-identical "
+    "cosines via the unrolled left-assoc dot convention",
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the corpus never shuffles — the sampled query set
+    broadcasts into a nested-loop join (1/31 of rows), the top-k window
+    partitions by query id. At 100 TB classification eval always runs
+    on a sampled query set like this; the production serving path is
+    the IVF-PQ index (ann_ivfpq_topk), this is its accuracy harness."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # the corpus parquet is one file — the broadcast-NLJ product must
+    # not evaluate 800k 64-term dots on a single task
+    n_part = spark.sparkContext.defaultParallelism
+    vn = emb.repartition(n_part, "vec_id").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        F.sqrt(F.expr(_knn_dot("embedding", "embedding"))).alias("nrm"),
+    )
+    qn = (
+        vn.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    pairs = F.broadcast(qn).join(
+        vn, F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "qlabel",
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.round(
+            F.expr(_knn_dot("qv", "v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("sim"),
+    )
+    top = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("sim").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= KNN_K)
+    )
+    votes = top.groupBy("qid", "qlabel", "clabel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    winner = (
+        votes.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("cnt").desc(), F.col("clabel").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("qid", "qlabel", F.col("clabel").alias("pred"))
+    )
+    return winner.groupBy(F.col("qlabel").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("pred") == F.col("qlabel"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # variant_shred_extract (Spark 4 VARIANT semi-structured path)
 # ---------------------------------------------------------------------------
 
