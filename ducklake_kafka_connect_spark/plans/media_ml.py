@@ -307,6 +307,127 @@ def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training_pipeline_e2e
+# ---------------------------------------------------------------------------
+
+PIPE_SAMPLE_GATE = 600_000_000  # 60% content-stable hash gate
+
+
+def _pipe_oracle() -> str:
+    from ..operators.dedup import WORDS_SQL, h60_sql
+    from ..operators.text import normalize_text_sql, quality_keep_sql
+
+    words = WORDS_SQL.format(text="text")
+    nh = h60_sql(normalize_text_sql("text"))
+    gate = h60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN {quality_keep_sql("text")} THEN 1 ELSE 0 END AS q,
+             CAST(len({words}) AS BIGINT) AS tokens,
+             {nh} AS h,
+             CASE WHEN {gate} % 1000000000 < {PIPE_SAMPLE_GATE}
+                  THEN 1 ELSE 0 END AS gate_ok
+      FROM documents
+    ),
+    kept AS (
+      SELECT lang, tokens, gate_ok,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM base WHERE q = 1
+    ),
+    a1 AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_input,
+             CAST(sum(q) AS BIGINT) AS n_quality
+      FROM base GROUP BY lang
+    ),
+    a2 AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dedup,
+             CAST(sum(CASE WHEN rn = 1 AND gate_ok = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_sampled,
+             CAST(sum(CASE WHEN rn = 1 AND gate_ok = 1 THEN tokens ELSE 0 END)
+                  AS BIGINT) AS sum_tokens
+      FROM kept GROUP BY lang
+    )
+    SELECT a1.lang, n_input, n_quality, n_dedup, n_sampled, sum_tokens
+    FROM a1 JOIN a2 ON a1.lang = a2.lang
+    """
+
+
+@register(
+    "training_pipeline_e2e",
+    _pipe_oracle(),
+    "The whole training-data pipeline as ONE query: Gopher-style "
+    "quality gate -> exact dedup keep-first on normalized text -> "
+    "content-stable 60% hash sampling -> per-language doc/token "
+    "accounting at every stage. Composes the production stages "
+    "(corpus_quality_filter, dedup_keep_first, mixture gates) into a "
+    "single two-aggregate plan",
+)
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one corpus scan computes all per-doc flags inside
+    whole-stage codegen; the only data-sized shuffle is the dedup
+    window keyed by the 60-bit normalized-text hash (near-unique — no
+    skew); both aggregates are map-side combined, the final join is
+    5 rows. At 100 TB this is one wide pass plus one hash-partitioned
+    window — the minimum any dedup-bearing pipeline can do."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import h60_col
+    from ..operators.text import (
+        normalize_text_col,
+        quality_keep_col,
+        token_count_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.when(quality_keep_col(F.col("text")), 1).otherwise(0).alias("q"),
+        token_count_col(F.col("text")).cast("long").alias("tokens"),
+        h60_col(normalize_text_col(F.col("text"))).alias("h"),
+        F.when(
+            h60_col(F.col("doc_id").cast("string")) % 1_000_000_000
+            < PIPE_SAMPLE_GATE,
+            1,
+        )
+        .otherwise(0)
+        .alias("gate_ok"),
+    )
+    kept = (
+        base.filter(F.col("q") == 1)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("h").orderBy("doc_id")),
+        )
+    )
+    a1 = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum("q").cast("long").alias("n_quality"),
+    )
+    a2 = kept.groupBy("lang").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dedup"),
+        F.sum(F.when((F.col("rn") == 1) & (F.col("gate_ok") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+        F.sum(
+            F.when(
+                (F.col("rn") == 1) & (F.col("gate_ok") == 1), F.col("tokens")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_tokens"),
+    )
+    return a1.join(a2, "lang").select(
+        "lang", "n_input", "n_quality", "n_dedup", "n_sampled", "sum_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
 # knn_label_eval
 # ---------------------------------------------------------------------------
 
