@@ -382,7 +382,11 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
+    # flags feed two aggregate branches (a1, kept); persist so the
+    # regex-heavy per-doc pass runs once, parallel (the corpus parquet
+    # is one file — same convention as containment_pairs)
+    n_part = spark.sparkContext.defaultParallelism
+    base = docs.repartition(n_part, "doc_id").select(
         "doc_id",
         "lang",
         F.when(quality_keep_col(F.col("text")), 1).otherwise(0).alias("q"),
@@ -395,7 +399,7 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("gate_ok"),
-    )
+    ).persist()
     kept = (
         base.filter(F.col("q") == 1)
         .withColumn(
