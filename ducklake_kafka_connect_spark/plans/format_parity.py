@@ -1,0 +1,438 @@
+"""Driver-hashed e2e parity queries for the connector's format matrix.
+
+Each query drives the REAL ingest pipeline (streaming/ingest.py) end to
+end over a Kafka-shaped frame derived from the events table, then reads
+the landed lake table back — so the driver's DuckDB oracle hashes the
+whole dataflow, not a unit test:
+
+- ``avro_ingest_roundtrip``      — A4: Confluent-framed Avro via the
+  schema-registry decode path, unknown-schema frames to the DLQ
+  (`AvroIntegrationTest.java:101-163` analogue).
+- ``arrow_ipc_ingest_roundtrip`` — A5/A6: multi-row Arrow IPC payloads
+  encoded and decoded through the converter pair
+  (`ArrowIpcIntegrationTest.java` analogue).
+- ``mixed_format_ingest``        — A7: JSON and IPC payloads
+  interleaved in ONE topic-partition, per-row sniff dispatch
+  (`DucklakeSinkTask.java:630-638` analogue).
+- ``schema_drift_promotion_ingest`` — C1/C4/B1: one batch whose JSON
+  payloads disagree on a field's numeric type (long vs double) plus a
+  field present in only half the records — inference unifies up the
+  promotion ladder and null-fills the missing field
+  (`SchemaMismatchIntegrationTest.java:92-179` analogue; the
+  int-vs-string HARD conflict is DLQ routing by design, pinned in
+  the json-decode tests).
+- ``smt_timestamp_convert_ingest`` — B13: a per-table SMT transform
+  (epoch-ms → formatted string, the `README.md:204-212`
+  TimestampConverter example) applied between decode and write.
+
+All frames are deterministic functions of the events table, so every
+oracle is plain SQL arithmetic over `events`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake import LakeCatalog
+from ..streaming.ingest import IngestConfig, IngestPipeline, TableSpec
+from .queries import _t, register
+
+AVRO_BAD_MOD = 97  # every 97th event framed under an unregistered id
+
+EV_AVRO_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Ev",
+        "fields": [
+            {"name": "key_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value_cents", "type": "long"},
+        ],
+    }
+)
+
+
+def _fresh_catalog(spark: SparkSession, tag: str) -> LakeCatalog:
+    return LakeCatalog(
+        spark,
+        os.path.join(tempfile.gettempdir(), f"ducklake_{tag}_{uuid.uuid4().hex[:8]}"),
+    )
+
+
+def _event_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+
+@register(
+    "avro_ingest_roundtrip",
+    f"""
+    WITH src AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT CAST(count(CASE WHEN event_id % {AVRO_BAD_MOD} <> 0 THEN 1 END)
+                AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % {AVRO_BAD_MOD} <> 0
+                         THEN value_cents END) AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT CASE WHEN event_id % {AVRO_BAD_MOD} <> 0
+                                    THEN event_type END) AS BIGINT) AS n_types,
+           CAST(count(CASE WHEN event_id % {AVRO_BAD_MOD} = 0 THEN 1 END)
+                AS BIGINT) AS n_dlq
+    FROM src
+    """,
+    "A4 e2e: events Avro-encoded under Confluent framing (schema id 1), "
+    "every 97th under an unregistered id — through the registry decode "
+    "path into the lake, bad frames to the DLQ; landed aggregates + DLQ "
+    "count vs the oracle's plain arithmetic",
+)
+def avro_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.schema_registry import DictSchemaRegistry
+
+    # every 10th event: the per-record Python codec boundary is the
+    # operator under test, not a fixture-synthesis throughput bench
+    src = _event_source(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.avro_lite import encode_avro
+
+        for pdf in batches:
+            payloads = []
+            for eid, uid, et, val in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
+            ):
+                body = encode_avro(
+                    EV_AVRO_SCHEMA,
+                    {
+                        "key_id": int(eid),
+                        "user_id": int(uid),
+                        "event_type": str(et),
+                        "value_cents": int(float(val) * 100 // 1),
+                    },
+                )
+                sid = 99 if int(eid) % AVRO_BAD_MOD == 0 else 1
+                payloads.append(b"\x00" + struct.pack(">I", sid) + body)
+            yield pd.DataFrame(
+                {
+                    "topic": "av",
+                    "partition": (pdf["user_id"] % 4).astype("int32"),
+                    "offset": pdf["event_id"],
+                    "value": payloads,
+                }
+            )
+
+    frame = src.mapInPandas(
+        encode, "topic string, partition int, offset long, value binary"
+    )
+    cat = _fresh_catalog(spark, "avro")
+    cfg = IngestConfig(
+        topic2table={"av": "events_avro"},
+        tables={"events_avro": TableSpec(auto_create=True, format="avro_registry")},
+    )
+    IngestPipeline(cat, cfg, registry=DictSchemaRegistry({1: EV_AVRO_SCHEMA})).process_batch(
+        frame
+    )
+    landed = cat.table("events_avro").read()
+    agg = landed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value_cents").alias("sum_cents"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    dlq = (
+        cat.table("events_avro_dlq")
+        .read()
+        .agg(F.count(F.lit(1)).alias("n_dlq"))
+    )
+    return agg.crossJoin(F.broadcast(dlq))
+
+
+@register(
+    "arrow_ipc_ingest_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    """,
+    "A5/A6 e2e: events packed into multi-row Arrow IPC payloads (one "
+    "stream per bucket), decoded by the mapInArrow converter into the "
+    "lake; landed aggregates vs direct arithmetic",
+)
+def arrow_ipc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    src = _event_source(spark, sf_dir).withColumn(
+        "bucket", (F.col("event_id") % 16).cast("int")
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..sources.arrow_ipc import encode_ipc
+
+        tbl = pa.table(
+            {
+                "key_id": pa.array(pdf["event_id"], pa.int64()),
+                "user_id": pa.array(pdf["user_id"], pa.int64()),
+                "event_type": pa.array(pdf["event_type"], pa.string()),
+                "value_cents": pa.array(
+                    (pdf["value"] * 100).astype("int64"), pa.int64()
+                ),
+            }
+        )
+        return pd.DataFrame(
+            {
+                "topic": ["ipc"],
+                "partition": [int(key[0]) % 4],
+                "offset": [int(key[0])],
+                "value": [encode_ipc(tbl)],
+            }
+        )
+
+    frame = src.groupBy("bucket").applyInPandas(
+        pack, "topic string, partition int, offset long, value binary"
+    )
+    cat = _fresh_catalog(spark, "ipc")
+    cfg = IngestConfig(
+        topic2table={"ipc": "events_ipc"},
+        tables={"events_ipc": TableSpec(auto_create=True, format="arrow")},
+    )
+    IngestPipeline(cat, cfg).process_batch(frame)
+    return (
+        cat.table("events_ipc")
+        .read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value_cents").alias("sum_cents"),
+            F.sum("user_id").alias("sum_uid"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "mixed_format_ingest",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN (event_id // 20) % 2 = 1
+                         THEN CAST(floor(value * 100) AS BIGINT) END)
+                AS BIGINT) AS sum_cents_json,
+           CAST(sum(CASE WHEN (event_id // 20) % 2 = 0
+                         THEN CAST(floor(value * 100) AS BIGINT) END)
+                AS BIGINT) AS sum_cents_ipc
+    FROM events WHERE event_id % 20 = 0
+    """,
+    "A7 e2e: one topic-partition interleaving JSON text payloads (odd "
+    "events) with single-row Arrow IPC payloads (even events); the "
+    "per-row continuation-marker sniff dispatches each to its decoder "
+    "and both halves land in one table",
+)
+def mixed_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every 5th event: per-row IPC stream synthesis is fixture cost
+    src = _event_source(spark, sf_dir).filter(F.col("event_id") % 20 == 0)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        from ..sources.arrow_ipc import encode_ipc
+
+        for pdf in batches:
+            payloads = []
+            for eid, uid, et, val in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
+            ):
+                cents = int(float(val) * 100 // 1)
+                if (int(eid) // 20) % 2 == 1:
+                    payloads.append(
+                        json.dumps(
+                            {
+                                "key_id": int(eid),
+                                "user_id": int(uid),
+                                "event_type": str(et),
+                                "value_cents": cents,
+                                "src": "json",
+                            }
+                        ).encode()
+                    )
+                else:
+                    payloads.append(
+                        encode_ipc(
+                            pa.table(
+                                {
+                                    "key_id": pa.array([int(eid)], pa.int64()),
+                                    "user_id": pa.array([int(uid)], pa.int64()),
+                                    "event_type": pa.array([str(et)], pa.string()),
+                                    "value_cents": pa.array([cents], pa.int64()),
+                                    "src": pa.array(["ipc"], pa.string()),
+                                }
+                            )
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "topic": "mx",
+                    "partition": (pdf["user_id"] % 4).astype("int32"),
+                    "offset": pdf["event_id"],
+                    "value": payloads,
+                }
+            )
+
+    frame = src.mapInPandas(
+        encode, "topic string, partition int, offset long, value binary"
+    )
+    cat = _fresh_catalog(spark, "mixed")
+    cfg = IngestConfig(
+        topic2table={"mx": "events_mixed"},
+        tables={"events_mixed": TableSpec(auto_create=True, format="mixed")},
+    )
+    IngestPipeline(cat, cfg).process_batch(frame)
+    return (
+        cat.table("events_mixed")
+        .read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("src") == "json", F.col("value_cents"))
+            ).alias("sum_cents_json"),
+            F.sum(
+                F.when(F.col("src") == "ipc", F.col("value_cents"))
+            ).alias("sum_cents_ipc"),
+        )
+    )
+
+
+@register(
+    "schema_drift_promotion_ingest",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(CASE WHEN event_id % 2 = 0
+                          THEN CAST(floor(value * 100) AS DOUBLE)
+                          ELSE ROUND(value, 2) END), 2) AS sum_v,
+           CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_with_note
+    FROM events
+    """,
+    "C1/C4/B1 e2e: ONE batch whose JSON payloads carry v as a LONG for "
+    "half the records and as a DOUBLE for the other half (plus a note "
+    "field only that half has) — sampled inference unifies v up the "
+    "numeric promotion ladder to DOUBLE and null-fills the missing "
+    "field; landed sums match the oracle's CASE arithmetic "
+    "(SchemaMismatchIntegrationTest.java:92-179 analogue; the "
+    "int-vs-string HARD conflict is pinned separately as DLQ routing)",
+)
+def schema_drift_promotion_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _event_source(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    payload = F.when(
+        F.col("event_id") % 2 == 0,
+        F.to_json(
+            F.struct(F.col("event_id").alias("key_id"), cents.alias("v"))
+        ),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("key_id"),
+                F.round(F.col("value"), 2).alias("v"),
+                F.lit("drifted").alias("note"),
+            )
+        )
+    )
+    frame = src.select(
+        F.lit("dr").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        payload.cast("binary").alias("value"),
+    )
+    cat = _fresh_catalog(spark, "drift")
+    cfg = IngestConfig(
+        topic2table={"dr": "events_drift"},
+        tables={"events_drift": TableSpec(auto_create=True, format="json")},
+    )
+    IngestPipeline(cat, cfg).process_batch(frame)
+    return (
+        cat.table("events_drift")
+        .read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("v").cast("double")), 2).alias("sum_v"),
+            F.count("note").alias("n_with_note"),
+        )
+    )
+
+
+@register(
+    "smt_timestamp_convert_ingest",
+    """
+    WITH src AS (
+      SELECT event_type,
+             strftime(make_timestamp(
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 1000000),
+               '%Y-%m-%d %H:%M:%S') AS ts_iso
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           min(ts_iso) AS first_ts, max(ts_iso) AS last_ts
+    FROM src GROUP BY event_type
+    """,
+    "B13 e2e: the TimestampConverter SMT example (README.md:204-212) as "
+    "a per-table transform hook — epoch-ms fields rewritten to "
+    "formatted strings between decode and write; the landed table's "
+    "string bounds must match the oracle's strftime arithmetic",
+)
+def smt_timestamp_convert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _event_source(spark, sf_dir)
+    ts_ms = (F.unix_timestamp("ts") * 1000).cast("long")
+    frame = src.select(
+        F.lit("sm").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("key_id"),
+                F.col("event_type"),
+                ts_ms.alias("ts_ms"),
+            )
+        )
+        .cast("binary")
+        .alias("value"),
+    )
+
+    def smt(df: DataFrame) -> DataFrame:
+        # TimestampConverter: epoch-ms long → formatted string, field
+        # replaced (session timezone is pinned UTC by build_session)
+        return df.withColumn(
+            "ts_iso",
+            F.from_unixtime(
+                (F.col("ts_ms") / 1000).cast("long"), "yyyy-MM-dd HH:mm:ss"
+            ),
+        ).drop("ts_ms")
+
+    cat = _fresh_catalog(spark, "smt")
+    cfg = IngestConfig(
+        topic2table={"sm": "events_smt"},
+        tables={
+            "events_smt": TableSpec(auto_create=True, format="json", transform=smt)
+        },
+    )
+    IngestPipeline(cat, cfg).process_batch(frame)
+    return (
+        cat.table("events_smt")
+        .read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_iso").alias("first_ts"),
+            F.max("ts_iso").alias("last_ts"),
+        )
+    )

@@ -87,6 +87,11 @@ class TableSpec:
     # crash on bad data — contrast LakeWriter(check_constraints=...),
     # which rejects whole batches at the lake boundary)
     check_constraints: dict = field(default_factory=dict)
+    # SMT hook (B13, README.md:204-212 TimestampConverter analogue): a
+    # DataFrame→DataFrame transform applied after decode + constraint
+    # routing, before the write — arbitrary per-table record rewriting
+    # exactly where the reference applies its single-message transforms
+    transform: object = None
 
     def __post_init__(self):
         if self.format not in ("json", "avro", "avro_registry", "arrow", "mixed"):
@@ -198,6 +203,8 @@ class IngestPipeline:
             cached += [good, bad]
             if spec.check_constraints:
                 good, bad = self._route_constraint_violations(good, bad, spec)
+            if spec.transform is not None:
+                good = spec.transform(good)
             goods.append(good.drop(*keep) if keep else good)
             bads.append(bad)
         writer = LakeWriter(
