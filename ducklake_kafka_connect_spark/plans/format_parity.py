@@ -24,6 +24,13 @@ whole dataflow, not a unit test:
 - ``smt_timestamp_convert_ingest`` — B13: a per-table SMT transform
   (epoch-ms → formatted string, the `README.md:204-212`
   TimestampConverter example) applied between decode and write.
+- ``schema_evolution_widen_ingest`` — C9/C10: a second batch widens an
+  int column past int32 AND introduces a new column — reconcile runs
+  the integer ladder and ADD COLUMN with null backfill
+  (`DucklakeTableManager.java:236-364` analogue).
+- ``topic_routing_fanout_ingest`` — A2: four topics fanned out by the
+  topic2table map — two consolidated onto one table, one explicit, two
+  identity-fallback (`TopicToTableValidator.java:99-154` analogue).
 
 All frames are deterministic functions of the events table, so every
 oracle is plain SQL arithmetic over `events`.
@@ -436,3 +443,145 @@ def smt_timestamp_convert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_iso").alias("last_ts"),
         )
     )
+
+
+@register(
+    "schema_evolution_widen_ingest",
+    """
+    WITH h1 AS (
+      SELECT event_id, CAST(event_id % 1000 AS BIGINT) AS a
+      FROM events WHERE event_id % 2 = 0
+    ),
+    h2 AS (
+      SELECT event_id, CAST(event_id AS BIGINT) * 10000000 AS a
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT CAST((SELECT count(*) FROM h1) + (SELECT count(*) FROM h2) AS BIGINT)
+             AS n_rows,
+           CAST((SELECT sum(a) FROM h1) + (SELECT sum(a) FROM h2) AS BIGINT)
+             AS sum_a,
+           CAST((SELECT count(*) FROM h2) AS BIGINT) AS n_with_b
+    """,
+    "C9/C10 e2e: batch 1 creates the table with a small-int column; "
+    "batch 2 (same table, later process_batch) carries values past "
+    "int32 AND a brand-new column — the reconcile path widens the "
+    "column up the integer ladder and ADD-COLUMNs the new field, "
+    "null-backfilling batch-1 rows; landed sums match plain arithmetic "
+    "(DucklakeTableManager.java:236-364 analogue)",
+)
+def schema_evolution_widen_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _event_source(spark, sf_dir)
+    b1 = src.filter(F.col("event_id") % 2 == 0).select(
+        F.lit("ev").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("key_id"),
+                (F.col("event_id") % 1000).cast("int").alias("a"),
+            )
+        )
+        .cast("binary")
+        .alias("value"),
+    )
+    b2 = src.filter(F.col("event_id") % 2 == 1).select(
+        F.lit("ev").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("key_id"),
+                (F.col("event_id") * 10_000_000).alias("a"),
+                F.lit("added").alias("b"),
+            )
+        )
+        .cast("binary")
+        .alias("value"),
+    )
+    cat = _fresh_catalog(spark, "evolve")
+    cfg = IngestConfig(
+        topic2table={"ev": "events_evolved"},
+        tables={"events_evolved": TableSpec(auto_create=True, format="json")},
+    )
+    pipe = IngestPipeline(cat, cfg)
+    pipe.process_batch(b1)  # creates with a: int-ish
+    pipe.process_batch(b2)  # widens a to long, adds b
+    return (
+        cat.table("events_evolved")
+        .read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("a").cast("long")).alias("sum_a"),
+            F.count("b").alias("n_with_b"),
+        )
+    )
+
+
+@register(
+    "topic_routing_fanout_ingest",
+    """
+    WITH routed AS (
+      SELECT CASE WHEN event_type IN ('click', 'view') THEN 'web_events'
+                  WHEN event_type = 'purchase' THEN 'orders_landed'
+                  ELSE 'ops_' || event_type END AS tbl
+      FROM events
+    )
+    SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows
+    FROM routed GROUP BY tbl
+    """,
+    "A2 e2e: four topics fanned out by the topic2table map — two mapped "
+    "onto ONE table (group-commit consolidation), one explicit, one "
+    "falling back to identity routing; per-table landed counts vs the "
+    "oracle's CASE (TopicToTableValidator.java:99-154 analogue)",
+)
+def topic_routing_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _event_source(spark, sf_dir)
+    topic = (
+        F.when(F.col("event_type").isin("click", "view"), F.concat(F.lit("t_"), F.col("event_type")))
+        .when(F.col("event_type") == "purchase", F.lit("purchases"))
+        .otherwise(F.concat(F.lit("ops_"), F.col("event_type")))
+    )
+    frame = src.select(
+        topic.alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("key_id"),
+                F.col("event_type"),
+            )
+        )
+        .cast("binary")
+        .alias("value"),
+    )
+    cat = _fresh_catalog(spark, "route")
+    spec = TableSpec(auto_create=True, format="json")
+    cfg = IngestConfig(
+        # t_click and t_view consolidate into web_events; purchases maps
+        # explicitly; ops_signup / ops_error hit the identity fallback
+        topic2table={
+            "t_click": "web_events",
+            "t_view": "web_events",
+            "purchases": "orders_landed",
+        },
+        tables={
+            "web_events": spec,
+            "orders_landed": spec,
+            "ops_signup": spec,
+            "ops_error": spec,
+        },
+    )
+    pipe = IngestPipeline(cat, cfg)
+    pipe.process_batch(frame)
+    parts = []
+    for tbl in ["web_events", "orders_landed", "ops_signup", "ops_error"]:
+        parts.append(
+            cat.table(tbl)
+            .read()
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(tbl).alias("tbl"), "n_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
