@@ -385,6 +385,13 @@ SF1_QUERIES = [  # r3's 10 most expensive, cheap/stable first
     "quality_classifier_logreg",
     "embedding_pca_power",
     "image_phash_dedup",
+    # round-10 wave: the stride-1 span pipeline (token-linear), the
+    # standing-index novelty probe (distinct-text collapse should hold
+    # it sub-linear under replication), and the calibration curve
+    # (fixed-size sample → the wall should be FLAT across scales)
+    "dedup_span_maximal",
+    "incremental_minhash_novelty",
+    "minhash_calibration_curve",
 ]
 # >12x wall on 10x data (the VERDICT gate) earns a plan note
 SF1_RATIO_FLAG = 12.0

@@ -558,6 +558,48 @@ def _build_minhash_dedup_pairs(
     )
 
 
+def band_keys_sql_exprs(prefix: str = "") -> list[str]:
+    """DuckDB band-key expressions, one per LSH band — the SQL twin of
+    ``band_keys_col`` (same '<band>_<sig values>' string shape)."""
+    band_keys = []
+    for band in range(BANDS):
+        part = range(band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND)
+        concat = " || '_' || ".join(
+            f"CAST({prefix}s{i} AS VARCHAR)" for i in part
+        )
+        band_keys.append(f"'{band}' || '_' || {concat}")
+    return band_keys
+
+
+def minhash_sigs_cte_sql(
+    source_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """CTE block computing minhash signatures + shingle-hash sets per
+    row of ``source_sql`` (any table expression). Emits CTEs ``split``,
+    ``hashed``, ``base`` (id, sh, shh) and ``sigs`` (id, s0..sN) — the
+    same chain ``minhash_dedup_pairs_sql`` builds inline, factored so
+    eval harnesses can reuse it. Caller embeds as ``WITH {this}, ...``.
+    """
+    sig_sqls = minhash_sig_sqls("shh")
+    sig_defs = ", ".join(f"({s}) AS s{i}" for i, s in enumerate(sig_sqls))
+    words = WORDS_SQL.format(text=text_col)
+    word_hashes = f"list_transform(w, x -> {h60_sql('x')} % {MERSENNE})"
+    return f"""split AS (
+      SELECT {id_col} AS id, {words} AS w FROM {source_sql}
+    ),
+    hashed AS (
+      SELECT id, w, {word_hashes} AS hw FROM split
+    ),
+    base AS (
+      SELECT id, {shingle_hash_set_sql('w')} AS sh,
+             {shingle_hashes_sql('w')} AS shh
+      FROM hashed
+    ),
+    sigs AS (
+      SELECT id, {sig_defs} FROM base WHERE len(shh) > 0
+    )"""
+
+
 def minhash_dedup_pairs_sql(
     table: str = "documents",
     threshold: float = 0.7,
@@ -570,12 +612,7 @@ def minhash_dedup_pairs_sql(
     sig_sqls = minhash_sig_sqls("shh")
     sig_defs = ", ".join(f"({s}) AS s{i}" for i, s in enumerate(sig_sqls))
     sig_names = ", ".join(f"s{i}" for i in range(NUM_PERM))
-    band_keys = []
-    for band in range(BANDS):
-        part = range(band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND)
-        concat = " || '_' || ".join(f"CAST(s{i} AS VARCHAR)" for i in part)
-        band_keys.append(f"'{band}' || '_' || {concat}")
-    band_list = ", ".join(band_keys)
+    band_list = ", ".join(band_keys_sql_exprs())
     words = WORDS_SQL.format(text=text_col)
     word_hashes = f"list_transform(w, x -> {h60_sql('x')} % {MERSENNE})"
     return f"""

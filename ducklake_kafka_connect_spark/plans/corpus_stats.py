@@ -369,11 +369,10 @@ BM25_TERMS = ["table", "merge", "window", "scan"]
 BM25_TOP_K = 10
 _BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-
-@register(
-    "bm25_retrieval_topk",
-    f"""
-    WITH tok AS (
+# CTE block ending in ``scored`` (doc_id, lang, matched_terms,
+# score_micro) — shared by the BM25 top-k oracle and the hybrid
+# RRF-fusion oracle in plans/eval_ops.py.
+_BM25_SCORED_CTES = f"""tok AS (
       SELECT doc_id, lang,
              unnest(string_split_regex(trim(lower(text)), '{TOKEN_SPLIT}')) AS w
       FROM documents
@@ -405,7 +404,13 @@ _BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
              CAST(sum(c.c_micro) AS BIGINT) AS score_micro
       FROM contrib c JOIN dl d ON c.doc_id = d.doc_id
       GROUP BY c.doc_id, d.lang
-    )
+    )"""
+
+
+@register(
+    "bm25_retrieval_topk",
+    f"""
+    WITH {_BM25_SCORED_CTES}
     SELECT doc_id, lang, matched_terms, score_micro,
            ROUND(CAST(score_micro AS DOUBLE) / 1000000, 6) AS score
     FROM scored ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOP_K}
@@ -424,6 +429,26 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape as contamination_overlap. The BM25 kernel is one codegen
     expression per (doc, term) row, rounded to integer micro-nats
     before the per-doc sum so cross-engine ranking cannot drift."""
+    scored = bm25_scored(spark, sf_dir)
+    return (
+        scored.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(BM25_TOP_K)
+        .select(
+            "doc_id",
+            "lang",
+            "matched_terms",
+            "score_micro",
+            F.round(F.col("score_micro").cast("double") / 1000000.0, 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 ``scored`` frame (doc_id, lang, matched_terms,
+    score_micro) — Spark twin of ``_BM25_SCORED_CTES``; shared with the
+    hybrid RRF-fusion query."""
     tok = _tokens(spark, sf_dir)
     tok.persist()
     dl = tok.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("dl"))
@@ -465,19 +490,7 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_micro").alias("score_micro"),
         )
     )
-    return (
-        scored.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
-        .limit(BM25_TOP_K)
-        .select(
-            "doc_id",
-            "lang",
-            "matched_terms",
-            "score_micro",
-            F.round(F.col("score_micro").cast("double") / 1000000.0, 6).alias(
-                "score"
-            ),
-        )
-    )
+    return scored
 
 
 @register(
