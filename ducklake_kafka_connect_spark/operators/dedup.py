@@ -558,6 +558,25 @@ def _build_minhash_dedup_pairs(
     )
 
 
+def sig_matches_col(suffix_a: str = "_a", suffix_b: str = "_b") -> Column:
+    """Number of agreeing signature components (0..NUM_PERM) between two
+    suffixed signature column sets — estimated Jaccard is
+    matches/NUM_PERM, exact in integer micros as matches·62500."""
+    out = None
+    for i in range(NUM_PERM):
+        term = (F.col(f"s{i}{suffix_a}") == F.col(f"s{i}{suffix_b}")).cast("int")
+        out = term if out is None else out + term
+    return out
+
+
+def sig_matches_sql(a: str = "a", b: str = "b") -> str:
+    """DuckDB twin of ``sig_matches_col`` over table aliases a/b."""
+    return " + ".join(
+        f"CASE WHEN {a}.s{i} = {b}.s{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM)
+    )
+
+
 def band_keys_sql_exprs(prefix: str = "") -> list[str]:
     """DuckDB band-key expressions, one per LSH band — the SQL twin of
     ``band_keys_col`` (same '<band>_<sig values>' string shape)."""

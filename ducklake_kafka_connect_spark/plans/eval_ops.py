@@ -29,6 +29,7 @@ floats in outputs are ROUND(x, 6)/micro only.
 from __future__ import annotations
 
 import math
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -52,27 +53,15 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import cosine_similarity_col
 from .corpus_stats import _BM25_SCORED_CTES, bm25_scored
-from .queries import _t, register
+from .queries import QUERIES, _t, register
 
 _SIG_NAMES = [f"s{i}" for i in range(NUM_PERM)]
 # exact micro-units per matching signature component: 1e6 / NUM_PERM
 _EST_MICRO_PER_MATCH = 1_000_000 // NUM_PERM
 
 
-def _sig_matches_col(suffix_a: str = "_a", suffix_b: str = "_b") -> F.Column:
-    return reduce(
-        lambda x, y: x + y,
-        [
-            (F.col(f"{n}{suffix_a}") == F.col(f"{n}{suffix_b}")).cast("int")
-            for n in _SIG_NAMES
-        ],
-    )
-
-
-def _sig_matches_sql(a: str = "a", b: str = "b") -> str:
-    return " + ".join(
-        f"CASE WHEN {a}.{n} = {b}.{n} THEN 1 ELSE 0 END" for n in _SIG_NAMES
-    )
+from ..operators.dedup import sig_matches_col as _sig_matches_col  # noqa: E402
+from ..operators.dedup import sig_matches_sql as _sig_matches_sql  # noqa: E402
 
 
 def _band_hit_col(suffix_a: str = "_a", suffix_b: str = "_b") -> F.Column:
@@ -471,6 +460,135 @@ def incremental_minhash_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming novelty loop (lake-backed standing index, sequential batches)
+# ---------------------------------------------------------------------------
+
+NOV_STREAM_BATCHES = (7, 8, 9)  # doc_id % 10 ∈ these → three micro-batches
+
+
+def _novelty_rows_ctes() -> str:
+    """CTE chain producing ``rows_all`` — the oracle twin of
+    ``streaming/novelty.py::novelty_sig_rows`` (banded rows for long
+    docs, one t_<md5> sentinel row for short docs)."""
+    sentinel = ", ".join(f"CAST(-1 AS BIGINT) AS {n}" for n in _SIG_NAMES)
+    bands = ", ".join(str(b) for b in range(BANDS))
+    keys = ", ".join(band_keys_sql_exprs())
+    return f"""{minhash_sigs_cte_sql("documents")},
+    longr AS (
+      SELECT id, unnest([{bands}]) AS band, unnest([{keys}]) AS band_key,
+             {", ".join(_SIG_NAMES)}
+      FROM sigs
+    ),
+    shortr AS (
+      SELECT b.id, {BANDS} AS band, 't_' || md5(d.text) AS band_key,
+             {sentinel}
+      FROM base b JOIN documents d ON d.doc_id = b.id
+      WHERE len(b.shh) = 0
+    ),
+    rows_all AS (SELECT * FROM longr UNION ALL SELECT * FROM shortr)"""
+
+
+def _novelty_stream_oracle() -> str:
+    chain = [f"idx0 AS (SELECT * FROM rows_all WHERE id % {NOV_MOD} <= 6)"]
+    for i, b in enumerate(NOV_STREAM_BATCHES):
+        chain.append(
+            f"""b{b} AS (SELECT * FROM rows_all WHERE id % {NOV_MOD} = {b}),
+    flag{b} AS (
+      SELECT DISTINCT p.id FROM b{b} p JOIN idx{i} c
+        ON p.band_key = c.band_key
+      WHERE ({_sig_matches_sql('p', 'c')}) >= {NOV_MATCH_MIN}
+      UNION
+      SELECT DISTINCT p.id FROM b{b} p JOIN b{b} q
+        ON p.band_key = q.band_key AND q.id < p.id
+      WHERE ({_sig_matches_sql('p', 'q')}) >= {NOV_MATCH_MIN}
+    ),
+    novel{b} AS (
+      SELECT * FROM b{b} WHERE id NOT IN (SELECT id FROM flag{b})
+    ),
+    idx{i + 1} AS (SELECT * FROM idx{i} UNION ALL SELECT * FROM novel{b})"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT {b} AS batch_id,
+           (SELECT count(*) FROM documents WHERE doc_id % {NOV_MOD} = {b})
+             AS n_incoming,
+           (SELECT count(DISTINCT id) FROM novel{b}) AS n_novel"""
+        for b in NOV_STREAM_BATCHES
+    )
+    return f"""
+    WITH {_novelty_rows_ctes()},
+    {", ".join(chain)}
+    SELECT batch_id, n_incoming, n_novel,
+           n_incoming - n_novel AS n_flagged
+    FROM ({selects}) t ORDER BY batch_id
+    """
+
+
+@register(
+    "streaming_novelty_dedup",
+    None,  # finalized below (needs the chained-CTE builder)
+    "",
+)
+def streaming_novelty_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming loop, not a simulation: bootstraps the
+    lake-backed band index from the standing corpus, then pushes three
+    micro-batches through ``StreamingNoveltyDedup.process_batch`` —
+    each probe sees the previous batches' accepted docs because their
+    index rows were committed to the table (the state lives in the
+    lake, exactly as a foreachBatch deployment would run it). The
+    accounting scalars collected per batch are bounded (3 ints each).
+    Redelivery safety (re-running a batch appends nothing) is pinned in
+    tests/test_streaming_novelty.py."""
+    import tempfile
+    import uuid
+
+    from ..streaming.novelty import StreamingNoveltyDedup, novelty_sig_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(), f"novelty_q_{uuid.uuid4().hex[:12]}"
+    )
+    ded = StreamingNoveltyDedup(
+        spark, root, "idx", match_min=NOV_MATCH_MIN
+    )
+    # one signature pass over the whole table, sliced per batch — the
+    # per-batch probe/append loop below is the real one; only the sig
+    # computation is batched (production computes each batch's rows
+    # once too, this just shares the corpus scan across the 4 slices)
+    all_rows = novelty_sig_rows(docs)
+    all_rows.persist()
+    mod = F.col("doc_id") % NOV_MOD
+    ded.writer.write(all_rows.filter(mod <= 6))
+    acc = []
+    for b in NOV_STREAM_BATCHES:
+        batch = docs.filter(F.col("doc_id") % NOV_MOD == b)
+        n_in = batch.count()
+        ded.process_batch(batch, rows=all_rows.filter(mod == b))
+        n_novel = ded.last_batch_stats["n_novel"]
+        acc.append((b, n_in, n_novel, n_in - n_novel))
+    all_rows.unpersist()
+    return spark.createDataFrame(
+        acc, "batch_id int, n_incoming long, n_novel long, n_flagged long"
+    )
+
+
+def _finalize_novelty_stream() -> None:
+    qd = QUERIES["streaming_novelty_dedup"]
+    QUERIES["streaming_novelty_dedup"] = type(qd)(
+        fn=qd.fn,
+        oracle=_novelty_stream_oracle(),
+        description="Streaming fuzzy-dedup loop driven end-to-end: "
+        "lake-backed LSH band index bootstrapped from the corpus, three "
+        "sequential micro-batches probed and appended (batch k sees "
+        "batches <k's accepted docs) — per-batch novelty accounting; "
+        "oracle replays the identical sequential semantics in chained "
+        "CTEs",
+    )
+
+
+_finalize_novelty_stream()
 
 
 # ---------------------------------------------------------------------------
