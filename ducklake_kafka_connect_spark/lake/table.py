@@ -37,6 +37,7 @@ import decimal
 import json
 import math
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field as dc_field
@@ -641,6 +642,87 @@ class LakeTable:
             )
             self._commit(new, parent_manifest=cur)
             return new.version
+
+    def clone(
+        self,
+        dest_root: str,
+        dest_name: str,
+        deep: bool = False,
+        version: int | None = None,
+        tag: str | None = None,
+    ) -> "LakeTable":
+        """CREATE TABLE ... CLONE analogue (Delta SHALLOW/DEEP CLONE).
+
+        Shallow (default): the destination's v0 manifest references the
+        source snapshot's data files by ABSOLUTE path — zero bytes are
+        copied, and every path-resolution site already accepts absolute
+        entries because ``os.path.join(self.dir, f)`` returns ``f``
+        unchanged when absolute. Writes to the clone land under its own
+        directory; a MERGE/DELETE that rewrites a shared file writes the
+        survivor locally and drops the absolute reference, so the source
+        is never mutated. ``vacuum`` only walks a table's OWN data dir,
+        so vacuuming the clone never touches source files — but (as with
+        Delta shallow clones) vacuuming the SOURCE can delete files the
+        clone still references; use ``deep=True`` to materialize an
+        independent copy (files + bloom sidecars, layout preserved).
+
+        ``version``/``tag`` clone a historical snapshot (time travel).
+        """
+        if version is not None and tag is not None:
+            raise ValueError("pass version or tag, not both")
+        if tag is not None:
+            version = self.resolve_tag(tag)
+        src = self.manifest(version)
+        dest = LakeTable(
+            self.spark, dest_root, dest_name, manifest_format=self.manifest_format
+        )
+        if dest.exists():
+            raise ValueError(f"clone destination {dest.dir} already exists")
+        files: dict[str, list[str]] = {}
+        stats: dict[str, dict] = {}
+        for pdir, rels in src.files.items():
+            out = []
+            for f in rels:
+                src_abs = os.path.join(self.dir, f)
+                if not os.path.exists(src_abs):
+                    raise ValueError(
+                        f"cannot clone {self.name}@v{src.version}: "
+                        f"data file vacuumed ({f})"
+                    )
+                if deep:
+                    key = os.path.join(
+                        "data", f"clone-v{src.version}", pdir, os.path.basename(f)
+                    ) if pdir else os.path.join(
+                        "data", f"clone-v{src.version}", os.path.basename(f)
+                    )
+                    dst_abs = os.path.join(dest.dir, key)
+                    os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                    shutil.copyfile(src_abs, dst_abs)
+                    side = src_abs + ".bloom"
+                    if os.path.exists(side):
+                        shutil.copyfile(side, dst_abs + ".bloom")
+                else:
+                    key = os.path.abspath(src_abs)
+                out.append(key)
+                if f in src.file_stats:
+                    stats[key] = src.file_stats[f]
+            files[pdir] = out
+        m = Manifest(
+            version=0,
+            schema=src.schema,
+            pk=src.pk,
+            partition_spec=src.partition_spec,
+            files=files,
+            parent=None,
+            props={
+                "last_op": f"CLONE({'deep' if deep else 'shallow'})",
+                "clone_source": os.path.abspath(self.dir),
+                "clone_source_version": src.version,
+            },
+            file_stats=stats,
+        )
+        dest._commit(m)
+        return dest
 
     # ---------- create ----------
 

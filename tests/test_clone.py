@@ -1,0 +1,146 @@
+"""CLONE (Delta SHALLOW/DEEP CLONE analogue) — zero-copy snapshot
+tables, write isolation, and vacuum interaction.
+
+Reference scope parity: the reference has no CLONE; this is a lakehouse
+extension (SURVEY §7 phase 5) mirroring Delta Lake semantics.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.lake import LakeTable, LakeWriter
+from ducklake_kafka_connect_spark.lake.maintenance import vacuum
+
+
+def _mk(spark, root, name="src", n=100):
+    df = spark.range(n).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id") * 2).alias("val"),
+    )
+    t = LakeTable(spark, root, name)
+    w = LakeWriter(t, pk=["pk"], partition_by="grp")
+    w.write(df)
+    return t, w, df
+
+
+class TestShallowClone:
+    def test_zero_copy_read_parity(self, spark, tmp_path):
+        t, _, df = _mk(spark, str(tmp_path))
+        c = t.clone(str(tmp_path), "dst")
+        assert sorted(r["pk"] for r in c.read().collect()) == list(range(100))
+        # zero-copy: no parquet landed under the clone's data dir
+        parquet = [
+            f
+            for _, _, fs in os.walk(c.data_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert parquet == []
+        m = c.manifest()
+        assert all(os.path.isabs(p) for p in m.all_files())
+        assert m.pk == ["pk"] and m.partition_spec == ["grp"]
+        assert m.props["clone_source_version"] == t.current_version()
+
+    def test_pruned_read_uses_cloned_stats(self, spark, tmp_path):
+        t, _, _ = _mk(spark, str(tmp_path))
+        c = t.clone(str(tmp_path), "dst")
+        # stats traveled: a selective read prunes to fewer files
+        all_files = len(c.manifest().all_files())
+        kept, n_pruned = c.prune_files("grp = '3'")
+        assert n_pruned > 0 and 0 < len(kept) < all_files
+
+    def test_writes_to_clone_never_touch_source(self, spark, tmp_path):
+        t, _, df = _mk(spark, str(tmp_path))
+        src_rows = {(r["pk"], r["val"]) for r in t.read().collect()}
+        c = t.clone(str(tmp_path), "dst")
+        cw = LakeWriter(c, pk=["pk"])
+        upd = spark.range(10).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 5).cast("string").alias("grp"),
+            F.lit(-1).alias("val"),
+        )
+        cw.write(upd)
+        got = {(r["pk"], r["val"]) for r in c.read().collect()}
+        assert sum(1 for _, v in got if v == -1) == 10
+        # source is byte-for-byte the same result set
+        assert {(r["pk"], r["val"]) for r in t.read().collect()} == src_rows
+        # rewritten partitions now reference LOCAL files; untouched
+        # partitions still reference the source absolutely
+        m = c.manifest()
+        assert any(not os.path.isabs(p) for p in m.all_files())
+
+    def test_vacuum_on_clone_spares_source_files(self, spark, tmp_path):
+        t, _, _ = _mk(spark, str(tmp_path))
+        c = t.clone(str(tmp_path), "dst")
+        cw = LakeWriter(c, pk=["pk"])
+        cw.write(
+            spark.range(5).select(
+                F.col("id").alias("pk"),
+                (F.col("id") % 5).cast("string").alias("grp"),
+                F.lit(7).alias("val"),
+            )
+        )
+        vacuum(c, keep_versions=1)
+        # every source file still on disk and source still reads clean
+        assert all(
+            os.path.exists(os.path.join(t.dir, f))
+            for f in t.manifest().all_files()
+        )
+        assert t.read().count() == 100
+
+    def test_clone_of_historical_version(self, spark, tmp_path):
+        t, w, _ = _mk(spark, str(tmp_path))
+        v0 = t.current_version()
+        w.write(
+            spark.range(100, 150).select(
+                F.col("id").alias("pk"),
+                (F.col("id") % 5).cast("string").alias("grp"),
+                F.col("id").alias("val"),
+            )
+        )
+        c = t.clone(str(tmp_path), "dst", version=v0)
+        assert c.read().count() == 100  # pre-append snapshot
+
+    def test_refuses_existing_destination(self, spark, tmp_path):
+        t, _, _ = _mk(spark, str(tmp_path))
+        t.clone(str(tmp_path), "dst")
+        with pytest.raises(ValueError, match="already exists"):
+            t.clone(str(tmp_path), "dst")
+
+
+class TestDeepClone:
+    def test_deep_clone_survives_source_vacuum(self, spark, tmp_path):
+        t, w, _ = _mk(spark, str(tmp_path))
+        c = t.clone(str(tmp_path), "dst", deep=True)
+        # rewrite the source so v0's files become unreferenced, vacuum
+        w.write(
+            t.read().withColumn("val", F.col("val") + 1).drop("_inserted_at")
+        )
+        vacuum(t, keep_versions=1)
+        # the deep clone still reads its own copies
+        assert c.read().count() == 100
+        m = c.manifest()
+        assert all(not os.path.isabs(p) for p in m.all_files())
+        assert all(
+            os.path.exists(os.path.join(c.dir, p)) for p in m.all_files()
+        )
+
+    def test_deep_clone_copies_bloom_sidecars(self, spark, tmp_path):
+        t, _, _ = _mk(spark, str(tmp_path))
+        src_side = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(t.data_dir)
+            for f in fs
+            if f.endswith(".bloom")
+        ]
+        c = t.clone(str(tmp_path), "dst", deep=True)
+        dst_side = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(c.data_dir)
+            for f in fs
+            if f.endswith(".bloom")
+        ]
+        assert len(dst_side) == len(src_side)
