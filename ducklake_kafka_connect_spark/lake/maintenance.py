@@ -126,7 +126,9 @@ def compact(
             return CompactionResult(0, sum(map(len, m.files.values())),
                                     sum(map(len, m.files.values())))
         paths = [os.path.join(table.dir, p) for v in offenders.values() for p in v]
-        df = table.spark.read.schema(table.read_schema(m)).parquet(*paths)
+        df = table.to_logical_names(
+            table.spark.read.schema(table.read_schema(m)).parquet(*paths), m
+        )
         exprs = m.partition_exprs
         # Output file count sized by BYTES (manifest __bytes stats), not
         # input file count — with optimized writes the input files are

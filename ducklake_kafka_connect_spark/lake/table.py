@@ -150,6 +150,15 @@ class Manifest:
     def partition_exprs(self) -> list[PartitionExpr]:
         return parse_partition_exprs(self.partition_spec)
 
+    @property
+    def column_renames(self) -> dict[str, str]:
+        """{logical name → physical-in-files name} for columns renamed
+        after data was written (metadata-only RENAME COLUMN). Stored in
+        props so it travels whole through delta segments AND the binary
+        manifest form without any serialization change. Empty for
+        tables that never renamed — every boundary helper no-ops."""
+        return dict(self.props.get("column_renames") or {})
+
     def all_files(self) -> list[str]:
         return [p for paths in self.files.values() for p in paths]
 
@@ -718,11 +727,87 @@ class LakeTable:
                 "last_op": f"CLONE({'deep' if deep else 'shallow'})",
                 "clone_source": os.path.abspath(self.dir),
                 "clone_source_version": src.version,
+                # renamed columns keep their physical-in-file names in
+                # the cloned files too — the mapping must travel
+                **(
+                    {"column_renames": src.column_renames}
+                    if src.column_renames
+                    else {}
+                ),
             },
             file_stats=stats,
         )
         dest._commit(m)
         return dest
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only RENAME COLUMN (Delta column-mapping style): the
+        column's PHYSICAL name inside already-written parquet files never
+        changes; the manifest records {logical → physical} and every
+        file-boundary site translates (reads rename physical→logical
+        after load, writes rename logical→physical before the file
+        write). No data file is touched; time travel to older versions
+        sees the old name. Refuses PK, partition source/output, and
+        system columns (their names thread through merge planning,
+        pruning, and dir layout). Returns the new version."""
+        with self.lock():
+            m = self.manifest()
+            names = m.schema.fieldNames()
+            if old not in names:
+                raise ValueError(f"no column {old!r} on {self.name}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            renames = m.column_renames
+            # renaming a column back to its OWN physical name is legal
+            # (it clears the mapping); colliding with another renamed
+            # column's physical name is not — its files already use it
+            if any(p == new for l, p in renames.items() if l != old):
+                raise ValueError(
+                    f"{new!r} is the physical name of a renamed column"
+                )
+            if old in (m.pk or []):
+                raise ValueError(f"cannot rename PK column {old!r}")
+            part_cols = {
+                c
+                for e in m.partition_exprs
+                for c in (e.column, e.output_name)
+            }
+            if old in part_cols:
+                raise ValueError(f"cannot rename partition column {old!r}")
+            if old == INSERTED_AT:
+                raise ValueError("cannot rename the system _inserted_at column")
+            fields = [
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in m.schema.fields
+            ]
+            # physical name = whatever the files call it: the original
+            # name, or the pre-rename physical if renamed before
+            phys = renames.pop(old, old)
+            if new != phys:
+                renames[new] = phys
+            stats = {
+                f: {(new if c == old else c): v for c, v in s.items()}
+                for f, s in m.file_stats.items()
+            }
+            props = {**m.props, "last_op": f"RENAME COLUMN({old}->{new})"}
+            if renames:
+                props["column_renames"] = renames
+            else:
+                props.pop("column_renames", None)
+            nm = Manifest(
+                version=m.version + 1,
+                schema=T.StructType(fields),
+                pk=m.pk,
+                partition_spec=m.partition_spec,
+                files={k: list(v) for k, v in m.files.items()},
+                parent=m.version,
+                props=props,
+                file_stats=stats,
+            )
+            self._commit(nm, parent_manifest=m)
+            return nm.version
 
     # ---------- create ----------
 
@@ -787,6 +872,14 @@ class LakeTable:
                 f: {c: v for c, v in s.items() if c != name}
                 for f, s in m.file_stats.items()
             }
+            props = {**m.props, "last_op": f"DROP COLUMN({name})"}
+            renames = m.column_renames
+            if renames.pop(name, None) is not None:
+                # dropping a renamed column retires its mapping entry
+                if renames:
+                    props["column_renames"] = renames
+                else:
+                    props.pop("column_renames", None)
             new = Manifest(
                 version=m.version + 1,
                 schema=T.StructType(fields),
@@ -794,7 +887,7 @@ class LakeTable:
                 partition_spec=m.partition_spec,
                 files={k: list(v) for k, v in m.files.items()},
                 parent=m.version,
-                props={**m.props, "last_op": f"DROP COLUMN({name})"},
+                props=props,
                 file_stats=stats,
             )
             self._commit(new, parent_manifest=m)
@@ -849,14 +942,35 @@ class LakeTable:
     # ---------- read ----------
 
     def read_schema(self, m: Manifest) -> T.StructType:
-        """Physical file schema: physical data columns plus derived
-        partition columns (real columns inside each file)."""
+        """Physical file schema: physical data columns (renamed columns
+        under their in-file names) plus derived partition columns (real
+        columns inside each file)."""
         physical = to_physical_schema(m.schema)
-        fields = list(physical.fields)
+        ren = m.column_renames
+        fields = [
+            T.StructField(ren.get(f.name, f.name), f.dataType, f.nullable, f.metadata)
+            if f.name in ren
+            else f
+            for f in physical.fields
+        ]
         for e in m.partition_exprs:
             if e.is_derived:
                 fields.append(T.StructField(e.output_name, T.IntegerType(), True))
         return T.StructType(fields)
+
+    @staticmethod
+    def to_logical_names(df: DataFrame, m: Manifest) -> DataFrame:
+        """Rename physical file columns back to their logical names —
+        the read-boundary half of metadata-only RENAME COLUMN. No-op
+        for tables without renames."""
+        ren = m.column_renames
+        if not ren:
+            return df
+        cols = set(df.columns)
+        mapping = {
+            phys: logical for logical, phys in ren.items() if phys in cols
+        }
+        return df.withColumnsRenamed(mapping) if mapping else df
 
     def prune_files(
         self,
@@ -951,6 +1065,7 @@ class LakeTable:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*files)
+        df = self.to_logical_names(df, m)
         if where is not None:
             df = df.filter(where)
         if not include_hidden:
@@ -1022,6 +1137,10 @@ class LakeTable:
                 df = self.spark.createDataFrame([], schema)
             else:
                 df = self.spark.read.schema(schema).parquet(*files)
+            # physical in-file names are the invariant across versions:
+            # align BOTH snapshots to the TO side's logical names, so a
+            # rename between the versions compares values, not names
+            df = self.to_logical_names(df, m_to)
             hidden = derived_column_names(m.partition_exprs)
             return df.drop(*hidden) if hidden else df
 
@@ -1158,6 +1277,13 @@ class LakeTable:
         stage_rel = os.path.join("data", f"s{version_hint}-{uuid.uuid4().hex[:8]}")
         stage_abs = os.path.join(self.dir, stage_rel)
         df = with_dir_columns(df, exprs)
+        # write boundary of metadata-only RENAME COLUMN: files always
+        # carry PHYSICAL names; manifest state (stats keys) stays logical
+        ren = m.column_renames if m else {}
+        if ren:
+            df = df.withColumnsRenamed(ren)
+            stat_cols = [ren.get(c, c) for c in stat_cols]
+            bloom_col = ren.get(bloom_col, bloom_col) if bloom_col else None
         dir_cols = dir_column_names(exprs)
         # layout='single': the caller knows the output is small (micro-batch
         # merge) — coalesce to one task so the commit writes one right-sized
@@ -1215,6 +1341,12 @@ class LakeTable:
             stats = self._harvest(
                 abs_files, rel_files, stat_cols, None if skip_bloom else bloom_col
             )
+        if ren:
+            inv = {p: l for l, p in ren.items()}
+            stats = {
+                f: {inv.get(c, c): v for c, v in s.items()}
+                for f, s in stats.items()
+            }
         return files, stats
 
     # Above this many freshly-written files, footer-stat/bloom harvesting

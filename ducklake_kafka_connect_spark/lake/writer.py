@@ -661,6 +661,11 @@ class LakeWriter:
         import datetime
         import uuid as _uuid
 
+        if manifest.column_renames:
+            # renamed tables take the Spark path, whose write boundary
+            # translates logical→physical names (rare op; keep this
+            # fast path simple)
+            return False
         try:
             est = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         except Exception:
@@ -1345,6 +1350,8 @@ class LakeWriter:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        if manifest.column_renames:
+            return None  # renamed tables: Spark path translates names
         try:
             import pandas as pd
 
@@ -1753,7 +1760,8 @@ class LakeWriter:
         import os
 
         files = [os.path.join(self.table.dir, p) for p in rel_files]
-        return self.table.spark.read.schema(read_schema).parquet(*files)
+        df = self.table.spark.read.schema(read_schema).parquet(*files)
+        return self.table.to_logical_names(df, manifest)
 
 
 def _logical_schema_of_batch(df: DataFrame, manifest: Manifest) -> T.StructType:
