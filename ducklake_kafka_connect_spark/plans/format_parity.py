@@ -585,3 +585,98 @@ def topic_routing_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Protobuf roundtrip (source-format family completion: JSON/Avro/Arrow/proto)
+# ---------------------------------------------------------------------------
+
+PROTO_BAD_MOD = 89  # every 89th payload truncated mid-varint
+
+
+@register(
+    "proto_ingest_roundtrip",
+    f"""
+    WITH src AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_id % 10 = 3
+    )
+    SELECT CAST(count(CASE WHEN event_id % {PROTO_BAD_MOD} <> 0 THEN 1 END)
+                AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % {PROTO_BAD_MOD} <> 0
+                         THEN -value_cents END) AS BIGINT) AS sum_neg_cents,
+           CAST(sum(CASE WHEN event_id % {PROTO_BAD_MOD} <> 0
+                         THEN user_id END) AS BIGINT) AS sum_uid,
+           CAST(count(CASE WHEN event_id % {PROTO_BAD_MOD} = 0 THEN 1 END)
+                AS BIGINT) AS n_dlq
+    FROM src
+    """,
+    "Source-format extension e2e: events protobuf-wire-encoded (zigzag "
+    "sint64 negatives exercise the varint edge), every 89th payload "
+    "truncated — through format='proto' decode into the lake, bad "
+    "frames to the DLQ; landed aggregates vs plain arithmetic",
+)
+def proto_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.proto_lite import encode_proto, proto_schema
+
+    schema = proto_schema(
+        [
+            (1, "key_id", "int64"),
+            (2, "user_id", "int64"),
+            (3, "neg_cents", "sint64"),
+        ]
+    )
+    src = _event_source(spark, sf_dir).filter(F.col("event_id") % 10 == 3)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for eid, uid, val in zip(
+                pdf["event_id"], pdf["user_id"], pdf["value"]
+            ):
+                body = encode_proto(
+                    schema,
+                    {
+                        "key_id": int(eid),
+                        "user_id": int(uid),
+                        "neg_cents": -int(float(val) * 100 // 1),
+                    },
+                )
+                if int(eid) % PROTO_BAD_MOD == 0:
+                    body = b"\xff\xff"  # truncated varint → decode error
+                payloads.append(body)
+            yield pd.DataFrame(
+                {
+                    "topic": "pb",
+                    "partition": (pdf["user_id"] % 4).astype("int32"),
+                    "offset": pdf["event_id"],
+                    "value": payloads,
+                }
+            )
+
+    frame = src.mapInPandas(
+        encode, "topic string, partition int, offset long, value binary"
+    )
+    cat = _fresh_catalog(spark, "proto")
+    cfg = IngestConfig(
+        topic2table={"pb": "events_proto"},
+        tables={
+            "events_proto": TableSpec(
+                auto_create=True, format="proto", proto_schema=schema
+            )
+        },
+    )
+    IngestPipeline(cat, cfg).process_batch(frame)
+    landed = cat.table("events_proto").read()
+    agg = landed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("neg_cents").alias("sum_neg_cents"),
+        F.sum("user_id").alias("sum_uid"),
+    )
+    dlq = (
+        cat.table("events_proto_dlq")
+        .read()
+        .agg(F.count(F.lit(1)).alias("n_dlq"))
+    )
+    return agg.crossJoin(F.broadcast(dlq))

@@ -77,8 +77,10 @@ class TableSpec:
     id_columns: list[str] = field(default_factory=list)
     partition_by: str | None = None
     auto_create: bool = False
-    format: str = "json"  # json | avro | avro_registry | arrow | mixed
+    format: str = "json"  # json | avro | avro_registry | arrow | mixed | proto
     avro_schema: str | None = None
+    # {field_number: ProtoField} (sources/proto_lite.py) for format='proto'
+    proto_schema: dict | None = None
     confluent_framing: bool = False
     # DATA_INLINING_ROW_LIMIT analogue: None→default 10000, "off"→disable
     inlining_row_limit: str | int | None = None
@@ -94,10 +96,12 @@ class TableSpec:
     transform: object = None
 
     def __post_init__(self):
-        if self.format not in ("json", "avro", "avro_registry", "arrow", "mixed"):
+        if self.format not in ("json", "avro", "avro_registry", "arrow", "mixed", "proto"):
             raise ValueError(f"Unknown format: {self.format!r}")
         if self.format == "avro" and not self.avro_schema:
             raise ValueError("format='avro' requires avro_schema")
+        if self.format == "proto" and not self.proto_schema:
+            raise ValueError("format='proto' requires proto_schema")
         # validate eagerly (ConfigException-at-construction parity) and
         # ALSO validate partition expressions up front
         self.inlining_rows = parse_inlining_limit(self.inlining_row_limit)
@@ -333,6 +337,16 @@ class IngestPipeline:
                 part,
                 spec.avro_schema,
                 confluent_framing=spec.confluent_framing,
+                keep_cols=keep,
+                with_corrupt_col=True,
+            )
+            return split_dlq(decoded)
+        if spec.format == "proto":
+            from ..sources.proto_lite import decode_proto_lite
+
+            decoded = decode_proto_lite(
+                part,
+                spec.proto_schema,
                 keep_cols=keep,
                 with_corrupt_col=True,
             )
