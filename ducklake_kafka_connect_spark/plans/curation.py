@@ -588,3 +588,90 @@ def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data recipe: token-budget epoch planning
+# ---------------------------------------------------------------------------
+
+RECIPE_BUDGET_TOKENS = 10_000_000  # target training-token budget
+RECIPE_ALPHA_NOTE = "weights ∝ sqrt(lang token count), the alpha=0.5 convention"
+
+
+@register(
+    "data_recipe_epochs",
+    f"""
+    WITH split AS (
+      SELECT doc_id, lang, {WORDS_SQL.format(text="text")} AS w
+      FROM documents
+    ),
+    lt AS (
+      SELECT lang, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+      FROM split GROUP BY lang
+    ),
+    sw AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)
+               AS weight_milli
+      FROM lt
+    ),
+    tot AS (SELECT CAST(sum(weight_milli) AS BIGINT) AS s FROM sw),
+    q AS (
+      SELECT lang, n_tokens, weight_milli,
+             CAST(FLOOR({RECIPE_BUDGET_TOKENS} * weight_milli * 1.0 / tot.s)
+                  AS BIGINT) AS quota_tokens
+      FROM sw CROSS JOIN tot
+    )
+    SELECT lang, n_tokens, weight_milli, quota_tokens,
+           CAST(CEIL(quota_tokens * 1.0 / n_tokens) AS BIGINT) AS epochs,
+           CAST(FLOOR(quota_tokens * 1000000.0 / n_tokens) AS BIGINT)
+             AS repetition_micro
+    FROM q ORDER BY lang
+    """,
+    f"Training data recipe: per-language token quotas under a "
+    f"{RECIPE_BUDGET_TOKENS}-token budget ({RECIPE_ALPHA_NOTE}), epochs "
+    "needed and effective repetition factor — integer-exact (per-row "
+    "sqrt integerized to milli before any cross-row sum)",
+)
+def data_recipe_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One linear pass counts tokens per language; everything after is
+    |langs|-row arithmetic against a broadcast 1-row total. Per-row
+    sqrt integerizes to milli-units BEFORE the cross-row sum, so no
+    float addition order can differ between engines; quotas and
+    repetition factors are pure BIGINT division."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    lt = (
+        docs.select("lang", F.size(words).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+    )
+    sw = lt.select(
+        "lang",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000)
+        .cast("long")
+        .alias("weight_milli"),
+    )
+    tot = sw.agg(F.sum("weight_milli").cast("long").alias("s"))
+    budget = F.lit(RECIPE_BUDGET_TOKENS).cast("long")
+    q = sw.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        "weight_milli",
+        F.floor(budget * F.col("weight_milli") * F.lit(1.0) / F.col("s"))
+        .cast("long")
+        .alias("quota_tokens"),
+    )
+    return q.select(
+        "lang",
+        "n_tokens",
+        "weight_milli",
+        "quota_tokens",
+        F.ceil(F.col("quota_tokens") * F.lit(1.0) / F.col("n_tokens"))
+        .cast("long")
+        .alias("epochs"),
+        F.floor(F.col("quota_tokens") * F.lit(1000000.0) / F.col("n_tokens"))
+        .cast("long")
+        .alias("repetition_micro"),
+    ).orderBy("lang")

@@ -202,3 +202,34 @@ class TestSourceKlDrift:
             for i in range(20)
         ]
         _parity(spark, tmp_path, rows, "source_kl_drift")
+
+
+class TestDataRecipeEpochs:
+    def test_quota_and_epoch_invariants(self):
+        from ducklake_kafka_connect_spark.plans.curation import (
+            RECIPE_BUDGET_TOKENS,
+        )
+
+        rows = (
+            [(i, _words(50, "e"), "en", "s") for i in range(20)]
+            + [(100 + i, _words(10, "f"), "fr", "s") for i in range(3)]
+        )
+        con = _con_with_docs(rows)
+        out = con.execute(QUERIES["data_recipe_epochs"].oracle).fetchall()
+        got = {r[0]: r for r in out}
+        # quotas never exceed the budget in total
+        assert sum(r[3] for r in out) <= RECIPE_BUDGET_TOKENS
+        # sqrt weighting upsamples the low-resource language: fr repeats
+        # more often than en
+        assert got["fr"][5] > got["en"][5]  # repetition_micro
+        assert all(r[4] >= 1 for r in out)  # epochs
+        # epochs = ceil(quota / available)
+        for r in out:
+            assert r[4] == -(-r[3] // r[1])
+
+    def test_spark_parity(self, spark, tmp_path):
+        rows = [
+            (i, _words(12 + i % 9, "w"), ["en", "fr", "zh"][i % 3], "s")
+            for i in range(30)
+        ]
+        _parity(spark, tmp_path, rows, "data_recipe_epochs")
