@@ -260,3 +260,30 @@ class TestInteractions:
         cat = LakeCatalog(spark, str(tmp_path))
         out = cat.sql("SELECT pk, points FROM t WHERE points = 200")
         assert [r["pk"] for r in out.collect()] == [20]
+
+
+class TestPredicateOpsAfterRename:
+    def test_update_where_on_renamed_column(self, spark, tmp_path):
+        t, _ = _mk(spark, str(tmp_path))
+        t.rename_column("score", "points")
+        w = LakeWriter(t, pk=["pk"])
+        w.update_where("points >= 500", {"points": "points + 1", "who": "'bumped'"})
+        out = t.read()
+        assert out.filter("who = 'bumped'").count() == 10  # pk 50..59
+        assert out.filter("points = 591").count() == 1  # 59*10 + 1
+        assert out.count() == 60
+        # untouched rows intact under the logical name
+        assert out.filter("points = 70").count() == 1
+
+    def test_delete_where_on_renamed_column(self, spark, tmp_path):
+        t, _ = _mk(spark, str(tmp_path))
+        t.rename_column("score", "points")
+        w = LakeWriter(t, pk=["pk"])
+        w.delete_where("points < 100")
+        out = t.read()
+        assert out.count() == 50
+        assert out.filter("points < 100").count() == 0
+        # survivor files still physical-named
+        for f in _data_files(t):
+            names = pq.read_schema(os.path.join(t.dir, f)).names
+            assert "score" in names and "points" not in names
