@@ -536,22 +536,38 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State is |sources| × V rows (the grid) — independent of corpus
-    size; the token stream is scanned once for corpus counts and once
-    for per-source counts over the broadcast vocabulary. Per-term
+    size; the token stream is exploded and shuffled ONCE, into
+    (source, word) partial counts (map-side combined), and every later
+    frame derives from that ~|sources|·|vocab|-sized aggregate: corpus
+    counts are a re-aggregation, not a second scan. Per-term
     contributions integerize before the sum, so the KL ranking is
     exact in both engines. Association order of the double product
     mirrors the SQL's left-assoc parse exactly."""
-    tok = _tok(spark, sf_dir).select("source", "word")
-    tok.persist()
-    cc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c_c"))
-    vocab = cc.orderBy(F.col("c_c").desc(), F.col("word").asc()).limit(
-        KL_VOCAB
-    )
-    nc = vocab.agg(F.sum("c_c").cast("long").alias("n_c"))
-    sc = (
-        tok.join(F.broadcast(vocab.select("word")), "word")
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    sw_counts = (
+        docs.select("source", F.explode(words).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    sw_counts.persist()
+    # vocab is a bounded planning aggregate (≤KL_VOCAB rows): holding
+    # it on the driver — the kmeans-centroid convention — turns every
+    # later reference into a literal instead of a recomputed+broadcast
+    # subtree (3 broadcasts and their jobs collapse into one collect)
+    vrows = (
+        sw_counts.groupBy("word")
+        .agg(F.sum("c_s").alias("c_c"))
+        .orderBy(F.col("c_c").desc(), F.col("word").asc())
+        .limit(KL_VOCAB)
+        .collect()
+    )
+    vocab = spark.createDataFrame(
+        [(r["word"], int(r["c_c"])) for r in vrows], "word string, c_c long"
+    )
+    nc_val = float(sum(int(r["c_c"]) for r in vrows))
+    sc = sw_counts.join(F.broadcast(vocab.select("word")), "word").select(
+        "source", "word", "c_s"
     )
     ns = sc.groupBy("source").agg(F.sum("c_s").cast("long").alias("n_s"))
     grid = (
@@ -565,13 +581,13 @@ def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kv = F.lit(float(KL_VOCAB))
-    contrib = grid.crossJoin(F.broadcast(nc)).select(
+    contrib = grid.select(
         "source",
         "n_s",
         F.round(
             ((F.col("c_s") + F.lit(1.0)) / (F.col("n_s") + kv))
             * F.log(
-                ((F.col("c_s") + F.lit(1.0)) * (F.col("n_c") + kv))
+                ((F.col("c_s") + F.lit(1.0)) * (F.lit(nc_val) + kv))
                 / ((F.col("c_c") + F.lit(1.0)) * (F.col("n_s") + kv))
             )
             * 1000000.0,
