@@ -151,3 +151,139 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TEXTRANK_TOP_K)
         .select(F.col("u").alias("token"), F.col("r").alias("rank_micro"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE BFS over the k-NN graph (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+BFS_MOD = 3          # deterministic node sample: vec_id % 3 == 0
+BFS_MAX_DEPTH = 4    # bounded recursion: UNION ALL + depth guard
+BFS_DIM = 64
+
+
+def _bfs_dot(a: str, b: str, base: int) -> str:
+    """Unrolled left-assoc dot (similarity._dot_sql convention); base=0
+    for Spark arrays, 1 for DuckDB lists — identical fold order, so
+    cosines (and therefore the NN edge set) are bit-identical."""
+    return " + ".join(
+        f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+        for j in range(base, base + BFS_DIM)
+    )
+
+
+def _bfs_sql(table: str, base: int) -> str:
+    """One SQL text, two dialect instantiations (array base is the only
+    difference): NN-graph construction + depth-bounded recursive BFS.
+
+    Spark 4.1 supports WITH RECURSIVE with UNION ALL only (no UNION
+    fixpoint yet), so the walk is DEPTH-BOUNDED — guaranteed to
+    terminate on the cyclic mutual-NN graph — and per-node first-visit
+    depth is recovered with min(d) AFTER the loop, standard BFS
+    accounting under path enumeration."""
+    nrm = _bfs_dot("embedding", "embedding", base)
+    dot = _bfs_dot("a.embedding", "b.embedding", base)
+    return f"""
+    WITH RECURSIVE vn AS (
+      SELECT vec_id, embedding, sqrt({nrm}) AS nrm
+      FROM {table} WHERE vec_id % {BFS_MOD} = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(({dot}) / (a.nrm * b.nrm), 6) AS sim
+      FROM vn a JOIN vn b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY sim DESC, dst ASC) AS rn
+        FROM pairs) t
+      WHERE rn = 1
+    ),
+    sym AS (SELECT src AS a, dst AS b FROM nn
+            UNION
+            SELECT dst AS a, src AS b FROM nn),
+    seed AS (SELECT min(vec_id) AS s FROM vn),
+    walk(node, d) AS (
+      SELECT s, 0 FROM seed
+      UNION ALL
+      SELECT sym.b, walk.d + 1
+      FROM walk JOIN sym ON sym.a = walk.node
+      WHERE walk.d < {BFS_MAX_DEPTH}
+    ),
+    lvl AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM lvl GROUP BY dist ORDER BY dist
+    """
+
+
+@register(
+    "knn_graph_bfs",
+    _bfs_sql("embeddings", 1),
+    "Recursive-CTE BFS over the nearest-neighbor graph of a sampled "
+    "embedding set: NN edges from bit-identical unrolled cosines, "
+    f"symmetrized, walked to depth {BFS_MAX_DEPTH} from the lowest-id "
+    "seed (Spark 4 WITH RECURSIVE / UnionLoop; frontier sizes per hop "
+    "— the duplicate-cluster-reach diagnostic)",
+)
+def knn_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursion itself is Catalyst's UnionLoop — each step is one
+    broadcast-friendly join of the frontier against the edge list, so
+    the distributed shape is textbook iterative BFS (frontier rows,
+    not corpus rows, flow between steps). The loop re-executes every
+    CTE it references per iteration, so the expensive NN-graph build is
+    materialized ONCE (persisted edge view + driver-held seed — a
+    bounded planning aggregate) and only the tiny symmetric edge list
+    sits inside the recursion. The all-pairs block is a mod-gated
+    sample: |sample|² scored pairs with a per-src TakeOrdered — the
+    sample bound (not the corpus) sets the cost, and the LSH/IVF
+    families remain the unbounded-scale path."""
+    from pyspark.sql import Window as W
+
+    view = "embeddings_bfs_src"
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView(view)
+    nrm = _bfs_dot("embedding", "embedding", 0)
+    dot = _bfs_dot("a.embedding", "b.embedding", 0)
+    vn = spark.sql(
+        f"SELECT vec_id, embedding, sqrt({nrm}) AS nrm FROM {view} "
+        f"WHERE vec_id % {BFS_MOD} = 0"
+    )
+    vn.createOrReplaceTempView("bfs_vn")
+    pairs = spark.sql(
+        f"""SELECT a.vec_id AS src, b.vec_id AS dst,
+                   ROUND(({dot}) / (a.nrm * b.nrm), 6) AS sim
+            FROM bfs_vn a JOIN bfs_vn b ON a.vec_id <> b.vec_id"""
+    )
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    )
+    nn = pairs.withColumn("rn", rn).filter(F.col("rn") == 1).select("src", "dst")
+    sym = (
+        nn.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(nn.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    sym.persist()
+    sym.createOrReplaceTempView("bfs_sym")
+    seed = vn.agg(F.min("vec_id")).head()[0]  # bounded planning scalar
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(node, d) AS (
+          SELECT CAST({seed} AS BIGINT), 0
+          UNION ALL
+          SELECT s.b, walk.d + 1
+          FROM walk JOIN bfs_sym s ON s.a = walk.node
+          WHERE walk.d < {BFS_MAX_DEPTH}
+        ),
+        lvl AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
+        SELECT CAST(dist AS BIGINT) AS dist,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(min(node) AS BIGINT) AS min_node,
+               CAST(max(node) AS BIGINT) AS max_node
+        FROM lvl GROUP BY dist ORDER BY dist
+        """
+    )
