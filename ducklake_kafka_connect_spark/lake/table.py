@@ -659,6 +659,7 @@ class LakeTable:
         deep: bool = False,
         version: int | None = None,
         tag: str | None = None,
+        pin: bool = False,
     ) -> "LakeTable":
         """CREATE TABLE ... CLONE analogue (Delta SHALLOW/DEEP CLONE).
 
@@ -673,7 +674,10 @@ class LakeTable:
         so vacuuming the clone never touches source files — but (as with
         Delta shallow clones) vacuuming the SOURCE can delete files the
         clone still references; use ``deep=True`` to materialize an
-        independent copy (files + bloom sidecars, layout preserved).
+        independent copy (files + bloom sidecars, layout preserved), or
+        ``pin=True`` to tag the cloned version on the SOURCE — tags are
+        vacuum retention roots, so the shared files survive any source
+        vacuum until ``delete_tag(f"clone-{dest_name}")`` releases them.
 
         ``version``/``tag`` clone a historical snapshot (time travel).
         """
@@ -682,6 +686,8 @@ class LakeTable:
         if tag is not None:
             version = self.resolve_tag(tag)
         src = self.manifest(version)
+        if pin and not deep:
+            self.tag(f"clone-{dest_name}", src.version)
         dest = LakeTable(
             self.spark, dest_root, dest_name, manifest_format=self.manifest_format
         )

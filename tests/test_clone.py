@@ -144,3 +144,30 @@ class TestDeepClone:
             if f.endswith(".bloom")
         ]
         assert len(dst_side) == len(src_side)
+
+
+class TestPinnedClone:
+    def test_pin_protects_shared_files_from_source_vacuum(
+        self, spark, tmp_path
+    ):
+        t, w, _ = _mk(spark, str(tmp_path))
+        c = t.clone(str(tmp_path), "dst", pin=True)
+        assert t.tags().get("clone-dst") == c.manifest().props[
+            "clone_source_version"
+        ]
+        # rewrite the source so the cloned version's files fall out of
+        # the keep_versions window, then vacuum — the tag keeps them
+        w.write(
+            t.read().withColumn("val", F.col("val") + 1).drop("_inserted_at")
+        )
+        deleted = vacuum(t, keep_versions=1)
+        assert c.read().count() == 100  # clone still reads clean
+        # releasing the pin lets the next vacuum reclaim
+        t.delete_tag("clone-dst")
+        vacuum(t, keep_versions=1)
+        missing = [
+            f
+            for f in c.manifest().all_files()
+            if not os.path.exists(os.path.join(c.dir, f))
+        ]
+        assert missing  # shared files are gone once unpinned
