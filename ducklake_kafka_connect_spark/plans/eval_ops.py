@@ -797,3 +797,123 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("skew_ratio_micro"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (dimension-truncation) recall evaluation
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)  # prefix dims; 64 = full precision (truth)
+MRL_QUERY_MOD = 31
+MRL_K = 10
+
+
+def _mrl_dot(a: str, b: str, dim: int, base: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+        for j in range(base, base + dim)
+    )
+
+
+def _mrl_seg(a: str, b: str, lo: int, hi: int, base: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+        for j in range(base + lo, base + hi)
+    )
+
+
+def _mrl_sql(table: str, base: int) -> str:
+    """Shared SQL text (array base is the only dialect difference):
+    per-prefix-dim cosine rankings vs the full-dim ranking, recall@K.
+    Dots build INCREMENTALLY — d16 = d8 + (terms 8..15) — which is the
+    same left-assoc chain (((t0+t1)+…)+t15), so values stay
+    bit-identical across engines while each pair pays 64 multiplies,
+    not 8+16+32+64."""
+    nrm_cols = ", ".join(
+        f"sqrt({_mrl_dot('embedding', 'embedding', d, base)}) AS nrm{d}"
+        for d in MRL_DIMS
+    )
+    # layered prefix dots over the pair rows (N² side): each layer adds
+    # one segment on top of the previous prefix sum
+    dims = list(MRL_DIMS)
+    seg0 = _mrl_seg("q.embedding", "c.embedding", 0, dims[0], base)
+    layers = [
+        f"""p{dims[0]} AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             q.embedding AS qe, c.embedding AS ce,
+             {', '.join(f'q.nrm{d} AS qn{d}, c.nrm{d} AS cn{d}' for d in dims)},
+             ({seg0}) AS d{dims[0]}
+      FROM qn q JOIN vn c ON c.vec_id <> q.vec_id
+    )"""
+    ]
+    for prev, cur in zip(dims, dims[1:]):
+        seg = _mrl_seg("qe", "ce", prev, cur, base)
+        layers.append(
+            f"""p{cur} AS (
+      SELECT *, d{prev} + {seg} AS d{cur} FROM p{prev}
+    )"""
+        )
+    cos_cols = ", ".join(
+        f"ROUND(d{d} / (qn{d} * cn{d}), 6) AS cos{d}" for d in dims
+    )
+    # four row_numbers over ONE qid partitioning (no 4x long stack, no
+    # truth self-join): recall@K of dim d = |{rn_d<=K AND rn_full<=K}|
+    rank_cols = ", ".join(
+        f"row_number() OVER (PARTITION BY qid ORDER BY cos{d} DESC, cid ASC)"
+        f" AS r{d}"
+        for d in dims
+    )
+    full = dims[-1]
+    hit_cols = ", ".join(
+        f"CAST(sum(CASE WHEN r{d} <= {MRL_K} AND r{full} <= {MRL_K} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS h{d}"
+        for d in dims
+    )
+    pick = (
+        "CASE d.dim "
+        + " ".join(f"WHEN {d} THEN h{d}" for d in dims[:-1])
+        + f" ELSE h{full} END"
+    )
+    vals = ",".join(f"({d})" for d in dims)
+    return f"""
+    WITH vn AS (
+      SELECT vec_id, embedding, {nrm_cols} FROM {table}
+    ),
+    qn AS (SELECT * FROM vn WHERE vec_id % {MRL_QUERY_MOD} = 0),
+    {', '.join(layers)},
+    pairs AS (
+      SELECT qid, cid, {cos_cols} FROM p{dims[-1]}
+    ),
+    ranked AS (SELECT qid, cid, {rank_cols} FROM pairs),
+    hits AS (SELECT qid, {hit_cols} FROM ranked GROUP BY qid)
+    SELECT CAST(d.dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum({pick}) AS BIGINT) AS sum_hits,
+           CAST(FLOOR(sum({pick}) * {1_000_000 // MRL_K}.0 / count(*))
+                AS BIGINT) AS avg_recall_micro
+    FROM hits CROSS JOIN (VALUES {vals}) AS d(dim)
+    GROUP BY d.dim ORDER BY d.dim
+    """
+
+
+@register(
+    "matryoshka_recall_eval",
+    _mrl_sql("embeddings", 1),
+    f"Matryoshka embedding eval: recall@{MRL_K} of cosine rankings at "
+    f"prefix dims {MRL_DIMS[:-1]} against the full {MRL_DIMS[-1]}-dim "
+    "ranking on a sampled query set — the dimension-vs-quality curve "
+    "read before truncating stored vectors (Kusupati et al. 2022)",
+)
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One all-pairs block on the sampled query set computes all four
+    prefix cosines in a single codegen pass; the four per-dim rankings
+    are four row_number columns over ONE qid hash exchange (no 4-way
+    long-format stack, no truth self-join — recall@K of dim d is just
+    rn_d<=K AND rn_full<=K counted per query). Every CTE is referenced
+    once, so Catalyst's inline-per-reference behavior never recomputes
+    the N² join and the SAME SQL text serves both engines. At corpus
+    scale the candidate side would route through the IVF/PQ index —
+    this harness measures WHICH truncation is safe to serve."""
+    view = "embeddings_mrl_src"
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView(view)
+    return spark.sql(_mrl_sql(view, 0))

@@ -256,3 +256,42 @@ class TestKeySkew:
 
     def test_truth_threshold_in_range(self):
         assert 0.0 < CAL_TRUTH_T < 1.0 and not math.isnan(CAL_TRUTH_T)
+
+
+class TestMatryoshkaRecall:
+    def test_prefix_only_signal_gives_full_recall(self, spark, tmp_path):
+        # every vector is zero past dim 8 → all prefix rankings equal
+        # the full ranking → recall@K is exactly 1.0 at every dim
+        import math
+        import os as _os
+
+        rows = []
+        for k in range(40):
+            vec = [0.0] * 64
+            vec[0] = math.cos(0.1 * k)
+            vec[1] = math.sin(0.1 * k)
+            vec[2] = 0.25 * (k % 7)
+            rows.append((k, vec, 0))
+        sf_dir = str(tmp_path)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+        got = [
+            tuple(r)
+            for r in QUERIES["matryoshka_recall_eval"].fn(spark, sf_dir).collect()
+        ]
+        assert [r[0] for r in got] == [8, 16, 32, 64]
+        assert all(r[3] == 1_000_000 for r in got)  # avg_recall_micro
+        nq = got[0][1]
+        assert all(r[1] == nq for r in got)  # same query set per dim
+        # oracle agreement
+        import duckdb as _duckdb
+
+        con = _duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+        )
+        want = con.execute(QUERIES["matryoshka_recall_eval"].oracle).fetchall()
+        con.close()
+        assert got == [tuple(r) for r in want]
