@@ -746,6 +746,129 @@ class LakeTable:
         dest._commit(m)
         return dest
 
+    def add_files(
+        self,
+        files: "list[str] | LakeTable",
+        copy: bool = False,
+    ) -> int:
+        """Metadata-only import of existing parquet files (Iceberg
+        ``add_files`` analogue): commit a new version referencing the
+        given files — by absolute path (zero bytes moved) or copied
+        under the table dir with ``copy=True``. This is also the
+        publish step of a write-audit-publish flow: stage into a
+        scratch table, validate, then ``target.add_files(stage)``.
+
+        Scope guards (refused, not silently wrong): PK tables (imported
+        rows could duplicate keys the MERGE invariant assumes unique)
+        and partitioned tables (external files have no partition-dir
+        attribution). Each file's parquet schema must contain exactly
+        the table's physical data columns with equal types —
+        ``_inserted_at`` and missing-nullable columns null-fill on
+        read. Footer stats + ``__rows``/``__bytes`` are harvested, so
+        imported files participate in pruning and metadata-only COUNT
+        like native writes. Returns the new version."""
+        import pyarrow.parquet as _pq
+
+        src_files: list[str]
+        if isinstance(files, LakeTable):
+            src_files = [
+                os.path.abspath(os.path.join(files.dir, f))
+                for f in files.manifest().all_files()
+            ]
+        else:
+            src_files = [os.path.abspath(p) for p in files]
+        if not src_files:
+            raise ValueError("add_files: empty file list")
+        with self.lock():
+            m = self.manifest()
+            if m.pk:
+                raise ValueError(
+                    "add_files on a PK table would bypass the MERGE "
+                    "uniqueness invariant; use LakeWriter.merge instead"
+                )
+            if m.partition_exprs:
+                raise ValueError(
+                    "add_files target must be unpartitioned (external "
+                    "files carry no partition-dir attribution)"
+                )
+            from ..sources.arrow_ipc import from_arrow_schema
+
+            phys = to_physical_schema(m.schema)
+            ren = m.column_renames
+            expected = {
+                ren.get(f.name, f.name): (
+                    f.dataType.simpleString(),
+                    f.nullable,
+                )
+                for f in phys.fields
+                if f.name != INSERTED_AT
+            }
+            for p in src_files:
+                if not os.path.exists(p):
+                    raise ValueError(f"add_files: missing file {p}")
+                got = {
+                    f.name: f.dataType.simpleString()
+                    for f in from_arrow_schema(_pq.read_schema(p)).fields
+                    if f.name != INSERTED_AT
+                }
+                extra = sorted(c for c in got if c not in expected)
+                bad = sorted(
+                    f"{c}: {got[c]} != {expected[c][0]}"
+                    for c in got
+                    if c in expected and got[c] != expected[c][0]
+                )
+                missing = sorted(
+                    c
+                    for c, (_, nullable) in expected.items()
+                    if c not in got and not nullable
+                )
+                if extra or bad or missing:
+                    raise ValueError(
+                        f"add_files: {p} schema mismatch (extra={extra}, "
+                        f"type={bad}, missing-required={missing})"
+                    )
+            stat_cols = _stats_columns(phys, [])
+            stat_cols = [ren.get(c, c) for c in stat_cols]
+            inv = {v: k for k, v in ren.items()}
+            keys: list[str] = []
+            abs_paths: list[str] = []
+            if copy:
+                stage_rel = os.path.join(
+                    "data", f"import-v{m.version + 1}-{uuid.uuid4().hex[:8]}"
+                )
+                os.makedirs(os.path.join(self.dir, stage_rel), exist_ok=True)
+                for p in src_files:
+                    key = os.path.join(stage_rel, os.path.basename(p))
+                    dst = os.path.join(self.dir, key)
+                    shutil.copyfile(p, dst)
+                    keys.append(key)
+                    abs_paths.append(dst)
+            else:
+                keys = list(src_files)
+                abs_paths = list(src_files)
+            stats = dict(m.file_stats)
+            for key, ap in zip(keys, abs_paths):
+                s = _harvest_one(ap, stat_cols, None)
+                if s:
+                    stats[key] = {inv.get(c, c): v for c, v in s.items()}
+            new_files = {k: list(v) for k, v in m.files.items()}
+            new_files.setdefault("", []).extend(keys)
+            nm = Manifest(
+                version=m.version + 1,
+                schema=m.schema,
+                pk=m.pk,
+                partition_spec=m.partition_spec,
+                files=new_files,
+                parent=m.version,
+                props={
+                    **m.props,
+                    "last_op": f"ADD FILES({len(keys)})",
+                },
+                file_stats=stats,
+            )
+            self._commit(nm, parent_manifest=m)
+            return nm.version
+
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only RENAME COLUMN (Delta column-mapping style): the
         column's PHYSICAL name inside already-written parquet files never
