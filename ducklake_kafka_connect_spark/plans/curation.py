@@ -691,3 +691,238 @@ def data_recipe_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("repetition_micro"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# PSI feature drift (population stability index)
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+
+
+@register(
+    "psi_feature_drift",
+    f"""
+    WITH bounds AS (
+      SELECT min(value) AS vmin, max(value) AS vmax,
+             min(epoch_us(CAST(ts AS TIMESTAMP))) AS tmin,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2
+                       <= bounds.tmin + bounds.tmax
+                  THEN 0 ELSE 1 END AS half,
+             LEAST({PSI_BINS - 1}, CAST(FLOOR((value - bounds.vmin)
+                   * {PSI_BINS} / (bounds.vmax - bounds.vmin + 1e-9))
+                   AS BIGINT)) AS bin
+      FROM events CROSS JOIN bounds
+    ),
+    cells AS (
+      SELECT event_type, half, bin, count(*) AS c
+      FROM binned GROUP BY event_type, half, bin
+    ),
+    halves AS (
+      SELECT event_type, half, CAST(sum(c) AS BIGINT) AS n
+      FROM cells GROUP BY event_type, half
+    ),
+    grid AS (
+      SELECT h0.event_type, g.bin,
+             COALESCE(c0.c, 0) AS c_p, h0.n AS n_p,
+             COALESCE(c1.c, 0) AS c_q, h1.n AS n_q
+      FROM (SELECT event_type, n FROM halves WHERE half = 0) h0
+      JOIN (SELECT event_type, n FROM halves WHERE half = 1) h1
+        ON h0.event_type = h1.event_type
+      CROSS JOIN (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin) g
+      LEFT JOIN cells c0 ON c0.event_type = h0.event_type
+        AND c0.half = 0 AND c0.bin = g.bin
+      LEFT JOIN cells c1 ON c1.event_type = h0.event_type
+        AND c1.half = 1 AND c1.bin = g.bin
+    ),
+    terms AS (
+      SELECT event_type,
+             CAST(ROUND(((c_p + 1.0) / (n_p + {PSI_BINS})
+                         - (c_q + 1.0) / (n_q + {PSI_BINS}))
+                        * ln(((c_p + 1.0) * (n_q + {PSI_BINS}))
+                             / ((c_q + 1.0) * (n_p + {PSI_BINS})))
+                        * 1000000) AS BIGINT) AS t_micro
+      FROM grid
+    )
+    SELECT event_type, CAST(sum(t_micro) AS BIGINT) AS psi_micro
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    f"Population stability index per event type: value distribution of "
+    f"the first time-half vs the second over {PSI_BINS} equal-width "
+    "bins (Laplace-smoothed, per-bin terms integerized to micro-nats) "
+    "— the standard feature-drift monitor",
+)
+def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan computes global bounds (1-row broadcast), a second
+    bins every event — state from there is |types|×2×B cells. The PSI
+    grid densifies with a generated bin spine so empty bins still
+    contribute their smoothed mass, exactly as the textbook formula
+    requires."""
+    from .queries import epoch_us_col
+
+    ev = _t(spark, sf_dir, "events")
+    eus = epoch_us_col(ev, "ts")
+    bounds = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min(eus).alias("tmin"),
+        F.max(eus).alias("tmax"),
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            eus * 2 <= F.col("tmin") + F.col("tmax"), 0
+        ).otherwise(1).alias("half"),
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                * PSI_BINS
+                / (F.col("vmax") - F.col("vmin") + F.lit(1e-9))
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cells.persist()
+    halves = cells.groupBy("event_type", "half").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    h0 = halves.filter("half = 0").select("event_type", F.col("n").alias("n_p"))
+    h1 = halves.filter("half = 1").select("event_type", F.col("n").alias("n_q"))
+    spine = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    c0 = cells.filter("half = 0").select(
+        "event_type", "bin", F.col("c").alias("c_p")
+    )
+    c1 = cells.filter("half = 1").select(
+        "event_type", "bin", F.col("c").alias("c_q")
+    )
+    grid = (
+        h0.join(h1, "event_type")
+        .crossJoin(F.broadcast(spine))
+        .join(c0, ["event_type", "bin"], "left")
+        .join(c1, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("c_p"), F.lit(0)).alias("c_p"),
+            "n_p",
+            F.coalesce(F.col("c_q"), F.lit(0)).alias("c_q"),
+            "n_q",
+        )
+    )
+    nb = F.lit(float(PSI_BINS))
+    term = F.round(
+        (
+            (F.col("c_p") + F.lit(1.0)) / (F.col("n_p") + nb)
+            - (F.col("c_q") + F.lit(1.0)) / (F.col("n_q") + nb)
+        )
+        * F.log(
+            ((F.col("c_p") + F.lit(1.0)) * (F.col("n_q") + nb))
+            / ((F.col("c_q") + F.lit(1.0)) * (F.col("n_p") + nb))
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return (
+        grid.select("event_type", term.alias("t_micro"))
+        .groupBy("event_type")
+        .agg(F.sum("t_micro").cast("long").alias("psi_micro"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift
+# ---------------------------------------------------------------------------
+
+CENTROID_DIM = 64
+CENTROID_MILLI = 1000  # per-element quantization: keeps the dot in BIGINT
+
+
+@register(
+    "embedding_centroid_drift",
+    f"""
+    WITH q AS (
+      SELECT label, vec_id % 2 AS half,
+             unnest(generate_series(1, {CENTROID_DIM})) AS j,
+             unnest(list_transform(embedding,
+               x -> CAST(ROUND(x * {CENTROID_MILLI}) AS BIGINT))) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT label, half, j, CAST(sum(e) AS BIGINT) AS sj, count(*) AS n
+      FROM q GROUP BY label, half, j
+    ),
+    w AS (
+      SELECT a.label, a.j, a.sj AS sa, b.sj AS sb
+      FROM (SELECT * FROM s WHERE half = 0) a
+      JOIN (SELECT * FROM s WHERE half = 1) b
+        ON a.label = b.label AND a.j = b.j
+    ),
+    dots AS (
+      SELECT label,
+             CAST(sum(sa * sb) AS BIGINT) AS dab,
+             CAST(sum(sa * sa) AS BIGINT) AS daa,
+             CAST(sum(sb * sb) AS BIGINT) AS dbb
+      FROM w GROUP BY label
+    )
+    SELECT CAST(label AS INT) AS label,
+           ROUND(dab / (sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE))),
+                 6) AS centroid_cos
+    FROM dots ORDER BY label
+    """,
+    "Per-label embedding centroid drift: cosine between the even-id "
+    f"and odd-id halves' centroid sums, elements quantized to 1/"
+    f"{CENTROID_MILLI} so every sum and dot stays in exact BIGINT "
+    "(order-free) — the embedding-space counterpart of PSI",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float centroid means would be summation-order-dependent; milli-
+    quantizing per element first makes the per-(label, half, dim) sums
+    exact integers (drift at 1e-3 resolution is far below any signal
+    threshold), and the 64-term dot stays within BIGINT by
+    construction. One explode pass; state is |labels|×2×64 integers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x * CENTROID_MILLI, 0).cast("long"),
+            )
+        ).alias("j0", "e"),
+    ).select("label", "half", (F.col("j0") + 1).alias("j"), "e")
+    s = q.groupBy("label", "half", "j").agg(
+        F.sum("e").cast("long").alias("sj")
+    )
+    a = s.filter("half = 0").select("label", "j", F.col("sj").alias("sa"))
+    b = s.filter("half = 1").select("label", "j", F.col("sj").alias("sb"))
+    dots = (
+        a.join(b, ["label", "j"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dab"),
+            F.sum(F.col("sa") * F.col("sa")).cast("long").alias("daa"),
+            F.sum(F.col("sb") * F.col("sb")).cast("long").alias("dbb"),
+        )
+    )
+    return dots.select(
+        F.col("label").cast("int").alias("label"),
+        F.round(
+            F.col("dab")
+            / (
+                F.sqrt(F.col("daa").cast("double"))
+                * F.sqrt(F.col("dbb").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cos"),
+    ).orderBy("label")

@@ -233,3 +233,76 @@ class TestDataRecipeEpochs:
             for i in range(30)
         ]
         _parity(spark, tmp_path, rows, "data_recipe_epochs")
+
+
+class TestDriftMonitors:
+    def _con_events(self, rows):
+        import duckdb as _d
+
+        con = _d.connect()
+        vals = ", ".join(
+            f"({i}, TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ({m}) MINUTE,"
+            f" {i % 7}, '{et}', {v}, '{{}}')"
+            for i, (m, et, v) in enumerate(rows)
+        )
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM (VALUES "
+            f"{vals}) AS t(event_id, ts, user_id, event_type, value, props)"
+        )
+        return con
+
+    def test_psi_zero_for_identical_halves_positive_for_shift(self):
+        rows = []
+        # type 'same': identical value distribution in both time halves
+        for m in range(20):
+            rows.append((m, "same", float(m % 5)))
+            rows.append((m + 1000, "same", float(m % 5)))
+        # type 'shift': low values early, high values late
+        for m in range(20):
+            rows.append((m, "shift", 1.0))
+            rows.append((m + 1000, "shift", 4.0))
+        con = self._con_events(rows)
+        out = {
+            r[0]: r[1]
+            for r in con.execute(
+                QUERIES["psi_feature_drift"].oracle
+            ).fetchall()
+        }
+        assert abs(out["same"]) < 20_000  # smoothing residue only
+        assert out["shift"] > 500_000  # clear drift
+
+    def test_centroid_drift_cos_one_when_halves_agree(self, spark, tmp_path):
+        import math
+        import os as _os
+
+        rows = []
+        for k in range(40):
+            vec = [0.0] * 64
+            # label 0: identical direction in both halves → cos 1.0
+            # label 1: even ids point +x, odd ids +y → cos 0.0
+            if k % 2 == 0:
+                vec[0] = 1.0
+            else:
+                vec[0 if (k // 2) % 2 == 0 else 1] = 1.0
+            rows.append((k, vec, 0 if k % 2 == 0 else 1))
+        # relabel: label = 0 for all even vec_ids is wrong shape — use
+        # two labels with controlled halves instead
+        rows = []
+        for k in range(40):
+            vec = [0.0] * 64
+            if k < 20:  # label 0: +x everywhere
+                vec[0] = 1.0
+                rows.append((k, vec, 0))
+            else:  # label 1: +x on even ids, +y on odd ids
+                vec[0 if k % 2 == 0 else 1] = 1.0
+                rows.append((k, vec, 1))
+        sf_dir = str(tmp_path)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+        got = {
+            r["label"]: r["centroid_cos"]
+            for r in QUERIES["embedding_centroid_drift"].fn(spark, sf_dir).collect()
+        }
+        assert got[0] == 1.0
+        assert got[1] == 0.0
