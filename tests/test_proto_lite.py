@@ -258,3 +258,23 @@ class TestSparkIntegration:
 
         with pytest.raises(ValueError, match="proto_schema"):
             TableSpec(format="proto")
+
+
+class TestFuzz:
+    @given(st.binary(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_decode_never_hangs_or_corrupts(self, blob):
+        # arbitrary bytes either raise cleanly or yield a complete dict
+        # (unknown fields skipped, known fields typed) — never a crash,
+        # never a partial record
+        s = proto_schema(
+            [(1, "a", "int64"), (2, "b", "string"), (3, "c", "double")]
+        )
+        try:
+            out = decode_proto(s, blob)
+        except (EOFError, ValueError, UnicodeDecodeError):
+            return
+        assert set(out) == {"a", "b", "c"}
+        assert isinstance(out["a"], int)
+        assert isinstance(out["b"], str)
+        assert isinstance(out["c"], float)

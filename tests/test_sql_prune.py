@@ -286,3 +286,33 @@ class TestViewHygiene:
         assert spark.sql("SELECT count(*) AS n FROM sq9").collect()[0]["n"] == 400
         # and the pruned result itself stays correct after re-registration
         assert df.collect()[0]["n"] == 1
+
+
+def test_recursive_cte_through_catalog_sql(spark, tmp_path):
+    """WITH RECURSIVE flows through LakeCatalog.sql: the conjunct
+    extractor must neither break on the syntax nor mis-prune the lake
+    view the recursion scans."""
+    from pyspark.sql import functions as F
+
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeTable, LakeWriter
+
+    t = LakeTable(spark, str(tmp_path), "chain")
+    LakeWriter(t).write(
+        spark.range(10).select(
+            F.col("id").alias("node"), (F.col("id") + 1).alias("next")
+        )
+    )
+    cat = LakeCatalog(spark, str(tmp_path))
+    out = cat.sql(
+        """
+        WITH RECURSIVE walk(node, d) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT c.next, w.d + 1
+          FROM walk w JOIN chain c ON c.node = w.node
+          WHERE w.d < 5
+        )
+        SELECT max(d) AS depth, count(*) AS n FROM walk
+        """
+    ).collect()
+    assert out == [(5, 6)]
