@@ -305,6 +305,43 @@ def encode_proto(schema: dict[int, ProtoField], record: dict[str, Any]) -> bytes
     return bytes(out)
 
 
+def strip_confluent_proto_framing(payload: bytes) -> tuple[int, list[int], bytes]:
+    """Confluent's protobuf wire format: magic 0x00, 4-byte big-endian
+    schema id, then a zigzag-varint message-index array (count followed
+    by indexes; a single 0 means [0], the first/only message in the
+    .proto). Returns (schema_id, message_indexes, body). Raises on a
+    missing magic byte — callers route to the DLQ."""
+    if len(payload) < 6 or payload[0] != 0:
+        raise ValueError("not Confluent-framed (magic byte missing)")
+    schema_id = struct.unpack(">I", payload[1:5])[0]
+    pos = 5
+    first, pos = _read_varint(payload, pos)
+    count = (first >> 1) ^ -(first & 1)  # zigzag
+    if count == 0:
+        return schema_id, [0], payload[pos:]
+    idx = []
+    for _ in range(count):
+        raw, pos = _read_varint(payload, pos)
+        idx.append((raw >> 1) ^ -(raw & 1))
+    return schema_id, idx, payload[pos:]
+
+
+def frame_confluent_proto(
+    schema_id: int, body: bytes, message_indexes: list[int] | None = None
+) -> bytes:
+    """Inverse of :func:`strip_confluent_proto_framing` (test fixtures
+    and round-trip checks)."""
+    out = bytearray(b"\x00" + struct.pack(">I", schema_id))
+    idx = message_indexes or [0]
+    if idx == [0]:
+        out.extend(_write_varint(0))  # the compact single-0 form
+    else:
+        out.extend(_write_varint((len(idx) << 1) ^ (len(idx) >> 63)))
+        for i in idx:
+            out.extend(_write_varint((i << 1) ^ (i >> 63)))
+    return bytes(out) + body
+
+
 # ---------------------------------------------------------------------------
 # Spark integration
 # ---------------------------------------------------------------------------
@@ -357,6 +394,7 @@ def decode_proto_lite(
     value_col: str = "value",
     keep_cols: list[str] | None = None,
     with_corrupt_col: bool = False,
+    confluent_framing: bool = False,
 ) -> DataFrame:
     """Decode a binary column of protobuf messages into typed columns
     via mapInPandas — one Python call per Arrow batch, the same
@@ -384,7 +422,10 @@ def decode_proto_lite(
                     row.update({n: None for n in field_names})
                 else:
                     try:
-                        rec = decode_proto(schema, bytes(payload))
+                        raw = bytes(payload)
+                        if confluent_framing:
+                            _, _, raw = strip_confluent_proto_framing(raw)
+                        rec = decode_proto(schema, raw)
                         row.update(
                             {n: _coerce(rec[n], by_name[n]) for n in field_names}
                         )

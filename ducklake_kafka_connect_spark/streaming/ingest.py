@@ -349,6 +349,7 @@ class IngestPipeline:
                 spec.proto_schema,
                 keep_cols=keep,
                 with_corrupt_col=True,
+                confluent_framing=spec.confluent_framing,
             )
             return split_dlq(decoded)
         if spec.format == "arrow":

@@ -278,3 +278,59 @@ class TestFuzz:
         assert isinstance(out["a"], int)
         assert isinstance(out["b"], str)
         assert isinstance(out["c"], float)
+
+
+class TestConfluentProtoFraming:
+    def test_roundtrip_default_and_nested_indexes(self):
+        from ducklake_kafka_connect_spark.sources.proto_lite import (
+            frame_confluent_proto,
+            strip_confluent_proto_framing,
+        )
+
+        body = encode_proto(proto_schema([(1, "v", "int64")]), {"v": 7})
+        sid, idx, got = strip_confluent_proto_framing(
+            frame_confluent_proto(42, body)
+        )
+        assert (sid, idx, got) == (42, [0], body)
+        sid, idx, got = strip_confluent_proto_framing(
+            frame_confluent_proto(7, body, [1, 3])
+        )
+        assert (sid, idx, got) == (7, [1, 3], body)
+
+    def test_missing_magic_raises(self):
+        from ducklake_kafka_connect_spark.sources.proto_lite import (
+            strip_confluent_proto_framing,
+        )
+
+        with pytest.raises(ValueError, match="magic"):
+            strip_confluent_proto_framing(b"\x01\x00\x00\x00\x01\x00rest")
+
+    def test_framed_decode_and_unframed_dlq(self, spark):
+        from ducklake_kafka_connect_spark.sources.proto_lite import (
+            frame_confluent_proto,
+        )
+
+        s = proto_schema([(1, "k", "int64"), (2, "t", "string")])
+        rows = []
+        for i in range(12):
+            body = encode_proto(s, {"k": i, "t": f"r{i}"})
+            rows.append(
+                (
+                    i,
+                    bytearray(
+                        frame_confluent_proto(1, body) if i % 4 else body
+                    ),
+                )
+            )
+        df = spark.createDataFrame(rows, "offset long, value binary")
+        out = decode_proto_lite(
+            df,
+            s,
+            keep_cols=["offset"],
+            with_corrupt_col=True,
+            confluent_framing=True,
+        ).cache()
+        # unframed payloads (i%4==0) lack the magic byte → corrupt
+        assert out.filter("_corrupt IS NOT NULL").count() == 3
+        good = {r["k"]: r["t"] for r in out.filter("_corrupt IS NULL").collect()}
+        assert good[5] == "r5" and len(good) == 9
