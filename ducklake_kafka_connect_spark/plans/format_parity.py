@@ -680,3 +680,101 @@ def proto_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dlq"))
     )
     return agg.crossJoin(F.broadcast(dlq))
+
+
+# ---------------------------------------------------------------------------
+# Lake-ops roundtrip: rename → write → shallow clone → add_files
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lake_ops_roundtrip",
+    """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS amount_cents
+      FROM events WHERE event_id % 10 = 1
+    ),
+    extra AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS amount_cents
+      FROM events WHERE event_id % 10 = 2
+    ),
+    imported AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS amount_cents
+      FROM events WHERE event_id % 10 = 3
+    ),
+    clone_side AS (SELECT * FROM base),
+    final_side AS (
+      SELECT * FROM base UNION ALL
+      SELECT * FROM extra UNION ALL
+      SELECT * FROM imported
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(amount_cents) AS BIGINT) AS sum_cents,
+           CAST((SELECT count(*) FROM clone_side) AS BIGINT) AS n_clone
+    FROM final_side GROUP BY event_type ORDER BY event_type
+    """,
+    "Lake-ops e2e: build a lake table (value_cents), metadata-only "
+    "RENAME to amount_cents, append under the new name, shallow-CLONE "
+    "the pre-append snapshot (isolation proof: clone count stays at "
+    "the base slice), then add_files-import an external parquet slice "
+    "— final per-type aggregates + the clone's row count vs plain "
+    "arithmetic over the same event slices",
+)
+def lake_ops_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every round-9 lake operator on one driver-hashed path: rename's
+    read/write boundary translation (the appended batch uses the NEW
+    logical name while files keep the physical one), clone's zero-copy
+    snapshot isolation (taken at the pre-append version and counted
+    AFTER the append + import mutate the source), and add_files'
+    metadata-only import with stats harvesting. All content derives
+    from the events table, so the oracle is pure slice arithmetic."""
+    from ..lake import LakeTable, LakeWriter
+
+    src = _event_source(spark, sf_dir)
+
+    def slice_df(mod: int, col: str):
+        return src.filter(F.col("event_id") % 10 == mod).select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias(col),
+        )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_lakeops_{uuid.uuid4().hex[:8]}"
+    )
+    t = LakeTable(spark, root, "ops")
+    w = LakeWriter(t)  # append-only, unpartitioned: add_files-eligible
+    w.write(slice_df(1, "value_cents"))
+    v_base = t.current_version()
+    t.rename_column("value_cents", "amount_cents")
+    LakeWriter(t).write(slice_df(2, "amount_cents"))
+    clone = t.clone(root, "ops_snapshot", version=v_base)
+    ext_dir = os.path.join(root, "external")
+    # add_files validates against PHYSICAL file columns — after a
+    # rename that is the original name (files never change names)
+    slice_df(3, "value_cents").coalesce(1).write.parquet(ext_dir)
+    t.add_files(
+        [
+            os.path.join(ext_dir, f)
+            for f in sorted(os.listdir(ext_dir))
+            if f.endswith(".parquet")
+        ]
+    )
+    final = t.read()
+    n_clone = clone.read().agg(
+        F.count(F.lit(1)).alias("n_clone")
+    )
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount_cents").cast("long").alias("sum_cents"),
+        )
+        .crossJoin(F.broadcast(n_clone))
+        .select("event_type", "n_rows", "sum_cents", "n_clone")
+        .orderBy("event_type")
+    )
