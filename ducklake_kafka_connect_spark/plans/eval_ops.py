@@ -917,3 +917,180 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "embeddings_mrl_src"
     _t(spark, sf_dir, "embeddings").createOrReplaceTempView(view)
     return spark.sql(_mrl_sql(view, 0))
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+
+RM3_FEEDBACK_DOCS = 5
+RM3_EXPANSION_TERMS = 5
+RM3_MIN_TERM_LEN = 3
+RM3_TOP_K = 10
+
+def _bm25_kernel_sql(tf_src: str) -> str:
+    """The Okapi kernel over a (doc_id, w, tf) source CTE named
+    ``{tf_src}`` — same constants and micro-nat integerization as
+    ``_BM25_SCORED_CTES`` (k1=1.2, b=0.75)."""
+    return f"""df2 AS (SELECT w, count(*) AS df FROM {tf_src} GROUP BY w),
+    contrib2 AS (
+      SELECT t.doc_id,
+             CAST(ROUND(
+               ln((CAST(s.n_docs AS DOUBLE) - df2.df + CAST(0.5 AS DOUBLE))
+                  / (df2.df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+               * (t.tf * CAST(2.2 AS DOUBLE))
+               / (t.tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * d.dl / s.avgdl))
+               * 1000000) AS BIGINT) AS c_micro
+      FROM {tf_src} t JOIN df2 ON t.w = df2.w
+      JOIN dl d ON t.doc_id = d.doc_id, stats s
+    ),
+    scored2 AS (
+      SELECT c.doc_id, d.lang,
+             CAST(count(*) AS BIGINT) AS matched_terms,
+             CAST(sum(c.c_micro) AS BIGINT) AS score_micro
+      FROM contrib2 c JOIN dl d ON c.doc_id = d.doc_id
+      GROUP BY c.doc_id, d.lang
+    )"""
+
+
+def _rm3_oracle() -> str:
+    from .corpus_stats import BM25_TERMS
+
+    seed_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    seed_vals = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    return f"""
+    WITH {_BM25_SCORED_CTES},
+    fb AS (
+      SELECT doc_id FROM scored
+      ORDER BY score_micro DESC, doc_id LIMIT {RM3_FEEDBACK_DOCS}
+    ),
+    fbtok AS (
+      SELECT t.doc_id, t.w FROM tok t JOIN fb ON t.doc_id = fb.doc_id
+    ),
+    fbw AS (
+      SELECT f.w,
+             CAST(sum(CAST(FLOOR(f.tf * 1000000.0 / d.dl) AS BIGINT))
+                  AS BIGINT) AS weight_micro
+      FROM (SELECT doc_id, w, count(*) AS tf FROM fbtok GROUP BY doc_id, w) f
+      JOIN dl d ON f.doc_id = d.doc_id
+      WHERE length(f.w) >= {RM3_MIN_TERM_LEN}
+        AND f.w NOT IN ({seed_in})
+      GROUP BY f.w
+    ),
+    expansion AS (
+      SELECT w FROM fbw ORDER BY weight_micro DESC, w ASC
+      LIMIT {RM3_EXPANSION_TERMS}
+    ),
+    terms2 AS (
+      SELECT w FROM expansion
+      UNION ALL
+      SELECT * FROM (VALUES {seed_vals}) AS s(w)
+    ),
+    tf2 AS (
+      SELECT t.doc_id, t.w, count(*) AS tf
+      FROM tok t JOIN terms2 ON t.w = terms2.w
+      GROUP BY t.doc_id, t.w
+    ),
+    {_bm25_kernel_sql("tf2")}
+    SELECT doc_id, lang, matched_terms, score_micro
+    FROM scored2 ORDER BY score_micro DESC, doc_id LIMIT {RM3_TOP_K}
+    """
+
+
+@register(
+    "rm3_query_expansion",
+    _rm3_oracle(),
+    f"RM3 pseudo-relevance feedback: BM25 first pass → top-"
+    f"{RM3_FEEDBACK_DOCS} feedback docs → RM1 expansion weights "
+    f"(integerized tf/dl mass) → top-{RM3_EXPANSION_TERMS} expansion "
+    "terms re-queried with the seed (Lavrenko & Croft 2001 / Abdul-"
+    f"Jaleel 2004) — final top-{RM3_TOP_K} integer-exact",
+)
+def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus token frame is computed once and persisted (first
+    pass, feedback mass, and the re-query all derive from it); the
+    feedback set is {RM3_FEEDBACK_DOCS} rows and the expansion
+    vocabulary {RM3_EXPANSION_TERMS}+seed terms, so the second pass is
+    the SAME corpus-linear probe shape as the first — never a rescan
+    per term. Expansion weights integerize per (term, doc) before the
+    sum, keeping term selection exact in both engines."""
+    from .corpus_stats import BM25_TERMS, _tokens, bm25_scored
+
+    tok = _tokens(spark, sf_dir)
+    tok.persist()
+    dl = tok.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("dl"))
+    dl.persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    fb = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(RM3_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    fbtf = (
+        tok.join(F.broadcast(fb), "doc_id")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    fbw = (
+        fbtf.join(dl.select("doc_id", "dl"), "doc_id")
+        .filter(
+            (F.length("w") >= RM3_MIN_TERM_LEN) & (~F.col("w").isin(BM25_TERMS))
+        )
+        .select(
+            "w",
+            F.floor(F.col("tf") * F.lit(1000000.0) / F.col("dl"))
+            .cast("long")
+            .alias("wm"),
+        )
+        .groupBy("w")
+        .agg(F.sum("wm").cast("long").alias("weight_micro"))
+    )
+    expansion = (
+        fbw.orderBy(F.col("weight_micro").desc(), F.col("w").asc())
+        .limit(RM3_EXPANSION_TERMS)
+        .select("w")
+    )
+    seed = spark.createDataFrame([(t,) for t in BM25_TERMS], "w string")
+    terms2 = expansion.unionAll(seed)
+    tf2 = (
+        tok.join(F.broadcast(terms2), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df2 = tf2.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf2.join(F.broadcast(df2), "w")
+        .join(dl.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tfnorm * 1000000.0, 0).cast("long").alias("c_micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+            F.sum("c_micro").cast("long").alias("score_micro"),
+        )
+        .join(dl.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "matched_terms", "score_micro")
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(RM3_TOP_K)
+    )
