@@ -334,3 +334,84 @@ class TestConfluentProtoFraming:
         assert out.filter("_corrupt IS NOT NULL").count() == 3
         good = {r["k"]: r["t"] for r in out.filter("_corrupt IS NULL").collect()}
         assert good[5] == "r5" and len(good) == 9
+
+
+class TestUint64Overflow:
+    def test_uint64_past_bigint_routes_to_corrupt(self, spark):
+        # a uint64 value above 2^63 cannot land in a Spark LongType —
+        # clamping would be silent corruption, so the row must DLQ
+        s = proto_schema([(1, "u", "uint64")])
+        big = encode_proto(s, {"u": (1 << 63) + 5})
+        ok = encode_proto(s, {"u": (1 << 62)})
+        df = spark.createDataFrame(
+            [(0, bytearray(big)), (1, bytearray(ok))],
+            "offset long, value binary",
+        )
+        out = decode_proto_lite(
+            df, s, keep_cols=["offset"], with_corrupt_col=True
+        ).collect()
+        by_off = {r["offset"]: r for r in out}
+        assert by_off[0]["_corrupt"] is not None and by_off[0]["u"] is None
+        assert by_off[1]["_corrupt"] is None and by_off[1]["u"] == 1 << 62
+
+
+class TestStreamingProtoIngest:
+    def test_readstream_proto_to_lake(self, spark, tmp_path):
+        """format='proto' through the real readStream/foreachBatch
+        dataflow (parquet file stream stands in for Kafka, as in
+        test_streaming.py): framed payloads land, corrupt ones DLQ."""
+        import os as _os
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog
+        from ducklake_kafka_connect_spark.streaming.ingest import (
+            IngestConfig,
+            IngestPipeline,
+            TableSpec,
+        )
+
+        s = proto_schema([(1, "pk", "int64"), (2, "note", "string")])
+        rows = [
+            (
+                "pstream",
+                0,
+                i,
+                bytearray(
+                    encode_proto(s, {"pk": i, "note": f"m{i}"})
+                    if i != 4
+                    else b"\xff\xff"
+                ),
+            )
+            for i in range(9)
+        ]
+        src = str(tmp_path / "frames")
+        spark.createDataFrame(
+            rows, "topic string, partition int, offset long, value binary"
+        ).write.parquet(src)
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        cfg = IngestConfig(
+            tables={
+                "pstream": TableSpec(
+                    id_columns=["pk"],
+                    auto_create=True,
+                    format="proto",
+                    proto_schema=s,
+                )
+            }
+        )
+        pipe = IngestPipeline(cat, cfg)
+        stream = spark.readStream.schema(
+            "topic string, partition int, offset long, value binary"
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(pipe.process_batch)
+            .option("checkpointLocation", _os.path.join(str(tmp_path), "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        landed = cat.table("pstream").read()
+        assert landed.count() == 8
+        assert {r["note"] for r in landed.collect()} == {
+            f"m{i}" for i in range(9) if i != 4
+        }
+        assert cat.table("pstream_dlq").read().count() == 1
