@@ -778,3 +778,78 @@ def lake_ops_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_rows", "sum_cents", "n_clone")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV roundtrip (converter family completion: JSON/Avro/proto/Arrow/CSV)
+# ---------------------------------------------------------------------------
+
+CSV_BAD_MOD = 83  # every 83rd payload gets an unconvertible numeric field
+
+
+@register(
+    "csv_ingest_roundtrip",
+    f"""
+    WITH src AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 10 = 7
+    )
+    SELECT CAST(count(CASE WHEN event_id % {CSV_BAD_MOD} <> 0 THEN 1 END)
+                AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % {CSV_BAD_MOD} <> 0
+                         THEN cents END) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN event_id % {CSV_BAD_MOD} <> 0
+                         THEN user_id END) AS BIGINT) AS sum_uid,
+           CAST(count(CASE WHEN event_id % {CSV_BAD_MOD} = 0 THEN 1 END)
+                AS BIGINT) AS n_dlq
+    FROM src
+    """,
+    "Converter-family completion e2e: events CSV-encoded (quoted field "
+    "with an embedded comma exercises the quoting path), every 83rd "
+    "line carrying an unconvertible numeric — through format='csv' "
+    "(JVM from_csv, zero Python) into the lake, bad lines to the DLQ",
+)
+def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _event_source(spark, sf_dir).filter(F.col("event_id") % 10 == 7)
+    line = F.concat(
+        F.col("event_id").cast("string"),
+        F.lit(","),
+        F.col("user_id").cast("string"),
+        F.lit(',"t,'),  # quoted field with an embedded comma
+        F.col("event_type"),
+        F.lit('",'),
+        F.when(
+            F.col("event_id") % CSV_BAD_MOD == 0, F.lit("NOT_A_NUMBER")
+        ).otherwise(F.floor(F.col("value") * 100).cast("string")),
+    )
+    frame = src.select(
+        F.lit("cv").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.encode(line, "UTF-8").alias("value"),
+    )
+    cat = _fresh_catalog(spark, "csv")
+    cfg = IngestConfig(
+        topic2table={"cv": "events_csv"},
+        tables={
+            "events_csv": TableSpec(
+                auto_create=True,
+                format="csv",
+                csv_schema="key_id long, uid long, tag string, cents long",
+            )
+        },
+    )
+    IngestPipeline(cat, cfg).process_batch(frame)
+    landed = cat.table("events_csv").read()
+    agg = landed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("uid").alias("sum_uid"),
+    )
+    dlq = (
+        cat.table("events_csv_dlq")
+        .read()
+        .agg(F.count(F.lit(1)).alias("n_dlq"))
+    )
+    return agg.crossJoin(F.broadcast(dlq))

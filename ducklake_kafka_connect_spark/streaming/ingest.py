@@ -77,10 +77,14 @@ class TableSpec:
     id_columns: list[str] = field(default_factory=list)
     partition_by: str | None = None
     auto_create: bool = False
-    format: str = "json"  # json | avro | avro_registry | arrow | mixed | proto
+    format: str = "json"  # json | avro | avro_registry | arrow | mixed | proto | csv
     avro_schema: str | None = None
     # {field_number: ProtoField} (sources/proto_lite.py) for format='proto'
     proto_schema: dict | None = None
+    # DDL string ("pk long, name string") for format='csv'; field order
+    # = wire column order
+    csv_schema: str | None = None
+    csv_options: dict | None = None
     confluent_framing: bool = False
     # DATA_INLINING_ROW_LIMIT analogue: None→default 10000, "off"→disable
     inlining_row_limit: str | int | None = None
@@ -96,12 +100,14 @@ class TableSpec:
     transform: object = None
 
     def __post_init__(self):
-        if self.format not in ("json", "avro", "avro_registry", "arrow", "mixed", "proto"):
+        if self.format not in ("json", "avro", "avro_registry", "arrow", "mixed", "proto", "csv"):
             raise ValueError(f"Unknown format: {self.format!r}")
         if self.format == "avro" and not self.avro_schema:
             raise ValueError("format='avro' requires avro_schema")
         if self.format == "proto" and not self.proto_schema:
             raise ValueError("format='proto' requires proto_schema")
+        if self.format == "csv" and not self.csv_schema:
+            raise ValueError("format='csv' requires csv_schema")
         # validate eagerly (ConfigException-at-construction parity) and
         # ALSO validate partition expressions up front
         self.inlining_rows = parse_inlining_limit(self.inlining_row_limit)
@@ -339,6 +345,16 @@ class IngestPipeline:
                 confluent_framing=spec.confluent_framing,
                 keep_cols=keep,
                 with_corrupt_col=True,
+            )
+            return split_dlq(decoded)
+        if spec.format == "csv":
+            from ..sources.csv_decode import decode_csv
+
+            decoded = decode_csv(
+                part,
+                spec.csv_schema,
+                keep_cols=keep,
+                options=spec.csv_options,
             )
             return split_dlq(decoded)
         if spec.format == "proto":
