@@ -869,6 +869,37 @@ class LakeTable:
             self._commit(nm, parent_manifest=m)
             return nm.version
 
+    def add_column(self, name: str, type_ddl: str) -> int:
+        """Metadata-only ADD COLUMN: commit a new manifest whose schema
+        appends a NULLABLE column — no file is touched; existing files
+        null-fill on read (the same mechanism write-path evolution
+        uses, ``schema/reconcile.py``). Returns the new version."""
+        with self.lock():
+            m = self.manifest()
+            if name in m.schema.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            if name in m.column_renames.values():
+                raise ValueError(
+                    f"{name!r} is the physical name of a renamed column"
+                )
+            dt = T.StructType.fromDDL(f"`{name}` {type_ddl}")[name].dataType
+            fields = [f for f in m.schema.fields if f.name != INSERTED_AT]
+            fields.append(T.StructField(name, dt, True))
+            if INSERTED_AT in m.schema.fieldNames():
+                fields.append(m.schema[INSERTED_AT])  # system col stays last
+            nm = Manifest(
+                version=m.version + 1,
+                schema=T.StructType(fields),
+                pk=m.pk,
+                partition_spec=m.partition_spec,
+                files={k: list(v) for k, v in m.files.items()},
+                parent=m.version,
+                props={**m.props, "last_op": f"ADD COLUMN({name})"},
+                file_stats=dict(m.file_stats),
+            )
+            self._commit(nm, parent_manifest=m)
+            return nm.version
+
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only RENAME COLUMN (Delta column-mapping style): the
         column's PHYSICAL name inside already-written parquet files never
@@ -1719,6 +1750,108 @@ class LakeCatalog:
             and os.path.exists(os.path.join(self.root, d, "_meta", "LATEST"))
         )
 
+    _DDL_PATTERNS = [
+        ("create", r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*$"),
+        ("drop_table", r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$"),
+        ("rename_col", r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$"),
+        ("drop_col", r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$"),
+        ("add_col", r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*$"),
+        ("vacuum", r"VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$"),
+        ("optimize", r"OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$"),
+    ]
+
+    def ddl(self, statement: str):
+        """SQL DDL surface over the lake API (the reference's users
+        manage ducklake tables with DuckDB DDL; this is the engine-side
+        equivalent, dispatched — not parsed by Catalyst — so metadata
+        ops stay metadata ops). Supported:
+
+        - ``CREATE TABLE [IF NOT EXISTS] t (cols...[, PRIMARY KEY (a,b)])
+          [PARTITIONED BY (exprs)]``
+        - ``DROP TABLE [IF EXISTS] t``
+        - ``ALTER TABLE t RENAME COLUMN a TO b`` (metadata-only)
+        - ``ALTER TABLE t DROP COLUMN a``       (metadata-only)
+        - ``ALTER TABLE t ADD COLUMN a <type>`` (metadata-only)
+        - ``VACUUM t [RETAIN n VERSIONS]``
+        - ``OPTIMIZE t [ZORDER BY (a, b)]``
+
+        ``LakeCatalog.sql`` routes these automatically. Returns a
+        one-row status DataFrame (op, table, detail). Anything
+        unrecognized raises — never silently a no-op."""
+        import re as _re
+
+        from .sql_prune import strip_catalog_prefix
+
+        stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
+        for op, pat in self._DDL_PATTERNS:
+            m = _re.match(pat, stmt, _re.IGNORECASE | _re.DOTALL)
+            if not m:
+                continue
+            name = m.group(1)
+            t = self.table(name)
+            if op == "create":
+                if t.exists():
+                    if _re.search(r"IF\s+NOT\s+EXISTS", stmt, _re.IGNORECASE):
+                        return self._ddl_result("CREATE TABLE", name, "exists")
+                    raise ValueError(f"table {name!r} already exists")
+                cols = m.group(2).strip()
+                pk: list[str] = []
+                pk_m = _re.search(
+                    r",\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", cols, _re.IGNORECASE
+                )
+                if pk_m:
+                    pk = [c.strip() for c in pk_m.group(1).split(",")]
+                    cols = cols[: pk_m.start()]
+                schema = T.StructType.fromDDL(cols)
+                t.create(schema, pk=pk, partition_by=m.group(3))
+                return self._ddl_result("CREATE TABLE", name, cols)
+            if op == "drop_table":
+                if not t.exists():
+                    if _re.search(r"IF\s+EXISTS", stmt, _re.IGNORECASE):
+                        return self._ddl_result("DROP TABLE", name, "absent")
+                    raise ValueError(f"table {name!r} does not exist")
+                shutil.rmtree(t.dir)
+                return self._ddl_result("DROP TABLE", name, "")
+            if op == "rename_col":
+                v = t.rename_column(m.group(2), m.group(3))
+                return self._ddl_result(
+                    "RENAME COLUMN", name, f"{m.group(2)}->{m.group(3)} v{v}"
+                )
+            if op == "drop_col":
+                v = t.drop_column(m.group(2))
+                return self._ddl_result("DROP COLUMN", name, f"{m.group(2)} v{v}")
+            if op == "add_col":
+                v = t.add_column(m.group(2), m.group(3))
+                return self._ddl_result(
+                    "ADD COLUMN", name, f"{m.group(2)} {m.group(3)} v{v}"
+                )
+            if op == "vacuum":
+                from .maintenance import vacuum as _vacuum
+
+                keep = int(m.group(2)) if m.group(2) else 1
+                n = _vacuum(t, keep_versions=keep)
+                return self._ddl_result("VACUUM", name, f"deleted {n} files")
+            if op == "optimize":
+                from .maintenance import compact as _compact
+
+                z = (
+                    [c.strip() for c in m.group(2).split(",")]
+                    if m.group(2)
+                    else None
+                )
+                r = _compact(t, zorder_by=z)
+                return self._ddl_result(
+                    "OPTIMIZE", name,
+                    f"files {r.files_before}->{r.files_after}"
+                    + (f" zorder {z}" if z else ""),
+                )
+        raise ValueError(f"unsupported DDL statement: {statement!r}")
+
+    def _ddl_result(self, op: str, table: str, detail: str):
+        return self.spark.createDataFrame(
+            [(op, table, detail)], "op string, table string, detail string"
+        )
+
     def sql(
         self,
         query: str,
@@ -1762,6 +1895,12 @@ class LakeCatalog:
         # reference namespace parity: queries written for the DuckDB
         # attachment (`lake.main.<table>`) run unchanged
         query = strip_catalog_prefix(query)
+        if _re.match(
+            r"\s*(CREATE\s+TABLE|DROP\s+TABLE|ALTER\s+TABLE|VACUUM|OPTIMIZE)\b",
+            query,
+            _re.IGNORECASE,
+        ):
+            return self.ddl(query)
         pinned = set(versions or {})
         hints = dict(where_hints or {})
         referenced = [
