@@ -869,6 +869,26 @@ class LakeTable:
             self._commit(nm, parent_manifest=m)
             return nm.version
 
+    def truncate(self) -> int:
+        """TRUNCATE TABLE: commit a new version referencing ZERO data
+        files — metadata-only (files stay on disk for time travel until
+        vacuum), schema/pk/partitioning preserved. Returns the new
+        version."""
+        with self.lock():
+            m = self.manifest()
+            nm = Manifest(
+                version=m.version + 1,
+                schema=m.schema,
+                pk=m.pk,
+                partition_spec=m.partition_spec,
+                files={},
+                parent=m.version,
+                props={**m.props, "last_op": "TRUNCATE"},
+                file_stats={},
+            )
+            self._commit(nm, parent_manifest=m)
+            return nm.version
+
     def add_column(self, name: str, type_ddl: str) -> int:
         """Metadata-only ADD COLUMN: commit a new manifest whose schema
         appends a NULLABLE column — no file is touched; existing files
@@ -1756,6 +1776,7 @@ class LakeCatalog:
         ("rename_col", r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$"),
         ("drop_col", r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$"),
         ("add_col", r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*$"),
+        ("truncate", r"TRUNCATE\s+TABLE\s+(\w+)\s*$"),
         ("vacuum", r"VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$"),
         ("optimize", r"OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$"),
     ]
@@ -1772,6 +1793,7 @@ class LakeCatalog:
         - ``ALTER TABLE t RENAME COLUMN a TO b`` (metadata-only)
         - ``ALTER TABLE t DROP COLUMN a``       (metadata-only)
         - ``ALTER TABLE t ADD COLUMN a <type>`` (metadata-only)
+        - ``TRUNCATE TABLE t``                  (metadata-only)
         - ``VACUUM t [RETAIN n VERSIONS]``
         - ``OPTIMIZE t [ZORDER BY (a, b)]``
 
@@ -1825,6 +1847,9 @@ class LakeCatalog:
                 return self._ddl_result(
                     "ADD COLUMN", name, f"{m.group(2)} {m.group(3)} v{v}"
                 )
+            if op == "truncate":
+                v = t.truncate()
+                return self._ddl_result("TRUNCATE", name, f"v{v}")
             if op == "vacuum":
                 from .maintenance import vacuum as _vacuum
 
@@ -1896,7 +1921,7 @@ class LakeCatalog:
         # attachment (`lake.main.<table>`) run unchanged
         query = strip_catalog_prefix(query)
         if _re.match(
-            r"\s*(CREATE\s+TABLE|DROP\s+TABLE|ALTER\s+TABLE|VACUUM|OPTIMIZE)\b",
+            r"\s*(CREATE\s+TABLE|DROP\s+TABLE|ALTER\s+TABLE|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE)\b",
             query,
             _re.IGNORECASE,
         ):

@@ -93,9 +93,24 @@ class TestDdl:
         cat.sql("CREATE TABLE lake.main.t6 (pk BIGINT);")
         assert cat.table_exists("t6")
 
+    def test_truncate_is_metadata_only_and_time_travels(self, cat):
+        cat.sql("CREATE TABLE t8 (pk BIGINT, v BIGINT)")
+        _fill(cat, "t8")
+        v_full = cat.table("t8").current_version()
+        files = sorted(cat.table("t8").manifest().all_files())
+        cat.sql("TRUNCATE TABLE t8")
+        t = cat.table("t8")
+        assert t.read().count() == 0
+        assert t.read(version=v_full).count() == 20  # snapshot survives
+        # bytes untouched until vacuum
+        assert all(os.path.exists(os.path.join(t.dir, f)) for f in files)
+        # table remains writable with the same schema/pk
+        _fill(cat, "t8")
+        assert t.read().count() == 20
+
     def test_unsupported_statement_raises(self, cat):
         with pytest.raises(ValueError, match="unsupported DDL"):
-            cat.ddl("TRUNCATE TABLE nope")
+            cat.ddl("MSCK REPAIR TABLE nope")
 
     def test_metadata_only_alter_never_rewrites(self, cat):
         cat.sql("CREATE TABLE t7 (pk BIGINT, v BIGINT)")
