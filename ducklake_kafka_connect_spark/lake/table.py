@@ -1872,6 +1872,89 @@ class LakeCatalog:
                 )
         raise ValueError(f"unsupported DDL statement: {statement!r}")
 
+    def dml(self, statement: str):
+        """SQL DML over the lake write API (the engine-side counterpart
+        of the DuckDB statements the reference's users run):
+
+        - ``INSERT INTO t <select>`` — the SELECT runs through
+          :meth:`sql` (so it can read other lake tables, pruned); the
+          result lands via the writer's merge-vs-insert routing, i.e.
+          on a PK table INSERT has the connector's UPSERT semantics.
+        - ``DELETE FROM t WHERE p`` — file-pruned predicate delete.
+        - ``UPDATE t SET a = expr[, ...] WHERE p`` — file-pruned
+          predicate update.
+
+        ``LakeCatalog.sql`` routes these automatically. Returns a
+        one-row status DataFrame."""
+        import re as _re
+
+        from .sql_prune import strip_catalog_prefix
+        from .writer import LakeWriter as _W
+
+        stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
+        m = _re.match(
+            r"INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            t = self.table(m.group(1))
+            df = self.sql(m.group(2))
+            pk = t.manifest().pk if t.exists() else []
+            _W(t, pk=pk or None, auto_create=False).write(df)
+            return self._ddl_result(
+                "INSERT", m.group(1), f"v{t.current_version()}"
+            )
+        m = _re.match(
+            r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            t = self.table(m.group(1))
+            _W(t, pk=t.manifest().pk or None, auto_create=False).delete_where(
+                m.group(2)
+            )
+            return self._ddl_result(
+                "DELETE", m.group(1), f"v{t.current_version()}"
+            )
+        m = _re.match(
+            r"UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            t = self.table(m.group(1))
+            assigns: dict[str, str] = {}
+            # split assignments on TOP-LEVEL commas only (expressions
+            # may contain function-call commas)
+            depth = 0
+            part = ""
+            parts = []
+            for ch in m.group(2):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append(part)
+                    part = ""
+                else:
+                    part += ch
+            parts.append(part)
+            for p in parts:
+                col, _, expr = p.partition("=")
+                if not expr:
+                    raise ValueError(f"bad SET clause: {p.strip()!r}")
+                assigns[col.strip()] = expr.strip()
+            _W(t, pk=t.manifest().pk or None, auto_create=False).update_where(
+                m.group(3), assigns
+            )
+            return self._ddl_result(
+                "UPDATE", m.group(1), f"v{t.current_version()}"
+            )
+        raise ValueError(f"unsupported DML statement: {statement!r}")
+
     def _ddl_result(self, op: str, table: str, detail: str):
         return self.spark.createDataFrame(
             [(op, table, detail)], "op string, table string, detail string"
@@ -1926,6 +2009,10 @@ class LakeCatalog:
             _re.IGNORECASE,
         ):
             return self.ddl(query)
+        if _re.match(
+            r"\s*(INSERT\s+INTO|DELETE\s+FROM|UPDATE)\b", query, _re.IGNORECASE
+        ):
+            return self.dml(query)
         pinned = set(versions or {})
         hints = dict(where_hints or {})
         referenced = [

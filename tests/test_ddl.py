@@ -119,3 +119,50 @@ class TestDdl:
         cat.sql("ALTER TABLE t7 RENAME COLUMN v TO w")
         cat.sql("ALTER TABLE t7 ADD COLUMN extra BIGINT")
         assert sorted(cat.table("t7").manifest().all_files()) == files
+
+
+class TestDml:
+    def test_insert_select_delete_update_roundtrip(self, cat):
+        cat.sql("CREATE TABLE src (pk BIGINT, v BIGINT)")
+        _fill(cat, "src")
+        cat.sql("CREATE TABLE dst (pk BIGINT, v BIGINT, PRIMARY KEY (pk))")
+        cat.sql("INSERT INTO dst SELECT pk, v FROM src WHERE pk < 10")
+        assert cat.sql("SELECT count(*) AS n FROM dst").collect()[0]["n"] == 10
+        # INSERT on a PK table = connector UPSERT semantics
+        cat.sql("INSERT INTO dst SELECT pk, v + 1000 AS v FROM src WHERE pk < 3")
+        got = {r["pk"]: r["v"] for r in cat.table("dst").read().collect()}
+        assert got[1] == 1002 and got[5] == 10 and len(got) == 10
+        cat.sql("DELETE FROM dst WHERE pk >= 8")
+        assert cat.table("dst").read().count() == 8
+        cat.sql("UPDATE dst SET v = v * 10 WHERE pk = 0")
+        got = {r["pk"]: r["v"] for r in cat.table("dst").read().collect()}
+        assert got[0] == 10000  # (0*2 + 1000) * 10
+        assert got[5] == 10  # untouched
+
+    def test_update_with_function_commas(self, cat):
+        cat.sql("CREATE TABLE t9 (pk BIGINT, v BIGINT, w STRING)")
+        w = LakeWriter(cat.table("t9"), auto_create=False)
+        w.write(
+            cat.spark.range(5).select(
+                F.col("id").alias("pk"),
+                F.col("id").alias("v"),
+                F.lit("x").alias("w"),
+            )
+        )
+        cat.sql(
+            "UPDATE t9 SET v = greatest(v, 3), w = concat(w, '!') WHERE pk >= 2"
+        )
+        got = {r["pk"]: (r["v"], r["w"]) for r in cat.table("t9").read().collect()}
+        assert got[4] == (4, "x!") and got[2] == (3, "x!") and got[0] == (0, "x")
+
+    def test_plain_select_not_routed(self, cat):
+        cat.sql("CREATE TABLE t10 (pk BIGINT)")
+        # a SELECT whose text merely CONTAINS dml-ish words is a query
+        out = cat.sql(
+            "SELECT count(*) AS n FROM t10 WHERE 'INSERT INTO' != 'DELETE FROM'"
+        ).collect()
+        assert out[0]["n"] == 0
+
+    def test_unsupported_dml_raises(self, cat):
+        with pytest.raises(ValueError, match="unsupported DML"):
+            cat.dml("MERGE INTO t USING s ON 1=1")
