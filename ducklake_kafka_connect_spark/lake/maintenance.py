@@ -232,40 +232,34 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
             if table.manifest_format == "binary":
                 from .table import encode_segment_binary
 
-                with open(
-                    os.path.join(table.meta_dir, f"v{oldest}.avro"), "wb"
-                ) as f:
-                    f.write(encode_segment_binary(m_oldest.to_dict()))
+                table.fs.put(
+                    os.path.join(table.meta_dir, f"v{oldest}.avro"),
+                    encode_segment_binary(m_oldest.to_dict()),
+                )
             else:
-                with open(
-                    os.path.join(table.meta_dir, f"v{oldest}.json"), "w"
-                ) as f:
-                    f.write(m_oldest.to_json())
+                table.fs.put(
+                    os.path.join(table.meta_dir, f"v{oldest}.json"),
+                    m_oldest.to_json(),
+                )
         keep_meta = {fn for rv in retained for fn in table.chain_filenames(rv)}
         deleted = 0
-        for dirpath, _dirnames, filenames in os.walk(table.data_dir):
-            for fn in filenames:
-                if not fn.endswith(".parquet"):
-                    continue
-                rel = os.path.normpath(
-                    os.path.relpath(os.path.join(dirpath, fn), table.dir)
-                )
-                if rel not in referenced:
-                    os.remove(os.path.join(dirpath, fn))
-                    try:  # bloom sidecar dies with its data file
-                        os.remove(os.path.join(dirpath, fn + ".bloom"))
-                    except FileNotFoundError:
-                        pass
-                    deleted += 1
-        # prune empty partition dirs bottom-up
-        for dirpath, dirnames, filenames in os.walk(table.data_dir, topdown=False):
-            if not dirnames and not filenames and dirpath != table.data_dir:
-                os.rmdir(dirpath)
+        for rel_in_data in table.fs.walk_files(table.data_dir):
+            if not rel_in_data.endswith(".parquet"):
+                continue
+            rel = os.path.normpath(os.path.join("data", rel_in_data))
+            if rel not in referenced:
+                abs_p = os.path.join(table.data_dir, rel_in_data)
+                table.fs.delete(abs_p)
+                # bloom sidecar dies with its data file
+                table.fs.delete(abs_p + ".bloom", missing_ok=True)
+                deleted += 1
+        # prune empty partition dirs bottom-up (no-op on object stores)
+        table.fs.remove_empty_dirs(table.data_dir)
         # drop manifest files outside every retained version's chain
-        for fn in os.listdir(table.meta_dir):
+        for fn in table.fs.list_names(table.meta_dir):
             is_manifest = fn.startswith("v") and fn.endswith((".json", ".avro"))
             if is_manifest and fn not in keep_meta:
-                os.remove(os.path.join(table.meta_dir, fn))
+                table.fs.delete(os.path.join(table.meta_dir, fn))
         return deleted
 
 

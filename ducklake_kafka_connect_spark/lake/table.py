@@ -37,7 +37,7 @@ import decimal
 import json
 import math
 import os
-import shutil
+import re
 import time
 import uuid
 from dataclasses import dataclass, field as dc_field
@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..metrics import REGISTRY
+from .backend import StorageBackend, resolve_backend
 from .partitioning import (
     PartitionExpr,
     derived_column_names,
@@ -376,6 +377,7 @@ class LakeTable:
         root: str,
         name: str,
         manifest_format: str | None = None,
+        backend: "StorageBackend | str | None" = None,
     ):
         # default comes from $DUCKLAKE_MANIFEST_FORMAT so whole suites
         # can exercise the binary form without touching call sites
@@ -391,39 +393,68 @@ class LakeTable:
         # write-side choice only: resolution always probes both forms,
         # so mixed-format chains (format switched mid-history) resolve
         self.manifest_format = manifest_format
+        # storage backend: every manifest/pointer/lock byte goes through
+        # it (backend.py) — posix (flock + rename) or cas (object-store
+        # create-if-absent commits, lease locks, LIST-derived versions)
+        self.fs = resolve_backend(backend)
 
     # ---------- segment I/O (format-blind reads) ----------
 
     def _read_full_segment(self, version: int) -> dict | None:
-        p = os.path.join(self.meta_dir, f"v{version}.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
-        p = os.path.join(self.meta_dir, f"v{version}.avro")
-        if os.path.exists(p):
-            with open(p, "rb") as f:
-                return decode_segment_binary(f.read())
+        b = self.fs.try_read_bytes(os.path.join(self.meta_dir, f"v{version}.json"))
+        if b is not None:
+            return json.loads(b)
+        b = self.fs.try_read_bytes(os.path.join(self.meta_dir, f"v{version}.avro"))
+        if b is not None:
+            return decode_segment_binary(b)
         return None
 
     def _read_delta_segment(self, version: int) -> dict | None:
-        p = os.path.join(self.meta_dir, f"v{version}.delta.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
-        p = os.path.join(self.meta_dir, f"v{version}.delta.avro")
-        if os.path.exists(p):
-            with open(p, "rb") as f:
-                return decode_segment_binary(f.read())
+        b = self.fs.try_read_bytes(
+            os.path.join(self.meta_dir, f"v{version}.delta.json")
+        )
+        if b is not None:
+            return json.loads(b)
+        b = self.fs.try_read_bytes(
+            os.path.join(self.meta_dir, f"v{version}.delta.avro")
+        )
+        if b is not None:
+            return decode_segment_binary(b)
         return None
 
     # ---------- metadata ----------
 
+    _SEG_RE = re.compile(r"^v(\d+)(?:\.delta)?\.(?:json|avro)$")
+
+    def _listed_versions(self) -> list[int]:
+        """Committed versions derived from a LIST of the manifest prefix —
+        the authoritative source under CAS commits (LATEST is a hint that
+        can lag or regress when a writer dies between the segment CAS and
+        the hint PUT)."""
+        return sorted(
+            {
+                int(m.group(1))
+                for fn in self.fs.list_names(self.meta_dir)
+                if (m := self._SEG_RE.match(fn))
+            }
+        )
+
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.meta_dir, "LATEST"))
+        if self.fs.exists(os.path.join(self.meta_dir, "LATEST")):
+            return True
+        return self.fs.cas_commits and bool(self._listed_versions())
 
     def current_version(self) -> int:
-        with open(os.path.join(self.meta_dir, "LATEST")) as f:
-            return int(f.read().strip())
+        if self.fs.cas_commits:
+            vers = self._listed_versions()
+            if not vers:
+                raise FileNotFoundError(
+                    f"{self.name}: no committed versions under {self.meta_dir}"
+                )
+            return vers[-1]
+        return int(
+            self.fs.read_bytes(os.path.join(self.meta_dir, "LATEST")).decode().strip()
+        )
 
     def manifest(self, version: int | None = None) -> Manifest:
         """Resolve a version: full manifests load directly; delta
@@ -456,7 +487,7 @@ class LakeTable:
 
     def has_version(self, version: int) -> bool:
         return any(
-            os.path.exists(os.path.join(self.meta_dir, f"v{version}{ext}"))
+            self.fs.exists(os.path.join(self.meta_dir, f"v{version}{ext}"))
             for ext in (".json", ".avro", ".delta.json", ".delta.avro")
         )
 
@@ -468,17 +499,17 @@ class LakeTable:
 
     def tags(self) -> dict[str, int]:
         """Named snapshot refs: tag name → committed version."""
-        try:
-            with open(self._refs_path) as f:
-                return {k: int(v) for k, v in json.load(f).get("tags", {}).items()}
-        except FileNotFoundError:
+        b = self.fs.try_read_bytes(self._refs_path)
+        if b is None:
             return {}
+        return {k: int(v) for k, v in json.loads(b).get("tags", {}).items()}
 
     def tag(self, name: str, version: int | None = None) -> int:
         """Pin a name to a committed version (Iceberg tag / Delta named
         snapshot). Tagged versions are retention roots: vacuum keeps
         their files and manifest chains regardless of keep_versions.
-        Returns the pinned version."""
+        Returns the pinned version. The refs read-modify-write runs
+        under the commit lock (flock on posix, CAS lease on cas)."""
         if not name or "/" in name or name.startswith("."):
             raise ValueError(f"Invalid tag name: {name!r}")
         with self.lock():
@@ -487,20 +518,14 @@ class LakeTable:
                 raise ValueError(f"Version {v} of {self.name} does not exist")
             refs = {"tags": self.tags()}
             refs["tags"][name] = v
-            tmp = self._refs_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(refs, f, indent=1)
-            os.replace(tmp, self._refs_path)  # atomic flip, like LATEST
+            self.fs.put(self._refs_path, json.dumps(refs, indent=1))
             return v
 
     def delete_tag(self, name: str) -> None:
         with self.lock():
             tags = self.tags()
             tags.pop(name, None)
-            tmp = self._refs_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"tags": tags}, f, indent=1)
-            os.replace(tmp, self._refs_path)
+            self.fs.put(self._refs_path, json.dumps({"tags": tags}, indent=1))
 
     def resolve_tag(self, name: str) -> int:
         tags = self.tags()
@@ -516,11 +541,11 @@ class LakeTable:
         while cur is not None:
             hit = False
             for full in (f"v{cur}.json", f"v{cur}.avro"):
-                if os.path.exists(os.path.join(self.meta_dir, full)):
+                if self.fs.exists(os.path.join(self.meta_dir, full)):
                     out.append(full)
                     return out
             for dname in (f"v{cur}.delta.json", f"v{cur}.delta.avro"):
-                if os.path.exists(os.path.join(self.meta_dir, dname)):
+                if self.fs.exists(os.path.join(self.meta_dir, dname)):
                     out.append(dname)
                     hit = True
                     break
@@ -532,25 +557,26 @@ class LakeTable:
             cur = d["parent"] if d else None
         return out
 
-    def lock(self) -> TableLock:
-        os.makedirs(self.meta_dir, exist_ok=True)
-        return TableLock(os.path.join(self.meta_dir, "LOCK"))
-
-    def _write_segment_atomic(self, path: str, payload: "bytes | str") -> None:
-        """tmp + os.replace, like LATEST/refs: a crash mid-write must
-        never leave a partial v{N} segment — has_version(N) would see
-        the orphan and every later commit planning version N would raise
-        CommitConflict forever (and time-travel readers of N would get
-        parse errors instead of clean not-found)."""
-        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
-        mode = "wb" if isinstance(payload, bytes) else "w"
-        with open(tmp, mode) as f:
-            f.write(payload)
-        os.replace(tmp, path)
+    def lock(self):
+        """Commit critical section for this table — flock on the posix
+        backend, a CAS lease on the object-store backend (the analogue of
+        the reference's per-table lock, ``DucklakeTableManager.java:51-52``)."""
+        return self.fs.commit_lock(self.meta_dir)
 
     def _commit(self, manifest: Manifest, parent_manifest: Manifest | None = None) -> None:
-        """Commit a new version, then atomically flip LATEST (rename is
-        the txn).
+        """Commit a new version. The version segment is published with
+        create-if-absent — on the posix backend under flock this is a
+        belt-and-braces check; on the object-store backend it IS the
+        transaction (S3 conditional PUT): the first writer to create
+        ``v{N}`` owns version N, any concurrent writer that planned the
+        same version loses the CAS, gets CommitConflict, and replans —
+        the reference's PG serialization-conflict retry
+        (``DucklakeConnectionFactory.java:68-70``) re-expressed on
+        storage. LATEST is then published as a plain PUT: on posix it is
+        the authoritative pointer (atomic rename), under CAS commits it
+        is only a hint — readers derive the tip from a LIST
+        (``current_version``), so a stale/regressed hint after a crash
+        between the two PUTs is harmless.
 
         Compacted manifest chain (SCALE.md): when the parent manifest is
         in hand and the chain since the last full base is shorter than
@@ -560,7 +586,9 @@ class LakeTable:
         is written (the compaction step), bounding resolution cost.
         Time travel resolves any committed version through the chain.
         """
-        os.makedirs(self.meta_dir, exist_ok=True)
+        self.fs.ensure_dir(self.meta_dir)
+        # pre-check across BOTH serialization forms and delta-ness (the
+        # CAS below only guards the exact path being written)
         if self.has_version(manifest.version):
             raise CommitConflict(f"Version {manifest.version} already committed on {self.name}")
         as_delta = (
@@ -572,24 +600,24 @@ class LakeTable:
         if as_delta:
             d = _make_delta(parent_manifest, manifest)
             if binary:
-                dpath = os.path.join(self.meta_dir, f"v{manifest.version}.delta.avro")
+                spath = os.path.join(self.meta_dir, f"v{manifest.version}.delta.avro")
                 payload: bytes | str = encode_segment_binary(d)
             else:
-                dpath = os.path.join(self.meta_dir, f"v{manifest.version}.delta.json")
+                spath = os.path.join(self.meta_dir, f"v{manifest.version}.delta.json")
                 payload = json.dumps(d, indent=1)
-            self._write_segment_atomic(dpath, payload)
         else:
             if binary:
-                mpath = os.path.join(self.meta_dir, f"v{manifest.version}.avro")
+                spath = os.path.join(self.meta_dir, f"v{manifest.version}.avro")
                 payload = encode_segment_binary(manifest.to_dict())
             else:
-                mpath = os.path.join(self.meta_dir, f"v{manifest.version}.json")
+                spath = os.path.join(self.meta_dir, f"v{manifest.version}.json")
                 payload = manifest.to_json()
-            self._write_segment_atomic(mpath, payload)
-        tmp = os.path.join(self.meta_dir, f".LATEST.{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(manifest.version))
-        os.replace(tmp, os.path.join(self.meta_dir, "LATEST"))
+        if not self.fs.put_if_absent(spath, payload):
+            raise CommitConflict(
+                f"Version {manifest.version} already committed on {self.name} "
+                f"(lost the commit CAS on {os.path.basename(spath)})"
+            )
+        self.fs.put(os.path.join(self.meta_dir, "LATEST"), str(manifest.version))
 
     # ---------- history / restore ----------
 
@@ -631,7 +659,7 @@ class LakeTable:
             missing = [
                 f
                 for f in old.all_files()
-                if not os.path.exists(os.path.join(self.dir, f))
+                if not self.fs.exists(os.path.join(self.dir, f))
             ]
             if missing:
                 raise ValueError(
@@ -686,42 +714,58 @@ class LakeTable:
         if tag is not None:
             version = self.resolve_tag(tag)
         src = self.manifest(version)
-        if pin and not deep:
-            self.tag(f"clone-{dest_name}", src.version)
         dest = LakeTable(
-            self.spark, dest_root, dest_name, manifest_format=self.manifest_format
+            self.spark,
+            dest_root,
+            dest_name,
+            manifest_format=self.manifest_format,
+            backend=self.fs,
         )
         if dest.exists():
             raise ValueError(f"clone destination {dest.dir} already exists")
         files: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
+        seen_keys: set[str] = set()
         for pdir, rels in src.files.items():
             out = []
             for f in rels:
                 src_abs = os.path.join(self.dir, f)
-                if not os.path.exists(src_abs):
+                if not self.fs.exists(src_abs):
                     raise ValueError(
                         f"cannot clone {self.name}@v{src.version}: "
                         f"data file vacuumed ({f})"
                     )
                 if deep:
+                    base = f"clone-v{src.version}"
                     key = os.path.join(
-                        "data", f"clone-v{src.version}", pdir, os.path.basename(f)
-                    ) if pdir else os.path.join(
-                        "data", f"clone-v{src.version}", os.path.basename(f)
-                    )
+                        "data", base, pdir, os.path.basename(f)
+                    ) if pdir else os.path.join("data", base, os.path.basename(f))
+                    # files from different source dirs (e.g. prior
+                    # add_files imports) may share a basename within one
+                    # partition dir — uniquify instead of silently
+                    # overwriting the first copy
+                    if key in seen_keys:
+                        stem, ext = os.path.splitext(key)
+                        n = 1
+                        while f"{stem}-{n}{ext}" in seen_keys:
+                            n += 1
+                        key = f"{stem}-{n}{ext}"
+                    seen_keys.add(key)
                     dst_abs = os.path.join(dest.dir, key)
-                    os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
-                    shutil.copyfile(src_abs, dst_abs)
+                    self.fs.copy_file(src_abs, dst_abs)
                     side = src_abs + ".bloom"
-                    if os.path.exists(side):
-                        shutil.copyfile(side, dst_abs + ".bloom")
+                    if self.fs.exists(side):
+                        self.fs.copy_file(side, dst_abs + ".bloom")
                 else:
                     key = os.path.abspath(src_abs)
                 out.append(key)
                 if f in src.file_stats:
                     stats[key] = src.file_stats[f]
             files[pdir] = out
+        # pin AFTER the validations above — a failed clone must not leave
+        # a stray retention tag pinning source files against vacuum
+        if pin and not deep:
+            self.tag(f"clone-{dest_name}", src.version)
         m = Manifest(
             version=0,
             schema=src.schema,
@@ -779,6 +823,7 @@ class LakeTable:
             src_files = [os.path.abspath(p) for p in files]
         if not src_files:
             raise ValueError("add_files: empty file list")
+        src_files = list(dict.fromkeys(src_files))  # same path twice = one ref
         with self.lock():
             m = self.manifest()
             if m.pk:
@@ -804,7 +849,7 @@ class LakeTable:
                 if f.name != INSERTED_AT
             }
             for p in src_files:
-                if not os.path.exists(p):
+                if not self.fs.exists(p):
                     raise ValueError(f"add_files: missing file {p}")
                 got = {
                     f.name: f.dataType.simpleString()
@@ -836,11 +881,23 @@ class LakeTable:
                 stage_rel = os.path.join(
                     "data", f"import-v{m.version + 1}-{uuid.uuid4().hex[:8]}"
                 )
-                os.makedirs(os.path.join(self.dir, stage_rel), exist_ok=True)
+                self.fs.ensure_dir(os.path.join(self.dir, stage_rel))
+                # two sources may share a basename (/a/data.parquet,
+                # /b/data.parquet) — uniquify destination names so the
+                # second copy can't silently overwrite the first while
+                # the manifest references the survivor twice
+                seen: set[str] = set()
                 for p in src_files:
                     key = os.path.join(stage_rel, os.path.basename(p))
+                    if key in seen:
+                        stem, ext = os.path.splitext(key)
+                        n = 1
+                        while f"{stem}-{n}{ext}" in seen:
+                            n += 1
+                        key = f"{stem}-{n}{ext}"
+                    seen.add(key)
                     dst = os.path.join(self.dir, key)
-                    shutil.copyfile(p, dst)
+                    self.fs.copy_file(p, dst)
                     keys.append(key)
                     abs_paths.append(dst)
             else:
@@ -1503,20 +1560,15 @@ class LakeTable:
         files: dict[str, list[str]] = {}
         abs_files: list[str] = []
         rel_files: list[str] = []
-        for dirpath, _dirnames, filenames in os.walk(stage_abs):
-            for fn in filenames:
-                if not fn.endswith(".parquet"):
-                    continue
-                rel_dir = os.path.relpath(dirpath, stage_abs)
-                part_key = "" if rel_dir == "." else rel_dir
-                rel_file = (
-                    os.path.join(stage_rel, rel_dir, fn)
-                    if rel_dir != "."
-                    else os.path.join(stage_rel, fn)
-                )
-                files.setdefault(part_key, []).append(rel_file)
-                abs_files.append(os.path.join(dirpath, fn))
-                rel_files.append(rel_file)
+        for rel in self.fs.walk_files(stage_abs):
+            if not rel.endswith(".parquet"):
+                continue
+            rel_dir = os.path.dirname(rel)
+            part_key = rel_dir
+            rel_file = os.path.join(stage_rel, rel)
+            files.setdefault(part_key, []).append(rel_file)
+            abs_files.append(os.path.join(stage_abs, rel))
+            rel_files.append(rel_file)
         with REGISTRY.timer("write.harvest"):
             stats = self._harvest(
                 abs_files, rel_files, stat_cols, None if skip_bloom else bloom_col
@@ -1750,24 +1802,33 @@ class LakeCatalog:
     """A directory of LakeTables — the engine's 'lake.main' namespace."""
 
     def __init__(
-        self, spark: SparkSession, root: str, manifest_format: str | None = None
+        self,
+        spark: SparkSession,
+        root: str,
+        manifest_format: str | None = None,
+        backend: "StorageBackend | str | None" = None,
     ):
         self.spark = spark
         self.root = root
         self.manifest_format = manifest_format
-        os.makedirs(root, exist_ok=True)
+        self.fs = resolve_backend(backend)
+        self.fs.ensure_dir(root)
 
     def table(self, name: str) -> LakeTable:
-        return LakeTable(self.spark, self.root, name, manifest_format=self.manifest_format)
+        return LakeTable(
+            self.spark,
+            self.root,
+            name,
+            manifest_format=self.manifest_format,
+            backend=self.fs,
+        )
 
     def table_exists(self, name: str) -> bool:
         return self.table(name).exists()
 
     def list_tables(self) -> list[str]:
         return sorted(
-            d for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d))
-            and os.path.exists(os.path.join(self.root, d, "_meta", "LATEST"))
+            d for d in self.fs.list_names(self.root) if self.table(d).exists()
         )
 
     _DDL_PATTERNS = [
@@ -1832,7 +1893,7 @@ class LakeCatalog:
                     if _re.search(r"IF\s+EXISTS", stmt, _re.IGNORECASE):
                         return self._ddl_result("DROP TABLE", name, "absent")
                     raise ValueError(f"table {name!r} does not exist")
-                shutil.rmtree(t.dir)
+                self.fs.delete_tree(t.dir)
                 return self._ddl_result("DROP TABLE", name, "")
             if op == "rename_col":
                 v = t.rename_column(m.group(2), m.group(3))

@@ -75,7 +75,6 @@ MERGE_BLOOM_PROBE_KEYS = 100_000
 MERGE_SMALL_MANIFEST_FILES = 8
 # A concurrent commit between planning and the table lock forces a replan
 # (the rewrite set was chosen against a stale file list).
-MERGE_MAX_RETRIES = 3
 # Merges whose rewrite-set + batch estimate fits one output file take the
 # single-shuffle window-merge plan and write exactly one file.
 SMALL_OUTPUT_BYTES = 64 * 1024 * 1024
@@ -339,12 +338,17 @@ class LakeWriter:
         small_table_fast_path: bool = True,
         auto_compact: bool = True,
         check_constraints: dict[str, str] | None = None,
+        max_retry_count: int = 10,
     ):
         self.table = table
         self.pk = list(pk or [])
         self.partition_by = partition_by
         self.auto_create = auto_create
         self.auto_compact = auto_compact
+        # commit-conflict replan budget under concurrent writers — the
+        # reference's ducklake.max_retry_count (DucklakeSinkConfig.java:164,
+        # default 10, "increase for high-concurrency deployments")
+        self.max_retry_count = int(max_retry_count)
         # Delta-style CHECK constraints: {name: sql_predicate}. Every
         # incoming batch is validated BEFORE any file is written; a
         # violating batch rejects the whole commit (ConstraintViolation
@@ -738,8 +742,8 @@ class LakeWriter:
                             if part_key
                             else stage_rel
                         )
-                        os.makedirs(
-                            os.path.join(self.table.dir, rel_dir), exist_ok=True
+                        self.table.fs.ensure_dir(
+                            os.path.join(self.table.dir, rel_dir)
                         )
                         fn = f"part-00000-{_uuid.uuid4().hex[:8]}.parquet"
                         rel_file = os.path.join(rel_dir, fn)
@@ -882,12 +886,14 @@ class LakeWriter:
         # lock, the planned file list is stale (re-emitting rows a
         # concurrent compaction already rewrote would duplicate them) —
         # so the commit re-checks the version under the lock and replans.
-        for _ in range(MERGE_MAX_RETRIES):
+        retries = max(1, self.max_retry_count)
+        for _ in range(retries):
             if self._merge_once(df, order_col, tombstone_col, ephemeral_order):
                 return
+            REGISTRY.inc("merge.commitConflictReplans")
         raise CommitConflict(
             f"merge on {self.table.name}: manifest advanced during planning "
-            f"{MERGE_MAX_RETRIES} times"
+            f"{retries} times (max_retry_count={self.max_retry_count})"
         )
 
     def _merge_once(
@@ -1595,7 +1601,7 @@ class LakeWriter:
                     "data", f"s{current.version + 1}-{_uuid.uuid4().hex[:8]}"
                 )
                 rel_dir = os.path.join(stage_rel, part_key) if part_key else stage_rel
-                os.makedirs(os.path.join(self.table.dir, rel_dir), exist_ok=True)
+                self.table.fs.ensure_dir(os.path.join(self.table.dir, rel_dir))
                 with REGISTRY.timer("merge.arrowWrite"):
                     # micro-precision timestamps: Spark reads TIMESTAMP
                     # (MICROS) everywhere; a ns-unit column (INT96 files
@@ -1698,7 +1704,7 @@ class LakeWriter:
             b = (manifest.file_stats.get(f) or {}).get("__bytes")
             if b is None:
                 try:
-                    b = os.path.getsize(os.path.join(self.table.dir, f))
+                    b = self.table.fs.file_size(os.path.join(self.table.dir, f))
                 except OSError:
                     b = SMALL_OUTPUT_BYTES
             total += int(b)
