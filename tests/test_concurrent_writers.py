@@ -118,3 +118,149 @@ def test_two_processes_binary_manifest_mode(spark, tmp_path, monkeypatch):
     assert not any(f.startswith("v") and f.endswith(".json") for f in meta)
     for v in range(t.manifest().version + 1):
         assert t.manifest(v).version == v
+
+
+MERGE_MANY_WORKER = textwrap.dedent(
+    """
+    import json, sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import functions as F
+    from ducklake_kafka_connect_spark.metrics import REGISTRY
+    from ducklake_kafka_connect_spark.session import build_session
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    lake_dir, lo, hi, tag = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    spark = build_session(app_name="mm-writer-" + tag, master="local[2]",
+                          shuffle_partitions=2)
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    # two group commits of three queued micro-batches each
+    span = (hi - lo) // 6
+    for round_ in range(2):
+        base = lo + round_ * 3 * span
+        batches = [
+            spark.range(base + j * span, base + (j + 1) * span).select(
+                F.col("id"), F.concat(F.lit(tag), F.col("id")).alias("name")
+            )
+            for j in range(3)
+        ]
+        w.merge_many(batches)
+    replans = REGISTRY.snapshot()["counters"].get("merge.commitConflictReplans", 0)
+    spark.stop()
+    print("REPLANS=" + str(replans))
+    print("WORKER_DONE")
+    """
+)
+
+
+def _run_mm_worker(lake_dir, lo, hi, tag, extra_env=None):
+    env = dict(os.environ, **(extra_env or {}))
+    return subprocess.Popen(
+        [sys.executable, "-c", MERGE_MANY_WORKER.format(repo=REPO),
+         lake_dir, str(lo), str(hi), tag],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=env,
+    )
+
+
+def _assert_linear_chain_and_rows(cat, expected):
+    t = cat.table("t")
+    rows = {r["id"]: r["name"] for r in t.read().collect()}
+    assert len(rows) == len(expected), (len(rows), len(expected))
+    for i, name in expected.items():
+        assert rows[i] == name, (i, rows[i], name)
+    m = t.manifest()
+    parents = []
+    for v in range(m.version + 1):
+        mv = t.manifest(v)
+        assert mv.version == v
+        parents.append(mv.parent)
+    # linear chain: every non-root version's parent is the previous one
+    assert parents[0] is None and all(
+        p == v - 1 for v, p in enumerate(parents) if v > 0
+    ), parents
+
+
+def test_three_process_merge_many_stress(spark, tmp_path):
+    """THREE OS processes (two subprocess JVMs + this one) pushing
+    merge_many group commits into one table through flock + optimistic
+    versioning: linear version chain, zero lost updates, and the
+    commit-conflict replan counter records how often the optimistic plan
+    was redone (timing-dependent — reported, not asserted nonzero)."""
+    from ducklake_kafka_connect_spark.metrics import REGISTRY
+
+    lake_dir = str(tmp_path / "lake_mm")
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    w.write(
+        spark.range(0, 60).select(F.col("id"), F.lit("seed").alias("name"))
+    )
+    p1 = _run_mm_worker(lake_dir, 1000, 1600, "a")
+    p2 = _run_mm_worker(lake_dir, 2000, 2600, "b")
+    try:
+        # main process merges [3000, 3600) via two merge_many rounds
+        for base in (3000, 3300):
+            w.merge_many(
+                [
+                    spark.range(base + j * 100, base + (j + 1) * 100).select(
+                        F.col("id"),
+                        F.concat(F.lit("c"), F.col("id")).alias("name"),
+                    )
+                    for j in range(3)
+                ]
+            )
+        out1, _ = p1.communicate(timeout=300)
+        out2, _ = p2.communicate(timeout=300)
+    finally:
+        for p in (p1, p2):
+            if p.poll() is None:
+                p.kill()
+    assert "WORKER_DONE" in out1 and "WORKER_DONE" in out2
+    expected = {i: "seed" for i in range(60)}
+    expected |= {i: f"a{i}" for i in range(1000, 1600)}
+    expected |= {i: f"b{i}" for i in range(2000, 2600)}
+    expected |= {i: f"c{i}" for i in range(3000, 3600)}
+    _assert_linear_chain_and_rows(cat, expected)
+    mine = REGISTRY.snapshot()["counters"].get("merge.commitConflictReplans", 0)
+    total = mine + sum(
+        int(line.split("=", 1)[1])
+        for out in (out1, out2)
+        for line in out.splitlines()
+        if line.startswith("REPLANS=")
+    )
+    # conflicts are timing-dependent; what matters is every replan
+    # converged (the row assertions above) — record the observed count
+    print(f"commit-conflict replans across 3 processes: {total}")
+    assert total >= 0
+
+
+def test_two_process_cas_backend_no_flock(spark, tmp_path):
+    """Cross-PROCESS writers on the object-store (CAS) backend: no flock
+    anywhere — coordination is purely lease objects + create-if-absent
+    version segments, i.e. what two writer jobs on S3 would do. Linear
+    chain, zero lost updates."""
+    lake_dir = str(tmp_path / "lake_cas")
+    cat = LakeCatalog(spark, lake_dir, backend="cas")
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    w.write(
+        spark.range(0, 60).select(F.col("id"), F.lit("seed").alias("name"))
+    )
+    env = {"DUCKLAKE_STORAGE_BACKEND": "cas"}
+    p1 = _run_mm_worker(lake_dir, 1000, 1600, "a", extra_env=env)
+    p2 = _run_mm_worker(lake_dir, 2000, 2600, "b", extra_env=env)
+    try:
+        out1, _ = p1.communicate(timeout=300)
+        out2, _ = p2.communicate(timeout=300)
+    finally:
+        for p in (p1, p2):
+            if p.poll() is None:
+                p.kill()
+    assert "WORKER_DONE" in out1 and "WORKER_DONE" in out2
+    expected = {i: "seed" for i in range(60)}
+    expected |= {i: f"a{i}" for i in range(1000, 1600)}
+    expected |= {i: f"b{i}" for i in range(2000, 2600)}
+    _assert_linear_chain_and_rows(cat, expected)
+    t = cat.table("t")
+    assert not os.path.exists(os.path.join(t.meta_dir, "LOCK.lease"))
