@@ -665,11 +665,6 @@ class LakeWriter:
         import datetime
         import uuid as _uuid
 
-        if manifest.column_renames:
-            # renamed tables take the Spark path, whose write boundary
-            # translates logical→physical names (rare op; keep this
-            # fast path simple)
-            return False
         try:
             est = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         except Exception:
@@ -718,6 +713,17 @@ class LakeWriter:
             batch = batch.cast(pa.schema(out_fields))
             stat_cols = _stats_columns(out.schema, self.pk)
             bloom_col = _bloom_column(out.schema, self.pk)
+            # write boundary of metadata-only RENAME COLUMN: files carry
+            # PHYSICAL names (zero-copy pyarrow rename — the Arrow path
+            # stays live after a rename), manifest stats stay logical
+            ren = manifest.column_renames
+            inv_ren = {p: l for l, p in ren.items()}
+            if ren:
+                batch = batch.rename_columns(
+                    [ren.get(n, n) for n in batch.schema.names]
+                )
+                stat_cols = [ren.get(c, c) for c in stat_cols]
+                bloom_col = ren.get(bloom_col, bloom_col) if bloom_col else None
         except Exception:
             REGISTRY.inc("append.arrowFallback")
             return False
@@ -730,6 +736,12 @@ class LakeWriter:
         try:
             with self.table.lock():
                 current = self.table.manifest()
+                if current.column_renames != ren:
+                    # a RENAME COLUMN landed after the batch was prepared
+                    # — physical names are stale; let the Spark path
+                    # re-read and translate
+                    REGISTRY.inc("append.arrowFallback")
+                    return False
                 stage_rel = os.path.join(
                     "data", f"s{current.version + 1}-{_uuid.uuid4().hex[:8]}"
                 )
@@ -757,7 +769,11 @@ class LakeWriter:
                         new_files.setdefault(part_key, []).append(rel_file)
                         s = _harvest_one(abs_file, stat_cols, bloom_col)
                         if s:
-                            new_stats[rel_file] = s
+                            new_stats[rel_file] = (
+                                {inv_ren.get(c, c): v for c, v in s.items()}
+                                if inv_ren
+                                else s
+                            )
                 merged_files = {k: list(v) for k, v in current.files.items()}
                 for k, paths in new_files.items():
                     merged_files.setdefault(k, []).extend(paths)
@@ -1356,8 +1372,12 @@ class LakeWriter:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        if manifest.column_renames:
-            return None  # renamed tables: Spark path translates names
+        # metadata-only RENAME COLUMN support: run the merge entirely in
+        # LOGICAL column space (targets renamed physical→logical right
+        # after the file read, zero-copy), translate back at the write
+        # boundary — the fast path stays live after a rename
+        ren = manifest.column_renames
+        inv_ren = {p: l for l, p in ren.items()}
         try:
             import pandas as pd
 
@@ -1418,6 +1438,13 @@ class LakeWriter:
                 targets = [
                     pq.read_table(os.path.join(self.table.dir, f)) for f in files
                 ]
+                if inv_ren:
+                    targets = [
+                        t.rename_columns(
+                            [inv_ren.get(n, n) for n in t.column_names]
+                        )
+                        for t in targets
+                    ]
                 if (
                     sum(t.nbytes for t in targets) + batch.nbytes
                     > ARROW_MERGE_MAX_BYTES
@@ -1615,31 +1642,44 @@ class LakeWriter:
                     ]
                     out_tbl = out_tbl.cast(pa.schema(out_fields))
                     stat_cols = _stats_columns_arrow(common, list(self.pk))
+                    # write boundary: files carry PHYSICAL names
+                    # (zero-copy rename); the cache and stats stay logical
+                    write_tbl = (
+                        out_tbl.rename_columns(
+                            [ren.get(n, n) for n in out_tbl.column_names]
+                        )
+                        if ren
+                        else out_tbl
+                    )
+                    stat_cols = [ren.get(c, c) for c in stat_cols]
                     # Range-split: tables past one MERGE_TARGET_FILE_ROWS
                     # chunk are pk-sorted and written as N files — (a)
                     # per-file pk ranges are disjoint, so the NEXT
                     # merge's overlap prune has something to prune, and
                     # (b) the parquet encoding (GIL-released) runs in a
                     # thread pool instead of one serial write_table.
-                    n_rows = out_tbl.num_rows
+                    n_rows = write_tbl.num_rows
                     if n_rows > 2 * MERGE_TARGET_FILE_ROWS:
                         order = pc.sort_indices(
-                            out_tbl,
+                            write_tbl,
                             sort_keys=[(k, "ascending") for k in self.pk],
                         )
-                        out_tbl = out_tbl.take(order)
+                        write_tbl = write_tbl.take(order)
+                        out_tbl = (
+                            out_tbl.take(order) if ren else write_tbl
+                        )
                         n_files = min(
                             MERGE_RANGE_MAX_FILES,
                             -(-n_rows // MERGE_TARGET_FILE_ROWS),
                         )
                         step = -(-n_rows // n_files)
                         slices = [
-                            out_tbl.slice(i * step, step)
+                            write_tbl.slice(i * step, step)
                             for i in range(n_files)
                             if i * step < n_rows
                         ]
                     else:
-                        slices = [out_tbl]
+                        slices = [write_tbl]
                     rel_files, abs_files = [], []
                     for _ in slices:
                         fn = f"part-{len(rel_files):05d}-{_uuid.uuid4().hex[:8]}.parquet"
@@ -1666,7 +1706,13 @@ class LakeWriter:
                                 ex.map(_write_one, range(len(slices)))
                             )
                     stats = {
-                        rf: h for rf, h in zip(rel_files, harvested) if h
+                        rf: (
+                            {inv_ren.get(c, c): v for c, v in h.items()}
+                            if inv_ren
+                            else h
+                        )
+                        for rf, h in zip(rel_files, harvested)
+                        if h
                     }
                 self._commit_next(
                     current, {part_key: rel_files}, final_logical, stats

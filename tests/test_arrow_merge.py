@@ -331,3 +331,80 @@ def test_arrow_append_schema_evolution(spark, lake):
     assert len(rows) == 15
     assert rows[0] == ("a", None) and rows[12] == ("b", 3.5)
     assert "score" in [f.name for f in t.manifest().schema.fields]
+
+
+def test_arrow_paths_stay_live_after_rename_column(spark, lake):
+    """Metadata-only RENAME COLUMN must not retire the Arrow fast paths:
+    the write boundary renames logical→physical zero-copy
+    (pyarrow rename_columns) instead of bailing to the Spark plan.
+    Pinned via the path-choice metrics (merge.arrowWrite /
+    append.arrowWrite counts advance; fallback counters do not)."""
+    from ducklake_kafka_connect_spark.metrics import REGISTRY
+
+    cat = LakeCatalog(spark, lake)
+    t = cat.table("t")
+    w = LakeWriter(t, pk=["id"])
+    w.write(_base(spark, 100))
+    t.rename_column("name", "label")
+    assert t.manifest().column_renames == {"label": "name"}
+
+    def counts():
+        s = REGISTRY.snapshot()
+        return (
+            s["operations"].get("merge.arrowWrite", {}).get("count", 0),
+            s["operations"].get("append.arrowWrite", {}).get("count", 0),
+            s["counters"].get("merge.arrowFallback", 0),
+            s["counters"].get("append.arrowFallback", 0),
+        )
+
+    m0, a0, mf0, af0 = counts()
+    # small-batch MERGE on the renamed table → Arrow merge path
+    batch = spark.range(50, 150).select(
+        F.col("id"),
+        F.concat(F.lit("r"), F.col("id")).alias("label"),
+        F.timestamp_seconds(1704067200 + F.col("id")).alias("created_at"),
+    )
+    w.write(batch)
+    m1, a1, mf1, af1 = counts()
+    assert m1 == m0 + 1, "renamed table must still take the Arrow merge path"
+    assert mf1 == mf0 and af1 == af0
+    # small append on a renamed APPEND table → Arrow append path
+    t2 = cat.table("t2")
+    w2 = LakeWriter(t2, pk=[])
+    w2.append(_base(spark, 50))
+    t2.rename_column("name", "label")
+    w2.append(
+        spark.range(200, 250).select(
+            F.col("id"),
+            F.concat(F.lit("n"), F.col("id")).alias("label"),
+            F.timestamp_seconds(1704067200 + F.col("id")).alias("created_at"),
+        )
+    )
+    m2, a2, mf2, af2 = counts()
+    assert a2 == a1 + 2 and af2 == af0
+
+    # correctness: logical names everywhere, physical names in files
+    rows = {r["id"]: r["label"] for r in t.read().collect()}
+    assert len(rows) == 150
+    assert rows[0] == "v0" and rows[60] == "r60" and rows[149] == "r149"
+    assert "label" in t.read().columns and "name" not in t.read().columns
+    assert t2.read().count() == 100
+    import pyarrow.parquet as pq
+
+    for f in t.manifest().all_files():
+        names = pq.read_schema(os.path.join(t.dir, f)).names
+        assert "name" in names and "label" not in names, f
+    # manifest stats stay keyed by LOGICAL name
+    m = t.manifest()
+    stat_keys = {c for s in m.file_stats.values() for c in s if not c.startswith("__")}
+    assert "label" in stat_keys and "name" not in stat_keys
+    # a second merge reuses the version-keyed Arrow target cache
+    w.write(
+        spark.range(10, 20).select(
+            F.col("id"),
+            F.lit("cache").alias("label"),
+            F.timestamp_seconds(F.lit(1704067200)).alias("created_at"),
+        )
+    )
+    rows = {r["id"]: r["label"] for r in t.read().collect()}
+    assert rows[15] == "cache" and rows[60] == "r60"
