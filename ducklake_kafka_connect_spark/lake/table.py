@@ -1798,6 +1798,74 @@ def _decimal_from_raw(raw, scale: int) -> decimal.Decimal:
     return decimal.Decimal(unscaled).scaleb(-scale)
 
 
+# SQL identifier fragment for the dispatched DDL/DML parsers: a bare
+# word, a double-quoted identifier with "" escaping (the reference's
+# quoting discipline, ingestor/SqlIdentifierUtil.java:32-39), or a
+# backtick-quoted identifier with `` escaping (the Spark flavor).
+_IDENT = r'(?:[A-Za-z_]\w*|"(?:[^"]|"")+"|`(?:[^`]|``)+`)'
+
+
+def unquote_ident(s: str) -> str:
+    """Resolve a possibly-quoted SQL identifier to its raw name."""
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] == '"':
+        return s[1:-1].replace('""', '"')
+    if len(s) >= 2 and s[0] == s[-1] == "`":
+        return s[1:-1].replace("``", "`")
+    return s
+
+
+def _dq_idents_to_backticks(sql_fragment: str) -> str:
+    """Rewrite double-quoted identifiers to backtick form so Spark's DDL
+    parser (``StructType.fromDDL``) accepts them (Spark treats "..." as a
+    string literal, not an identifier)."""
+
+    def repl(m: "re.Match[str]") -> str:
+        inner = m.group(1).replace('""', '"').replace("`", "``")
+        return f"`{inner}`"
+
+    return re.sub(r'"((?:[^"]|"")+)"', repl, sql_fragment)
+
+
+def split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0 and OUTSIDE string/identifier
+    quotes ('…' with '' escape, "…", `…`) — the scanner the UPDATE SET
+    clause and PK lists need so literals like 'a,b' or '(' can't corrupt
+    the split."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote: str | None = None
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                if i + 1 < len(text) and text[i + 1] == quote:
+                    buf.append(quote)  # escaped '' / "" / ``
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 class LakeCatalog:
     """A directory of LakeTables — the engine's 'lake.main' namespace."""
 
@@ -1831,16 +1899,23 @@ class LakeCatalog:
             d for d in self.fs.list_names(self.root) if self.table(d).exists()
         )
 
+    # identifiers may be bare, "double-quoted" ("" escape — the
+    # reference's SqlIdentifierUtil.java:32-39 discipline), or
+    # `backtick-quoted` (`` escape, the Spark flavor)
     _DDL_PATTERNS = [
-        ("create", r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*$"),
-        ("drop_table", r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$"),
-        ("rename_col", r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$"),
-        ("drop_col", r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$"),
-        ("add_col", r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*$"),
-        ("truncate", r"TRUNCATE\s+TABLE\s+(\w+)\s*$"),
-        ("vacuum", r"VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$"),
-        ("optimize", r"OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$"),
+        ("drop_table", rf"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_IDENT})\s*$"),
+        ("rename_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$"),
+        ("drop_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})\s*$"),
+        ("add_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+({_IDENT})\s+(.+?)\s*$"),
+        ("truncate", rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*$"),
+        ("vacuum", rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$"),
+        ("optimize", rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$"),
     ]
+    _CREATE_RE = rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$"
+    # the trailing partition clause is peeled off FIRST (rightmost-anchored,
+    # greedy) so function-style exprs — PARTITIONED BY (year(ts)) — can't
+    # backtrack the column-list capture into garbage
+    _PARTITIONED_BY_RE = r"\bPARTITIONED\s+BY\s*\((.*)\)\s*$"
 
     def ddl(self, statement: str):
         """SQL DDL surface over the lake API (the reference's users
@@ -1866,28 +1941,41 @@ class LakeCatalog:
         from .sql_prune import strip_catalog_prefix
 
         stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
+        if _re.match(r"CREATE\s+TABLE\b", stmt, _re.IGNORECASE):
+            part_spec: str | None = None
+            body = stmt
+            pm = _re.search(self._PARTITIONED_BY_RE, body, _re.IGNORECASE | _re.DOTALL)
+            if pm:
+                part_spec = pm.group(1).strip()
+                body = body[: pm.start()].rstrip()
+            m = _re.match(self._CREATE_RE, body, _re.IGNORECASE | _re.DOTALL)
+            if not m:
+                raise ValueError(f"unsupported DDL statement: {statement!r}")
+            name = unquote_ident(m.group(1))
+            t = self.table(name)
+            if t.exists():
+                if _re.search(r"IF\s+NOT\s+EXISTS", body, _re.IGNORECASE):
+                    return self._ddl_result("CREATE TABLE", name, "exists")
+                raise ValueError(f"table {name!r} already exists")
+            cols = m.group(2).strip()
+            pk: list[str] = []
+            pk_m = _re.search(
+                r",\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", cols, _re.IGNORECASE
+            )
+            if pk_m:
+                pk = [
+                    unquote_ident(c) for c in split_top_level(pk_m.group(1))
+                ]
+                cols = cols[: pk_m.start()]
+            schema = T.StructType.fromDDL(_dq_idents_to_backticks(cols))
+            t.create(schema, pk=pk, partition_by=part_spec)
+            return self._ddl_result("CREATE TABLE", name, cols)
         for op, pat in self._DDL_PATTERNS:
             m = _re.match(pat, stmt, _re.IGNORECASE | _re.DOTALL)
             if not m:
                 continue
-            name = m.group(1)
+            name = unquote_ident(m.group(1))
             t = self.table(name)
-            if op == "create":
-                if t.exists():
-                    if _re.search(r"IF\s+NOT\s+EXISTS", stmt, _re.IGNORECASE):
-                        return self._ddl_result("CREATE TABLE", name, "exists")
-                    raise ValueError(f"table {name!r} already exists")
-                cols = m.group(2).strip()
-                pk: list[str] = []
-                pk_m = _re.search(
-                    r",\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", cols, _re.IGNORECASE
-                )
-                if pk_m:
-                    pk = [c.strip() for c in pk_m.group(1).split(",")]
-                    cols = cols[: pk_m.start()]
-                schema = T.StructType.fromDDL(cols)
-                t.create(schema, pk=pk, partition_by=m.group(3))
-                return self._ddl_result("CREATE TABLE", name, cols)
             if op == "drop_table":
                 if not t.exists():
                     if _re.search(r"IF\s+EXISTS", stmt, _re.IGNORECASE):
@@ -1896,17 +1984,20 @@ class LakeCatalog:
                 self.fs.delete_tree(t.dir)
                 return self._ddl_result("DROP TABLE", name, "")
             if op == "rename_col":
-                v = t.rename_column(m.group(2), m.group(3))
+                old, new = unquote_ident(m.group(2)), unquote_ident(m.group(3))
+                v = t.rename_column(old, new)
                 return self._ddl_result(
-                    "RENAME COLUMN", name, f"{m.group(2)}->{m.group(3)} v{v}"
+                    "RENAME COLUMN", name, f"{old}->{new} v{v}"
                 )
             if op == "drop_col":
-                v = t.drop_column(m.group(2))
-                return self._ddl_result("DROP COLUMN", name, f"{m.group(2)} v{v}")
+                col = unquote_ident(m.group(2))
+                v = t.drop_column(col)
+                return self._ddl_result("DROP COLUMN", name, f"{col} v{v}")
             if op == "add_col":
-                v = t.add_column(m.group(2), m.group(3))
+                col = unquote_ident(m.group(2))
+                v = t.add_column(col, m.group(3))
                 return self._ddl_result(
-                    "ADD COLUMN", name, f"{m.group(2)} {m.group(3)} v{v}"
+                    "ADD COLUMN", name, f"{col} {m.group(3)} v{v}"
                 )
             if op == "truncate":
                 v = t.truncate()
@@ -1921,7 +2012,7 @@ class LakeCatalog:
                 from .maintenance import compact as _compact
 
                 z = (
-                    [c.strip() for c in m.group(2).split(",")]
+                    [unquote_ident(c) for c in split_top_level(m.group(2))]
                     if m.group(2)
                     else None
                 )
@@ -1954,66 +2045,51 @@ class LakeCatalog:
 
         stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
         m = _re.match(
-            r"INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$",
+            rf"INSERT\s+INTO\s+({_IDENT})\s+(SELECT\b.*)$",
             stmt,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
-            t = self.table(m.group(1))
+            name = unquote_ident(m.group(1))
+            t = self.table(name)
             df = self.sql(m.group(2))
             pk = t.manifest().pk if t.exists() else []
             _W(t, pk=pk or None, auto_create=False).write(df)
-            return self._ddl_result(
-                "INSERT", m.group(1), f"v{t.current_version()}"
-            )
+            return self._ddl_result("INSERT", name, f"v{t.current_version()}")
         m = _re.match(
-            r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$",
+            rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)$",
             stmt,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
-            t = self.table(m.group(1))
+            name = unquote_ident(m.group(1))
+            t = self.table(name)
             _W(t, pk=t.manifest().pk or None, auto_create=False).delete_where(
                 m.group(2)
             )
-            return self._ddl_result(
-                "DELETE", m.group(1), f"v{t.current_version()}"
-            )
+            return self._ddl_result("DELETE", name, f"v{t.current_version()}")
         m = _re.match(
-            r"UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
             stmt,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
-            t = self.table(m.group(1))
+            name = unquote_ident(m.group(1))
+            t = self.table(name)
             assigns: dict[str, str] = {}
-            # split assignments on TOP-LEVEL commas only (expressions
-            # may contain function-call commas)
-            depth = 0
-            part = ""
-            parts = []
-            for ch in m.group(2):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                if ch == "," and depth == 0:
-                    parts.append(part)
-                    part = ""
-                else:
-                    part += ch
-            parts.append(part)
-            for p in parts:
+            # split assignments on TOP-LEVEL commas only — the scanner
+            # tracks paren depth AND quote state, so a string literal
+            # holding a comma ('a,b') or an unbalanced paren ('(') can
+            # neither mis-split an assignment nor corrupt the depth
+            for p in split_top_level(m.group(2)):
                 col, _, expr = p.partition("=")
                 if not expr:
                     raise ValueError(f"bad SET clause: {p.strip()!r}")
-                assigns[col.strip()] = expr.strip()
+                assigns[unquote_ident(col)] = expr.strip()
             _W(t, pk=t.manifest().pk or None, auto_create=False).update_where(
                 m.group(3), assigns
             )
-            return self._ddl_result(
-                "UPDATE", m.group(1), f"v{t.current_version()}"
-            )
+            return self._ddl_result("UPDATE", name, f"v{t.current_version()}")
         raise ValueError(f"unsupported DML statement: {statement!r}")
 
     def _ddl_result(self, op: str, table: str, detail: str):

@@ -270,6 +270,12 @@ def knn_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.persist()
     sym.createOrReplaceTempView("bfs_sym")
     seed = vn.agg(F.min("vec_id")).head()[0]  # bounded planning scalar
+    if seed is None:
+        # mod-gated sample is empty at this scale: an empty result frame
+        # beats interpolating None into the recursive SQL (parse error)
+        return spark.createDataFrame(
+            [], "dist bigint, n_nodes bigint, min_node bigint, max_node bigint"
+        )
     return spark.sql(
         f"""
         WITH RECURSIVE walk(node, d) AS (

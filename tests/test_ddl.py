@@ -166,3 +166,101 @@ class TestDml:
     def test_unsupported_dml_raises(self, cat):
         with pytest.raises(ValueError, match="unsupported DML"):
             cat.dml("MERGE INTO t USING s ON 1=1")
+
+
+class TestQuotedIdentifiers:
+    """Parity with the reference's identifier quoting
+    (ingestor/SqlIdentifierUtil.java:32-39): names outside
+    [A-Za-z_][A-Za-z0-9_]* travel double-quoted with "" escaping;
+    the Spark-flavored backtick form is accepted too. Every dispatched
+    DDL/DML op must reach tables/columns with hostile names."""
+
+    def test_create_with_keyword_and_spaced_columns(self, cat):
+        cat.sql(
+            'CREATE TABLE "order items" (pk BIGINT, "select" BIGINT, '
+            '"weird ""name""" STRING, PRIMARY KEY (pk))'
+        )
+        t = cat.table("order items")
+        assert t.exists()
+        assert t.manifest().schema.fieldNames() == [
+            "pk", "select", 'weird "name"', "_inserted_at",
+        ]
+        assert t.manifest().pk == ["pk"]
+
+    def test_full_dml_matrix_on_keyword_column(self, cat):
+        cat.sql('CREATE TABLE "from" (pk BIGINT, "select" BIGINT, PRIMARY KEY (pk))')
+        LakeWriter(cat.table("from"), pk=["pk"], auto_create=False).write(
+            cat.spark.range(10).select(
+                F.col("id").alias("pk"), (F.col("id") * 2).alias("select")
+            )
+        )
+        # INSERT INTO quoted table (upsert routing via PK)
+        cat.sql(
+            'INSERT INTO "from" '
+            "SELECT CAST(id + 5 AS BIGINT) AS pk, CAST(99 AS BIGINT) AS `select` "
+            "FROM range(5)"
+        )
+        got = {r["pk"]: r["select"] for r in cat.table("from").read().collect()}
+        assert got[6] == 99 and got[4] == 8
+        # UPDATE SET on the quoted keyword column
+        cat.sql('UPDATE "from" SET "select" = `select` + 1 WHERE pk < 2')
+        got = {r["pk"]: r["select"] for r in cat.table("from").read().collect()}
+        assert got[0] == 1 and got[1] == 3
+        # DELETE FROM the quoted table
+        cat.sql('DELETE FROM "from" WHERE pk >= 8')
+        assert cat.table("from").read().count() == 8
+        # ALTER ops on quoted identifiers (both quoting flavors)
+        cat.sql('ALTER TABLE "from" ADD COLUMN "group by" STRING')
+        assert "group by" in cat.table("from").manifest().schema.fieldNames()
+        cat.sql('ALTER TABLE `from` RENAME COLUMN "select" TO "order"')
+        assert "order" in cat.table("from").manifest().schema.fieldNames()
+        cat.sql('ALTER TABLE "from" DROP COLUMN "group by"')
+        assert "group by" not in cat.table("from").manifest().schema.fieldNames()
+        cat.sql('TRUNCATE TABLE "from"')
+        assert cat.table("from").read().count() == 0
+        cat.sql('DROP TABLE "from"')
+        assert not cat.table_exists("from")
+
+    def test_partitioned_by_function_exprs_parse(self, cat):
+        """ADVICE r9: PARTITIONED BY (year(ts)) used to backtrack the
+        column-list capture into garbage — the partition clause is now
+        peeled off rightmost-first."""
+        cat.sql(
+            "CREATE TABLE pq (a INT, ts TIMESTAMP) PARTITIONED BY (year(ts), month(ts))"
+        )
+        m = cat.table("pq").manifest()
+        assert m.partition_spec == ["year(ts)", "month(ts)"]
+        assert m.schema.fieldNames() == ["a", "ts", "_inserted_at"]
+
+    def test_update_set_literals_with_commas_and_parens(self, cat):
+        """ADVICE r9: the SET splitter must ignore commas/parens inside
+        string literals."""
+        cat.sql("CREATE TABLE lits (pk BIGINT, tag STRING, note STRING, PRIMARY KEY (pk))")
+        LakeWriter(cat.table("lits"), pk=["pk"], auto_create=False).write(
+            cat.spark.range(4).select(
+                F.col("id").alias("pk"),
+                F.lit("t").alias("tag"),
+                F.lit("n").alias("note"),
+            )
+        )
+        cat.sql("UPDATE lits SET tag = 'a,b', note = concat('(', note, ')') WHERE pk < 2")
+        got = {r["pk"]: (r["tag"], r["note"]) for r in cat.table("lits").read().collect()}
+        assert got[0] == ("a,b", "(n)") and got[3] == ("t", "n")
+        cat.sql("UPDATE lits SET note = '(' WHERE pk = 3")
+        got = {r["pk"]: r["note"] for r in cat.table("lits").read().collect()}
+        assert got[3] == "(" and got[0] == "(n)"
+
+    def test_vacuum_optimize_on_quoted_table(self, cat):
+        cat.sql('CREATE TABLE "v t" (pk BIGINT, v BIGINT)')
+        w = LakeWriter(cat.table("v t"), auto_create=False)
+        for i in range(3):
+            w.write(
+                cat.spark.range(i * 10, (i + 1) * 10).select(
+                    F.col("id").alias("pk"), F.col("id").alias("v")
+                )
+            )
+        out = cat.sql('OPTIMIZE "v t"').collect()[0]
+        assert out["op"] == "OPTIMIZE"
+        out = cat.sql('VACUUM "v t" RETAIN 1 VERSIONS').collect()[0]
+        assert out["op"] == "VACUUM"
+        assert cat.table("v t").read().count() == 30
