@@ -561,10 +561,19 @@ def streaming_novelty_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_rows.persist()
     mod = F.col("doc_id") % NOV_MOD
     ded.writer.write(all_rows.filter(mod <= 6))
+    # all three batches' incoming counts in ONE column-pruned aggregate
+    # (was one count job per batch)
+    n_in_by_batch = {
+        int(r["b"]): int(r["n"])
+        for r in docs.filter(mod.isin(list(NOV_STREAM_BATCHES)))
+        .groupBy(mod.alias("b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     acc = []
     for b in NOV_STREAM_BATCHES:
         batch = docs.filter(F.col("doc_id") % NOV_MOD == b)
-        n_in = batch.count()
+        n_in = n_in_by_batch.get(b, 0)
         ded.process_batch(batch, rows=all_rows.filter(mod == b))
         n_novel = ded.last_batch_stats["n_novel"]
         acc.append((b, n_in, n_novel, n_in - n_novel))

@@ -129,6 +129,22 @@ class StreamingNoveltyDedup:
 
     # ---------- the per-batch loop ----------
 
+    # probe frames whose optimizer-estimated size is at or below this
+    # broadcast into the band-key join (and the downstream anti-join):
+    # a micro-batch-sized probe skips two exchange rounds, which is most
+    # of a small batch's wall time. Oversized/unknown estimates keep the
+    # shuffled hash join — the O(batch × bucket density) scale path.
+    BROADCAST_PROBE_MAX_BYTES = 8 * 1024 * 1024
+
+    def _probe_fits_broadcast(self, df: DataFrame) -> bool:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            return 0 <= est <= self.BROADCAST_PROBE_MAX_BYTES
+        except Exception:
+            return False
+
     def _flagged_bids(self, rows: DataFrame) -> DataFrame:
         """Flagged doc ids (``bid``, with duplicates — consumers anti-
         join, which needs no dedup) for a batch-row frame: ONE join of
@@ -142,6 +158,8 @@ class StreamingNoveltyDedup:
             "band_key",
             *[F.col(n).alias(f"{n}_a") for n in _SIG_NAMES],
         )
+        if self._probe_fits_broadcast(probe):
+            probe = F.broadcast(probe)
         side = rows.select(
             F.lit(False).alias("idx_side"),
             F.col("doc_id").alias("aid"),
@@ -221,20 +239,28 @@ class StreamingNoveltyDedup:
             rows = novelty_sig_rows(batch_docs, self.id_col, self.text_col)
         rows.persist()
         flagged = self._flagged_bids(rows)
-        novel_ids = (
-            rows.select("doc_id")
-            .distinct()
-            .join(flagged, F.col("doc_id") == F.col("bid"), "left_anti")
+        # persist the novel ROWS (not just ids): the count below runs the
+        # whole probe once AND materializes the exact frame the index
+        # append serializes — the append's batch evaluation becomes a
+        # cache read instead of re-running the probe joins
+        if self._probe_fits_broadcast(flagged):
+            flagged = F.broadcast(flagged)
+        novel_rows = rows.join(
+            flagged, F.col("doc_id") == F.col("bid"), "left_anti"
         )
-        novel_ids.persist()
-        n_novel = novel_ids.count()  # ONE job runs the full probe
+        novel_rows.persist()
+        # ONE job runs the full probe. Doc count without a distinct
+        # exchange: every long doc emits exactly one band-0 row
+        # (posexplode) and every short doc exactly one band=BANDS row
+        n_novel = novel_rows.filter(
+            (F.col("band") == 0) | (F.col("band") == BANDS)
+        ).count()
         if n_novel:
-            self.writer.append(
-                rows.join(novel_ids, "doc_id", "left_semi"), txn=txn
-            )
+            self.writer.append(novel_rows, txn=txn)
         rows.unpersist()
         self.last_batch_stats = {"n_novel": int(n_novel)}
-        self._cached = self._cached + [novel_ids]
+        self._cached = self._cached + [novel_rows]
+        novel_ids = novel_rows.select("doc_id").distinct()
         return batch_docs.join(
             F.broadcast(novel_ids.withColumnRenamed("doc_id", self.id_col)),
             self.id_col,
