@@ -1,0 +1,287 @@
+"""Web-corpus curation, wave 2: C4-style quality gates, URL
+canonicalization dedup, and PII redaction accounting.
+
+These are the remaining standard passes of a pre-training data pipeline
+(C4/Gopher lineage — Raffel et al. 2020 §2.2, Rae et al. 2021 A.1.1)
+that wave 1 (``plans/curation.py``) did not cover. The synthetic
+``documents`` table carries no URLs or PII, so those queries synthesize
+the columns DETERMINISTICALLY from ``doc_id``/``source`` — both engines
+derive identical inputs, keeping the DuckDB oracles exact rather than
+statistical.
+
+Determinism conventions (round-workflow): integer ``//`` for ratio
+micro-units (never float FLOOR at boundaries), per-row integerization
+before any cross-row sum, and regexp patterns restricted to the
+class/quantifier subset where Java regex (Spark) and RE2 (DuckDB) agree
+— with DuckDB's ``'g'`` flag spelled explicitly since its
+``regexp_replace`` is first-match-only by default while Spark's is
+global.
+
+Scale: every query is one scan + one hash aggregate keyed by
+``source``/host (map-side combined, state = |sources| × a few longs);
+the per-doc computations are single codegen'd expressions — no UDFs, no
+joins except a final ≤|sources|-row ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import WORDS_SQL
+from .queries import _t, register
+
+# C4-style gates, adapted to the synthetic corpus' signal: a minimum
+# word count, an English-stopword presence check (C4 drops pages
+# without natural-language glue words), and a mean-word-length band
+# (Gopher's 3-10 char gate, narrowed to this corpus' 3-6 band so the
+# filter discriminates).
+MIN_WORDS = 30
+MWL_LO = 3_000_000  # mean word length, micro-chars
+MWL_HI = 6_000_000
+
+
+@register(
+    "c4_quality_filters",
+    f"""
+    WITH split AS (
+      SELECT source, {WORDS_SQL.format(text="text")} AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             len(w) AS n_words,
+             list_contains(w, 'the') AND list_contains(w, 'a') AS has_stop,
+             CAST((1000000 * list_sum(list_transform(w, x -> length(x))))
+                  // len(w) AS BIGINT) AS mwl_micro
+      FROM split WHERE len(w) > 0
+    ),
+    gated AS (
+      SELECT source,
+             CASE WHEN n_words >= {MIN_WORDS} THEN 1 ELSE 0 END AS f_words,
+             CASE WHEN has_stop THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN mwl_micro BETWEEN {MWL_LO} AND {MWL_HI}
+                  THEN 1 ELSE 0 END AS f_mwl
+      FROM per_doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_words) AS BIGINT) AS n_min_words,
+           CAST(sum(f_stop) AS BIGINT) AS n_stopword,
+           CAST(sum(f_mwl) AS BIGINT) AS n_wordlen,
+           CAST(sum(f_words * f_stop * f_mwl) AS BIGINT) AS n_clean
+    FROM gated GROUP BY source ORDER BY source
+    """,
+    "C4-style quality gates per source: minimum word count, stopword "
+    "presence ('the' AND 'a'), and a mean-word-length band "
+    "(integer-micro, exact) — per-gate pass counts plus the all-gates "
+    "survivor count",
+)
+def c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan → per-doc codegen exprs → one hash aggregate by source.
+    The mean-word-length micro-ratio uses integer division so both
+    engines land on identical BIGINTs (no float-floor boundary drift)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    per_doc = docs.select(
+        "source",
+        F.size(words).alias("n_words"),
+        (
+            F.array_contains(words, "the") & F.array_contains(words, "a")
+        ).alias("has_stop"),
+        F.expr(
+            f"CAST((1000000 * aggregate(split(trim(lower(text)), '\\\\s+'), "
+            f"0L, (acc, x) -> acc + length(x))) "
+            f"DIV size(split(trim(lower(text)), '\\\\s+')) AS BIGINT)"
+        ).alias("mwl_micro"),
+    ).filter(F.col("n_words") > 0)
+    gated = per_doc.select(
+        "source",
+        F.when(F.col("n_words") >= MIN_WORDS, 1).otherwise(0).alias("f_words"),
+        F.when(F.col("has_stop"), 1).otherwise(0).alias("f_stop"),
+        F.when(
+            F.col("mwl_micro").between(MWL_LO, MWL_HI), 1
+        ).otherwise(0).alias("f_mwl"),
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_words").cast("long").alias("n_min_words"),
+            F.sum("f_stop").cast("long").alias("n_stopword"),
+            F.sum("f_mwl").cast("long").alias("n_wordlen"),
+            F.sum(F.col("f_words") * F.col("f_stop") * F.col("f_mwl"))
+            .cast("long")
+            .alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+# Deterministic URL synthesis: host case noise, stable path, interleaved
+# utm_* tracking params — the canonicalizer must lowercase the host,
+# strip every utm_* pair, and normalize the dangling separator.
+_URL_SQL = (
+    "'HTTPS://' || upper(source) || '.Example.COM/p/' || "
+    "CAST(doc_id % 50 AS {int_t}) || '?utm_source=s' || "
+    "CAST(doc_id % 3 AS {int_t}) || '&page=' || "
+    "CAST(doc_id % 4 AS {int_t}) || '&utm_campaign=c' || "
+    "CAST(doc_id % 2 AS {int_t})"
+)
+# three-step canonicalization, identical in both engines: (1) drop
+# mid/trailing &utm_* pairs, (2) a leading ?utm_*& collapses to the
+# bare '?' so the next surviving param keeps query position, (3) a
+# dangling '?' (all params were tracking) drops
+_UTM_MID = "[&]utm_[a-z]+=[a-z0-9]*"
+_UTM_LEAD = "[?]utm_[a-z]+=[a-z0-9]*[&]?"
+_DANGLING_Q = "[?]$"
+
+
+@register(
+    "url_canonicalize_dedup",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, source,
+             {_URL_SQL.format(int_t="VARCHAR")} AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT source,
+             regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '{_UTM_MID}', '', 'g'),
+               '{_UTM_LEAD}', '?', 'g'),
+               '{_DANGLING_Q}', '', 'g') AS curl
+      FROM raw
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST((1000000 * (count(*) - count(DISTINCT curl)))
+                // count(*) AS BIGINT) AS dup_rate_micro
+    FROM canon GROUP BY source ORDER BY source
+    """,
+    "URL canonicalization dedup per source: lowercase the host, strip "
+    "utm_* tracking params, normalize the dangling separator — raw vs "
+    "canonical-distinct counts and the integer-micro duplicate rate "
+    "(URLs synthesized deterministically from doc_id/source)",
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first pass of every web-crawl pipeline: collapse tracking-
+    param and case variants before content dedup. One scan, string
+    codegen, one aggregate; distinct-count shuffles on (source, curl)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "source", F.expr(_URL_SQL.format(int_t="STRING")).alias("url")
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("url")), _UTM_MID, ""),
+            _UTM_LEAD,
+            "?",
+        ),
+        _DANGLING_Q,
+        "",
+    )
+    return (
+        raw.select("source", curl.alias("curl"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("curl").alias("n_canonical"),
+            F.expr(
+                "CAST((1000000 * (count(1) - count(DISTINCT curl))) "
+                "DIV count(1) AS BIGINT)"
+            ).alias("dup_rate_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# PII synthesis: ~1/5 docs get an email, ~1/7 an internal IPv4, ~1/11 a
+# phone number — all derived from doc_id so both engines see byte-equal
+# text. Patterns stay in the Java-regex ∩ RE2 subset.
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || "
+    "CAST(doc_id AS {int_t}) || '@mail.example.com now' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || "
+    "CAST(doc_id % 256 AS {int_t}) || '.25' ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS {int_t}), 4, '0') ELSE '' END"
+)
+_EMAIL_PAT = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+_IP_PAT = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PHONE_PAT = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_redaction_stats",
+    f"""
+    WITH aug AS (
+      SELECT source, {_PII_AUG_SQL.format(int_t="VARCHAR")} AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT source,
+             len(regexp_extract_all(t, '{_EMAIL_PAT}')) AS n_email,
+             len(regexp_extract_all(t, '{_IP_PAT}')) AS n_ip,
+             len(regexp_extract_all(t, '{_PHONE_PAT}')) AS n_phone,
+             length(t) - length(
+               regexp_replace(regexp_replace(regexp_replace(
+                 t, '{_EMAIL_PAT}', '', 'g'), '{_IP_PAT}', '', 'g'),
+                 '{_PHONE_PAT}', '', 'g')) AS redacted_chars
+      FROM aug
+    )
+    SELECT source,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(n_ip) AS BIGINT) AS n_ips,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           CAST(sum(redacted_chars) AS BIGINT) AS redacted_chars,
+           CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+    FROM hits GROUP BY source ORDER BY source
+    """,
+    "PII scrub accounting per source: email/IPv4/phone regex hit "
+    "counts, total characters a redaction pass removes, and the count "
+    "of affected documents (PII synthesized deterministically from "
+    "doc_id; patterns in the Java-regex/RE2 common subset)",
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compliance pass of a training-data pipeline, measured rather
+    than guessed: how much text a redactor removes and where. Single
+    scan; the three patterns run as codegen'd regexp exprs (no UDF); at
+    100 TB the same expressions ride a mapInPandas-free column pipeline
+    with state = |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "source", F.expr(_PII_AUG_SQL.format(int_t="STRING")).alias("t")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_PAT, ""), _IP_PAT, ""
+        ),
+        _PHONE_PAT,
+        "",
+    )
+    hits = aug.select(
+        "source",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_PAT)).alias("n_email"),
+        F.regexp_count(F.col("t"), F.lit(_IP_PAT)).alias("n_ip"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_PAT)).alias("n_phone"),
+        (F.length("t") - F.length(redacted)).alias("redacted_chars"),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.sum("n_email").cast("long").alias("n_emails"),
+            F.sum("n_ip").cast("long").alias("n_ips"),
+            F.sum("n_phone").cast("long").alias("n_phones"),
+            F.sum("redacted_chars").cast("long").alias("redacted_chars"),
+            F.sum(
+                F.when(
+                    F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_with_pii"),
+        )
+        .orderBy("source")
+    )

@@ -2671,7 +2671,7 @@ def merge_many_group_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H completion set (Q2/Q7-Q9/Q11-Q13/Q15/Q16/Q19-Q22) and the
 # round-5 pipeline queries register on import; late imports because both
 # modules need register/_t from this module.
-from . import corpus_stats, curation, eval_ops, format_parity, graph, ingest_replay, media_ml, pipeline, quality, timeseries, tpch  # noqa: E402,F401  (registration side effect)
+from . import corpus_stats, curation, curation2, eval_ops, format_parity, graph, ingest_replay, media_ml, pipeline, quality, timeseries, tpch  # noqa: E402,F401  (registration side effect)
 
 
 # Keys that have already earned a driver-side CORRECTNESS row. The driver

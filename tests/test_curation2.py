@@ -1,0 +1,129 @@
+"""Curation wave 2: C4-style quality gates, URL canonicalization dedup,
+PII redaction accounting — crafted-edge semantics (the driver's DuckDB
+oracle pins the full-corpus numbers)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.plans.curation2 import (
+    MIN_WORDS,
+    c4_quality_filters,
+    pii_redaction_stats,
+    url_canonicalize_dedup,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+class TestC4Filters:
+    def test_gate_edges(self, spark, tmp_path):
+        long_clean = ("the a " + "word " * (MIN_WORDS - 2)).strip()  # passes all
+        short_clean = "the a cat"  # fails min-words only
+        no_stop = ("zz " * MIN_WORDS).strip()  # fails stopword; mwl=2 fails band
+        long_words = ("the a " + "abcdefghij " * MIN_WORDS).strip()  # mwl ~9.7 fails
+        sf = _write_docs(
+            spark,
+            tmp_path,
+            [
+                (1, long_clean, "en", "s1", len(long_clean)),
+                (2, short_clean, "en", "s1", len(short_clean)),
+                (3, no_stop, "en", "s2", len(no_stop)),
+                (4, long_words, "en", "s2", len(long_words)),
+            ],
+        )
+        got = {r["source"]: r.asDict() for r in c4_quality_filters(spark, sf).collect()}
+        assert got["s1"]["n_docs"] == 2
+        assert got["s1"]["n_min_words"] == 1  # only the long doc
+        assert got["s1"]["n_stopword"] == 2
+        assert got["s1"]["n_clean"] == 1
+        assert got["s2"]["n_stopword"] == 1  # long_words has the/a
+        assert got["s2"]["n_wordlen"] == 0  # 2-char and ~10-char means both out
+        assert got["s2"]["n_clean"] == 0
+
+    def test_min_words_boundary_inclusive(self, spark, tmp_path):
+        exactly = ("the a " + "w " * (MIN_WORDS - 2)).strip()
+        one_less = ("the a " + "w " * (MIN_WORDS - 3)).strip()
+        sf = _write_docs(
+            spark,
+            tmp_path,
+            [(1, exactly, "en", "s", 1), (2, one_less, "en", "s", 1)],
+        )
+        row = c4_quality_filters(spark, sf).collect()[0]
+        assert row["n_min_words"] == 1
+
+
+class TestUrlCanonicalize:
+    def test_tracking_variants_collapse(self, spark, tmp_path):
+        # doc_ids congruent mod 50 share a path; different utm_* params
+        # and host case must collapse to one canonical URL
+        rows = [(i, "t", "en", "srcA", 1) for i in (0, 150, 300, 450)]
+        rows += [(7, "t", "en", "srcB", 1)]
+        sf = _write_docs(spark, tmp_path, rows)
+        got = {r["source"]: r.asDict() for r in url_canonicalize_dedup(spark, sf).collect()}
+        # path p/0 for all four srcA docs; params differ (mod 3 / mod 4 / mod 2)
+        assert got["srcA"]["n_urls"] == 4
+        assert got["srcA"]["n_canonical"] == 2  # page= param survives: 0,150,300,450 → page 0,2,0,2
+        assert got["srcB"]["n_urls"] == 1 and got["srcB"]["n_canonical"] == 1
+        assert got["srcB"]["dup_rate_micro"] == 0
+
+    def test_canonical_form_is_lowercase_no_utm(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            _DANGLING_Q,
+            _URL_SQL,
+            _UTM_LEAD,
+            _UTM_MID,
+        )
+
+        sf = _write_docs(spark, tmp_path, [(12, "t", "en", "Mixed", 1)])
+        df = spark.read.parquet(sf + "/documents.parquet").select(
+            F.expr(_URL_SQL.format(int_t="STRING")).alias("url")
+        )
+        curl = df.select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("url")), _UTM_MID, ""),
+                    _UTM_LEAD,
+                    "?",
+                ),
+                _DANGLING_Q,
+                "",
+            ).alias("c")
+        ).collect()[0]["c"]
+        # url for doc 12: .../p/12?utm_source=s0&page=0&utm_campaign=c0
+        assert curl == "https://mixed.example.com/p/12?page=0"
+        assert "utm" not in curl and curl == curl.lower()
+
+
+class TestPiiRedaction:
+    def test_counts_and_redacted_chars(self, spark, tmp_path):
+        # doc_id 0: email+ip (0%5=0, 0%7=0, 0%11=0 → all three)
+        # doc_id 3: none; doc_id 5: email only; doc_id 7: ip only
+        sf = _write_docs(
+            spark,
+            tmp_path,
+            [(i, "base text", "en", "s", 1) for i in (0, 3, 5, 7)],
+        )
+        row = pii_redaction_stats(spark, sf).collect()[0]
+        assert row["n_emails"] == 2  # doc 0 and doc 5
+        assert row["n_ips"] == 2  # doc 0 and doc 7
+        assert row["n_phones"] == 1  # doc 0 only
+        assert row["n_docs_with_pii"] == 3
+        # redaction removes exactly the matched spans
+        assert row["redacted_chars"] == (
+            len("user0@mail.example.com") + len("user5@mail.example.com")
+            + len("10.0.0.25") + len("10.0.7.25") + len("+1-555-0000")
+        )
+
+    def test_no_pii_docs_zero(self, spark, tmp_path):
+        sf = _write_docs(spark, tmp_path, [(3, "plain", "en", "s", 1)])
+        row = pii_redaction_stats(spark, sf).collect()[0]
+        assert (
+            row["n_emails"] == row["n_ips"] == row["n_phones"]
+            == row["redacted_chars"] == row["n_docs_with_pii"] == 0
+        )
