@@ -853,3 +853,107 @@ def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dlq"))
     )
     return agg.crossJoin(F.broadcast(dlq))
+
+
+# ---------------------------------------------------------------------------
+# Object-store (CAS) backend: the commit protocol in the correctness gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cas_backend_lake_ops",
+    """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 9 = 1
+    ),
+    upd AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) + 777 AS cents
+      FROM events WHERE event_id % 18 = 1
+    ),
+    newk AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 9 = 2
+    ),
+    final AS (
+      SELECT * FROM base WHERE event_id % 18 <> 1
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM newk
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS tt_rows,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS tt_rows_postvac
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    "Object-store commit protocol e2e on the CAS backend (no flock, no "
+    "rename): PK table created, MERGE overwrites half the base keys and "
+    "inserts new ones, the pre-merge snapshot is tagged, time travel "
+    "resolves through LIST-derived versions before AND after a vacuum "
+    "(tag = retention root) — final per-type aggregates plus both "
+    "snapshot counts vs last-write-wins slice arithmetic",
+)
+def cas_backend_lake_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 storage backend driven end-to-end where the driver's
+    oracle can hash it: every manifest byte of this query moves through
+    ``CasObjectStoreBackend`` — commits are create-if-absent version
+    segments (S3 conditional-PUT semantics), ``current_version`` derives
+    from a LIST (the LATEST hint is scribbled over mid-run to prove no
+    reader trusts it), and the tag keeps the pre-merge snapshot readable
+    across a vacuum. Reference shape: S3 DATA_PATH + transactional
+    catalog (connect/DucklakeConnectionFactory.java:36-95)."""
+    from ..lake import LakeTable, LakeWriter
+
+    src = _event_source(spark, sf_dir)
+
+    def cents_slice(pred, bump: int = 0):
+        return src.filter(pred).select(
+            "event_id",
+            "event_type",
+            (F.floor(F.col("value") * 100).cast("long") + bump).alias("cents"),
+        )
+
+    eid = F.col("event_id")
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_cas_{uuid.uuid4().hex[:8]}"
+    )
+    t = LakeTable(spark, root, "ops", backend="cas")
+    w = LakeWriter(t, pk=["event_id"])
+    w.write(cents_slice(eid % 9 == 1))
+    v0 = t.current_version()
+    t.tag("pre_merge", v0)
+    w.write(
+        cents_slice(eid % 18 == 1, bump=777).unionByName(
+            cents_slice(eid % 9 == 2)
+        )
+    )
+    # a crashed writer's stale LATEST hint must not fool any reader —
+    # the CAS backend derives the tip from a LIST of the manifest prefix
+    t.fs.put(os.path.join(t.meta_dir, "LATEST"), "0")
+    tt = t.read(tag="pre_merge").agg(
+        F.count(F.lit(1)).alias("tt_rows")
+    )
+    from ..lake.maintenance import vacuum as _vacuum
+
+    _vacuum(t, keep_versions=1)
+    tt_post = t.read(tag="pre_merge").agg(
+        F.count(F.lit(1)).alias("tt_rows_postvac")
+    )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tt_post))
+        .select(
+            "event_type", "n_rows", "sum_cents", "tt_rows", "tt_rows_postvac"
+        )
+        .orderBy("event_type")
+    )
