@@ -285,3 +285,198 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# Train/val/test split + leakage audit
+# ---------------------------------------------------------------------------
+
+# hash-stable split: first 60 md5 bits of the doc key, mod 100 →
+# 0-89 train, 90-94 val, 95-99 test
+_H60_DOC_SQL = (
+    "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN ({_H60_DOC_SQL} % 100) < 90 THEN 'train' "
+    f"WHEN ({_H60_DOC_SQL} % 100) < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "dataset_split_leakage",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, md5(text) AS th, {_SPLIT_CASE_SQL} AS split
+      FROM documents
+    ),
+    split_counts AS (
+      SELECT split, count(*) AS n FROM assigned GROUP BY split
+    ),
+    pairs AS (
+      SELECT a.split AS s1, b.split AS s2
+      FROM assigned a JOIN assigned b
+        ON a.th = b.th AND a.doc_id < b.doc_id
+    )
+    SELECT split,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM pairs WHERE s1 <> s2) AS BIGINT)
+             AS n_cross_split_dup_pairs,
+           CAST((SELECT count(*) FROM pairs WHERE s1 = s2) AS BIGINT)
+             AS n_within_split_dup_pairs
+    FROM split_counts ORDER BY split
+    """,
+    "Hash-stable 90/5/5 train/val/test assignment (first 60 md5 bits of "
+    "doc_id mod 100) with a leakage audit: exact-duplicate text pairs "
+    "that cross a split boundary (train/test contamination) vs pairs "
+    "contained within one split",
+)
+def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split must be a pure function of a stable key (doc_id), never
+    of row order — re-running on a grown corpus keeps every old doc's
+    assignment. Leakage = exact-text duplicates straddling splits; the
+    self-join runs on md5(text), so only hash-collapsed duplicate groups
+    join (|dup groups| rows), never the corpus against itself."""
+    from ..operators.dedup import h60_col
+
+    docs = _t(spark, sf_dir, "documents")
+    h = h60_col(F.col("doc_id").cast("string")) % 100
+    assigned = docs.select(
+        "doc_id",
+        F.md5("text").alias("th"),
+        F.when(h < 90, "train")
+        .when(h < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    assigned.persist()
+    split_counts = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("id_a"), "th", F.col("split").alias("s1")
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("id_b"), "th", F.col("split").alias("s2")
+    )
+    pairs = a.join(b, "th").filter(F.col("id_a") < F.col("id_b"))
+    leak = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_cross_split_dup_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("s1") == F.col("s2"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_within_split_dup_pairs"),
+    )
+    return (
+        split_counts.crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_docs",
+            "n_cross_split_dup_pairs",
+            "n_within_split_dup_pairs",
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context packing accounting
+# ---------------------------------------------------------------------------
+
+CTX_TOKENS = 512  # context window, whitespace-token units
+
+
+@register(
+    "context_packing_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len({WORDS_SQL.format(text="text")}) AS n_tok
+      FROM documents
+    ),
+    capped AS (
+      SELECT doc_id, CASE WHEN n_tok > {CTX_TOKENS} THEN {CTX_TOKENS}
+                          ELSE n_tok END AS n_tok
+      FROM toks
+    ),
+    packed AS (
+      SELECT doc_id, n_tok,
+             CAST((sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok) // {CTX_TOKENS} AS BIGINT) AS pack_id
+      FROM capped
+    ),
+    per_pack AS (
+      SELECT pack_id, count(*) AS n_docs, sum(n_tok) AS toks
+      FROM packed GROUP BY pack_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(min(n_docs) AS BIGINT) AS min_docs_per_pack,
+           CAST(max(n_docs) AS BIGINT) AS max_docs_per_pack,
+           CAST((1000000 * sum(toks)) // (count(*) * {CTX_TOKENS})
+                AS BIGINT) AS fill_rate_micro
+    FROM per_pack
+    """,
+    "Deterministic sequence-packing accounting: docs token-capped to "
+    "the context width, assigned pack ids by cumulative-token offset "
+    "DIV context (offset packing in doc_id order), then pack count, doc "
+    "spread, and the integer-micro fill rate",
+)
+def context_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset packing (pack = cumulative-token-start DIV context) is the
+    distributed-friendly packing rule: no sequential first-fit state.
+    The global prefix sum is computed the distributed way, NOT with an
+    unpartitioned window (which funnels the corpus through one task):
+    two passes — per-bucket local cumsums in parallel (window
+    PARTITIONED by a doc_id range bucket), then a bucket-offset table
+    that is |buckets| rows (the only unpartitioned window, trivially
+    small) broadcast back. Identical result, corpus-parallel plan."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bucket = (F.col("doc_id") / 10_000).cast("long")
+    capped = docs.select(
+        "doc_id",
+        bucket.alias("b"),
+        F.least(F.size(words), F.lit(CTX_TOKENS)).alias("n_tok"),
+    )
+    local_cum = F.sum("n_tok").over(
+        W.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = capped.select("b", "n_tok", (local_cum - F.col("n_tok")).alias("lstart"))
+    bucket_tot = capped.groupBy("b").agg(F.sum("n_tok").alias("btot"))
+    offsets = bucket_tot.select(
+        "b",
+        (
+            F.sum("btot").over(
+                W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            - F.col("btot")
+        ).alias("boff"),
+    )
+    packed = local.join(F.broadcast(offsets), "b").select(
+        "n_tok",
+        F.floor((F.col("lstart") + F.col("boff")) / CTX_TOKENS)
+        .cast("long")
+        .alias("pack_id"),
+    )
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("toks")
+    )
+    return per_pack.agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.min("n_docs").cast("long").alias("min_docs_per_pack"),
+        F.max("n_docs").cast("long").alias("max_docs_per_pack"),
+        F.expr(
+            f"CAST((1000000 * sum(toks)) DIV (count(1) * {CTX_TOKENS}) AS BIGINT)"
+        ).alias("fill_rate_micro"),
+    )

@@ -127,3 +127,85 @@ class TestPiiRedaction:
             row["n_emails"] == row["n_ips"] == row["n_phones"]
             == row["redacted_chars"] == row["n_docs_with_pii"] == 0
         )
+
+
+class TestSplitLeakage:
+    @staticmethod
+    def _split_of(doc_id: int) -> str:
+        import hashlib
+
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+        return "train" if h < 90 else ("val" if h < 95 else "test")
+
+    def test_assignment_stable_and_leak_counts(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            dataset_split_leakage,
+        )
+
+        # find one doc id per split bucket, then plant exact dups
+        ids = list(range(200))
+        by_split = {}
+        for i in ids:
+            by_split.setdefault(self._split_of(i), []).append(i)
+        tr, va = by_split["train"][0], by_split["val"][0]
+        tr2 = by_split["train"][1]
+        rows = [(i, f"uniq {i}", "en", "s", 1) for i in ids]
+        rows[tr] = (tr, "DUPTEXT", "en", "s", 1)
+        rows[va] = (va, "DUPTEXT", "en", "s", 1)   # cross-split pair
+        rows[tr2] = (tr2, "DUPTEXT", "en", "s", 1)  # adds within + cross
+        sf = _write_docs(spark, tmp_path, rows)
+        got = {r["split"]: r.asDict() for r in dataset_split_leakage(spark, sf).collect()}
+        expected_counts = {k: len(v) for k, v in by_split.items()}
+        assert {k: got[k]["n_docs"] for k in got} == expected_counts
+        # pairs among {tr, tr2, va}: (tr,tr2) within, (tr,va)+(tr2,va) cross
+        assert got["train"]["n_cross_split_dup_pairs"] == 2
+        assert got["train"]["n_within_split_dup_pairs"] == 1
+
+    def test_no_dups_zero_leakage(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            dataset_split_leakage,
+        )
+
+        sf = _write_docs(
+            spark, tmp_path, [(i, f"u {i}", "en", "s", 1) for i in range(50)]
+        )
+        for r in dataset_split_leakage(spark, sf).collect():
+            assert r["n_cross_split_dup_pairs"] == 0
+            assert r["n_within_split_dup_pairs"] == 0
+
+
+class TestContextPacking:
+    def test_offset_packing_accounting(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            CTX_TOKENS,
+            context_packing_stats,
+        )
+
+        # token counts 300, 300, 512 (capped from 600) → starts 0, 300, 600
+        # → packs 0, 0, 1
+        rows = [
+            (0, "w " * 300, "en", "s", 1),
+            (1, "w " * 300, "en", "s", 1),
+            (2, "w " * 600, "en", "s", 1),  # capped to CTX_TOKENS
+        ]
+        sf = _write_docs(spark, tmp_path, [(i, t.strip(), l, s, n) for i, t, l, s, n in rows])
+        row = context_packing_stats(spark, sf).collect()[0]
+        assert row["n_packs"] == 2
+        assert row["n_docs"] == 3
+        assert row["total_tokens"] == 300 + 300 + CTX_TOKENS
+        assert row["max_docs_per_pack"] == 2 and row["min_docs_per_pack"] == 1
+        assert row["fill_rate_micro"] == (1_000_000 * 1112) // (2 * CTX_TOKENS)
+
+    def test_bucket_boundary_parity(self, spark, tmp_path):
+        """Docs straddling the 10k-doc_id bucket boundary must pack as if
+        the cumsum were global (the two-pass offsets compose exactly)."""
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            context_packing_stats,
+        )
+
+        rows = [(i, "w " * 100, "en", "s", 1) for i in (9_998, 9_999, 10_000, 10_001)]
+        sf = _write_docs(spark, tmp_path, [(i, t.strip(), l, s, n) for i, t, l, s, n in rows])
+        row = context_packing_stats(spark, sf).collect()[0]
+        # starts 0,100,200,300 → all < 512 → one pack of four docs
+        assert row["n_packs"] == 1 and row["n_docs"] == 4
+        assert row["total_tokens"] == 400
