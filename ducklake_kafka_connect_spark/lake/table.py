@@ -2024,6 +2024,35 @@ class LakeCatalog:
                 )
         raise ValueError(f"unsupported DDL statement: {statement!r}")
 
+    def show_tables(self):
+        """``SHOW TABLES`` — one row per committed table."""
+        names = self.list_tables()
+        return self.spark.createDataFrame(
+            [(n,) for n in names] or [], "name string"
+        )
+
+    def describe(self, name: str):
+        """``DESCRIBE <t>`` — DuckDB-flavored: (column_name, column_type,
+        "null", key). PK columns carry ``PRI``; the column order is the
+        manifest schema order (``_inserted_at`` last, as stored)."""
+        t = self.table(name)
+        if not t.exists():
+            raise ValueError(f"table {name!r} does not exist")
+        m = t.manifest()
+        pk = set(m.pk or [])
+        rows = [
+            (
+                f.name,
+                f.dataType.simpleString().upper(),
+                "YES" if f.nullable else "NO",
+                "PRI" if f.name in pk else "",
+            )
+            for f in m.schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows, "column_name string, column_type string, null string, key string"
+        )
+
     def dml(self, statement: str):
         """SQL DML over the lake write API (the engine-side counterpart
         of the DuckDB statements the reference's users run):
@@ -2140,6 +2169,12 @@ class LakeCatalog:
         # reference namespace parity: queries written for the DuckDB
         # attachment (`lake.main.<table>`) run unchanged
         query = strip_catalog_prefix(query)
+        q = query.strip().rstrip(";").strip()
+        if _re.match(r"SHOW\s+TABLES\s*$", q, _re.IGNORECASE):
+            return self.show_tables()
+        dm = _re.match(rf"DESC(?:RIBE)?\s+({_IDENT})\s*$", q, _re.IGNORECASE)
+        if dm:
+            return self.describe(unquote_ident(dm.group(1)))
         if _re.match(
             r"\s*(CREATE\s+TABLE|DROP\s+TABLE|ALTER\s+TABLE|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE)\b",
             query,

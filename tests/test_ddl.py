@@ -264,3 +264,25 @@ class TestQuotedIdentifiers:
         out = cat.sql('VACUUM "v t" RETAIN 1 VERSIONS').collect()[0]
         assert out["op"] == "VACUUM"
         assert cat.table("v t").read().count() == 30
+
+
+class TestShowDescribe:
+    def test_show_tables_and_describe(self, cat):
+        assert cat.sql("SHOW TABLES").collect() == []
+        cat.sql("CREATE TABLE alpha (pk BIGINT, v STRING, PRIMARY KEY (pk))")
+        cat.sql('CREATE TABLE "order by" (a INT)')
+        names = [r["name"] for r in cat.sql("SHOW TABLES;").collect()]
+        assert names == ["alpha", "order by"]
+        rows = {r["column_name"]: r for r in cat.sql("DESCRIBE alpha").collect()}
+        assert rows["pk"]["column_type"] == "BIGINT" and rows["pk"]["key"] == "PRI"
+        assert rows["v"]["key"] == "" and rows["v"]["null"] == "YES"
+        assert "_inserted_at" in rows
+        # quoted hostile name + DESC shorthand
+        cols = [r["column_name"] for r in cat.sql('DESC "order by"').collect()]
+        assert cols == ["a", "_inserted_at"]
+
+    def test_describe_missing_raises(self, cat):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="does not exist"):
+            cat.sql("DESCRIBE ghost")
