@@ -122,6 +122,9 @@ class IngestConfig:
     topic2table: dict[str, str] = field(default_factory=dict)
     tables: dict[str, TableSpec] = field(default_factory=dict)
     dlq_suffix: str = "_dlq"
+    # commit-conflict replan budget for every writer this pipeline
+    # builds — ducklake.max_retry_count (DucklakeSinkConfig.java:62,164)
+    max_retry_count: int = 10
 
     def __post_init__(self):
         for topic, table in self.topic2table.items():
@@ -224,6 +227,7 @@ class IngestPipeline:
             auto_create=spec.auto_create,
             # 'off' disables write-path auto-compaction for this table
             auto_compact=spec.inlining_rows is not None,
+            max_retry_count=self.config.max_retry_count,
         )
         # idempotent epoch commit (E8 exactly-once upgrade): a replayed
         # foreachBatch epoch whose commit already landed is skipped at
@@ -463,6 +467,7 @@ class IngestPipeline:
                 partition_by=spec.partition_by,
                 auto_create=spec.auto_create,
                 auto_compact=spec.inlining_rows is not None,
+                max_retry_count=self.config.max_retry_count,
             )
             if not good.isEmpty():
                 try:
