@@ -688,6 +688,7 @@ class LakeTable:
         version: int | None = None,
         tag: str | None = None,
         pin: bool = False,
+        dest_backend: "StorageBackend | str | None" = None,
     ) -> "LakeTable":
         """CREATE TABLE ... CLONE analogue (Delta SHALLOW/DEEP CLONE).
 
@@ -708,6 +709,11 @@ class LakeTable:
         vacuum until ``delete_tag(f"clone-{dest_name}")`` releases them.
 
         ``version``/``tag`` clone a historical snapshot (time travel).
+
+        ``dest_backend`` clones ACROSS storage backends (default: the
+        source's) — with ``deep=True`` this is the lake-migration path
+        (e.g. posix NFS table → object-store CAS table: files copied,
+        commit protocol switched, history restarts at the clone's v0).
         """
         if version is not None and tag is not None:
             raise ValueError("pass version or tag, not both")
@@ -719,7 +725,7 @@ class LakeTable:
             dest_root,
             dest_name,
             manifest_format=self.manifest_format,
-            backend=self.fs,
+            backend=dest_backend if dest_backend is not None else self.fs,
         )
         if dest.exists():
             raise ValueError(f"clone destination {dest.dir} already exists")
@@ -752,10 +758,12 @@ class LakeTable:
                         key = f"{stem}-{n}{ext}"
                     seen_keys.add(key)
                     dst_abs = os.path.join(dest.dir, key)
-                    self.fs.copy_file(src_abs, dst_abs)
+                    # the DESTINATION backend owns the write (cross-
+                    # backend deep clone = read src store, PUT dest store)
+                    dest.fs.copy_file(src_abs, dst_abs)
                     side = src_abs + ".bloom"
                     if self.fs.exists(side):
-                        self.fs.copy_file(side, dst_abs + ".bloom")
+                        dest.fs.copy_file(side, dst_abs + ".bloom")
                 else:
                     key = os.path.abspath(src_abs)
                 out.append(key)
@@ -1925,6 +1933,8 @@ class LakeCatalog:
 
         - ``CREATE TABLE [IF NOT EXISTS] t (cols...[, PRIMARY KEY (a,b)])
           [PARTITIONED BY (exprs)]``
+        - ``CREATE TABLE [IF NOT EXISTS] t [SHALLOW|DEEP] CLONE s
+          [AT VERSION n | AT TAG x]`` (zero-copy / materialized)
         - ``DROP TABLE [IF EXISTS] t``
         - ``ALTER TABLE t RENAME COLUMN a TO b`` (metadata-only)
         - ``ALTER TABLE t DROP COLUMN a``       (metadata-only)
@@ -1941,6 +1951,36 @@ class LakeCatalog:
         from .sql_prune import strip_catalog_prefix
 
         stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
+        cm = _re.match(
+            rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+"
+            rf"(SHALLOW\s+|DEEP\s+)?CLONE\s+({_IDENT})"
+            rf"(?:\s+AT\s+VERSION\s+(\d+)|\s+AT\s+TAG\s+({_IDENT}))?\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if cm:
+            name = unquote_ident(cm.group(1))
+            deep = bool(cm.group(2)) and cm.group(2).strip().upper() == "DEEP"
+            src_name = unquote_ident(cm.group(3))
+            if self.table(name).exists():
+                if _re.search(r"IF\s+NOT\s+EXISTS", stmt, _re.IGNORECASE):
+                    return self._ddl_result("CREATE TABLE CLONE", name, "exists")
+                raise ValueError(f"table {name!r} already exists")
+            src = self.table(src_name)
+            if not src.exists():
+                raise ValueError(f"clone source {src_name!r} does not exist")
+            src.clone(
+                self.root,
+                name,
+                deep=deep,
+                version=int(cm.group(4)) if cm.group(4) else None,
+                tag=unquote_ident(cm.group(5)) if cm.group(5) else None,
+            )
+            return self._ddl_result(
+                "CREATE TABLE CLONE",
+                name,
+                f"{'deep' if deep else 'shallow'} of {src_name}",
+            )
         if _re.match(r"CREATE\s+TABLE\b", stmt, _re.IGNORECASE):
             part_spec: str | None = None
             body = stmt

@@ -286,3 +286,60 @@ class TestShowDescribe:
 
         with _pytest.raises(ValueError, match="does not exist"):
             cat.sql("DESCRIBE ghost")
+
+
+class TestSqlClone:
+    def test_create_table_clone_shallow_and_deep(self, cat):
+        cat.sql("CREATE TABLE src (pk BIGINT, v BIGINT, PRIMARY KEY (pk))")
+        _fill(cat, "src")
+        v0 = cat.table("src").current_version()
+        # mutate after the snapshot point
+        LakeWriter(cat.table("src"), pk=["pk"], auto_create=False).write(
+            cat.spark.range(20, 40).select(
+                F.col("id").alias("pk"), (F.col("id") * 3).alias("v")
+            )
+        )
+        out = cat.sql(f"CREATE TABLE snap SHALLOW CLONE src AT VERSION {v0}")
+        assert out.collect()[0]["op"] == "CREATE TABLE CLONE"
+        assert cat.table("snap").read().count() == 20  # pre-mutation snapshot
+        assert cat.table("src").read().count() == 40
+        cat.sql("CREATE TABLE snap_deep DEEP CLONE src")
+        assert cat.table("snap_deep").read().count() == 40
+        # deep clone owns its files: dropping src leaves it readable
+        cat.sql("DROP TABLE src")
+        assert cat.table("snap_deep").read().count() == 40
+
+    def test_clone_if_not_exists_and_errors(self, cat):
+        cat.sql("CREATE TABLE a (pk BIGINT)")
+        cat.sql("CREATE TABLE b CLONE a")
+        out = cat.sql("CREATE TABLE IF NOT EXISTS b CLONE a").collect()[0]
+        assert out["detail"] == "exists"
+        with pytest.raises(ValueError, match="already exists"):
+            cat.sql("CREATE TABLE b CLONE a")
+        with pytest.raises(ValueError, match="does not exist"):
+            cat.sql("CREATE TABLE c CLONE ghost")
+
+
+def test_cross_backend_deep_clone(spark, tmp_path):
+    """posix table deep-cloned onto the CAS backend: the migration path
+    (files copied, commit protocol switched, history restarts at v0)."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    cat = LakeCatalog(spark, str(tmp_path / "nfs"), backend="posix")
+    t = cat.table("t")
+    LakeWriter(t, pk=["id"]).write(
+        spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    )
+    dest = t.clone(
+        str(tmp_path / "bucket"), "t", deep=True, dest_backend="cas"
+    )
+    assert dest.fs.name == "cas"
+    assert dest.read().count() == 100
+    # writes on the clone commit through the CAS protocol
+    LakeWriter(dest, pk=["id"]).write(
+        spark.range(100, 150).select(F.col("id"), F.lit(0).alias("v"))
+    )
+    assert dest.read().count() == 150
+    assert dest.current_version() == 1
+    # source untouched, still posix
+    assert t.read().count() == 100 and t.fs.name == "posix"
