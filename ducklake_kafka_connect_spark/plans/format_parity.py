@@ -957,3 +957,97 @@ def cas_backend_lake_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connector-properties entrypoint in the correctness gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "connector_properties_ingest",
+    """
+    WITH src AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 10 = 4
+    ),
+    upd AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) + 500 AS cents
+      FROM events WHERE event_id % 20 = 4
+    ),
+    final AS (
+      SELECT * FROM src WHERE event_id % 20 <> 4
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    "The drop-in migration path driven e2e: the reference's exact "
+    "connector properties dict (data path, topic2table.map, per-table "
+    "id-columns/partition-by/auto-create, max_retry_count) builds the "
+    "deployment via connector_config.build_from_properties; two "
+    "Kafka-shaped JSON batches flow through the resulting pipeline "
+    "(second batch MERGE-overwrites half the keys) — final per-type "
+    "aggregates vs last-write-wins slice arithmetic",
+)
+def connector_properties_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A reference user's literal switching story, oracle-hashed: paste
+    the DucklakeSinkConfig properties, process micro-batches, read the
+    lake back (connect/DucklakeSinkConfig.java key set; upsert routing
+    from ducklake.table.<t>.id-columns)."""
+    from ..connector_config import build_from_properties
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_props_{uuid.uuid4().hex[:8]}"
+    )
+    props = {
+        "name": "ducklake-sink",
+        "topics": "orders",
+        "value.converter": "org.apache.kafka.connect.json.JsonConverter",
+        "ducklake.data_path": root,
+        "topic2table.map": "orders:orders_tbl",
+        "ducklake.table.orders_tbl.id-columns": "event_id",
+        "ducklake.table.orders_tbl.auto-create": "true",
+        "ducklake.max_retry_count": "5",
+        "data.inlining.row.limit": "off",
+    }
+    d = build_from_properties(spark, props)
+    pipe = d.pipeline()
+
+    def frame(pred, bump: int):
+        src = _event_source(spark, sf_dir).filter(pred)
+        payload = F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                (F.floor(F.col("value") * 100).cast("long") + bump).alias(
+                    "cents"
+                ),
+            )
+        )
+        return src.select(
+            F.lit("orders").alias("topic"),
+            (F.col("user_id") % 4).cast("int").alias("partition"),
+            F.col("event_id").alias("offset"),
+            F.encode(payload, "UTF-8").alias("value"),
+        )
+
+    eid = F.col("event_id")
+    pipe.process_batch(frame(eid % 10 == 4, 0))
+    pipe.process_batch(frame(eid % 20 == 4, 500))  # MERGE overwrite half
+    landed = d.catalog.table("orders_tbl").read()
+    return (
+        landed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum("user_id").cast("long").alias("sum_uid"),
+        )
+        .orderBy("event_type")
+    )
