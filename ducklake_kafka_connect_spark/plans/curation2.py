@@ -480,3 +480,138 @@ def context_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((1000000 * sum(toks)) DIV (count(1) * {CTX_TOKENS}) AS BIGINT)"
         ).alias("fill_rate_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution profiling: exact percentiles + filter-calibration sweep
+# ---------------------------------------------------------------------------
+
+_PCTS = (50, 90, 99)
+
+
+@register(
+    "length_percentiles_by_lang",
+    f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           {", ".join(
+             f"CAST(max(CASE WHEN rn = ((n - 1) * {p}) // 100 + 1 "
+             f"THEN n_chars END) AS BIGINT) AS p{p}_chars"
+             for p in _PCTS
+           )}
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+    "Exact (discrete-rule) p50/p90/p99 document-length percentiles per "
+    "language: value at 1-based position floor((n-1)*p/100)+1 of the "
+    "(n_chars, doc_id)-sorted frame — deterministic, no interpolation",
+)
+def length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling for corpus QA dashboards. One window per
+    lang partition (parallel across langs), then a max-case aggregate;
+    the discrete rule (no interpolation) keeps both engines bit-equal.
+    At scale: approx sketches (approx_percentile) replace this when a
+    ±1% answer is acceptable — this operator is the exact auditor."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_docs")]
+    for p in _PCTS:
+        # integer DIV on both engines: DuckDB CAST(x/100) ROUNDS while a
+        # Spark long cast truncates — float division here is the trap
+        pos = F.expr(f"((n - 1) * {p}) DIV 100") + 1
+        aggs.append(
+            F.max(F.when(F.col("rn") == pos, F.col("n_chars")))
+            .cast("long")
+            .alias(f"p{p}_chars")
+        )
+    return ranked.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+# mean-word-length thresholds swept (micro-chars): the calibration curve
+# a filter designer reads before picking the C4 gate
+_SWEEP_THRESHOLDS = (3_000_000, 3_500_000, 4_000_000, 4_500_000, 5_000_000, 6_000_000)
+
+
+@register(
+    "filter_threshold_sweep",
+    f"""
+    WITH split AS (
+      SELECT doc_id, {WORDS_SQL.format(text="text")} AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT len(w) AS n_words,
+             CAST((1000000 * list_sum(list_transform(w, x -> length(x))))
+                  // len(w) AS BIGINT) AS mwl_micro
+      FROM split WHERE len(w) > 0
+    ),
+    th AS (
+      SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS threshold
+    )
+    SELECT th.threshold,
+           CAST(sum(CASE WHEN d.mwl_micro >= th.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_retained,
+           CAST(sum(CASE WHEN d.mwl_micro >= th.threshold THEN d.n_words
+                         ELSE 0 END) AS BIGINT) AS tokens_retained,
+           CAST((1000000 * sum(CASE WHEN d.mwl_micro >= th.threshold
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS retention_micro
+    FROM per_doc d CROSS JOIN th
+    GROUP BY th.threshold ORDER BY th.threshold
+    """,
+    "Filter-calibration sweep: for each mean-word-length threshold, the "
+    "documents and tokens a >=threshold gate would retain plus the "
+    "integer-micro retention rate — the curve read before fixing a "
+    "quality-gate cutoff",
+)
+def filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan computes the per-doc statistic; the sweep is a broadcast
+    cross join against a 6-row literal threshold frame folded into one
+    hash aggregate — adding thresholds never adds passes over the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    per_doc = docs.select(
+        F.size(words).alias("n_words"),
+        F.expr(
+            "CAST((1000000 * aggregate(split(trim(lower(text)), '\\\\s+'), "
+            "0L, (acc, x) -> acc + length(x))) "
+            "DIV size(split(trim(lower(text)), '\\\\s+')) AS BIGINT)"
+        ).alias("mwl_micro"),
+    ).filter(F.col("n_words") > 0)
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold long"
+    )
+    retained = F.when(F.col("mwl_micro") >= F.col("threshold"), 1).otherwise(0)
+    return (
+        per_doc.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(retained).cast("long").alias("docs_retained"),
+            F.sum(
+                F.when(
+                    F.col("mwl_micro") >= F.col("threshold"), F.col("n_words")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_retained"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN mwl_micro >= threshold THEN 1 "
+                "ELSE 0 END)) DIV count(1) AS BIGINT)"
+            ).alias("retention_micro"),
+        )
+        .orderBy("threshold")
+    )

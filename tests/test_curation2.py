@@ -209,3 +209,46 @@ class TestContextPacking:
         # starts 0,100,200,300 → all < 512 → one pack of four docs
         assert row["n_packs"] == 1 and row["n_docs"] == 4
         assert row["total_tokens"] == 400
+
+
+class TestPercentilesAndSweep:
+    def test_exact_disc_percentiles(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            length_percentiles_by_lang,
+        )
+
+        # en: n_chars 10..19 (10 docs) → p50 pos = (9*50)//100+1 = 5 → 14
+        # p90 pos = (9*90)//100+1 = 9 → 18; p99 pos = (9*99)//100+1 = 9 → 18
+        rows = [(i, "t", "en", "s", 10 + i) for i in range(10)]
+        rows += [(100, "t", "fr", "s", 7)]  # single-doc lang: all pcts = 7
+        sf = _write_docs(spark, tmp_path, rows)
+        got = {r["lang"]: r.asDict() for r in length_percentiles_by_lang(spark, sf).collect()}
+        assert got["en"]["n_docs"] == 10
+        assert got["en"]["p50_chars"] == 14
+        assert got["en"]["p90_chars"] == 18 and got["en"]["p99_chars"] == 18
+        assert got["fr"]["p50_chars"] == got["fr"]["p99_chars"] == 7
+
+    def test_threshold_sweep_monotone_and_exact(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            _SWEEP_THRESHOLDS,
+            filter_threshold_sweep,
+        )
+
+        # mwl 2.0 (fails all), 4.0 (passes <=4.0M), 10.0 (passes all)
+        rows = [
+            (1, "ab cd ef gh", "en", "s", 1),        # mwl 2.0
+            (2, "abcd efgh ijkl", "en", "s", 1),      # mwl 4.0
+            (3, "abcdefghij klmnopqrst", "en", "s", 1),  # mwl 10.0
+        ]
+        sf = _write_docs(spark, tmp_path, rows)
+        got = {r["threshold"]: r.asDict() for r in filter_threshold_sweep(spark, sf).collect()}
+        assert set(got) == set(_SWEEP_THRESHOLDS)
+        assert got[3_000_000]["docs_retained"] == 2
+        assert got[4_000_000]["docs_retained"] == 2
+        assert got[4_500_000]["docs_retained"] == 1
+        assert got[6_000_000]["docs_retained"] == 1
+        assert got[4_000_000]["tokens_retained"] == 3 + 2
+        # retention is monotone non-increasing in the threshold
+        vals = [got[t]["docs_retained"] for t in sorted(got)]
+        assert vals == sorted(vals, reverse=True)
+        assert got[3_000_000]["retention_micro"] == (1_000_000 * 2) // 3
