@@ -1813,6 +1813,19 @@ def _decimal_from_raw(raw, scale: int) -> decimal.Decimal:
 _IDENT = r'(?:[A-Za-z_]\w*|"(?:[^"]|"")+"|`(?:[^`]|``)+`)'
 
 
+def quote_ident(name: str) -> str:
+    """The reference's quoting discipline
+    (``ingestor/SqlIdentifierUtil.java:32-39``): names matching
+    ``[A-Za-z_][A-Za-z0-9_]*`` pass through bare; anything else is
+    double-quoted with internal ``"`` doubled. ``unquote_ident`` is the
+    exact inverse."""
+    if name is None:
+        raise ValueError("Identifier cannot be None")
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
 def unquote_ident(s: str) -> str:
     """Resolve a possibly-quoted SQL identifier to its raw name."""
     s = s.strip()

@@ -343,3 +343,50 @@ def test_cross_backend_deep_clone(spark, tmp_path):
     assert dest.current_version() == 1
     # source untouched, still posix
     assert t.read().count() == 100 and t.fs.name == "posix"
+
+
+class TestIdentQuoting:
+    def test_quote_matches_reference_discipline(self):
+        from ducklake_kafka_connect_spark.lake.table import quote_ident, unquote_ident
+
+        assert quote_ident("plain_name") == "plain_name"
+        assert quote_ident("_lead") == "_lead"
+        assert quote_ident("0start") == '"0start"'
+        assert quote_ident("has space") == '"has space"'
+        assert quote_ident('has"quote') == '"has""quote"'
+        with pytest.raises(ValueError):
+            quote_ident(None)
+        for name in ("x", "0start", "has space", 'a"b"c', 'tricky""'):
+            assert unquote_ident(quote_ident(name)) == name
+
+    def test_hypothesis_roundtrip(self):
+        from hypothesis import given, settings, strategies as st
+
+        from ducklake_kafka_connect_spark.lake.table import quote_ident, unquote_ident
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), min_codepoint=32
+                ),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        def roundtrip(name):
+            assert unquote_ident(quote_ident(name)) == name
+
+        roundtrip()
+
+    def test_quoted_ddl_roundtrip_via_quote_ident(self, cat):
+        from ducklake_kafka_connect_spark.lake.table import quote_ident
+
+        for name in ("normal", "0weird", "two words", 'emb"edded'):
+            q = quote_ident(name)
+            cat.sql(f"CREATE TABLE {q} (pk BIGINT)")
+            assert cat.table_exists(name), name
+            cols = [r["column_name"] for r in cat.sql(f"DESCRIBE {q}").collect()]
+            assert cols == ["pk", "_inserted_at"]
+            cat.sql(f"DROP TABLE {q}")
+            assert not cat.table_exists(name)
