@@ -615,3 +615,133 @@ def filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Provenance: which sources duplicate which
+# ---------------------------------------------------------------------------
+
+
+PREFIX_FP_WORDS = 6  # opening-words fingerprint width
+
+
+@register(
+    "cross_source_dup_matrix",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               {WORDS_SQL.format(text="text")}[1:{PREFIX_FP_WORDS}], ' '
+             )) AS th
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM hashed a JOIN hashed b
+        ON a.th = b.th AND a.doc_id < b.doc_id
+      WHERE a.source <> b.source
+    )
+    SELECT CASE WHEN src_a < src_b THEN src_a ELSE src_b END AS source_lo,
+           CASE WHEN src_a < src_b THEN src_b ELSE src_a END AS source_hi,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY n_dup_pairs DESC, source_lo, source_hi
+    LIMIT 50
+    """,
+    "Cross-source duplication provenance: for every source pair, the "
+    "number of document pairs sharing a 6-word opening fingerprint "
+    "(boilerplate/copy detection) — top 50 by pair count; the self-join "
+    "runs on the prefix hash so only fingerprint groups join",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup planning needs provenance, not just counts: a mirror pair
+    of sources argues for source-level dedup ordering (keep the
+    canonical source) rather than doc-level coin flips. The fingerprint
+    is the first PREFIX_FP_WORDS words (shared openings = boilerplate or
+    copy chains); the join key is its hash — |fingerprint groups| rows
+    meet, never corpus × corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    fp = F.md5(F.concat_ws(" ", F.slice(words, 1, PREFIX_FP_WORDS)))
+    hashed = docs.select("doc_id", "source", fp.alias("th"))
+    a = hashed.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), "th"
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), "th"
+    )
+    pairs = (
+        a.join(b, "th")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("src_a") != F.col("src_b")))
+    )
+    lo = F.when(F.col("src_a") < F.col("src_b"), F.col("src_a")).otherwise(
+        F.col("src_b")
+    )
+    hi = F.when(F.col("src_a") < F.col("src_b"), F.col("src_b")).otherwise(
+        F.col("src_a")
+    )
+    return (
+        pairs.select(lo.alias("source_lo"), hi.alias("source_hi"))
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+        .orderBy(F.col("n_dup_pairs").desc(), "source_lo", "source_hi")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-count histogram (log2 buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_count_histogram",
+    f"""
+    WITH toks AS (
+      SELECT len({WORDS_SQL.format(text="text")}) AS n_tok FROM documents
+    ),
+    bucketed AS (
+      SELECT CASE WHEN n_tok <= 0 THEN -1
+                  ELSE CAST(floor(log2(n_tok)) AS BIGINT) END AS bucket,
+             n_tok
+      FROM toks
+    )
+    SELECT bucket,
+           CAST(power(2, bucket) AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(min(n_tok) AS BIGINT) AS min_tok,
+           CAST(max(n_tok) AS BIGINT) AS max_tok
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+    "Log2-bucket histogram of per-document whitespace-token counts: "
+    "docs, total tokens, and min/max per power-of-two bucket — the "
+    "length distribution a packing/curriculum design reads first",
+)
+def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, one aggregate over ≤64 buckets. floor(log2(n)) on
+    integer token counts is exact in both engines for n < 2^53 (log2 of
+    an exact power of two is exact in IEEE double; between powers the
+    floor is unambiguous)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = docs.select(F.size(words).alias("n_tok"))
+    bucket = F.when(F.col("n_tok") <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2("n_tok"))
+    ).cast("long")
+    return (
+        toks.select(bucket.alias("bucket"), "n_tok")
+        .groupBy("bucket")
+        .agg(
+            F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("bucket_lo"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("n_tok").cast("long").alias("min_tok"),
+            F.max("n_tok").cast("long").alias("max_tok"),
+        )
+        .select(
+            "bucket", "bucket_lo", "n_docs", "total_tokens", "min_tok", "max_tok"
+        )
+        .orderBy("bucket")
+    )

@@ -252,3 +252,49 @@ class TestPercentilesAndSweep:
         vals = [got[t]["docs_retained"] for t in sorted(got)]
         assert vals == sorted(vals, reverse=True)
         assert got[3_000_000]["retention_micro"] == (1_000_000 * 2) // 3
+
+
+class TestWave4:
+    def test_cross_source_prefix_dups(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            cross_source_dup_matrix,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta ending varies here"
+        rows = [
+            (1, shared, "en", "srcA", 1),
+            (2, shared + " differently", "en", "srcB", 1),  # same 6-word prefix
+            (3, shared + " again and again", "en", "srcC", 1),
+            (4, "totally different opening words right here", "en", "srcB", 1),
+            (5, shared, "en", "srcA", 1),  # same-source dup: excluded
+        ]
+        sf = _write_docs(spark, tmp_path, rows)
+        got = {
+            (r["source_lo"], r["source_hi"]): r["n_dup_pairs"]
+            for r in cross_source_dup_matrix(spark, sf).collect()
+        }
+        # cross-source prefix pairs among docs 1,2,3,5: (1,2),(1,3),(2,3),(2,5),(3,5)
+        assert got == {
+            ("srcA", "srcB"): 2,
+            ("srcA", "srcC"): 2,
+            ("srcB", "srcC"): 1,
+        }
+
+    def test_token_histogram_buckets(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            token_count_histogram,
+        )
+
+        rows = [
+            (1, "w", "en", "s", 1),            # 1 token → bucket 0
+            (2, "a b c", "en", "s", 1),        # 3 → bucket 1
+            (3, "a b c d", "en", "s", 1),      # 4 → bucket 2
+            (4, ("w " * 9).strip(), "en", "s", 1),   # 9 → bucket 3
+        ]
+        sf = _write_docs(spark, tmp_path, rows)
+        got = {r["bucket"]: r.asDict() for r in token_count_histogram(spark, sf).collect()}
+        assert set(got) == {0, 1, 2, 3}
+        assert got[0]["bucket_lo"] == 1 and got[0]["n_docs"] == 1
+        assert got[1]["min_tok"] == 3 and got[1]["max_tok"] == 3
+        assert got[2]["bucket_lo"] == 4
+        assert got[3]["total_tokens"] == 9
