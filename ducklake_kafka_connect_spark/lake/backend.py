@@ -25,10 +25,13 @@ Two answers, one interface:
   ``LATEST`` pointer degrades to a last-writer-wins HINT — readers
   derive the current version from a LIST of the manifest prefix, never
   from the hint. Multi-step read-modify-write sections that are not
-  single-object CAS (tag edits, vacuum) additionally take a lease lock
-  built from the same create-if-absent primitive (the public
-  S3-conditional-put mutex pattern): a ``LOCK.lease`` object carrying
-  holder + expiry, stolen only after expiry.
+  single-object CAS (vacuum; historically tag edits, now a lock-free
+  refs CAS chain) additionally take a lease lock built from the same
+  create-if-absent primitive (the public S3-conditional-put mutex
+  pattern): generation-numbered ``LOCK.lease.g{N}`` objects carrying
+  holder + expiry — steal = CAS-create of the next generation after
+  expiry (fenced: one conditional PUT decides), release = delete of
+  one's own generation only, renewal heartbeats for long sections.
 
   The local implementation here is an EMULATION rooted at a directory —
   every method documents the object-store call it stands in for, and
@@ -239,13 +242,41 @@ class PosixBackend(_LocalFilesMixin):
 
 
 class CasLeaseLock:
-    """Mutex from create-if-absent alone (no flock, no rename): acquire =
-    conditional PUT of ``LOCK.lease`` carrying holder + expiry; contenders
-    poll; an EXPIRED lease is stolen by delete-then-CAS (two stealers can
-    both delete — deletes are idempotent — but only one wins the create).
-    Release deletes the lease only if still the holder. Expiry bounds the
-    damage of a crashed holder, exactly like the reference's PG lock
-    timeout; a real S3 impl would add If-Match on the delete."""
+    """Fenced mutex from create-if-absent alone (no flock, no rename).
+
+    Leases are GENERATION-NUMBERED objects ``{path}.g{N}`` created with
+    conditional PUT; the authoritative lease is the HIGHEST generation,
+    and a generation object is never overwritten by anyone but its own
+    creator (renewal). The protocol:
+
+    - **acquire**: LIST the lease prefix. No lease → CAS-create ``g1``.
+      Highest gen unexpired → poll. Highest gen EXPIRED → steal by
+      CAS-creating ``g{N+1}`` — never delete-then-create, so two
+      stealers that both observed the expired ``g{N}`` race on ONE
+      conditional PUT and exactly one wins (If-Match semantics built
+      from the only primitive the store guarantees). The winner then
+      garbage-collects gens ≤ N, which are expired-forever by the
+      invariant below.
+    - **release**: delete exactly your OWN generation object — a
+      releaser can never remove a thief's newer lease (the old
+      read-check-delete window is gone; there is nothing to check).
+    - **renew** (:meth:`renew`): the holder overwrites its own gen
+      object with a fresh expiry, then verifies it is still the highest
+      gen — if a thief CAS'd a higher gen in the meantime the lock was
+      lost and :class:`LeaseConflict` is raised. Long critical sections
+      call :meth:`renew`/:meth:`assert_held` at checkpoints (and before
+      their destructive step), closing the 60 s-TTL asymmetry vs flock.
+
+    Invariant making GC/steal safe: a new generation is only ever
+    created when the previous highest was EXPIRED (or absent), and
+    expiry timestamps in superseded objects are never extended (renewal
+    rewrites only the CURRENT highest gen, and detects supersession), so
+    every gen below the highest is expired forever.
+
+    Expiry bounds the damage of a crashed holder, exactly like the
+    reference's PG lock timeout. A legacy un-numbered ``{path}`` object
+    (pre-fencing layout) is treated as generation 0.
+    """
 
     def __init__(self, backend: StorageBackend, path: str, timeout: float = 60.0, ttl: float = 60.0):
         self.backend = backend
@@ -253,42 +284,128 @@ class CasLeaseLock:
         self.timeout = timeout
         self.ttl = ttl
         self.holder = uuid.uuid4().hex
+        self.gen: int | None = None
         self._held = False
+        #: test hook: called as f(lock, target_gen) between observing an
+        #: expired lease and attempting the steal CAS — lets a test force
+        #: the two-stealer interleave deterministically.
+        self.test_hook_pre_steal = None
+
+    def _gen_path(self, gen: int) -> str:
+        return self.path if gen == 0 else f"{self.path}.g{gen:08d}"
+
+    def _scan(self) -> "tuple[int | None, dict | None]":
+        """(highest generation, its decoded payload). ``(None, None)`` if
+        no lease object exists; payload ``None`` if the object vanished
+        between LIST and GET (caller re-scans)."""
+        d = os.path.dirname(self.path)
+        base = os.path.basename(self.path)
+        gens = []
+        for n in self.backend.list_names(d):
+            if n == base:
+                gens.append(0)
+            elif n.startswith(base + ".g") and n[len(base) + 2:].isdigit():
+                gens.append(int(n[len(base) + 2:]))
+        if not gens:
+            return None, None
+        top = max(gens)
+        raw = self.backend.try_read_bytes(self._gen_path(top))
+        if raw is None:
+            return top, None
+        try:
+            return top, json.loads(raw)
+        except (ValueError, TypeError):
+            return top, {}
+
+    def _payload(self) -> str:
+        return json.dumps({"holder": self.holder, "expires": time.time() + self.ttl})
+
+    def _gc_below(self, gen: int) -> None:
+        """Delete superseded generations (< ``gen``): all expired forever
+        by the protocol invariant, so removal cannot change who holds."""
+        d = os.path.dirname(self.path)
+        base = os.path.basename(self.path)
+        for n in self.backend.list_names(d):
+            if n == base and gen > 0:
+                self.backend.delete(self.path)
+            elif n.startswith(base + ".g") and n[len(base) + 2:].isdigit():
+                if int(n[len(base) + 2:]) < gen:
+                    self.backend.delete(os.path.join(d, n))
 
     def __enter__(self):
         from .table import CommitConflict
 
         deadline = time.monotonic() + self.timeout
-        payload_of = lambda: json.dumps(
-            {"holder": self.holder, "expires": time.time() + self.ttl}
-        )
         while True:
-            if self.backend.put_if_absent(self.path, payload_of()):
-                self._held = True
-                return self
-            cur = self.backend.try_read_bytes(self.path)
-            if cur is not None:
+            top, payload = self._scan()
+            if top is None:
+                target = 1
+            elif payload is None:
+                # vanished between LIST and GET (release/GC race) — re-scan
+                if time.monotonic() > deadline:
+                    raise CommitConflict(f"Timed out acquiring lease lock {self.path}")
+                continue
+            else:
                 try:
-                    expires = float(json.loads(cur).get("expires", 0))
+                    expires = float(payload.get("expires", 0))
                 except (ValueError, TypeError):
                     expires = 0.0
-                if time.time() > expires:
-                    self.backend.delete(self.path)  # steal; CAS re-races
+                if time.time() <= expires:
+                    if time.monotonic() > deadline:
+                        raise CommitConflict(f"Timed out acquiring lease lock {self.path}")
+                    time.sleep(0.05)
                     continue
-            if time.monotonic() > deadline:
-                raise CommitConflict(f"Timed out acquiring lease lock {self.path}")
-            time.sleep(0.05)
+                target = top + 1
+                if self.test_hook_pre_steal is not None:
+                    self.test_hook_pre_steal(self, target)
+            if self.backend.put_if_absent(self._gen_path(target), self._payload()):
+                self.gen = target
+                self._held = True
+                self._gc_below(target)
+                return self
+            # lost the steal/create CAS — someone else holds; loop
+
+    def _top_gen(self) -> "int | None":
+        top, _ = self._scan()
+        return top
+
+    def assert_held(self) -> None:
+        """Raise :class:`LeaseConflict` if this lock is no longer the
+        authoritative lease (stolen after expiry, or released). Call
+        before the destructive step of a long critical section."""
+        if not self._held or self.gen is None:
+            raise LeaseConflict(f"lease {self.path} is not held")
+        raw = self.backend.try_read_bytes(self._gen_path(self.gen))
+        owned = False
+        if raw is not None:
+            try:
+                owned = json.loads(raw).get("holder") == self.holder
+            except (ValueError, TypeError):
+                owned = False
+        if not owned or self._top_gen() != self.gen:
+            self._held = False
+            raise LeaseConflict(
+                f"lease {self.path} g{self.gen} lost (stolen after expiry?)"
+            )
+
+    def renew(self) -> None:
+        """Extend the holder's expiry (heartbeat for critical sections
+        longer than the TTL). Overwrites only this holder's OWN gen
+        object, then re-verifies it is still the highest generation —
+        raising :class:`LeaseConflict` if a thief superseded it (the
+        overwrite can never demote the thief: its gen is higher)."""
+        self.assert_held()
+        self.backend.put(self._gen_path(self.gen), self._payload())
+        if self._top_gen() != self.gen:
+            self._held = False
+            raise LeaseConflict(f"lease {self.path} g{self.gen} superseded during renew")
 
     def __exit__(self, *exc):
-        if self._held:
-            cur = self.backend.try_read_bytes(self.path)
-            try:
-                mine = cur is not None and json.loads(cur).get("holder") == self.holder
-            except (ValueError, TypeError):
-                mine = False
-            if mine:
-                self.backend.delete(self.path)
+        if self._held and self.gen is not None:
+            # delete exactly OUR generation object — never a thief's
+            self.backend.delete(self._gen_path(self.gen))
             self._held = False
+            self.gen = None
 
 
 class CasObjectStoreBackend(_LocalFilesMixin):

@@ -203,64 +203,92 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
     for retained versions only."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
-    with REGISTRY.timer("vacuumTable"), table.lock():
-        latest = table.current_version()
-        retained: list[int] = []
-        v = latest
-        while v >= 0 and len(retained) < keep_versions:
-            if table.has_version(v):
-                retained.append(v)
-            v -= 1
-        # tagged snapshots are retention roots: their files and manifest
-        # chains survive regardless of the keep_versions window
-        retained += [
-            tv for tv in set(table.tags().values())
-            if tv not in retained and table.has_version(tv)
-        ]
-        referenced = {
-            os.path.normpath(p)
-            for rv in retained
-            for p in table.manifest(rv).all_files()
-        }
-        # chain compaction: materialize the oldest retained version as a
-        # full base (resolved BEFORE any segment is deleted), so no
-        # retained version's resolution chain reaches past the window —
-        # then every older manifest file is droppable
-        oldest = min(retained)
-        if table._read_full_segment(oldest) is None:
-            m_oldest = table.manifest(oldest)
-            if table.manifest_format == "binary":
-                from .table import encode_segment_binary
+    import json as _json
+    import time as _time
 
-                table.fs.put(
-                    os.path.join(table.meta_dir, f"v{oldest}.avro"),
-                    encode_segment_binary(m_oldest.to_dict()),
-                )
-            else:
-                table.fs.put(
-                    os.path.join(table.meta_dir, f"v{oldest}.json"),
-                    m_oldest.to_json(),
-                )
-        keep_meta = {fn for rv in retained for fn in table.chain_filenames(rv)}
-        deleted = 0
-        for rel_in_data in table.fs.walk_files(table.data_dir):
-            if not rel_in_data.endswith(".parquet"):
-                continue
-            rel = os.path.normpath(os.path.join("data", rel_in_data))
-            if rel not in referenced:
-                abs_p = os.path.join(table.data_dir, rel_in_data)
-                table.fs.delete(abs_p)
-                # bloom sidecar dies with its data file
-                table.fs.delete(abs_p + ".bloom", missing_ok=True)
-                deleted += 1
-        # prune empty partition dirs bottom-up (no-op on object stores)
-        table.fs.remove_empty_dirs(table.data_dir)
-        # drop manifest files outside every retained version's chain
-        for fn in table.fs.list_names(table.meta_dir):
-            is_manifest = fn.startswith("v") and fn.endswith((".json", ".avro"))
-            if is_manifest and fn not in keep_meta:
-                table.fs.delete(os.path.join(table.meta_dir, fn))
-        return deleted
+    with REGISTRY.timer("vacuumTable"), table.lock() as lk:
+        # publish the vacuum INTENT before the retention read: a
+        # concurrent clone(pin=True) either lands its tag before the
+        # tags() read below (files kept) or observes this marker and
+        # defers its existence validation until the deletes finish
+        # (table.py vacuum-intent handshake). Cleared in finally.
+        table.fs.put(
+            table._vacuum_intent_path,
+            _json.dumps({"expires": _time.time() + table.VACUUM_INTENT_TTL}),
+        )
+        try:
+            return _vacuum_locked(table, keep_versions, lk)
+        finally:
+            table.fs.delete(table._vacuum_intent_path)
+
+
+def _vacuum_locked(table: LakeTable, keep_versions: int, lk) -> int:
+    latest = table.current_version()
+    retained: list[int] = []
+    v = latest
+    while v >= 0 and len(retained) < keep_versions:
+        if table.has_version(v):
+            retained.append(v)
+        v -= 1
+    # tagged snapshots are retention roots: their files and manifest
+    # chains survive regardless of the keep_versions window
+    retained += [
+        tv for tv in set(table.tags().values())
+        if tv not in retained and table.has_version(tv)
+    ]
+    referenced = {
+        os.path.normpath(p)
+        for rv in retained
+        for p in table.manifest(rv).all_files()
+    }
+    # chain compaction: materialize the oldest retained version as a
+    # full base (resolved BEFORE any segment is deleted), so no
+    # retained version's resolution chain reaches past the window —
+    # then every older manifest file is droppable
+    oldest = min(retained)
+    if table._read_full_segment(oldest) is None:
+        m_oldest = table.manifest(oldest)
+        if table.manifest_format == "binary":
+            from .table import encode_segment_binary
+
+            table.fs.put(
+                os.path.join(table.meta_dir, f"v{oldest}.avro"),
+                encode_segment_binary(m_oldest.to_dict()),
+            )
+        else:
+            table.fs.put(
+                os.path.join(table.meta_dir, f"v{oldest}.json"),
+                m_oldest.to_json(),
+            )
+    keep_meta = {fn for rv in retained for fn in table.chain_filenames(rv)}
+    # verify lock ownership right before the destructive phase (on the
+    # cas backend the lease could have been stolen after its TTL; flock
+    # is structural) — and heartbeat it through a long delete loop so a
+    # 100 TB vacuum never silently outlives its lease
+    lk.assert_held()
+    deleted = 0
+    n_seen = 0
+    for rel_in_data in table.fs.walk_files(table.data_dir):
+        if not rel_in_data.endswith(".parquet"):
+            continue
+        rel = os.path.normpath(os.path.join("data", rel_in_data))
+        if rel not in referenced:
+            abs_p = os.path.join(table.data_dir, rel_in_data)
+            table.fs.delete(abs_p)
+            # bloom sidecar dies with its data file
+            table.fs.delete(abs_p + ".bloom", missing_ok=True)
+            deleted += 1
+            n_seen += 1
+            if n_seen % 200 == 0:
+                lk.renew()
+    # prune empty partition dirs bottom-up (no-op on object stores)
+    table.fs.remove_empty_dirs(table.data_dir)
+    # drop manifest files outside every retained version's chain
+    for fn in table.fs.list_names(table.meta_dir):
+        is_manifest = fn.startswith("v") and fn.endswith((".json", ".avro"))
+        if is_manifest and fn not in keep_meta:
+            table.fs.delete(os.path.join(table.meta_dir, fn))
+    return deleted
 
 
 def dedup_rewrite(

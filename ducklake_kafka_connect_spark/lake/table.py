@@ -369,6 +369,17 @@ class TableLock:
             os.close(self._fd)
             self._fd = None
 
+    # flock is kernel-held for the life of the fd: renewal is moot and
+    # holding is structural. Kept so long critical sections can call the
+    # same heartbeat surface on either backend's lock.
+    def renew(self) -> None:
+        if self._fd is None:
+            raise CommitConflict(f"table lock {self.path} is not held")
+
+    def assert_held(self) -> None:
+        if self._fd is None:
+            raise CommitConflict(f"table lock {self.path} is not held")
+
 
 class LakeTable:
     def __init__(
@@ -492,40 +503,108 @@ class LakeTable:
         )
 
     # ---------- named snapshot refs (tags) ----------
+    #
+    # Refs are versioned exactly like manifests: a CAS chain of
+    # ``refs.g{N}.json`` objects published with create-if-absent, tip
+    # derived by LIST. Tag edits are therefore LOCK-FREE single-object
+    # transactions with replan on conflict (the same protocol as table
+    # commits), on BOTH backends — the lease now guards only vacuum's
+    # multi-step read-decide-delete, shrinking any lock bug's blast
+    # radius to that one maintenance path. A legacy un-numbered
+    # ``refs.json`` (pre-chain layout) reads as generation 0 and is
+    # superseded by the first chain commit.
+
+    #: superseded refs generations kept for racing readers (a reader
+    #: that LISTed an older tip can still GET it; staler gens re-LIST)
+    REFS_GC_TAIL = 8
 
     @property
     def _refs_path(self) -> str:
         return os.path.join(self.meta_dir, "refs.json")
 
+    def _refs_gen_path(self, gen: int) -> str:
+        return os.path.join(self.meta_dir, f"refs.g{gen:08d}.json")
+
+    def _refs_gens(self) -> list[int]:
+        return sorted(
+            int(n[6:-5])
+            for n in self.fs.list_names(self.meta_dir)
+            if n.startswith("refs.g") and n.endswith(".json") and n[6:-5].isdigit()
+        )
+
+    def _refs_tip(self) -> "tuple[int, dict[str, int]]":
+        """(generation, tags) at the refs-chain tip. Generation 0 covers
+        both the legacy single-object layout and the empty state."""
+        while True:
+            gens = self._refs_gens()
+            if not gens:
+                b = self.fs.try_read_bytes(self._refs_path)
+                if b is None:
+                    return 0, {}
+                return 0, {
+                    k: int(v) for k, v in json.loads(b).get("tags", {}).items()
+                }
+            top = gens[-1]
+            raw = self.fs.try_read_bytes(self._refs_gen_path(top))
+            if raw is None:
+                continue  # tip vanished between LIST and GET (GC race) — re-derive
+            return top, {
+                k: int(v) for k, v in json.loads(raw).get("tags", {}).items()
+            }
+
     def tags(self) -> dict[str, int]:
         """Named snapshot refs: tag name → committed version."""
-        b = self.fs.try_read_bytes(self._refs_path)
-        if b is None:
-            return {}
-        return {k: int(v) for k, v in json.loads(b).get("tags", {}).items()}
+        return self._refs_tip()[1]
+
+    def _refs_commit(self, mutate) -> dict[str, int]:
+        """Lock-free refs RMW: read the tip (gen N), apply
+        ``mutate(tags)``, CAS-create ``refs.g{N+1}.json``; a lost CAS
+        re-reads and replays the mutation against the advanced chain —
+        no concurrent edit is ever overwritten (linear chain by
+        construction). A no-op mutation commits nothing."""
+        for _ in range(200):
+            gen, tags = self._refs_tip()
+            new_tags = mutate(dict(tags))
+            if new_tags == tags:
+                return new_tags
+            payload = json.dumps({"tags": new_tags}, indent=1)
+            if self.fs.put_if_absent(self._refs_gen_path(gen + 1), payload):
+                for g in self._refs_gens():
+                    if g <= gen + 1 - self.REFS_GC_TAIL:
+                        self.fs.delete(self._refs_gen_path(g))
+                if gen == 0:
+                    self.fs.delete(self._refs_path)  # legacy object superseded
+                return new_tags
+            time.sleep(0.01)
+        raise CommitConflict(
+            f"refs chain on {self.name}: lost the CAS 200 times (livelock?)"
+        )
 
     def tag(self, name: str, version: int | None = None) -> int:
         """Pin a name to a committed version (Iceberg tag / Delta named
         snapshot). Tagged versions are retention roots: vacuum keeps
         their files and manifest chains regardless of keep_versions.
-        Returns the pinned version. The refs read-modify-write runs
-        under the commit lock (flock on posix, CAS lease on cas)."""
+        Returns the pinned version. Lock-free: the edit is a CAS commit
+        on the refs chain with replan on conflict."""
         if not name or "/" in name or name.startswith("."):
             raise ValueError(f"Invalid tag name: {name!r}")
-        with self.lock():
-            v = self.current_version() if version is None else int(version)
-            if not self.has_version(v):
-                raise ValueError(f"Version {v} of {self.name} does not exist")
-            refs = {"tags": self.tags()}
-            refs["tags"][name] = v
-            self.fs.put(self._refs_path, json.dumps(refs, indent=1))
-            return v
+        v = self.current_version() if version is None else int(version)
+        if not self.has_version(v):
+            raise ValueError(f"Version {v} of {self.name} does not exist")
+
+        def mut(tags):
+            tags[name] = v
+            return tags
+
+        self._refs_commit(mut)
+        return v
 
     def delete_tag(self, name: str) -> None:
-        with self.lock():
-            tags = self.tags()
+        def mut(tags):
             tags.pop(name, None)
-            self.fs.put(self._refs_path, json.dumps({"tags": tags}, indent=1))
+            return tags
+
+        self._refs_commit(mut)
 
     def resolve_tag(self, name: str) -> int:
         tags = self.tags()
@@ -562,6 +641,47 @@ class LakeTable:
         backend, a CAS lease on the object-store backend (the analogue of
         the reference's per-table lock, ``DucklakeTableManager.java:51-52``)."""
         return self.fs.commit_lock(self.meta_dir)
+
+    # ---------- vacuum intent (clone-vs-vacuum handshake) ----------
+    #
+    # Vacuum decides deletions from a read of tips + tags, THEN deletes —
+    # a shallow clone pinning a tag between that read and the deletes
+    # would reference files vacuum is about to remove. The handshake:
+    # vacuum publishes an INTENT marker before its retention read and
+    # clears it after the deletes; ``clone(pin=True)`` writes its pin tag
+    # first, then waits for any active intent to clear before validating
+    # file existence. Either the pin precedes vacuum's read (files kept)
+    # or the clone observes the intent and validates only after the
+    # deletes finish — no interleave leaves a pinned clone referencing
+    # vacuumed files. Expiry bounds a crashed vacuum's marker.
+
+    VACUUM_INTENT_TTL = 300.0
+
+    @property
+    def _vacuum_intent_path(self) -> str:
+        return os.path.join(self.meta_dir, "VACUUM.intent")
+
+    def _vacuum_intent_active(self) -> bool:
+        raw = self.fs.try_read_bytes(self._vacuum_intent_path)
+        if raw is None:
+            return False
+        try:
+            expires = float(json.loads(raw).get("expires", 0))
+        except (ValueError, TypeError):
+            expires = 0.0
+        return time.time() <= expires
+
+    def await_no_vacuum(self, timeout: float = 120.0) -> None:
+        """Block until no unexpired vacuum-intent marker exists on this
+        table (a crashed vacuum's marker lapses via its TTL)."""
+        deadline = time.monotonic() + timeout
+        while self._vacuum_intent_active():
+            if time.monotonic() > deadline:
+                raise CommitConflict(
+                    f"vacuum in progress on {self.name} did not finish "
+                    f"within {timeout}s"
+                )
+            time.sleep(0.05)
 
     def _commit(self, manifest: Manifest, parent_manifest: Manifest | None = None) -> None:
         """Commit a new version. The version segment is published with
@@ -729,6 +849,74 @@ class LakeTable:
         )
         if dest.exists():
             raise ValueError(f"clone destination {dest.dir} already exists")
+        # pin FIRST: the retention tag must be a vacuum root BEFORE the
+        # file-existence validation below, else a concurrent source
+        # vacuum can delete validated files in the window between the
+        # check and the tag (TOCTOU). The tag is rolled back if anything
+        # later fails, so no stray pin survives a failed clone. After
+        # pinning, wait out any in-flight vacuum whose retention read may
+        # predate the pin (the VACUUM.intent handshake) — then the
+        # validation is decisive: either every file survived or the
+        # clone fails cleanly and unpins.
+        pinned = False
+        if pin and not deep:
+            self.tag(f"clone-{dest_name}", src.version)
+            pinned = True
+            self.await_no_vacuum()
+        try:
+            files, stats = self._clone_collect_files(src, dest, deep)
+        except BaseException:
+            if pinned:
+                try:
+                    self.delete_tag(f"clone-{dest_name}")
+                except Exception:
+                    pass
+            raise
+        m = Manifest(
+            version=0,
+            schema=src.schema,
+            pk=src.pk,
+            partition_spec=src.partition_spec,
+            files=files,
+            parent=None,
+            props={
+                "last_op": f"CLONE({'deep' if deep else 'shallow'})",
+                "clone_source": os.path.abspath(self.dir),
+                "clone_source_version": src.version,
+                # renamed columns keep their physical-in-file names in
+                # the cloned files too — the mapping must travel
+                **(
+                    {"column_renames": src.column_renames}
+                    if src.column_renames
+                    else {}
+                ),
+            },
+            file_stats=stats,
+        )
+        dest._commit(m)
+        if not deep and not pinned:
+            # un-pinned shallow clones share Delta's documented hazard
+            # (a source vacuum can orphan them); narrow the window with
+            # a post-commit re-validation and roll the clone back rather
+            # than leave dangling manifest references
+            gone = [
+                f
+                for fl in files.values()
+                for f in fl
+                if not self.fs.exists(os.path.join(self.dir, f))
+            ]
+            if gone:
+                dest.fs.delete_tree(dest.dir)
+                raise ValueError(
+                    f"cannot clone {self.name}@v{src.version}: "
+                    f"{len(gone)} data file(s) vacuumed during the clone "
+                    f"(e.g. {gone[0]}); use pin=True or deep=True"
+                )
+        return dest
+
+    def _clone_collect_files(
+        self, src: "Manifest", dest: "LakeTable", deep: bool
+    ) -> "tuple[dict[str, list[str]], dict[str, dict]]":
         files: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
         seen_keys: set[str] = set()
@@ -770,33 +958,7 @@ class LakeTable:
                 if f in src.file_stats:
                     stats[key] = src.file_stats[f]
             files[pdir] = out
-        # pin AFTER the validations above — a failed clone must not leave
-        # a stray retention tag pinning source files against vacuum
-        if pin and not deep:
-            self.tag(f"clone-{dest_name}", src.version)
-        m = Manifest(
-            version=0,
-            schema=src.schema,
-            pk=src.pk,
-            partition_spec=src.partition_spec,
-            files=files,
-            parent=None,
-            props={
-                "last_op": f"CLONE({'deep' if deep else 'shallow'})",
-                "clone_source": os.path.abspath(self.dir),
-                "clone_source_version": src.version,
-                # renamed columns keep their physical-in-file names in
-                # the cloned files too — the mapping must travel
-                **(
-                    {"column_renames": src.column_renames}
-                    if src.column_renames
-                    else {}
-                ),
-            },
-            file_stats=stats,
-        )
-        dest._commit(m)
-        return dest
+        return files, stats
 
     def add_files(
         self,

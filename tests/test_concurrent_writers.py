@@ -9,6 +9,7 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
 from pyspark.sql import functions as F
 
 from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
@@ -263,4 +264,64 @@ def test_two_process_cas_backend_no_flock(spark, tmp_path):
     expected |= {i: f"b{i}" for i in range(2000, 2600)}
     _assert_linear_chain_and_rows(cat, expected)
     t = cat.table("t")
-    assert not os.path.exists(os.path.join(t.meta_dir, "LOCK.lease"))
+    assert not any(
+        n.startswith("LOCK.lease") for n in t.fs.list_names(t.meta_dir)
+    ), "no lease generation objects may survive a clean run"
+
+
+TAG_WORKER = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    from ducklake_kafka_connect_spark.lake.table import LakeTable
+
+    root, name, prefix, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+    # refs edits are pure-metadata CAS commits: no SparkSession needed
+    t = LakeTable(None, root, name)
+    for i in range(n):
+        t.tag(prefix + str(i), 0)
+        if i % 3 == 2:
+            t.delete_tag(prefix + str(i))
+    print("WORKER_DONE")
+    """
+)
+
+
+@pytest.mark.parametrize("backend", ["posix", "cas"])
+def test_two_process_tag_edit_stress(spark, tmp_path, backend):
+    """Lock-free refs CAS chain under cross-process contention, on both
+    backends: two OS processes hammering tag/delete_tag on one table
+    lose NO edit — a lost CAS replays the mutation against the advanced
+    chain instead of overwriting it (the pre-r11 lock-guarded
+    read-PUT was only as safe as the lock; the chain is safe by
+    construction), and the chain stays linear: tip generation == total
+    mutating edits."""
+    lake_dir = str(tmp_path / f"lake_tags_{backend}")
+    cat = LakeCatalog(spark, lake_dir, backend=backend)
+    w = LakeWriter(cat.table("t"), pk=["id"])
+    w.write(spark.range(10).select(F.col("id"), F.lit("x").alias("v")))
+    n = 40
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", TAG_WORKER.format(repo=REPO),
+             lake_dir, "t", p, str(n)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=dict(os.environ, DUCKLAKE_STORAGE_BACKEND=backend),
+        )
+        for p in ("a", "b")
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all("WORKER_DONE" in o for o in outs), outs
+    t = cat.table("t")
+    expected = {
+        f"{p}{i}": 0 for p in ("a", "b") for i in range(n) if i % 3 != 2
+    }
+    assert t.tags() == expected
+    # linear chain, no lost updates: every mutating edit advanced the tip
+    edits = 2 * (n + n // 3)
+    gen, _ = t._refs_tip()
+    assert gen == edits
+    # superseded generations are GC'd down to the reader tail
+    assert len(t._refs_gens()) <= t.REFS_GC_TAIL
