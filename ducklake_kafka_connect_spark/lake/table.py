@@ -2279,6 +2279,12 @@ class LakeCatalog:
         - ``DELETE FROM t WHERE p`` — file-pruned predicate delete.
         - ``UPDATE t SET a = expr[, ...] WHERE p`` — file-pruned
           predicate update.
+        - ``MERGE INTO t USING (<select>)|name ON <pk conds> WHEN
+          MATCHED [AND c] THEN UPDATE SET *|assignments [WHEN MATCHED
+          [AND c] THEN DELETE] [WHEN NOT MATCHED [AND c] THEN INSERT
+          *|(cols) VALUES (exprs)]`` — the reference's flagship
+          statement (``ingestor/DucklakeWriter.java:151-168``),
+          compiled onto the writer merge (``lake/sql_merge.py``).
 
         ``LakeCatalog.sql`` routes these automatically. Returns a
         one-row status DataFrame."""
@@ -2288,6 +2294,13 @@ class LakeCatalog:
         from .writer import LakeWriter as _W
 
         stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
+        if _re.match(r"MERGE\s+INTO\b", stmt, _re.IGNORECASE):
+            from .sql_merge import merge_into
+
+            name = merge_into(self, stmt)
+            return self._ddl_result(
+                "MERGE", name, f"v{self.table(name).current_version()}"
+            )
         m = _re.match(
             rf"INSERT\s+INTO\s+({_IDENT})\s+(SELECT\b.*)$",
             stmt,
@@ -2397,7 +2410,7 @@ class LakeCatalog:
         ):
             return self.ddl(query)
         if _re.match(
-            r"\s*(INSERT\s+INTO|DELETE\s+FROM|UPDATE)\b", query, _re.IGNORECASE
+            r"\s*(INSERT\s+INTO|DELETE\s+FROM|UPDATE|MERGE\s+INTO)\b", query, _re.IGNORECASE
         ):
             return self.dml(query)
         pinned = set(versions or {})

@@ -1660,9 +1660,15 @@ class LakeWriter:
                     # thread pool instead of one serial write_table.
                     n_rows = write_tbl.num_rows
                     if n_rows > 2 * MERGE_TARGET_FILE_ROWS:
+                        # write_tbl carries PHYSICAL names — translate
+                        # the logical pk through the rename map or a
+                        # renamed-pk table would fail the sort and
+                        # silently bounce the merge to the Spark path
                         order = pc.sort_indices(
                             write_tbl,
-                            sort_keys=[(k, "ascending") for k in self.pk],
+                            sort_keys=[
+                                (ren.get(k, k), "ascending") for k in self.pk
+                            ],
                         )
                         write_tbl = write_tbl.take(order)
                         out_tbl = (

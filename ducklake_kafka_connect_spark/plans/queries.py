@@ -371,6 +371,49 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_merge_upsert",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 10 >= 5 THEN 'updated' ELSE event_type END AS event_type,
+           CASE WHEN event_id % 10 >= 5 THEN value + 1000.0 ELSE value END  AS value
+    FROM events
+    """,
+    "SQL MERGE INTO statement (lake/sql_merge.py): the reference's flagship "
+    "statement shape (ingestor/DucklakeWriter.java:151-168) through the "
+    "catalog SQL surface — partial SET exercises the general joined-"
+    "projection path (unlisted columns keep target values), INSERT the "
+    "name-mapped insert. Same oracle as merge_upsert_events: the two paths "
+    "must agree.",
+)
+def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    batch = ev.filter(F.col("event_id") % 10 >= 5)
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    LakeWriter(cat.table("events_sm"), pk=["event_id"]).write(base)
+    view = f"sql_merge_batch_{uuid.uuid4().hex[:8]}"
+    batch.createOrReplaceTempView(view)
+    # user_id is deliberately absent from SET: matched rows must keep the
+    # target value (it equals the source's — the oracle can't tell — but
+    # the PLAN is the general pre-join form, not the fast path)
+    cat.sql(
+        f"MERGE INTO events_sm AS t USING (SELECT * FROM {view}) AS s "
+        f"ON t.event_id = s.event_id "
+        f"WHEN MATCHED THEN UPDATE SET event_type = 'updated', "
+        f"value = s.value + 1000.0 "
+        f"WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value) "
+        f"VALUES (s.event_id, s.user_id, 'updated', s.value + 1000.0)"
+    )
+    spark.catalog.dropTempView(view)
+    return (
+        cat.table("events_sm")
+        .read()
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
     "asof_latest_purchase",
     """
     WITH clicks AS (

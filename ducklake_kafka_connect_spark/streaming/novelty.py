@@ -249,12 +249,18 @@ class StreamingNoveltyDedup:
             flagged, F.col("doc_id") == F.col("bid"), "left_anti"
         )
         novel_rows.persist()
-        # ONE job runs the full probe. Doc count without a distinct
-        # exchange: every long doc emits exactly one band-0 row
-        # (posexplode) and every short doc exactly one band=BANDS row
-        n_novel = novel_rows.filter(
-            (F.col("band") == 0) | (F.col("band") == BANDS)
-        ).count()
+        # ONE job runs the full probe. Every long doc emits exactly one
+        # band-0 row (posexplode) and every short doc exactly one
+        # band=BANDS row; countDistinct on top makes the accounting
+        # robust to batches carrying duplicate doc_id rows (equal ids
+        # are never flagged intra-batch since the aid<bid pairing
+        # excludes equality) — the distinct aggregate runs over at most
+        # one row per batch doc, so the exchange is tiny
+        n_novel = (
+            novel_rows.filter((F.col("band") == 0) | (F.col("band") == BANDS))
+            .agg(F.countDistinct("doc_id").alias("n"))
+            .first()["n"]
+        )
         if n_novel:
             self.writer.append(novel_rows, txn=txn)
         rows.unpersist()

@@ -80,6 +80,40 @@ def test_arrow_merge_range_splits_large_output(spark, lake, monkeypatch):
     assert got[150] == "b" and got[50] == "a" and got[300] == "a"
 
 
+def test_arrow_merge_range_split_on_renamed_table(spark, lake, monkeypatch):
+    """Range-split sort keys are translated through the rename map at
+    the physical write boundary: a table with a renamed (non-pk) column
+    crossing the 2×target threshold must stay on the Arrow merge path
+    and still produce disjoint pk ranges (pk renames are refused at the
+    DDL layer, so the translation is currently an identity for pk —
+    this pins the invariant for both)."""
+    from ducklake_kafka_connect_spark.metrics import REGISTRY
+
+    monkeypatch.setattr(wmod, "MERGE_TARGET_FILE_ROWS", 100)
+    cat = LakeCatalog(spark, lake)
+    t = cat.table("t_rrs")
+    w = LakeWriter(t, pk=["id"])
+    w.write(spark.range(450).select(F.col("id"), F.lit("a").alias("name")))
+    t.rename_column("name", "label")
+    ev = REGISTRY.ops.get("merge.arrowWrite")
+    n0 = ev.count if ev else 0
+    w2 = LakeWriter(cat.table("t_rrs"), pk=["id"])
+    w2.write(
+        spark.range(100, 200).select(F.col("id"), F.lit("b").alias("label"))
+    )
+    ev = REGISTRY.ops.get("merge.arrowWrite")
+    assert ev is not None and ev.count > n0, (
+        "renamed table past the range-split threshold bounced off Arrow"
+    )
+    m = cat.table("t_rrs").manifest()
+    tip_files = [f for f in m.all_files() if m.file_stats.get(f)]
+    ranges = sorted(tuple(m.file_stats[f]["id"][:2]) for f in tip_files)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping pk ranges: {ranges}"
+    got = {r["id"]: r["label"] for r in cat.table("t_rrs").read().collect()}
+    assert len(got) == 450 and got[150] == "b" and got[50] == "a"
+
+
 def test_arrow_merge_used_and_inserted_at_stable(spark, lake):
     cat = LakeCatalog(spark, lake)
     w = LakeWriter(cat.table("t"), pk=["id"])

@@ -165,6 +165,9 @@ class TestDml:
 
     def test_unsupported_dml_raises(self, cat):
         with pytest.raises(ValueError, match="unsupported DML"):
+            cat.dml("UPSERT INTO t VALUES (1)")
+        # MERGE is dispatched now, but a malformed one still fails loudly
+        with pytest.raises(ValueError, match="WHEN clause"):
             cat.dml("MERGE INTO t USING s ON 1=1")
 
 
