@@ -745,3 +745,146 @@ def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Curation-funnel gate order and thresholds. The funnel is the table
+# every data-curation paper reports: docs/tokens surviving each ORDERED
+# gate, per source. Bands are tuned to this corpus' signal so every
+# gate has real attrition (mwl p10-p90 ≈ [4.25M, 4.77M] micro-chars;
+# uniq-ratio median ≈ 0.46).
+FUNNEL_MIN_WORDS = 30
+FUNNEL_MWL_LO = 4_300_000
+FUNNEL_MWL_HI = 4_700_000
+FUNNEL_UNIQ_MIN = 400_000  # distinct-word ratio, micro-units
+
+
+@register(
+    "curation_funnel_attrition",
+    f"""
+    WITH split AS (
+      SELECT source, {WORDS_SQL.format(text="text")} AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT source, len(w) AS n_words,
+             list_contains(w, 'the') AND list_contains(w, 'a') AS has_stop,
+             CASE WHEN len(w) = 0 THEN 0 ELSE
+               CAST((1000000 * list_sum(list_transform(w, x -> length(x))))
+                    // len(w) AS BIGINT) END AS mwl,
+             CASE WHEN len(w) = 0 THEN 0 ELSE
+               CAST((1000000 * len(list_distinct(w))) // len(w) AS BIGINT)
+             END AS uq
+      FROM split
+    ),
+    flags AS (
+      SELECT source, n_words,
+             CASE WHEN n_words >= {FUNNEL_MIN_WORDS} THEN 1 ELSE 0 END AS c1
+      FROM per_doc
+    ),
+    cum AS (
+      SELECT f.source, f.n_words, f.c1,
+             f.c1 * (CASE WHEN p.has_stop THEN 1 ELSE 0 END) AS c2,
+             f.c1 * (CASE WHEN p.has_stop THEN 1 ELSE 0 END)
+                  * (CASE WHEN p.mwl BETWEEN {FUNNEL_MWL_LO} AND {FUNNEL_MWL_HI}
+                          THEN 1 ELSE 0 END) AS c3,
+             f.c1 * (CASE WHEN p.has_stop THEN 1 ELSE 0 END)
+                  * (CASE WHEN p.mwl BETWEEN {FUNNEL_MWL_LO} AND {FUNNEL_MWL_HI}
+                          THEN 1 ELSE 0 END)
+                  * (CASE WHEN p.uq >= {FUNNEL_UNIQ_MIN} THEN 1 ELSE 0 END) AS c4
+      FROM flags f POSITIONAL JOIN per_doc p
+    ),
+    agged AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS d0,
+             CAST(sum(n_words) AS BIGINT) AS t0,
+             CAST(sum(c1) AS BIGINT) AS d1, CAST(sum(c1 * n_words) AS BIGINT) AS t1,
+             CAST(sum(c2) AS BIGINT) AS d2, CAST(sum(c2 * n_words) AS BIGINT) AS t2,
+             CAST(sum(c3) AS BIGINT) AS d3, CAST(sum(c3 * n_words) AS BIGINT) AS t3,
+             CAST(sum(c4) AS BIGINT) AS d4, CAST(sum(c4 * n_words) AS BIGINT) AS t4
+      FROM cum GROUP BY source
+    )
+    SELECT source, gate_idx, gate, docs_in, docs_out, tokens_in, tokens_out
+    FROM (
+      SELECT source, 1 AS gate_idx, 'min_words' AS gate,
+             d0 AS docs_in, d1 AS docs_out, t0 AS tokens_in, t1 AS tokens_out FROM agged
+      UNION ALL
+      SELECT source, 2, 'stopwords', d1, d2, t1, t2 FROM agged
+      UNION ALL
+      SELECT source, 3, 'word_len', d2, d3, t2, t3 FROM agged
+      UNION ALL
+      SELECT source, 4, 'uniq_ratio', d3, d4, t3, t4 FROM agged
+    ) ORDER BY source, gate_idx
+    """,
+    "Curation funnel: the ORDERED gate composition (min-words → "
+    "stopword glue → mean-word-length band → distinct-word ratio) with "
+    "per-gate attrition accounting — docs and tokens entering/surviving "
+    "each gate, per source — computed in ONE scan (cumulative survival "
+    "flags + one hash aggregate; no per-gate re-reads)",
+)
+def curation_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel table every curation paper reports, Spark-first: the
+    per-doc gate flags are codegen expressions over one scan; cumulative
+    survival (c_k = c_{k-1} AND gate_k) makes ordering explicit; ONE
+    map-side-combined aggregate keyed by source produces every stage's
+    doc/token counts; the 4-stage long form is a zero-shuffle ``stack``
+    over the |sources|-row aggregate. 100 TB: linear scan, state =
+    |sources| × 10 longs — no join, no window, no second read.
+
+    Oracle note: the DuckDB twin reuses the identical integer-micro
+    ratio convention (``//``) as the other curation queries so gate
+    boundaries are exact in both engines; the POSITIONAL JOIN is just
+    CTE plumbing (same row order by construction), not a real join."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    agg_len = (
+        "aggregate(split(trim(lower(text)), '\\\\s+'), 0L, (acc, x) -> acc + length(x))"
+    )
+    n_distinct = "size(array_distinct(split(trim(lower(text)), '\\\\s+')))"
+    per_doc = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        (F.array_contains(words, "the") & F.array_contains(words, "a")).alias("has_stop"),
+        F.expr(
+            f"CASE WHEN size(split(trim(lower(text)), '\\\\s+')) = 0 THEN 0L "
+            f"ELSE CAST((1000000 * {agg_len}) "
+            f"DIV size(split(trim(lower(text)), '\\\\s+')) AS BIGINT) END"
+        ).alias("mwl"),
+        F.expr(
+            f"CASE WHEN size(split(trim(lower(text)), '\\\\s+')) = 0 THEN 0L "
+            f"ELSE CAST((1000000 * {n_distinct}) "
+            f"DIV size(split(trim(lower(text)), '\\\\s+')) AS BIGINT) END"
+        ).alias("uq"),
+    )
+    c1 = F.when(F.col("n_words") >= FUNNEL_MIN_WORDS, 1).otherwise(0)
+    f2 = F.when(F.col("has_stop"), 1).otherwise(0)
+    f3 = F.when(F.col("mwl").between(FUNNEL_MWL_LO, FUNNEL_MWL_HI), 1).otherwise(0)
+    f4 = F.when(F.col("uq") >= FUNNEL_UNIQ_MIN, 1).otherwise(0)
+    cum = per_doc.select(
+        "source",
+        "n_words",
+        c1.alias("c1"),
+        (c1 * f2).alias("c2"),
+        (c1 * f2 * f3).alias("c3"),
+        (c1 * f2 * f3 * f4).alias("c4"),
+    )
+    agged = cum.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.sum("n_words").cast("long").alias("t0"),
+        *[
+            e
+            for k in (1, 2, 3, 4)
+            for e in (
+                F.sum(f"c{k}").cast("long").alias(f"d{k}"),
+                F.sum(F.col(f"c{k}") * F.col("n_words")).cast("long").alias(f"t{k}"),
+            )
+        ],
+    )
+    return agged.selectExpr(
+        "source",
+        "stack(4, "
+        "1, 'min_words',  d0, d1, t0, t1, "
+        "2, 'stopwords',  d1, d2, t1, t2, "
+        "3, 'word_len',   d2, d3, t2, t3, "
+        "4, 'uniq_ratio', d3, d4, t3, t4"
+        ") AS (gate_idx, gate, docs_in, docs_out, tokens_in, tokens_out)",
+    ).orderBy("source", "gate_idx")
