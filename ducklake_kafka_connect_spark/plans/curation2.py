@@ -888,3 +888,125 @@ def curation_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4, 'uniq_ratio', d3, d4, t3, t4"
         ") AS (gate_idx, gate, docs_in, docs_out, tokens_in, tokens_out)",
     ).orderBy("source", "gate_idx")
+
+
+@register(
+    "gate_ablation_matrix",
+    f"""
+    WITH split AS (
+      SELECT source, {WORDS_SQL.format(text="text")} AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT source, len(w) AS n_words,
+             list_contains(w, 'the') AND list_contains(w, 'a') AS has_stop,
+             CASE WHEN len(w) = 0 THEN 0 ELSE
+               CAST((1000000 * list_sum(list_transform(w, x -> length(x))))
+                    // len(w) AS BIGINT) END AS mwl,
+             CASE WHEN len(w) = 0 THEN 0 ELSE
+               CAST((1000000 * len(list_distinct(w))) // len(w) AS BIGINT)
+             END AS uq
+      FROM split
+    ),
+    flags AS (
+      SELECT source, n_words,
+             CASE WHEN n_words >= {FUNNEL_MIN_WORDS} THEN 1 ELSE 0 END AS f1,
+             CASE WHEN has_stop THEN 1 ELSE 0 END AS f2,
+             CASE WHEN mwl BETWEEN {FUNNEL_MWL_LO} AND {FUNNEL_MWL_HI}
+                  THEN 1 ELSE 0 END AS f3,
+             CASE WHEN uq >= {FUNNEL_UNIQ_MIN} THEN 1 ELSE 0 END AS f4
+      FROM per_doc
+    ),
+    agged AS (
+      SELECT source,
+             CAST(sum(f1*f2*f3*f4) AS BIGINT) AS d_all,
+             CAST(sum(f1*f2*f3*f4*n_words) AS BIGINT) AS t_all,
+             CAST(sum(f2*f3*f4) AS BIGINT) AS d_wo1, CAST(sum(f2*f3*f4*n_words) AS BIGINT) AS t_wo1,
+             CAST(sum(f1*f3*f4) AS BIGINT) AS d_wo2, CAST(sum(f1*f3*f4*n_words) AS BIGINT) AS t_wo2,
+             CAST(sum(f1*f2*f4) AS BIGINT) AS d_wo3, CAST(sum(f1*f2*f4*n_words) AS BIGINT) AS t_wo3,
+             CAST(sum(f1*f2*f3) AS BIGINT) AS d_wo4, CAST(sum(f1*f2*f3*n_words) AS BIGINT) AS t_wo4
+      FROM flags GROUP BY source
+    )
+    SELECT source, gate_idx, gate, docs_without, docs_all,
+           docs_without - docs_all AS docs_unique_loss,
+           tokens_without, tokens_all,
+           tokens_without - tokens_all AS tokens_unique_loss
+    FROM (
+      SELECT source, 1 AS gate_idx, 'min_words' AS gate,
+             d_wo1 AS docs_without, d_all AS docs_all,
+             t_wo1 AS tokens_without, t_all AS tokens_all FROM agged
+      UNION ALL SELECT source, 2, 'stopwords', d_wo2, d_all, t_wo2, t_all FROM agged
+      UNION ALL SELECT source, 3, 'word_len', d_wo3, d_all, t_wo3, t_all FROM agged
+      UNION ALL SELECT source, 4, 'uniq_ratio', d_wo4, d_all, t_wo4, t_all FROM agged
+    ) ORDER BY source, gate_idx
+    """,
+    "Leave-one-out gate ablation: for each curation gate, the docs and "
+    "tokens that survive all OTHER gates (and the marginal loss uniquely "
+    "attributable to it) per source — the attribution table that decides "
+    "which gate to retune — in ONE scan + one aggregate, order-free "
+    "(complements curation_funnel_attrition's ordered view)",
+)
+def gate_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same single-scan discipline as the funnel: all four leave-one-out
+    products plus the all-gates product are codegen integer flags summed
+    in ONE map-side-combined aggregate keyed by source; the long form is
+    a zero-shuffle stack over the |sources|-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    agg_len = (
+        "aggregate(split(trim(lower(text)), '\\\\s+'), 0L, (acc, x) -> acc + length(x))"
+    )
+    n_distinct = "size(array_distinct(split(trim(lower(text)), '\\\\s+')))"
+    sz = "size(split(trim(lower(text)), '\\\\s+'))"
+    per_doc = docs.select(
+        "source",
+        F.size(words).alias("n_words"),
+        (F.array_contains(words, "the") & F.array_contains(words, "a")).alias("has_stop"),
+        F.expr(
+            f"CASE WHEN {sz} = 0 THEN 0L ELSE "
+            f"CAST((1000000 * {agg_len}) DIV {sz} AS BIGINT) END"
+        ).alias("mwl"),
+        F.expr(
+            f"CASE WHEN {sz} = 0 THEN 0L ELSE "
+            f"CAST((1000000 * {n_distinct}) DIV {sz} AS BIGINT) END"
+        ).alias("uq"),
+    )
+    flags = per_doc.select(
+        "source",
+        "n_words",
+        F.when(F.col("n_words") >= FUNNEL_MIN_WORDS, 1).otherwise(0).alias("f1"),
+        F.when(F.col("has_stop"), 1).otherwise(0).alias("f2"),
+        F.when(
+            F.col("mwl").between(FUNNEL_MWL_LO, FUNNEL_MWL_HI), 1
+        ).otherwise(0).alias("f3"),
+        F.when(F.col("uq") >= FUNNEL_UNIQ_MIN, 1).otherwise(0).alias("f4"),
+    )
+    combos = {"all": ("f1", "f2", "f3", "f4"), "wo1": ("f2", "f3", "f4"),
+              "wo2": ("f1", "f3", "f4"), "wo3": ("f1", "f2", "f4"),
+              "wo4": ("f1", "f2", "f3")}
+
+    def prod(fs):
+        e = F.col(fs[0])
+        for f in fs[1:]:
+            e = e * F.col(f)
+        return e
+
+    agged = flags.groupBy("source").agg(
+        *[
+            e
+            for k, fs in combos.items()
+            for e in (
+                F.sum(prod(fs)).cast("long").alias(f"d_{k}"),
+                F.sum(prod(fs) * F.col("n_words")).cast("long").alias(f"t_{k}"),
+            )
+        ]
+    )
+    return agged.selectExpr(
+        "source",
+        "stack(4, "
+        "1, 'min_words',  d_wo1, d_all, d_wo1 - d_all, t_wo1, t_all, t_wo1 - t_all, "
+        "2, 'stopwords',  d_wo2, d_all, d_wo2 - d_all, t_wo2, t_all, t_wo2 - t_all, "
+        "3, 'word_len',   d_wo3, d_all, d_wo3 - d_all, t_wo3, t_all, t_wo3 - t_all, "
+        "4, 'uniq_ratio', d_wo4, d_all, d_wo4 - d_all, t_wo4, t_all, t_wo4 - t_all"
+        ") AS (gate_idx, gate, docs_without, docs_all, docs_unique_loss, "
+        "tokens_without, tokens_all, tokens_unique_loss)",
+    ).orderBy("source", "gate_idx")

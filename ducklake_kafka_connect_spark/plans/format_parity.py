@@ -959,6 +959,101 @@ def cas_backend_lake_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "refs_chain_tag_ops",
+    """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 11 = 3
+    ),
+    upd AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) + 111 AS cents
+      FROM events WHERE event_id % 22 = 3
+    ),
+    final AS (
+      SELECT * FROM base WHERE event_id % 22 <> 3
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS pinned_rows,
+           CAST(3 AS BIGINT) AS n_tags,
+           CAST(4 AS BIGINT) AS refs_gen
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    "The round-11 lock-free refs CAS chain driven e2e on the cas "
+    "backend: a legacy refs.json migrates as generation 0, tag edits "
+    "advance the chain by exactly one generation each (re-tag, second "
+    "tag, delete), the chain tip survives a vacuum, and the pinned tag "
+    "keeps its snapshot readable post-vacuum — aggregates plus the "
+    "chain-generation and tag-count invariants vs slice arithmetic",
+)
+def refs_chain_tag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every refs byte here moves through the CAS chain protocol
+    (table.py `_refs_commit`): create-if-absent ``refs.g{N}.json``
+    generations, LIST-derived tip, legacy single-object layout read as
+    generation 0 and superseded by the first chain commit. The final
+    generation number is DETERMINISTIC (= mutating edits), so the
+    oracle can assert the chain stayed linear — a lost/replayed CAS
+    would double-advance it."""
+    from ..lake import LakeTable, LakeWriter
+
+    src = _event_source(spark, sf_dir)
+
+    def cents_slice(pred, bump: int = 0):
+        return src.filter(pred).select(
+            "event_id",
+            "event_type",
+            (F.floor(F.col("value") * 100).cast("long") + bump).alias("cents"),
+        )
+
+    eid = F.col("event_id")
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_refs_{uuid.uuid4().hex[:8]}"
+    )
+    t = LakeTable(spark, root, "ops", backend="cas")
+    w = LakeWriter(t, pk=["event_id"])
+    w.write(cents_slice(eid % 11 == 3))
+    v0 = t.current_version()
+    # a pre-r11 deployment's refs layout: single refs.json object — the
+    # chain must read it as generation 0 and supersede it
+    import json as _json
+
+    t.fs.put(t._refs_path, _json.dumps({"tags": {"legacy": v0}}))
+    t.tag("pin", v0)                       # g1: {legacy, pin@v0}
+    w.write(cents_slice(eid % 22 == 3, bump=111))
+    t.tag("pin", v0)                       # no-op (same version): NO new gen
+    t.tag("tip", t.current_version())      # g2
+    t.tag("tip", t.current_version())      # no-op again
+    t.delete_tag("legacy")                 # g3
+    t.tag("extra", v0)                     # g4
+    assert not t.fs.exists(t._refs_path), "legacy refs object must be superseded"
+    from ..lake.maintenance import vacuum as _vacuum
+
+    _vacuum(t, keep_versions=1)
+    pinned = t.read(tag="pin").agg(F.count(F.lit(1)).alias("pinned_rows"))
+    n_tags = len(t.tags())  # {pin, tip, extra}
+    refs_gen = t._refs_tip()[0]
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .crossJoin(F.broadcast(pinned))
+        .withColumn("n_tags", F.lit(n_tags).cast("long"))
+        .withColumn("refs_gen", F.lit(refs_gen).cast("long"))
+        .select(
+            "event_type", "n_rows", "sum_cents", "pinned_rows", "n_tags", "refs_gen"
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connector-properties entrypoint in the correctness gate
 # ---------------------------------------------------------------------------

@@ -414,6 +414,51 @@ def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_merge_delete_cdc",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 10 < 5 THEN event_type
+                WHEN event_id % 10 < 8 THEN 'changed'
+                ELSE 'new' END AS event_type,
+           CASE WHEN event_id % 10 BETWEEN 5 AND 7 THEN value + 1000.0
+                ELSE value END AS value
+    FROM events
+    WHERE NOT (event_id % 10 >= 5 AND event_type = 'click')
+    """,
+    "CDC apply through SQL MERGE's full clause triad: WHEN MATCHED AND "
+    "<cond> THEN DELETE (tombstone channel), WHEN MATCHED THEN UPDATE, "
+    "WHEN NOT MATCHED AND <cond> THEN INSERT — first-match-wins ordering "
+    "and conditional insert filtering, all in one statement "
+    "(lake/sql_merge.py general path).",
+)
+def sql_merge_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    batch = ev.filter(F.col("event_id") % 10 >= 5)
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    LakeWriter(cat.table("events_cdc"), pk=["event_id"]).write(base)
+    view = f"sql_cdc_batch_{uuid.uuid4().hex[:8]}"
+    batch.createOrReplaceTempView(view)
+    cat.sql(
+        f"MERGE INTO events_cdc AS t USING (SELECT * FROM {view}) AS s "
+        f"ON t.event_id = s.event_id "
+        f"WHEN MATCHED AND s.event_type = 'click' THEN DELETE "
+        f"WHEN MATCHED THEN UPDATE SET event_type = 'changed', "
+        f"value = s.value + 1000.0 "
+        f"WHEN NOT MATCHED AND s.event_type <> 'click' THEN "
+        f"INSERT (event_id, user_id, event_type, value) "
+        f"VALUES (s.event_id, s.user_id, 'new', s.value)"
+    )
+    spark.catalog.dropTempView(view)
+    return (
+        cat.table("events_cdc")
+        .read()
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
     "asof_latest_purchase",
     """
     WITH clicks AS (

@@ -298,3 +298,79 @@ class TestWave4:
         assert got[1]["min_tok"] == 3 and got[1]["max_tok"] == 3
         assert got[2]["bucket_lo"] == 4
         assert got[3]["total_tokens"] == 9
+
+
+class TestFunnelAndAblation:
+    def _corpus(self, spark, tmp_path):
+        # crafted per-gate casualties, each failing EXACTLY ONE gate so
+        # funnel attrition AND ablation unique-loss are both 1 per gate:
+        # d1 min-words only (short but in-band, stopworded, distinct);
+        # d2 stopwords only (30 distinct words, mean 4.5 chars);
+        # d3 word-length band only (30 distinct 10-char words);
+        # d4 uniq-ratio only (two words repeated, mean in band);
+        # d5 passes everything
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            FUNNEL_MIN_WORDS as MW,
+        )
+
+        five = " ".join(f"abcd{i}" for i in range(10))            # 5-char words
+        mix45 = " ".join(                                          # mean 4.5
+            (f"a{i:03d}" if i % 2 else f"bb{i:03d}") for i in range(MW)
+        )
+        longw = " ".join(f"abcdefgh{i:02d}" for i in range(MW))    # 10-char words
+        rep = "abcd efghi " * (MW * 2)                             # 2 distinct, mean 4.5
+        passing = " ".join(f"wrd{i}" for i in range(MW - 2))
+        rows = [
+            (1, f"the a {five}", "en", "s1", 1),
+            (2, mix45, "en", "s1", 1),
+            (3, f"the a {longw}", "en", "s1", 1),
+            (4, ("the a " + rep).strip(), "en", "s1", 1),
+            (5, f"the a {passing}", "en", "s1", 1),
+        ]
+        return _write_docs(spark, tmp_path, rows)
+
+    def test_funnel_order_and_attrition(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            curation_funnel_attrition,
+        )
+
+        sf = self._corpus(spark, tmp_path)
+        rows = sorted(
+            (r.asDict() for r in curation_funnel_attrition(spark, sf).collect()),
+            key=lambda r: r["gate_idx"],
+        )
+        assert [r["gate"] for r in rows] == [
+            "min_words", "stopwords", "word_len", "uniq_ratio",
+        ]
+        # chained accounting: stage k's input is stage k-1's survivors
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["docs_in"] == prev["docs_out"]
+            assert cur["tokens_in"] == prev["tokens_out"]
+        # each crafted doc dies at its designated gate
+        assert [r["docs_in"] for r in rows] == [5, 4, 3, 2]
+        assert [r["docs_out"] for r in rows] == [4, 3, 2, 1]
+        for r in rows:
+            assert 0 <= r["tokens_out"] <= r["tokens_in"]
+
+    def test_ablation_marginals(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.plans.curation2 import (
+            curation_funnel_attrition,
+            gate_ablation_matrix,
+        )
+
+        sf = self._corpus(spark, tmp_path)
+        ab = {r["gate"]: r.asDict() for r in gate_ablation_matrix(spark, sf).collect()}
+        funnel = sorted(
+            (r.asDict() for r in curation_funnel_attrition(spark, sf).collect()),
+            key=lambda r: r["gate_idx"],
+        )
+        survivors = funnel[-1]["docs_out"]
+        for g, r in ab.items():
+            assert r["docs_all"] == survivors, g
+            assert r["docs_without"] >= r["docs_all"], g
+            assert r["docs_unique_loss"] == r["docs_without"] - r["docs_all"]
+            assert r["tokens_unique_loss"] == r["tokens_without"] - r["tokens_all"]
+        # every crafted casualty is uniquely attributable to ONE gate
+        assert {g: r["docs_unique_loss"] for g, r in ab.items()} == {
+            "min_words": 1, "stopwords": 1, "word_len": 1, "uniq_ratio": 1,
+        }
