@@ -29,6 +29,10 @@ def main() -> None:
         print("INGEST_JSON " + json.dumps(ingest_harness(spark)))
         spark.stop()
         return
+    if "--host-factor" in sys.argv:
+        # one fresh-JVM host calibration (spawned by host_factor_harness)
+        print("HOSTF_JSON " + json.dumps(host_factor_measure()))
+        return
     spark = build_session(app_name="ducklake-bench")
     # warm up JVM / parquet footer caches with a trivial action
     spark.range(1000).count()
@@ -82,6 +86,11 @@ def main() -> None:
         # same-host previous-tip A/B, both orders: the machine factor,
         # recorded per artifact instead of argued per round
         "ab": ab_harness(sf_dir),
+        # pinned CPU/shuffle/parquet microbenchmark in a fresh JVM
+        # (VERDICT r10 #6): divide any round's query walls by the ratio
+        # of host_factor.total_s across rounds to normalize host drift
+        # without re-running the other round's tree
+        "host_factor": host_factor_harness(),
         "replay": replay_harness(spark),
         "sf1": sf1_harness(spark, sf_dir, timings),
     }
@@ -121,6 +130,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": {n: timings[n] for n in SF1_QUERIES if n in timings},
         "ingest": {k: v for k, v in ing.items() if isinstance(v, (int, float))},
+        "host_factor": record["host_factor"],
         "sf1_ingest": record["sf1"].get("ingest", {}),
         "errors": sorted(n for n, t in timings.items() if t < 0),
         "detail": "BENCH_LOCAL.json",
@@ -184,6 +194,93 @@ def split_harness(spark, sf_dir: str) -> dict:
 # The same-host A/B triple: one lake-write op, one retrieval op, one
 # dedup op — shared by every round since r3, mid-cost, stable plans.
 AB_QUERIES = ["merge_upsert_events", "hybrid_rrf_retrieval", "dedup_minhash_lsh"]
+
+
+def host_factor_measure() -> dict:
+    """The pinned microbenchmark itself (runs inside a fresh JVM via
+    ``--host-factor``): fixed-size CPU aggregate, shuffle, parquet
+    round-trip, and a pure-Python hash loop. Same inputs every round by
+    construction, so the ratio of ``total_s`` across two BENCH artifacts
+    IS the host-speed ratio between those rounds — query walls divide by
+    it instead of being argued about (VERDICT r10 #6)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    # pure-Python/CPU leg first (no JVM interference)
+    t0 = time.perf_counter()
+    h = b"seed"
+    for _ in range(200_000):
+        h = hashlib.md5(h).digest()
+    py_hash_s = time.perf_counter() - t0
+
+    spark = build_session(app_name="ducklake-bench-hostf")
+    spark.range(1000).count()
+
+    def timed_min2(fn) -> float:
+        best = None
+        for _ in range(2):
+            t = time.perf_counter()
+            fn()
+            e = time.perf_counter() - t
+            best = e if best is None else min(best, e)
+        return best
+
+    from pyspark.sql import functions as F
+
+    jvm_agg_s = timed_min2(
+        lambda: spark.range(0, 50_000_000, 1, 8)
+        .selectExpr("id % 97 AS k", "id AS v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.avg("v").alias("a"))
+        .collect()
+    )
+    shuffle_s = timed_min2(
+        lambda: spark.range(0, 4_000_000, 1, 8)
+        .repartition(32, "id")
+        .count()
+    )
+    d = tempfile.mkdtemp(prefix="hostf-")
+    try:
+        def parquet_rt():
+            p = os.path.join(d, "t.parquet")
+            spark.range(0, 2_000_000, 1, 4).selectExpr(
+                "id", "CAST(id AS STRING) AS s"
+            ).write.mode("overwrite").parquet(p)
+            spark.read.parquet(p).count()
+
+        parquet_rt_s = timed_min2(parquet_rt)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    spark.stop()
+    out = {
+        "py_hash_s": round(py_hash_s, 3),
+        "jvm_agg_s": round(jvm_agg_s, 3),
+        "shuffle_s": round(shuffle_s, 3),
+        "parquet_rt_s": round(parquet_rt_s, 3),
+    }
+    out["total_s"] = round(sum(out.values()), 3)
+    return out
+
+
+def host_factor_harness() -> dict:
+    """Run the calibration in its own fresh JVM so the main bench
+    session's cache/JIT state can't contaminate it."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--host-factor"],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("HOSTF_JSON "):
+                return json.loads(line[len("HOSTF_JSON "):])
+        return {"skipped": f"no HOSTF_JSON in output (rc={proc.returncode})"}
+    except Exception as e:  # calibration must never kill the bench
+        return {"skipped": f"{type(e).__name__}: {e}"}
 
 
 def ingest_min_of_harness(n_runs: int = 3) -> dict:
