@@ -279,3 +279,34 @@ class TestHostileIdentifiersAndErrors:
                 "MERGE INTO t USING thin AS s2 ON t.pk = s2.pk "
                 "WHEN MATCHED THEN UPDATE SET *"
             )
+
+
+class TestCompositePk:
+    def test_composite_pk_merge(self, cat):
+        """Multi-column-pk MERGE: the ON conjunction must cover both key
+        columns; the general path runs without the single-pk range prune
+        (correct, just unbounded)."""
+        cat.sql("CREATE TABLE t3 (a BIGINT, b BIGINT, v BIGINT, PRIMARY KEY (a, b))")
+        LakeWriter(cat.table("t3"), auto_create=False).write(
+            cat.spark.range(20).select(
+                (F.col("id") % 4).alias("a"),
+                (F.col("id") / 4).cast("long").alias("b"),
+                F.lit(0).cast("long").alias("v"),
+            )
+        )
+        cat.spark.range(10, 30).select(
+            (F.col("id") % 4).alias("ka"),
+            (F.col("id") / 4).cast("long").alias("kb"),
+            F.col("id").alias("val"),
+        ).createOrReplaceTempView("comp_src")
+        cat.sql(
+            "MERGE INTO t3 USING comp_src AS s ON t3.a = s.ka AND t3.b = s.kb "
+            "WHEN MATCHED THEN UPDATE SET v = s.val "
+            "WHEN NOT MATCHED THEN INSERT (a, b, v) VALUES (s.ka, s.kb, s.val)"
+        )
+        got = {(r["a"], r["b"]): r["v"] for r in cat.table("t3").read().collect()}
+        assert len(got) == 30
+        # ids 0-9 untouched (v=0), 10-19 updated, 20-29 inserted
+        for i in range(30):
+            k = (i % 4, i // 4)
+            assert got[k] == (0 if i < 10 else i), (i, k, got[k])

@@ -133,3 +133,61 @@ class TestHistoryRestore:
         vacuum(cat.table("t"), keep_versions=1)
         with pytest.raises((ValueError, FileNotFoundError)):
             cat.table("t").restore(v1)
+
+
+def test_refs_chain_linear_and_legacy_migration(spark, tmp_path):
+    """The lock-free refs CAS chain: each mutating edit advances exactly
+    one generation, no-op edits commit nothing, a legacy refs.json reads
+    as generation 0 and is superseded by the first chain commit, and
+    superseded generations GC down to the reader tail."""
+    import json
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake_chain"), backend="cas")
+    t = cat.table("t")
+    LakeWriter(t, pk=["k"]).write(_batch(spark, 0, 10))
+    v0 = t.current_version()
+    # pre-chain layout: a bare refs.json object
+    t.fs.put(t._refs_path, json.dumps({"tags": {"old": v0}}))
+    assert t.tags() == {"old": v0}
+    t.tag("a", v0)                      # g1 (migrates legacy content)
+    assert not t.fs.exists(t._refs_path), "legacy object superseded"
+    t.tag("a", v0)                      # no-op: same value
+    assert t._refs_tip()[0] == 1
+    t.delete_tag("missing")             # no-op: nothing to remove
+    assert t._refs_tip()[0] == 1
+    t.tag("b", v0)                      # g2
+    t.delete_tag("old")                 # g3
+    gen, tags = t._refs_tip()
+    assert gen == 3 and tags == {"a": v0, "b": v0}
+    for i in range(12):                 # push past the GC tail
+        t.tag(f"t{i}", v0)
+    gen, _ = t._refs_tip()
+    assert gen == 15
+    assert len(t._refs_gens()) <= t.REFS_GC_TAIL
+
+
+def test_refs_tip_rederives_when_tip_vanishes_mid_read(spark, tmp_path):
+    """A reader that LISTed a tip which a concurrent writer's GC removed
+    before the GET must re-derive from a fresh LIST, not crash or return
+    stale tags."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake_race"), backend="cas")
+    t = cat.table("t")
+    LakeWriter(t, pk=["k"]).write(_batch(spark, 0, 5))
+    t.tag("a")
+    t.tag("b")
+    orig = t.fs.try_read_bytes
+    calls = {"misses": 0}
+
+    def flaky(path):
+        if "refs.g" in path and calls["misses"] == 0:
+            calls["misses"] = 1
+            return None  # simulate GC between the LIST and the GET
+        return orig(path)
+
+    t.fs.try_read_bytes = flaky
+    try:
+        tags = t.tags()
+    finally:
+        del t.fs.try_read_bytes
+    assert calls["misses"] == 1, "the injected miss must have been hit"
+    assert set(tags) == {"a", "b"}
