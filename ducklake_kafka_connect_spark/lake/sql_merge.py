@@ -19,8 +19,15 @@ Grammar (DuckDB/Delta-compatible subset, identifiers bare,
     ON <conjunction of pk equalities>        -- must cover t's full PK
     WHEN MATCHED [AND <cond>] THEN UPDATE SET * | col = expr [, ...]
     [WHEN MATCHED [AND <cond>] THEN DELETE]
-    [WHEN NOT MATCHED [AND <cond>] THEN INSERT * |
+    [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * |
                                         (cols) VALUES (exprs)]
+    [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET … | DELETE]
+
+The ``BY SOURCE`` clauses (Delta 2.3+/Spark 3.4 mirror-sync form) act
+on TARGET rows with no source match — the join switches to FULL OUTER
+and the target read is necessarily unpruned (rows outside the source
+key range are exactly the candidates); conditions/SET exprs there may
+reference only the target alias.
 
 Execution is Spark-first, not row-at-a-time: the clauses compile to ONE
 projection over ``source LEFT JOIN target`` (matched-ness from a
@@ -51,9 +58,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from .table import _IDENT, quote_ident, unquote_ident, split_top_level, _dq_idents_to_backticks
 
-#: sentinel marking target-row presence after the left join; stripped
-#: before the write. Doubles as the tombstone carrier for DELETE.
+#: sentinels marking row presence on each side of the join; stripped
+#: before the write. _TOMB is the tombstone carrier for DELETE.
 _PRESENT = "__merge_target_present"
+_S_PRESENT = "__merge_source_present"
 _TOMB = "__merge_tombstone"
 
 _WHEN_RE = re.compile(r"\bWHEN\s+(NOT\s+)?MATCHED\b", re.IGNORECASE)
@@ -190,12 +198,25 @@ class MergeStatement:
         self.delete: "dict | None" = None      # {cond}
         self.insert: "dict | None" = None      # {cond, cols, exprs | '*'}
         self.matched_order: list[str] = []
+        # WHEN NOT MATCHED BY SOURCE … (Delta 2.3+/Spark 3.4 mirror-sync
+        # clauses): act on TARGET rows with no source match
+        self.bs_update: "dict | None" = None   # {cond, sets}
+        self.bs_delete: "dict | None" = None   # {cond}
+        self.bs_order: list[str] = []
         for cl in clauses:
             self._parse_when(cl.strip())
 
     def _parse_when(self, cl: str) -> None:
-        hm = re.match(r"WHEN\s+(NOT\s+)?MATCHED\b", cl, re.IGNORECASE)
+        hm = re.match(
+            r"WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?\b",
+            cl,
+            re.IGNORECASE,
+        )
         negated = bool(hm.group(1))
+        by = (hm.group(2) or "").upper()
+        if by and not negated:
+            raise ValueError("BY SOURCE/BY TARGET is only valid after NOT MATCHED")
+        by_source = negated and by == "SOURCE"
         body = cl[hm.end():].strip()
         cond = None
         then_offs = _scan_top_level(body, _THEN_RE)
@@ -208,7 +229,7 @@ class MergeStatement:
             if not am:
                 raise ValueError(f"bad WHEN clause condition: {head!r}")
             cond = am.group(1).strip()
-        if negated:
+        if negated and not by_source:
             if self.insert is not None:
                 raise ValueError("duplicate WHEN NOT MATCHED clause")
             im = re.match(
@@ -233,10 +254,16 @@ class MergeStatement:
             return
         um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
         if um:
-            if self.update is not None:
-                raise ValueError("duplicate WHEN MATCHED ... UPDATE clause")
+            slot = "bs_update" if by_source else "update"
+            if getattr(self, slot) is not None:
+                raise ValueError(f"duplicate WHEN {'NOT MATCHED BY SOURCE' if by_source else 'MATCHED'} ... UPDATE clause")
             body = um.group(1).strip()
             if body == "*":
+                if by_source:
+                    raise ValueError(
+                        "UPDATE SET * is meaningless for NOT MATCHED BY SOURCE "
+                        "(there is no source row to copy)"
+                    )
                 self.update = {"cond": cond, "sets": "*"}
             else:
                 sets: dict[str, str] = {}
@@ -253,14 +280,15 @@ class MergeStatement:
                             f"SET qualifier {sm.group(1)!r} is not the target alias"
                         )
                     sets[unquote_ident(sm.group(2))] = sm.group(3).strip()
-                self.update = {"cond": cond, "sets": sets}
-            self.matched_order.append("update")
+                setattr(self, slot, {"cond": cond, "sets": sets})
+            (self.bs_order if by_source else self.matched_order).append("update")
             return
         if re.fullmatch(r"DELETE", action, re.IGNORECASE):
-            if self.delete is not None:
-                raise ValueError("duplicate WHEN MATCHED ... DELETE clause")
-            self.delete = {"cond": cond}
-            self.matched_order.append("delete")
+            slot = "bs_delete" if by_source else "delete"
+            if getattr(self, slot) is not None:
+                raise ValueError(f"duplicate WHEN {'NOT MATCHED BY SOURCE' if by_source else 'MATCHED'} ... DELETE clause")
+            setattr(self, slot, {"cond": cond})
+            (self.bs_order if by_source else self.matched_order).append("delete")
             return
         raise ValueError(f"unsupported MERGE action: {action!r}")
 
@@ -339,7 +367,13 @@ def merge_into(catalog, stmt: str) -> str:
     key_exprs = {
         k: _dq_idents_to_backticks(v) for k, v in _pk_equalities(st, pk).items()
     }
-    if st.update is None and st.insert is None and st.delete is None:
+    if (
+        st.update is None
+        and st.insert is None
+        and st.delete is None
+        and st.bs_update is None
+        and st.bs_delete is None
+    ):
         raise ValueError("MERGE needs at least one action clause")
 
     # ---- source frame ----
@@ -397,13 +431,31 @@ def merge_into(catalog, stmt: str) -> str:
                 if c not in data_cols:
                     raise ValueError(f"MERGE INSERT references unknown column {c!r}")
                 ins_exprs[c] = _dq_idents_to_backticks(e)
+    bs_sets = None
+    if st.bs_update is not None:
+        bs_sets = {
+            k: _dq_idents_to_backticks(v)
+            for k, v in st.bs_update["sets"].items()
+        }
+        bad = [c for c in bs_sets if c in pk]
+        if bad:
+            raise ValueError(
+                f"MERGE ... BY SOURCE UPDATE SET may not assign pk column(s) {bad}"
+            )
+        unknown = [c for c in bs_sets if c not in data_cols]
+        if unknown:
+            raise ValueError(
+                f"MERGE ... BY SOURCE UPDATE SET references unknown column(s) {unknown}"
+            )
+    has_bs = st.bs_update is not None or st.bs_delete is not None
 
     # ---- fast path: the reference's exact shape (name-mapped full-row
     # upsert, no conditions, no delete) → mapped source straight into
     # the writer merge; no pre-join, no target read beyond the writer's
     # own pruning ----
     simple = (
-        st.delete is None
+        not has_bs
+        and st.delete is None
         and st.update is not None
         and st.insert is not None
         and st.update["cond"] is None
@@ -421,16 +473,28 @@ def merge_into(catalog, stmt: str) -> str:
         return st.target
 
     # ---- general path: compile the clauses into one projection over
-    # source LEFT JOIN target ----
-    tgt_where = _source_key_range_where(src, s_al, key_exprs, pk, manifest)
+    # source LEFT JOIN target (FULL OUTER when BY SOURCE clauses need
+    # the target-only rows; then the key-range prune must be off — rows
+    # OUTSIDE the source key range are exactly the BY SOURCE candidates) ----
+    tgt_where = (
+        None if has_bs else _source_key_range_where(src, s_al, key_exprs, pk, manifest)
+    )
     tgt = t.read(where=tgt_where) if tgt_where else t.read()
     tgt = tgt.withColumn(_PRESENT, F.lit(True))
+    src = src.withColumn(_S_PRESENT, F.lit(True))
     sv = f"__merge_src_{uuid.uuid4().hex[:8]}"
     tv = f"__merge_tgt_{uuid.uuid4().hex[:8]}"
     src.createOrReplaceTempView(sv)
     tgt.createOrReplaceTempView(tv)
     try:
-        matched = f"{_qb(t_al)}.{_qb(_PRESENT)} IS NOT NULL"
+        t_present = f"{_qb(t_al)}.{_qb(_PRESENT)} IS NOT NULL"
+        s_present = f"{_qb(s_al)}.{_qb(_S_PRESENT)} IS NOT NULL"
+        # on a LEFT join the source side is always present, so `matched`
+        # reduces to target-presence; under FULL OUTER both sentinels
+        # partition the rows into matched / source-only / target-only
+        matched = f"({t_present} AND {s_present})" if has_bs else t_present
+        s_only = f"({s_present} AND NOT {t_present})"
+        t_only = f"({t_present} AND NOT {s_present})"
         upd_cond = (
             _dq_idents_to_backticks(st.update["cond"])
             if st.update is not None and st.update["cond"]
@@ -446,7 +510,26 @@ def merge_into(catalog, stmt: str) -> str:
             if st.insert is not None and st.insert["cond"]
             else None
         )
-        projections = [f"({key_exprs[p]}) AS {_qb(p)}" for p in pk]
+        bs_upd_cond = (
+            _dq_idents_to_backticks(st.bs_update["cond"])
+            if st.bs_update is not None and st.bs_update["cond"]
+            else None
+        )
+        bs_del_cond = (
+            _dq_idents_to_backticks(st.bs_delete["cond"])
+            if st.bs_delete is not None and st.bs_delete["cond"]
+            else None
+        )
+        if has_bs:
+            # target-only rows have NULL source key exprs: pk falls back
+            # to the target's own key columns
+            projections = [
+                f"(CASE WHEN {s_present} THEN ({key_exprs[p]}) "
+                f"ELSE {_qb(t_al)}.{_qb(p)} END) AS {_qb(p)}"
+                for p in pk
+            ]
+        else:
+            projections = [f"({key_exprs[p]}) AS {_qb(p)}" for p in pk]
         for c in non_pk:
             branches = []
             if upd_sets is not None and c in upd_sets:
@@ -454,41 +537,75 @@ def merge_into(catalog, stmt: str) -> str:
                 if upd_cond:
                     guard += f" AND coalesce(({upd_cond}), false)"
                 branches.append(f"WHEN {guard} THEN ({upd_sets[c]})")
-            # matched rows not taken by UPDATE keep their target value
-            branches.append(f"WHEN {matched} THEN {_qb(t_al)}.{_qb(c)}")
+            if bs_sets is not None and c in bs_sets:
+                guard = t_only
+                if bs_upd_cond:
+                    guard += f" AND coalesce(({bs_upd_cond}), false)"
+                branches.append(f"WHEN {guard} THEN ({bs_sets[c]})")
+            # target rows not taken by an UPDATE keep their target value
+            branches.append(f"WHEN {t_present} THEN {_qb(t_al)}.{_qb(c)}")
             if ins_exprs is not None and c in ins_exprs:
                 branches.append(f"ELSE ({ins_exprs[c]})")
             typ = manifest.schema[c].dataType.simpleString()
             projections.append(
                 f"CAST((CASE {' '.join(branches)} END) AS {typ}) AS {_qb(c)}"
             )
-        tomb = None
+
+        def _delete_guard(scope, del_c, upd, upd_c, order):
+            """First-match-wins delete guard within one scope (matched or
+            target-only): an earlier-listed UPDATE shields the row."""
+            guard = scope
+            if del_c:
+                guard += f" AND coalesce(({del_c}), false)"
+            if upd is not None and order and order[0] == "update":
+                if upd_c:
+                    guard += f" AND NOT coalesce(({upd_c}), false)"
+                else:
+                    return "false"  # unconditional UPDATE first swallows all
+            return guard
+
+        tomb_guards = []
         if st.delete is not None:
-            guard = matched
-            if del_cond:
-                guard += f" AND coalesce(({del_cond}), false)"
-            if (
-                st.update is not None
-                and st.matched_order
-                and st.matched_order[0] == "update"
-                and upd_cond
-            ):
-                # first-match-wins: an earlier satisfied UPDATE shields
-                # the row from DELETE
-                guard += f" AND NOT coalesce(({upd_cond}), false)"
-            elif st.update is not None and st.matched_order[0] == "update" and not upd_cond:
-                # unconditional UPDATE listed first swallows every match
-                guard = "false"
-            tomb = f"(CASE WHEN {guard} THEN true ELSE false END) AS {_qb(_TOMB)}"
-        # rows neither matched nor admitted by the INSERT clause drop out
-        where = None
-        if st.insert is None:
-            where = f"({matched})"
-        elif ins_cond:
-            where = f"({matched}) OR coalesce(({ins_cond}), false)"
+            tomb_guards.append(
+                _delete_guard(matched, del_cond, st.update, upd_cond, st.matched_order)
+            )
+        if st.bs_delete is not None:
+            tomb_guards.append(
+                _delete_guard(t_only, bs_del_cond, st.bs_update, bs_upd_cond, st.bs_order)
+            )
+        tomb = None
+        if tomb_guards:
+            g = " OR ".join(f"({x})" for x in tomb_guards)
+            tomb = f"(CASE WHEN {g} THEN true ELSE false END) AS {_qb(_TOMB)}"
+        # row-retention filter: matched rows always participate;
+        # source-only rows only through an admitting INSERT clause;
+        # target-only rows only through an applicable BY SOURCE clause
+        # (everything else must NOT enter the merge frame — an untouched
+        # target row re-entering would be a pointless rewrite)
+        keep = [f"({matched})"]
+        if st.insert is not None:
+            k = s_only if has_bs else f"NOT {t_present}"
+            if ins_cond:
+                k = f"({k} AND coalesce(({ins_cond}), false))"
+            keep.append(f"({k})")
+        if has_bs:
+            applies = []
+            if st.bs_update is not None:
+                applies.append(
+                    f"coalesce(({bs_upd_cond}), false)" if bs_upd_cond else "true"
+                )
+            if st.bs_delete is not None:
+                applies.append(
+                    f"coalesce(({bs_del_cond}), false)" if bs_del_cond else "true"
+                )
+            keep.append(f"({t_only} AND ({' OR '.join(applies)}))")
+        where = " OR ".join(keep)
+        if st.insert is not None and ins_cond is None and not has_bs:
+            where = None  # LEFT join + unconditional INSERT keeps every row
+        join = "FULL OUTER JOIN" if has_bs else "LEFT JOIN"
         sql = (
             f"SELECT {', '.join(projections + ([tomb] if tomb else []))} "
-            f"FROM {sv} AS {_qb(s_al)} LEFT JOIN {tv} AS {_qb(t_al)} "
+            f"FROM {sv} AS {_qb(s_al)} {join} {tv} AS {_qb(t_al)} "
             f"ON {_dq_idents_to_backticks(st.on_sql)}"
         )
         if where:

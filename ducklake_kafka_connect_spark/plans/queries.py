@@ -459,6 +459,44 @@ def sql_merge_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_merge_mirror_sync",
+    """
+    SELECT event_id, user_id, 'synced' AS event_type,
+           value + 1000.0 AS value
+    FROM events WHERE event_id % 10 >= 5
+    """,
+    "Snapshot mirror through SQL MERGE's WHEN NOT MATCHED BY SOURCE "
+    "clause (Delta 2.3+/Spark 3.4 form): upsert every source row, DELETE "
+    "every target row the source no longer carries — after the statement "
+    "the table IS the mapped source (lake/sql_merge.py FULL OUTER path).",
+)
+def sql_merge_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    batch = ev.filter(F.col("event_id") % 10 >= 5)
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    LakeWriter(cat.table("events_mirror"), pk=["event_id"]).write(base)
+    view = f"sql_mirror_batch_{uuid.uuid4().hex[:8]}"
+    batch.createOrReplaceTempView(view)
+    cat.sql(
+        f"MERGE INTO events_mirror AS t USING (SELECT * FROM {view}) AS s "
+        f"ON t.event_id = s.event_id "
+        f"WHEN MATCHED THEN UPDATE SET user_id = s.user_id, "
+        f"event_type = 'synced', value = s.value + 1000.0 "
+        f"WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value) "
+        f"VALUES (s.event_id, s.user_id, 'synced', s.value + 1000.0) "
+        f"WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    spark.catalog.dropTempView(view)
+    return (
+        cat.table("events_mirror")
+        .read()
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
     "asof_latest_purchase",
     """
     WITH clicks AS (

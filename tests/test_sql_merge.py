@@ -310,3 +310,72 @@ class TestCompositePk:
         for i in range(30):
             k = (i % 4, i // 4)
             assert got[k] == (0 if i < 10 else i), (i, k, got[k])
+
+
+class TestNotMatchedBySource:
+    def test_mirror_sync_delete(self, cat):
+        """The snapshot-mirror statement: upsert everything in the
+        source, DELETE every target row the source no longer carries."""
+        _seed(cat)  # pks 0..19
+        _src_view(cat, "mb1", 5, 25)
+        cat.sql(
+            "MERGE INTO t USING mb1 AS s2 ON t.pk = s2.k "
+            "WHEN MATCHED THEN UPDATE SET v = s2.val, s = s2.lbl "
+            "WHEN NOT MATCHED THEN INSERT (pk, v, s) VALUES (s2.k, s2.val, s2.lbl) "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+        got = _rows(cat)
+        assert set(got) == set(range(5, 25)), "target mirrors the source"
+        assert got[7] == (70, "upd") and got[22] == (220, "upd")
+
+    def test_by_source_conditional_update(self, cat):
+        _seed(cat)
+        _src_view(cat, "mb2", 15, 20)
+        cat.sql(
+            "MERGE INTO t USING mb2 AS s2 ON t.pk = s2.k "
+            "WHEN MATCHED THEN UPDATE SET s = 'live' "
+            "WHEN NOT MATCHED BY SOURCE AND t.pk >= 10 THEN UPDATE SET s = 'stale'"
+        )
+        got = _rows(cat)
+        assert len(got) == 20
+        assert got[17] == (34, "live")
+        assert got[12] == (24, "stale"), "unmatched in-cond row marked"
+        assert got[3] == (6, "base"), "unmatched out-of-cond row untouched"
+
+    def test_by_source_update_then_delete_first_match_wins(self, cat):
+        _seed(cat)
+        _src_view(cat, "mb3", 18, 20)
+        cat.sql(
+            "MERGE INTO t USING mb3 AS s2 ON t.pk = s2.k "
+            "WHEN NOT MATCHED BY SOURCE AND t.pk < 5 THEN UPDATE SET s = 'kept' "
+            "WHEN NOT MATCHED BY SOURCE AND t.pk < 10 THEN DELETE"
+        )
+        got = _rows(cat)
+        # 0-4 took the earlier UPDATE, 5-9 deleted, 10-17 untouched, 18-19 matched (no clause)
+        assert set(got) == set(range(5)) | set(range(10, 20))
+        assert got[2] == (4, "kept") and got[15] == (30, "base")
+
+    def test_by_source_rejects_source_refs_and_star(self, cat):
+        _seed(cat)
+        _src_view(cat, "mb4", 0, 5)
+        with pytest.raises(ValueError, match="meaningless"):
+            cat.sql(
+                "MERGE INTO t USING mb4 AS s2 ON t.pk = s2.k "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+            )
+        with pytest.raises(ValueError, match="BY SOURCE/BY TARGET"):
+            cat.sql(
+                "MERGE INTO t USING mb4 AS s2 ON t.pk = s2.k "
+                "WHEN MATCHED BY SOURCE THEN DELETE"
+            )
+
+    def test_by_target_token_accepted(self, cat):
+        _seed(cat, n=5)
+        _src_view(cat, "mb5", 3, 8)
+        cat.sql(
+            "MERGE INTO t USING mb5 AS s2 ON t.pk = s2.k "
+            "WHEN NOT MATCHED BY TARGET THEN INSERT (pk, v) VALUES (s2.k, s2.val)"
+        )
+        got = _rows(cat)
+        assert set(got) == set(range(8))
+        assert got[6] == (60, None) and got[2] == (4, "base")
