@@ -960,6 +960,64 @@ def cas_backend_lake_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_datasource_scan",
+    """
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 7 = 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM src WHERE event_id >= 100
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "The `ducklake` Python DataSource (PySpark 4 DataSource API) in the "
+    "correctness gate: a lake table read back through "
+    "spark.read.format('ducklake') with a pushed range filter (mapped "
+    "onto manifest-stat file pruning via pushFilters), aggregated — "
+    "proving the format-registered read path returns exactly the "
+    "engine's table contents",
+)
+def lake_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executors read the immutable parquet via pyarrow and yield Arrow
+    RecordBatches; the pushed `event_id >= 100` reaches `prune_files`
+    before any file opens (sources/lake_datasource.py)."""
+    from ..lake import LakeTable, LakeWriter
+    from ..sources.lake_datasource import register_lake_datasource
+
+    register_lake_datasource(spark)
+    src = _event_source(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_ds_{uuid.uuid4().hex[:8]}"
+    )
+    t = LakeTable(spark, root, "ev")
+    LakeWriter(t).append(
+        src.filter(F.col("event_id") % 7 == 2).select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    df = (
+        spark.read.format("ducklake")
+        .option("path", root)
+        .option("table", "ev")
+        .load()
+        .filter(F.col("event_id") >= 100)
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "refs_chain_tag_ops",
     """
     WITH base AS (

@@ -1,0 +1,173 @@
+"""The `ducklake` Python DataSource (sources/lake_datasource.py): lake
+tables as a native Spark format — batch reads with manifest-stat filter
+pushdown, and a streaming source whose offset log is the manifest
+version chain (Delta-streaming-source contract: append-only by default,
+skipChangeCommits / ignoreChanges for rewrite commits)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+from ducklake_kafka_connect_spark.sources.lake_datasource import (
+    _BatchReader,
+    register_lake_datasource,
+)
+
+
+@pytest.fixture
+def lake(spark, tmp_path):
+    register_lake_datasource(spark)
+    return str(tmp_path / "lake")
+
+
+def _mk(spark, lake, name="ev", pk=None):
+    cat = LakeCatalog(spark, lake)
+    t = cat.table(name)
+    return t, LakeWriter(t, pk=pk or [])
+
+
+def _rows(spark, lake, n0, n1, name="ev"):
+    t, w = _mk(spark, lake, name)
+    w.append(spark.range(n0).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("a").alias("s")))
+    w.append(spark.range(n0, n1).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("b").alias("s")))
+    return t
+
+
+def _load(spark, lake, name="ev", **opts):
+    r = spark.read.format("ducklake").option("path", lake).option("table", name)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+class TestBatch:
+    def test_matches_engine_read(self, spark, lake):
+        t = _rows(spark, lake, 60, 100)
+        via_ds = _load(spark, lake).select("id", "v", "s")
+        via_api = t.read().select("id", "v", "s")
+        assert sorted(map(tuple, via_ds.collect())) == sorted(map(tuple, via_api.collect()))
+        # same names and types (nullability flags may differ: the DS
+        # declares the manifest surface, the parquet read relaxes)
+        assert [(f.name, f.dataType) for f in via_ds.schema] == [
+            (f.name, f.dataType) for f in via_api.schema
+        ]
+
+    def test_filter_pushdown_prunes_files(self, spark, lake):
+        _rows(spark, lake, 60, 100)  # two appends → ≥2 files, disjoint ranges
+        df = _load(spark, lake).filter(F.col("id") == 80)
+        assert [r["v"] for r in df.collect()] == [160]
+        # reader-level proof: the pushed filter narrows the partition list
+        from pyspark.sql.datasource import EqualTo
+
+        t, _ = _mk(spark, lake)
+        rd = _BatchReader(
+            {"path": lake, "table": "ev"}, t.read().schema
+        )
+        n_all = len(rd.partitions())
+        rd2 = _BatchReader({"path": lake, "table": "ev"}, t.read().schema)
+        unsupported = list(rd2.pushFilters([EqualTo(("id",), 80)]))
+        assert len(unsupported) == 1, "filters are re-applied row-level"
+        assert len(rd2.partitions()) < n_all
+
+    def test_time_travel_version_and_tag(self, spark, lake):
+        t, w = _mk(spark, lake)
+        w.append(spark.range(60).select(
+            F.col("id"), (F.col("id") * 2).alias("v"), F.lit("a").alias("s")))
+        v0 = t.current_version()  # first data-bearing version
+        w.append(spark.range(60, 100).select(
+            F.col("id"), (F.col("id") * 2).alias("v"), F.lit("b").alias("s")))
+        t.tag("first", v0)
+        assert _load(spark, lake, version=str(v0)).count() == 60
+        assert _load(spark, lake, tag="first").count() == 60
+        assert _load(spark, lake).count() == 100
+
+    def test_rename_and_schema_evolution(self, spark, lake):
+        t, w = _mk(spark, lake, "r")
+        w.append(spark.range(10).select(F.col("id"), F.lit("x").alias("name")))
+        t.rename_column("name", "label")
+        w2 = LakeWriter(LakeCatalog(spark, lake).table("r"))
+        w2.append(
+            spark.range(10, 15).select(
+                F.col("id"), F.lit("y").alias("label"), F.lit(1.5).alias("score")
+            )
+        )
+        df = _load(spark, lake, "r")
+        assert "label" in df.columns and "score" in df.columns
+        got = {r["id"]: (r["label"], r["score"]) for r in df.collect()}
+        assert got[3] == ("x", None), "pre-evolution file null-fills"
+        assert got[12] == ("y", 1.5)
+
+    def test_cas_backend_option(self, spark, tmp_path):
+        register_lake_datasource(spark)
+        lake = str(tmp_path / "lake_cas")
+        cat = LakeCatalog(spark, lake, backend="cas")
+        LakeWriter(cat.table("c")).append(
+            spark.range(7).select(F.col("id"), F.lit("z").alias("s"))
+        )
+        df = _load(spark, lake, "c", backend="cas")
+        assert df.count() == 7
+
+
+def _run_stream(spark, lake, name="ev", qname="q", **opts):
+    r = spark.readStream.format("ducklake").option("path", lake).option("table", name)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.sql(f"SELECT * FROM {qname}")
+
+
+class TestStream:
+    def test_full_replay_and_incremental(self, spark, lake):
+        t = _rows(spark, lake, 60, 100)
+        out = _run_stream(spark, lake, qname="q_full", startingVersion="0")
+        assert out.count() == 100
+        tip = t.current_version()
+        LakeWriter(t).append(
+            spark.range(100, 110).select(
+                F.col("id"), (F.col("id") * 2).alias("v"), F.lit("c").alias("s")
+            )
+        )
+        inc = _run_stream(
+            spark, lake, qname="q_inc", startingVersion=str(tip + 1)
+        )
+        got = sorted(r["id"] for r in inc.collect())
+        assert got == list(range(100, 110)), "exactly the new commit's rows"
+
+    def test_non_append_commit_raises_by_default(self, spark, lake):
+        t, w = _mk(spark, lake, "m", pk=["id"])
+        w.write(spark.range(20).select(F.col("id"), F.lit("a").alias("s")))
+        w.write(spark.range(5).select(F.col("id"), F.lit("b").alias("s")))  # rewrite
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises(Exception) as ei:
+            _run_stream(spark, lake, "m", qname="q_err", startingVersion="0")
+        assert "not append-only" in str(ei.value)
+
+    def test_skip_change_commits_and_ignore_changes(self, spark, lake):
+        t, w = _mk(spark, lake, "m2", pk=["id"])
+        w.write(spark.range(20).select(F.col("id"), F.lit("a").alias("s")))
+        v_base = t.current_version()
+        w.write(spark.range(5).select(F.col("id"), F.lit("b").alias("s")))  # rewrite
+        w.write(spark.range(20, 25).select(F.col("id"), F.lit("c").alias("s")))  # merge-route insert
+        skip = _run_stream(
+            spark, lake, "m2", qname="q_skip",
+            startingVersion=str(v_base + 1), skipChangeCommits="true",
+        )
+        assert all(r["s"] == "c" for r in skip.collect())
+        ign = _run_stream(
+            spark, lake, "m2", qname="q_ign",
+            startingVersion=str(v_base + 1), ignoreChanges="true",
+        )
+        # rewrite commit's files re-deliver rewritten content too
+        assert ign.filter(F.col("s") == "b").count() >= 5
+        assert ign.filter(F.col("s") == "c").count() == 5
