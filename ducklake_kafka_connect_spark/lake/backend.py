@@ -117,6 +117,11 @@ class StorageBackend:
     def file_size(self, path: str) -> int:  # HEAD content-length
         raise NotImplementedError
 
+    def file_mtime(self, path: str) -> float:  # HEAD Last-Modified
+        """Epoch seconds of last modification (vacuum's orphan-grace
+        check for never-referenced, possibly in-flight staged files)."""
+        raise NotImplementedError
+
     def ensure_dir(self, path: str) -> None:
         """mkdir -p where directories are real; no-op on a pure object
         store (prefixes need no creation)."""
@@ -208,6 +213,9 @@ class _LocalFilesMixin(StorageBackend):
 
     def file_size(self, path: str) -> int:
         return os.path.getsize(path)
+
+    def file_mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
 
     def ensure_dir(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)

@@ -196,11 +196,23 @@ def compact(
         )
 
 
-def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
+def vacuum(
+    table: LakeTable,
+    keep_versions: int = 1,
+    orphan_grace_s: float = 3600.0,
+) -> int:
     """Delete data files referenced by no retained snapshot (the newest
     ``keep_versions`` manifests) and drop older manifest versions.
     Returns the number of data files deleted. Time travel remains valid
-    for retained versions only."""
+    for retained versions only.
+
+    ``orphan_grace_s``: a file referenced by NO committed version at all
+    is either debris from a crashed write or an IN-FLIGHT write's staged
+    output that has not committed yet (Spark-sink tasks stage before the
+    driver's commit can take the table lock). Such files are reclaimed
+    only once older than the grace window — the same recent-orphan
+    protection Iceberg's orphan-file cleanup applies. Files referenced
+    by a DROPPED version are garbage regardless of age."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     import json as _json
@@ -217,12 +229,14 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> int:
             _json.dumps({"expires": _time.time() + table.VACUUM_INTENT_TTL}),
         )
         try:
-            return _vacuum_locked(table, keep_versions, lk)
+            return _vacuum_locked(table, keep_versions, lk, orphan_grace_s)
         finally:
             table.fs.delete(table._vacuum_intent_path)
 
 
-def _vacuum_locked(table: LakeTable, keep_versions: int, lk) -> int:
+def _vacuum_locked(
+    table: LakeTable, keep_versions: int, lk, orphan_grace_s: float = 3600.0
+) -> int:
     latest = table.current_version()
     retained: list[int] = []
     v = latest
@@ -241,6 +255,18 @@ def _vacuum_locked(table: LakeTable, keep_versions: int, lk) -> int:
         for rv in retained
         for p in table.manifest(rv).all_files()
     }
+    # every resolvable version's references: a file in NO manifest at
+    # all is a (possibly in-flight) orphan and gets the grace window; a
+    # file referenced only by dropped versions is garbage at any age
+    referenced_any = set(referenced)
+    for v2 in range(latest + 1):
+        if v2 not in retained and table.has_version(v2):
+            try:
+                referenced_any.update(
+                    os.path.normpath(p) for p in table.manifest(v2).all_files()
+                )
+            except FileNotFoundError:
+                pass  # chain already vacuumed past this version
     # chain compaction: materialize the oldest retained version as a
     # full base (resolved BEFORE any segment is deleted), so no
     # retained version's resolution chain reaches past the window —
@@ -266,6 +292,9 @@ def _vacuum_locked(table: LakeTable, keep_versions: int, lk) -> int:
     # is structural) — and heartbeat it through a long delete loop so a
     # 100 TB vacuum never silently outlives its lease
     lk.assert_held()
+    import time as _time
+
+    now = _time.time()
     deleted = 0
     n_seen = 0
     for rel_in_data in table.fs.walk_files(table.data_dir):
@@ -274,6 +303,14 @@ def _vacuum_locked(table: LakeTable, keep_versions: int, lk) -> int:
         rel = os.path.normpath(os.path.join("data", rel_in_data))
         if rel not in referenced:
             abs_p = os.path.join(table.data_dir, rel_in_data)
+            if rel not in referenced_any:
+                # never committed: crashed-write debris OR an in-flight
+                # write's staged output — reclaim only past the grace
+                try:
+                    if now - table.fs.file_mtime(abs_p) < orphan_grace_s:
+                        continue
+                except FileNotFoundError:
+                    continue
             table.fs.delete(abs_p)
             # bloom sidecar dies with its data file
             table.fs.delete(abs_p + ".bloom", missing_ok=True)

@@ -1018,6 +1018,64 @@ def lake_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_datasource_sink_roundtrip",
+    """
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 13 = 5
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM src GROUP BY event_type ORDER BY event_type
+    """,
+    "The `ducklake` DataSource SINK in the correctness gate: "
+    "df.write.format('ducklake') stages parquet executor-side (Arrow "
+    "batches, footer stats harvested in-task) and the driver folds the "
+    "staged files into a manifest version under the table lock — two "
+    "appends + one read-back through the ENGINE's table API prove the "
+    "format-written files are first-class lake citizens",
+)
+def lake_datasource_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sources/lake_datasource.py write path: auto-create + two sink
+    appends (each one manifest version), read back via LakeTable.read —
+    stats harvested by the sink must serve the engine's pruning."""
+    from ..lake import LakeTable
+    from ..sources.lake_datasource import register_lake_datasource
+
+    register_lake_datasource(spark)
+    src = _event_source(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_sink_{uuid.uuid4().hex[:8]}"
+    )
+    half = src.filter(F.col("event_id") % 13 == 5).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    for part in (half.filter(F.col("event_id") % 2 == 0),
+                 half.filter(F.col("event_id") % 2 == 1)):
+        (
+            part.write.format("ducklake")
+            .option("path", root)
+            .option("table", "ev")
+            .mode("append")
+            .save()
+        )
+    t = LakeTable(spark, root, "ev")
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "refs_chain_tag_ops",
     """
     WITH base AS (

@@ -64,7 +64,9 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -73,6 +75,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -321,3 +324,230 @@ class DucklakeDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _StreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _BatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _StreamWriter(self.options, schema, overwrite)
+
+
+# ---------------------------------------------------------------------------
+# Write path: df.write.format("ducklake") / writeStream.format("ducklake")
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    """One task's staged output: manifest-relative paths + footer stats
+    (harvested executor-side — the driver commit does zero file I/O)."""
+
+    rel_files: "list[str]"
+    stats: "dict[str, dict]"
+    rows: int
+
+
+class _WriterBase:
+    """Shared plan for the batch and streaming sinks: tasks stage
+    immutable parquet under ``data/s-<uuid>/`` (pyarrow, physical
+    column layout, ``_inserted_at`` stamped), the driver folds the
+    staged files into a new manifest version under the table lock.
+    Between staging and commit the files are unreferenced — vacuum's
+    orphan-grace window is what makes that safe (maintenance.py).
+
+    INSERT semantics only (the engine convention: merge/upsert goes
+    through ``LakeWriter``/SQL MERGE — a pk table is refused so the
+    merge invariant can't be silently violated). Partitioned tables are
+    refused in v1 (partition-dir layout needs a shuffle the sink API
+    does not own)."""
+
+    def __init__(self, options, schema: StructType):
+        from ..lake.table import INSERTED_AT, _stats_columns
+
+        self.options = options
+        t = _open_table(options)
+        self.root = options.get("path")
+        self.name = options.get("table")
+        self.backend_name = t.fs.name
+        if not t.exists():
+            if _truthy(options.get("autocreate", "true")):
+                t.create(schema, pk=[])
+            else:
+                raise ValueError(f"ducklake sink: unknown table {self.name!r}")
+        m = t.manifest()
+        if m.pk:
+            raise ValueError(
+                f"ducklake sink: {self.name} has a PRIMARY KEY — the sink is "
+                f"append-only (INSERT); use LakeWriter.merge / SQL MERGE for "
+                f"upserts"
+            )
+        if m.partition_spec:
+            raise ValueError(
+                f"ducklake sink: {self.name} is partitioned — write through "
+                f"LakeWriter (the sink API does not own the partition shuffle)"
+            )
+        surface = _read_surface(t, m)
+        want = {f.name: f.dataType for f in surface.fields if f.name != INSERTED_AT}
+        got = {f.name: f.dataType for f in schema.fields}
+        if want != got:
+            raise ValueError(
+                f"ducklake sink: frame schema {sorted(got)} does not match "
+                f"table {self.name} data columns {sorted(want)} (types must "
+                f"match exactly; evolve through LakeWriter)"
+            )
+        # executor-side plan: physical layout + stats columns
+        self.renames = dict(m.column_renames)
+        self.col_order = [f.name for f in surface.fields if f.name != INSERTED_AT]
+        self.stat_cols = [
+            self.renames.get(c, c) for c in _stats_columns(surface, [])
+        ]
+        self.stamp_inserted = INSERTED_AT in surface.fieldNames()
+        self.table_dir = t.dir
+
+    # -- executor side --
+    def write(self, iterator):
+        import time
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..lake.table import INSERTED_AT, _harvest_one
+
+        rel_dir = os.path.join("data", f"s-{_uuid.uuid4().hex[:12]}")
+        rel = os.path.join(rel_dir, f"part-00000-{_uuid.uuid4().hex[:8]}.parquet")
+        abs_p = os.path.join(self.table_dir, rel)
+        stamp = pa.scalar(
+            int(time.time() * 1_000_000), type=pa.timestamp("us", tz="UTC")
+        )
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                tbl = pa.Table.from_batches([batch])
+                cols = [tbl.column(c) for c in self.col_order]
+                names = [self.renames.get(c, c) for c in self.col_order]
+                if self.stamp_inserted:
+                    cols.append(
+                        pa.chunked_array(
+                            [pa.repeat(stamp, len(tbl))],
+                        )
+                    )
+                    names.append(INSERTED_AT)
+                out = pa.table(dict(zip(names, cols)))
+                if writer is None:
+                    os.makedirs(os.path.dirname(abs_p), exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        abs_p, out.schema, compression="snappy"
+                    )
+                writer.write_table(out)
+                rows += len(tbl)
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            if os.path.exists(abs_p):
+                os.remove(abs_p)
+            return _WriteResult([], {}, 0)
+        harvested = _harvest_one(abs_p, self.stat_cols, None)
+        # stats keys are LOGICAL names (manifest convention)
+        back = {v: k for k, v in self.renames.items()}
+        harvested = {back.get(k, k): v for k, v in harvested.items()}
+        return _WriteResult([rel], {rel: harvested}, rows)
+
+    # -- driver side --
+    def _commit_files(self, messages, overwrite: bool, txn=None) -> None:
+        from ..lake.table import Manifest
+
+        t = _open_table(
+            {"path": self.root, "table": self.name, "backend": self.backend_name}
+        )
+        rel_files: list[str] = []
+        stats: dict[str, dict] = {}
+        for msg in messages:
+            if msg is None:
+                continue
+            rel_files.extend(msg.rel_files)
+            stats.update(msg.stats)
+        with t.lock():
+            m = t.manifest()
+            if txn is not None:
+                app, epoch = txn
+                last = m.props.get("txns", {}).get(app)
+                if last is not None and int(last) >= int(epoch):
+                    # replayed epoch: the batch already committed — drop
+                    # the re-staged files instead of double-appending
+                    for rel in rel_files:
+                        t.fs.delete(os.path.join(t.dir, rel), missing_ok=True)
+                    return
+            if overwrite:
+                files = {"": list(rel_files)} if rel_files else {}
+                file_stats = dict(stats)
+                op = "SINK_OVERWRITE"
+            else:
+                if not rel_files:
+                    return  # empty append: no new version
+                files = {k: list(v) for k, v in m.files.items()}
+                files.setdefault("", []).extend(rel_files)
+                file_stats = {**m.file_stats, **stats}
+                op = "SINK_APPEND"
+            props = {**m.props, "last_op": op}
+            if txn is not None:
+                props["txns"] = {**m.props.get("txns", {}), txn[0]: int(txn[1])}
+            t._commit(
+                Manifest(
+                    version=m.version + 1,
+                    schema=m.schema,
+                    pk=m.pk,
+                    partition_spec=m.partition_spec,
+                    files=files,
+                    parent=m.version,
+                    props=props,
+                    file_stats=file_stats,
+                ),
+                parent_manifest=m,
+            )
+
+    def _abort_files(self, messages) -> None:
+        t = _open_table(
+            {"path": self.root, "table": self.name, "backend": self.backend_name}
+        )
+        for msg in messages or []:
+            if msg is None:
+                continue
+            for rel in msg.rel_files:
+                t.fs.delete(os.path.join(t.dir, rel), missing_ok=True)
+        # files from tasks that died before returning a message are
+        # unreferenced debris — vacuum's orphan grace reclaims them
+
+
+class _BatchWriter(_WriterBase, DataSourceArrowWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        super().__init__(options, schema)
+        self.overwrite = overwrite
+
+    def commit(self, messages) -> None:
+        self._commit_files(messages, self.overwrite)
+
+    def abort(self, messages) -> None:
+        self._abort_files(messages)
+
+
+class _StreamWriter(_WriterBase, DataSourceStreamArrowWriter):
+    """Exactly-once streaming sink: the epoch id rides the manifest's
+    idempotent-commit marker (``props['txns']`` — the engine's E8b
+    channel), so a Spark-replayed micro-batch commits nothing twice."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "ducklake streaming sink supports append output mode only"
+            )
+        super().__init__(options, schema)
+        self.app = options.get("txnappid") or f"ducklake_sink_{self.name}"
+
+    def commit(self, messages, batchId: int) -> None:
+        self._commit_files(messages, overwrite=False, txn=(self.app, batchId))
+
+    def abort(self, messages, batchId: int) -> None:
+        self._abort_files(messages)

@@ -171,3 +171,186 @@ class TestStream:
         # rewrite commit's files re-deliver rewritten content too
         assert ign.filter(F.col("s") == "b").count() >= 5
         assert ign.filter(F.col("s") == "c").count() == 5
+
+
+class TestSink:
+    def test_append_autocreate_and_roundtrip(self, spark, lake):
+        df = spark.range(50).select(
+            F.col("id"), (F.col("id") * 3).alias("v"), F.lit("w").alias("s")
+        )
+        df.write.format("ducklake").option("path", lake).option(
+            "table", "sink"
+        ).mode("append").save()
+        spark.range(50, 70).select(
+            F.col("id"), (F.col("id") * 3).alias("v"), F.lit("x").alias("s")
+        ).write.format("ducklake").option("path", lake).option(
+            "table", "sink"
+        ).mode("append").save()
+        t = LakeCatalog(spark, lake).table("sink")
+        assert t.read().count() == 70
+        # footer stats were harvested executor-side: the engine's stat
+        # prune must narrow a point read to one file
+        files, _ = t.prune_files("id = 60")
+        assert len(files) < len(t.manifest().all_files())
+        got = {r["id"]: (r["v"], r["s"]) for r in t.read().collect()}
+        assert got[60] == (180, "x") and got[10] == (30, "w")
+        # _inserted_at stamped on every sink row
+        assert (
+            t.read(include_hidden=True).filter(F.col("_inserted_at").isNull()).count()
+            == 0
+        )
+        # and the ducklake READER sees the sink's rows back
+        assert _load(spark, lake, "sink").count() == 70
+
+    def test_overwrite_mode(self, spark, lake):
+        df = spark.range(30).select(F.col("id"), F.lit("a").alias("s"))
+        df.write.format("ducklake").option("path", lake).option(
+            "table", "ow"
+        ).mode("append").save()
+        spark.range(5).select(F.col("id"), F.lit("b").alias("s")).write.format(
+            "ducklake"
+        ).option("path", lake).option("table", "ow").mode("overwrite").save()
+        t = LakeCatalog(spark, lake).table("ow")
+        assert t.read().count() == 5
+        assert {r["s"] for r in t.read().collect()} == {"b"}
+        # history preserved: the pre-overwrite version still reads
+        assert t.read(version=t.current_version() - 1).count() == 30
+
+    def test_pk_partitioned_and_schema_guards(self, spark, lake):
+        cat = LakeCatalog(spark, lake)
+        LakeWriter(cat.table("pkt"), pk=["id"]).write(
+            spark.range(5).select(F.col("id"), F.lit("a").alias("s"))
+        )
+        df = spark.range(5).select(F.col("id"), F.lit("b").alias("s"))
+        with pytest.raises(Exception, match="PRIMARY KEY"):
+            df.write.format("ducklake").option("path", lake).option(
+                "table", "pkt"
+            ).mode("append").save()
+        LakeWriter(cat.table("pp"), partition_by="month(ts)").append(
+            spark.range(3).select(
+                F.col("id"), F.timestamp_seconds(1704067200 + F.col("id")).alias("ts")
+            )
+        )
+        with pytest.raises(Exception, match="partitioned"):
+            spark.range(3).select(
+                F.col("id"), F.timestamp_seconds(F.lit(1704067200)).alias("ts")
+            ).write.format("ducklake").option("path", lake).option(
+                "table", "pp"
+            ).mode("append").save()
+        LakeWriter(cat.table("sch")).append(
+            spark.range(3).select(F.col("id"), F.lit("a").alias("s"))
+        )
+        with pytest.raises(Exception, match="does not match"):
+            spark.range(3).select(F.col("id")).write.format("ducklake").option(
+                "path", lake
+            ).option("table", "sch").mode("append").save()
+
+    def test_stream_sink_epoch_idempotence(self, spark, lake):
+        """Replayed micro-batch (same batchId) must not double-append:
+        the epoch rides the manifest's txns marker and the re-staged
+        files are dropped — exercised at the writer-commit level where
+        the replay can be forced deterministically."""
+        from ducklake_kafka_connect_spark.sources.lake_datasource import (
+            _StreamWriter,
+            _WriteResult,
+        )
+
+        cat = LakeCatalog(spark, lake)
+        LakeWriter(cat.table("ss")).append(
+            spark.range(3).select(F.col("id"), F.lit("seed").alias("s"))
+        )
+        t = cat.table("ss")
+        schema = spark.range(1).select(F.col("id"), F.lit("x").alias("s")).schema
+        w = _StreamWriter({"path": lake, "table": "ss"}, schema, overwrite=False)
+        import os as _os
+
+        import pyarrow as pa
+
+        def stage(tag):
+            msg = w.write(
+                iter(
+                    pa.table(
+                        {"id": [100, 101], "s": [tag, tag]}
+                    ).to_batches()
+                )
+            )
+            return msg
+
+        m1 = stage("e1")
+        w.commit([m1], batchId=7)
+        assert t.read().count() == 5
+        # Spark replays epoch 7 after a crash: files re-staged, commit skipped
+        m1b = stage("e1-replay")
+        v_before = t.current_version()
+        w.commit([m1b], batchId=7)
+        assert t.current_version() == v_before, "replayed epoch commits nothing"
+        assert t.read().count() == 5
+        assert not _os.path.exists(
+            _os.path.join(t.dir, m1b.rel_files[0])
+        ), "replayed epoch's staged files are dropped"
+        # the next epoch proceeds normally
+        m2 = stage("e2")
+        w.commit([m2], batchId=8)
+        assert t.read().count() == 7
+        assert t.manifest().props["txns"][w.app] == 8
+
+    def test_abort_cleans_staged_files(self, spark, lake):
+        from ducklake_kafka_connect_spark.sources.lake_datasource import (
+            _BatchWriter,
+        )
+
+        cat = LakeCatalog(spark, lake)
+        LakeWriter(cat.table("ab")).append(
+            spark.range(2).select(F.col("id"), F.lit("a").alias("s"))
+        )
+        t = cat.table("ab")
+        schema = spark.range(1).select(F.col("id"), F.lit("x").alias("s")).schema
+        import os as _os
+
+        import pyarrow as pa
+
+        w = _BatchWriter({"path": lake, "table": "ab"}, schema, overwrite=False)
+        msg = w.write(iter(pa.table({"id": [9], "s": ["z"]}).to_batches()))
+        staged = _os.path.join(t.dir, msg.rel_files[0])
+        assert _os.path.exists(staged)
+        w.abort([msg])
+        assert not _os.path.exists(staged)
+        assert t.read().count() == 2
+
+    def test_vacuum_grace_protects_staged_files(self, spark, lake):
+        """The orphan-grace contract the sink relies on: a freshly
+        staged (never-referenced) file survives vacuum inside the grace
+        window and is reclaimed past it."""
+        from ducklake_kafka_connect_spark.lake.maintenance import vacuum
+        from ducklake_kafka_connect_spark.sources.lake_datasource import (
+            _BatchWriter,
+        )
+
+        cat = LakeCatalog(spark, lake)
+        LakeWriter(cat.table("gr")).append(
+            spark.range(4).select(F.col("id"), F.lit("a").alias("s"))
+        )
+        # overwrite drops the first version's files from the tip → they
+        # become dropped-version garbage vacuum reclaims at any age
+        spark.range(4).select(F.col("id"), F.lit("b").alias("s")).write.format(
+            "ducklake"
+        ).option("path", lake).option("table", "gr").mode("overwrite").save()
+        t = cat.table("gr")
+        schema = spark.range(1).select(F.col("id"), F.lit("x").alias("s")).schema
+        import os as _os
+
+        import pyarrow as pa
+
+        w = _BatchWriter({"path": lake, "table": "gr"}, schema, overwrite=False)
+        msg = w.write(iter(pa.table({"id": [9], "s": ["z"]}).to_batches()))
+        staged = _os.path.join(t.dir, msg.rel_files[0])
+        deleted = vacuum(t, keep_versions=1)  # default grace: staged survives
+        assert deleted > 0, "dropped-version files still reclaimed"
+        assert _os.path.exists(staged), "in-flight staged file survives vacuum"
+        w.commit([msg])  # the in-flight write lands fine afterwards
+        assert t.read().count() == 5
+        # debris (never committed) IS reclaimed once past the grace
+        msg2 = w.write(iter(pa.table({"id": [10], "s": ["d"]}).to_batches()))
+        debris = _os.path.join(t.dir, msg2.rel_files[0])
+        vacuum(t, keep_versions=1, orphan_grace_s=0.0)
+        assert not _os.path.exists(debris)
