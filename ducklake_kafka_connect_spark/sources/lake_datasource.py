@@ -72,7 +72,6 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
-    IsNotNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
