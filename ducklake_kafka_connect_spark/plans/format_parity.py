@@ -1076,6 +1076,86 @@ def lake_datasource_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "medallion_incremental_pipeline",
+    """
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) * 10 AS cents10
+      FROM events WHERE event_id % 5 = 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents10) AS BIGINT) AS sum_cents10
+    FROM src GROUP BY event_type ORDER BY event_type
+    """,
+    "Bronze→silver medallion flow through the `ducklake` format alone: "
+    "readStream follows bronze's manifest versions, a per-batch "
+    "transform runs, writeStream lands silver with epoch idempotence; a "
+    "second bronze commit flows through a checkpoint RESTART (only the "
+    "new version's files re-process) — silver must equal the oracle's "
+    "one-shot arithmetic over the full slice",
+)
+def medallion_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition test of the DataSource halves: source offsets =
+    manifest versions, sink exactly-once = txns epoch markers, and the
+    checkpoint makes the second run INCREMENTAL (the first bronze
+    version is never re-read — a duplicate would break the oracle)."""
+    from ..lake import LakeTable, LakeWriter
+    from ..sources.lake_datasource import register_lake_datasource
+
+    register_lake_datasource(spark)
+    src = _event_source(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_med_{uuid.uuid4().hex[:8]}"
+    )
+    cp = os.path.join(root, "_checkpoint")
+    slice_ = src.filter(F.col("event_id") % 5 == 1).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bronze = LakeTable(spark, root, "bronze")
+    w = LakeWriter(bronze)
+
+    def run_once():
+        q = (
+            spark.readStream.format("ducklake")
+            .option("path", root)
+            .option("table", "bronze")
+            .option("startingVersion", "0")
+            .load()
+            .select(
+                "event_id",
+                "event_type",
+                (F.col("cents") * 10).alias("cents10"),
+            )
+            .writeStream.format("ducklake")
+            .option("path", root)
+            .option("table", "silver")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    w.append(slice_.filter(F.col("event_id") % 2 == 1))
+    run_once()
+    w.append(slice_.filter(F.col("event_id") % 2 == 0))
+    run_once()  # checkpoint restart: only the new version re-processes
+    silver = LakeTable(spark, root, "silver")
+    return (
+        silver.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents10").cast("long").alias("sum_cents10"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "refs_chain_tag_ops",
     """
     WITH base AS (

@@ -354,3 +354,50 @@ class TestSink:
         debris = _os.path.join(t.dir, msg2.rel_files[0])
         vacuum(t, keep_versions=1, orphan_grace_s=0.0)
         assert not _os.path.exists(debris)
+
+
+class TestMedallion:
+    def test_lake_to_lake_incremental_pipeline(self, spark, lake, tmp_path):
+        """Bronze→silver through the format alone: readStream('ducklake')
+        follows bronze's manifest versions, a transform runs per
+        micro-batch, writeStream('ducklake') lands silver with epoch
+        idempotence — then a SECOND bronze commit flows through an
+        incremental restart from the same checkpoint (no reprocessing:
+        silver gains exactly the new rows)."""
+        cp = str(tmp_path / "cp")
+        t_b, w_b = _mk(spark, lake, "bronze")
+        w_b.append(spark.range(40).select(
+            F.col("id"), (F.col("id") % 4).alias("k"), (F.col("id") * 2).alias("v")))
+
+        def run_once():
+            q = (
+                spark.readStream.format("ducklake")
+                .option("path", lake).option("table", "bronze")
+                .option("startingVersion", "0")
+                .load()
+                .withColumn("v2", F.col("v") * 10)
+                .select("id", "k", "v2")
+                .writeStream.format("ducklake")
+                .option("path", lake).option("table", "silver")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        run_once()
+        t_s = LakeCatalog(spark, lake).table("silver")
+        assert t_s.read().count() == 40
+        # incremental: new bronze commit, restart from the checkpoint
+        w_b.append(spark.range(40, 50).select(
+            F.col("id"), (F.col("id") % 4).alias("k"), (F.col("id") * 2).alias("v")))
+        run_once()
+        got = {r["id"]: r["v2"] for r in t_s.read().collect()}
+        assert len(got) == 50, "exactly the new rows were appended"
+        assert got[45] == 900
+        # replayed run with NO new bronze data appends nothing
+        v = t_s.current_version()
+        run_once()
+        assert t_s.current_version() == v
+        assert t_s.read().count() == 50
