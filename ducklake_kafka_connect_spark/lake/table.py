@@ -2268,6 +2268,40 @@ class LakeCatalog:
             rows, "column_name string, column_type string, null string, key string"
         )
 
+    def show_create_table(self, name: str):
+        """``SHOW CREATE TABLE <t>`` — a ROUND-TRIPPABLE statement: the
+        emitted string re-creates an equivalent table through
+        :meth:`ddl` (columns in manifest order minus the system column,
+        hostile identifiers double-quoted per the reference's
+        SqlIdentifierUtil discipline, PRIMARY KEY and PARTITIONED BY
+        clauses included)."""
+        from ..schema.reconcile import INSERTED_AT
+
+        t = self.table(name)
+        if not t.exists():
+            raise ValueError(f"table {name!r} does not exist")
+        m = t.manifest()
+        derived = {
+            c
+            for e in m.partition_exprs
+            for c in ([e.output_name] if e.output_name != e.column else [])
+        }
+        cols = [
+            f"{quote_ident(f.name)} {f.dataType.simpleString().upper()}"
+            for f in m.schema.fields
+            if f.name != INSERTED_AT and f.name not in derived
+        ]
+        if m.pk:
+            cols.append(
+                "PRIMARY KEY (" + ", ".join(quote_ident(c) for c in m.pk) + ")"
+            )
+        stmt = f"CREATE TABLE {quote_ident(name)} ({', '.join(cols)})"
+        if m.partition_spec:
+            stmt += " PARTITIONED BY (" + ", ".join(m.partition_spec) + ")"
+        return self.spark.createDataFrame(
+            [(name, stmt)], "table string, create_statement string"
+        )
+
     def dml(self, statement: str):
         """SQL DML over the lake write API (the engine-side counterpart
         of the DuckDB statements the reference's users run):
@@ -2400,6 +2434,11 @@ class LakeCatalog:
         q = query.strip().rstrip(";").strip()
         if _re.match(r"SHOW\s+TABLES\s*$", q, _re.IGNORECASE):
             return self.show_tables()
+        scm = _re.match(
+            rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", q, _re.IGNORECASE
+        )
+        if scm:
+            return self.show_create_table(unquote_ident(scm.group(1)))
         dm = _re.match(rf"DESC(?:RIBE)?\s+({_IDENT})\s*$", q, _re.IGNORECASE)
         if dm:
             return self.describe(unquote_ident(dm.group(1)))

@@ -393,3 +393,30 @@ class TestIdentQuoting:
             assert cols == ["pk", "_inserted_at"]
             cat.sql(f"DROP TABLE {q}")
             assert not cat.table_exists(name)
+
+
+class TestShowCreateTable:
+    def test_round_trips_through_ddl(self, cat, spark, tmp_path):
+        cat.sql(
+            'CREATE TABLE sct (pk BIGINT, "weird col" STRING, ts TIMESTAMP, '
+            "PRIMARY KEY (pk)) PARTITIONED BY (month(ts))"
+        )
+        row = cat.sql("SHOW CREATE TABLE sct").collect()[0]
+        stmt = row["create_statement"]
+        assert '"weird col"' in stmt and "PRIMARY KEY (pk)" in stmt
+        assert "PARTITIONED BY (month(ts))" in stmt
+        assert "_inserted_at" not in stmt and "_p_month_ts" not in stmt
+        # the emitted statement re-creates an equivalent table
+        from ducklake_kafka_connect_spark.lake import LakeCatalog
+
+        cat2 = LakeCatalog(spark, str(tmp_path / "roundtrip"))
+        cat2.ddl(stmt)
+        m1, m2 = cat.table("sct").manifest(), cat2.table("sct").manifest()
+        assert m1.pk == m2.pk and m1.partition_spec == m2.partition_spec
+        assert [
+            (f.name, f.dataType) for f in m1.schema.fields
+        ] == [(f.name, f.dataType) for f in m2.schema.fields]
+
+    def test_unknown_table_raises(self, cat):
+        with pytest.raises(ValueError, match="does not exist"):
+            cat.sql("SHOW CREATE TABLE ghost")
