@@ -318,10 +318,11 @@ def test_two_process_tag_edit_stress(spark, tmp_path, backend):
     expected = {
         f"{p}{i}": 0 for p in ("a", "b") for i in range(n) if i % 3 != 2
     }
-    assert t.tags() == expected
+    gen, tags = t._refs_tip()
+    diag = f"gen={gen} live_gens={t._refs_gens()} tags={sorted(tags)}"
+    assert tags == expected, diag
     # linear chain, no lost updates: every mutating edit advanced the tip
     edits = 2 * (n + n // 3)
-    gen, _ = t._refs_tip()
-    assert gen == edits
+    assert gen == edits, diag
     # superseded generations are GC'd down to the reader tail
-    assert len(t._refs_gens()) <= t.REFS_GC_TAIL
+    assert len(t._refs_gens()) <= t.REFS_GC_TAIL, diag

@@ -147,8 +147,6 @@ class TestStream:
         t, w = _mk(spark, lake, "m", pk=["id"])
         w.write(spark.range(20).select(F.col("id"), F.lit("a").alias("s")))
         w.write(spark.range(5).select(F.col("id"), F.lit("b").alias("s")))  # rewrite
-        from py4j.protocol import Py4JJavaError
-
         with pytest.raises(Exception) as ei:
             _run_stream(spark, lake, "m", qname="q_err", startingVersion="0")
         assert "not append-only" in str(ei.value)
