@@ -399,3 +399,33 @@ class TestMedallion:
         run_once()
         assert t_s.current_version() == v
         assert t_s.read().count() == 50
+
+
+class TestSinkRename:
+    def test_sink_writes_physical_names_after_rename(self, spark, lake):
+        """The sink's write boundary must translate logical→physical:
+        after RENAME COLUMN the staged files carry the files' physical
+        name and both the engine read and the DS read surface the
+        logical one."""
+        t, w = _mk(spark, lake, "rn")
+        w.append(spark.range(5).select(F.col("id"), F.lit("a").alias("name")))
+        t.rename_column("name", "label")
+        spark.range(5, 9).select(
+            F.col("id"), F.lit("b").alias("label")
+        ).write.format("ducklake").option("path", lake).option(
+            "table", "rn"
+        ).mode("append").save()
+        t2 = LakeCatalog(spark, lake).table("rn")
+        got = {r["id"]: r["label"] for r in t2.read().collect()}
+        assert len(got) == 9 and got[2] == "a" and got[7] == "b"
+        ds = {r["id"]: r["label"] for r in _load(spark, lake, "rn").collect()}
+        assert ds == got
+        # the physical in-file column is the pre-rename name
+        import pyarrow.parquet as pq
+
+        m = t2.manifest()
+        newest = [f for fl in m.files.values() for f in fl][-1]
+        import os as _os
+
+        cols = pq.read_schema(_os.path.join(t2.dir, newest)).names
+        assert "name" in cols and "label" not in cols
