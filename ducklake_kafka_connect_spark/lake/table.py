@@ -612,6 +612,75 @@ class LakeTable:
             raise ValueError(f"Unknown tag {name!r} on {self.name}")
         return tags[name]
 
+    # ---------- user table properties (TBLPROPERTIES) ----------
+    #
+    # User properties live in their OWN namespace inside manifest props
+    # (``props["tblproperties"]``), so they can never collide with the
+    # engine's state keys (column_renames, txns, last_op, clone_*).
+    # Edits are versioned commits: SET/UNSET advance the manifest chain,
+    # so properties time-travel with the table and survive delta
+    # segments (props travel whole).
+
+    def properties(self) -> "dict[str, str]":
+        """User table properties at the current version."""
+        return dict(self.manifest().props.get("tblproperties", {}))
+
+    def set_properties(self, props: "dict[str, str]") -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES: merge ``props`` into the
+        user-property namespace as a new committed version."""
+        if not props:
+            raise ValueError("SET TBLPROPERTIES requires at least one pair")
+        with self.lock():
+            m = self.manifest()
+            tp = {
+                **m.props.get("tblproperties", {}),
+                **{str(k): str(v) for k, v in props.items()},
+            }
+            self._commit(
+                Manifest(
+                    version=m.version + 1,
+                    schema=m.schema,
+                    pk=m.pk,
+                    partition_spec=m.partition_spec,
+                    files=m.files,
+                    parent=m.version,
+                    props={**m.props, "tblproperties": tp,
+                           "last_op": "SET TBLPROPERTIES"},
+                    file_stats=m.file_stats,
+                ),
+                parent_manifest=m,
+            )
+            return m.version + 1
+
+    def unset_properties(self, keys: "list[str]", if_exists: bool = False) -> int:
+        """ALTER TABLE ... UNSET TBLPROPERTIES [IF EXISTS]."""
+        with self.lock():
+            m = self.manifest()
+            tp = dict(m.props.get("tblproperties", {}))
+            missing = [k for k in keys if k not in tp]
+            if missing and not if_exists:
+                raise ValueError(
+                    f"unknown table propert{'ies' if len(missing) > 1 else 'y'} "
+                    f"{missing} on {self.name} (use IF EXISTS to ignore)"
+                )
+            for k in keys:
+                tp.pop(k, None)
+            self._commit(
+                Manifest(
+                    version=m.version + 1,
+                    schema=m.schema,
+                    pk=m.pk,
+                    partition_spec=m.partition_spec,
+                    files=m.files,
+                    parent=m.version,
+                    props={**m.props, "tblproperties": tp,
+                           "last_op": "UNSET TBLPROPERTIES"},
+                    file_stats=m.file_stats,
+                ),
+                parent_manifest=m,
+            )
+            return m.version + 1
+
     def chain_filenames(self, version: int) -> list[str]:
         """Manifest filenames needed to resolve ``version`` (itself plus
         any delta ancestors down to the full base)."""
@@ -2010,6 +2079,27 @@ def _dq_idents_to_backticks(sql_fragment: str) -> str:
     return re.sub(r'"((?:[^"]|"")+)"', repl, sql_fragment)
 
 
+def _parse_string_literal(text: str) -> str:
+    """A single-quoted SQL string literal with '' escaping → its value."""
+    s = text.strip()
+    m = re.fullmatch(r"'((?:[^']|'')*)'", s, re.DOTALL)
+    if not m:
+        raise ValueError(f"expected a string literal, got: {text.strip()!r}")
+    return m.group(1).replace("''", "'")
+
+
+def _parse_tblproperties(body: str) -> dict[str, str]:
+    """``'k'='v', 'k2'='v2'`` (Spark TBLPROPERTIES syntax: keys and
+    values are string literals) → dict."""
+    props: dict[str, str] = {}
+    for part in split_top_level(body):
+        sides = split_top_level(part, "=")
+        if len(sides) != 2:
+            raise ValueError(f"bad TBLPROPERTIES pair: {part.strip()!r}")
+        props[_parse_string_literal(sides[0])] = _parse_string_literal(sides[1])
+    return props
+
+
 def split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren depth 0 and OUTSIDE string/identifier
     quotes ('…' with '' escape, "…", `…`) — the scanner the UPDATE SET
@@ -2090,6 +2180,8 @@ class LakeCatalog:
         ("rename_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$"),
         ("drop_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})\s*$"),
         ("add_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+({_IDENT})\s+(.+?)\s*$"),
+        ("set_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$"),
+        ("unset_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*(?:(IF\s+EXISTS)\s*)?\((.*)\)\s*$"),
         ("truncate", rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*$"),
         ("vacuum", rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$"),
         ("optimize", rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$"),
@@ -2214,6 +2306,18 @@ class LakeCatalog:
                 return self._ddl_result(
                     "ADD COLUMN", name, f"{col} {m.group(3)} v{v}"
                 )
+            if op == "set_props":
+                v = t.set_properties(_parse_tblproperties(m.group(2)))
+                return self._ddl_result("SET TBLPROPERTIES", name, f"v{v}")
+            if op == "unset_props":
+                keys = [
+                    _parse_string_literal(p)
+                    for p in split_top_level(m.group(3))
+                ]
+                v = t.unset_properties(
+                    keys, if_exists=bool(m.group(2))
+                )
+                return self._ddl_result("UNSET TBLPROPERTIES", name, f"v{v}")
             if op == "truncate":
                 v = t.truncate()
                 return self._ddl_result("TRUNCATE", name, f"v{v}")
@@ -2439,6 +2543,17 @@ class LakeCatalog:
         )
         if scm:
             return self.show_create_table(unquote_ident(scm.group(1)))
+        spm = _re.match(
+            rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*$", q, _re.IGNORECASE
+        )
+        if spm:
+            t = self.table(unquote_ident(spm.group(1)))
+            if not t.exists():
+                raise ValueError(f"table {spm.group(1)!r} does not exist")
+            rows = sorted(t.properties().items())
+            return self.spark.createDataFrame(
+                rows or [], "key string, value string"
+            )
         dm = _re.match(rf"DESC(?:RIBE)?\s+({_IDENT})\s*$", q, _re.IGNORECASE)
         if dm:
             return self.describe(unquote_ident(dm.group(1)))

@@ -420,3 +420,64 @@ class TestShowCreateTable:
     def test_unknown_table_raises(self, cat):
         with pytest.raises(ValueError, match="does not exist"):
             cat.sql("SHOW CREATE TABLE ghost")
+
+
+class TestTblProperties:
+    def test_set_show_unset_and_time_travel(self, cat):
+        cat.sql("CREATE TABLE tp (pk BIGINT)")
+        _fill_nopk = LakeWriter(cat.table("tp"), auto_create=False)
+        _fill_nopk.write(cat.spark.range(3).select(F.col("id").alias("pk")))
+        r = cat.sql(
+            "ALTER TABLE tp SET TBLPROPERTIES ('owner'='data-eng', "
+            "'retention.days'='30', 'note'='it''s fine, really')"
+        ).collect()[0]
+        assert r["op"] == "SET TBLPROPERTIES"
+        props = {
+            row["key"]: row["value"]
+            for row in cat.sql("SHOW TBLPROPERTIES tp").collect()
+        }
+        assert props == {
+            "owner": "data-eng",
+            "retention.days": "30",
+            "note": "it's fine, really",
+        }
+        v_full = cat.table("tp").current_version()
+        cat.sql("ALTER TABLE tp UNSET TBLPROPERTIES ('note')")
+        t = cat.table("tp")
+        assert t.properties() == {"owner": "data-eng", "retention.days": "30"}
+        # properties time-travel with the manifest chain
+        assert t.manifest(v_full).props["tblproperties"]["note"] == "it's fine, really"
+        # data untouched by property commits
+        assert t.read().count() == 3
+
+    def test_unset_unknown_and_if_exists(self, cat):
+        cat.sql("CREATE TABLE tp2 (pk BIGINT)")
+        with pytest.raises(ValueError, match="unknown table propert"):
+            cat.sql("ALTER TABLE tp2 UNSET TBLPROPERTIES ('ghost')")
+        v = cat.table("tp2").current_version()
+        cat.sql("ALTER TABLE tp2 UNSET TBLPROPERTIES IF EXISTS ('ghost')")
+        assert cat.table("tp2").current_version() == v + 1
+
+    def test_engine_state_isolated_from_user_props(self, cat):
+        """User properties can never clobber engine state keys: they
+        live under their own namespace in manifest props."""
+        cat.sql("CREATE TABLE tp3 (pk BIGINT, v BIGINT, PRIMARY KEY (pk))")
+        _fill(cat, "tp3")
+        cat.sql(
+            "ALTER TABLE tp3 SET TBLPROPERTIES ('column_renames'='evil', "
+            "'txns'='evil', 'last_op'='evil')"
+        )
+        t = cat.table("tp3")
+        assert t.manifest().column_renames == {}
+        assert t.properties()["column_renames"] == "evil"  # plain user key
+        # engine ops still work on top
+        cat.sql("ALTER TABLE tp3 RENAME COLUMN v TO w")
+        assert cat.table("tp3").manifest().column_renames == {"w": "v"}
+        assert cat.table("tp3").properties()["txns"] == "evil"
+
+    def test_bad_pairs_raise(self, cat):
+        cat.sql("CREATE TABLE tp4 (pk BIGINT)")
+        with pytest.raises(ValueError, match="string literal|TBLPROPERTIES pair"):
+            cat.sql("ALTER TABLE tp4 SET TBLPROPERTIES (owner='x')")
+        with pytest.raises(ValueError, match="at least one"):
+            cat.table("tp4").set_properties({})
