@@ -2554,6 +2554,14 @@ class LakeCatalog:
             return self.spark.createDataFrame(
                 rows or [], "key string, value string"
             )
+        dhm = _re.match(
+            rf"DESC(?:RIBE)?\s+HISTORY\s+({_IDENT})\s*$", q, _re.IGNORECASE
+        )
+        if dhm:
+            t = self.table(unquote_ident(dhm.group(1)))
+            if not t.exists():
+                raise ValueError(f"table {dhm.group(1)!r} does not exist")
+            return t.history()
         dm = _re.match(rf"DESC(?:RIBE)?\s+({_IDENT})\s*$", q, _re.IGNORECASE)
         if dm:
             return self.describe(unquote_ident(dm.group(1)))

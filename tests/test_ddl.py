@@ -481,3 +481,13 @@ class TestTblProperties:
             cat.sql("ALTER TABLE tp4 SET TBLPROPERTIES (owner='x')")
         with pytest.raises(ValueError, match="at least one"):
             cat.table("tp4").set_properties({})
+
+
+def test_describe_history_routed(cat):
+    cat.sql("CREATE TABLE hist (pk BIGINT, PRIMARY KEY (pk))")
+    _fill(cat, "hist", n=5)
+    rows = cat.sql("DESCRIBE HISTORY hist").collect()
+    assert len(rows) >= 2  # create + write
+    assert {r["version"] for r in rows} == set(range(len(rows)))
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.sql("DESCRIBE HISTORY ghost")
