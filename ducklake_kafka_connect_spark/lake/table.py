@@ -2410,10 +2410,13 @@ class LakeCatalog:
         """SQL DML over the lake write API (the engine-side counterpart
         of the DuckDB statements the reference's users run):
 
-        - ``INSERT INTO t <select>`` — the SELECT runs through
-          :meth:`sql` (so it can read other lake tables, pruned); the
-          result lands via the writer's merge-vs-insert routing, i.e.
-          on a PK table INSERT has the connector's UPSERT semantics.
+        - ``INSERT INTO t [(cols)] <select>|VALUES (...), ...`` — the
+          query runs through :meth:`sql` (so it can read other lake
+          tables, pruned); an explicit column list maps the output
+          positionally (missing table columns null-fill), bare VALUES
+          maps positionally onto the table's data columns; the result
+          lands via the writer's merge-vs-insert routing, i.e. on a PK
+          table INSERT has the connector's UPSERT semantics.
         - ``DELETE FROM t WHERE p`` — file-pruned predicate delete.
         - ``UPDATE t SET a = expr[, ...] WHERE p`` — file-pruned
           predicate update.
@@ -2440,14 +2443,49 @@ class LakeCatalog:
                 "MERGE", name, f"v{self.table(name).current_version()}"
             )
         m = _re.match(
-            rf"INSERT\s+INTO\s+({_IDENT})\s+(SELECT\b.*)$",
+            rf"INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\)\s*)?"
+            rf"((?:SELECT|VALUES|WITH|TABLE)\b.*)$",
             stmt,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
+            from ..schema.reconcile import INSERTED_AT
+
             name = unquote_ident(m.group(1))
             t = self.table(name)
-            df = self.sql(m.group(2))
+            df = self.sql(m.group(3))
+            if m.group(2) is not None:
+                # explicit column list — map the query's output columns
+                # POSITIONALLY onto the named target columns (the form
+                # VALUES needs: Spark names literal columns col1, col2…)
+                cols = [
+                    unquote_ident(c) for c in split_top_level(m.group(2))
+                ]
+                if len(cols) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT INTO {name} ({len(cols)} column(s)) fed by "
+                        f"a {len(df.columns)}-column query"
+                    )
+                df = df.toDF(*cols)
+            elif _re.match(r"VALUES\b", m.group(3), _re.IGNORECASE):
+                # bare VALUES: positional against the table's data
+                # columns (Spark's col1/col2… names mean nothing here)
+                if not t.exists():
+                    raise ValueError(
+                        f"INSERT INTO {name} VALUES needs an existing table "
+                        f"(or an explicit column list)"
+                    )
+                data_cols = [
+                    f.name
+                    for f in t.manifest().schema.fields
+                    if f.name != INSERTED_AT
+                ]
+                if len(data_cols) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT INTO {name} VALUES arity {len(df.columns)} "
+                        f"!= table data columns {len(data_cols)}"
+                    )
+                df = df.toDF(*data_cols)
             pk = t.manifest().pk if t.exists() else []
             _W(t, pk=pk or None, auto_create=False).write(df)
             return self._ddl_result("INSERT", name, f"v{t.current_version()}")

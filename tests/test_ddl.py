@@ -491,3 +491,32 @@ def test_describe_history_routed(cat):
     assert {r["version"] for r in rows} == set(range(len(rows)))
     with pytest.raises(ValueError, match="does not exist"):
         cat.sql("DESCRIBE HISTORY ghost")
+
+
+class TestInsertValues:
+    def test_values_positional(self, cat):
+        cat.sql("CREATE TABLE iv (pk BIGINT, v BIGINT, s STRING, PRIMARY KEY (pk))")
+        cat.sql("INSERT INTO iv VALUES (1, 10, 'a'), (2, 20, 'b,c'), (3, NULL, 'd')")
+        got = {r["pk"]: (r["v"], r["s"]) for r in cat.table("iv").read().collect()}
+        assert got == {1: (10, "a"), 2: (20, "b,c"), 3: (None, "d")}
+        # PK table: VALUES upserts like the connector INSERT
+        cat.sql("INSERT INTO iv VALUES (2, 999, 'upd')")
+        got = {r["pk"]: (r["v"], r["s"]) for r in cat.table("iv").read().collect()}
+        assert got[2] == (999, "upd") and len(got) == 3
+
+    def test_explicit_column_list_and_nullfill(self, cat):
+        cat.sql("CREATE TABLE iv2 (pk BIGINT, v BIGINT, s STRING)")
+        cat.sql("INSERT INTO iv2 (s, pk) VALUES ('x', 7)")
+        row = cat.table("iv2").read().collect()[0]
+        assert (row["pk"], row["v"], row["s"]) == (7, None, "x")
+        # explicit list with a SELECT too
+        cat.sql("INSERT INTO iv2 (pk, v) SELECT pk + 100, pk * 2 FROM iv2")
+        got = {r["pk"]: (r["v"], r["s"]) for r in cat.table("iv2").read().collect()}
+        assert got[107] == (14, None) and len(got) == 2
+
+    def test_arity_errors(self, cat):
+        cat.sql("CREATE TABLE iv3 (pk BIGINT, v BIGINT)")
+        with pytest.raises(Exception, match="arity|column"):
+            cat.sql("INSERT INTO iv3 VALUES (1)")
+        with pytest.raises(ValueError, match="fed by"):
+            cat.sql("INSERT INTO iv3 (pk) VALUES (1, 2)")
