@@ -517,6 +517,22 @@ class LakeTable:
     #: superseded refs generations kept for racing readers (a reader
     #: that LISTed an older tip can still GET it; staler gens re-LIST)
     REFS_GC_TAIL = 8
+    #: ancestor ids carried in every refs object — bounds the
+    #: post-create descends-from check in :meth:`_refs_commit`
+    REFS_ANCESTOR_RING = 64
+    #: never GC a generation younger than this many seconds (0 = off).
+    #: Defense-in-depth for production object stores: a generation name
+    #: can only be re-created after GC frees it, so an age floor ≫ any
+    #: plausible writer stall makes name reuse unreachable even without
+    #: the post-create verification (the same reasoning as Delta Lake's
+    #: log-retention window).
+    REFS_GC_MIN_AGE_S = float(os.environ.get("DUCKLAKE_REFS_GC_MIN_AGE_S", "0") or 0)
+
+    #: test hooks: called as f(table, target_gen) immediately before /
+    #: after the refs CAS-create — deterministic interleave injection
+    #: (mirrors CasLeaseLock.test_hook_pre_steal)
+    _refs_pre_cas_hook = None
+    _refs_post_cas_hook = None
 
     @property
     def _refs_path(self) -> str:
@@ -532,50 +548,132 @@ class LakeTable:
             if n.startswith("refs.g") and n.endswith(".json") and n[6:-5].isdigit()
         )
 
-    def _refs_tip(self) -> "tuple[int, dict[str, int]]":
-        """(generation, tags) at the refs-chain tip. Generation 0 covers
-        both the legacy single-object layout and the empty state."""
+    def _refs_tip_obj(self) -> "tuple[int, dict[str, int], dict | None]":
+        """(generation, tags, raw tip object) at the refs-chain tip.
+        Generation 0 covers both the legacy single-object layout and the
+        empty state (object ``None`` when the chain is empty)."""
         while True:
             gens = self._refs_gens()
             if not gens:
                 b = self.fs.try_read_bytes(self._refs_path)
                 if b is None:
-                    return 0, {}
-                return 0, {
-                    k: int(v) for k, v in json.loads(b).get("tags", {}).items()
-                }
+                    return 0, {}, None
+                obj = json.loads(b)
+                return 0, {k: int(v) for k, v in obj.get("tags", {}).items()}, obj
             top = gens[-1]
             raw = self.fs.try_read_bytes(self._refs_gen_path(top))
             if raw is None:
                 continue  # tip vanished between LIST and GET (GC race) — re-derive
-            return top, {
-                k: int(v) for k, v in json.loads(raw).get("tags", {}).items()
-            }
+            obj = json.loads(raw)
+            return top, {k: int(v) for k, v in obj.get("tags", {}).items()}, obj
+
+    def _refs_tip(self) -> "tuple[int, dict[str, int]]":
+        gen, tags, _ = self._refs_tip_obj()
+        return gen, tags
 
     def tags(self) -> dict[str, int]:
         """Named snapshot refs: tag name → committed version."""
         return self._refs_tip()[1]
+
+    def _refs_descends(self, tip_gen: int, gen: int, gen_id: str) -> bool:
+        """True iff the chain object at ``tip_gen`` provably descends from
+        the object ``gen_id`` committed at ``gen`` — decided from the
+        ancestor-id ring each object carries (no chain walk, so it works
+        even when intermediate generations were GC'd). Conservative
+        ``False`` when unprovable (ring exhausted / legacy object /
+        vanished tip): callers treat that as an orphaned create."""
+        raw = self.fs.try_read_bytes(self._refs_gen_path(tip_gen))
+        if raw is None:
+            return False
+        try:
+            obj = json.loads(raw)
+        except (ValueError, TypeError):
+            return False
+        d = tip_gen - gen
+        if d <= 0:
+            return obj.get("id") == gen_id
+        anc = obj.get("ancestors") or []
+        return d <= len(anc) and anc[d - 1] == gen_id
+
+    def _refs_gc_eligible(self, gen: int) -> bool:
+        if self.REFS_GC_MIN_AGE_S <= 0:
+            return True
+        try:
+            mt = self.fs.file_mtime(self._refs_gen_path(gen))
+        except (FileNotFoundError, OSError):
+            return True
+        return (time.time() - mt) >= self.REFS_GC_MIN_AGE_S
 
     def _refs_commit(self, mutate) -> dict[str, int]:
         """Lock-free refs RMW: read the tip (gen N), apply
         ``mutate(tags)``, CAS-create ``refs.g{N+1}.json``; a lost CAS
         re-reads and replays the mutation against the advanced chain —
         no concurrent edit is ever overwritten (linear chain by
-        construction). A no-op mutation commits nothing."""
+        construction). A no-op mutation commits nothing.
+
+        Generation-reuse guard (root cause of the r11
+        ``test_two_process_tag_edit_stress[posix]`` flake): because GC
+        deletes superseded generation objects, their NAMES become
+        create-able again — a writer stalled between its tip LIST (gen
+        N) and its CAS-create can succeed on ``g{N+1}`` after the chain
+        advanced ≥ ``REFS_GC_TAIL`` generations and GC freed that name,
+        landing its edit BELOW the tip (silent lost update). A bad
+        create therefore implies a live generation ≥ N+1+TAIL existed at
+        create time, and since the live maximum only grows, it is still
+        visible to any later LIST. So after every successful create at
+        ``target`` we re-LIST:
+
+        - max live gen < target+TAIL → the create was provably the tip;
+          committed.
+        - max live gen ≥ target+TAIL → EITHER name reuse (orphaned) OR
+          ≥ TAIL descendants landed in the create→LIST window. The two
+          are distinguished exactly by the ancestor-id ring (every
+          object records the ids of its last ``REFS_ANCESTOR_RING``
+          ancestors): descendants carry our id; a reused-name chain
+          cannot. Orphaned → retract our object and replay the mutation
+          against the real tip.
+
+        Residual (documented, not silent): a create whose ≥ RING (64)
+        descendants all landed inside the create→LIST window is
+        unprovable and replays an idempotent tag edit — equivalent to a
+        client retry. ``REFS_GC_MIN_AGE_S`` closes even that for
+        deployments that want it (name reuse then additionally requires
+        a stall longer than the age floor)."""
         for _ in range(200):
-            gen, tags = self._refs_tip()
+            gen, tags, tip_obj = self._refs_tip_obj()
             new_tags = mutate(dict(tags))
             if new_tags == tags:
                 return new_tags
-            payload = json.dumps({"tags": new_tags}, indent=1)
-            if self.fs.put_if_absent(self._refs_gen_path(gen + 1), payload):
-                for g in self._refs_gens():
-                    if g <= gen + 1 - self.REFS_GC_TAIL:
-                        self.fs.delete(self._refs_gen_path(g))
-                if gen == 0:
-                    self.fs.delete(self._refs_path)  # legacy object superseded
-                return new_tags
-            time.sleep(0.01)
+            target = gen + 1
+            my_id = uuid.uuid4().hex
+            ancestors: list[str] = []
+            if tip_obj is not None and tip_obj.get("id"):
+                ancestors = [tip_obj["id"], *tip_obj.get("ancestors", [])]
+                ancestors = ancestors[: self.REFS_ANCESTOR_RING]
+            payload = json.dumps(
+                {"tags": new_tags, "id": my_id, "ancestors": ancestors}, indent=1
+            )
+            if self._refs_pre_cas_hook is not None:
+                self._refs_pre_cas_hook(self, target)
+            if not self.fs.put_if_absent(self._refs_gen_path(target), payload):
+                time.sleep(0.01)
+                continue
+            if self._refs_post_cas_hook is not None:
+                self._refs_post_cas_hook(self, target)
+            gens = self._refs_gens()
+            top = max(gens) if gens else target
+            if top >= target + self.REFS_GC_TAIL and not self._refs_descends(
+                top, target, my_id
+            ):
+                # orphaned below the tip (generation-name reuse) — retract
+                self.fs.delete(self._refs_gen_path(target))
+                continue
+            for g in gens:
+                if g <= target - self.REFS_GC_TAIL and self._refs_gc_eligible(g):
+                    self.fs.delete(self._refs_gen_path(g))
+            if gen == 0:
+                self.fs.delete(self._refs_path)  # legacy object superseded
+            return new_tags
         raise CommitConflict(
             f"refs chain on {self.name}: lost the CAS 200 times (livelock?)"
         )
