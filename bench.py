@@ -92,6 +92,7 @@ def main() -> None:
         # without re-running the other round's tree
         "host_factor": host_factor_harness(),
         "replay": replay_harness(spark),
+        "wide_scan": wide_scan_harness(spark, sf_dir),
         "sf1": sf1_harness(spark, sf_dir, timings),
     }
     # Full record to a repo file FIRST: the driver captures only the tail
@@ -131,6 +132,7 @@ def main() -> None:
         "queries": {n: timings[n] for n in SF1_QUERIES if n in timings},
         "ingest": {k: v for k, v in ing.items() if isinstance(v, (int, float))},
         "host_factor": record["host_factor"],
+        "wide_scan": record["wide_scan"],
         "sf1_ingest": record["sf1"].get("ingest", {}),
         "errors": sorted(n for n, t in timings.items() if t < 0),
         "detail": "BENCH_LOCAL.json",
@@ -144,6 +146,83 @@ def main() -> None:
         line = json.dumps(compact)
     print(line)
     spark.stop()
+
+
+def wide_scan_harness(spark, sf_dir: str) -> dict:
+    """VERDICT r11 'What's wrong #2' closure evidence: a WIDE (51-col)
+    lake table scanned through the `ducklake` Python DataSource. Spark
+    cannot push projection into Python sources, so a bare .select()
+    reads the full width through Arrow; `.option("columns", ...)` must
+    cut the read to the selected columns' pages — measured here against
+    both the unpruned DataSource scan and the JVM-parquet native path."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ducklake_kafka_connect_spark.lake import LakeTable, LakeWriter
+    from ducklake_kafka_connect_spark.sources import load_parquet
+    from ducklake_kafka_connect_spark.sources.lake_datasource import (
+        register_lake_datasource,
+    )
+
+    register_lake_datasource(spark)
+    root = os.path.join(tempfile.gettempdir(), f"bench_wide_{_uuid.uuid4().hex[:8]}")
+    try:
+        t = LakeTable(spark, root, "wide")
+        ev = load_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        LakeWriter(t).append(
+            ev.select(
+                "event_id",
+                "event_type",
+                *[
+                    ((F.col("event_id") * (i + 3)) % 997)
+                    .cast("long")
+                    .alias(f"c{i:02d}")
+                    for i in range(49)
+                ],
+            )
+        )
+
+        def rd():
+            return (
+                spark.read.format("ducklake")
+                .option("path", root)
+                .option("table", "wide")
+            )
+
+        def timed(fn) -> float:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn()
+                e = time.perf_counter() - t0
+                best = e if best is None else min(best, e)
+            return round(best, 3)
+
+        out = {
+            "n_cols": 51,
+            "rows": t.read().count(),
+            "ds_full_width_s": timed(
+                lambda: rd().load().agg(F.sum("c07")).collect()
+            ),
+            "ds_columns_opt_s": timed(
+                lambda: rd().option("columns", "c07").load()
+                .agg(F.sum("c07")).collect()
+            ),
+            "native_select_s": timed(
+                lambda: t.read().select("c07").agg(F.sum("c07")).collect()
+            ),
+        }
+        out["columns_opt_speedup"] = round(
+            out["ds_full_width_s"] / max(out["ds_columns_opt_s"], 1e-9), 2
+        )
+        return out
+    except Exception as e:
+        return {"error": str(e)[:300]}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def split_harness(spark, sf_dir: str) -> dict:

@@ -379,17 +379,35 @@ class CasLeaseLock:
 
     def assert_held(self) -> None:
         """Raise :class:`LeaseConflict` if this lock is no longer the
-        authoritative lease (stolen after expiry, or released). Call
-        before the destructive step of a long critical section."""
+        authoritative lease (stolen after expiry, released, or — new —
+        EXPIRED while still unstolen). The expiry self-check keeps the
+        protocol invariant honest: a holder stalled past its TTL must
+        never extend an expiry a thief may already have observed as
+        expired, so it may not "successfully" renew — it must abort.
+        Residual window (unavoidable without a conditional overwrite
+        primitive): a holder whose expiry check passes can still stall
+        BETWEEN this check and its subsequent write; the thief's higher
+        generation then wins every later check, bounding the overlap to
+        one stalled write. Call before the destructive step of a long
+        critical section."""
         if not self._held or self.gen is None:
             raise LeaseConflict(f"lease {self.path} is not held")
         raw = self.backend.try_read_bytes(self._gen_path(self.gen))
         owned = False
+        expires = 0.0
         if raw is not None:
             try:
-                owned = json.loads(raw).get("holder") == self.holder
+                obj = json.loads(raw)
+                owned = obj.get("holder") == self.holder
+                expires = float(obj.get("expires", 0))
             except (ValueError, TypeError):
                 owned = False
+        if owned and time.time() > expires:
+            self._held = False
+            raise LeaseConflict(
+                f"lease {self.path} g{self.gen} expired before "
+                f"renew/assert (holder stalled past TTL {self.ttl}s)"
+            )
         if not owned or self._top_gen() != self.gen:
             self._held = False
             raise LeaseConflict(

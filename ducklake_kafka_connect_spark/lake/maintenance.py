@@ -250,10 +250,53 @@ def _vacuum_locked(
         tv for tv in set(table.tags().values())
         if tv not in retained and table.has_version(tv)
     ]
+    # memoized chain resolution: the sweep below touches EVERY version
+    # 0..latest, and naive table.manifest(v) re-walks each delta chain
+    # from scratch — O(versions × chain length) metadata reads, all
+    # under the table lock. Caching resolved manifests (bounded — delta
+    # parents are always recent, so a small window covers real chains)
+    # reads each segment file once across the whole sweep.
+    from .table import _apply_delta
+
+    _cache: dict[int, "Manifest"] = {}
+
+    def _resolve(v: int) -> "Manifest":
+        deltas: list[tuple[int, dict]] = []
+        cur: "int | None" = v
+        base_m = None
+        while cur is not None:
+            if cur in _cache:
+                base_m = _cache[cur]
+                break
+            b = table._read_full_segment(cur)
+            if b is not None:
+                base_m = Manifest.from_dict(b)
+                _cache[cur] = base_m
+                break
+            d = table._read_delta_segment(cur)
+            if d is None:
+                raise FileNotFoundError(
+                    f"Version {v} of {table.name} is not resolvable: "
+                    f"no full or delta segment for v{cur}"
+                )
+            deltas.append((cur, d))
+            cur = d["parent"]
+        if base_m is None:
+            raise FileNotFoundError(
+                f"Version {v} of {table.name} has a delta chain with no full base"
+            )
+        m = base_m
+        for cv, dd in reversed(deltas):
+            m = _apply_delta(m, dd)
+            _cache[cv] = m
+            while len(_cache) > 128:
+                _cache.pop(next(iter(_cache)))
+        return m
+
     referenced = {
         os.path.normpath(p)
         for rv in retained
-        for p in table.manifest(rv).all_files()
+        for p in _resolve(rv).all_files()
     }
     # every resolvable version's references: a file in NO manifest at
     # all is a (possibly in-flight) orphan and gets the grace window; a
@@ -263,7 +306,7 @@ def _vacuum_locked(
         if v2 not in retained and table.has_version(v2):
             try:
                 referenced_any.update(
-                    os.path.normpath(p) for p in table.manifest(v2).all_files()
+                    os.path.normpath(p) for p in _resolve(v2).all_files()
                 )
             except FileNotFoundError:
                 pass  # chain already vacuumed past this version
@@ -273,7 +316,7 @@ def _vacuum_locked(
     # then every older manifest file is droppable
     oldest = min(retained)
     if table._read_full_segment(oldest) is None:
-        m_oldest = table.manifest(oldest)
+        m_oldest = _resolve(oldest)
         if table.manifest_format == "binary":
             from .table import encode_segment_binary
 

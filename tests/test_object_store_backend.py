@@ -491,3 +491,28 @@ def test_binary_manifest_format_on_cas(spark, tmp_path):
     assert not any(f.startswith("v") and f.endswith(".json") for f in meta)
     for v in range(t.current_version() + 1):
         assert t.manifest(v).version == v
+
+
+def test_expired_holder_cannot_renew_even_before_steal(tmp_path):
+    """ADVICE r11 #3: renew()/assert_held() must self-check the holder's
+    own expiry — a holder stalled past TTL could otherwise rewrite its
+    expired generation in the window BEFORE any thief CAS-creates the
+    next one, extending an expiry a thief may already have observed as
+    expired (contradicting the protocol invariant)."""
+    from ducklake_kafka_connect_spark.lake.backend import LeaseConflict
+
+    fs = CasObjectStoreBackend()
+    path = str(tmp_path / "LOCK.lease")
+    lk = CasLeaseLock(fs, path, timeout=2.0, ttl=0.2)
+    lk.__enter__()
+    time.sleep(0.3)  # stall past TTL; NO thief exists yet
+    with pytest.raises(LeaseConflict, match="expired"):
+        lk.renew()
+    assert lk._held is False
+    lk2 = CasLeaseLock(fs, path, timeout=2.0, ttl=0.2)
+    lk2.__enter__()
+    time.sleep(0.3)
+    with pytest.raises(LeaseConflict, match="expired"):
+        lk2.assert_held()
+    lk2.__exit__(None, None, None)
+    lk.__exit__(None, None, None)

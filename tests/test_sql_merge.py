@@ -379,3 +379,27 @@ class TestNotMatchedBySource:
         got = _rows(cat)
         assert set(got) == set(range(8))
         assert got[6] == (60, None) and got[2] == (4, "base")
+
+
+class TestInsertPkExpression:
+    def test_mismatched_pk_insert_expr_rejected(self, cat):
+        """ADVICE r11 #2: an explicit INSERT expression for a pk column
+        that differs from the ON key expression must raise, never be
+        silently replaced (standard MERGE would honor it; the lake merge
+        keys by ON — silence would write different data than asked)."""
+        _seed(cat)
+        _src_view(cat, "svpk", 0, 5)
+        with pytest.raises(ValueError, match="does not match the ON key"):
+            cat.sql(
+                "MERGE INTO t USING svpk AS s2 ON t.pk = s2.k "
+                "WHEN NOT MATCHED THEN INSERT (pk, v) VALUES (s2.k + 1000, s2.val)"
+            )
+
+    def test_matching_pk_insert_expr_accepted(self, cat):
+        _seed(cat)
+        _src_view(cat, "svpk2", 0, 8)
+        cat.sql(
+            "MERGE INTO t USING svpk2 AS s2 ON t.pk = s2.k "
+            "WHEN NOT MATCHED THEN INSERT (pk, v) VALUES (s2.k, s2.val)"
+        )
+        assert cat.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] >= 8
