@@ -205,6 +205,30 @@ def _make_delta(parent: Manifest, child: Manifest) -> dict:
     }
 
 
+def _parse_asof_timestamp(ts) -> float:
+    """AS-OF timestamp → epoch seconds. Accepts epoch numbers (or
+    numeric strings) and ISO-8601 strings ('Z' suffix ok; naive = UTC,
+    matching the engine's pinned-UTC session)."""
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    s = str(ts).strip().strip("'\"")
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError as e:
+        raise ValueError(
+            f"unparseable AS OF timestamp {ts!r} (epoch seconds or ISO-8601)"
+        ) from e
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
 def _apply_delta(parent: Manifest, d: dict) -> Manifest:
     files = {k: list(v) for k, v in parent.files.items()}
     for part, removed in d.get("files_remove", {}).items():
@@ -710,6 +734,41 @@ class LakeTable:
             raise ValueError(f"Unknown tag {name!r} on {self.name}")
         return tags[name]
 
+    def resolve_timestamp(self, ts) -> int:
+        """``TIMESTAMP AS OF`` resolution (Delta semantics): the LATEST
+        committed version whose commit wall-clock is ≤ ``ts``.
+
+        ``ts``: epoch seconds (int/float, or a numeric string) or an
+        ISO-8601 string (naive = UTC). Commit times come from the
+        ``committed_at`` stamp each version's own segment carries (props
+        ride delta segments whole, so the stamp survives chain
+        compaction); pre-stamp legacy segments fall back to the segment
+        file's mtime — with Delta's documented caveat that maintenance
+        may rewrite those files."""
+        target = _parse_asof_timestamp(ts)
+        best: int | None = None
+        for v in range(self.current_version() + 1):
+            if not self.has_version(v):
+                continue
+            t_v: float | None = None
+            try:
+                t_v = float(self.manifest(v).props.get("committed_at"))
+            except (TypeError, ValueError):
+                try:
+                    t_v = self.fs.file_mtime(
+                        os.path.join(self.meta_dir, self.chain_filenames(v)[0])
+                    )
+                except (FileNotFoundError, OSError, IndexError):
+                    t_v = None
+            if t_v is not None and t_v <= target:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version of {self.name} was committed at or before "
+                f"{ts!r} (use DESCRIBE HISTORY to see available versions)"
+            )
+        return best
+
     # ---------- user table properties (TBLPROPERTIES) ----------
     #
     # User properties live in their OWN namespace inside manifest props
@@ -878,6 +937,15 @@ class LakeTable:
         # CAS below only guards the exact path being written)
         if self.has_version(manifest.version):
             raise CommitConflict(f"Version {manifest.version} already committed on {self.name}")
+        # commit wall-clock for TIMESTAMP AS OF resolution: stored in the
+        # version's own segment (props ride delta segments whole), so it
+        # survives chain compaction — unlike segment-file mtimes, which
+        # vacuum's full-base materialization rewrites (Delta resolves
+        # timestamps from log-file mtimes and carries that caveat; the
+        # stamp avoids it; mtime stays the legacy-segment fallback)
+        # unconditional: most callers build props as {**parent.props, ...},
+        # which would otherwise inherit the PARENT's stamp
+        manifest.props["committed_at"] = round(time.time(), 3)
         as_delta = (
             parent_manifest is not None
             and manifest.parent == parent_manifest.version
@@ -1613,6 +1681,7 @@ class LakeTable:
         include_hidden: bool = False,
         where: str | None = None,
         tag: str | None = None,
+        timestamp=None,
     ) -> DataFrame:
         """Snapshot read: explicit file list from the manifest, explicit
         schema (no inference scan, no partition discovery — partition
@@ -1623,11 +1692,15 @@ class LakeTable:
         footer stats preclude a match — Spark never opens them. The
         result is identical to ``read().filter(where)`` (skipping is
         provably conservative; see ``lake/skipping.py``).
-        ``tag`` reads a named snapshot ref (see :meth:`tag`)."""
+        ``tag`` reads a named snapshot ref (see :meth:`tag`);
+        ``timestamp`` reads the snapshot as of a wall-clock instant
+        (see :meth:`resolve_timestamp`)."""
+        if sum(x is not None for x in (version, tag, timestamp)) > 1:
+            raise ValueError("Pass version= or tag= or timestamp=, not both")
         if tag is not None:
-            if version is not None:
-                raise ValueError("Pass version= or tag=, not both")
             version = self.resolve_tag(tag)
+        elif timestamp is not None:
+            version = self.resolve_timestamp(timestamp)
         m = self.manifest(version)
         exprs = m.partition_exprs
         schema = self.read_schema(m)
@@ -2346,6 +2419,55 @@ class LakeCatalog:
                 name,
                 f"{'deep' if deep else 'shallow'} of {src_name}",
             )
+        rm = _re.match(
+            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+(?:"
+            rf"VERSION\s+AS\s+OF\s+(\d+)"
+            rf"|TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*')"
+            rf"|TAG\s+({_IDENT}))\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if rm:
+            name = unquote_ident(rm.group(1))
+            t = self.table(name)
+            if not t.exists():
+                raise ValueError(f"table {name!r} does not exist")
+            if rm.group(2) is not None:
+                v = int(rm.group(2))
+            elif rm.group(3) is not None:
+                v = t.resolve_timestamp(rm.group(3))
+            else:
+                v = t.resolve_tag(unquote_ident(rm.group(4)))
+            new_v = t.restore(v)
+            return self._ddl_result(
+                "RESTORE TABLE", name, f"to v{v} as v{new_v}"
+            )
+        ctm = _re.match(
+            rf"CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?({_IDENT})\s+"
+            rf"(?:PARTITIONED\s+BY\s*\((.*?)\)\s+)?"
+            rf"AS\s+((?:SELECT|WITH|TABLE|VALUES)\b.*)$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if ctm:
+            # CTAS: the SELECT runs through sql() (lake views registered,
+            # pruned, time-travel clauses honored), then lands through
+            # the writer append path so footer stats are harvested and
+            # the table is a first-class lake citizen from v1
+            from .writer import LakeWriter as _W
+
+            name = unquote_ident(ctm.group(2))
+            t = self.table(name)
+            if t.exists():
+                if ctm.group(1):
+                    return self._ddl_result("CREATE TABLE AS", name, "exists")
+                raise ValueError(f"table {name!r} already exists")
+            df = self.sql(ctm.group(4))
+            t.create(df.schema, partition_by=ctm.group(3))
+            _W(t, auto_create=False).write(df)
+            return self._ddl_result(
+                "CREATE TABLE AS", name, f"{len(df.columns)} col(s) v{t.current_version()}"
+            )
         if _re.match(r"CREATE\s+TABLE\b", stmt, _re.IGNORECASE):
             part_spec: str | None = None
             body = stmt
@@ -2702,7 +2824,7 @@ class LakeCatalog:
         if dm:
             return self.describe(unquote_ident(dm.group(1)))
         if _re.match(
-            r"\s*(CREATE\s+TABLE|DROP\s+TABLE|ALTER\s+TABLE|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE)\b",
+            r"\s*(CREATE\s+TABLE|DROP\s+TABLE|ALTER\s+TABLE|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE|RESTORE\s+TABLE)\b",
             query,
             _re.IGNORECASE,
         ):
@@ -2711,31 +2833,38 @@ class LakeCatalog:
             r"\s*(INSERT\s+INTO|DELETE\s+FROM|UPDATE|MERGE\s+INTO)\b", query, _re.IGNORECASE
         ):
             return self.dml(query)
-        pinned = set(versions or {})
+        # SQL time travel: `t VERSION AS OF n`, `t TIMESTAMP AS OF 'ts'`,
+        # `t FOR TAG x` table references resolve to pinned versions
+        # registered under synthetic view names — so one statement can
+        # even join two snapshots of the SAME table (snapshot diffing)
+        query, travel = self._rewrite_time_travel(query)
+        pins = dict(versions or {})
         hints = dict(where_hints or {})
         referenced = [
             name
             for name in self.list_tables()
-            if name in pinned
+            if name in pins
             or name in hints
             or _re.search(
                 rf"(?<![A-Za-z0-9_]){_re.escape(name)}(?![A-Za-z0-9_])", query
             )
         ]
         tables = {name: self.table(name) for name in referenced}
+        for syn, (base, v) in travel.items():
+            tables[syn] = self.table(base)
+            pins[syn] = v
         manifests = {
-            name: t.manifest((versions or {}).get(name))
-            for name, t in tables.items()
+            name: t.manifest(pins.get(name)) for name, t in tables.items()
         }
         auto = extract_table_predicates(
             query,
-            set(referenced),
+            set(tables),
             {n: set(m.schema.fieldNames()) for n, m in manifests.items()},
         )
         pruned: list[str] = []
         for name, t in tables.items():
             where = hints.get(name, auto.get(name))
-            df = t.read(version=(versions or {}).get(name), where=where)
+            df = t.read(version=pins.get(name), where=where)
             df.createOrReplaceTempView(name)
             if where is not None:
                 pruned.append(name)
@@ -2743,9 +2872,63 @@ class LakeCatalog:
         # Temp views outlive this call (D1: tables stay SQL-visible), so
         # a predicate-narrowed view must not linger under the table's
         # name — re-register pruned views unfiltered. The already-
-        # analyzed `result` plan is unaffected.
+        # analyzed `result` plan is unaffected. Synthetic time-travel
+        # views are dropped outright.
         for name in pruned:
-            tables[name].read(
-                version=(versions or {}).get(name)
-            ).createOrReplaceTempView(name)
+            if name in travel:
+                continue
+            tables[name].read(version=pins.get(name)).createOrReplaceTempView(
+                name
+            )
+        for syn in travel:
+            self.spark.catalog.dropTempView(syn)
         return result
+
+    def _rewrite_time_travel(self, query: str):
+        """Rewrite AS-OF table references to synthetic view names.
+
+        Recognized (Delta/Iceberg SQL): ``<table> [FOR] VERSION AS OF
+        <n>``, ``<table> [FOR] TIMESTAMP AS OF '<ts>'``, ``<table> FOR
+        TAG <name>``. Only identifiers naming an existing lake table are
+        rewritten (an alias that happens to precede the words stays
+        untouched because the clause itself must follow the name).
+        Returns (rewritten query, {synthetic: (base table, version)})."""
+        import re as _re
+
+        existing = set(self.list_tables())
+        travel: dict[str, tuple[str, int]] = {}
+
+        pat = _re.compile(
+            rf"({_IDENT})\s+(?:"
+            rf"(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)"
+            rf"|(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*')"
+            rf"|FOR\s+TAG\s+({_IDENT})"
+            rf")",
+            _re.IGNORECASE,
+        )
+
+        def sub(m: "_re.Match") -> str:
+            base = unquote_ident(m.group(1))
+            if base not in existing:
+                return m.group(0)
+            t = self.table(base)
+            if m.group(2) is not None:
+                v = int(m.group(2))
+                if not t.has_version(v):
+                    raise ValueError(
+                        f"Version {v} of {base} does not exist"
+                    )
+            elif m.group(3) is not None:
+                v = t.resolve_timestamp(m.group(3))
+            else:
+                v = t.resolve_tag(unquote_ident(m.group(4)))
+            safe = _re.sub(r"\W", "_", base)
+            if safe != base:  # sanitized names could collide; disambiguate
+                import hashlib
+
+                safe += "_" + hashlib.md5(base.encode()).hexdigest()[:6]
+            syn = f"{safe}__asof_v{v}"
+            travel[syn] = (base, v)
+            return quote_ident(syn)
+
+        return pat.sub(sub, query), travel

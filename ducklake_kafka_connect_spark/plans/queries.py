@@ -497,6 +497,86 @@ def sql_merge_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_time_travel_select",
+    """
+    WITH a AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_id % 3 = 0),
+         b AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_id % 3 = 1),
+         ab AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT 'restored' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents FROM a
+    UNION ALL
+    SELECT 'tag2', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM ab
+    UNION ALL
+    SELECT 'v2', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM ab
+    ORDER BY snap
+    """,
+    "SQL-dialect time travel (VERDICT r11 'What's missing #5'): one "
+    "statement reads THREE snapshots of one table — `VERSION AS OF n`, "
+    "`FOR TAG t`, and the post-RESTORE current state (`RESTORE TABLE "
+    "... TO VERSION AS OF` as a statement) — each resolved through the "
+    "catalog's table-reference rewrite onto pinned manifest versions; "
+    "the oracle reconstructs every snapshot's content arithmetically.",
+)
+def sql_time_travel_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("tt_ev"), pk=["event_id"])
+    for r in (0, 1, 2):  # v1 = slice a, v2 = a+b, v3 = a+b+c
+        w.write(ev.filter(F.col("event_id") % 3 == r))
+    cat.table("tt_ev").tag("keep2", 2)
+    cat.sql("RESTORE TABLE tt_ev TO VERSION AS OF 1")  # current = slice a
+    agg = "CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents"
+    return cat.sql(
+        f"SELECT 'restored' AS snap, {agg} FROM tt_ev "
+        f"UNION ALL SELECT 'tag2', {agg} FROM tt_ev FOR TAG keep2 "
+        f"UNION ALL SELECT 'v2', {agg} FROM tt_ev VERSION AS OF 2 "
+        f"ORDER BY snap"
+    )
+
+
+@register(
+    "sql_ctas_roundtrip",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+             event_id % 4 AS bucket
+      FROM events WHERE event_id % 2 = 0
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM base WHERE bucket = 2 GROUP BY event_type ORDER BY event_type
+    """,
+    "CTAS as a statement: CREATE TABLE ... PARTITIONED BY ... AS SELECT "
+    "runs the query through the catalog's pruned-view path and lands it "
+    "via the writer append (footer stats harvested), making the result "
+    "a first-class lake table — read back with a partition-pruned "
+    "filter through the same SQL surface.",
+)
+def sql_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    view = f"ctas_src_{uuid.uuid4().hex[:8]}"
+    ev.createOrReplaceTempView(view)
+    cat.sql(
+        f"CREATE TABLE ctas_t PARTITIONED BY (bucket) AS "
+        f"SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents, "
+        f"event_id % 4 AS bucket FROM {view} WHERE event_id % 2 = 0"
+    )
+    spark.catalog.dropTempView(view)
+    return cat.sql(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(cents) AS BIGINT) AS sum_cents "
+        "FROM ctas_t WHERE bucket = 2 GROUP BY event_type ORDER BY event_type"
+    )
+
+
+@register(
     "asof_latest_purchase",
     """
     WITH clicks AS (

@@ -520,3 +520,144 @@ class TestInsertValues:
             cat.sql("INSERT INTO iv3 VALUES (1)")
         with pytest.raises(ValueError, match="fed by"):
             cat.sql("INSERT INTO iv3 (pk) VALUES (1, 2)")
+
+
+class TestTimeTravelSql:
+    """SQL-dialect time travel (VERDICT r11 'What's missing #5'):
+    `VERSION AS OF` / `TIMESTAMP AS OF` / `FOR TAG` in SELECT, RESTORE
+    TABLE as a statement, and CTAS — each previously API-only."""
+
+    def _three_versions(self, cat, name="tt"):
+        t = cat.table(name)
+        w = LakeWriter(t, pk=["pk"])
+        for i in range(3):
+            w.write(
+                cat.spark.range(10).select(
+                    F.col("id").alias("pk"), F.lit(i).alias("gen")
+                )
+            )
+        return t
+
+    def test_version_as_of_select(self, cat):
+        t = self._three_versions(cat)
+        assert (
+            cat.sql("SELECT max(gen) AS g FROM tt VERSION AS OF 1").collect()[0]["g"]
+            == 0
+        )
+        assert (
+            cat.sql("SELECT max(gen) AS g FROM tt FOR VERSION AS OF 2")
+            .collect()[0]["g"]
+            == 1
+        )
+        assert cat.sql("SELECT max(gen) AS g FROM tt").collect()[0]["g"] == 2
+        with pytest.raises(ValueError, match="does not exist"):
+            cat.sql("SELECT * FROM tt VERSION AS OF 99").collect()
+
+    def test_for_tag_select_and_snapshot_join(self, cat):
+        t = self._three_versions(cat)
+        t.tag("first", 1)
+        assert (
+            cat.sql("SELECT max(gen) AS g FROM tt FOR TAG first").collect()[0]["g"]
+            == 0
+        )
+        # snapshot diff: one statement joins TWO versions of ONE table
+        diff = cat.sql(
+            "SELECT count(*) AS changed FROM tt VERSION AS OF 3 a "
+            "JOIN tt VERSION AS OF 1 b ON a.pk = b.pk AND a.gen <> b.gen"
+        ).collect()[0]["changed"]
+        assert diff == 10
+
+    def test_timestamp_as_of_select(self, cat):
+        t = self._three_versions(cat)
+        # commit stamps are wall-clock; read them back and query between
+        ts1 = float(t.manifest(1).props["committed_at"])
+        ts3 = float(t.manifest(3).props["committed_at"])
+        assert (
+            cat.sql(f"SELECT max(gen) AS g FROM tt TIMESTAMP AS OF '{ts1}'")
+            .collect()[0]["g"]
+            == 0
+        )
+        from datetime import datetime, timezone
+
+        iso = datetime.fromtimestamp(ts3 + 0.5, tz=timezone.utc).isoformat()
+        assert (
+            cat.sql(f"SELECT max(gen) AS g FROM tt TIMESTAMP AS OF '{iso}'")
+            .collect()[0]["g"]
+            == 2
+        )
+        with pytest.raises(ValueError, match="at or before"):
+            t.resolve_timestamp(0.5)
+        # API twin
+        assert t.read(timestamp=ts1).count() == 10
+        with pytest.raises(ValueError, match="not both"):
+            t.read(version=1, timestamp=ts1)
+
+    def test_restore_table_statement(self, cat):
+        t = self._three_versions(cat)
+        t.tag("good", 2)
+        out = cat.sql("RESTORE TABLE tt TO VERSION AS OF 1").collect()[0]
+        assert out["op"] == "RESTORE TABLE"
+        assert cat.sql("SELECT max(gen) AS g FROM tt").collect()[0]["g"] == 0
+        cat.sql("RESTORE TABLE tt TO TAG good")
+        assert cat.sql("SELECT max(gen) AS g FROM tt").collect()[0]["g"] == 1
+        hist = {r["version"]: r["op"] for r in cat.sql("DESCRIBE HISTORY tt").collect()}
+        assert hist[4] == "RESTORE(1)" and hist[5] == "RESTORE(2)"
+
+    def test_ctas_basic_partitioned_and_guards(self, cat):
+        self._three_versions(cat, "src_t")
+        cat.sql(
+            "CREATE TABLE agg1 AS SELECT pk % 3 AS bucket, count(*) AS n "
+            "FROM src_t GROUP BY pk % 3"
+        )
+        assert cat.sql("SELECT sum(n) AS s FROM agg1").collect()[0]["s"] == 10
+        cat.sql(
+            "CREATE TABLE part1 PARTITIONED BY (bucket) AS "
+            "SELECT pk % 2 AS bucket, gen FROM src_t"
+        )
+        assert cat.table("part1").manifest().partition_spec == ["bucket"]
+        assert cat.sql("SELECT count(*) AS n FROM part1").collect()[0]["n"] == 10
+        assert (
+            cat.sql("CREATE TABLE IF NOT EXISTS agg1 AS SELECT 1 AS x")
+            .collect()[0]["detail"]
+            == "exists"
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            cat.sql("CREATE TABLE agg1 AS SELECT 1 AS x")
+
+    def test_ctas_from_time_travel(self, cat):
+        self._three_versions(cat, "src_tt")
+        cat.sql(
+            "CREATE TABLE snap1 AS SELECT * FROM src_tt VERSION AS OF 1"
+        )
+        assert (
+            cat.sql("SELECT max(gen) AS g FROM snap1").collect()[0]["g"] == 0
+        )
+
+    def test_hostile_identifier_time_travel(self, cat):
+        # a reserved keyword as table name (valid temp-view name, but
+        # must be backtick-quoted in SQL; spaces are out — Spark temp
+        # views reject them independent of this engine)
+        t = cat.table("union")
+        LakeWriter(t, pk=["pk"]).write(
+            cat.spark.range(5).select(F.col("id").alias("pk"))
+        )
+        LakeWriter(t, pk=["pk"]).write(
+            cat.spark.range(5, 9).select(F.col("id").alias("pk"))
+        )
+        assert (
+            cat.sql("SELECT count(*) AS n FROM `union` VERSION AS OF 1")
+            .collect()[0]["n"]
+            == 5
+        )
+        assert (
+            cat.sql("SELECT count(*) AS n FROM `union`").collect()[0]["n"] == 9
+        )
+
+    def test_alias_named_version_not_rewritten(self, cat):
+        """An alias/column literally named like a table followed by the
+        words VERSION AS OF must not break unrelated queries — only
+        existing table names trigger the rewrite."""
+        self._three_versions(cat)
+        # 'nope' is not a table: the reference passes through untouched
+        with pytest.raises(Exception):
+            cat.sql("SELECT * FROM nope VERSION AS OF 1").collect()
