@@ -392,6 +392,35 @@ def merge_into(catalog, stmt: str) -> str:
     if s_al == t_al:
         raise ValueError("MERGE source and target aliases must differ")
 
+    # ---- schema evolution through SQL (reference parity: the target
+    # evolves on every write, DucklakeTableManager.java:236-322): the
+    # star forms (`UPDATE SET *` / `INSERT *`) extend the target with
+    # source columns it lacks — the writer merge beneath conforms both
+    # sides (ADD COLUMN null-fill + type widening; an incompatible
+    # JSON-guard column still raises there, before any commit). Source
+    # columns consumed by the ON key expressions are join keys, not
+    # payload, and never evolve in. Explicit column lists keep the
+    # strict unknown-column rejection. ----
+    star = (st.update is not None and st.update["sets"] == "*") or (
+        st.insert is not None and st.insert["cols"] == "*"
+    )
+    evolved: list[str] = []
+    if star:
+        key_txt = " ".join(key_exprs.values()).replace("`", "")
+        evolved = [
+            c
+            for c in src.columns
+            if c not in data_cols
+            and c not in pk
+            and c != INSERTED_AT
+            and not re.search(
+                rf"(?<![A-Za-z0-9_]){re.escape(c)}(?![A-Za-z0-9_])",
+                key_txt,
+            )
+        ]
+        data_cols = data_cols + evolved
+        non_pk = non_pk + evolved
+
     def src_star(which: str) -> dict[str, str]:
         cols = {}
         for c in non_pk:
@@ -494,6 +523,8 @@ def merge_into(catalog, stmt: str) -> str:
         None if has_bs else _source_key_range_where(src, s_al, key_exprs, pk, manifest)
     )
     tgt = t.read(where=tgt_where) if tgt_where else t.read()
+    for c in evolved:  # target predates evolved columns: null-fill for the join
+        tgt = tgt.withColumn(c, F.lit(None).cast(src.schema[c].dataType))
     tgt = tgt.withColumn(_PRESENT, F.lit(True))
     src = src.withColumn(_S_PRESENT, F.lit(True))
     sv = f"__merge_src_{uuid.uuid4().hex[:8]}"
@@ -560,9 +591,44 @@ def merge_into(catalog, stmt: str) -> str:
             branches.append(f"WHEN {t_present} THEN {_qb(t_al)}.{_qb(c)}")
             if ins_exprs is not None and c in ins_exprs:
                 branches.append(f"ELSE ({ins_exprs[c]})")
-            typ = manifest.schema[c].dataType.simpleString()
+            # branch-unifying cast: the target column's type — except
+            # under star-form schema evolution, where the projection must
+            # carry the EVOLVED type so the writer's reconcile can commit
+            # the same decision (a premature narrow cast would mask the
+            # widening; an incompatible pair must reject HERE, before the
+            # join runs, not silently stringify)
+            from ..schema.reconcile import (
+                EvolutionDecision,
+                decide_column,
+                widen_target,
+            )
+
+            t_type = (
+                manifest.schema[c].dataType
+                if c in manifest.schema.fieldNames()
+                else None
+            )
+            if t_type is None:  # evolution-new column: source type
+                out_type = src.schema[c].dataType
+            elif star and c in src.columns:
+                decision = decide_column(t_type, src.schema[c].dataType)
+                if decision is EvolutionDecision.INCOMPATIBLE:
+                    raise ValueError(
+                        f"MERGE INTO {st.target}: source column {c!r} type "
+                        f"{src.schema[c].dataType.simpleString()} is "
+                        f"incompatible with the target's "
+                        f"{t_type.simpleString()} (JSON/type-evolution guard)"
+                    )
+                out_type = (
+                    widen_target(t_type, src.schema[c].dataType)
+                    if decision is EvolutionDecision.UPGRADE
+                    else t_type
+                )
+            else:
+                out_type = t_type
             projections.append(
-                f"CAST((CASE {' '.join(branches)} END) AS {typ}) AS {_qb(c)}"
+                f"CAST((CASE {' '.join(branches)} END) AS "
+                f"{out_type.simpleString()}) AS {_qb(c)}"
             )
 
         def _delete_guard(scope, del_c, upd, upd_c, order):

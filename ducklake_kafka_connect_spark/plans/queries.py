@@ -497,6 +497,52 @@ def sql_merge_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_merge_schema_evolution",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 10 >= 5 THEN 'evolved' ELSE event_type END AS event_type,
+           CASE WHEN event_id % 10 >= 5 THEN value + 1000.0 ELSE value END AS value,
+           CASE WHEN event_id % 10 >= 5 THEN CAST(event_id % 1000 AS BIGINT)
+                ELSE NULL END AS score
+    FROM events
+    """,
+    "Schema evolution THROUGH the SQL MERGE statement (the reference "
+    "evolves the target on every write, DucklakeTableManager.java:"
+    "236-322): the source batch carries a brand-new `score` column; "
+    "`UPDATE SET * / INSERT *` ADD-COLUMNs it (pre-existing rows "
+    "null-fill) while the writer merge commits the evolved schema in "
+    "the same transaction as the data.",
+)
+def sql_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    batch = ev.filter(F.col("event_id") % 10 >= 5).select(
+        "event_id",
+        "user_id",
+        F.lit("evolved").alias("event_type"),
+        (F.col("value") + 1000.0).alias("value"),
+        (F.col("event_id") % 1000).cast("long").alias("score"),
+    )
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    LakeWriter(cat.table("events_evo"), pk=["event_id"]).write(base)
+    view = f"sql_evo_batch_{uuid.uuid4().hex[:8]}"
+    batch.createOrReplaceTempView(view)
+    cat.sql(
+        f"MERGE INTO events_evo AS t USING (SELECT * FROM {view}) AS s "
+        f"ON t.event_id = s.event_id "
+        f"WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+    spark.catalog.dropTempView(view)
+    return (
+        cat.table("events_evo")
+        .read()
+        .select("event_id", "user_id", "event_type", "value", "score")
+    )
+
+
+@register(
     "sql_time_travel_select",
     """
     WITH a AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents

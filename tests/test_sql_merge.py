@@ -403,3 +403,113 @@ class TestInsertPkExpression:
             "WHEN NOT MATCHED THEN INSERT (pk, v) VALUES (s2.k, s2.val)"
         )
         assert cat.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] >= 8
+
+
+class TestSchemaEvolution:
+    """SQL MERGE star forms evolve the target like every reference write
+    does (DucklakeTableManager.java:236-322): new source columns ADD
+    COLUMN + null-fill, wider source types widen, JSON-guard violations
+    reject BEFORE any commit."""
+
+    def _star_src(self, cat, name, lo, hi, extra=True, v_type="long"):
+        cols = [
+            F.col("id").alias("pk"),
+            (F.col("id") * 10).cast(v_type).alias("v"),
+            F.lit("star").alias("s"),
+        ]
+        if extra:
+            cols.append((F.col("id") + 100).alias("score"))
+        cat.spark.range(lo, hi).select(*cols).createOrReplaceTempView(name)
+
+    def test_star_merge_adds_new_column_fast_path(self, cat):
+        _seed(cat)
+        self._star_src(cat, "ev1", 10, 30)
+        cat.sql(
+            "MERGE INTO t USING ev1 AS s2 ON t.pk = s2.pk "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = {r["pk"]: (r["v"], r["s"], r["score"])
+               for r in cat.table("t").read().collect()}
+        assert got[5] == (10, "base", None), "pre-evolution row null-fills"
+        assert got[15] == (150, "star", 115)
+        assert got[25] == (250, "star", 125)
+        assert "score" in cat.table("t").manifest().schema.fieldNames()
+
+    def test_star_merge_evolution_general_path(self, cat):
+        """A clause condition forces the joined general path: evolved
+        columns must null-fill on the target side of the join."""
+        _seed(cat)
+        self._star_src(cat, "ev2", 10, 30)
+        cat.sql(
+            "MERGE INTO t USING ev2 AS s2 ON t.pk = s2.pk "
+            "WHEN MATCHED AND s2.pk % 2 = 0 THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = {r["pk"]: (r["v"], r["s"], r["score"])
+               for r in cat.table("t").read().collect()}
+        assert got[15] == (30, "base", None), "unmatched-cond row keeps target"
+        assert got[14] == (140, "star", 114)
+        assert got[25] == (250, "star", 125)
+
+    def test_key_expr_source_columns_do_not_evolve_in(self, cat):
+        """Source key column named differently from the target pk (ON
+        t.pk = s.k): star evolution must NOT add `k` as a payload column
+        — it's the join key, consumed by the ON clause."""
+        _seed(cat)
+        cat.spark.range(10, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("star").alias("s"),
+            (F.col("id") + 100).alias("score"),
+        ).createOrReplaceTempView("ev3")
+        cat.sql(
+            "MERGE INTO t USING ev3 AS s2 ON t.pk = s2.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        fields = cat.table("t").manifest().schema.fieldNames()
+        assert "k" not in fields, "join-key source column is not payload"
+        assert "score" in fields
+        got = {r["pk"]: (r["v"], r["score"])
+               for r in cat.table("t").read().collect()}
+        assert got[25] == (250, 125) and got[5] == (10, None)
+
+    def test_widening_through_star_merge(self, cat):
+        cat.sql("CREATE TABLE tw (pk BIGINT, v INT, PRIMARY KEY (pk))")
+        LakeWriter(cat.table("tw"), auto_create=False).write(
+            cat.spark.range(5).select(
+                F.col("id").alias("pk"), F.col("id").cast("int").alias("v")
+            )
+        )
+        cat.spark.range(3, 8).select(
+            F.col("id").alias("pk"), (F.col("id") * 10).cast("long").alias("v")
+        ).createOrReplaceTempView("evw")
+        cat.sql(
+            "MERGE INTO tw USING evw AS s2 ON tw.pk = s2.pk "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        m = cat.table("tw").manifest()
+        assert m.schema["v"].dataType.simpleString() == "bigint"
+        got = {r["pk"]: r["v"] for r in cat.table("tw").read().collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 30, 4: 40, 5: 50, 6: 60, 7: 70}
+
+    def test_json_guard_violation_rejects_without_corrupting(self, cat):
+        """Source carries `s` as a STRUCT where the target stores STRING:
+        JSON-guard incompatible — the statement must raise and the table
+        must be byte-identical (no partial commit)."""
+        _seed(cat)
+        v_before = cat.table("t").current_version()
+        rows_before = _rows(cat)
+        cat.spark.range(10, 15).select(
+            F.col("id").alias("pk"),
+            (F.col("id") * 10).alias("v"),
+            F.struct(F.lit("x").alias("a")).alias("s"),
+        ).createOrReplaceTempView("evj")
+        with pytest.raises(Exception, match="[Ii]ncompatible|JSON|json"):
+            cat.sql(
+                "MERGE INTO t USING evj AS s2 ON t.pk = s2.pk "
+                "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+            )
+        assert cat.table("t").current_version() == v_before
+        assert _rows(cat) == rows_before
