@@ -127,8 +127,10 @@ class StorageBackend:
         store (prefixes need no creation)."""
         raise NotImplementedError
 
-    def remove_empty_dirs(self, dirpath: str) -> None:
-        """Prune empty subdirectories bottom-up; no-op on object stores."""
+    def remove_empty_dirs(self, dirpath: str, min_age_s: float = 0.0) -> None:
+        """Prune empty subdirectories bottom-up; no-op on object stores.
+        ``min_age_s`` skips recently-modified dirs (concurrent-stage
+        guard, see the local mixin)."""
         raise NotImplementedError
 
     def delete_tree(self, dirpath: str) -> None:
@@ -220,10 +222,21 @@ class _LocalFilesMixin(StorageBackend):
     def ensure_dir(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
-    def remove_empty_dirs(self, dirpath: str) -> None:
+    def remove_empty_dirs(self, dirpath: str, min_age_s: float = 0.0) -> None:
+        """Prune empty subdirectories bottom-up. ``min_age_s`` skips
+        directories modified more recently than that: a concurrent
+        writer's just-created staging dir is EMPTY for the instant
+        between mkdir and its first file open, and pruning it in that
+        window kills the writer's task (found by
+        tests/test_sink_vacuum_stress.py); a transient empty dir is
+        always YOUNG, so the age guard removes the race without leaking
+        genuinely abandoned dirs past the grace window."""
+        now = time.time()
         for dp, dns, fns in os.walk(dirpath, topdown=False):
             if not dns and not fns and dp != dirpath:
                 try:
+                    if min_age_s > 0 and now - os.path.getmtime(dp) < min_age_s:
+                        continue
                     os.rmdir(dp)
                 except OSError:
                     pass

@@ -361,8 +361,11 @@ def _vacuum_locked(
             n_seen += 1
             if n_seen % 200 == 0:
                 lk.renew()
-    # prune empty partition dirs bottom-up (no-op on object stores)
-    table.fs.remove_empty_dirs(table.data_dir)
+    # prune empty partition dirs bottom-up (no-op on object stores);
+    # the grace window doubles as the empty-dir age guard — a concurrent
+    # writer's staging dir is empty only for the instant between mkdir
+    # and first file open, and must not be rmdir'd in that window
+    table.fs.remove_empty_dirs(table.data_dir, min_age_s=orphan_grace_s)
     # drop manifest files outside every retained version's chain
     for fn in table.fs.list_names(table.meta_dir):
         is_manifest = fn.startswith("v") and fn.endswith((".json", ".avro"))

@@ -572,6 +572,28 @@ class _WriterBase:
                     for rel in rel_files:
                         t.fs.delete(os.path.join(t.dir, rel), missing_ok=True)
                     return
+            # staged-file existence gate: a vacuum whose orphan_grace_s
+            # is smaller than this batch's stage→commit latency may have
+            # reclaimed a staged file as an orphan. Committing anyway
+            # would publish a manifest with dangling entries (silent
+            # corruption, found by tests/test_sink_vacuum_stress.py) —
+            # fail the epoch instead; the txn marker stays unset, so a
+            # stream restart replays and restages it. The check is
+            # race-free: vacuum's sweep runs under this same table lock.
+            vanished = [
+                rel
+                for rel in rel_files
+                if not t.fs.exists(os.path.join(t.dir, rel))
+            ]
+            if vanished:
+                raise RuntimeError(
+                    f"ducklake sink on {self.name}: {len(vanished)} staged "
+                    f"file(s) vanished before commit (e.g. {vanished[0]}) — "
+                    f"a concurrent vacuum's orphan_grace_s is below this "
+                    f"batch's stage-to-commit latency; raise the grace "
+                    f"(floor: the longest micro-batch duration) and restart "
+                    f"the stream to replay this epoch"
+                )
             if overwrite:
                 files = {"": list(rel_files)} if rel_files else {}
                 file_stats = dict(stats)
