@@ -1487,6 +1487,61 @@ class LakeTable:
                 self._commit(m)
         return self.manifest()
 
+    def replace(
+        self,
+        schema: T.StructType,
+        pk: list[str] | None = None,
+        partition_by: str | list[str] | None = None,
+    ) -> Manifest:
+        """CREATE OR REPLACE TABLE: ONE metadata commit that resets
+        schema, pk, partitioning, column renames, and user properties —
+        while PRESERVING history (every prior version still time-travels;
+        its files reclaim through vacuum retention as usual). Idempotent
+        txn markers survive the replace (an exactly-once writer that
+        continues across a REPLACE must still dedupe its epochs)."""
+        if not self.exists():
+            return self.create(schema, pk=pk, partition_by=partition_by)
+        exprs = parse_partition_exprs(partition_by)
+        for e in exprs:
+            if e.column not in schema.fieldNames():
+                raise ValueError(
+                    f"Partition expression {e.spec_string()!r} references "
+                    f"unknown column {e.column!r}"
+                )
+        fields = [f for f in schema.fields if f.name != INSERTED_AT]
+        fields.append(T.StructField(INSERTED_AT, T.TimestampType(), True))
+        with self.lock():
+            m = self.manifest()
+            nm = Manifest(
+                version=m.version + 1,
+                schema=T.StructType(fields),
+                pk=list(pk or []),
+                partition_spec=[e.spec_string() for e in exprs],
+                files={},
+                parent=m.version,
+                props={"last_op": "REPLACE", "txns": m.props.get("txns", {})},
+                file_stats={},
+            )
+            self._commit(nm, parent_manifest=m)
+            return nm
+
+    def first_version_at_or_after(self, ts) -> "int | None":
+        """Streaming ``startingTimestamp`` resolution (Delta semantics):
+        the EARLIEST committed version whose commit wall-clock is ≥
+        ``ts``; None when every commit predates it (stream starts at the
+        tip, consuming only future commits)."""
+        target = _parse_asof_timestamp(ts)
+        for v in range(self.current_version() + 1):
+            if not self.has_version(v):
+                continue
+            try:
+                t_v = float(self.manifest(v).props.get("committed_at"))
+            except (TypeError, ValueError):
+                continue
+            if t_v >= target:
+                return v
+        return None
+
     def drop_column(self, name: str) -> int:
         """Metadata-only DROP COLUMN (Iceberg-style): commit a new
         manifest whose schema omits the column — no data file is
@@ -2348,6 +2403,8 @@ class LakeCatalog:
     # `backtick-quoted` (`` escape, the Spark flavor)
     _DDL_PATTERNS = [
         ("drop_table", rf"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_IDENT})\s*$"),
+        ("create_tag", rf"ALTER\s+TABLE\s+({_IDENT})\s+CREATE\s+TAG\s+({_IDENT})(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$"),
+        ("drop_tag", rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+TAG\s+({_IDENT})\s*$"),
         ("rename_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$"),
         ("drop_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})\s*$"),
         ("add_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+({_IDENT})\s+(.+?)\s*$"),
@@ -2357,7 +2414,7 @@ class LakeCatalog:
         ("vacuum", rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$"),
         ("optimize", rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$"),
     ]
-    _CREATE_RE = rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$"
+    _CREATE_RE = rf"CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$"
     # the trailing partition clause is peeled off FIRST (rightmost-anchored,
     # greedy) so function-style exprs — PARTITIONED BY (year(ts)) — can't
     # backtrack the column-list capture into garbage
@@ -2443,7 +2500,7 @@ class LakeCatalog:
                 "RESTORE TABLE", name, f"to v{v} as v{new_v}"
             )
         ctm = _re.match(
-            rf"CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?({_IDENT})\s+"
+            rf"CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?({_IDENT})\s+"
             rf"(?:PARTITIONED\s+BY\s*\((.*?)\)\s+)?"
             rf"AS\s+((?:SELECT|WITH|TABLE|VALUES)\b.*)$",
             stmt,
@@ -2453,22 +2510,30 @@ class LakeCatalog:
             # CTAS: the SELECT runs through sql() (lake views registered,
             # pruned, time-travel clauses honored), then lands through
             # the writer append path so footer stats are harvested and
-            # the table is a first-class lake citizen from v1
+            # the table is a first-class lake citizen from v1. OR REPLACE
+            # resets schema/pk/partitioning in a history-preserving
+            # metadata commit, then the data lands.
             from .writer import LakeWriter as _W
 
-            name = unquote_ident(ctm.group(2))
+            replace = bool(ctm.group(1))
+            name = unquote_ident(ctm.group(3))
             t = self.table(name)
-            if t.exists():
-                if ctm.group(1):
+            if t.exists() and not replace:
+                if ctm.group(2):
                     return self._ddl_result("CREATE TABLE AS", name, "exists")
                 raise ValueError(f"table {name!r} already exists")
-            df = self.sql(ctm.group(4))
-            t.create(df.schema, partition_by=ctm.group(3))
+            df = self.sql(ctm.group(5))
+            if replace and t.exists():
+                t.replace(df.schema, partition_by=ctm.group(4))
+            else:
+                t.create(df.schema, partition_by=ctm.group(4))
             _W(t, auto_create=False).write(df)
             return self._ddl_result(
-                "CREATE TABLE AS", name, f"{len(df.columns)} col(s) v{t.current_version()}"
+                "CREATE OR REPLACE TABLE AS" if replace else "CREATE TABLE AS",
+                name,
+                f"{len(df.columns)} col(s) v{t.current_version()}",
             )
-        if _re.match(r"CREATE\s+TABLE\b", stmt, _re.IGNORECASE):
+        if _re.match(r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b", stmt, _re.IGNORECASE):
             part_spec: str | None = None
             body = stmt
             pm = _re.search(self._PARTITIONED_BY_RE, body, _re.IGNORECASE | _re.DOTALL)
@@ -2478,13 +2543,14 @@ class LakeCatalog:
             m = _re.match(self._CREATE_RE, body, _re.IGNORECASE | _re.DOTALL)
             if not m:
                 raise ValueError(f"unsupported DDL statement: {statement!r}")
-            name = unquote_ident(m.group(1))
+            replace = bool(m.group(1))
+            name = unquote_ident(m.group(2))
             t = self.table(name)
-            if t.exists():
+            if t.exists() and not replace:
                 if _re.search(r"IF\s+NOT\s+EXISTS", body, _re.IGNORECASE):
                     return self._ddl_result("CREATE TABLE", name, "exists")
                 raise ValueError(f"table {name!r} already exists")
-            cols = m.group(2).strip()
+            cols = m.group(3).strip()
             pk: list[str] = []
             pk_m = _re.search(
                 r",\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", cols, _re.IGNORECASE
@@ -2495,8 +2561,15 @@ class LakeCatalog:
                 ]
                 cols = cols[: pk_m.start()]
             schema = T.StructType.fromDDL(_dq_idents_to_backticks(cols))
-            t.create(schema, pk=pk, partition_by=part_spec)
-            return self._ddl_result("CREATE TABLE", name, cols)
+            if replace and t.exists():
+                t.replace(schema, pk=pk, partition_by=part_spec)
+            else:
+                t.create(schema, pk=pk, partition_by=part_spec)
+            return self._ddl_result(
+                "CREATE OR REPLACE TABLE" if replace else "CREATE TABLE",
+                name,
+                cols,
+            )
         for op, pat in self._DDL_PATTERNS:
             m = _re.match(pat, stmt, _re.IGNORECASE | _re.DOTALL)
             if not m:
@@ -2510,6 +2583,21 @@ class LakeCatalog:
                     raise ValueError(f"table {name!r} does not exist")
                 self.fs.delete_tree(t.dir)
                 return self._ddl_result("DROP TABLE", name, "")
+            if op == "create_tag":
+                # Iceberg SQL-extension parity: tags through SQL ride the
+                # same lock-free refs CAS chain as the API
+                v = t.tag(
+                    unquote_ident(m.group(2)),
+                    int(m.group(3)) if m.group(3) else None,
+                )
+                return self._ddl_result(
+                    "CREATE TAG", name, f"{unquote_ident(m.group(2))} -> v{v}"
+                )
+            if op == "drop_tag":
+                t.delete_tag(unquote_ident(m.group(2)))
+                return self._ddl_result(
+                    "DROP TAG", name, unquote_ident(m.group(2))
+                )
             if op == "rename_col":
                 old, new = unquote_ident(m.group(2)), unquote_ident(m.group(3))
                 v = t.rename_column(old, new)
@@ -2663,7 +2751,7 @@ class LakeCatalog:
                 "MERGE", name, f"v{self.table(name).current_version()}"
             )
         m = _re.match(
-            rf"INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\)\s*)?"
+            rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*(?:\(([^)]*)\)\s*)?"
             rf"((?:SELECT|VALUES|WITH|TABLE)\b.*)$",
             stmt,
             _re.IGNORECASE | _re.DOTALL,
@@ -2671,15 +2759,16 @@ class LakeCatalog:
         if m:
             from ..schema.reconcile import INSERTED_AT
 
-            name = unquote_ident(m.group(1))
+            overwrite = m.group(1).upper() == "OVERWRITE"
+            name = unquote_ident(m.group(2))
             t = self.table(name)
-            df = self.sql(m.group(3))
-            if m.group(2) is not None:
+            df = self.sql(m.group(4))
+            if m.group(3) is not None:
                 # explicit column list — map the query's output columns
                 # POSITIONALLY onto the named target columns (the form
                 # VALUES needs: Spark names literal columns col1, col2…)
                 cols = [
-                    unquote_ident(c) for c in split_top_level(m.group(2))
+                    unquote_ident(c) for c in split_top_level(m.group(3))
                 ]
                 if len(cols) != len(df.columns):
                     raise ValueError(
@@ -2687,7 +2776,7 @@ class LakeCatalog:
                         f"a {len(df.columns)}-column query"
                     )
                 df = df.toDF(*cols)
-            elif _re.match(r"VALUES\b", m.group(3), _re.IGNORECASE):
+            elif _re.match(r"VALUES\b", m.group(4), _re.IGNORECASE):
                 # bare VALUES: positional against the table's data
                 # columns (Spark's col1/col2… names mean nothing here)
                 if not t.exists():
@@ -2707,8 +2796,17 @@ class LakeCatalog:
                     )
                 df = df.toDF(*data_cols)
             pk = t.manifest().pk if t.exists() else []
-            _W(t, pk=pk or None, auto_create=False).write(df)
-            return self._ddl_result("INSERT", name, f"v{t.current_version()}")
+            w = _W(t, pk=pk or None, auto_create=False)
+            if overwrite:
+                # one atomic commit replacing the file set (history kept)
+                w.overwrite(df)
+            else:
+                w.write(df)
+            return self._ddl_result(
+                "INSERT OVERWRITE" if overwrite else "INSERT",
+                name,
+                f"v{t.current_version()}",
+            )
         m = _re.match(
             rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)$",
             stmt,
@@ -2812,6 +2910,13 @@ class LakeCatalog:
             return self.spark.createDataFrame(
                 rows or [], "key string, value string"
             )
+        stm = _re.match(rf"SHOW\s+TAGS\s+({_IDENT})\s*$", q, _re.IGNORECASE)
+        if stm:
+            t = self.table(unquote_ident(stm.group(1)))
+            if not t.exists():
+                raise ValueError(f"table {stm.group(1)!r} does not exist")
+            rows = sorted(t.tags().items())
+            return self.spark.createDataFrame(rows or [], "tag string, version long")
         dhm = _re.match(
             rf"DESC(?:RIBE)?\s+HISTORY\s+({_IDENT})\s*$", q, _re.IGNORECASE
         )
@@ -2824,13 +2929,13 @@ class LakeCatalog:
         if dm:
             return self.describe(unquote_ident(dm.group(1)))
         if _re.match(
-            r"\s*(CREATE\s+TABLE|DROP\s+TABLE|ALTER\s+TABLE|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE|RESTORE\s+TABLE)\b",
+            r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?TABLE|DROP\s+TABLE|ALTER\s+TABLE|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE|RESTORE\s+TABLE)\b",
             query,
             _re.IGNORECASE,
         ):
             return self.ddl(query)
         if _re.match(
-            r"\s*(INSERT\s+INTO|DELETE\s+FROM|UPDATE|MERGE\s+INTO)\b", query, _re.IGNORECASE
+            r"\s*(INSERT\s+(?:INTO|OVERWRITE)|DELETE\s+FROM|UPDATE|MERGE\s+INTO)\b", query, _re.IGNORECASE
         ):
             return self.dml(query)
         # SQL time travel: `t VERSION AS OF n`, `t TIMESTAMP AS OF 'ts'`,
@@ -2838,6 +2943,9 @@ class LakeCatalog:
         # registered under synthetic view names — so one statement can
         # even join two snapshots of the SAME table (snapshot diffing)
         query, travel = self._rewrite_time_travel(query)
+        # Delta-parity CDF TVF: table_changes('t', from [, to]) becomes a
+        # view over LakeTable.changes (file-diff cost, not table cost)
+        query, cdf_views = self._rewrite_table_changes(query)
         pins = dict(versions or {})
         hints = dict(where_hints or {})
         referenced = [
@@ -2882,7 +2990,39 @@ class LakeCatalog:
             )
         for syn in travel:
             self.spark.catalog.dropTempView(syn)
+        for syn in cdf_views:
+            self.spark.catalog.dropTempView(syn)
         return result
+
+    def _rewrite_table_changes(self, query: str):
+        """Rewrite ``table_changes('t', from [, to])`` calls (Delta's CDF
+        TVF) to synthetic views over :meth:`LakeTable.changes`. Returns
+        (rewritten query, list of synthetic view names to drop)."""
+        import re as _re
+        import uuid as _uuid
+
+        views: list[str] = []
+        pat = _re.compile(
+            r"table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+            _re.IGNORECASE,
+        )
+
+        def sub(m: "_re.Match") -> str:
+            name = m.group(1)
+            t = self.table(name)
+            if not t.exists():
+                raise ValueError(f"table_changes: unknown table {name!r}")
+            frm = int(m.group(2))
+            to = int(m.group(3)) if m.group(3) else None
+            syn = (
+                f"{_re.sub(r'[^A-Za-z0-9_]', '_', name)}__changes_"
+                f"{frm}_{to if to is not None else 'cur'}_{_uuid.uuid4().hex[:6]}"
+            )
+            t.changes(frm, to).createOrReplaceTempView(syn)
+            views.append(syn)
+            return quote_ident(syn)
+
+        return pat.sub(sub, query), views
 
     def _rewrite_time_travel(self, query: str):
         """Rewrite AS-OF table references to synthetic view names.

@@ -626,6 +626,41 @@ class LakeWriter:
             if txn is not None:
                 self._txn = None
 
+    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
+        """INSERT OVERWRITE: ONE commit whose file set is exactly this
+        batch's files — an atomic replace (a reader sees the old content
+        or the new, never an empty in-between, unlike truncate+insert),
+        with full history preserved for time travel. Schema evolution
+        applies the same as append (the batch's schema conforms/widens
+        the manifest's)."""
+        if self.txn_applied(txn):
+            return
+        if txn is not None:
+            self._txn = txn
+        try:
+            with REGISTRY.timer("insertOverwrite"):
+                self._enforce_constraints(df)
+                manifest = self._ensure_table(df)
+                out = self._prepare_insert(df, manifest)
+                with self.table.lock():
+                    manifest = self.table.manifest()  # re-read under lock
+                    new_files, new_stats = self.table.write_data_files(
+                        out,
+                        manifest.version + 1,
+                        layout="rebalance",
+                        manifest=manifest,
+                    )
+                    self._commit_next(
+                        manifest,
+                        new_files,
+                        _logical_schema_of_batch(df, manifest),
+                        new_stats,
+                        op="INSERT_OVERWRITE",
+                    )
+        finally:
+            if txn is not None:
+                self._txn = None
+
     def _append(self, df: DataFrame) -> None:
         self._enforce_constraints(df)
         manifest = self._ensure_table(df)

@@ -497,6 +497,93 @@ def sql_merge_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_insert_overwrite_replace",
+    """
+    WITH base AS (
+      SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 4 = 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents * 3) AS BIGINT) AS sum_cents3
+    FROM base WHERE cents >= 1000
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "INSERT OVERWRITE as ONE atomic commit (LakeWriter.overwrite): the "
+    "statement's SELECT reads the table's own current snapshot, and the "
+    "new version's file set is exactly the result — a reader sees old "
+    "content or new, never a truncate-then-insert gap; the pre-replace "
+    "version stays time-travelable.",
+)
+def sql_insert_overwrite_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    LakeWriter(cat.table("events_ow")).append(ev.filter(F.col("event_id") % 4 == 1))
+    cat.sql(
+        "INSERT OVERWRITE events_ow "
+        "SELECT event_id, event_type, cents * 3 AS cents "
+        "FROM events_ow WHERE cents >= 1000"
+    )
+    return cat.sql(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(cents) AS BIGINT) AS sum_cents3 "
+        "FROM events_ow GROUP BY event_type ORDER BY event_type"
+    )
+
+
+@register(
+    "cdf_table_changes",
+    """
+    WITH upd AS (
+      SELECT event_id FROM events
+      WHERE event_id % 10 BETWEEN 5 AND 7 AND event_id % 4 = 1
+    ),
+    ins AS (
+      SELECT event_id FROM events
+      WHERE event_id % 10 >= 8 AND event_id % 4 = 1
+    )
+    SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(event_id), 0) AS BIGINT) AS id_sum FROM ins
+    UNION ALL
+    SELECT 'update', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(event_id), 0) AS BIGINT) FROM upd
+    ORDER BY change_type
+    """,
+    "Change-data feed through the SQL TVF `table_changes('t', from)` "
+    "(Delta CDF parity): rewritten onto LakeTable.changes, whose "
+    "file-level diff scans only files the two versions do NOT share — "
+    "the per-type counts and id checksums must equal the arithmetic "
+    "reconstruction of the merge's effect.",
+)
+def cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    sl = ev.filter(F.col("event_id") % 4 == 1)
+    base = sl.filter(F.col("event_id") % 10 < 8)
+    batch = sl.filter(F.col("event_id") % 10 >= 5).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    lake_dir = os.path.join(tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}")
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_cdf"), pk=["event_id"])
+    w.write(base)
+    v1 = cat.table("events_cdf").current_version()
+    w.write(batch)  # updates %10 in 5..7, inserts %10 in 8..9
+    return cat.sql(
+        f"SELECT _change_type AS change_type, "
+        f"CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(coalesce(sum(event_id), 0) AS BIGINT) AS id_sum "
+        f"FROM table_changes('events_cdf', {v1}) "
+        f"GROUP BY _change_type ORDER BY change_type"
+    )
+
+
+@register(
     "sql_merge_schema_evolution",
     """
     SELECT event_id, user_id,

@@ -57,7 +57,9 @@ Python DataSource, so a bare ``.select()`` after ``load()`` reads the
 full width through Arrow; this option narrows the parquet page reads
 to exactly the listed columns. Wide-table scans that can't enumerate
 columns should prefer the JVM-pruned native paths ``table.read()`` /
-``LakeCatalog.sql``), ``startingVersion`` (stream),
+``LakeCatalog.sql``), ``startingVersion``/``startingTimestamp``
+(stream — the latter starts at the earliest commit at or after the
+timestamp, Delta semantics),
 ``skipChangeCommits``/``ignoreChanges`` (stream), ``batchRows`` (arrow
 batch size, default 65536).
 """
@@ -316,12 +318,25 @@ class _StreamReader(DataSourceStreamReader):
         self.skip_change = _truthy(options.get("skipchangecommits", "false"))
         self.ignore_changes = _truthy(options.get("ignorechanges", "false"))
         self._starting = options.get("startingversion")
+        self._starting_ts = options.get("startingtimestamp")
+        if self._starting is not None and self._starting_ts is not None:
+            raise ValueError(
+                "ducklake stream: pass startingVersion or startingTimestamp, "
+                "not both"
+            )
 
     def initialOffset(self) -> dict:
         if self._starting is not None:
             # offset = last PROCESSED version; startingVersion is the
             # first version the stream should emit
             return {"version": int(self._starting) - 1}
+        if self._starting_ts is not None:
+            # Delta semantics: first emitted version = earliest commit AT
+            # OR AFTER the timestamp; all commits older → tip (future only)
+            v = self.table.first_version_at_or_after(self._starting_ts)
+            if v is None:
+                return {"version": self.table.current_version()}
+            return {"version": v - 1}
         return {"version": self.table.current_version()}
 
     def latestOffset(self) -> dict:

@@ -661,3 +661,109 @@ class TestTimeTravelSql:
         # 'nope' is not a table: the reference passes through untouched
         with pytest.raises(Exception):
             cat.sql("SELECT * FROM nope VERSION AS OF 1").collect()
+
+
+class TestDialectWave12:
+    """Round-12 dialect completion: INSERT OVERWRITE, CREATE OR REPLACE
+    (plain + CTAS), tags through SQL (Iceberg extension shape), the
+    table_changes CDF TVF, SHOW TAGS."""
+
+    def test_insert_overwrite_atomic_replace(self, cat):
+        cat.sql("CREATE TABLE io1 (pk BIGINT, v BIGINT)")
+        cat.sql("INSERT INTO io1 VALUES (1, 10), (2, 20), (3, 30)")
+        v_before = cat.table("io1").current_version()
+        out = cat.sql(
+            "INSERT OVERWRITE io1 SELECT pk, v * 100 AS v FROM io1 WHERE pk <= 2"
+        ).collect()[0]
+        assert out["op"] == "INSERT OVERWRITE"
+        t = cat.table("io1")
+        # ONE commit: old content or new, never an empty in-between
+        assert t.current_version() == v_before + 1
+        assert {r["pk"]: r["v"] for r in t.read().collect()} == {1: 1000, 2: 2000}
+        # history preserved
+        assert t.read(version=v_before).count() == 3
+        hist = {r["version"]: r["op"] for r in t.history().collect()}
+        assert hist[t.current_version()] == "INSERT_OVERWRITE"
+
+    def test_insert_overwrite_with_column_list(self, cat):
+        cat.sql("CREATE TABLE io2 (a BIGINT, b STRING)")
+        cat.sql("INSERT INTO io2 VALUES (1, 'x')")
+        cat.sql("INSERT OVERWRITE TABLE io2 (b, a) VALUES ('y', 9)")
+        assert [(r["a"], r["b"]) for r in cat.table("io2").read().collect()] == [
+            (9, "y")
+        ]
+
+    def test_create_or_replace_plain(self, cat):
+        cat.sql("CREATE TABLE r1 (pk BIGINT, v BIGINT, PRIMARY KEY (pk))")
+        _fill(cat, "r1")
+        t = cat.table("r1")
+        t.tag("old", t.current_version())
+        v_before = t.current_version()
+        cat.sql("CREATE OR REPLACE TABLE r1 (name STRING, score DOUBLE)")
+        t = cat.table("r1")
+        assert t.read().count() == 0
+        assert [f.name for f in t.read().schema.fields] == [
+            "name",
+            "score",
+            "_inserted_at",
+        ]
+        assert t.manifest().pk == []
+        # history preserved: the pre-replace snapshot still reads
+        assert t.read(version=v_before).count() == 20
+        assert t.read(tag="old").count() == 20
+        hist = {r["version"]: r["op"] for r in t.history().collect()}
+        assert hist[t.current_version()] == "REPLACE"
+        # OR REPLACE on a missing table just creates
+        cat.sql("CREATE OR REPLACE TABLE r1b (x BIGINT)")
+        assert cat.table("r1b").exists()
+
+    def test_create_or_replace_as_select(self, cat):
+        cat.sql("CREATE TABLE r2 (pk BIGINT, v BIGINT)")
+        cat.sql("INSERT INTO r2 VALUES (1, 10), (2, 20)")
+        cat.sql(
+            "CREATE OR REPLACE TABLE r2 AS "
+            "SELECT CAST(pk AS STRING) AS label, v + 5 AS w FROM r2"
+        )
+        got = {r["label"]: r["w"] for r in cat.table("r2").read().collect()}
+        assert got == {"1": 15, "2": 25}
+
+    def test_sql_tags_roundtrip(self, cat):
+        cat.sql("CREATE TABLE tg (pk BIGINT)")
+        cat.sql("INSERT INTO tg VALUES (1)")
+        cat.sql("INSERT INTO tg VALUES (2)")
+        t = cat.table("tg")
+        cat.sql("ALTER TABLE tg CREATE TAG stable AS OF VERSION 1")
+        cat.sql("ALTER TABLE tg CREATE TAG head")
+        tags = {r["tag"]: r["version"] for r in cat.sql("SHOW TAGS tg").collect()}
+        assert tags == {"stable": 1, "head": t.current_version()}
+        assert (
+            cat.sql("SELECT count(*) AS n FROM tg FOR TAG stable").collect()[0]["n"]
+            == 1
+        )
+        cat.sql("ALTER TABLE tg DROP TAG stable")
+        assert [r["tag"] for r in cat.sql("SHOW TAGS tg").collect()] == ["head"]
+
+    def test_table_changes_tvf(self, cat):
+        cat.sql("CREATE TABLE cdf (pk BIGINT, v BIGINT, PRIMARY KEY (pk))")
+        cat.sql("INSERT INTO cdf VALUES (1, 10), (2, 20)")  # v1
+        v1 = cat.table("cdf").current_version()
+        cat.sql("INSERT INTO cdf VALUES (2, 99), (3, 30)")  # v2: update + insert
+        changed = cat.sql(
+            f"SELECT _change_type, count(*) AS n "
+            f"FROM table_changes('cdf', {v1}) "
+            f"GROUP BY _change_type ORDER BY _change_type"
+        ).collect()
+        assert {r["_change_type"]: r["n"] for r in changed} == {
+            "insert": 1,
+            "update": 1,
+        }
+
+    def test_insert_overwrite_txn_idempotence(self, cat):
+        from ducklake_kafka_connect_spark.lake import LakeWriter
+
+        cat.sql("CREATE TABLE io3 (pk BIGINT)")
+        w = LakeWriter(cat.table("io3"), auto_create=False)
+        df = cat.spark.range(4).select(F.col("id").alias("pk"))
+        w.overwrite(df, txn=("app1", 7))
+        w.overwrite(df.limit(1), txn=("app1", 7))  # replayed epoch: no-op
+        assert cat.table("io3").read().count() == 4

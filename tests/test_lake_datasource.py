@@ -519,3 +519,35 @@ class TestStreamV0AndVacuum:
         rd = _StreamReader({"path": lake, "table": "vac"}, t.read().schema)
         with pytest.raises(RuntimeError, match="vacuum retention"):
             rd.partitions({"version": 0}, {"version": t.current_version()})
+
+
+class TestStartingTimestamp:
+    def test_stream_from_timestamp(self, spark, lake):
+        from ducklake_kafka_connect_spark.sources.lake_datasource import (
+            _StreamReader,
+        )
+
+        t = _rows(spark, lake, 30, 50)  # v1 = 30 rows, v2 = 20 rows
+        ts2 = float(t.manifest(2).props["committed_at"])
+        rd = _StreamReader(
+            {"path": lake, "table": "ev", "startingtimestamp": str(ts2)},
+            t.read().schema,
+        )
+        off = rd.initialOffset()
+        assert off == {"version": 1}, "v2 is the earliest commit at/after ts2"
+        out = _run_stream(
+            spark, lake, qname="q_ts", startingTimestamp=str(ts2)
+        )
+        assert out.count() == 20
+        # timestamp after every commit → only future commits
+        rd2 = _StreamReader(
+            {"path": lake, "table": "ev", "startingtimestamp": str(ts2 + 9e5)},
+            t.read().schema,
+        )
+        assert rd2.initialOffset() == {"version": t.current_version()}
+        with pytest.raises(ValueError, match="not both"):
+            _StreamReader(
+                {"path": lake, "table": "ev", "startingversion": "0",
+                 "startingtimestamp": str(ts2)},
+                t.read().schema,
+            )
