@@ -1828,6 +1828,19 @@ class LakeTable:
         if not m_from.pk:
             raise ValueError(f"changes() on {self.name} requires pk columns")
         pk = list(m_from.pk)
+        # CDF needs a STABLE row identity across the span: a REPLACE (or
+        # pk change) in between makes "the same row" undefined — raise a
+        # diagnosis instead of an unresolved-column analysis error
+        if list(m_to.pk or []) != pk or any(
+            c not in m_to.schema.fieldNames() for c in pk
+        ):
+            raise ValueError(
+                f"changes() on {self.name}: pk changed between "
+                f"v{m_from.version} ({pk}) and v{m_to.version} "
+                f"({list(m_to.pk or [])}) — the span crosses a REPLACE or "
+                f"pk redefinition, so row identity (and therefore CDF) is "
+                f"undefined across it; diff within one schema lineage"
+            )
         shared = set(m_from.all_files()) & set(m_to.all_files())
         only_from = [f for f in m_from.all_files() if f not in shared]
         only_to = [f for f in m_to.all_files() if f not in shared]

@@ -142,3 +142,14 @@ def test_changes_preimages_cdf_mode(spark, table):
         .collect()
     }
     assert maintained == recomputed
+
+
+def test_changes_across_replace_raises_descriptive(spark, tmp_path):
+    from ducklake_kafka_connect_spark.lake import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cat.sql("CREATE TABLE rr (pk BIGINT, v BIGINT, PRIMARY KEY (pk))")
+    cat.sql("INSERT INTO rr VALUES (1, 10)")
+    cat.sql("CREATE OR REPLACE TABLE rr AS SELECT pk AS k, v FROM rr")
+    with pytest.raises(ValueError, match="REPLACE or\\s+pk redefinition"):
+        cat.table("rr").changes(1)
