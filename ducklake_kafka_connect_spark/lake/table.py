@@ -2439,14 +2439,23 @@ class LakeCatalog:
         equivalent, dispatched — not parsed by Catalyst — so metadata
         ops stay metadata ops). Supported:
 
-        - ``CREATE TABLE [IF NOT EXISTS] t (cols...[, PRIMARY KEY (a,b)])
-          [PARTITIONED BY (exprs)]``
+        - ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t
+          (cols...[, PRIMARY KEY (a,b)]) [PARTITIONED BY (exprs)]``
+          (OR REPLACE = history-preserving schema/pk/partition reset)
+        - ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t
+          [PARTITIONED BY (exprs)] AS <query>`` (CTAS through the
+          pruned SQL path, landed via the writer append)
         - ``CREATE TABLE [IF NOT EXISTS] t [SHALLOW|DEEP] CLONE s
           [AT VERSION n | AT TAG x]`` (zero-copy / materialized)
         - ``DROP TABLE [IF EXISTS] t``
         - ``ALTER TABLE t RENAME COLUMN a TO b`` (metadata-only)
         - ``ALTER TABLE t DROP COLUMN a``       (metadata-only)
         - ``ALTER TABLE t ADD COLUMN a <type>`` (metadata-only)
+        - ``ALTER TABLE t CREATE TAG x [AS OF VERSION n]`` /
+          ``ALTER TABLE t DROP TAG x`` (refs CAS chain via SQL;
+          ``SHOW TAGS t`` lists them)
+        - ``RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF
+          'ts' | TO TAG x``
         - ``TRUNCATE TABLE t``                  (metadata-only)
         - ``VACUUM t [RETAIN n VERSIONS]``
         - ``OPTIMIZE t [ZORDER BY (a, b)]``
