@@ -446,12 +446,22 @@ class DucklakeDataSource(DataSource):
 
 @dataclass
 class _WriteResult(WriterCommitMessage):
-    """One task's staged output: manifest-relative paths + footer stats
-    (harvested executor-side — the driver commit does zero file I/O)."""
+    """One task's staged output: (partition dir key, manifest-relative
+    path) pairs + footer stats (harvested executor-side — the driver
+    commit does zero file I/O)."""
 
-    rel_files: "list[str]"
+    entries: "list[tuple[str, str]]"
     stats: "dict[str, dict]"
     rows: int
+
+
+# Hadoop FileOutputCommitter's hive path-escape set (escapePathName):
+# these characters in a partition VALUE become %XX in the directory name
+_HIVE_SPECIALS = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _hive_escape(s: str) -> str:
+    return "".join(f"%{ord(c):02X}" if c in _HIVE_SPECIALS else c for c in s)
 
 
 class _WriterBase:
@@ -464,9 +474,17 @@ class _WriterBase:
 
     INSERT semantics only (the engine convention: merge/upsert goes
     through ``LakeWriter``/SQL MERGE — a pk table is refused so the
-    merge invariant can't be silently violated). Partitioned tables are
-    refused in v1 (partition-dir layout needs a shuffle the sink API
-    does not own)."""
+    merge invariant can't be silently violated).
+
+    Partitioned tables write WITHOUT a shuffle, the way Spark's own
+    dynamic-partition writes do: each task splits its Arrow batches by
+    partition value (year/month/day derived columns computed
+    executor-side with pyarrow compute, UTC — matching the engine's
+    pinned-UTC session), keeps one ParquetWriter per partition dir it
+    encounters, and stages hive-style ``_pd_x=v`` directories whose
+    canonical keys are interchangeable with engine-written ones. A
+    skewed stream simply yields one file per (task × partition) — the
+    same shape Spark's writer produces — and compaction consolidates."""
 
     def __init__(self, options, schema: StructType):
         from ..lake.table import INSERTED_AT, _stats_columns
@@ -488,11 +506,23 @@ class _WriterBase:
                 f"append-only (INSERT); use LakeWriter.merge / SQL MERGE for "
                 f"upserts"
             )
-        if m.partition_spec:
-            raise ValueError(
-                f"ducklake sink: {self.name} is partitioned — write through "
-                f"LakeWriter (the sink API does not own the partition shuffle)"
+        self.part_exprs = list(m.partition_exprs)
+        for e in self.part_exprs:
+            src_t = m.schema[e.column].dataType.simpleString()
+            ok = (
+                src_t in ("date", "timestamp", "timestamp_ntz")
+                if e.is_derived
+                else src_t in (
+                    "tinyint", "smallint", "int", "bigint", "string",
+                    "boolean", "date",
+                )
             )
+            if not ok:
+                raise ValueError(
+                    f"ducklake sink: partition expression "
+                    f"{e.spec_string()!r} over {src_t} is not supported by "
+                    f"the executor-side layout; write through LakeWriter"
+                )
         surface = _read_surface(t, m)
         want = {f.name: f.dataType for f in surface.fields if f.name != INSERTED_AT}
         got = {f.name: f.dataType for f in schema.fields}
@@ -510,24 +540,57 @@ class _WriterBase:
         ]
         self.stamp_inserted = INSERTED_AT in surface.fieldNames()
         self.table_dir = t.dir
+        # commit-time drift gates: layout decisions baked into staged
+        # files must still hold when the manifest is folded
+        self.part_spec_strings = list(m.partition_spec)
+        self.renames_at_plan = dict(m.column_renames)
 
     # -- executor side --
+    def _dir_key_array(self, out, pa, pc):
+        """Per-row hive directory key (``_pd_x=v/_pd_y=w``) as an Arrow
+        string array — vectorized: tokens cast/escaped column-wise (the
+        hive-escape loop touches only the UNIQUE values of raw string
+        partition columns), then joined element-wise. Matches the
+        engine's Spark-written layout at the canonical-key level
+        (``dir_key_to_canon_tuple``)."""
+        from ..lake.partitioning import HIVE_NULL
+
+        parts: list = []
+        for i, e in enumerate(self.part_exprs):
+            arr = out.column(e.output_name)
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                uq = [u for u in pc.unique(arr).to_pylist() if u is not None]
+                esc = {u: _hive_escape(u) for u in uq}
+                if any(esc[u] != u for u in uq):
+                    lookup = pa.array([esc[u] for u in uq], type=pa.string())
+                    idx = pc.index_in(arr, value_set=pa.array(uq, type=arr.type))
+                    tok = pc.take(lookup, idx)
+                else:
+                    tok = pc.cast(arr, pa.string())
+            else:
+                # ints / bools ("true"/"false") / date32 (ISO) cast clean
+                tok = pc.cast(arr, pa.string())
+            tok = pc.fill_null(tok, HIVE_NULL)
+            prefix = ("/" if i else "") + e.dir_name + "="
+            parts.extend([pa.scalar(prefix), tok])
+        return pc.binary_join_element_wise(*parts, "")
+
     def write(self, iterator):
         import time
         import uuid as _uuid
 
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from ..lake.table import INSERTED_AT, _harvest_one
 
-        rel_dir = os.path.join("data", f"s-{_uuid.uuid4().hex[:12]}")
-        rel = os.path.join(rel_dir, f"part-00000-{_uuid.uuid4().hex[:8]}.parquet")
-        abs_p = os.path.join(self.table_dir, rel)
+        stage_rel = os.path.join("data", f"s-{_uuid.uuid4().hex[:12]}")
         stamp = pa.scalar(
             int(time.time() * 1_000_000), type=pa.timestamp("us", tz="UTC")
         )
-        writer = None
+        #: part_key -> (ParquetWriter, abs_path, rel_path)
+        writers: "dict[str, tuple]" = {}
         rows = 0
         try:
             for batch in iterator:
@@ -535,32 +598,69 @@ class _WriterBase:
                 cols = [tbl.column(c) for c in self.col_order]
                 names = [self.renames.get(c, c) for c in self.col_order]
                 if self.stamp_inserted:
-                    cols.append(
-                        pa.chunked_array(
-                            [pa.repeat(stamp, len(tbl))],
-                        )
-                    )
+                    cols.append(pa.chunked_array([pa.repeat(stamp, len(tbl))]))
                     names.append(INSERTED_AT)
+                # derived partition DATA columns ride inside the file,
+                # exactly like the engine's Spark-written layout (UTC
+                # extraction == the engine's pinned-UTC session)
+                for e in self.part_exprs:
+                    if not e.is_derived:
+                        continue
+                    src = tbl.column(e.column)
+                    fn = {"year": pc.year, "month": pc.month, "day": pc.day}[e.fn]
+                    cols.append(pc.cast(fn(src), pa.int32()))
+                    names.append(e.output_name)
                 out = pa.table(dict(zip(names, cols)))
-                if writer is None:
-                    os.makedirs(os.path.dirname(abs_p), exist_ok=True)
-                    writer = pq.ParquetWriter(
-                        abs_p, out.schema, compression="snappy"
-                    )
-                writer.write_table(out)
-                rows += len(tbl)
+                rows += len(out)
+                if not self.part_exprs:
+                    slices = [("", out)]
+                else:
+                    keys = self._dir_key_array(out, pa, pc)
+                    slices = [
+                        (k, out.filter(pc.equal(keys, k)))
+                        for k in pc.unique(keys).to_pylist()
+                    ]
+                for key, sub in slices:
+                    if len(sub) == 0:
+                        continue
+                    ent = writers.get(key)
+                    if ent is None:
+                        rel = os.path.join(
+                            stage_rel, key,
+                            f"part-00000-{_uuid.uuid4().hex[:8]}.parquet",
+                        ) if key else os.path.join(
+                            stage_rel,
+                            f"part-00000-{_uuid.uuid4().hex[:8]}.parquet",
+                        )
+                        abs_p = os.path.join(self.table_dir, rel)
+                        os.makedirs(os.path.dirname(abs_p), exist_ok=True)
+                        ent = (
+                            pq.ParquetWriter(abs_p, sub.schema, compression="snappy"),
+                            abs_p,
+                            rel,
+                        )
+                        writers[key] = ent
+                    ent[0].write_table(sub)
         finally:
-            if writer is not None:
-                writer.close()
+            for w, _, _ in writers.values():
+                w.close()
         if rows == 0:
-            if os.path.exists(abs_p):
-                os.remove(abs_p)
+            for _, abs_p, _ in writers.values():
+                if os.path.exists(abs_p):
+                    os.remove(abs_p)
             return _WriteResult([], {}, 0)
-        harvested = _harvest_one(abs_p, self.stat_cols, None)
-        # stats keys are LOGICAL names (manifest convention)
+        stat_cols = self.stat_cols + [
+            e.output_name for e in self.part_exprs if e.is_derived
+        ]
         back = {v: k for k, v in self.renames.items()}
-        harvested = {back.get(k, k): v for k, v in harvested.items()}
-        return _WriteResult([rel], {rel: harvested}, rows)
+        entries: "list[tuple[str, str]]" = []
+        stats: "dict[str, dict]" = {}
+        for key, (_, abs_p, rel) in writers.items():
+            harvested = _harvest_one(abs_p, stat_cols, None)
+            # stats keys are LOGICAL names (manifest convention)
+            stats[rel] = {back.get(k, k): v for k, v in harvested.items()}
+            entries.append((key, rel))
+        return _WriteResult(entries, stats, rows)
 
     # -- driver side --
     def _commit_files(self, messages, overwrite: bool, txn=None) -> None:
@@ -569,15 +669,34 @@ class _WriterBase:
         t = _open_table(
             {"path": self.root, "table": self.name, "backend": self.backend_name}
         )
-        rel_files: list[str] = []
+        entries: "list[tuple[str, str]]" = []
         stats: dict[str, dict] = {}
         for msg in messages:
             if msg is None:
                 continue
-            rel_files.extend(msg.rel_files)
+            entries.extend(msg.entries)
             stats.update(msg.stats)
+        rel_files = [rel for _, rel in entries]
         with t.lock():
             m = t.manifest()
+            # layout drift gates: the staged files were written for the
+            # plan-time partition spec and rename map — a concurrent
+            # ALTER between staging and commit would fold files laid out
+            # for the OLD world into the NEW manifest. Fail the epoch
+            # (marker unset → restart restages under the new layout).
+            if list(m.partition_spec) != self.part_spec_strings:
+                raise RuntimeError(
+                    f"ducklake sink on {self.name}: partition spec changed "
+                    f"mid-stream ({self.part_spec_strings} -> "
+                    f"{list(m.partition_spec)}); restart the stream to "
+                    f"restage this epoch under the new layout"
+                )
+            if dict(m.column_renames) != self.renames_at_plan:
+                raise RuntimeError(
+                    f"ducklake sink on {self.name}: columns were renamed "
+                    f"mid-stream; restart the stream to restage this epoch "
+                    f"under the new mapping"
+                )
             if txn is not None:
                 app, epoch = txn
                 last = m.props.get("txns", {}).get(app)
@@ -610,14 +729,17 @@ class _WriterBase:
                     f"the stream to replay this epoch"
                 )
             if overwrite:
-                files = {"": list(rel_files)} if rel_files else {}
+                files = {}
+                for key, rel in entries:
+                    files.setdefault(key, []).append(rel)
                 file_stats = dict(stats)
                 op = "SINK_OVERWRITE"
             else:
-                if not rel_files:
+                if not entries:
                     return  # empty append: no new version
                 files = {k: list(v) for k, v in m.files.items()}
-                files.setdefault("", []).extend(rel_files)
+                for key, rel in entries:
+                    files.setdefault(key, []).append(rel)
                 file_stats = {**m.file_stats, **stats}
                 op = "SINK_APPEND"
             props = {**m.props, "last_op": op}
@@ -644,7 +766,7 @@ class _WriterBase:
         for msg in messages or []:
             if msg is None:
                 continue
-            for rel in msg.rel_files:
+            for _, rel in msg.entries:
                 t.fs.delete(os.path.join(t.dir, rel), missing_ok=True)
         # files from tasks that died before returning a message are
         # unreferenced debris — vacuum's orphan grace reclaims them

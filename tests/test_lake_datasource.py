@@ -4,6 +4,8 @@ pushdown, and a streaming source whose offset log is the manifest
 version chain (Delta-streaming-source contract: append-only by default,
 skipChangeCommits / ignoreChanges for rewrite commits)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -224,17 +226,9 @@ class TestSink:
             df.write.format("ducklake").option("path", lake).option(
                 "table", "pkt"
             ).mode("append").save()
-        LakeWriter(cat.table("pp"), partition_by="month(ts)").append(
-            spark.range(3).select(
-                F.col("id"), F.timestamp_seconds(1704067200 + F.col("id")).alias("ts")
-            )
-        )
-        with pytest.raises(Exception, match="partitioned"):
-            spark.range(3).select(
-                F.col("id"), F.timestamp_seconds(F.lit(1704067200)).alias("ts")
-            ).write.format("ducklake").option("path", lake).option(
-                "table", "pp"
-            ).mode("append").save()
+        # partitioned tables write through the sink since r12 (task-local
+        # hive splitting) — the old refusal is gone; parity tested in
+        # TestPartitionedSink
         LakeWriter(cat.table("sch")).append(
             spark.range(3).select(F.col("id"), F.lit("a").alias("s"))
         )
@@ -284,7 +278,7 @@ class TestSink:
         assert t.current_version() == v_before, "replayed epoch commits nothing"
         assert t.read().count() == 5
         assert not _os.path.exists(
-            _os.path.join(t.dir, m1b.rel_files[0])
+            _os.path.join(t.dir, m1b.entries[0][1])
         ), "replayed epoch's staged files are dropped"
         # the next epoch proceeds normally
         m2 = stage("e2")
@@ -309,7 +303,7 @@ class TestSink:
 
         w = _BatchWriter({"path": lake, "table": "ab"}, schema, overwrite=False)
         msg = w.write(iter(pa.table({"id": [9], "s": ["z"]}).to_batches()))
-        staged = _os.path.join(t.dir, msg.rel_files[0])
+        staged = _os.path.join(t.dir, msg.entries[0][1])
         assert _os.path.exists(staged)
         w.abort([msg])
         assert not _os.path.exists(staged)
@@ -341,7 +335,7 @@ class TestSink:
 
         w = _BatchWriter({"path": lake, "table": "gr"}, schema, overwrite=False)
         msg = w.write(iter(pa.table({"id": [9], "s": ["z"]}).to_batches()))
-        staged = _os.path.join(t.dir, msg.rel_files[0])
+        staged = _os.path.join(t.dir, msg.entries[0][1])
         deleted = vacuum(t, keep_versions=1)  # default grace: staged survives
         assert deleted > 0, "dropped-version files still reclaimed"
         assert _os.path.exists(staged), "in-flight staged file survives vacuum"
@@ -349,7 +343,7 @@ class TestSink:
         assert t.read().count() == 5
         # debris (never committed) IS reclaimed once past the grace
         msg2 = w.write(iter(pa.table({"id": [10], "s": ["d"]}).to_batches()))
-        debris = _os.path.join(t.dir, msg2.rel_files[0])
+        debris = _os.path.join(t.dir, msg2.entries[0][1])
         vacuum(t, keep_versions=1, orphan_grace_s=0.0)
         assert not _os.path.exists(debris)
 
@@ -551,3 +545,126 @@ class TestStartingTimestamp:
                  "startingtimestamp": str(ts2)},
                 t.read().schema,
             )
+
+
+class TestPartitionedSink:
+    """r12: the sink writes partitioned tables WITHOUT a shuffle — each
+    task splits its Arrow batches by partition value (derived year/month/
+    day computed executor-side, UTC) and stages hive dirs whose canonical
+    keys are interchangeable with engine-written ones."""
+
+    def _mk_part(self, spark, lake, name, spec="month(ts)"):
+        cat = LakeCatalog(spark, lake)
+        t = cat.table(name)
+        t.create(
+            spark.range(1).select(
+                F.col("id"), F.timestamp_seconds(F.lit(0)).alias("ts")
+            ).schema,
+            pk=[],
+            partition_by=spec,
+        )
+        return cat, t
+
+    def _batch(self, spark, lo, hi):
+        # ids spread over three months of 2024
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("id") % 3) * 2678400
+            ).alias("ts"),
+        )
+
+    def test_sink_layout_matches_engine_canonically(self, spark, lake):
+        from ducklake_kafka_connect_spark.lake.partitioning import (
+            dir_key_to_canon_tuple,
+        )
+
+        cat, t = self._mk_part(spark, lake, "ps")
+        self._batch(spark, 0, 30).write.format("ducklake").option(
+            "path", lake
+        ).option("table", "ps").mode("append").save()
+        _, t2 = self._mk_part(spark, lake, "pe")
+        LakeWriter(t2, auto_create=False).append(self._batch(spark, 0, 30))
+        m1, m2 = t.manifest(), t2.manifest()
+        exprs = m1.partition_exprs
+        keys1 = {dir_key_to_canon_tuple(k, exprs) for k in m1.files}
+        keys2 = {dir_key_to_canon_tuple(k, exprs) for k in m2.files}
+        assert keys1 == keys2 and len(keys1) == 3
+        # contents identical through the engine read
+        assert sorted(map(tuple, t.read().select("id").collect())) == sorted(
+            map(tuple, t2.read().select("id").collect())
+        )
+        # derived data column rides inside the files (hidden by default)
+        hid = t.read(include_hidden=True)
+        assert "_p_month_ts" in hid.columns
+        assert hid.filter(F.col("_p_month_ts").isNull()).count() == 0
+
+    def test_partition_stats_prune_files(self, spark, lake):
+        cat, t = self._mk_part(spark, lake, "pr")
+        self._batch(spark, 0, 60).write.format("ducklake").option(
+            "path", lake
+        ).option("table", "pr").mode("append").save()
+        files, _ = t.prune_files("_p_month_ts = 2")
+        assert 0 < len(files) < len(t.manifest().all_files())
+
+    def test_raw_string_partition_with_specials_and_null(self, spark, lake):
+        cat = LakeCatalog(spark, lake)
+        t = cat.table("pq")
+        src = spark.createDataFrame(
+            [(1, "a/b=c"), (2, "plain"), (3, None)], "id long, grp string"
+        )
+        t.create(src.schema, pk=[], partition_by="grp")
+        src.write.format("ducklake").option("path", lake).option(
+            "table", "pq"
+        ).mode("append").save()
+        got = {r["id"]: r["grp"] for r in t.read().collect()}
+        assert got == {1: "a/b=c", 2: "plain", 3: None}
+        assert len(t.manifest().files) == 3
+        # the engine's own key parser round-trips the escaped dir
+        from ducklake_kafka_connect_spark.lake.partitioning import (
+            dir_key_to_canon_tuple,
+        )
+
+        canon = {
+            dir_key_to_canon_tuple(k, t.manifest().partition_exprs)[0]
+            for k in t.manifest().files
+        }
+        assert canon == {"a/b=c", "plain", None}
+
+    def test_streaming_sink_partitioned(self, spark, lake):
+        cat, t = self._mk_part(spark, lake, "pst")
+        ckpt = os.path.join(lake, "_ckpt_pst")
+        src = self._batch(spark, 0, 40)
+        src.createOrReplaceTempView("pst_src")
+        q = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 40)
+            .option("numPartitions", 2)
+            .load()
+            .select(
+                F.col("value").alias("id"),
+                F.timestamp_seconds(
+                    F.lit(1704067200) + (F.col("value") % 3) * 2678400
+                ).alias("ts"),
+            )
+            .writeStream.format("ducklake")
+            .option("path", lake)
+            .option("table", "pst")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        assert t.read().count() >= 40
+        assert len(t.manifest().files) == 3
+
+    def test_unsupported_partition_source_type_refused(self, spark, lake):
+        cat = LakeCatalog(spark, lake)
+        t = cat.table("pf")
+        src = spark.range(3).select(F.col("id"), (F.col("id") * 1.5).alias("w"))
+        t.create(src.schema, pk=[], partition_by="w")
+        with pytest.raises(Exception, match="not supported"):
+            src.write.format("ducklake").option("path", lake).option(
+                "table", "pf"
+            ).mode("append").save()
