@@ -2830,19 +2830,24 @@ class LakeCatalog:
                 f"v{t.current_version()}",
             )
         m = _re.match(
-            rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)$",
+            rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+))?$",
             stmt,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
             name = unquote_ident(m.group(1))
             t = self.table(name)
+            if m.group(2) is None:
+                # standard SQL: DELETE without WHERE removes every row —
+                # metadata-only (truncate semantics, history preserved)
+                v = t.truncate()
+                return self._ddl_result("DELETE", name, f"all rows v{v}")
             _W(t, pk=t.manifest().pk or None, auto_create=False).delete_where(
                 m.group(2)
             )
             return self._ddl_result("DELETE", name, f"v{t.current_version()}")
         m = _re.match(
-            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
             stmt,
             _re.IGNORECASE | _re.DOTALL,
         )
@@ -2860,7 +2865,7 @@ class LakeCatalog:
                     raise ValueError(f"bad SET clause: {p.strip()!r}")
                 assigns[unquote_ident(col)] = expr.strip()
             _W(t, pk=t.manifest().pk or None, auto_create=False).update_where(
-                m.group(3), assigns
+                m.group(3) if m.group(3) is not None else "true", assigns
             )
             return self._ddl_result("UPDATE", name, f"v{t.current_version()}")
         raise ValueError(f"unsupported DML statement: {statement!r}")
@@ -2931,6 +2936,31 @@ class LakeCatalog:
             rows = sorted(t.properties().items())
             return self.spark.createDataFrame(
                 rows or [], "key string, value string"
+            )
+        spp = _re.match(rf"SHOW\s+PARTITIONS\s+({_IDENT})\s*$", q, _re.IGNORECASE)
+        if spp:
+            from .partitioning import dir_key_to_canon_tuple
+
+            t = self.table(unquote_ident(spp.group(1)))
+            if not t.exists():
+                raise ValueError(f"table {spp.group(1)!r} does not exist")
+            m = t.manifest()
+            if not m.partition_exprs:
+                raise ValueError(f"table {t.name} is not partitioned")
+            names = [e.spec_string() for e in m.partition_exprs]
+            rows = sorted(
+                {dir_key_to_canon_tuple(k, m.partition_exprs) for k in m.files}
+            , key=lambda tup: tuple((v is None, v) for v in tup))
+            rows = [
+                ("/".join(
+                    f"{n}={'null' if v is None else v}"
+                    for n, v in zip(names, tup)
+                ), sum(len(m.files[k]) for k in m.files
+                       if dir_key_to_canon_tuple(k, m.partition_exprs) == tup))
+                for tup in rows
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "partition string, n_files long"
             )
         stm = _re.match(rf"SHOW\s+TAGS\s+({_IDENT})\s*$", q, _re.IGNORECASE)
         if stm:

@@ -767,3 +767,57 @@ class TestDialectWave12:
         w.overwrite(df, txn=("app1", 7))
         w.overwrite(df.limit(1), txn=("app1", 7))  # replayed epoch: no-op
         assert cat.table("io3").read().count() == 4
+
+
+class TestDialectWave12b:
+    def test_delete_all_rows_is_metadata_only(self, cat):
+        cat.sql("CREATE TABLE da (pk BIGINT)")
+        cat.sql("INSERT INTO da VALUES (1), (2), (3)")
+        v = cat.table("da").current_version()
+        out = cat.sql("DELETE FROM da").collect()[0]
+        assert out["detail"].startswith("all rows")
+        t = cat.table("da")
+        assert t.read().count() == 0
+        assert t.read(version=v).count() == 3  # history preserved
+        hist = {r["version"]: r["op"] for r in t.history().collect()}
+        assert hist[t.current_version()] == "TRUNCATE"
+
+    def test_update_without_where_touches_every_row(self, cat):
+        cat.sql("CREATE TABLE ua (pk BIGINT, v BIGINT)")
+        cat.sql("INSERT INTO ua VALUES (1, 10), (2, 20)")
+        cat.sql("UPDATE ua SET v = v + 1")
+        assert {r["pk"]: r["v"] for r in cat.table("ua").read().collect()} == {
+            1: 11,
+            2: 21,
+        }
+
+    def test_show_partitions(self, cat):
+        cat.sql(
+            "CREATE TABLE sp (pk BIGINT, grp STRING) PARTITIONED BY (grp)"
+        )
+        cat.sql("INSERT INTO sp VALUES (1, 'a'), (2, 'b'), (3, 'a'), (4, NULL)")
+        rows = {r["partition"]: r["n_files"] for r in
+                cat.sql("SHOW PARTITIONS sp").collect()}
+        assert set(rows) == {"grp=a", "grp=b", "grp=null"}
+        assert all(n >= 1 for n in rows.values())
+        with pytest.raises(ValueError, match="not partitioned"):
+            cat.sql("CREATE TABLE sp2 (x BIGINT)")
+            cat.sql("SHOW PARTITIONS sp2")
+
+    def test_merge_with_time_traveled_source(self, cat):
+        """MERGE USING (<subquery>) runs through catalog.sql, so a
+        time-traveled source snapshot works with zero extra machinery."""
+        _fill_versions = cat.sql
+        cat.sql("CREATE TABLE mt (pk BIGINT, v BIGINT, PRIMARY KEY (pk))")
+        cat.sql("INSERT INTO mt VALUES (1, 10), (2, 20)")   # v1
+        cat.sql("UPDATE mt SET v = v * 100 WHERE pk = 1")   # v2
+        cat.sql("CREATE TABLE dst (pk BIGINT, v BIGINT, PRIMARY KEY (pk))")
+        cat.sql(
+            "MERGE INTO dst USING (SELECT pk, v FROM mt VERSION AS OF 1) AS s "
+            "ON dst.pk = s.pk "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert {r["pk"]: r["v"] for r in cat.table("dst").read().collect()} == {
+            1: 10,
+            2: 20,
+        }, "the PRE-update snapshot must be what merged"
