@@ -106,9 +106,17 @@ def compact(
     manifest unchanged. At 100 TB this runs as a background job per
     table with the same commit protocol as writes."""
     with REGISTRY.timer("compactTable"), table.lock():
+        from .mor import mor_state, read_visible
+
         m = table.manifest()
-        if zorder_by:
-            offenders = dict(m.files)  # re-layout everything
+        mor_deletes = mor_state(m)[1]
+        if zorder_by or mor_deletes:
+            # zorder: re-layout everything. Merge-on-read state: OPTIMIZE
+            # is the materialize step — rewrite every file with tombstone
+            # visibility applied; the commit chokepoint then drops the
+            # now-useless tombstones (no remaining file predates them)
+            # and vacuum reclaims the tombstone files.
+            offenders = dict(m.files)
         elif small_file_bytes is not None:
             offenders = {}
             for k, v in m.files.items():
@@ -125,10 +133,8 @@ def compact(
         if not offenders:
             return CompactionResult(0, sum(map(len, m.files.values())),
                                     sum(map(len, m.files.values())))
-        paths = [os.path.join(table.dir, p) for v in offenders.values() for p in v]
-        df = table.to_logical_names(
-            table.spark.read.schema(table.read_schema(m)).parquet(*paths), m
-        )
+        rel = [p for v in offenders.values() for p in v]
+        df = table.to_logical_names(read_visible(table, m, rel), m)
         exprs = m.partition_exprs
         # Output file count sized by BYTES (manifest __bytes stats), not
         # input file count — with optimized writes the input files are
@@ -293,10 +299,12 @@ def _vacuum_locked(
                 _cache.pop(next(iter(_cache)))
         return m
 
+    # retention_files: data files + merge-on-read tombstone files — a
+    # retained version's tombstones are part of its readable state
     referenced = {
         os.path.normpath(p)
         for rv in retained
-        for p in _resolve(rv).all_files()
+        for p in _resolve(rv).retention_files()
     }
     # every resolvable version's references: a file in NO manifest at
     # all is a (possibly in-flight) orphan and gets the grace window; a
@@ -306,7 +314,7 @@ def _vacuum_locked(
         if v2 not in retained and table.has_version(v2):
             try:
                 referenced_any.update(
-                    os.path.normpath(p) for p in _resolve(v2).all_files()
+                    os.path.normpath(p) for p in _resolve(v2).retention_files()
                 )
             except FileNotFoundError:
                 pass  # chain already vacuumed past this version

@@ -163,6 +163,14 @@ class Manifest:
     def all_files(self) -> list[str]:
         return [p for paths in self.files.values() for p in paths]
 
+    def retention_files(self) -> list[str]:
+        """Every file this version references for retention purposes:
+        data files PLUS merge-on-read tombstone files (``lake/mor.py``)
+        — the set vacuum must keep, restore must validate, and clone
+        must carry. Read paths keep using ``all_files`` (data only)."""
+        tombs = list((self.props.get("mor") or {}).get("deletes") or {})
+        return self.all_files() + tombs
+
 
 def _make_delta(parent: Manifest, child: Manifest) -> dict:
     """Delta segment: schema/pk/spec/props travel whole (small, and
@@ -937,6 +945,13 @@ class LakeTable:
         # CAS below only guards the exact path being written)
         if self.has_version(manifest.version):
             raise CommitConflict(f"Version {manifest.version} already committed on {self.name}")
+        # merge-on-read bookkeeping rides THIS chokepoint so no write
+        # path can forget it: files added while tombstones are active
+        # get stamped with the committing version, and tombstones that
+        # can no longer suppress anything are dropped (lake/mor.py)
+        from .mor import commit_adjust
+
+        commit_adjust(parent_manifest, manifest)
         # commit wall-clock for TIMESTAMP AS OF resolution: stored in the
         # version's own segment (props ride delta segments whole), so it
         # survives chain compaction — unlike segment-file mtimes, which
@@ -1013,7 +1028,7 @@ class LakeTable:
             old = self.manifest(version)
             missing = [
                 f
-                for f in old.all_files()
+                for f in old.retention_files()
                 if not self.fs.exists(os.path.join(self.dir, f))
             ]
             if missing:
@@ -1022,6 +1037,19 @@ class LakeTable:
                     f"{len(missing)} data file(s) vacuumed (e.g. {missing[0]})"
                 )
             cur = self.manifest()
+            # state that describes the restored FILES travels from the
+            # restored version (merge-on-read seq/tombstones, rename
+            # map); session-scoped state (txns idempotency markers,
+            # tblproperties) stays current. mor_preserve: the commit
+            # chokepoint must not re-stamp restored base files — that
+            # would un-suppress rows the restored tombstones hide.
+            props = {**cur.props, "last_op": f"RESTORE({version})"}
+            for k in ("mor", "column_renames"):
+                props.pop(k, None)
+                if k in old.props:
+                    props[k] = old.props[k]
+            if "mor" in props:
+                props["mor_preserve"] = True
             new = Manifest(
                 version=cur.version + 1,
                 schema=old.schema,
@@ -1029,7 +1057,7 @@ class LakeTable:
                 partition_spec=old.partition_spec,
                 files={k: list(v) for k, v in old.files.items()},
                 parent=cur.version,
-                props={**cur.props, "last_op": f"RESTORE({version})"},
+                props=props,
                 file_stats=dict(old.file_stats),
             )
             self._commit(new, parent_manifest=cur)
@@ -1099,7 +1127,7 @@ class LakeTable:
             pinned = True
             self.await_no_vacuum()
         try:
-            files, stats = self._clone_collect_files(src, dest, deep)
+            files, stats, path_map = self._clone_collect_files(src, dest, deep)
         except BaseException:
             if pinned:
                 try:
@@ -1107,6 +1135,9 @@ class LakeTable:
                 except Exception:
                     pass
             raise
+        from .mor import remap_for_clone
+
+        mor_props = remap_for_clone(src, path_map)
         m = Manifest(
             version=0,
             schema=src.schema,
@@ -1125,6 +1156,9 @@ class LakeTable:
                     if src.column_renames
                     else {}
                 ),
+                # merge-on-read seq/tombstone state remapped to the
+                # clone's paths; preserved verbatim through this commit
+                **({"mor": mor_props, "mor_preserve": True} if mor_props else {}),
             },
             file_stats=stats,
         )
@@ -1136,8 +1170,7 @@ class LakeTable:
             # than leave dangling manifest references
             gone = [
                 f
-                for fl in files.values()
-                for f in fl
+                for f in m.retention_files()
                 if not self.fs.exists(os.path.join(self.dir, f))
             ]
             if gone:
@@ -1151,49 +1184,61 @@ class LakeTable:
 
     def _clone_collect_files(
         self, src: "Manifest", dest: "LakeTable", deep: bool
-    ) -> "tuple[dict[str, list[str]], dict[str, dict]]":
+    ) -> "tuple[dict[str, list[str]], dict[str, dict], dict[str, str]]":
         files: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
+        path_map: dict[str, str] = {}
         seen_keys: set[str] = set()
+
+        def _collect_one(f: str, pdir: str) -> str:
+            src_abs = os.path.join(self.dir, f)
+            if not self.fs.exists(src_abs):
+                raise ValueError(
+                    f"cannot clone {self.name}@v{src.version}: "
+                    f"data file vacuumed ({f})"
+                )
+            if deep:
+                base = f"clone-v{src.version}"
+                key = os.path.join(
+                    "data", base, pdir, os.path.basename(f)
+                ) if pdir else os.path.join("data", base, os.path.basename(f))
+                # files from different source dirs (e.g. prior
+                # add_files imports) may share a basename within one
+                # partition dir — uniquify instead of silently
+                # overwriting the first copy
+                if key in seen_keys:
+                    stem, ext = os.path.splitext(key)
+                    n = 1
+                    while f"{stem}-{n}{ext}" in seen_keys:
+                        n += 1
+                    key = f"{stem}-{n}{ext}"
+                seen_keys.add(key)
+                dst_abs = os.path.join(dest.dir, key)
+                # the DESTINATION backend owns the write (cross-
+                # backend deep clone = read src store, PUT dest store)
+                dest.fs.copy_file(src_abs, dst_abs)
+                side = src_abs + ".bloom"
+                if self.fs.exists(side):
+                    dest.fs.copy_file(side, dst_abs + ".bloom")
+            else:
+                key = os.path.abspath(src_abs)
+            path_map[f] = key
+            return key
+
         for pdir, rels in src.files.items():
             out = []
             for f in rels:
-                src_abs = os.path.join(self.dir, f)
-                if not self.fs.exists(src_abs):
-                    raise ValueError(
-                        f"cannot clone {self.name}@v{src.version}: "
-                        f"data file vacuumed ({f})"
-                    )
-                if deep:
-                    base = f"clone-v{src.version}"
-                    key = os.path.join(
-                        "data", base, pdir, os.path.basename(f)
-                    ) if pdir else os.path.join("data", base, os.path.basename(f))
-                    # files from different source dirs (e.g. prior
-                    # add_files imports) may share a basename within one
-                    # partition dir — uniquify instead of silently
-                    # overwriting the first copy
-                    if key in seen_keys:
-                        stem, ext = os.path.splitext(key)
-                        n = 1
-                        while f"{stem}-{n}{ext}" in seen_keys:
-                            n += 1
-                        key = f"{stem}-{n}{ext}"
-                    seen_keys.add(key)
-                    dst_abs = os.path.join(dest.dir, key)
-                    # the DESTINATION backend owns the write (cross-
-                    # backend deep clone = read src store, PUT dest store)
-                    dest.fs.copy_file(src_abs, dst_abs)
-                    side = src_abs + ".bloom"
-                    if self.fs.exists(side):
-                        dest.fs.copy_file(side, dst_abs + ".bloom")
-                else:
-                    key = os.path.abspath(src_abs)
+                key = _collect_one(f, pdir)
                 out.append(key)
                 if f in src.file_stats:
                     stats[key] = src.file_stats[f]
             files[pdir] = out
-        return files, stats
+        # merge-on-read tombstone files travel with the clone (same
+        # shallow-abs / deep-copy rules); clone() remaps the mor props
+        # through path_map (lake/mor.py remap_for_clone)
+        for tf in (src.props.get("mor") or {}).get("deletes") or {}:
+            _collect_one(tf, "deletes")
+        return files, stats, path_map
 
     def add_files(
         self,
@@ -1762,11 +1807,13 @@ class LakeTable:
         rel_files = m.all_files()
         if where is not None:
             rel_files, _ = self.prune_files(where, manifest=m)
-        files = [os.path.join(self.dir, p) for p in rel_files]
-        if not files:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self.spark.read.schema(schema).parquet(*files)
+        # merge-on-read visibility (tombstone anti-join) applies here —
+        # a plain schema'd multi-path read when the table has no MOR
+        # state (lake/mor.py). File pruning above stays sound: pruning
+        # only drops files whose rows the predicate rejects anyway.
+        from .mor import read_visible
+
+        df = read_visible(self, m, rel_files, schema=schema)
         df = self.to_logical_names(df, m)
         if where is not None:
             df = df.filter(where)
@@ -1783,8 +1830,12 @@ class LakeTable:
         from catalog metadata the same way; at 100 TB this is the
         difference between a dict sum and a full scan. Files written
         before ``__rows`` harvesting fall back to one pruned-scan count
-        over just those files."""
+        over just those files. Merge-on-read tables cannot answer from
+        footers alone (tombstones suppress rows inside files), so they
+        count the visible snapshot instead."""
         m = self.manifest(version)
+        if (m.props.get("mor") or {}).get("deletes"):
+            return self.read(version=m.version).count()
         total = 0
         missing: list[str] = []
         for f in m.all_files():
@@ -1859,8 +1910,61 @@ class LakeTable:
             hidden = derived_column_names(m.partition_exprs)
             return df.drop(*hidden) if hidden else df
 
-        old = _side(m_from, only_from)
-        new = _side(m_to, only_to)
+        from .mor import mor_state, read_visible
+
+        if mor_state(m_from) != mor_state(m_to):
+            # Merge-on-read span: file identity no longer equals row
+            # identity (a shared file's rows can be suppressed on one
+            # side only), so the file-diff shortcut is unsound. Diff the
+            # VISIBLE snapshots instead, semi-joined to the span's
+            # candidate keys — every changed pk must appear in a
+            # tombstone file added in the span, a data file added in the
+            # span, or a file removed in the span (copy-on-write ops
+            # interleaved with MOR state), so the join output stays
+            # O(churn) even though both sides scan their snapshot.
+            def _pk_of(m: Manifest, rel_files: list[str]) -> DataFrame:
+                ren = m.column_renames
+                pkp = [ren.get(c, c) for c in pk]
+                if not rel_files:
+                    return self.spark.createDataFrame(
+                        [], T.StructType([self.read_schema(m)[p] for p in pkp])
+                    ).toDF(*pk)
+                d = self.spark.read.schema(self.read_schema(m)).parquet(
+                    *[os.path.join(self.dir, p) for p in rel_files]
+                )
+                return d.select(*[F.col(p).alias(l) for p, l in zip(pkp, pk)])
+
+            new_tombs = {
+                tf: mv
+                for tf, mv in mor_state(m_to)[1].items()
+                if tf not in mor_state(m_from)[1]
+            }
+            cand_parts = [_pk_of(m_to, only_to), _pk_of(m_from, only_from)]
+            if new_tombs:
+                from .mor import _tombstone_frame
+
+                tomb, pk_phys, _ = _tombstone_frame(self, m_to, new_tombs, prefix="")
+                cand_parts.append(
+                    tomb.select(
+                        *[F.col(p).alias(l) for p, l in zip(pk_phys, pk)]
+                    )
+                )
+            from functools import reduce as _reduce
+
+            cand = _reduce(lambda a, b: a.unionByName(b), cand_parts).distinct()
+
+            def _visible_side(m: Manifest) -> DataFrame:
+                df = read_visible(self, m, m.all_files())
+                df = self.to_logical_names(df, m_to)
+                hidden = derived_column_names(m.partition_exprs)
+                df = df.drop(*hidden) if hidden else df
+                return df.join(cand, on=pk, how="left_semi")
+
+            old = _visible_side(m_from)
+            new = _visible_side(m_to)
+        else:
+            old = _side(m_from, only_from)
+            new = _side(m_to, only_to)
         phys_to = to_physical_schema(m_to.schema)
         data_cols = [
             f.name

@@ -339,9 +339,14 @@ class LakeWriter:
         auto_compact: bool = True,
         check_constraints: dict[str, str] | None = None,
         max_retry_count: int = 10,
+        merge_mode: str | None = None,
     ):
         self.table = table
         self.pk = list(pk or [])
+        # merge strategy: explicit arg > tblproperties['write.merge.mode']
+        # > copy-on-write. 'merge-on-read' commits delta + tombstone
+        # files instead of rewriting matched files (lake/mor.py).
+        self.merge_mode = merge_mode
         self.partition_by = partition_by
         self.auto_create = auto_create
         self.auto_compact = auto_compact
@@ -492,11 +497,20 @@ class LakeWriter:
         snapshot. Same manifest-prune machinery as MERGE — at scale this
         touches exactly the partitions/files the predicate can reach.
         (The reference has no DELETE; CDC-style per-key deletes go
-        through merge(tombstone_col=...) instead.)"""
+        through merge(tombstone_col=...) instead.)
+
+        Under ``write.merge.mode=merge-on-read`` the delete commits only
+        a PK tombstone file for the matching VISIBLE rows — no file is
+        rewritten (lake/mor.py); OPTIMIZE materializes later."""
+        from .mor import MODE_MOR, resolve_merge_mode
+
         with REGISTRY.timer("deleteWhere"), self.table.lock():
             manifest = self.table.manifest()
             affected, _ = self.table.prune_files(predicate)
             if not affected:
+                return
+            if self.pk and resolve_merge_mode(manifest, self.merge_mode) == MODE_MOR:
+                self._delete_where_mor(manifest, affected, predicate)
                 return
             survivors = self._read_files(manifest, affected).filter(
                 f"NOT ({predicate}) OR ({predicate}) IS NULL"
@@ -530,6 +544,50 @@ class LakeWriter:
                 ),
                 parent_manifest=manifest,
             )
+
+    def _delete_where_mor(
+        self, manifest: Manifest, affected: list[str], predicate: str
+    ) -> None:
+        """Tombstone-only DELETE (caller holds the table lock): the pks
+        of visible rows matching ``predicate`` inside the pruned file
+        set become one tombstone file; data files are untouched."""
+        from .mor import mor_state, write_tombstones
+        from .table import Manifest as _M
+
+        keys = (
+            self._read_files(manifest, affected)
+            .filter(predicate)
+            .select(*self.pk)
+            .distinct()
+        )
+        v = manifest.version + 1
+        tomb_rel, meta = write_tombstones(self.table, keys, manifest, v)
+        if meta["rows"] == 0:
+            # stats admitted a match but no row actually matched: drop
+            # the staged empty tombstone, commit nothing
+            self.table.fs.delete(
+                os.path.join(self.table.dir, tomb_rel), missing_ok=True
+            )
+            return
+        seq_map, deletes = mor_state(manifest)
+        deletes = {**deletes, tomb_rel: meta}
+        self.table._commit(
+            _M(
+                version=v,
+                schema=manifest.schema,
+                pk=manifest.pk,
+                partition_spec=manifest.partition_spec,
+                files=manifest.files,
+                parent=manifest.version,
+                props={
+                    **manifest.props,
+                    "mor": {"seq": seq_map, "deletes": deletes},
+                    "last_op": "DELETE(MOR)",
+                },
+                file_stats=manifest.file_stats,
+            ),
+            parent_manifest=manifest,
+        )
 
     def update_where(self, predicate: str, assignments: dict[str, str]) -> None:
         """Predicate UPDATE (``UPDATE t SET c = expr WHERE p``): files
@@ -567,6 +625,11 @@ class LakeWriter:
                 raise ValueError(f"update_where: unknown column(s) {unknown}")
             affected, _ = self.table.prune_files(predicate)
             if not affected:
+                return
+            from .mor import MODE_MOR, resolve_merge_mode
+
+            if self.pk and resolve_merge_mode(manifest, self.merge_mode) == MODE_MOR:
+                self._update_where_mor(manifest, affected, predicate, assignments)
                 return
             src = self._read_files(manifest, affected)
             cond = F.expr(predicate)
@@ -613,6 +676,71 @@ class LakeWriter:
                 ),
                 parent_manifest=manifest,
             )
+
+    def _update_where_mor(
+        self,
+        manifest: Manifest,
+        affected: list[str],
+        predicate: str,
+        assignments: dict[str, str],
+    ) -> None:
+        """Merge-on-read UPDATE (caller holds the table lock): the
+        visible rows matching ``predicate`` are re-emitted with SET
+        expressions applied as a DELTA file, their pks as a TOMBSTONE —
+        cost O(matched rows), no file rewritten. The delta and tombstone
+        share one seq, so the delta is never self-suppressed."""
+        from .mor import mor_state, write_tombstones
+
+        src = self._read_files(manifest, affected).filter(predicate)
+        delta = src.select(
+            *[
+                F.expr(assignments[c]).cast(src.schema[c].dataType).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in src.columns
+            ]
+        )
+        self._enforce_constraints(delta)
+        v = manifest.version + 1
+        new_files, new_stats = self.table.write_data_files(
+            delta, v, layout="natural", manifest=manifest
+        )
+        n_rows = sum(int(s.get("__rows") or 0) for s in new_stats.values())
+        if n_rows == 0:
+            for k, paths in new_files.items():
+                for f in paths:
+                    self.table.fs.delete(
+                        os.path.join(self.table.dir, f), missing_ok=True
+                    )
+            return
+        tomb_rel, meta = write_tombstones(
+            self.table, src.select(*self.pk).distinct(), manifest, v
+        )
+        seq_map, deletes = mor_state(manifest)
+        for paths in new_files.values():
+            for f in paths:
+                seq_map[f] = v
+        deletes = {**deletes, tomb_rel: meta}
+        files = {k: list(paths) for k, paths in manifest.files.items()}
+        for k, paths in new_files.items():
+            files.setdefault(k, []).extend(paths)
+        self.table._commit(
+            Manifest(
+                version=v,
+                schema=manifest.schema,
+                pk=manifest.pk,
+                partition_spec=manifest.partition_spec,
+                files=files,
+                parent=manifest.version,
+                props={
+                    **manifest.props,
+                    "mor": {"seq": seq_map, "deletes": deletes},
+                    "last_op": "UPDATE(MOR)",
+                },
+                file_stats={**manifest.file_stats, **new_stats},
+            ),
+            parent_manifest=manifest,
+        )
 
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
         if self.txn_applied(txn):
@@ -965,6 +1093,14 @@ class LakeWriter:
         exprs = manifest.partition_exprs
         part_cols = partition_column_names(exprs)
 
+        from .mor import MODE_MOR, resolve_merge_mode
+
+        if self.pk and resolve_merge_mode(manifest, self.merge_mode) == MODE_MOR:
+            return self._merge_mor_once(
+                df, manifest, planned_version, final_logical, exprs,
+                part_cols, order_col, tombstone_col, ephemeral_order,
+            )
+
         # ---- small-table fast path: zero planning jobs ----
         # While the whole table fits a few small files in at most ONE
         # partition dir, pruning machinery has nothing to prune: rewrite
@@ -1271,6 +1407,204 @@ class LakeWriter:
         self._maybe_auto_compact(merged_files, stats)
         return True
 
+    def _merge_mor_once(
+        self,
+        df: DataFrame,
+        manifest: Manifest,
+        planned_version: int,
+        final_logical: T.StructType,
+        exprs,
+        part_cols: list[str],
+        order_col: str | None,
+        tombstone_col: str | None,
+        ephemeral_order: bool = False,
+    ) -> bool:
+        """Merge-on-read upsert (``write.merge.mode=merge-on-read``,
+        lake/mor.py): commit the batch's post-image rows as a DELTA file
+        and the touched keys as a TOMBSTONE file — no matched file is
+        rewritten, so write cost is O(batch) regardless of table width
+        or how many files hold the matched keys. The only read of the
+        target is a pk+``_inserted_at`` lookup over the range/Bloom-
+        pruned overlap files (two columns, not the row width), needed to
+        preserve insertion timestamps on updated keys; a provably
+        insert-only batch (no overlap survives pruning) reads nothing
+        and writes no tombstone at all. The read path reconstructs the
+        snapshot by suppressing rows whose pk appears in a LATER
+        tombstone; OPTIMIZE materializes the debt."""
+        from .mor import (
+            MOR_AUTO_MATERIALIZE_DELETES,
+            mor_state,
+            write_tombstones,
+        )
+
+        pk0 = self.pk[0]
+        keep_extra = tuple(c for c in (tombstone_col,) if c) + (
+            (order_col,) if ephemeral_order and order_col else ()
+        )
+        src0 = _conform(df, final_logical, extra=keep_extra)
+        np_cap = self.table.spark.sparkContext.defaultParallelism
+        # delta files must hold exactly ONE row per pk (rows within one
+        # commit share a seq, so nothing suppresses an in-batch dup) —
+        # dedup eagerly, unlike the COW path where it rides the window
+        src0 = _dedup_last_wins(src0.coalesce(np_cap), self.pk, order_col)
+        if tombstone_col:
+            flag = F.coalesce(F.col(tombstone_col), F.lit(False))
+            dead_keys = src0.filter(flag).select(*self.pk)
+            live = src0.filter(~flag)
+        else:
+            dead_keys = None
+            live = src0
+        if keep_extra:
+            live = live.drop(*keep_extra)
+        live = with_partition_columns(live, exprs).cache()
+
+        # ---- the ONE planning job (bounds + count + bloom keys) ----
+        probe = live.select(F.col(pk0).alias("__k"))
+        if dead_keys is not None:
+            probe = probe.unionByName(dead_keys.select(F.col(pk0).alias("__k")))
+        try:
+            with REGISTRY.timer("merge.planAgg"):
+                row = probe.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("__k").alias("lo"),
+                    F.max("__k").alias("hi"),
+                    F.slice(
+                        F.collect_set("__k"), 1, MERGE_BLOOM_PROBE_KEYS + 1
+                    ).alias("ks"),
+                    F.count(F.when(F.col("__k").isNull(), 1)).alias("null_keys"),
+                ).collect()[0]
+            n_src = row["n"]
+            if n_src == 0:
+                return True  # empty batch: no commit
+            bounds = {"lo": row["lo"], "hi": row["hi"]}
+            probe_keys = list(row["ks"] or [])
+            if row["null_keys"] or len(probe_keys) > MERGE_BLOOM_PROBE_KEYS:
+                probe_keys = None
+
+            # ---- overlap files: pk-range stats + Bloom sidecars ----
+            overlap_by_part = {
+                k: [f for f in v if _overlaps(manifest.file_stats.get(f), bounds, pk0)]
+                for k, v in manifest.files.items()
+            }
+            n_overlap = sum(len(v) for v in overlap_by_part.values())
+            if probe_keys and n_overlap > 1:
+                from .bloom import (
+                    MEMBERSHIP_SPARK_THRESHOLD,
+                    membership_filter,
+                    membership_filter_spark,
+                )
+
+                with REGISTRY.timer("merge.bloomProbe"):
+                    flat = [f for v in overlap_by_part.values() for f in v]
+                    abs_paths = [os.path.join(self.table.dir, f) for f in flat]
+                    if len(flat) > MEMBERSHIP_SPARK_THRESHOLD:
+                        kept = membership_filter_spark(
+                            self.table.spark, abs_paths, probe_keys
+                        )
+                    else:
+                        kept = membership_filter(abs_paths, probe_keys)
+                keep = dict(zip(flat, kept))
+                overlap_by_part = {
+                    k: [f for f in v if keep[f]]
+                    for k, v in overlap_by_part.items()
+                }
+            overlap = [f for v in overlap_by_part.values() for f in v]
+
+            # ---- post-image composition ----
+            if overlap:
+                # pk + _inserted_at only: a 2-column pruned scan, never
+                # the row width — and visibility-aware, so a key whose
+                # only copies are tombstone-suppressed counts as absent
+                ins_lookup = (
+                    self._read_files(manifest, overlap)
+                    .select(*self.pk, F.col(INSERTED_AT).alias("__t_ins"))
+                )
+                if self._est_rewrite_rows(manifest, overlap) <= MERGE_BROADCAST_ROWS:
+                    ins_lookup = F.broadcast(ins_lookup)
+                out = (
+                    live.join(ins_lookup, on=self.pk, how="left")
+                    .withColumn(
+                        INSERTED_AT,
+                        F.coalesce(F.col("__t_ins"), F.current_timestamp()),
+                    )
+                    .drop("__t_ins")
+                )
+                # tombstone only keys that actually MATCH a visible row
+                # (plus CDC dead keys below): inserts need no
+                # suppression, and at scale an insert-heavy batch must
+                # not inflate the standing tombstone set the read path
+                # anti-joins against
+                matched_keys = live.join(ins_lookup, on=self.pk, how="left_semi")
+            else:
+                out = live.withColumn(INSERTED_AT, F.current_timestamp())
+                matched_keys = None
+            out_cols = (
+                [f.name for f in to_physical_schema(final_logical).fields]
+                + [INSERTED_AT]
+                + [c for c in part_cols if c not in final_logical.fieldNames()]
+            )
+            out = out.select(*[_qcol(c) for c in out_cols])
+            est_bytes = n_src * EST_ROW_BYTES
+            n_out = max(
+                1,
+                min(MERGE_RANGE_MAX_FILES, -(-n_src // MERGE_TARGET_FILE_ROWS)),
+            )
+
+            with self.table.lock():
+                manifest = self.table.manifest()
+                if manifest.version != planned_version:
+                    return False  # concurrent commit — replan
+                v = manifest.version + 1
+                if est_bytes <= SMALL_OUTPUT_BYTES:
+                    new_files, new_stats = self.table.write_data_files(
+                        out, v, layout="single", manifest=manifest
+                    )
+                else:
+                    new_files, new_stats = self.table.write_data_files(
+                        out, v, layout="range",
+                        range_split=(list(self.pk), n_out), manifest=manifest,
+                    )
+                files = {k: list(paths) for k, paths in manifest.files.items()}
+                for k, paths in new_files.items():
+                    files.setdefault(k, []).extend(paths)
+                stats = {**manifest.file_stats, **new_stats}
+                seq_map, deletes = mor_state(manifest)
+                for paths in new_files.values():
+                    for f in paths:
+                        seq_map[f] = v
+                if overlap:
+                    keys = matched_keys.select(*self.pk)
+                    if dead_keys is not None:
+                        keys = keys.unionByName(dead_keys)
+                    tomb_rel, tomb_meta = write_tombstones(
+                        self.table, keys, manifest, v
+                    )
+                    if tomb_meta["rows"] == 0:
+                        # no key matched after all (stats/bloom are
+                        # conservative): drop the staged empty tombstone
+                        self.table.fs.delete(
+                            os.path.join(self.table.dir, tomb_rel),
+                            missing_ok=True,
+                        )
+                    else:
+                        deletes = {**deletes, tomb_rel: tomb_meta}
+                REGISTRY.inc("merge.morCommits")
+                self._commit_next(
+                    manifest, files, final_logical, stats, op="MERGE(MOR)",
+                    extra_props={"mor": {"seq": seq_map, "deletes": deletes}},
+                )
+        finally:
+            live.unpersist()
+        # bound read amplification AND per-commit props metadata: past
+        # the threshold the debt materializes (visibility-applied full
+        # rewrite through compact(); tombstones retire at that commit)
+        if self.auto_compact and len(deletes) > MOR_AUTO_MATERIALIZE_DELETES:
+            from .maintenance import compact
+
+            with REGISTRY.timer("autoCompact"):
+                compact(self.table)
+        return True
+
     def _merge_small_table(
         self,
         df: DataFrame,
@@ -1316,7 +1650,12 @@ class LakeWriter:
             + [INSERTED_AT]
             + [c for c in part_cols if c not in final_logical.fieldNames()]
         )
-        if tombstone_col is None:
+        from .mor import mor_state
+
+        if tombstone_col is None and not mor_state(manifest)[1]:
+            # the Arrow fast path reads files raw (no tombstone
+            # visibility) — a table carrying merge-on-read state takes
+            # the Spark window path below, whose _read_files applies it
             done = self._merge_small_table_arrow(
                 raw, manifest, planned_version, final_logical,
                 exprs, part_cols, order_col, ephemeral_order, out_cols,
@@ -1821,10 +2160,13 @@ class LakeWriter:
         final_logical: T.StructType,
         file_stats: dict | None = None,
         op: str = "WRITE",
+        extra_props: dict | None = None,
     ) -> None:
         fields = [f for f in final_logical.fields if f.name != INSERTED_AT]
         fields.append(T.StructField(INSERTED_AT, T.TimestampType(), True))
         props = dict(manifest.props)
+        if extra_props:
+            props.update(extra_props)
         props["last_op"] = op  # history()/DESCRIBE-HISTORY lineage
         if self._txn is not None:
             app, epoch = self._txn
@@ -1846,14 +2188,14 @@ class LakeWriter:
         )
 
     def _read_files(self, manifest: Manifest, rel_files: list[str]) -> DataFrame:
-        """Read an explicit file list under the manifest's read schema."""
-        read_schema = self.table.read_schema(manifest)
-        if not rel_files:
-            return self.table.spark.createDataFrame([], read_schema)
-        import os
+        """Read an explicit file list under the manifest's read schema,
+        with merge-on-read tombstone visibility applied — so every
+        copy-on-write rewrite (merge/update/delete) over a table
+        carrying MOR state reads only VISIBLE rows and thereby
+        materializes the debt for the files it touches."""
+        from .mor import read_visible
 
-        files = [os.path.join(self.table.dir, p) for p in rel_files]
-        df = self.table.spark.read.schema(read_schema).parquet(*files)
+        df = read_visible(self.table, manifest, rel_files)
         return self.table.to_logical_names(df, manifest)
 
 

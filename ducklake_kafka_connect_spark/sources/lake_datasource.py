@@ -169,6 +169,13 @@ class _FileSlice(InputPartition):
     path: str
     renames: "dict[str, str]"
     batch_rows: int
+    # merge-on-read visibility (lake/mor.py): this file's commit seq,
+    # the (abs tombstone path, tombstone seq) pairs that postdate it,
+    # and the PHYSICAL pk column names to anti-join on. Empty tuples on
+    # tables without MOR state — zero overhead on the common path.
+    mor_seq: int = 0
+    mor_tombs: "tuple" = ()
+    mor_pk: "tuple" = ()
 
 
 def _arrow_target(schema: StructType):
@@ -203,7 +210,7 @@ def _read_file_slices(
             phys = part.renames.get(logical, logical)
             if phys in avail and phys not in want_phys:
                 want_phys.append(phys)
-        if not want_phys:
+        if not want_phys and not part.mor_tombs:
             # every selected column postdates this file: all-null rows,
             # row count straight from the footer — zero pages read
             n = pf.metadata.num_rows
@@ -213,7 +220,26 @@ def _read_file_slices(
             for batch in out.to_batches(max_chunksize=part.batch_rows):
                 yield batch
             continue
-        tbl = pf.read(columns=want_phys)
+        # merge-on-read visibility: pk columns must ride the read (then
+        # drop) so suppressed rows can be anti-joined away
+        pk_phys = [p for p in part.mor_pk if p in avail]
+        read_cols = want_phys + [p for p in pk_phys if p not in want_phys]
+        tbl = pf.read(columns=read_cols or None)
+        if part.mor_tombs and pk_phys:
+            tomb_tables = []
+            for tpath, _tseq in part.mor_tombs:
+                tt = pq.read_table(tpath, columns=list(pk_phys))
+                tomb_tables.append(
+                    pa.table(
+                        [
+                            tt.column(p).cast(tbl.schema.field(p).type)
+                            for p in pk_phys
+                        ],
+                        names=list(pk_phys),
+                    )
+                )
+            tombs = pa.concat_tables(tomb_tables)
+            tbl = tbl.join(tombs, keys=list(pk_phys), join_type="left anti")
         phys_names = set(tbl.column_names)
         cols = []
         for field, logical in zip(target, schema.fieldNames()):
@@ -292,15 +318,29 @@ class _BatchReader(DataSourceReader):
             yield f
 
     def partitions(self):
+        from ..lake.mor import mor_state
+
         m = self.manifest
         rel = m.all_files()
         if self._prune:
             rel, _ = self.table.prune_files(" AND ".join(self._prune), manifest=m)
         ren = dict(m.column_renames)
-        parts = [
-            _FileSlice(os.path.join(self.table.dir, p), ren, self.batch_rows)
-            for p in rel
-        ]
+        seq_map, deletes = mor_state(m)
+        pk_phys = tuple(ren.get(c, c) for c in m.pk) if deletes else ()
+        parts = []
+        for p in rel:
+            fseq = int(seq_map.get(p, 0))
+            tombs = tuple(
+                (os.path.join(self.table.dir, tf), int(mv["seq"]))
+                for tf, mv in sorted(deletes.items())
+                if int(mv["seq"]) > fseq
+            )
+            parts.append(
+                _FileSlice(
+                    os.path.join(self.table.dir, p), ren, self.batch_rows,
+                    mor_seq=fseq, mor_tombs=tombs, mor_pk=pk_phys if tombs else (),
+                )
+            )
         # Spark requires at least one partition object; an empty-path
         # sentinel reads as zero rows
         return parts or [_FileSlice("", {}, self.batch_rows)]
@@ -350,6 +390,7 @@ class _StreamReader(DataSourceStreamReader):
         # relative to an empty baseline. (Tables born by clone/add_files
         # carry files in v0; treating v0 as the baseline dropped them.)
         prev_files: set | None = set() if lo < 0 else None
+        prev_mor: dict | None = {} if lo < 0 else None
         for v in range(max(lo, 0), hi + 1):
             try:
                 m = self.table.manifest(v)
@@ -365,13 +406,28 @@ class _StreamReader(DataSourceStreamReader):
             if prev_files is not None and v > lo:
                 removed = prev_files - files
                 added = sorted(files - prev_files)
-                if removed and not self.ignore_changes:
+                # a merge-on-read commit removes no file but changes
+                # visibility via new tombstones — the same non-append
+                # gate applies (Delta parity: with ignoreChanges the
+                # delta files' post-image rows are emitted as appends,
+                # at-least-once per key; tombstone files themselves
+                # never appear in m.files, so they are never emitted)
+                new_tombs = set(
+                    (m.props.get("mor") or {}).get("deletes") or {}
+                ) - set((prev_mor or {}).get("deletes") or {})
+                if (removed or new_tombs) and not self.ignore_changes:
                     if self.skip_change:
                         prev_files = files
+                        prev_mor = m.props.get("mor") or {}
                         continue
+                    what = (
+                        f"{len(removed)} file(s) removed"
+                        if removed
+                        else f"{len(new_tombs)} merge-on-read tombstone(s) added"
+                    )
                     raise ValueError(
                         f"ducklake stream on {self.table.name}: version {v} "
-                        f"is not append-only ({len(removed)} file(s) removed "
+                        f"is not append-only ({what} "
                         f"by {m.props.get('last_op', 'a rewrite')}); set "
                         f"skipChangeCommits=true to skip such commits or "
                         f"ignoreChanges=true to accept re-delivery"
@@ -382,6 +438,7 @@ class _StreamReader(DataSourceStreamReader):
                     for p in added
                 )
             prev_files = files
+            prev_mor = m.props.get("mor") or {}
         return parts or [_FileSlice("", {}, self.batch_rows)]
 
     def read(self, partition: _FileSlice):
