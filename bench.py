@@ -574,6 +574,36 @@ def ingest_harness(spark) -> dict:
         many_s = time.perf_counter() - t0
         out["merge_many_10x2k_s"] = round(many_s, 3)
         out["merge_many_batches_per_s"] = round(n_batches / many_s, 1)
+        # merge-on-read vs copy-on-write on a WIDE table (26 columns,
+        # 100k rows, 10k fully-matched batch): MOR commits delta +
+        # tombstone (O(batch), width-independent) where COW rewrites the
+        # matched files (O(matched files × width)). Steady state: the
+        # first merge per mode warms its path, the second is timed. The
+        # read-after metric prices the visibility anti-join MOR defers.
+        wide_exprs = [
+            (F.col("id") * i).cast("double").alias(f"w{i}") for i in range(1, 25)
+        ]
+        wide = spark.range(100_000).select(
+            F.col("id"), F.concat(F.lit("n_"), F.col("id")).alias("name"),
+            *wide_exprs,
+        )
+        batch_w = spark.range(10_000).select(
+            (F.col("id") * 10).alias("id"), F.lit("upd").alias("name"),
+            *[(F.col("id") + i).cast("double").alias(f"w{i}") for i in range(1, 25)],
+        )
+        for mode, key in (("copy-on-write", "cow"), ("merge-on-read", "mor")):
+            wt = LakeWriter(
+                cat.table(f"bench_wide_{key}"), pk=["id"], merge_mode=mode,
+                small_table_fast_path=False,
+            )
+            wt.write(wide)
+            wt.write(batch_w)  # warm this mode's merge path
+            t0 = time.perf_counter()
+            wt.write(batch_w)
+            out[f"merge_wide26_10k_{key}_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        cat.table("bench_wide_mor").read().count()
+        out["mor_wide26_read_s"] = round(time.perf_counter() - t0, 3)
     except Exception as e:  # keep the bench line intact on harness failure
         out["error"] = str(e)[:200]
     finally:

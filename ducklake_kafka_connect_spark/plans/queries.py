@@ -459,6 +459,98 @@ def sql_merge_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mor_merge_upsert",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 10 >= 5 THEN 'updated' ELSE event_type END AS event_type,
+           CASE WHEN event_id % 10 >= 5 THEN value + 1000.0 ELSE value END  AS value
+    FROM events
+    WHERE event_id % 7 <> 0
+    """,
+    "Merge-on-read write path (lake/mor.py): the same 50%-overlap upsert "
+    "as merge_upsert_events plus a predicate DELETE, committed as delta + "
+    "PK-tombstone files under write.merge.mode=merge-on-read — NO matched "
+    "file is rewritten (asserted in-query) — then read back through the "
+    "tombstone visibility anti-join. Must equal the copy-on-write result.",
+)
+def mor_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake.mor import MODE_MOR, mor_state
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    batch = (
+        ev.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    t = cat.table("events_mor")
+    w = LakeWriter(t, pk=["event_id"], merge_mode=MODE_MOR)
+    w.write(base)
+    files_before = set(t.manifest().all_files())
+    w.write(batch)  # MOR merge: delta + tombstone, no rewrite
+    w.delete_where("event_id % 7 = 0")  # MOR delete: tombstone only
+    m = t.manifest()
+    if not files_before <= set(m.all_files()):
+        raise AssertionError("merge-on-read rewrote base files")
+    if not mor_state(m)[1]:
+        raise AssertionError("merge-on-read left no tombstone state")
+    if m.props["last_op"] != "DELETE(MOR)":
+        raise AssertionError(f"unexpected last_op {m.props['last_op']}")
+    return t.read().select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "mor_optimize_roundtrip",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 10 >= 5 THEN 'updated' ELSE event_type END AS event_type,
+           CASE WHEN event_id % 10 >= 5 THEN value + 1000.0 ELSE value END  AS value
+    FROM events
+    WHERE event_id % 7 <> 0
+    """,
+    "OPTIMIZE as the merge-on-read materialize step: after MOR upsert + "
+    "delete, compaction rewrites every file with visibility applied and "
+    "retires the tombstones (asserted in-query: state cleared, history "
+    "shows COMPACT); the materialized table must read identically.",
+)
+def mor_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake.maintenance import compact
+    from ..lake.mor import MODE_MOR, mor_state
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    batch = (
+        ev.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    t = cat.table("events_morc")
+    w = LakeWriter(t, pk=["event_id"], merge_mode=MODE_MOR)
+    w.write(base)
+    w.write(batch)
+    w.delete_where("event_id % 7 = 0")
+    compact(t)  # materialize: visibility-applied rewrite
+    m = t.manifest()
+    if mor_state(m) != ({}, {}):
+        raise AssertionError("OPTIMIZE left merge-on-read state behind")
+    if m.props["last_op"] != "COMPACT":
+        raise AssertionError(f"unexpected last_op {m.props['last_op']}")
+    return t.read().select("event_id", "user_id", "event_type", "value")
+
+
+@register(
     "sql_merge_mirror_sync",
     """
     SELECT event_id, user_id, 'synced' AS event_type,
