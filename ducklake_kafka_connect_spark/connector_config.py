@@ -26,6 +26,7 @@ topic2table.map                  IngestConfig.topic2table ("t1:tbl1,t2:tbl2")
 ducklake.table.<t>.id-columns    TableSpec.id_columns (MERGE keys)
 ducklake.table.<t>.partition-by  TableSpec.partition_by
 ducklake.table.<t>.auto-create   TableSpec.auto_create
+ducklake.table.<t>.merge-mode    TableSpec.merge_mode (copy-on-write | merge-on-read)
 data.inlining.row.limit          TableSpec.inlining_row_limit default
 ducklake.max_retry_count         IngestConfig.max_retry_count (writer
                                  commit-conflict replans)
@@ -61,7 +62,7 @@ from .lake.storage import S3Config, hadoop_conf_for, storage_scheme, validate_da
 from .streaming.ingest import IngestConfig, TableSpec
 
 _TABLE_KEY_RE = re.compile(
-    r"^ducklake\.table\.(?P<table>[A-Za-z0-9_.-]+)\.(?P<prop>id-columns|partition-by|auto-create)$"
+    r"^ducklake\.table\.(?P<table>[A-Za-z0-9_.-]+)\.(?P<prop>id-columns|partition-by|auto-create|merge-mode)$"
 )
 
 # value.converter class → TableSpec.format family
@@ -232,6 +233,7 @@ def build_from_properties(
             format=fmt,
             confluent_framing=(fmt in ("avro_registry", "proto")),
             inlining_row_limit=inlining_default,
+            merge_mode=(str(tp["merge-mode"]) if tp.get("merge-mode") else None),
         )
 
     ingest = IngestConfig(

@@ -2541,3 +2541,132 @@ def _finalize_pq_recall() -> None:
 
 
 _finalize_pq_recall()
+
+
+@register(
+    "bigram_ppl_filter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '{TOKEN_SPLIT}') AS ts
+      FROM documents
+    ),
+    d2 AS (SELECT * FROM d WHERE len(ts) >= 2),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(ts[1:len(ts)-1]) AS w1,
+             unnest(ts[2:len(ts)])   AS w2
+      FROM d2
+    ),
+    train AS (SELECT w1, w2 FROM bg WHERE lang = 'en'),
+    cb AS (SELECT w1, w2, count(*) AS c FROM train GROUP BY w1, w2),
+    cu AS (SELECT w1, count(*) AS c FROM train GROUP BY w1),
+    v  AS (SELECT count(DISTINCT w2) AS nv FROM train),
+    sc AS (
+      SELECT bg.doc_id, bg.lang,
+             {_micronats_sql('CAST(2 * coalesce(cu.c, 0) + v.nv AS DOUBLE)')}
+           - {_micronats_sql('CAST(2 * coalesce(cb.c, 0) + 1 AS DOUBLE)')}
+               AS nll_micro
+      FROM bg
+      LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+      LEFT JOIN cu ON bg.w1 = cu.w1
+      CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, lang, count(*) AS n_bigrams,
+             CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*)) AS BIGINT)
+               AS nll_micro
+      FROM sc GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_bigrams,
+           ROUND(CAST(nll_micro AS DOUBLE) / 1000000, 6) AS avg_nll,
+           CASE ntile(3) OVER (ORDER BY nll_micro, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket
+    FROM agg
+    """,
+    "CCNet-style conditional-LM perplexity filter: a word-bigram LM with "
+    "add-1/2 smoothing trained on the reference subset (lang='en') scores "
+    "EVERY document's mean negative log-likelihood, and docs split into "
+    "head/middle/tail terciles — the classic crawl-quality cut "
+    "(out-of-domain languages land in the tail). Integer micro-nat "
+    "arithmetic end-to-end: (2c+1)/(2c'+V) keeps ln() on exact integer "
+    "doubles, so buckets are bit-equal across engines.",
+)
+def bigram_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train & score in one pass structure:
+
+    1. tokenize once, keep docs with >= 2 tokens, explode adjacent pairs
+       (``slice``+``arrays_zip`` — JVM codegen, no Python boundary);
+    2. the LM = two map-side-combined aggregates over the 'en' subset
+       (bigram counts, predecessor counts) + a 1-row vocab scalar;
+    3. every doc's bigrams LEFT-join the broadcast LM tables and the
+       per-bigram NLL sums per doc (one shuffle on doc_id);
+    4. terciles via one window over the per-DOC aggregate (corpus-sized
+       input collapsed to one row per doc before the window; at 100 TB
+       swap ntile for approx-percentile thresholds — the cut is the
+       same, the window partition pressure vanishes).
+
+    100 TB: the LM tables are vocab-bounded, not corpus-bounded — a real
+    deployment prunes count<k tail bigrams before broadcast (KenLM does
+    the same); the corpus-sized sides stream through broadcast hash
+    joins with zero wide shuffles of text."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    d2 = docs.select("doc_id", "lang", ts.alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    n = F.size("ts")
+    bg = d2.select(
+        "doc_id",
+        "lang",
+        F.slice("ts", 1, n - 1).alias("a"),
+        F.slice("ts", 2, n - 1).alias("b"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(F.arrays_zip(F.col("a"), F.col("b"))).alias("z"),
+    ).select(
+        "doc_id", "lang", F.col("z.a").alias("w1"), F.col("z.b").alias("w2")
+    )
+    bg.persist()
+    train = bg.filter(F.col("lang") == "en").select("w1", "w2")
+    cb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = train.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = train.agg(F.countDistinct("w2").alias("nv"))
+    sc = (
+        bg.join(F.broadcast(cb), ["w1", "w2"], "left")
+        .join(F.broadcast(cu), ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                _micronats_col(
+                    (2 * F.coalesce(F.col("cu"), F.lit(0)) + F.col("nv")).cast("double")
+                )
+                - _micronats_col(
+                    (2 * F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
+                )
+            ).alias("nll_micro"),
+        )
+    )
+    agg = sc.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.floor(
+            F.sum("nll_micro").cast("double") / F.count(F.lit(1))
+        ).cast("long").alias("nll_micro"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("nll_micro", "doc_id")
+    return agg.withColumn("__nt", F.ntile(3).over(w)).select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.round(F.col("nll_micro").cast("double") / 1000000.0, 6).alias("avg_nll"),
+        F.when(F.col("__nt") == 1, "head")
+        .when(F.col("__nt") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -98,10 +98,23 @@ class TableSpec:
     # routing, before the write — arbitrary per-table record rewriting
     # exactly where the reference applies its single-message transforms
     transform: object = None
+    # write.merge.mode analogue as per-table connector config: None →
+    # the table property / copy-on-write default; 'merge-on-read' makes
+    # every upsert commit delta + tombstone files (lake/mor.py) — the
+    # right mode for wide tables under CDC-style streaming upserts
+    merge_mode: str | None = None
 
     def __post_init__(self):
         if self.format not in ("json", "avro", "avro_registry", "arrow", "mixed", "proto", "csv"):
             raise ValueError(f"Unknown format: {self.format!r}")
+        if self.merge_mode is not None:
+            from ..lake.mor import MODE_COW, MODE_MOR
+
+            if self.merge_mode not in (MODE_COW, MODE_MOR):
+                raise ValueError(
+                    f"Unknown merge-mode: {self.merge_mode!r} "
+                    f"(expected {MODE_COW!r} or {MODE_MOR!r})"
+                )
         if self.format == "avro" and not self.avro_schema:
             raise ValueError("format='avro' requires avro_schema")
         if self.format == "proto" and not self.proto_schema:
@@ -228,6 +241,7 @@ class IngestPipeline:
             # 'off' disables write-path auto-compaction for this table
             auto_compact=spec.inlining_rows is not None,
             max_retry_count=self.config.max_retry_count,
+            merge_mode=spec.merge_mode,
         )
         # idempotent epoch commit (E8 exactly-once upgrade): a replayed
         # foreachBatch epoch whose commit already landed is skipped at
@@ -468,6 +482,7 @@ class IngestPipeline:
                 auto_create=spec.auto_create,
                 auto_compact=spec.inlining_rows is not None,
                 max_retry_count=self.config.max_retry_count,
+                merge_mode=spec.merge_mode,
             )
             if not good.isEmpty():
                 try:

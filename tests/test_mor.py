@@ -430,3 +430,49 @@ def test_datasource_stream_gates_on_tombstone_commits(spark, tmp_path):
     run("mor_ign", ignoreChanges="true")
     # ignoreChanges re-delivers post-images of the MOR commit as appends
     assert spark.sql("SELECT count(*) n FROM mor_ign").collect()[0]["n"] == 11
+
+
+def test_connector_table_spec_merge_mode(spark, tmp_path):
+    """merge-mode rides the connector config into the ingest pipeline:
+    upserts through IngestPipeline commit MOR delta+tombstone files."""
+    import json
+
+    from ducklake_kafka_connect_spark.connector_config import (
+        build_from_properties,
+    )
+    from ducklake_kafka_connect_spark.streaming.ingest import TableSpec
+
+    with pytest.raises(ValueError, match="merge-mode"):
+        TableSpec(id_columns=["id"], merge_mode="bogus")
+    props = {
+        "name": "ducklake-sink",
+        "topics": "t1",
+        "value.converter": "org.apache.kafka.connect.json.JsonConverter",
+        "topic2table.map": "t1:ev",
+        "ducklake.data_path": str(tmp_path / "lake"),
+        "ducklake.table.ev.id-columns": "id",
+        "ducklake.table.ev.auto-create": "true",
+        "ducklake.table.ev.merge-mode": "merge-on-read",
+    }
+    d = build_from_properties(spark, props)
+    assert d.ingest.tables["ev"].merge_mode == "merge-on-read"
+    pipe = d.pipeline()
+
+    def batch(vals, off0):
+        return spark.createDataFrame(
+            [
+                ("t1", 0, off0 + n, None,
+                 json.dumps({"id": i, "v": v}), None, None)
+                for n, (i, v) in enumerate(vals)
+            ],
+            "topic string, partition int, offset long, key binary, "
+            "value string, timestamp timestamp, headers string",
+        ).withColumn("value", F.col("value").cast("binary"))
+
+    pipe.process_batch(batch([(1, "a"), (2, "b")], 0))
+    pipe.process_batch(batch([(2, "B"), (3, "c")], 10))
+    t = d.catalog.table("ev")
+    assert t.manifest().props["last_op"].startswith("MERGE")
+    assert mor_state(t.manifest())[1]  # tombstone from the overlap batch
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
