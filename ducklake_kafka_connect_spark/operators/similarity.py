@@ -870,3 +870,118 @@ def ivfpq_indexed_topk_sql(
     ORDER BY pq_dist, codes.vec_id
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+
+def _d2_micro_col(a, b) -> F.Column:
+    """Squared euclidean distance between two double-array columns as an
+    integer micro distance. The element fold runs left-to-right on both
+    engines and the micro rounding absorbs any residual 1-ulp noise, so
+    the greedy argmax below is bit-stable cross-engine."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d2 * 1000000.0, 0).cast("long")
+
+
+def kcenter_coreset(
+    spark,
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection — the classic 2-approx
+    coreset for data-selection: pick the lowest-id point, then k-1 times
+    the point FARTHEST from everything chosen so far (ties to the lower
+    id). Returns (sel_ord, vec_id, dist_micro) where dist_micro is the
+    coverage radius the pick closed (-1 for the seed) — the radius
+    sequence is the classic diminishing-returns curve for choosing k.
+
+    Plan shape: the vector table is cached once; each round is ONE
+    map-side pass updating the running min-distance against the newly
+    chosen center (a 64-double literal — no join, no shuffle) and a
+    driver argmax of one row. k passes total. At 100 TB run this on the
+    IVF-cell layout instead: per-partition local k-centers via the same
+    recurrence, then this exact routine over the tiny union (composable
+    coresets) — one corpus pass instead of k."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).cache()
+    seed = v.orderBy("id").limit(1).collect()[0]
+    chosen_vecs = [list(seed["v"])]
+    out = [(0, int(seed["id"]), -1)]
+    df = v
+    for i in range(1, k):
+        center = F.array(*[F.lit(float(x)) for x in chosen_vecs[-1]])
+        d_new = _d2_micro_col(F.col("v"), center)
+        df = df.withColumn(
+            "mind", d_new if i == 1 else F.least(F.col("mind"), d_new)
+        )
+        top = (
+            df.orderBy(F.desc("mind"), "id")
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((i, int(top["id"]), int(top["mind"])))
+        chosen_vecs.append(list(top["v"]))
+    v.unpersist()
+    return spark.createDataFrame(
+        out, "sel_ord int, vec_id long, dist_micro long"
+    )
+
+
+def kcenter_coreset_sql(
+    k: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle: the SAME greedy recurrence unrolled as k-1 CTE
+    steps — min-distance updates and argmax mirror the Spark operator
+    term for term (micro-int LEAST chains, DESC/id tie-break)."""
+
+    def d2(a: str, b: str) -> str:
+        # list_zip yields unnamed structs in DuckDB → numeric extraction
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+
+    def micro(e: str) -> str:
+        return f"CAST(ROUND(({e}) * 1000000) AS BIGINT)"
+
+    parts = [
+        f"v AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})",
+        "s0 AS (SELECT id, v FROM v ORDER BY id LIMIT 1)",
+        f"d1 AS (SELECT v.id, v.v, {micro(d2('v.v', '(SELECT v FROM s0)'))} AS mind FROM v)",
+    ]
+    sel = [
+        "SELECT 0 AS sel_ord, (SELECT id FROM s0) AS vec_id, "
+        "CAST(-1 AS BIGINT) AS dist_micro"
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"s{i} AS (SELECT id, v, mind FROM d{i} ORDER BY mind DESC, id LIMIT 1)"
+        )
+        if i < k - 1:
+            upd = micro(d2(f"d{i}.v", f"(SELECT v FROM s{i})"))
+            parts.append(
+                f"d{i + 1} AS (SELECT d{i}.id, d{i}.v, "
+                f"LEAST(d{i}.mind, {upd}) AS mind FROM d{i})"
+            )
+        sel.append(
+            f"SELECT {i} AS sel_ord, (SELECT id FROM s{i}) AS vec_id, "
+            f"(SELECT mind FROM s{i}) AS dist_micro"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + " UNION ALL ".join(sel) + " ORDER BY sel_ord"
+    )

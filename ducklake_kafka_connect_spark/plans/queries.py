@@ -3188,3 +3188,25 @@ def oracle_sql_map() -> dict[str, str]:
         for name in _rotated_names()
         if QUERIES[name].oracle
     }
+
+
+from ..operators.similarity import (  # noqa: E402  (late: avoids cycle at import)
+    kcenter_coreset,
+    kcenter_coreset_sql,
+)
+
+
+@register(
+    "kcenter_coreset_select",
+    kcenter_coreset_sql(k=8),
+    "Greedy k-center (farthest-point) coreset selection over the "
+    "embedding corpus — the data-selection primitive behind diversity "
+    "sampling / coreset pruning: 8 picks, each the point farthest from "
+    "everything already chosen, with the coverage-radius sequence as "
+    "output. Integer micro-distances make the greedy argmax bit-equal "
+    "across engines; the oracle unrolls the identical recurrence as "
+    "CTE steps.",
+)
+def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_coreset(spark, emb, k=8)
