@@ -1463,3 +1463,58 @@ def connector_properties_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "lake_sink_upsert",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 10 >= 5 THEN 'updated' ELSE event_type END AS event_type,
+           CASE WHEN event_id % 10 >= 5 THEN CAST(floor(value * 100) AS BIGINT) + 1000
+                ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+    FROM events
+    """,
+    "Streaming-upsert sink mode (sources/lake_datasource.py mergeKeys): "
+    "each sink write commits as ONE merge-on-read MERGE — delta data "
+    "files + a per-task PK tombstone (lake/mor.py) — so writeStream "
+    "upserts cost O(batch) with no foreachBatch. Here: base write + "
+    "50%-overlap mutated write through df.write.format('ducklake'), "
+    "read back through the visibility anti-join; must equal the "
+    "LakeWriter/SQL MERGE result shape.",
+)
+def lake_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeTable
+    from ..lake.mor import mor_state
+    from ..sources.lake_datasource import register_lake_datasource
+
+    register_lake_datasource(spark)
+    src = _event_source(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_sink_{uuid.uuid4().hex[:8]}"
+    )
+    base = src.filter(F.col("event_id") % 10 < 8)
+    batch = (
+        src.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("cents", F.col("cents") + F.lit(1000))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    for part in (base, batch):
+        (
+            part.write.format("ducklake")
+            .option("path", root)
+            .option("table", "ev_up")
+            .option("mergeKeys", "event_id")
+            .mode("append")
+            .save()
+        )
+    t = LakeTable(spark, root, "ev_up")
+    m = t.manifest()
+    if m.props["last_op"] != "SINK_MERGE(MOR)":
+        raise AssertionError(f"unexpected last_op {m.props['last_op']}")
+    if not mor_state(m)[1]:
+        raise AssertionError("sink upsert left no tombstone state")
+    return t.read().select("event_id", "event_type", "cents")

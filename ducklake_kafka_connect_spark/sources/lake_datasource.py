@@ -505,11 +505,14 @@ class DucklakeDataSource(DataSource):
 class _WriteResult(WriterCommitMessage):
     """One task's staged output: (partition dir key, manifest-relative
     path) pairs + footer stats (harvested executor-side — the driver
-    commit does zero file I/O)."""
+    commit does zero file I/O). Under ``mergeKeys`` (upsert mode) the
+    task also stages one PK-tombstone file; ``tomb`` carries its
+    (relpath, {"seq-less meta"}) pair for the merge-on-read commit."""
 
     entries: "list[tuple[str, str]]"
     stats: "dict[str, dict]"
     rows: int
+    tomb: "tuple[str, dict] | None" = None
 
 
 # Hadoop FileOutputCommitter's hive path-escape set (escapePathName):
@@ -529,9 +532,14 @@ class _WriterBase:
     Between staging and commit the files are unreferenced — vacuum's
     orphan-grace window is what makes that safe (maintenance.py).
 
-    INSERT semantics only (the engine convention: merge/upsert goes
-    through ``LakeWriter``/SQL MERGE — a pk table is refused so the
-    merge invariant can't be silently violated).
+    INSERT semantics by default (a pk table is refused so the merge
+    invariant can't be silently violated). With ``mergeKeys=<pk list>``
+    the sink becomes a streaming/batch UPSERT: every epoch commits as a
+    merge-on-read MERGE — delta data files plus one PK-tombstone file
+    per task (lake/mor.py) — so upserts cost O(batch) with exactly-once
+    epoch markers and need no foreachBatch. Batches must be pk-unique
+    (dedup upstream); OPTIMIZE / the auto-materialize threshold retires
+    the accumulated tombstones.
 
     Partitioned tables write WITHOUT a shuffle, the way Spark's own
     dynamic-partition writes do: each task splits its Arrow batches by
@@ -551,17 +559,38 @@ class _WriterBase:
         self.root = options.get("path")
         self.name = options.get("table")
         self.backend_name = t.fs.name
+        # upsert mode: mergeKeys=<pk list> commits every batch/epoch as a
+        # merge-on-read MERGE (delta data files + a per-task PK tombstone
+        # that suppresses older versions of the batch's keys) — O(batch)
+        # streaming upserts with exactly-once epoch semantics, no
+        # foreachBatch needed. Contract: each batch must be pk-unique
+        # (two same-key rows in ONE epoch share a commit seq and both
+        # stay visible — dedup upstream, e.g. dropDuplicates).
+        mk = options.get("mergekeys")
+        self.merge_keys = [c.strip() for c in mk.split(",") if c.strip()] if mk else []
         if not t.exists():
             if _truthy(options.get("autocreate", "true")):
-                t.create(schema, pk=[])
+                t.create(schema, pk=self.merge_keys)
             else:
                 raise ValueError(f"ducklake sink: unknown table {self.name!r}")
         m = t.manifest()
-        if m.pk:
+        if self.merge_keys:
+            if list(m.pk) != self.merge_keys:
+                raise ValueError(
+                    f"ducklake sink: mergeKeys {self.merge_keys} do not match "
+                    f"table {self.name}'s PRIMARY KEY {list(m.pk)}"
+                )
+            missing = [c for c in self.merge_keys if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(
+                    f"ducklake sink: mergeKeys column(s) {missing} absent "
+                    f"from the frame schema"
+                )
+        elif m.pk:
             raise ValueError(
-                f"ducklake sink: {self.name} has a PRIMARY KEY — the sink is "
-                f"append-only (INSERT); use LakeWriter.merge / SQL MERGE for "
-                f"upserts"
+                f"ducklake sink: {self.name} has a PRIMARY KEY — pass "
+                f"mergeKeys={','.join(m.pk)} for merge-on-read upserts, or "
+                f"use LakeWriter.merge / SQL MERGE"
             )
         self.part_exprs = list(m.partition_exprs)
         for e in self.part_exprs:
@@ -648,6 +677,8 @@ class _WriterBase:
         )
         #: part_key -> (ParquetWriter, abs_path, rel_path)
         writers: "dict[str, tuple]" = {}
+        pk_phys = [self.renames.get(c, c) for c in self.merge_keys]
+        tomb_parts: "list" = []
         rows = 0
         try:
             for batch in iterator:
@@ -669,6 +700,8 @@ class _WriterBase:
                     names.append(e.output_name)
                 out = pa.table(dict(zip(names, cols)))
                 rows += len(out)
+                if pk_phys:
+                    tomb_parts.append(out.select(pk_phys))
                 if not self.part_exprs:
                     slices = [("", out)]
                 else:
@@ -717,7 +750,20 @@ class _WriterBase:
             # stats keys are LOGICAL names (manifest convention)
             stats[rel] = {back.get(k, k): v for k, v in harvested.items()}
             entries.append((key, rel))
-        return _WriteResult(entries, stats, rows)
+        tomb = None
+        if pk_phys and rows:
+            # upsert mode: this task's keys as ONE pk-only tombstone file;
+            # the commit stamps it with the epoch's version so it
+            # suppresses every OLDER copy of these keys (lake/mor.py) but
+            # never the delta files committed alongside it (same seq)
+            trel = os.path.join(
+                stage_rel, f"tombstones-{_uuid.uuid4().hex[:8]}.parquet"
+            )
+            tabs = os.path.join(self.table_dir, trel)
+            os.makedirs(os.path.dirname(tabs), exist_ok=True)
+            pq.write_table(pa.concat_tables(tomb_parts), tabs, compression="snappy")
+            tomb = (trel, {"rows": rows, "bytes": os.path.getsize(tabs)})
+        return _WriteResult(entries, stats, rows, tomb)
 
     # -- driver side --
     def _commit_files(self, messages, overwrite: bool, txn=None) -> None:
@@ -728,12 +774,19 @@ class _WriterBase:
         )
         entries: "list[tuple[str, str]]" = []
         stats: dict[str, dict] = {}
+        tombs: "list[tuple[str, dict]]" = []
         for msg in messages:
             if msg is None:
                 continue
             entries.extend(msg.entries)
             stats.update(msg.stats)
-        rel_files = [rel for _, rel in entries]
+            if getattr(msg, "tomb", None):
+                tombs.append(msg.tomb)
+        if self.merge_keys and overwrite:
+            raise ValueError(
+                "ducklake sink: mergeKeys cannot combine with overwrite mode"
+            )
+        rel_files = [rel for _, rel in entries] + [rel for rel, _ in tombs]
         with t.lock():
             m = t.manifest()
             # layout drift gates: the staged files were written for the
@@ -800,6 +853,20 @@ class _WriterBase:
                 file_stats = {**m.file_stats, **stats}
                 op = "SINK_APPEND"
             props = {**m.props, "last_op": op}
+            if self.merge_keys:
+                # epoch = one merge-on-read MERGE: delta files stamped
+                # with this version, per-task tombstones suppress older
+                # copies of the epoch's keys (lake/mor.py)
+                from ..lake.mor import mor_state
+
+                v = m.version + 1
+                seq_map, deletes = mor_state(m)
+                for key, rel in entries:
+                    seq_map[rel] = v
+                for rel, meta in tombs:
+                    deletes[rel] = {"seq": v, **meta}
+                props["mor"] = {"seq": seq_map, "deletes": deletes}
+                props["last_op"] = op = "SINK_MERGE(MOR)"
             if txn is not None:
                 props["txns"] = {**m.props.get("txns", {}), txn[0]: int(txn[1])}
             t._commit(
@@ -815,6 +882,16 @@ class _WriterBase:
                 ),
                 parent_manifest=m,
             )
+        if self.merge_keys:
+            from ..lake.mor import MOR_AUTO_MATERIALIZE_DELETES, mor_state
+
+            if (
+                _truthy(self.options.get("autocompact", "true"))
+                and len(mor_state(t.manifest())[1]) > MOR_AUTO_MATERIALIZE_DELETES
+            ):
+                from ..lake.maintenance import compact
+
+                compact(t)
 
     def _abort_files(self, messages) -> None:
         t = _open_table(
@@ -825,6 +902,8 @@ class _WriterBase:
                 continue
             for _, rel in msg.entries:
                 t.fs.delete(os.path.join(t.dir, rel), missing_ok=True)
+            if getattr(msg, "tomb", None):
+                t.fs.delete(os.path.join(t.dir, msg.tomb[0]), missing_ok=True)
         # files from tasks that died before returning a message are
         # unreferenced debris — vacuum's orphan grace reclaims them
 

@@ -476,3 +476,68 @@ def test_connector_table_spec_merge_mode(spark, tmp_path):
     assert mor_state(t.manifest())[1]  # tombstone from the overlap batch
     got = {r["id"]: r["v"] for r in t.read().collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_sink_upsert_mode_batch_and_stream(spark, tmp_path):
+    """mergeKeys on the native sink: each write/epoch commits as one
+    merge-on-read MERGE; restarted epochs replay idempotently."""
+    from ducklake_kafka_connect_spark.lake import LakeTable
+    from ducklake_kafka_connect_spark.sources.lake_datasource import (
+        register_lake_datasource,
+    )
+
+    register_lake_datasource(spark)
+    root = str(tmp_path / "lake")
+    d1 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "id long, val string"
+    )
+    d2 = spark.createDataFrame([(3, "u3"), (99, "n99")], "id long, val string")
+    for d in (d1, d2):
+        (
+            d.write.format("ducklake").option("path", root)
+            .option("table", "up").option("mergeKeys", "id")
+            .mode("append").save()
+        )
+    t = LakeTable(spark, root, "up")
+    assert t.manifest().props["last_op"] == "SINK_MERGE(MOR)"
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert len(got) == 31 and got[3] == "u3" and got[99] == "n99"
+    # pk table without mergeKeys refused; wrong keys refused
+    with pytest.raises(Exception, match="mergeKeys"):
+        d2.write.format("ducklake").option("path", root).option(
+            "table", "up"
+        ).mode("append").save()
+    with pytest.raises(Exception, match="do not match"):
+        d2.write.format("ducklake").option("path", root).option(
+            "table", "up"
+        ).option("mergeKeys", "val").mode("append").save()
+    # streaming upsert: two availableNow epochs with key overlap
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], "id long, val string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    sdf = spark.readStream.schema("id long, val string").parquet(src + "/*")
+
+    def run():
+        q = (
+            sdf.writeStream.format("ducklake").option("path", root)
+            .option("table", "sup").option("mergeKeys", "id")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(
+        [(5, "S5"), (20, "S20")], "id long, val string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+    run()
+    ts = LakeTable(spark, root, "sup")
+    got = {r["id"]: r["val"] for r in ts.read().collect()}
+    assert len(got) == 11 and got[5] == "S5" and got[20] == "S20"
+    assert ts.manifest().props["last_op"] == "SINK_MERGE(MOR)"
+    # OPTIMIZE retires the sink's accumulated tombstones
+    compact(ts)
+    assert mor_state(ts.manifest()) == ({}, {})
+    assert {r["id"]: r["val"] for r in ts.read().collect()} == got
