@@ -1103,3 +1103,104 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
         .limit(RM3_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality metrics: nDCG@K + MRR over label relevance
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+
+
+def _ndcg_gains() -> tuple[list[int], list[int]]:
+    """Integer micro gains g(r)=round(1e6/log2(r+1)) for ranks 1..K and
+    their cumulative sums (ideal DCG per relevant-count) — literal
+    tables shared by both engines, so metric sums are pure integer
+    arithmetic with no cross-engine float risk."""
+    import math
+
+    g = [round(1_000_000 / math.log2(r + 1)) for r in range(1, NDCG_K + 1)]
+    c, acc = [], 0
+    for x in g:
+        acc += x
+        c.append(acc)
+    return g, c
+
+
+def _retrieval_metrics_sql(table: str, base: int) -> str:
+    """Shared SQL text (array base is the only dialect difference):
+    brute-force cosine ranking per sampled query, binary relevance =
+    same ``label``, per-label mean MRR + mean nDCG@K in micro units."""
+    gains, cums = _ndcg_gains()
+    dot_nn = _mrl_dot("embedding", "embedding", 64, base)
+    dot_qc = _mrl_dot("q.embedding", "c.embedding", 64, base)
+    gain_case = " ".join(
+        f"WHEN {r + 1} THEN {g}" for r, g in enumerate(gains)
+    )
+    idcg_case = " ".join(
+        f"WHEN {k + 1} THEN {c}" for k, c in enumerate(cums)
+    )
+    return f"""
+    WITH vn AS (
+      SELECT vec_id, label, embedding, sqrt({dot_nn}) AS nrm FROM {table}
+    ),
+    qn AS (SELECT * FROM vn WHERE vec_id % {MRL_QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.vec_id AS qid, q.label AS qlab,
+             c.vec_id AS cid, c.label AS clab,
+             ROUND(({dot_qc}) / (q.nrm * c.nrm), 6) AS cos
+      FROM qn q JOIN vn c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT qid, qlab, cid, clab,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC)
+               AS rnk
+      FROM pairs
+    ),
+    perq AS (
+      SELECT qid, qlab,
+             min(CASE WHEN clab = qlab THEN rnk END) AS first_rel,
+             CAST(sum(CASE WHEN clab = qlab AND rnk <= {NDCG_K}
+                      THEN CASE rnk {gain_case} ELSE 0 END
+                      ELSE 0 END) AS BIGINT) AS dcg_micro,
+             sum(CASE WHEN clab = qlab THEN 1 ELSE 0 END) AS n_rel
+      FROM ranked GROUP BY qid, qlab
+    ),
+    scored AS (
+      SELECT qid, qlab,
+             CAST(FLOOR(1000000.0 / first_rel) AS BIGINT) AS rr_micro,
+             CAST(FLOOR(dcg_micro * 1000000.0 /
+                  (CASE CASE WHEN n_rel < {NDCG_K} THEN n_rel
+                             ELSE {NDCG_K} END {idcg_case} END))
+                  AS BIGINT) AS ndcg_micro
+      FROM perq WHERE first_rel IS NOT NULL
+    )
+    SELECT CAST(qlab AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(FLOOR(CAST(sum(rr_micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_rr_micro,
+           CAST(FLOOR(CAST(sum(ndcg_micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_ndcg_micro
+    FROM scored GROUP BY qlab ORDER BY label
+    """
+
+
+@register(
+    "retrieval_ndcg_mrr",
+    _retrieval_metrics_sql("embeddings", 1),
+    f"Retrieval-quality harness: nDCG@{NDCG_K} and MRR of brute-force "
+    "cosine rankings against label relevance (same cluster = relevant), "
+    "per label — the eval half of a retrieval/RAG pipeline. Gain tables "
+    "are integer micro constants, so the metric aggregation is exact "
+    "cross-engine; one SQL text serves both (array base is the only "
+    "dialect difference).",
+)
+def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One N×|Q| cosine block (the same all-pairs shape as the MRL
+    harness — at corpus scale the candidate generator routes through
+    the IVF/PQ index and this harness scores its output), one qid
+    window for ranks, then pure integer gain lookups. No Python
+    boundary, two exchanges (qid hash, label agg)."""
+    view = "embeddings_ndcg_src"
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView(view)
+    return spark.sql(_retrieval_metrics_sql(view, 0))
