@@ -1010,3 +1010,70 @@ def gate_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") AS (gate_idx, gate, docs_without, docs_all, docs_unique_loss, "
         "tokens_without, tokens_all, tokens_unique_loss)",
     ).orderBy("source", "gate_idx")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-window document chunking (sequence prep / RAG chunking)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 48
+CHUNK_STRIDE = 40  # = CHUNK_TOKENS - 8 tokens of overlap
+
+
+@register(
+    "doc_chunking_windows",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, len(ts) AS n_tok,
+             unnest(generate_series(
+               0, CAST(ceil(CAST(len(ts) AS DOUBLE) / {CHUNK_STRIDE}) AS INT) - 1
+             )) AS chunk_ix,
+             ts
+      FROM d WHERE len(ts) > 0
+    )
+    SELECT doc_id, lang, CAST(chunk_ix AS INT) AS chunk_ix,
+           CAST(len(ts[chunk_ix * {CHUNK_STRIDE} + 1 :
+                      chunk_ix * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT)
+             AS chunk_len,
+           md5(array_to_string(
+               ts[chunk_ix * {CHUNK_STRIDE} + 1 :
+                  chunk_ix * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+             AS chunk_md5
+    FROM c
+    WHERE chunk_ix * {CHUNK_STRIDE} < n_tok
+    """,
+    f"Fixed-window document chunking ({CHUNK_TOKENS}-token windows, "
+    f"{CHUNK_TOKENS - CHUNK_STRIDE}-token overlap): the sequence-prep / "
+    "RAG-chunking step — every doc explodes into strided windows with a "
+    "content fingerprint per chunk (md5 over the joined window), so "
+    "chunk-level dedup and retrieval indexing can join on it. Pure "
+    "codegen: tokenize once, one posexplode, per-chunk slices; no "
+    "shuffle at all until a consumer aggregates.",
+)
+def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", "lang", ts.alias("ts")).filter(F.size("ts") > 0)
+    n_chunks = F.ceil(F.size("ts").cast("double") / F.lit(CHUNK_STRIDE)).cast("int")
+    c = d.select(
+        "doc_id",
+        "lang",
+        F.size("ts").alias("n_tok"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "chunk_ix"),
+        "ts",
+    ).filter(F.col("chunk_ix") * CHUNK_STRIDE < F.col("n_tok"))
+    window = F.slice(
+        F.col("ts"), F.col("chunk_ix") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_ix").cast("int").alias("chunk_ix"),
+        F.size(window).cast("int").alias("chunk_len"),
+        F.md5(F.array_join(window, " ")).alias("chunk_md5"),
+    )
