@@ -541,3 +541,31 @@ def test_sink_upsert_mode_batch_and_stream(spark, tmp_path):
     compact(ts)
     assert mor_state(ts.manifest()) == ({}, {})
     assert {r["id"]: r["val"] for r in ts.read().collect()} == got
+
+
+@pytest.mark.parametrize("kw", [
+    {"manifest_format": "binary"},
+    {"backend": "cas"},
+], ids=["binary-manifest", "cas-backend"])
+def test_mor_roundtrip_other_manifest_and_backend(spark, tmp_path, kw):
+    """MOR state rides props whole → the binary (Avro) manifest form and
+    the object-store CAS commit protocol need no serialization change;
+    pin the full upsert/delete/materialize cycle on both."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"), **kw)
+    t = cat.table("t")
+    w = LakeWriter(t, pk=["id"], merge_mode=MODE_MOR)
+    w.merge(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id int, val string"
+        )
+    )
+    w.merge(spark.createDataFrame([(3, "u3"), (99, "n99")], "id int, val string"))
+    w.delete_where("id = 7")
+    assert mor_state(t.manifest())[1]
+    got = _vals(t)
+    assert len(got) == 40 and got[3] == "u3" and 7 not in got
+    # time travel through the (possibly delta-encoded) chain
+    assert len(_vals(t, version=1)) == 40
+    compact(t)
+    assert mor_state(t.manifest()) == ({}, {})
+    assert _vals(t) == got
