@@ -1110,6 +1110,10 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 NDCG_K = 10
+# sparser query sample than the MRL harness: the metric is a mean over
+# queries, and the all-pairs block is |Q| x N by construction — mod 97
+# keeps the bench-time of the brute-force harness proportionate
+NDCG_QUERY_MOD = 97
 
 
 def _ndcg_gains() -> tuple[list[int], list[int]]:
@@ -1144,7 +1148,7 @@ def _retrieval_metrics_sql(table: str, base: int) -> str:
     WITH vn AS (
       SELECT vec_id, label, embedding, sqrt({dot_nn}) AS nrm FROM {table}
     ),
-    qn AS (SELECT * FROM vn WHERE vec_id % {MRL_QUERY_MOD} = 0),
+    qn AS (SELECT * FROM vn WHERE vec_id % {NDCG_QUERY_MOD} = 0),
     pairs AS (
       SELECT q.vec_id AS qid, q.label AS qlab,
              c.vec_id AS cid, c.label AS clab,
