@@ -2572,6 +2572,56 @@ class LakeCatalog:
         from .sql_prune import strip_catalog_prefix
 
         stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
+        # ---- materialized views (lake/matview.py) ----
+        mvc = _re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+({_IDENT})\s+AS\s+(.+)$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if mvc:
+            from .matview import create_materialized_view
+
+            name = unquote_ident(mvc.group(2))
+            v = create_materialized_view(
+                self, name, mvc.group(3), replace=bool(mvc.group(1))
+            )
+            return self._ddl_result(
+                "CREATE MATERIALIZED VIEW", name, f"materialized at v{v}"
+            )
+        mvr = _re.match(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})(\s+FULL)?\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if mvr:
+            from .matview import refresh_materialized_view
+
+            name = unquote_ident(mvr.group(1))
+            st = refresh_materialized_view(self, name, full=bool(mvr.group(2)))
+            return self._ddl_result(
+                "REFRESH MATERIALIZED VIEW",
+                name,
+                f"{st['mode']} v{st['from']}->v{st['to']}",
+            )
+        mvd = _re.match(
+            rf"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if mvd:
+            from .matview import PROP_QUERY
+
+            name = unquote_ident(mvd.group(2))
+            t = self.table(name)
+            if not t.exists():
+                if mvd.group(1):
+                    return self._ddl_result(
+                        "DROP MATERIALIZED VIEW", name, "absent"
+                    )
+                raise ValueError(f"materialized view {name!r} does not exist")
+            if PROP_QUERY not in t.properties():
+                raise ValueError(f"{name!r} is a table, not a materialized view")
+            return self.ddl(f"DROP TABLE {quote_ident(name)}")
         cm = _re.match(
             rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+"
             rf"(SHALLOW\s+|DEEP\s+)?CLONE\s+({_IDENT})"
@@ -3085,7 +3135,10 @@ class LakeCatalog:
         if dm:
             return self.describe(unquote_ident(dm.group(1)))
         if _re.match(
-            r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?TABLE|DROP\s+TABLE|ALTER\s+TABLE|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE|RESTORE\s+TABLE)\b",
+            r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|MATERIALIZED\s+VIEW)"
+            r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW)"
+            r"|REFRESH\s+MATERIALIZED\s+VIEW"
+            r"|ALTER\s+TABLE|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE|RESTORE\s+TABLE)\b",
             query,
             _re.IGNORECASE,
         ):

@@ -364,6 +364,10 @@ class LakeWriter:
         # public API's txn= parameter, folded into manifest props at
         # commit time — Delta txnAppId/txnVersion analogue)
         self._txn: tuple[str, int] | None = None
+        # extra manifest props folded into the NEXT commit(s) — the
+        # materialized-view layer rides its base-version watermark here
+        # so data + marker land in ONE atomic commit (lake/matview.py)
+        self.extra_commit_props: dict = {}
         # Rewrite-all window-merge for tables under MERGE_SMALL_TABLE_BYTES
         # (single partition dir only): trades a little write amplification
         # on tiny tables for a zero-planning-job merge. Off → every merge
@@ -2165,6 +2169,8 @@ class LakeWriter:
         fields = [f for f in final_logical.fields if f.name != INSERTED_AT]
         fields.append(T.StructField(INSERTED_AT, T.TimestampType(), True))
         props = dict(manifest.props)
+        if self.extra_commit_props:
+            props.update(self.extra_commit_props)
         if extra_props:
             props.update(extra_props)
         props["last_op"] = op  # history()/DESCRIBE-HISTORY lineage

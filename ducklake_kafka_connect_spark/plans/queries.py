@@ -3210,3 +3210,56 @@ from ..operators.similarity import (  # noqa: E402  (late: avoids cycle at impor
 def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return kcenter_coreset(spark, emb, k=8)
+
+
+@register(
+    "matview_incremental_refresh",
+    """
+    SELECT CASE WHEN event_id % 10 >= 5 THEN 'updated' ELSE event_type END
+             AS event_type,
+           CAST(sum(CASE WHEN event_id % 10 >= 5
+                    THEN CAST(floor(value * 100) AS BIGINT) + 1000
+                    ELSE CAST(floor(value * 100) AS BIGINT) END) AS BIGINT)
+             AS total_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_id % 7 <> 0
+    GROUP BY 1
+    """,
+    "Materialized view with INCREMENTAL refresh (lake/matview.py): a "
+    "sum/count rollup materializes against a pinned base snapshot, the "
+    "base is then upserted (50% overlap) and predicate-deleted, and "
+    "REFRESH folds the change feed's signed deltas into the view with "
+    "one churn-sized MERGE — asserted in-query to have taken the "
+    "incremental path, never a recompute. The view must equal the "
+    "from-scratch aggregate over the final base state.",
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_mv"), pk=["event_id"])
+    w.write(ev.filter(F.col("event_id") % 10 < 8))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW ev_rollup AS SELECT event_type, "
+        "sum(cents) AS total_cents, count(*) AS n FROM events_mv "
+        "GROUP BY event_type"
+    )
+    # churn the base: 50%-overlap upsert (+1000 cents, type 'updated'
+    # moves rows ACROSS groups) and a predicate delete
+    w.write(
+        ev.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("cents", F.col("cents") + F.lit(1000))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    w.delete_where("event_id % 7 = 0")
+    st = cat.sql("REFRESH MATERIALIZED VIEW ev_rollup").collect()[0]
+    if "incremental" not in st["detail"]:
+        raise AssertionError(f"refresh took {st['detail']!r}, not incremental")
+    return cat.table("ev_rollup").read().select("event_type", "total_cents", "n")
