@@ -583,12 +583,16 @@ def ingest_harness(spark) -> dict:
         wide_exprs = [
             (F.col("id") * i).cast("double").alias(f"w{i}") for i in range(1, 25)
         ]
-        wide = spark.range(100_000).select(
+        # 400k x 26 base with the batch's keys spread uniformly across
+        # the whole pk range: every base file holds matched keys, so
+        # copy-on-write rewrites the full table while merge-on-read
+        # stays O(batch) — the CDC-against-wide-fact shape MOR targets
+        wide = spark.range(400_000).select(
             F.col("id"), F.concat(F.lit("n_"), F.col("id")).alias("name"),
             *wide_exprs,
         )
         batch_w = spark.range(10_000).select(
-            (F.col("id") * 10).alias("id"), F.lit("upd").alias("name"),
+            (F.col("id") * 40).alias("id"), F.lit("upd").alias("name"),
             *[(F.col("id") + i).cast("double").alias(f"w{i}") for i in range(1, 25)],
         )
         for mode, key in (("copy-on-write", "cow"), ("merge-on-read", "mor")):
