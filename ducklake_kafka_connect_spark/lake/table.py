@@ -2515,6 +2515,110 @@ class LakeCatalog:
             d for d in self.fs.list_names(self.root) if self.table(d).exists()
         )
 
+    # ---------- SQL views (logical, macro-expanded) ----------
+    #
+    # A view is a stored SELECT expanded into the referencing statement
+    # as a leading CTE (transitively, in dependency order) — so Catalyst
+    # optimizes THROUGH view bodies (predicate pushdown, column pruning)
+    # and the engine's manifest pruning sees the base tables the
+    # expanded text references. Definitions live as one small JSON
+    # object per view under <root>/_views/ (create = put, drop = delete
+    # — last-write-wins, like every catalog that stores view text).
+
+    @property
+    def _views_dir(self) -> str:
+        return os.path.join(self.root, "_views")
+
+    def list_views(self) -> list[str]:
+        try:
+            names = self.fs.list_names(self._views_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(n[:-5] for n in names if n.endswith(".json"))
+
+    def view_query(self, name: str) -> str:
+        p = os.path.join(self._views_dir, f"{name}.json")
+        if not self.fs.exists(p):
+            raise ValueError(f"view {name!r} does not exist")
+        return json.loads(self.fs.read_bytes(p))["query"]
+
+    def create_view(self, name: str, query: str, replace: bool = False) -> None:
+        if self.table(name).exists():
+            raise ValueError(
+                f"cannot create view {name!r}: a table with that name exists"
+            )
+        p = os.path.join(self._views_dir, f"{name}.json")
+        if self.fs.exists(p) and not replace:
+            raise ValueError(f"view {name!r} already exists (use OR REPLACE)")
+        q = query.strip().rstrip(";").strip()
+        self.fs.ensure_dir(self._views_dir)
+        prev = self.fs.try_read_bytes(p)  # OR REPLACE rollback target
+        self.fs.put(p, json.dumps({"query": q}))
+        try:
+            # eager validation, the way real catalogs bind views at
+            # create time: expand + plan against current tables (zero
+            # rows collected). Restore the prior definition on failure.
+            self.sql(f"SELECT * FROM (SELECT * FROM {quote_ident(name)}) WHERE 1=0")
+        except Exception:
+            if prev is None:
+                self.fs.delete(p, missing_ok=True)
+            else:
+                self.fs.put(p, prev)
+            raise
+
+    def drop_view(self, name: str, if_exists: bool = False) -> None:
+        p = os.path.join(self._views_dir, f"{name}.json")
+        if not self.fs.exists(p):
+            if if_exists:
+                return
+            raise ValueError(f"view {name!r} does not exist")
+        self.fs.delete(p)
+
+    def _expand_views(self, query: str) -> str:
+        """Prepend every transitively-referenced view as a CTE (refused
+        cycles raise). Word-boundary reference detection — the same
+        conservative convention the table registrar uses."""
+        import re as _re
+
+        views = self.list_views()
+        if not views:
+            return query
+
+        def refs(text: str, pool) -> list[str]:
+            return [
+                v
+                for v in pool
+                if _re.search(rf"\b{_re.escape(v)}\b", text)
+            ]
+
+        needed: list[str] = []  # dependency order: referenced-first
+        seen: set[str] = set()
+
+        def add(v: str, stack: tuple = ()) -> None:
+            if v in stack:
+                raise ValueError(
+                    f"view cycle: {' -> '.join(stack + (v,))}"
+                )
+            if v in seen:
+                return
+            seen.add(v)
+            body = self.view_query(v)
+            for dep in refs(body, [x for x in views if x != v]):
+                add(dep, stack + (v,))
+            needed.append(v)
+
+        for v in refs(query, views):
+            add(v)
+        if not needed:
+            return query
+        ctes = ", ".join(
+            f"{quote_ident(v)} AS ({self.view_query(v)})" for v in needed
+        )
+        m = _re.match(r"^\s*WITH\s+", query, _re.IGNORECASE)
+        if m:
+            return f"WITH {ctes}, " + query[m.end():]
+        return f"WITH {ctes} " + query
+
     # identifiers may be bare, "double-quoted" ("" escape — the
     # reference's SqlIdentifierUtil.java:32-39 discipline), or
     # `backtick-quoted` (`` escape, the Spark flavor)
@@ -2603,6 +2707,24 @@ class LakeCatalog:
                 name,
                 f"{st['mode']} v{st['from']}->v{st['to']}",
             )
+        vwc = _re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+(.+)$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if vwc:
+            name = unquote_ident(vwc.group(2))
+            self.create_view(name, vwc.group(3), replace=bool(vwc.group(1)))
+            return self._ddl_result("CREATE VIEW", name, "defined")
+        vwd = _re.match(
+            rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if vwd:
+            name = unquote_ident(vwd.group(2))
+            self.drop_view(name, if_exists=bool(vwd.group(1)))
+            return self._ddl_result("DROP VIEW", name, "dropped")
         mvd = _re.match(
             rf"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
             stmt,
@@ -3134,15 +3256,22 @@ class LakeCatalog:
         dm = _re.match(rf"DESC(?:RIBE)?\s+({_IDENT})\s*$", q, _re.IGNORECASE)
         if dm:
             return self.describe(unquote_ident(dm.group(1)))
+        svw = _re.match(r"SHOW\s+VIEWS\s*$", q, _re.IGNORECASE)
+        if svw:
+            rows = [(v, self.view_query(v)) for v in self.list_views()]
+            return self.spark.createDataFrame(rows or [], "view string, query string")
         if _re.match(
-            r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|MATERIALIZED\s+VIEW)"
-            r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW)"
+            r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|MATERIALIZED\s+VIEW|VIEW)"
+            r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW)"
             r"|REFRESH\s+MATERIALIZED\s+VIEW"
             r"|ALTER\s+TABLE|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE|RESTORE\s+TABLE)\b",
             query,
             _re.IGNORECASE,
         ):
             return self.ddl(query)
+        # logical views expand FIRST (leading CTEs), so time travel /
+        # CDF rewrites and table registration see the expanded text
+        query = self._expand_views(query)
         if _re.match(
             r"\s*(INSERT\s+(?:INTO|OVERWRITE)|DELETE\s+FROM|UPDATE|MERGE\s+INTO)\b", query, _re.IGNORECASE
         ):

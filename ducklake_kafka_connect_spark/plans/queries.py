@@ -3263,3 +3263,45 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "incremental" not in st["detail"]:
         raise AssertionError(f"refresh took {st['detail']!r}, not incremental")
     return cat.table("ev_rollup").read().select("event_type", "total_cents", "n")
+
+
+@register(
+    "sql_view_expansion",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE value >= 100
+    GROUP BY event_type
+    """,
+    "Logical SQL views (CREATE VIEW / view-on-view): stored SELECTs "
+    "expand into the referencing statement as leading CTEs in "
+    "dependency order, so Catalyst optimizes through the bodies and "
+    "manifest pruning sees the base tables. The query rolls up a "
+    "filtered view THROUGH a second view and must equal the inlined "
+    "aggregate.",
+)
+def sql_view_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    LakeWriter(cat.table("events_v"), pk=["event_id"]).write(ev)
+    cat.sql(
+        "CREATE VIEW valuable AS SELECT event_type, cents FROM events_v "
+        "WHERE value >= 100"
+    )
+    cat.sql(
+        "CREATE VIEW valuable_rollup AS SELECT event_type, "
+        "count(*) AS n, sum(cents) AS cents FROM valuable GROUP BY event_type"
+    )
+    return cat.sql(
+        "SELECT event_type, n, cents FROM valuable_rollup"
+    )
