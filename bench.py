@@ -919,6 +919,28 @@ def sf1_ingest(spark) -> dict:
         t0 = time.perf_counter()
         w.write(batch)
         out["merge_100k_conflict10pct_s"] = round(time.perf_counter() - t0, 3)
+        # ---- same merge, merge-on-read mode (the 100 TB CDC path):
+        # commit cost must be O(batch), independent of the 1M-row base
+        w2 = LakeWriter(
+            cat.table("m2"), pk=["id"], partition_by="month(created_at)",
+            merge_mode="merge-on-read",
+        )
+        w2.write(base)  # un-timed: same append shape as m1
+        t0 = time.perf_counter()
+        w2.write(batch)
+        out["merge_100k_mor_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n = cat.table("m2").read().count()
+        out["mor_read_count_s"] = round(time.perf_counter() - t0, 3)
+        assert n == 1_090_000, n
+        from ducklake_kafka_connect_spark.lake.maintenance import compact
+
+        t0 = time.perf_counter()
+        compact(cat.table("m2"))
+        out["mor_optimize_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        cat.table("m2").read().count()
+        out["mor_post_optimize_read_s"] = round(time.perf_counter() - t0, 3)
     except Exception as e:
         out["error"] = str(e)[:200]
     finally:

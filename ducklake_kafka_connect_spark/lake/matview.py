@@ -24,14 +24,22 @@ is *maintenance*:
     changes).
 
 Supported aggregate forms — the self-maintainable ring (the classic IVM
-result): ``sum(<expr>)``, ``count(*)``, ``count(<expr>)``; a
-``count(*)`` column is REQUIRED (group liveness is undecidable without
-it — real IVM systems carry the same hidden count). MIN/MAX are
-rejected: they are not incrementally maintainable under deletes without
-re-scanning the group (Databricks' incremental MVs carry the same
-restriction). ``sum`` is maintained 0-seeded: a live group whose every
-value is NULL reports 0 where a from-scratch aggregate reports NULL —
-documented divergence, avoided entirely by non-null measures.
+result): ``sum(<expr>)``, ``count(*)``, ``count(<expr>)``, and
+``avg(<expr>)`` as sugar (decomposed at CREATE into a maintained
+``<alias>__sum`` / ``<alias>__cnt`` pair; the public column is
+re-derived from the folded pair each refresh, NULL when the group holds
+no non-null values — so avg is exact under deletes, unlike a naive
+"fold the average" scheme). A ``count(*)`` column is REQUIRED (group
+liveness is undecidable without it — real IVM systems carry the same
+hidden count). MIN/MAX are rejected: they are not incrementally
+maintainable under deletes without re-scanning the group (Databricks'
+incremental MVs carry the same restriction). ``sum`` is maintained
+0-seeded: a live group whose every value is NULL reports 0 where a
+from-scratch aggregate reports NULL — documented divergence, avoided
+entirely by non-null measures (avg does NOT inherit it: its hidden sum
+is 0-seeded in both paths and the public column keys off the count).
+Single-base GROUP BY definitions only — no join views (the standard
+IVM restriction; SHOW CREATE TABLE on the MV states it).
 
 Reference anchor: the reference exposes its tables to DuckDB for
 exactly this kind of derived rollup (`DucklakeTableManager.java:161-164`
@@ -60,7 +68,7 @@ PROP_BASE = "mv.base"
 PROP_BASE_VERSION = "mv.base_version"
 
 _AGG_RE = re.compile(
-    r"^(sum|count)\s*\((.+)\)\s+AS\s+(" + _IDENT + r")\s*$",
+    r"^(sum|count|avg)\s*\((.+)\)\s+AS\s+(" + _IDENT + r")\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DEF_RE = re.compile(
@@ -76,10 +84,32 @@ class MvDef:
     base: str
     where: str | None
     groups: list[str]
-    # (kind, expr, alias): kind in {"sum", "count_star", "count"}
+    # (kind, expr, alias): kind in {"sum", "count_star", "count", "avg"}
     aggs: list[tuple[str, str, str]]
     count_alias: str
     query: str
+
+    def maintained(self) -> list[tuple[str, str, str]]:
+        """The self-maintainable column ring the refresh folds: avg is
+        sugar — it decomposes into a maintained sum (``a__sum``) and
+        count (``a__cnt``), and the public ``a`` is re-derived from the
+        folded pair each refresh (classic IVM avg maintenance)."""
+        out: list[tuple[str, str, str]] = []
+        for kind, expr, alias in self.aggs:
+            if kind == "avg":
+                out.append(("avg_sum", expr, f"{alias}__sum"))
+                out.append(("avg_cnt", expr, f"{alias}__cnt"))
+            else:
+                out.append((kind, expr, alias))
+        return out
+
+    def derived(self) -> list[tuple[str, str, str]]:
+        """(public alias, sum alias, cnt alias) per avg column."""
+        return [
+            (a, f"{a}__sum", f"{a}__cnt")
+            for kind, _, a in self.aggs
+            if kind == "avg"
+        ]
 
 
 def parse_mv_query(query: str) -> MvDef:
@@ -107,6 +137,10 @@ def parse_mv_query(query: str) -> MvDef:
                 count_alias = count_alias or alias
             elif fn == "count":
                 aggs.append(("count", inner, alias))
+            elif fn == "avg":
+                if inner == "*":
+                    raise ValueError("avg(*) is not a thing")
+                aggs.append(("avg", inner, alias))
             else:
                 aggs.append(("sum", inner, alias))
             continue
@@ -115,12 +149,12 @@ def parse_mv_query(query: str) -> MvDef:
             seen_groups.append(name)
             continue
         low = item.lower()
-        if re.match(r"^(min|max|avg|stddev|var)\s*\(", low):
+        if re.match(r"^(min|max|stddev|var)\s*\(", low):
             raise ValueError(
-                f"materialized views maintain only sum/count incrementally "
-                f"(min/max/avg are not self-maintainable under deletes); "
-                f"got {item!r} — express avg as sum/count, or use a plain "
-                f"query for the rest"
+                f"materialized views maintain only sum/count/avg "
+                f"incrementally (min/max are not self-maintainable under "
+                f"deletes without re-scanning the group); got {item!r} — "
+                f"use a plain query for the rest"
             )
         raise ValueError(
             f"unsupported select item {item!r} in materialized view "
@@ -139,6 +173,19 @@ def parse_mv_query(query: str) -> MvDef:
         )
     if not aggs:
         raise ValueError("materialized view needs at least one aggregate")
+    d_probe = MvDef(
+        base="", where=None, groups=groups, aggs=aggs,
+        count_alias=count_alias, query="",
+    )
+    phys = groups + [a for _, _, a in d_probe.maintained()] + [
+        a for kind, _, a in aggs if kind == "avg"
+    ]
+    dupes = {c for c in phys if phys.count(c) > 1}
+    if dupes:
+        raise ValueError(
+            f"materialized view column collision: {sorted(dupes)} (avg "
+            f"columns also reserve <alias>__sum and <alias>__cnt)"
+        )
     return MvDef(
         base=unquote_ident(m.group("base")),
         where=(m.group("where") or "").strip() or None,
@@ -151,14 +198,37 @@ def parse_mv_query(query: str) -> MvDef:
 
 def _agg_cols(d: MvDef) -> list:
     cols = []
-    for kind, expr, alias in d.aggs:
+    for kind, expr, alias in d.maintained():
         if kind == "count_star":
             cols.append(F.count(F.lit(1)).cast("long").alias(alias))
         elif kind == "count":
             cols.append(F.count(F.expr(expr)).cast("long").alias(alias))
+        elif kind == "avg_sum":
+            # 0-seeded (coalesce) so FULL and incremental store the SAME
+            # hidden sum on all-NULL groups; the public avg is NULL there
+            # either way (cnt = 0)
+            cols.append(
+                F.sum(F.coalesce(F.expr(expr), F.lit(0))).alias(alias)
+            )
+        elif kind == "avg_cnt":
+            cols.append(F.count(F.expr(expr)).cast("long").alias(alias))
         else:
             cols.append(F.sum(F.expr(expr)).alias(alias))
     return cols
+
+
+def _with_derived(df: DataFrame, d: MvDef) -> DataFrame:
+    """Append the public avg columns, re-derived from the maintained
+    sum/cnt pair: NULL when the group has no non-null values."""
+    for pub, s, c in d.derived():
+        df = df.withColumn(
+            pub,
+            F.when(
+                F.col(c) > 0,
+                F.col(s).cast("double") / F.col(c).cast("double"),
+            ),
+        )
+    return df
 
 
 def _guard_null_groups(df: DataFrame, groups: list[str], ctx: str) -> None:
@@ -180,7 +250,8 @@ def _full_frame(cat, d: MvDef, version: int) -> DataFrame:
     if d.where:
         df = df.filter(d.where)
     _guard_null_groups(df.select(*d.groups), d.groups, f"materialize {d.base}")
-    return df.groupBy(*[F.col(g) for g in d.groups]).agg(*_agg_cols(d))
+    out = df.groupBy(*[F.col(g) for g in d.groups]).agg(*_agg_cols(d))
+    return _with_derived(out, d)
 
 
 def _writer(cat, name: str, d: MvDef) -> LakeWriter:
@@ -201,21 +272,34 @@ def create_materialized_view(
     t = cat.table(name)
     if t.exists() and not replace:
         raise ValueError(f"table {name!r} already exists")
+    if t.exists() and replace and PROP_QUERY not in t.properties():
+        # OR REPLACE must not clobber a plain data table of the same
+        # name — only an existing materialized view is replaceable
+        raise ValueError(
+            f"CREATE OR REPLACE MATERIALIZED VIEW {name!r}: existing "
+            f"table is not a materialized view (DROP TABLE it explicitly "
+            f"if you really mean to replace it)"
+        )
     base = cat.table(d.base)
     if not base.exists():
         raise ValueError(f"materialized view base {d.base!r} does not exist")
     v = base.current_version()
     frame = _full_frame(cat, d, v)
-    if t.exists():
-        t.replace(frame.schema, pk=list(d.groups))
-    w = _writer(cat, name, d)
-    w.extra_commit_props = {
-        "tblproperties": {
-            PROP_QUERY: d.query,
-            PROP_BASE: d.base,
-            PROP_BASE_VERSION: str(v),
-        }
+    marker = {
+        PROP_QUERY: d.query,
+        PROP_BASE: d.base,
+        PROP_BASE_VERSION: str(v),
     }
+    if t.exists():
+        # replace is two commits (schema reset, then data). The marker
+        # rides the FIRST commit too, so a crash in between leaves an
+        # empty-but-marked MV: re-running CREATE OR REPLACE (or REFRESH
+        # FULL) recovers, and the not-an-MV guard above still protects
+        # plain data tables.
+        t.replace(frame.schema, pk=list(d.groups),
+                  props={"tblproperties": dict(marker)})
+    w = _writer(cat, name, d)
+    w.extra_commit_props = {"tblproperties": marker}
     w.write(frame)
     return cat.table(name).current_version()
 
@@ -258,24 +342,24 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
         ch.select(*d.groups), d.groups, f"refresh {name}"
     )
     delta_cols = []
-    for kind, expr, alias in d.aggs:
+    for kind, expr, alias in d.maintained():
         if kind == "count_star":
             delta_cols.append(F.sum(F.col("__sign")).cast("long").alias(alias))
-        elif kind == "count":
+        elif kind in ("count", "avg_cnt"):
             delta_cols.append(
                 F.sum(
                     F.when(F.expr(expr).isNotNull(), F.col("__sign")).otherwise(0)
                 ).cast("long").alias(alias)
             )
-        else:
+        else:  # sum / avg_sum fold identically (avg_sum is 0-seeded too)
             delta_cols.append(
                 F.sum(F.col("__sign") * F.coalesce(F.expr(expr), F.lit(0))).alias(alias)
             )
     delta = ch.groupBy(*[F.col(g) for g in d.groups]).agg(*delta_cols)
+    aliases = [a for _, _, a in d.maintained()]
     cur = t.read().select(
-        *d.groups, *[F.col(a).alias(f"__cur_{a}") for _, _, a in d.aggs]
+        *d.groups, *[F.col(a).alias(f"__cur_{a}") for a in aliases]
     )
-    aliases = [a for _, _, a in d.aggs]
     folded = delta.join(cur, on=list(d.groups), how="left").select(
         *d.groups,
         *[
@@ -285,6 +369,7 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
             for a in aliases
         ],
     )
+    folded = _with_derived(folded, d)
     # sum columns keep the base's types (long + long, double + double);
     # the merge conform handles widening like any write
     dead = F.col(d.count_alias) == 0

@@ -378,9 +378,13 @@ def merge_into(catalog, stmt: str) -> str:
 
     # ---- source frame ----
     if st.source_sql is not None:
-        src = catalog.sql(st.source_sql)
+        src = catalog.sql(st.source_sql)  # sql() expands lake views
     elif catalog.table_exists(st.source_name):
         src = catalog.table(st.source_name).read()
+    elif st.source_name.lower() in {v.lower() for v in catalog.list_views()}:
+        # USING a lake view by bare name: route through sql() so the
+        # view body (and its transitive view deps) expand as CTEs
+        src = catalog.sql(f"SELECT * FROM {st.source_name}")
     else:
         src = catalog.spark.table(st.source_name)
 

@@ -1409,7 +1409,13 @@ class LakeTable:
                 raise ValueError(
                     f"{name!r} is the physical name of a renamed column"
                 )
-            dt = T.StructType.fromDDL(f"`{name}` {type_ddl}")[name].dataType
+            if isinstance(type_ddl, T.DataType):
+                # callers running OUTSIDE a live SparkSession (the Python
+                # DataSource writer plans in a sessionless worker) pass
+                # the DataType directly — fromDDL needs the JVM
+                dt = type_ddl
+            else:
+                dt = T.StructType.fromDDL(f"`{name}` {type_ddl}")[name].dataType
             fields = [f for f in m.schema.fields if f.name != INSERTED_AT]
             fields.append(T.StructField(name, dt, True))
             if INSERTED_AT in m.schema.fieldNames():
@@ -1509,6 +1515,22 @@ class LakeTable:
         (DucklakeTableManager.java:186-231)."""
         if self.exists():
             return self.manifest()
+        # mirror of create_view's table-collision guard: a view of the
+        # same name would otherwise silently shadow the new table in
+        # every catalog.sql query (view refs resolve case-insensitively)
+        views_dir = os.path.join(os.path.dirname(self.dir), "_views")
+        try:
+            vnames = self.fs.list_names(views_dir)
+        except FileNotFoundError:
+            vnames = []
+        if any(
+            n.endswith(".json") and n[:-5].lower() == self.name.lower()
+            for n in vnames
+        ):
+            raise ValueError(
+                f"cannot create table {self.name!r}: a view with that name "
+                f"exists (DROP VIEW it first)"
+            )
         exprs = parse_partition_exprs(partition_by)
         for e in exprs:
             if e.column not in schema.fieldNames():
@@ -1537,15 +1559,18 @@ class LakeTable:
         schema: T.StructType,
         pk: list[str] | None = None,
         partition_by: str | list[str] | None = None,
+        props: dict | None = None,
     ) -> Manifest:
         """CREATE OR REPLACE TABLE: ONE metadata commit that resets
         schema, pk, partitioning, column renames, and user properties —
         while PRESERVING history (every prior version still time-travels;
         its files reclaim through vacuum retention as usual). Idempotent
         txn markers survive the replace (an exactly-once writer that
-        continues across a REPLACE must still dedupe its epochs)."""
+        continues across a REPLACE must still dedupe its epochs).
+        ``props`` seeds the post-replace manifest props (e.g. a caller
+        that must keep a marker visible across the replace window)."""
         if not self.exists():
-            return self.create(schema, pk=pk, partition_by=partition_by)
+            return self.create(schema, pk=pk, partition_by=partition_by, props=props)
         exprs = parse_partition_exprs(partition_by)
         for e in exprs:
             if e.column not in schema.fieldNames():
@@ -1564,7 +1589,11 @@ class LakeTable:
                 partition_spec=[e.spec_string() for e in exprs],
                 files={},
                 parent=m.version,
-                props={"last_op": "REPLACE", "txns": m.props.get("txns", {})},
+                props={
+                    **(props or {}),
+                    "last_op": "REPLACE",
+                    "txns": m.props.get("txns", {}),
+                },
                 file_stats={},
             )
             self._commit(nm, parent_manifest=m)
@@ -1912,10 +1941,16 @@ class LakeTable:
 
         from .mor import mor_state, read_visible
 
-        if mor_state(m_from) != mor_state(m_to):
-            # Merge-on-read span: file identity no longer equals row
-            # identity (a shared file's rows can be suppressed on one
-            # side only), so the file-diff shortcut is unsound. Diff the
+        ms_from, ms_to = mor_state(m_from), mor_state(m_to)
+        if ms_from != ms_to or ms_from[1] or ms_to[1]:
+            # Merge-on-read span — OR standing tombstones on either end:
+            # file identity no longer equals row identity (a shared
+            # file's rows can be suppressed on one side only; equal
+            # states with live tombstones still poison the file diff,
+            # because a file removed in the span — e.g. a copy-on-write
+            # delete dropping a whole seq-0 file — carries row versions
+            # the tombstones were suppressing, and the raw diff would
+            # surface them as spurious deletes/updates). Diff the
             # VISIBLE snapshots instead, semi-joined to the span's
             # candidate keys — every changed pk must appear in a
             # tombstone file added in the span, a data file added in the
@@ -1935,9 +1970,7 @@ class LakeTable:
                 return d.select(*[F.col(p).alias(l) for p, l in zip(pkp, pk)])
 
             new_tombs = {
-                tf: mv
-                for tf, mv in mor_state(m_to)[1].items()
-                if tf not in mor_state(m_from)[1]
+                tf: mv for tf, mv in ms_to[1].items() if tf not in ms_from[1]
             }
             cand_parts = [_pk_of(m_to, only_to), _pk_of(m_from, only_from)]
             if new_tombs:
@@ -2161,6 +2194,24 @@ class LakeTable:
                 f: {inv.get(c, c): v for c, v in s.items()}
                 for f, s in stats.items()
             }
+        # ZERO-ROW parts are dropped, not committed: Spark's writer emits
+        # an (empty) part file per empty task, and a delete/update whose
+        # survivors vanish entirely would otherwise commit a useless file
+        # that every later scan, prune pass, and manifest diff pays for.
+        # Detection is free — __rows is already in the harvested footer.
+        empty = {
+            f for f, s in stats.items() if s.get("__rows") == 0
+        }
+        if empty:
+            for part_key in list(files):
+                kept = [f for f in files[part_key] if f not in empty]
+                if kept:
+                    files[part_key] = kept
+                else:
+                    del files[part_key]
+            for f in empty:
+                stats.pop(f, None)
+                self.fs.delete(os.path.join(self.dir, f), missing_ok=True)
         return files, stats
 
     # Above this many freshly-written files, footer-stat/bloom harvesting
@@ -2543,7 +2594,9 @@ class LakeCatalog:
         return json.loads(self.fs.read_bytes(p))["query"]
 
     def create_view(self, name: str, query: str, replace: bool = False) -> None:
-        if self.table(name).exists():
+        # case-insensitive collision check — view references resolve
+        # case-insensitively, so view `Docs` would shadow table `docs`
+        if any(t.lower() == name.lower() for t in self.list_tables()):
             raise ValueError(
                 f"cannot create view {name!r}: a table with that name exists"
             )
@@ -2577,18 +2630,33 @@ class LakeCatalog:
     def _expand_views(self, query: str) -> str:
         """Prepend every transitively-referenced view as a CTE (refused
         cycles raise). Word-boundary reference detection — the same
-        conservative convention the table registrar uses."""
+        conservative convention the table registrar uses, but CASE-
+        INSENSITIVE (matching the rest of the identifier handling) and
+        blind to single-quoted string literals (a view named ``docs``
+        must not be dragged in by ``WHERE src = 'docs'``)."""
         import re as _re
 
         views = self.list_views()
         if not views:
             return query
 
+        def _blank_literals(text: str) -> str:
+            # replace '...' literal bodies ('' escape) with spaces so
+            # ref detection never fires inside them
+            return _re.sub(
+                r"'(?:[^']|'')*'", lambda m: " " * len(m.group(0)), text
+            )
+
         def refs(text: str, pool) -> list[str]:
+            blanked = _blank_literals(text)
             return [
                 v
                 for v in pool
-                if _re.search(rf"\b{_re.escape(v)}\b", text)
+                if _re.search(
+                    rf"(?<![A-Za-z0-9_]){_re.escape(v)}(?![A-Za-z0-9_])",
+                    blanked,
+                    _re.IGNORECASE,
+                )
             ]
 
         needed: list[str] = []  # dependency order: referenced-first
@@ -2611,6 +2679,23 @@ class LakeCatalog:
             add(v)
         if not needed:
             return query
+        # time travel THROUGH a view is ambiguous (pin the view's base
+        # tables? the view definition itself is unversioned) — name the
+        # problem instead of letting the CTE rewrite die downstream
+        for v in needed:
+            if _re.search(
+                rf"(?<![A-Za-z0-9_]){_re.escape(v)}(?![A-Za-z0-9_])\s+"
+                rf"(?:VERSION\s+AS\s+OF|TIMESTAMP\s+AS\s+OF|FOR\s+TAG)\b",
+                _blank_literals(query),
+                _re.IGNORECASE,
+            ):
+                raise ValueError(
+                    f"time travel through view {v!r} is ambiguous — a view "
+                    f"definition is unversioned, so 'VERSION AS OF' cannot "
+                    f"name a snapshot of it; time-travel the base table(s) "
+                    f"inside the view definition instead, or query the base "
+                    f"table directly with VERSION AS OF"
+                )
         ctes = ", ".join(
             f"{quote_ident(v)} AS ({self.view_query(v)})" for v in needed
         )
@@ -2716,6 +2801,17 @@ class LakeCatalog:
             name = unquote_ident(vwc.group(2))
             self.create_view(name, vwc.group(3), replace=bool(vwc.group(1)))
             return self._ddl_result("CREATE VIEW", name, "defined")
+        vwa = _re.match(
+            rf"ALTER\s+VIEW\s+({_IDENT})\s+AS\s+(.+)$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if vwa:
+            name = unquote_ident(vwa.group(1))
+            if name not in self.list_views():
+                raise ValueError(f"ALTER VIEW: view {name!r} does not exist")
+            self.create_view(name, vwa.group(2), replace=True)
+            return self._ddl_result("ALTER VIEW", name, "redefined")
         vwd = _re.match(
             rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
             stmt,
@@ -2990,6 +3086,22 @@ class LakeCatalog:
         t = self.table(name)
         if not t.exists():
             raise ValueError(f"table {name!r} does not exist")
+        props = t.properties()
+        from .matview import PROP_QUERY as _MV_Q
+
+        if _MV_Q in props:
+            # a materialized view IS a lake table — SHOW CREATE emits its
+            # maintained definition, with the IVM restriction stated
+            return self.spark.createDataFrame(
+                [(
+                    name,
+                    f"CREATE MATERIALIZED VIEW {quote_ident(name)} AS "
+                    f"{props[_MV_Q]} "
+                    f"-- incremental refresh maintains sum/count/avg over "
+                    f"a single base table (no join views)",
+                )],
+                "table string, create_statement string",
+            )
         m = t.manifest()
         derived = {
             c
@@ -3197,6 +3309,16 @@ class LakeCatalog:
         q = query.strip().rstrip(";").strip()
         if _re.match(r"SHOW\s+TABLES\s*$", q, _re.IGNORECASE):
             return self.show_tables()
+        scv = _re.match(
+            rf"SHOW\s+CREATE\s+VIEW\s+({_IDENT})\s*$", q, _re.IGNORECASE
+        )
+        if scv:
+            vname = unquote_ident(scv.group(1))
+            body = self.view_query(vname)  # raises if absent
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW {quote_ident(vname)} AS {body}",)],
+                "create_stmt string",
+            )
         scm = _re.match(
             rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", q, _re.IGNORECASE
         )
@@ -3264,18 +3386,24 @@ class LakeCatalog:
             r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|MATERIALIZED\s+VIEW|VIEW)"
             r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW)"
             r"|REFRESH\s+MATERIALIZED\s+VIEW"
-            r"|ALTER\s+TABLE|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE|RESTORE\s+TABLE)\b",
+            r"|ALTER\s+TABLE|ALTER\s+VIEW|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE|RESTORE\s+TABLE)\b",
             query,
             _re.IGNORECASE,
         ):
             return self.ddl(query)
-        # logical views expand FIRST (leading CTEs), so time travel /
-        # CDF rewrites and table registration see the expanded text
-        query = self._expand_views(query)
+        # DML dispatches BEFORE view expansion — prepending a views CTE
+        # to `INSERT INTO t SELECT * FROM v` would produce `WITH ... INSERT`,
+        # which no longer matches here and dies in the SELECT path as an
+        # unresolved InsertIntoStatement. dml() expands views internally:
+        # INSERT/MERGE source queries route back through sql(), and the
+        # MERGE bare-name source resolves lake views explicitly.
         if _re.match(
             r"\s*(INSERT\s+(?:INTO|OVERWRITE)|DELETE\s+FROM|UPDATE|MERGE\s+INTO)\b", query, _re.IGNORECASE
         ):
             return self.dml(query)
+        # logical views expand next (leading CTEs), so time travel /
+        # CDF rewrites and table registration see the expanded text
+        query = self._expand_views(query)
         # SQL time travel: `t VERSION AS OF n`, `t TIMESTAMP AS OF 'ts'`,
         # `t FOR TAG x` table references resolve to pinned versions
         # registered under synthetic view names — so one statement can

@@ -1518,3 +1518,70 @@ def lake_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not mor_state(m)[1]:
         raise AssertionError("sink upsert left no tombstone state")
     return t.read().select("event_id", "event_type", "cents")
+
+
+@register(
+    "lake_sink_upsert_evolving",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 10 < 2 THEN 'late'
+                WHEN event_id % 10 >= 5 THEN 'updated'
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 10 < 2
+                THEN CAST(floor(value * 100) AS BIGINT) + 7
+                WHEN event_id % 10 >= 5
+                THEN CAST(floor(value * 100) AS BIGINT) + 1000
+                ELSE CAST(floor(value * 100) AS BIGINT) END AS cents,
+           CASE WHEN event_id % 10 >= 5 THEN event_id * 3 END AS score
+    FROM events
+    """,
+    "mergeKeys sink + SCHEMA DRIFT (r13): a second sink write carries a "
+    "NEW column (score) — the writer evolves the table with one "
+    "metadata-only ADD COLUMN at plan time, older files null-fill; a "
+    "third write replays the NARROWER schema and its missing column "
+    "null-fills executor-side. Each write is still one merge-on-read "
+    "epoch commit (asserted: SINK_MERGE(MOR), standing tombstones).",
+)
+def lake_sink_upsert_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeTable
+    from ..lake.mor import mor_state
+    from ..sources.lake_datasource import register_lake_datasource
+
+    register_lake_datasource(spark)
+    src = _event_source(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_sink_{uuid.uuid4().hex[:8]}"
+    )
+
+    def sink(d):
+        (
+            d.write.format("ducklake").option("path", root)
+            .option("table", "ev_evo").option("mergeKeys", "event_id")
+            .mode("append").save()
+        )
+
+    sink(src.filter(F.col("event_id") % 10 < 8))
+    sink(  # wider: new 'score' column arrives
+        src.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("cents", F.col("cents") + F.lit(1000))
+        .withColumn("event_type", F.lit("updated"))
+        .withColumn("score", F.col("event_id") * F.lit(3))
+    )
+    sink(  # narrower again: an old-schema producer replays
+        src.filter(F.col("event_id") % 10 < 2)
+        .withColumn("cents", F.col("cents") + F.lit(7))
+        .withColumn("event_type", F.lit("late"))
+    )
+    t = LakeTable(spark, root, "ev_evo")
+    m = t.manifest()
+    if "score" not in m.schema.fieldNames():
+        raise AssertionError("sink did not evolve the table schema")
+    if m.props["last_op"] != "SINK_MERGE(MOR)":
+        raise AssertionError(f"unexpected last_op {m.props['last_op']}")
+    if not mor_state(m)[1]:
+        raise AssertionError("sink upsert left no tombstone state")
+    return t.read().select("event_id", "event_type", "cents", "score")

@@ -3305,3 +3305,120 @@ def sql_view_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.sql(
         "SELECT event_type, n, cents FROM valuable_rollup"
     )
+
+
+@register(
+    "matview_avg_refresh",
+    """
+    SELECT event_type,
+           CASE WHEN count(m) > 0
+                THEN CAST(sum(m) AS DOUBLE) / count(m) END AS avg_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT CASE WHEN event_id % 10 >= 5 THEN 'updated'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 13 <> 0 THEN
+                    CASE WHEN event_id % 10 >= 5
+                         THEN CAST(floor(value * 100) AS BIGINT) + 1000
+                         ELSE CAST(floor(value * 100) AS BIGINT) END
+               END AS m
+        FROM events
+        WHERE event_id % 7 <> 0
+    )
+    GROUP BY event_type
+    """,
+    "avg() in an incrementally-refreshed materialized view "
+    "(lake/matview.py r13): avg decomposes at CREATE into a maintained "
+    "<alias>__sum/__cnt pair and the public column is re-derived from "
+    "the folded pair each refresh — exact under updates, deletes, and a "
+    "NULLABLE measure (the oracle's single sum/count division matches "
+    "bit-for-bit because both sides divide the same exact integers "
+    "once). Asserted in-query to have taken the incremental path.",
+)
+def matview_avg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 13 != 0, F.floor(F.col("value") * 100)
+        ).cast("long").alias("cents"),
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_avg"), pk=["event_id"])
+    w.write(ev.filter(F.col("event_id") % 10 < 8))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW avg_rollup AS SELECT event_type, "
+        "avg(cents) AS avg_cents, count(*) AS n FROM events_avg "
+        "GROUP BY event_type"
+    )
+    w.write(
+        ev.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("cents", F.col("cents") + F.lit(1000))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    w.delete_where("event_id % 7 = 0")
+    st = cat.sql("REFRESH MATERIALIZED VIEW avg_rollup").collect()[0]
+    if "incremental" not in st["detail"]:
+        raise AssertionError(f"refresh took {st['detail']!r}, not incremental")
+    return cat.table("avg_rollup").read().select("event_type", "avg_cents", "n")
+
+
+@register(
+    "cdf_over_mor_merge",
+    """
+    SELECT event_id, 'delete' AS change_type, event_type,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_id % 10 < 8 AND event_id % 7 = 0
+    UNION ALL
+    SELECT event_id, 'update' AS change_type, 'updated' AS event_type,
+           CAST(floor(value * 100) AS BIGINT) + 1000 AS cents
+    FROM events
+    WHERE event_id % 10 BETWEEN 5 AND 7 AND event_id % 7 <> 0
+    UNION ALL
+    SELECT event_id, 'insert' AS change_type, 'updated' AS event_type,
+           CAST(floor(value * 100) AS BIGINT) + 1000 AS cents
+    FROM events
+    WHERE event_id % 10 IN (8, 9) AND event_id % 7 <> 0
+    """,
+    "Change-data feed OVER a merge-on-read table (lake/table.py changes "
+    "+ lake/mor.py visibility): after a MOR upsert and a MOR predicate "
+    "delete, table_changes() must report the tombstone-suppressed keys "
+    "as deletes/updates WITHOUT materializing the table (asserted "
+    "in-query: tombstone state still standing, no compaction commit). "
+    "The feed is the visible-snapshot diff, so standing tombstones can "
+    "never surface suppressed row versions as spurious events.",
+)
+def cdf_over_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake.mor import MODE_MOR, mor_state
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    t = cat.table("events_cdfmor")
+    w = LakeWriter(t, pk=["event_id"], merge_mode=MODE_MOR)
+    w.write(ev.filter(F.col("event_id") % 10 < 8))
+    v0 = t.current_version()
+    w.write(
+        ev.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("cents", F.col("cents") + F.lit(1000))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    w.delete_where("event_id % 7 = 0")
+    m = t.manifest()
+    if not mor_state(m)[1]:
+        raise AssertionError("expected standing merge-on-read tombstones")
+    if m.props["last_op"] != "DELETE(MOR)":
+        raise AssertionError(f"unexpected last_op {m.props['last_op']}")
+    return cat.sql(
+        f"SELECT event_id, _change_type AS change_type, event_type, cents "
+        f"FROM table_changes('events_cdfmor', {v0}, {t.current_version()})"
+    )

@@ -541,6 +541,18 @@ class _WriterBase:
     (dedup upstream); OPTIMIZE / the auto-materialize threshold retires
     the accumulated tombstones.
 
+    Read-amplification trade-off (documented, deliberate): the sink
+    tombstones EVERY key in the batch — inserts included — because a
+    distributed task cannot cheaply prove a key is new (LakeWriter's
+    merge path checks matched keys driver-side; the sink has no such
+    pass). Insert-heavy streams therefore grow the standing tombstone
+    set that every read anti-joins against, until the auto-materialize
+    threshold (MOR_AUTO_MATERIALIZE_DELETES) or an explicit OPTIMIZE
+    compacts it away. Tombstones are PK-only, so the cost is bounded:
+    #un-compacted epochs × batch keys, broadcast while under
+    MOR_BROADCAST_BYTES. For append-only streams use the default INSERT
+    mode (no tombstones at all).
+
     Partitioned tables write WITHOUT a shuffle, the way Spark's own
     dynamic-partition writes do: each task splits its Arrow batches by
     partition value (year/month/day derived columns computed
@@ -613,11 +625,46 @@ class _WriterBase:
         want = {f.name: f.dataType for f in surface.fields if f.name != INSERTED_AT}
         got = {f.name: f.dataType for f in schema.fields}
         if want != got:
-            raise ValueError(
-                f"ducklake sink: frame schema {sorted(got)} does not match "
-                f"table {self.name} data columns {sorted(want)} (types must "
-                f"match exactly; evolve through LakeWriter)"
-            )
+            # Schema drift mid-stream — the first collision a real CDC
+            # user hits (reference parity: the connector evolves the
+            # target on every write, DucklakeTableManager.java:236-322).
+            # NEW nullable columns evolve the table with a metadata-only
+            # ADD COLUMN commit, here at plan time (driver, before any
+            # task stages a file). Frame columns MISSING from the table
+            # null-fill executor-side. Type changes still refuse — the
+            # sink's Arrow path writes physical files in the staged
+            # schema, so widening must go through LakeWriter's conform.
+            mismatched = {
+                c: (want[c], got[c])
+                for c in set(want) & set(got)
+                if want[c] != got[c]
+            }
+            if mismatched:
+                raise ValueError(
+                    f"ducklake sink: column type mismatch on table "
+                    f"{self.name}: "
+                    + ", ".join(
+                        f"{c} (table {a.simpleString()}, frame "
+                        f"{b.simpleString()})"
+                        for c, (a, b) in sorted(mismatched.items())
+                    )
+                    + " — type widening goes through LakeWriter/SQL MERGE"
+                )
+            new_cols = [f for f in schema.fields if f.name not in want]
+            for f in new_cols:
+                t.add_column(f.name, f.dataType)
+            if new_cols:
+                m = t.manifest()
+                surface = _read_surface(t, m)
+        # arrow types for executor-side null-fill of frame-absent columns
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        self.frame_cols = set(schema.fieldNames())
+        self.fill_types = {
+            f.name: to_arrow_type(f.dataType)
+            for f in surface.fields
+            if f.name != INSERTED_AT and f.name not in self.frame_cols
+        }
         # executor-side plan: physical layout + stats columns
         self.renames = dict(m.column_renames)
         self.col_order = [f.name for f in surface.fields if f.name != INSERTED_AT]
@@ -683,18 +730,26 @@ class _WriterBase:
         try:
             for batch in iterator:
                 tbl = pa.Table.from_batches([batch])
-                cols = [tbl.column(c) for c in self.col_order]
+                cols = [
+                    tbl.column(c)
+                    if c in self.frame_cols
+                    else pa.nulls(len(tbl), type=self.fill_types[c])
+                    for c in self.col_order
+                ]
                 names = [self.renames.get(c, c) for c in self.col_order]
                 if self.stamp_inserted:
                     cols.append(pa.chunked_array([pa.repeat(stamp, len(tbl))]))
                     names.append(INSERTED_AT)
                 # derived partition DATA columns ride inside the file,
                 # exactly like the engine's Spark-written layout (UTC
-                # extraction == the engine's pinned-UTC session)
+                # extraction == the engine's pinned-UTC session). Source
+                # comes from the FILLED column list (a null-filled
+                # partition source derives a null cell → HIVE_NULL dir).
+                by_name = dict(zip(self.col_order, cols))
                 for e in self.part_exprs:
                     if not e.is_derived:
                         continue
-                    src = tbl.column(e.column)
+                    src = by_name[e.column]
                     fn = {"year": pc.year, "month": pc.month, "day": pc.day}[e.fn]
                     cols.append(pc.cast(fn(src), pa.int32()))
                     names.append(e.output_name)

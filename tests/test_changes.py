@@ -153,3 +153,42 @@ def test_changes_across_replace_raises_descriptive(spark, tmp_path):
     cat.sql("CREATE OR REPLACE TABLE rr AS SELECT pk AS k, v FROM rr")
     with pytest.raises(ValueError, match="REPLACE or\\s+pk redefinition"):
         cat.table("rr").changes(1)
+
+
+def test_changes_standing_tombstones_equal_state(spark, tmp_path):
+    """r13 fix: equal MOR state on both ends of the span, with standing
+    tombstones, and a CoW delete that drops an entire seq-0 file whose
+    rows the tombstones were suppressing — the raw file diff would emit
+    a SPURIOUS delete for the suppressed key; the visible-snapshot path
+    must emit only the real one."""
+    from ducklake_kafka_connect_spark.lake.mor import mor_state
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    t = cat.table("t")
+    w = LakeWriter(t, pk=["id"])
+    # two key-disjoint seq-0 files: f1={10,20}, f2={1,2}; the MOR delta
+    # below will carry {1,10} whose stat range [1,10] does NOT admit the
+    # key deleted later (20), so the delete prunes to f1 alone
+    w.write(spark.createDataFrame([(10, 100, "a"), (20, 200, "a")], "id long, v long, tag string"))
+    w.append(spark.createDataFrame([(1, 10, "a"), (2, 20, "a")], "id long, v long, tag string"))
+    # MOR merge touching keys 10 AND 1 -> one tombstone {10,1}, one delta
+    mor = LakeWriter(t, pk=["id"], merge_mode="merge-on-read")
+    mor.merge(spark.createDataFrame([(10, 101, "b"), (1, 11, "b")], "id long, v long, tag string"))
+    v_before = t.current_version()
+    st_before = mor_state(t.manifest())
+    assert st_before[1], "scenario requires standing tombstones"
+    # CoW delete of id=20: f1's visible rows are then empty (key 10's old
+    # version is suppressed) -> the file is dropped outright, no rewrite
+    LakeWriter(t, pk=["id"]).delete_where("id = 20")
+    v_after = t.current_version()
+    st_after = mor_state(t.manifest())
+    assert st_before == st_after, (
+        "scenario requires UNCHANGED mor state across the span "
+        f"({st_before} -> {st_after})"
+    )
+    ch = _by_type(t.changes(v_before, v_after))
+    assert ch["delete"] == {20: (200, "a")}
+    assert ch["update"] == {} and ch["insert"] == {}
+    # visible content is intact: key 10 still shows its merged version
+    vis = {r["id"]: r["v"] for r in t.read().collect()}
+    assert vis == {10: 101, 1: 11, 2: 20}

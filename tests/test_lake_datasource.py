@@ -232,10 +232,20 @@ class TestSink:
         LakeWriter(cat.table("sch")).append(
             spark.range(3).select(F.col("id"), F.lit("a").alias("s"))
         )
-        with pytest.raises(Exception, match="does not match"):
-            spark.range(3).select(F.col("id")).write.format("ducklake").option(
-                "path", lake
-            ).option("table", "sch").mode("append").save()
+        # r13: a NARROWER frame null-fills the missing column (the
+        # connector's conform semantics) instead of refusing
+        spark.range(3, 5).select(F.col("id")).write.format("ducklake").option(
+            "path", lake
+        ).option("table", "sch").mode("append").save()
+        got = {r["id"]: r["s"] for r in cat.table("sch").read().collect()}
+        assert got == {0: "a", 1: "a", 2: "a", 3: None, 4: None}
+        # a TYPE change still refuses, naming the column
+        with pytest.raises(Exception, match="type mismatch.*s "):
+            spark.range(3).select(
+                F.col("id"), F.col("id").alias("s")
+            ).write.format("ducklake").option("path", lake).option(
+                "table", "sch"
+            ).mode("append").save()
 
     def test_stream_sink_epoch_idempotence(self, spark, lake):
         """Replayed micro-batch (same batchId) must not double-append:

@@ -213,3 +213,187 @@ def test_refresh_over_mor_base(spark, cat):
     mor.delete_where("id = 10")
     c.sql("REFRESH MATERIALIZED VIEW mv")
     assert _content(c) == _expected(c)
+
+
+def test_avg_refresh_matches_full(spark, cat):
+    """r13: avg(expr) sugar — maintained as a hidden sum/cnt pair, the
+    public column re-derived each refresh; exact under updates, deletes,
+    and NULL measures."""
+    c, w = cat
+    c.sql(
+        "CREATE MATERIALIZED VIEW mva AS SELECT region, avg(cents) AS a, "
+        "sum(cents) AS s, count(*) AS n FROM sales GROUP BY region"
+    )
+    # churn: insert with NULL measure, update, delete
+    w.merge(
+        spark.createDataFrame(
+            [(500, "r9", None), (501, "r9", 40), (1, "r1", 7)],
+            "id int, region string, cents long",
+        )
+    )
+    w.delete_where("id = 2")
+    c.sql("REFRESH MATERIALIZED VIEW mva")
+    exp = {
+        r["region"]: (r["a"], r["s"], r["n"])
+        for r in c.table("sales").read().groupBy("region").agg(
+            F.avg("cents").alias("a"),
+            F.sum("cents").alias("s"),
+            F.count("*").alias("n"),
+        ).collect()
+    }
+    got = {
+        r["region"]: (r["a"], r["s"], r["n"])
+        for r in c.table("mva").read().collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        ea, es, en = exp[k]
+        ga, gs, gn = got[k]
+        assert gn == en and gs == es, k
+        assert (ga is None) == (ea is None), k
+        if ea is not None:
+            assert abs(ga - ea) < 1e-9, k
+
+
+def test_avg_all_null_group_is_null(spark, cat):
+    """A group whose every measure is NULL: avg must be NULL in BOTH the
+    full materialization and after incremental folding (cnt = 0 keys the
+    public column off the maintained pair)."""
+    c, w = cat
+    w.merge(
+        spark.createDataFrame(
+            [(900, "rnull", None)], "id int, region string, cents long"
+        )
+    )
+    c.sql(
+        "CREATE MATERIALIZED VIEW mva AS SELECT region, avg(cents) AS a, "
+        "count(*) AS n FROM sales GROUP BY region"
+    )
+    row = c.table("mva").read().filter("region = 'rnull'").collect()[0]
+    assert row["a"] is None and row["n"] == 1
+    # grow the all-NULL group incrementally — still NULL
+    w.merge(
+        spark.createDataFrame(
+            [(901, "rnull", None)], "id int, region string, cents long"
+        )
+    )
+    c.sql("REFRESH MATERIALIZED VIEW mva")
+    row = c.table("mva").read().filter("region = 'rnull'").collect()[0]
+    assert row["a"] is None and row["n"] == 2
+    # a non-null value arrives — avg becomes exact over the non-nulls
+    w.merge(
+        spark.createDataFrame(
+            [(902, "rnull", 30)], "id int, region string, cents long"
+        )
+    )
+    c.sql("REFRESH MATERIALIZED VIEW mva")
+    row = c.table("mva").read().filter("region = 'rnull'").collect()[0]
+    assert row["a"] == 30.0 and row["n"] == 3
+
+
+def test_null_sum_divergence_pinned(spark, cat):
+    """The DOCUMENTED divergence, pinned: a live group whose every value
+    is NULL reports sum = NULL from a FULL materialization but sum = 0
+    after incremental folding — and that is the ONLY difference."""
+    c, w = cat
+    w.merge(
+        spark.createDataFrame(
+            [(900, "rnull", None)], "id int, region string, cents long"
+        )
+    )
+    c.sql(MV_DDL)  # full materialization at create
+    full_row = c.table("mv").read().filter("region = 'rnull'").collect()[0]
+    assert full_row["total"] is None  # FULL: sum over all-NULL = NULL
+    # now make the group arrive INCREMENTALLY instead
+    c.sql("DROP MATERIALIZED VIEW mv")
+    w.delete_where("id = 900")
+    c.sql(MV_DDL)
+    w.merge(
+        spark.createDataFrame(
+            [(900, "rnull", None)], "id int, region string, cents long"
+        )
+    )
+    c.sql("REFRESH MATERIALIZED VIEW mv")
+    inc_row = c.table("mv").read().filter("region = 'rnull'").collect()[0]
+    assert inc_row["total"] == 0  # incremental: 0-seeded fold
+    assert inc_row["n"] == full_row["n"] == 1
+    # every OTHER group agrees exactly with the from-scratch aggregate
+    got = {k: v for k, v in _content(c).items() if k != "rnull"}
+    exp = {k: v for k, v in _expected(c).items() if k != "rnull"}
+    assert got == exp
+
+
+def test_or_replace_refuses_plain_table(spark, cat):
+    c, _ = cat
+    with pytest.raises(ValueError, match="not a materialized view"):
+        c.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW sales AS SELECT region, "
+            "count(*) AS n FROM sales GROUP BY region"
+        )
+
+
+def test_refresh_racing_base_write(spark, cat):
+    """REFRESH races a base write: the refresh pins the base tip (to_v)
+    when it reads the CDF; a base commit landing before the MERGE
+    commits must neither be folded in (it's past the pin) nor lost (the
+    NEXT refresh folds it). Simulated by injecting the racing write into
+    the writer merge call."""
+    from ducklake_kafka_connect_spark.lake.writer import LakeWriter as _LW
+
+    c, w = cat
+    c.sql(MV_DDL)
+    w.write(
+        spark.createDataFrame([(300, "r3", 11)], "id int, region string, cents long")
+    )
+    racing = spark.createDataFrame(
+        [(301, "r3", 500)], "id int, region string, cents long"
+    )
+    orig_merge = _LW.merge
+    fired = {}
+
+    def racing_merge(self, df, **kw):
+        if self.table.name == "mv" and not fired.get("done"):
+            fired["done"] = True
+            LakeWriter(c.table("sales"), pk=["id"]).write(racing)
+        return orig_merge(self, df, **kw)
+
+    _LW.merge = racing_merge
+    try:
+        c.sql("REFRESH MATERIALIZED VIEW mv")
+    finally:
+        _LW.merge = orig_merge
+    assert fired.get("done")
+    # the recorded base_version excludes the racing commit
+    recorded = int(c.table("mv").properties()[PROP_BASE_VERSION])
+    assert recorded < c.table("sales").current_version()
+    # and the next refresh converges on the full aggregate
+    c.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _content(c) == _expected(c)
+    assert int(c.table("mv").properties()[PROP_BASE_VERSION]) == (
+        c.table("sales").current_version()
+    )
+
+
+def test_refresh_spanning_mor_materialization(spark, cat):
+    """A MOR base whose refresh span CROSSES the OPTIMIZE that
+    materializes the tombstones: the change feed across the compaction
+    must fold to exactly the real churn."""
+    from ducklake_kafka_connect_spark.lake.maintenance import compact
+
+    c, _ = cat
+    c.sql(MV_DDL)
+    mor = LakeWriter(c.table("sales"), pk=["id"], merge_mode="merge-on-read")
+    mor.merge(
+        spark.createDataFrame(
+            [(5, "r0", 999), (810, "r8", 13)], "id int, region string, cents long"
+        )
+    )
+    mor.delete_where("id = 11")
+    compact(c.table("sales"))  # materializes the MOR debt
+    mor.merge(
+        spark.createDataFrame(
+            [(811, "r8", 29)], "id int, region string, cents long"
+        )
+    )
+    c.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _content(c) == _expected(c)

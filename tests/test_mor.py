@@ -569,3 +569,125 @@ def test_mor_roundtrip_other_manifest_and_backend(spark, tmp_path, kw):
     compact(t)
     assert mor_state(t.manifest()) == ({}, {})
     assert _vals(t) == got
+
+
+def test_over_broadcast_cap_shuffle_antijoin_parity(spark, tmp_path, monkeypatch):
+    """r13: the tombstone union past MOR_BROADCAST_BYTES degrades to a
+    shuffle anti-join by design — that branch must produce EXACTLY the
+    broadcast plan's visible rows (and the CDF built on read_visible
+    must agree too)."""
+    import ducklake_kafka_connect_spark.lake.mor as mor_mod
+    from ducklake_kafka_connect_spark.lake.mor import _tombstone_frame
+
+    _, t, w = _mk(spark, tmp_path, rows=500)
+    v0 = t.current_version()
+    w.merge(
+        spark.createDataFrame(
+            [(i, f"u{i}", 9) for i in range(100, 300)],
+            "id int, val string, grp int",
+        )
+    )
+    w.delete_where("id < 50")
+    assert mor_state(t.manifest())[1], "standing tombstones required"
+    broadcast_rows = sorted((r["id"], r["val"]) for r in t.read().collect())
+    ch_b = sorted(
+        (r["id"], r["_change_type"]) for r in t.changes(v0).collect()
+    )
+    # force the over-cap branch: every tombstone union is now "too big"
+    monkeypatch.setattr(mor_mod, "MOR_BROADCAST_BYTES", 0)
+    tomb, _, small = _tombstone_frame(t, t.manifest(), mor_state(t.manifest())[1])
+    assert not small, "cap override must select the shuffle path"
+    shuffle_rows = sorted((r["id"], r["val"]) for r in t.read().collect())
+    ch_s = sorted(
+        (r["id"], r["_change_type"]) for r in t.changes(v0).collect()
+    )
+    assert shuffle_rows == broadcast_rows
+    assert ch_s == ch_b
+    assert len(broadcast_rows) == 450
+    assert dict(broadcast_rows)[150] == "u150"
+
+
+def test_sink_upsert_schema_evolution(spark, tmp_path):
+    """r13: mergeKeys + schema drift — a (restarted) stream carrying a
+    NEW column evolves the table via a metadata-only ADD COLUMN at plan
+    time; older epochs' files null-fill; a NARROWER later frame
+    null-fills the missing column executor-side; a type CHANGE refuses
+    with a named-column error."""
+    from ducklake_kafka_connect_spark.lake import LakeTable
+    from ducklake_kafka_connect_spark.sources.lake_datasource import (
+        register_lake_datasource,
+    )
+
+    register_lake_datasource(spark)
+    root = str(tmp_path / "lake")
+
+    def sink(d, table="evo"):
+        (
+            d.write.format("ducklake").option("path", root)
+            .option("table", table).option("mergeKeys", "id")
+            .mode("append").save()
+        )
+
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"))
+    # wider frame: new nullable column arrives mid-stream
+    sink(
+        spark.createDataFrame(
+            [(2, "B", 20), (3, "c", 30)], "id long, val string, score long"
+        )
+    )
+    t = LakeTable(spark, root, "evo")
+    assert "score" in t.manifest().schema.fieldNames()
+    got = {r["id"]: (r["val"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 20), 3: ("c", 30)}
+    # narrower frame again (an old-schema producer replays): null-fills
+    sink(spark.createDataFrame([(4, "d")], "id long, val string"))
+    got = {r["id"]: (r["val"], r["score"]) for r in LakeTable(spark, root, "evo").read().collect()}
+    assert got[4] == ("d", None) and got[2] == ("B", 20)
+    # type change still refuses, naming the column
+    with pytest.raises(Exception, match="val"):
+        sink(spark.createDataFrame([(5, 9)], "id long, val long"))
+
+
+def test_sink_upsert_partitioned_table(spark, tmp_path):
+    """r13: mergeKeys over a PARTITION-SPEC'd table — delta files land
+    under hive dirs, the per-task tombstone suppresses older copies
+    across partitions, and a key that MOVES partition is upserted (one
+    visible row, in the new partition)."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+    from ducklake_kafka_connect_spark.lake import LakeTable
+    from ducklake_kafka_connect_spark.sources.lake_datasource import (
+        register_lake_datasource,
+    )
+
+    register_lake_datasource(spark)
+    root = str(tmp_path / "lake")
+    cat = LakeCatalog(spark, root)
+    LakeWriter(
+        cat.table("pev"), pk=["id"], partition_by="grp"
+    ).write(
+        spark.createDataFrame(
+            [(i, f"v{i}", i % 3) for i in range(30)],
+            "id long, val string, grp int",
+        )
+    )
+    batch = spark.createDataFrame(
+        [(3, "u3", 0), (4, "moved", 0), (99, "n99", 2)],
+        "id long, val string, grp int",
+    )  # id=4 was grp=1, moves to grp=0
+    (
+        batch.write.format("ducklake").option("path", root)
+        .option("table", "pev").option("mergeKeys", "id")
+        .mode("append").save()
+    )
+    t = LakeTable(spark, root, "pev")
+    assert t.manifest().props["last_op"] == "SINK_MERGE(MOR)"
+    assert mor_state(t.manifest())[1]
+    got = {r["id"]: (r["val"], r["grp"]) for r in t.read().collect()}
+    assert len(got) == 31
+    assert got[3] == ("u3", 0) and got[4] == ("moved", 0) and got[99] == ("n99", 2)
+    # partition pruning still holds post-upsert: grp=1 excludes id=4 now
+    grp1 = {r["id"] for r in t.read(where="grp = 1").collect()}
+    assert 4 not in grp1 and 1 in grp1
+    compact(t)
+    got2 = {r["id"]: (r["val"], r["grp"]) for r in LakeTable(spark, root, "pev").read().collect()}
+    assert got2 == got

@@ -98,3 +98,120 @@ def test_pruning_reaches_through_views(spark, cat):
     assert pruned > 0  # the manifest CAN prune this predicate
     got = c.sql("SELECT id, cents FROM v WHERE id = 420").collect()
     assert len(got) == 1 and got[0]["id"] == 420
+
+
+def test_dml_insert_from_view(spark, cat):
+    """r13 fix: DML dispatches BEFORE view expansion — INSERT INTO dst
+    SELECT * FROM v must not be rewritten into `WITH ... INSERT`."""
+    c, _ = cat
+    c.sql("CREATE VIEW big AS SELECT * FROM sales WHERE cents >= 500")
+    c.sql("CREATE TABLE dst (id INT, region STRING, cents BIGINT)")
+    c.sql("INSERT INTO dst SELECT id, region, cents FROM big")
+    exp = c.table("sales").read().filter("cents >= 500").count()
+    assert c.table("dst").read().count() == exp
+    # and again via INSERT OVERWRITE
+    c.sql("INSERT OVERWRITE dst SELECT id, region, cents FROM big WHERE id < 50")
+    exp2 = c.table("sales").read().filter("cents >= 500 AND id < 50").count()
+    assert c.table("dst").read().count() == exp2
+
+
+def test_merge_using_view(spark, cat):
+    """MERGE INTO t USING <view> — both as a bare name and inside the
+    source subquery."""
+    c, _ = cat
+    c.sql("CREATE VIEW fresh AS SELECT id, region, cents + 1 AS cents FROM sales WHERE id < 3")
+    c.sql(
+        "MERGE INTO sales t USING fresh s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {
+        r["id"]: r["cents"]
+        for r in c.table("sales").read().filter("id < 3").collect()
+    }
+    assert got == {0: 1, 1: 101, 2: 201}
+    c.sql(
+        "MERGE INTO sales t USING (SELECT id, region, cents FROM fresh) s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET *"
+    )
+    got = {
+        r["id"]: r["cents"]
+        for r in c.table("sales").read().filter("id < 3").collect()
+    }
+    assert got == {0: 2, 1: 102, 2: 202}
+
+
+def test_view_refs_case_insensitive(spark, cat):
+    c, _ = cat
+    c.sql("CREATE VIEW big AS SELECT * FROM sales WHERE cents >= 500")
+    n1 = c.sql("SELECT count(*) AS n FROM BIG").collect()[0]["n"]
+    n2 = c.sql("SELECT count(*) AS n FROM Big").collect()[0]["n"]
+    assert n1 == n2 == c.table("sales").read().filter("cents >= 500").count()
+
+
+def test_view_name_in_string_literal_not_expanded(spark, cat):
+    """A view name appearing only inside a '...' literal must not drag
+    the view in (observable when the view's body no longer binds)."""
+    c, w = cat
+    w2 = type(w)(c.table("other"), pk=["id"])
+    w2.write(spark.createDataFrame([(1, "x", 5)], "id int, region string, cents long"))
+    c.sql("CREATE VIEW vv AS SELECT * FROM other")
+    c.sql("DROP TABLE other")  # vv's body is now unresolvable
+    # referencing vv raises ...
+    with pytest.raises(Exception):
+        c.sql("SELECT * FROM vv").collect()
+    # ... but a literal mention must not
+    r = c.sql("SELECT 'vv' AS tag, count(*) AS n FROM sales").collect()
+    assert r[0]["tag"] == "vv" and r[0]["n"] == 100
+
+
+def test_create_table_refuses_view_collision(spark, cat):
+    c, _ = cat
+    c.sql("CREATE VIEW taken AS SELECT * FROM sales")
+    with pytest.raises(ValueError, match="view with that name"):
+        c.sql("CREATE TABLE taken (id INT)")
+    with pytest.raises(ValueError, match="view with that name"):
+        c.sql("CREATE TABLE Taken AS SELECT id FROM sales")  # case-blind
+
+
+def test_alter_view_and_show_create_view(spark, cat):
+    c, _ = cat
+    c.sql("CREATE VIEW v AS SELECT id FROM sales WHERE id < 5")
+    c.sql("ALTER VIEW v AS SELECT id FROM sales WHERE id < 7")
+    assert c.sql("SELECT count(*) AS n FROM v").collect()[0]["n"] == 7
+    stmt = c.sql("SHOW CREATE VIEW v").collect()[0]["create_stmt"]
+    assert stmt.startswith("CREATE VIEW") and "id < 7" in stmt
+    with pytest.raises(ValueError, match="does not exist"):
+        c.sql("ALTER VIEW nope AS SELECT 1 AS one")
+
+
+def test_time_travel_through_view_is_named(spark, cat):
+    c, _ = cat
+    c.sql("CREATE VIEW v AS SELECT * FROM sales")
+    with pytest.raises(ValueError, match="time travel through view"):
+        c.sql("SELECT count(*) AS n FROM v VERSION AS OF 0")
+    # travel on the BASE table inside a query that also uses the view is fine
+    n = c.sql(
+        "SELECT count(*) AS n FROM sales VERSION AS OF 1"
+    ).collect()[0]["n"]
+    assert n == 100
+
+
+def test_view_over_matview(spark, cat):
+    """Views referencing materialized views: the MV is a table, so a
+    view body can aggregate it further."""
+    c, w = cat
+    c.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT region, sum(cents) AS total, "
+        "count(*) AS n FROM sales GROUP BY region"
+    )
+    c.sql("CREATE VIEW busy AS SELECT region, total FROM mv WHERE n >= 25")
+    got = {r["region"]: r["total"] for r in c.sql("SELECT * FROM busy").collect()}
+    exp = {
+        r["region"]: r["total"]
+        for r in c.table("sales").read().groupBy("region")
+        .agg(F.sum("cents").alias("total"), F.count("*").alias("n"))
+        .filter("n >= 25").collect()
+    }
+    assert got == exp
+    stmt = c.sql("SHOW CREATE TABLE mv").collect()[0]["create_statement"]
+    assert "MATERIALIZED VIEW" in stmt and "no join views" in stmt
