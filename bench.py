@@ -273,6 +273,15 @@ def split_harness(spark, sf_dir: str) -> dict:
 # The same-host A/B triple: one lake-write op, one retrieval op, one
 # dedup op — shared by every round since r3, mid-cost, stable plans.
 AB_QUERIES = ["merge_upsert_events", "hybrid_rrf_retrieval", "dedup_minhash_lsh"]
+# r13+: the three Python-worker-heavy outliers the r12 artifact flagged —
+# the dedicated r11-tip A/B (BENCH_LOCAL.ab_r13_suspect_investigation)
+# proved them host noise (sign flips with order, medians ≤1.1×); kept in
+# the per-round A/B so any FUTURE drift on the applyInPandas/codec path
+# is attributed the same round it appears.
+AB_QUERIES += [
+    "arrow_ipc_ingest_roundtrip", "matryoshka_recall_eval",
+    "rm3_query_expansion",
+]
 
 
 def host_factor_measure() -> dict:
