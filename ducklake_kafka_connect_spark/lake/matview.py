@@ -31,9 +31,16 @@ re-derived from the folded pair each refresh, NULL when the group holds
 no non-null values — so avg is exact under deletes, unlike a naive
 "fold the average" scheme). A ``count(*)`` column is REQUIRED (group
 liveness is undecidable without it — real IVM systems carry the same
-hidden count). MIN/MAX are rejected: they are not incrementally
-maintainable under deletes without re-scanning the group (Databricks'
-incremental MVs carry the same restriction). ``sum`` is maintained
+hidden count). ``min(<expr>)`` / ``max(<expr>)`` are supported via
+TOUCHED-GROUP REPAIR (r13): inserts fold cheaply (min can only shrink:
+``least(current, batch-min)``), but a delete can raise a min, so groups
+the change feed deleted from are recomputed exactly from the pinned
+base snapshot — a scan semi-joined to only those (churn-bounded) group
+keys, manifest-pruned via an IN predicate when the single group key has
+≤256 touched values (partition-aligned group keys then pay only their
+own partitions). Writing min/max into the definition is the opt-in to
+that repair cost; sum/count/avg-only views never pay it. ``sum`` is
+maintained
 0-seeded: a live group whose every value is NULL reports 0 where a
 from-scratch aggregate reports NULL — documented divergence, avoided
 entirely by non-null measures (avg does NOT inherit it: its hidden sum
@@ -68,7 +75,7 @@ PROP_BASE = "mv.base"
 PROP_BASE_VERSION = "mv.base_version"
 
 _AGG_RE = re.compile(
-    r"^(sum|count|avg)\s*\((.+)\)\s+AS\s+(" + _IDENT + r")\s*$",
+    r"^(sum|count|avg|min|max)\s*\((.+)\)\s+AS\s+(" + _IDENT + r")\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DEF_RE = re.compile(
@@ -111,6 +118,12 @@ class MvDef:
             if kind == "avg"
         ]
 
+    def needs_repair(self) -> bool:
+        """min/max are not self-maintainable under deletes: refresh
+        re-scans (only) the groups the change feed DELETED from — the
+        classic IVM repair. A definition without min/max never pays it."""
+        return any(kind in ("min", "max") for kind, _, _ in self.aggs)
+
 
 def parse_mv_query(query: str) -> MvDef:
     q = query.strip().rstrip(";").strip()
@@ -137,10 +150,10 @@ def parse_mv_query(query: str) -> MvDef:
                 count_alias = count_alias or alias
             elif fn == "count":
                 aggs.append(("count", inner, alias))
-            elif fn == "avg":
+            elif fn in ("avg", "min", "max"):
                 if inner == "*":
-                    raise ValueError("avg(*) is not a thing")
-                aggs.append(("avg", inner, alias))
+                    raise ValueError(f"{fn}(*) is not a thing")
+                aggs.append((fn, inner, alias))
             else:
                 aggs.append(("sum", inner, alias))
             continue
@@ -149,11 +162,10 @@ def parse_mv_query(query: str) -> MvDef:
             seen_groups.append(name)
             continue
         low = item.lower()
-        if re.match(r"^(min|max|stddev|var)\s*\(", low):
+        if re.match(r"^(stddev|var)\s*\(", low):
             raise ValueError(
-                f"materialized views maintain only sum/count/avg "
-                f"incrementally (min/max are not self-maintainable under "
-                f"deletes without re-scanning the group); got {item!r} — "
+                f"materialized views maintain sum/count/avg incrementally "
+                f"and min/max via touched-group repair; got {item!r} — "
                 f"use a plain query for the rest"
             )
         raise ValueError(
@@ -212,6 +224,10 @@ def _agg_cols(d: MvDef) -> list:
             )
         elif kind == "avg_cnt":
             cols.append(F.count(F.expr(expr)).cast("long").alias(alias))
+        elif kind == "min":
+            cols.append(F.min(F.expr(expr)).alias(alias))
+        elif kind == "max":
+            cols.append(F.max(F.expr(expr)).alias(alias))
         else:
             cols.append(F.sum(F.expr(expr)).alias(alias))
     return cols
@@ -351,30 +367,109 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
                     F.when(F.expr(expr).isNotNull(), F.col("__sign")).otherwise(0)
                 ).cast("long").alias(alias)
             )
+        elif kind == "min":
+            # fold path sees only insert-side rows (delete-touched groups
+            # are routed to repair below): min can only shrink
+            delta_cols.append(
+                F.min(F.when(F.col("__sign") == 1, F.expr(expr))).alias(alias)
+            )
+        elif kind == "max":
+            delta_cols.append(
+                F.max(F.when(F.col("__sign") == 1, F.expr(expr))).alias(alias)
+            )
         else:  # sum / avg_sum fold identically (avg_sum is 0-seeded too)
             delta_cols.append(
                 F.sum(F.col("__sign") * F.coalesce(F.expr(expr), F.lit(0))).alias(alias)
             )
     delta = ch.groupBy(*[F.col(g) for g in d.groups]).agg(*delta_cols)
+    repaired = None
+    mode = "incremental"
+    if d.needs_repair():
+        # min/max repair: a delete can RAISE a min (its row may have
+        # been the argmin), so groups the change feed deleted from are
+        # recomputed exactly from the base snapshot — a scan touching
+        # only those groups (semi-join on churn-sized keys; when the
+        # single group key has few distinct values the repair read is
+        # manifest-PRUNED via an IN predicate, so partition-aligned
+        # group keys pay only their own partitions). Insert-only groups
+        # stay on the cheap fold (min = least(cur, batch min)).
+        repair_keys = (
+            ch.filter(F.col("__sign") == -1).select(*d.groups).distinct()
+        )
+        # bounded probe, never an unbounded collect: only the first 257
+        # keys come to the driver (enough to know whether an IN-predicate
+        # prune is worth building)
+        keys = [tuple(r) for r in repair_keys.limit(257).collect()]
+        if keys:
+            n_lbl = str(len(keys)) if len(keys) <= 256 else ">256"
+            mode = f"incremental+repair({n_lbl} group(s))"
+            delta = delta.join(
+                F.broadcast(repair_keys), on=list(d.groups), how="left_anti"
+            )
+            where = None
+            if len(d.groups) == 1 and len(keys) <= 256:
+                vals = [k[0] for k in keys]
+                if all(isinstance(v, bool) for v in vals):
+                    lits = [str(v).lower() for v in vals]
+                elif all(isinstance(v, int) for v in vals):
+                    lits = [str(v) for v in vals]
+                elif all(isinstance(v, str) for v in vals):
+                    esc = [v.replace("'", "''") for v in vals]
+                    lits = [f"'{v}'" for v in esc]
+                else:
+                    lits = None
+                if lits:
+                    where = f"{quote_ident(d.groups[0])} IN ({', '.join(lits)})"
+            rep = base.read(version=to_v, where=where)
+            if d.where:
+                rep = rep.filter(d.where)
+            rep = rep.join(
+                F.broadcast(repair_keys), on=list(d.groups), how="left_semi"
+            )
+            repaired = _with_derived(
+                rep.groupBy(*[F.col(g) for g in d.groups]).agg(*_agg_cols(d)),
+                d,
+            ).withColumn("__dead", F.lit(False))
+            # repaired groups with ZERO surviving base rows are dead —
+            # they can't appear in the recompute output, so synthesize
+            # tombstone rows (merge deletes them by group key)
+            mv_schema = {f.name: f.dataType for f in t.manifest().schema.fields}
+            dead_rows = repair_keys.join(
+                repaired.select(*d.groups), on=list(d.groups), how="left_anti"
+            ).select(
+                *d.groups,
+                *[
+                    (F.lit(0) if a == d.count_alias else F.lit(None))
+                    .cast(mv_schema[a]).alias(a)
+                    for a in [c for c in repaired.columns
+                              if c not in d.groups and c != "__dead"]
+                ],
+            ).withColumn("__dead", F.lit(True))
+            repaired = repaired.unionByName(dead_rows)
     aliases = [a for _, _, a in d.maintained()]
     cur = t.read().select(
         *d.groups, *[F.col(a).alias(f"__cur_{a}") for a in aliases]
     )
+    fold_cols = []
+    for kind, _, a in d.maintained():
+        curc, dc = F.col(f"__cur_{a}"), F.col(a)
+        if kind == "min":
+            fold_cols.append(F.least(curc, dc).alias(a))  # least skips nulls
+        elif kind == "max":
+            fold_cols.append(F.greatest(curc, dc).alias(a))
+        else:
+            fold_cols.append((F.coalesce(curc, F.lit(0)) + dc).alias(a))
     folded = delta.join(cur, on=list(d.groups), how="left").select(
-        *d.groups,
-        *[
-            (
-                F.coalesce(F.col(f"__cur_{a}"), F.lit(0)) + F.col(a)
-            ).alias(a)
-            for a in aliases
-        ],
+        *d.groups, *fold_cols
     )
     folded = _with_derived(folded, d)
     # sum columns keep the base's types (long + long, double + double);
     # the merge conform handles widening like any write
     dead = F.col(d.count_alias) == 0
     out = folded.withColumn("__dead", dead)
+    if repaired is not None:
+        out = out.unionByName(repaired)
     w = _writer(cat, name, d)
     w.extra_commit_props = marker
     w.merge(out, tombstone_col="__dead")
-    return {"view": name, "mode": "incremental", "from": from_v, "to": to_v}
+    return {"view": name, "mode": mode, "from": from_v, "to": to_v}

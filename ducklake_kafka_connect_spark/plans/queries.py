@@ -3422,3 +3422,57 @@ def cdf_over_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT event_id, _change_type AS change_type, event_type, cents "
         f"FROM table_changes('events_cdfmor', {v0}, {t.current_version()})"
     )
+
+
+@register(
+    "matview_minmax_repair",
+    """
+    SELECT event_type, min(m) AS lo, max(m) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT CASE WHEN event_id % 10 >= 5 THEN 'updated'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 10 >= 5
+                    THEN CAST(floor(value * 100) AS BIGINT) + 1000
+                    ELSE CAST(floor(value * 100) AS BIGINT) END AS m
+        FROM events
+        WHERE event_id % 7 <> 0
+    )
+    GROUP BY event_type
+    """,
+    "min/max in an incrementally-refreshed materialized view via "
+    "TOUCHED-GROUP REPAIR (lake/matview.py r13): inserts fold as "
+    "least/greatest, but the predicate delete makes a min/max "
+    "un-foldable, so refresh recomputes exactly the groups the change "
+    "feed deleted from — a base scan semi-joined to churn-bounded group "
+    "keys, manifest-pruned via an IN predicate for ≤256 single-column "
+    "keys. Asserted in-query: the refresh reports the repair path and "
+    "the result equals the from-scratch aggregate.",
+)
+def matview_minmax_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_mm"), pk=["event_id"])
+    w.write(ev.filter(F.col("event_id") % 10 < 8))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW mm_rollup AS SELECT event_type, "
+        "min(cents) AS lo, max(cents) AS hi, count(*) AS n "
+        "FROM events_mm GROUP BY event_type"
+    )
+    w.write(
+        ev.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("cents", F.col("cents") + F.lit(1000))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    w.delete_where("event_id % 7 = 0")
+    st = cat.sql("REFRESH MATERIALIZED VIEW mm_rollup").collect()[0]
+    if "repair" not in st["detail"]:
+        raise AssertionError(f"refresh took {st['detail']!r}, expected repair")
+    return cat.table("mm_rollup").read().select("event_type", "lo", "hi", "n")

@@ -168,8 +168,8 @@ def test_count_expr_and_or_replace(spark, cat):
 
 def test_definition_guards(spark, cat):
     c, _ = cat
-    with pytest.raises(ValueError, match="self-maintainable"):
-        parse_mv_query("SELECT region, min(cents) AS m, count(*) AS n FROM sales GROUP BY region")
+    with pytest.raises(ValueError, match="stddev"):
+        parse_mv_query("SELECT region, stddev(cents) AS m, count(*) AS n FROM sales GROUP BY region")
     with pytest.raises(ValueError, match="count\\(\\*\\)"):
         parse_mv_query("SELECT region, sum(cents) AS s FROM sales GROUP BY region")
     with pytest.raises(ValueError, match="every GROUP BY"):
@@ -397,3 +397,88 @@ def test_refresh_spanning_mor_materialization(spark, cat):
     )
     c.sql("REFRESH MATERIALIZED VIEW mv")
     assert _content(c) == _expected(c)
+
+
+def test_minmax_repair_refresh(spark, cat):
+    """r13: min/max via touched-group repair — inserts fold as
+    least/greatest, a delete of the argmin/argmax repairs ONLY the
+    touched groups from the base, dead groups tombstone."""
+    c, w = cat
+    c.sql(
+        "CREATE MATERIALIZED VIEW mvm AS SELECT region, min(cents) AS lo, "
+        "max(cents) AS hi, sum(cents) AS total, count(*) AS n "
+        "FROM sales GROUP BY region"
+    )
+
+    def expected():
+        return {
+            r["region"]: (r["lo"], r["hi"], r["total"], r["n"])
+            for r in c.table("sales").read().groupBy("region").agg(
+                F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+                F.sum("cents").alias("total"), F.count("*").alias("n"),
+            ).collect()
+        }
+
+    def got():
+        return {
+            r["region"]: (r["lo"], r["hi"], r["total"], r["n"])
+            for r in c.table("mvm").read().collect()
+        }
+
+    # insert-only churn: pure fold path (no repair in the status detail)
+    w.write(
+        spark.createDataFrame(
+            [(600, "r0", -5), (601, "r1", 9999)],
+            "id int, region string, cents long",
+        )
+    )
+    st = c.sql("REFRESH MATERIALIZED VIEW mvm").collect()[0]
+    assert "repair" not in st["detail"], st["detail"]
+    assert got() == expected()
+    assert got()["r0"][0] == -5 and got()["r1"][1] == 9999
+    # delete the argmax of r1 AND the argmin of r0: repair must raise
+    # min/lower max exactly, and only those groups are repaired
+    w.delete_where("id IN (600, 601)")
+    st = c.sql("REFRESH MATERIALIZED VIEW mvm").collect()[0]
+    assert "repair(2 group(s))" in st["detail"], st["detail"]
+    assert got() == expected()
+    # update that MOVES a row across groups: -1 on the old group
+    # (repairs it), +1 on the new (folds)
+    w.merge(
+        spark.createDataFrame(
+            [(1, "r9", 777)], "id int, region string, cents long"
+        )
+    )
+    st = c.sql("REFRESH MATERIALIZED VIEW mvm").collect()[0]
+    assert "repair" in st["detail"]
+    assert got() == expected()
+    # kill an entire group: every r9 row out → group dies via repair
+    w.delete_where("region = 'r9'")
+    c.sql("REFRESH MATERIALIZED VIEW mvm")
+    assert got() == expected()
+    assert "r9" not in got()
+
+
+def test_minmax_repair_with_where_and_nulls(spark, cat):
+    """Repair honors the definition's WHERE and NULL measures (min/max
+    ignore NULLs; an all-NULL group reports NULL min/max but stays live
+    through count(*))."""
+    c, w = cat
+    w.merge(
+        spark.createDataFrame(
+            [(700, "rn", None), (701, "rn", None)],
+            "id int, region string, cents long",
+        )
+    )
+    c.sql(
+        "CREATE MATERIALIZED VIEW mvw AS SELECT region, min(cents) AS lo, "
+        "count(*) AS n FROM sales WHERE id < 1000 GROUP BY region"
+    )
+    row = c.table("mvw").read().filter("region = 'rn'").collect()[0]
+    assert row["lo"] is None and row["n"] == 2
+    # delete one NULL row: repair path, group stays live, min stays NULL
+    w.delete_where("id = 700")
+    st = c.sql("REFRESH MATERIALIZED VIEW mvw").collect()[0]
+    assert "repair" in st["detail"]
+    row = c.table("mvw").read().filter("region = 'rn'").collect()[0]
+    assert row["lo"] is None and row["n"] == 1
