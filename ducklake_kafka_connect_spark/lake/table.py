@@ -2761,6 +2761,23 @@ class LakeCatalog:
         from .sql_prune import strip_catalog_prefix
 
         stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
+        # ---- COPY INTO: idempotent bulk file ingestion (Delta parity:
+        # already-loaded files are remembered in table props and skipped
+        # on re-run, so a failed batch job reruns safely) ----
+        cpm = _re.match(
+            rf"COPY\s+INTO\s+({_IDENT})\s+FROM\s+'((?:[^']|'')*)'"
+            rf"(?:\s+FILEFORMAT\s*=\s*(PARQUET|CSV|JSON))?"
+            rf"(?:\s+PATTERN\s*=\s*'((?:[^']|'')*)')?\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if cpm:
+            return self._copy_into(
+                unquote_ident(cpm.group(1)),
+                cpm.group(2).replace("''", "'"),
+                (cpm.group(3) or "PARQUET").upper(),
+                cpm.group(4).replace("''", "'") if cpm.group(4) else None,
+            )
         # ---- materialized views (lake/matview.py) ----
         mvc = _re.match(
             rf"CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+({_IDENT})\s+AS\s+(.+)$",
@@ -3263,6 +3280,68 @@ class LakeCatalog:
             [(op, table, detail)], "op string, table string, detail string"
         )
 
+    def _copy_into(
+        self, name: str, path: str, fmt: str, pattern: str | None
+    ):
+        """``COPY INTO t FROM 'dir' [FILEFORMAT = PARQUET|CSV|JSON]
+        [PATTERN = 'glob']`` — idempotent bulk ingestion (Delta's COPY
+        INTO semantics): every source file loaded is remembered in the
+        manifest props IN THE SAME COMMIT as its rows, so a rerun after
+        a crash skips exactly the files that made it in and loads the
+        rest. Rows land through the writer (schema conform/evolution,
+        merge-vs-insert routing on PK tables, partition layout) — this
+        is ingestion, not the zero-copy ``add_files`` import. The
+        loaded-set is one absolute path per file; for unbounded daily
+        feeds, VACUUM-style hygiene is the caller's rotation of source
+        dirs (the set is per-table and grows with distinct loaded
+        files — same contract as Delta's COPY INTO file history)."""
+        import fnmatch
+
+        from .writer import LakeWriter as _W
+
+        t = self.table(name)
+        if not t.exists():
+            raise ValueError(f"COPY INTO: table {name!r} does not exist")
+        ext = {"PARQUET": ".parquet", "CSV": ".csv", "JSON": ".json"}[fmt]
+        if not os.path.isdir(path):
+            raise ValueError(f"COPY INTO: source dir {path!r} does not exist")
+        found: list[str] = []
+        for root_dir, _dirs, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(ext) and not f.startswith(("_", ".")):
+                    found.append(os.path.abspath(os.path.join(root_dir, f)))
+        found.sort()
+        if pattern:
+            found = [
+                f
+                for f in found
+                if fnmatch.fnmatch(os.path.relpath(f, path), pattern)
+            ]
+        m = t.manifest()
+        loaded = set(m.props.get("copy_into", []))
+        new = [f for f in found if f not in loaded]
+        if not new:
+            return self._ddl_result(
+                "COPY INTO", name,
+                f"0 new file(s) ({len(found)} already loaded)",
+            )
+        if fmt == "PARQUET":
+            df = self.spark.read.parquet(*new)
+        elif fmt == "CSV":
+            df = (
+                self.spark.read.option("header", "true")
+                .option("inferSchema", "true").csv(new)
+            )
+        else:
+            df = self.spark.read.json(new)
+        w = _W(t, pk=list(m.pk) or None, auto_create=False)
+        w.extra_commit_props = {"copy_into": sorted(loaded | set(new))}
+        w.write(df)
+        return self._ddl_result(
+            "COPY INTO", name,
+            f"{len(new)} file(s) v{t.current_version()}",
+        )
+
     def sql(
         self,
         query: str,
@@ -3386,7 +3465,8 @@ class LakeCatalog:
             r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|MATERIALIZED\s+VIEW|VIEW)"
             r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW)"
             r"|REFRESH\s+MATERIALIZED\s+VIEW"
-            r"|ALTER\s+TABLE|ALTER\s+VIEW|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE|RESTORE\s+TABLE)\b",
+            r"|ALTER\s+TABLE|ALTER\s+VIEW|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE"
+            r"|RESTORE\s+TABLE|COPY\s+INTO)\b",
             query,
             _re.IGNORECASE,
         ):

@@ -2670,3 +2670,218 @@ def bigram_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+@register(
+    "corpus_datasheet",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split_regex(trim(lower(text)), '{TOKEN_SPLIT}'))
+               AS toks,
+             md5(text) AS h
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS docs,
+             CAST(count(DISTINCT h) AS BIGINT) AS uniq,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(sum(toks) AS BIGINT) AS tokens,
+             CAST(floor(quantile_cont(toks, 0.5)) AS BIGINT) AS p50,
+             CAST(floor(quantile_cont(toks, 0.9)) AS BIGINT) AS p90
+      FROM d
+    )
+    SELECT 'corpus' AS section, 'docs' AS metric, docs AS value FROM tot
+    UNION ALL
+    SELECT 'corpus', 'exact_dup_docs', docs - uniq FROM tot
+    UNION ALL
+    SELECT 'corpus', 'chars', chars FROM tot
+    UNION ALL
+    SELECT 'corpus', 'tokens', tokens FROM tot
+    UNION ALL
+    SELECT 'corpus', 'tokens_p50', p50 FROM tot
+    UNION ALL
+    SELECT 'corpus', 'tokens_p90', p90 FROM tot
+    UNION ALL
+    SELECT 'lang:' || lang, 'docs', CAST(count(*) AS BIGINT)
+    FROM d GROUP BY lang
+    UNION ALL
+    SELECT 'source:' || source, 'docs', CAST(count(*) AS BIGINT)
+    FROM d GROUP BY source
+    """,
+    "Dataset datasheet / data card in one pass (Gebru et al. 2021 "
+    "'Datasheets for Datasets'): corpus totals, exact-duplicate count, "
+    "token-length percentiles, and per-language / per-source "
+    "composition as one (section, metric, value) report — the artifact "
+    "every training-data release ships. One tokenizing scan feeds a "
+    "GROUPING-SETS-shaped rollup (lang and source composition share one "
+    "shuffle) plus an exact-percentile aggregate; the duplicate count "
+    "is count(*) - count(DISTINCT md5) — no pairwise anything.",
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)).alias("toks"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    d = d.persist()
+    tot = d.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("h").alias("uniq"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("toks").cast("long").alias("tokens"),
+        F.floor(F.expr("percentile(toks, 0.5)")).cast("long").alias("p50"),
+        F.floor(F.expr("percentile(toks, 0.9)")).cast("long").alias("p90"),
+    )
+    scalar_rows = tot.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("docs").alias("metric"), F.col("docs").alias("value")),
+                F.struct(F.lit("exact_dup_docs").alias("metric"),
+                         (F.col("docs") - F.col("uniq")).alias("value")),
+                F.struct(F.lit("chars").alias("metric"), F.col("chars").alias("value")),
+                F.struct(F.lit("tokens").alias("metric"), F.col("tokens").alias("value")),
+                F.struct(F.lit("tokens_p50").alias("metric"), F.col("p50").alias("value")),
+                F.struct(F.lit("tokens_p90").alias("metric"), F.col("p90").alias("value")),
+            )
+        ).alias("kv")
+    ).select(
+        F.lit("corpus").alias("section"),
+        F.col("kv.metric").alias("metric"),
+        F.col("kv.value").cast("long").alias("value"),
+    )
+    # one shuffle for BOTH composition axes: grouping sets over (lang),
+    # (source) — at 100 TB this is the map-side-combined rollup shape
+    comp = d.groupingSets(
+        [[F.col("lang")], [F.col("source")]], F.col("lang"), F.col("source")
+    ).agg(F.count(F.lit(1)).cast("long").alias("value")).select(
+        F.when(F.col("lang").isNotNull(), F.concat(F.lit("lang:"), F.col("lang")))
+        .otherwise(F.concat(F.lit("source:"), F.col("source"))).alias("section"),
+        F.lit("docs").alias("metric"),
+        "value",
+    )
+    return scalar_rows.unionByName(comp)
+
+
+@register(
+    "rho_learnability_select",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '{TOKEN_SPLIT}') AS ts
+      FROM documents
+    ),
+    d2 AS (SELECT * FROM d WHERE len(ts) >= 2),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(ts[1:len(ts)-1]) AS w1,
+             unnest(ts[2:len(ts)])   AS w2
+      FROM d2
+    ),
+    tr AS (SELECT w1, w2 FROM bg WHERE lang = 'en' AND doc_id % 2 = 1),
+    ho AS (SELECT w1, w2 FROM bg WHERE lang = 'en' AND doc_id % 2 = 0),
+    cbt AS (SELECT w1, w2, count(*) AS c FROM tr GROUP BY w1, w2),
+    cut AS (SELECT w1, count(*) AS c FROM tr GROUP BY w1),
+    vt  AS (SELECT count(DISTINCT w2) AS nv FROM tr),
+    cbr AS (SELECT w1, w2, count(*) AS c FROM ho GROUP BY w1, w2),
+    cur AS (SELECT w1, count(*) AS c FROM ho GROUP BY w1),
+    vr  AS (SELECT count(DISTINCT w2) AS nv FROM ho),
+    sc AS (
+      SELECT bg.doc_id, bg.lang,
+             ({_micronats_sql('CAST(2 * coalesce(cut.c, 0) + vt.nv AS DOUBLE)')}
+            - {_micronats_sql('CAST(2 * coalesce(cbt.c, 0) + 1 AS DOUBLE)')})
+           - ({_micronats_sql('CAST(2 * coalesce(cur.c, 0) + vr.nv AS DOUBLE)')}
+            - {_micronats_sql('CAST(2 * coalesce(cbr.c, 0) + 1 AS DOUBLE)')})
+               AS gap_micro
+      FROM bg
+      LEFT JOIN cbt ON bg.w1 = cbt.w1 AND bg.w2 = cbt.w2
+      LEFT JOIN cut ON bg.w1 = cut.w1
+      LEFT JOIN cbr ON bg.w1 = cbr.w1 AND bg.w2 = cbr.w2
+      LEFT JOIN cur ON bg.w1 = cur.w1
+      CROSS JOIN vt CROSS JOIN vr
+    ),
+    agg AS (
+      SELECT doc_id, lang, count(*) AS n_bigrams,
+             CAST(floor(CAST(sum(gap_micro) AS DOUBLE) / count(*)) AS BIGINT)
+               AS learn_micro
+      FROM sc GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           learn_micro,
+           CASE ntile(3) OVER (ORDER BY learn_micro DESC, doc_id)
+                WHEN 1 THEN 'selected' WHEN 2 THEN 'middle'
+                ELSE 'dropped' END AS rho_bucket
+    FROM agg
+    """,
+    "RHO-loss learnability selection (Mindermann et al. 2022): score "
+    "every document under TWO bigram LMs trained on disjoint halves of "
+    "the 'en' subset (odd doc_ids = training model, even = holdout/"
+    "irreducible-loss model); learnability = train NLL minus holdout "
+    "NLL, and the top tercile is 'selected' — points the current model "
+    "finds hard but a held-out model proves learnable, skipping both "
+    "the already-learned and the unlearnable-noise tails. Integer "
+    "micro-nats make the gap exact. 100 TB: both LM tables are "
+    "vocab-bounded broadcasts over one tokenizing scan; per-doc "
+    "reduction is one shuffle on doc_id; ntile swaps for approx "
+    "thresholds at scale.",
+)
+def rho_learnability_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    d2 = docs.select("doc_id", "lang", ts.alias("ts")).filter(F.size("ts") >= 2)
+    n = F.size("ts")
+    bg = d2.select(
+        "doc_id", "lang",
+        F.slice("ts", 1, n - 1).alias("a"),
+        F.slice("ts", 2, n - 1).alias("b"),
+    ).select(
+        "doc_id", "lang", F.explode(F.arrays_zip(F.col("a"), F.col("b"))).alias("z")
+    ).select(
+        "doc_id", "lang", F.col("z.a").alias("w1"), F.col("z.b").alias("w2")
+    )
+    bg.persist()
+    en = bg.filter(F.col("lang") == "en")
+    tr = en.filter(F.col("doc_id") % 2 == 1).select("w1", "w2")
+    ho = en.filter(F.col("doc_id") % 2 == 0).select("w1", "w2")
+
+    def lm(train, tag):
+        cb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias(f"cb_{tag}"))
+        cu = train.groupBy("w1").agg(F.count(F.lit(1)).alias(f"cu_{tag}"))
+        v = train.agg(F.countDistinct("w2").alias(f"nv_{tag}"))
+        return cb, cu, v
+
+    cbt, cut, vt = lm(tr, "t")
+    cbr, cur, vr = lm(ho, "r")
+
+    def nll(tag):
+        return _micronats_col(
+            (2 * F.coalesce(F.col(f"cu_{tag}"), F.lit(0)) + F.col(f"nv_{tag}")).cast("double")
+        ) - _micronats_col(
+            (2 * F.coalesce(F.col(f"cb_{tag}"), F.lit(0)) + 1).cast("double")
+        )
+
+    sc = (
+        bg.join(F.broadcast(cbt), ["w1", "w2"], "left")
+        .join(F.broadcast(cut), ["w1"], "left")
+        .join(F.broadcast(cbr), ["w1", "w2"], "left")
+        .join(F.broadcast(cur), ["w1"], "left")
+        .crossJoin(F.broadcast(vt))
+        .crossJoin(F.broadcast(vr))
+        .select("doc_id", "lang", (nll("t") - nll("r")).alias("gap_micro"))
+    )
+    agg = sc.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.floor(F.sum("gap_micro").cast("double") / F.count(F.lit(1)))
+        .cast("long").alias("learn_micro"),
+    )
+    w = W.orderBy(F.col("learn_micro").desc(), "doc_id")
+    return agg.withColumn("__nt", F.ntile(3).over(w)).select(
+        "doc_id", "lang", "n_bigrams", "learn_micro",
+        F.when(F.col("__nt") == 1, "selected")
+        .when(F.col("__nt") == 2, "middle")
+        .otherwise("dropped").alias("rho_bucket"),
+    )

@@ -1585,3 +1585,50 @@ def lake_sink_upsert_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not mor_state(m)[1]:
         raise AssertionError("sink upsert left no tombstone state")
     return t.read().select("event_id", "event_type", "cents", "score")
+
+
+@register(
+    "sql_copy_into_import",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_id % 3 = 0
+    GROUP BY event_type
+    """,
+    "COPY INTO (Delta-parity idempotent bulk ingestion, r13): source "
+    "parquet files land through the writer with the loaded-file set "
+    "committed ATOMICALLY with the rows, so the statement is rerun-safe "
+    "— asserted in-query: the second COPY INTO loads 0 files and "
+    "commits no version. Ingestion differs from add_files (zero-copy "
+    "import): rows conform/evolve and route through merge-vs-insert.",
+)
+def sql_copy_into_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _event_source(spark, sf_dir).filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_copy_{uuid.uuid4().hex[:8]}"
+    )
+    src = os.path.join(root, "src")
+    ev.coalesce(2).write.parquet(src)
+    cat = LakeCatalog(spark, os.path.join(root, "lake"))
+    cat.sql("CREATE TABLE ev_copied (event_id BIGINT, event_type STRING, cents BIGINT)")
+    cat.sql(f"COPY INTO ev_copied FROM '{src}'")
+    v = cat.table("ev_copied").current_version()
+    rerun = cat.sql(f"COPY INTO ev_copied FROM '{src}'").collect()[0]
+    if not rerun["detail"].startswith("0 new"):
+        raise AssertionError(f"COPY INTO rerun not idempotent: {rerun['detail']}")
+    if cat.table("ev_copied").current_version() != v:
+        raise AssertionError("COPY INTO rerun committed a version")
+    return (
+        cat.table("ev_copied").read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

@@ -3476,3 +3476,38 @@ def matview_minmax_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "repair" not in st["detail"]:
         raise AssertionError(f"refresh took {st['detail']!r}, expected repair")
     return cat.table("mm_rollup").read().select("event_type", "lo", "hi", "n")
+
+
+@register(
+    "contrastive_pair_mining",
+    f"""
+    WITH pairs AS ({dedup_ops.minhash_dedup_pairs_sql(threshold=0.0)})
+    SELECT id_a AS anchor_id, id_b AS pair_id, jaccard,
+           CASE WHEN jaccard >= 0.7 THEN 'positive'
+                ELSE 'hard_negative' END AS label
+    FROM pairs
+    WHERE jaccard >= 0.7 OR jaccard < 0.3
+    """,
+    "Contrastive training-pair mining for embedding models (SimCSE/E5 "
+    "recipe): LSH candidate pairs double as BOTH sides of the "
+    "contrastive objective — exact-Jaccard >= 0.7 collisions become "
+    "positives (near-dup augmentations), while same-bucket collisions "
+    "with Jaccard < 0.3 become HARD negatives (lexically overlapping "
+    "non-duplicates, exactly the pairs in-batch random negatives never "
+    "surface); the ambiguous mid-band is dropped. Reuses the banded "
+    "MinHash pipeline end-to-end, so mining cost = the dedup pass "
+    "already being paid; no all-pairs stage exists at any scale.",
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ops.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.0
+    )
+    return pairs.filter(
+        (F.col("jaccard") >= 0.7) | (F.col("jaccard") < 0.3)
+    ).select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("pair_id"),
+        "jaccard",
+        F.when(F.col("jaccard") >= 0.7, "positive")
+        .otherwise("hard_negative").alias("label"),
+    )

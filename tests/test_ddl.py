@@ -821,3 +821,44 @@ class TestDialectWave12b:
             1: 10,
             2: 20,
         }, "the PRE-update snapshot must be what merged"
+
+
+def test_copy_into_idempotent(spark, tmp_path):
+    """r13: COPY INTO — idempotent bulk ingestion; loaded files are
+    remembered in the SAME commit as their rows, re-runs skip them,
+    PATTERN filters, and new files load incrementally."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog
+    from pyspark.sql import functions as F
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cat.sql("CREATE TABLE imports (id BIGINT, v BIGINT)")
+    src = tmp_path / "src"
+    spark.range(10).select("id", (F.col("id") * 2).alias("v")) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    spark.range(10, 15).select("id", (F.col("id") * 2).alias("v")) \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    r = cat.sql(f"COPY INTO imports FROM '{src}'").collect()[0]
+    assert "file(s)" in r["detail"] and not r["detail"].startswith("0")
+    assert cat.table("imports").read().count() == 15
+    # re-run: nothing new, no new version
+    v = cat.table("imports").current_version()
+    r = cat.sql(f"COPY INTO imports FROM '{src}'").collect()[0]
+    assert r["detail"].startswith("0 new")
+    assert cat.table("imports").current_version() == v
+    # a new file arrives: only it loads
+    spark.range(15, 18).select("id", (F.col("id") * 2).alias("v")) \
+        .coalesce(1).write.parquet(str(src / "b3"))
+    cat.sql(f"COPY INTO imports FROM '{src}'")
+    assert cat.table("imports").read().count() == 18
+    got = {r["id"]: r["v"] for r in cat.table("imports").read().collect()}
+    assert got == {i: i * 2 for i in range(18)}
+    # PATTERN restricts; CSV format reads headered files
+    csvdir = tmp_path / "csv"
+    csvdir.mkdir()
+    (csvdir / "a.csv").write_text("id,v\n100,200\n")
+    (csvdir / "skip.csv").write_text("id,v\n999,999\n")
+    cat.sql(
+        f"COPY INTO imports FROM '{csvdir}' FILEFORMAT = CSV PATTERN = 'a.csv'"
+    )
+    got = cat.table("imports").read().filter("id >= 100").collect()
+    assert [(r["id"], r["v"]) for r in got] == [(100, 200)]
