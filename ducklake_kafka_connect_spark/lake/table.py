@@ -2438,6 +2438,15 @@ def _decimal_from_raw(raw, scale: int) -> decimal.Decimal:
 _IDENT = r'(?:[A-Za-z_]\w*|"(?:[^"]|"")+"|`(?:[^`]|``)+`)'
 
 
+def _has_subquery(text: str) -> bool:
+    """True when a predicate contains a subquery — ``(SELECT`` outside
+    single-quoted string literals ('' escape respected)."""
+    import re as _re
+
+    blanked = _re.sub(r"'(?:[^']|'')*'", "''", text)
+    return _re.search(r"\(\s*SELECT\b", blanked, _re.IGNORECASE) is not None
+
+
 def quote_ident(name: str) -> str:
     """The reference's quoting discipline
     (``ingestor/SqlIdentifierUtil.java:32-39``): names matching
@@ -3247,6 +3256,13 @@ class LakeCatalog:
                 # metadata-only (truncate semantics, history preserved)
                 v = t.truncate()
                 return self._ddl_result("DELETE", name, f"all rows v{v}")
+            if _has_subquery(m.group(2)):
+                # subquery predicate (`WHERE id IN (SELECT ...)`): the
+                # file-level predicate engine can't host subqueries, so
+                # compile onto MERGE — matched keys come from the full
+                # SQL engine (views/time-travel/pruning all apply), the
+                # delete lands through the pk-keyed merge
+                return self._dml_via_merge(name, t, m.group(2), None)
             _W(t, pk=t.manifest().pk or None, auto_create=False).delete_where(
                 m.group(2)
             )
@@ -3269,11 +3285,59 @@ class LakeCatalog:
                 if not expr:
                     raise ValueError(f"bad SET clause: {p.strip()!r}")
                 assigns[unquote_ident(col)] = expr.strip()
+            if m.group(3) is not None and _has_subquery(m.group(3)):
+                if any(_has_subquery(v) for v in assigns.values()):
+                    raise ValueError(
+                        "UPDATE: subqueries are supported in WHERE, not in "
+                        "SET expressions"
+                    )
+                return self._dml_via_merge(name, t, m.group(3), assigns)
             _W(t, pk=t.manifest().pk or None, auto_create=False).update_where(
                 m.group(3) if m.group(3) is not None else "true", assigns
             )
             return self._ddl_result("UPDATE", name, f"v{t.current_version()}")
         raise ValueError(f"unsupported DML statement: {statement!r}")
+
+    def _dml_via_merge(
+        self, name: str, t: "LakeTable", predicate: str,
+        assigns: "dict[str, str] | None",
+    ):
+        """DELETE/UPDATE with a SUBQUERY predicate, compiled onto MERGE:
+        the matched keys are computed by the full SQL engine (so `IN
+        (SELECT ...)`, EXISTS, views, and time travel inside the
+        predicate all work), then land through the pk-keyed merge —
+        O(matched) under merge-on-read, prune-bounded under
+        copy-on-write. Requires a PRIMARY KEY (row identity)."""
+        from .sql_merge import merge_into
+
+        pk = list(t.manifest().pk or [])
+        if not pk:
+            raise ValueError(
+                f"{'UPDATE' if assigns else 'DELETE'} with a subquery "
+                f"predicate needs a PRIMARY KEY on {name} (keys select "
+                f"through MERGE); add one, or materialize the subquery "
+                f"and use a plain predicate"
+            )
+        pk_cols = ", ".join(quote_ident(c) for c in pk)
+        on = " AND ".join(
+            f"__t.{quote_ident(c)} = __s.{quote_ident(c)}" for c in pk
+        )
+        if assigns is None:
+            action = "WHEN MATCHED THEN DELETE"
+            op = "DELETE"
+        else:
+            sets = ", ".join(
+                f"{quote_ident(c)} = {e}" for c, e in assigns.items()
+            )
+            action = f"WHEN MATCHED THEN UPDATE SET {sets}"
+            op = "UPDATE"
+        merge_into(
+            self,
+            f"MERGE INTO {quote_ident(name)} AS __t USING "
+            f"(SELECT {pk_cols} FROM {quote_ident(name)} "
+            f"WHERE {predicate}) AS __s ON {on} {action}",
+        )
+        return self._ddl_result(op, name, f"v{t.current_version()}")
 
     def _ddl_result(self, op: str, table: str, detail: str):
         return self.spark.createDataFrame(
@@ -3388,6 +3452,21 @@ class LakeCatalog:
         q = query.strip().rstrip(";").strip()
         if _re.match(r"SHOW\s+TABLES\s*$", q, _re.IGNORECASE):
             return self.show_tables()
+        exm = _re.match(
+            r"EXPLAIN(?:\s+(EXTENDED|FORMATTED|COST|CODEGEN))?\s+(.+)$",
+            q,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if exm:
+            # EXPLAIN <select>: plan the statement through this same
+            # entry point (views expand, tables register pruned, time
+            # travel resolves) and return the physical plan as a row —
+            # the SQL-side twin of df.explain()
+            mode = (exm.group(1) or "formatted").lower()
+            df = self.sql(exm.group(2), versions=versions, where_hints=where_hints)
+            jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+            plan = df._jdf.queryExecution().explainString(jmode)
+            return self.spark.createDataFrame([(plan,)], "plan string")
         scv = _re.match(
             rf"SHOW\s+CREATE\s+VIEW\s+({_IDENT})\s*$", q, _re.IGNORECASE
         )

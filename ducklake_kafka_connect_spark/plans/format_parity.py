@@ -1632,3 +1632,49 @@ def sql_copy_into_import(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@register(
+    "sql_delete_in_subquery",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id % 37 <> 0
+    GROUP BY event_type
+    """,
+    "DELETE ... WHERE user_id IN (SELECT ...) — the right-to-be-"
+    "forgotten shape (r13): a subquery predicate can't run in the "
+    "file-level predicate engine, so the statement compiles onto MERGE "
+    "(matched keys from the full SQL engine, delete through the "
+    "pk-keyed merge — O(matched) under merge-on-read). The erasure "
+    "list is a second lake table, exactly how a GDPR queue looks.",
+)
+def sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeWriter
+
+    src = _event_source(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_gdpr_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, root)
+    LakeWriter(cat.table("ev_gdpr"), pk=["event_id"]).write(src)
+    LakeWriter(cat.table("erasure_requests")).append(
+        src.filter(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    )
+    cat.sql(
+        "DELETE FROM ev_gdpr WHERE user_id IN "
+        "(SELECT user_id FROM erasure_requests)"
+    )
+    return (
+        cat.table("ev_gdpr").read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

@@ -862,3 +862,51 @@ def test_copy_into_idempotent(spark, tmp_path):
     )
     got = cat.table("imports").read().filter("id >= 100").collect()
     assert [(r["id"], r["v"]) for r in got] == [(100, 200)]
+
+
+def test_delete_update_with_subquery_predicate(spark, tmp_path):
+    """r13: DELETE/UPDATE ... WHERE <subquery> compiles onto MERGE —
+    IN (SELECT ...) across tables and views works; non-pk tables raise
+    a descriptive error."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    LakeWriter(cat.table("t"), pk=["id"]).write(
+        spark.createDataFrame(
+            [(i, f"v{i}", i % 3) for i in range(20)],
+            "id long, val string, grp int",
+        )
+    )
+    LakeWriter(cat.table("bad")).append(
+        spark.createDataFrame([(5,), (7,), (11,)], "id long")
+    )
+    cat.sql("DELETE FROM t WHERE id IN (SELECT id FROM bad)")
+    ids = {r["id"] for r in cat.table("t").read().collect()}
+    assert ids == set(range(20)) - {5, 7, 11}
+    # UPDATE via a view-wrapped subquery
+    cat.sql("CREATE VIEW bads AS SELECT id + 1 AS id FROM bad")
+    cat.sql("UPDATE t SET val = 'flagged' WHERE id IN (SELECT id FROM bads)")
+    got = {r["id"]: r["val"] for r in cat.table("t").read().collect()}
+    assert got[6] == "flagged" and got[8] == "flagged" and got[12] == "flagged"
+    assert got[9] == "v9"
+    # NOT IN / correlated-free scalar subquery also routes through MERGE
+    cat.sql("DELETE FROM t WHERE grp = (SELECT min(grp) FROM t) AND id < 3")
+    assert 0 not in {r["id"] for r in cat.table("t").read().collect()}
+    # non-pk table refuses with a named remedy
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PRIMARY KEY"):
+        cat.sql("DELETE FROM bad WHERE id IN (SELECT id FROM bad)")
+
+
+def test_explain_statement(spark, tmp_path):
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    LakeWriter(cat.table("e"), pk=["id"]).write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    plan = cat.sql("EXPLAIN SELECT v, count(*) AS n FROM e GROUP BY v").collect()[0]["plan"]
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    plan2 = cat.sql("EXPLAIN EXTENDED SELECT * FROM e WHERE id = 1").collect()[0]["plan"]
+    assert "Parsed Logical Plan" in plan2 or "== Physical Plan ==" in plan2
