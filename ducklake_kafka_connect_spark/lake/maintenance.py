@@ -83,6 +83,7 @@ def compact(
     zorder_by: list[str] | None = None,
     target_files: int | None = None,
     small_file_bytes: int | None = None,
+    where: str | None = None,
 ) -> CompactionResult:
     """Rewrite every partition holding more than ``max_files_per_partition``
     data files into one file per partition-task.
@@ -100,6 +101,14 @@ def compact(
     ``read(where=...)`` skips files for predicates on any of them —
     not just the primary key.
 
+    ``where`` scopes the rewrite (``OPTIMIZE t WHERE p``): only files
+    whose footer stats ADMIT the predicate are candidates — the 100 TB
+    shape is "compact yesterday's hot partition", not the table. On a
+    merge-on-read table a scoped OPTIMIZE materializes the debt for
+    exactly the touched files; tombstones still suppressing rows in
+    out-of-scope files stay standing (the commit chokepoint retires
+    them only when no live file predates them).
+
     Scale shape: only offending partitions are read (explicit file list —
     no directory listing), hashed into one task per partition, and
     rewritten; untouched partitions carry their files into the new
@@ -110,16 +119,24 @@ def compact(
 
         m = table.manifest()
         mor_deletes = mor_state(m)[1]
+        src_files = m.files
+        if where is not None:
+            admitted, _ = table.prune_files(where)
+            scope = set(admitted)
+            src_files = {
+                k: [f for f in v if f in scope] for k, v in m.files.items()
+            }
+            src_files = {k: v for k, v in src_files.items() if v}
         if zorder_by or mor_deletes:
             # zorder: re-layout everything. Merge-on-read state: OPTIMIZE
             # is the materialize step — rewrite every file with tombstone
             # visibility applied; the commit chokepoint then drops the
             # now-useless tombstones (no remaining file predates them)
             # and vacuum reclaims the tombstone files.
-            offenders = dict(m.files)
+            offenders = dict(src_files)
         elif small_file_bytes is not None:
             offenders = {}
-            for k, v in m.files.items():
+            for k, v in src_files.items():
                 small = [
                     f
                     for f in v
@@ -129,7 +146,11 @@ def compact(
                 if len(small) > max_files_per_partition:
                     offenders[k] = small
         else:
-            offenders = {k: v for k, v in m.files.items() if len(v) > max_files_per_partition}
+            offenders = {
+                k: v
+                for k, v in src_files.items()
+                if len(v) > max_files_per_partition
+            }
         if not offenders:
             return CompactionResult(0, sum(map(len, m.files.values())),
                                     sum(map(len, m.files.values())))

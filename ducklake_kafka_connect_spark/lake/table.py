@@ -2727,7 +2727,7 @@ class LakeCatalog:
         ("unset_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*(?:(IF\s+EXISTS)\s*)?\((.*)\)\s*$"),
         ("truncate", rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*$"),
         ("vacuum", rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$"),
-        ("optimize", rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$"),
+        ("optimize", rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+?))?\s*$"),
     ]
     _CREATE_RE = rf"CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$"
     # the trailing partition clause is peeled off FIRST (rightmost-anchored,
@@ -3063,11 +3063,12 @@ class LakeCatalog:
                     if m.group(2)
                     else None
                 )
-                r = _compact(t, zorder_by=z)
+                r = _compact(t, zorder_by=z, where=m.group(3))
                 return self._ddl_result(
                     "OPTIMIZE", name,
                     f"files {r.files_before}->{r.files_after}"
-                    + (f" zorder {z}" if z else ""),
+                    + (f" zorder {z}" if z else "")
+                    + (f" where {m.group(3)}" if m.group(3) else ""),
                 )
         raise ValueError(f"unsupported DDL statement: {statement!r}")
 
@@ -3571,6 +3572,10 @@ class LakeCatalog:
         # Delta-parity CDF TVF: table_changes('t', from [, to]) becomes a
         # view over LakeTable.changes (file-diff cost, not table cost)
         query, cdf_views = self._rewrite_table_changes(query)
+        # metadata TVF: table_files('t'[, version]) — the manifest's file
+        # inventory as SQL rows (Iceberg `t.files` analogue), zero scan
+        query, files_views = self._rewrite_table_files(query)
+        cdf_views = cdf_views + files_views
         pins = dict(versions or {})
         hints = dict(where_hints or {})
         referenced = [
@@ -3644,6 +3649,58 @@ class LakeCatalog:
                 f"{frm}_{to if to is not None else 'cur'}_{_uuid.uuid4().hex[:6]}"
             )
             t.changes(frm, to).createOrReplaceTempView(syn)
+            views.append(syn)
+            return quote_ident(syn)
+
+        return pat.sub(sub, query), views
+
+    def _rewrite_table_files(self, query: str):
+        """Rewrite ``table_files('t'[, version])`` calls to synthetic
+        views over the manifest's file inventory (Iceberg's ``t.files``
+        metadata table as a TVF): one row per data file with its
+        partition key, footer row/byte counts, and merge-on-read commit
+        seq — METADATA ONLY, no file is opened. Lets operational SQL
+        answer "which partitions are fragmented", "how much debt does
+        this MOR table carry" with plain aggregates."""
+        import re as _re
+        import uuid as _uuid
+
+        views: list[str] = []
+        pat = _re.compile(
+            r"table_files\s*\(\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)",
+            _re.IGNORECASE,
+        )
+
+        def sub(m: "_re.Match") -> str:
+            from .mor import mor_state
+
+            name = m.group(1)
+            t = self.table(name)
+            if not t.exists():
+                raise ValueError(f"table_files: unknown table {name!r}")
+            mf = t.manifest(int(m.group(2)) if m.group(2) else None)
+            seq_map = mor_state(mf)[0]
+            rows = [
+                (
+                    part or "",
+                    f,
+                    int(st.get("__rows")) if st.get("__rows") is not None else None,
+                    int(st.get("__bytes")) if st.get("__bytes") is not None else None,
+                    int(seq_map.get(f, 0)),
+                )
+                for part, fs in sorted(mf.files.items())
+                for f in fs
+                for st in [mf.file_stats.get(f) or {}]
+            ]
+            syn = (
+                f"{_re.sub(r'[^A-Za-z0-9_]', '_', name)}__files_"
+                f"{mf.version}_{_uuid.uuid4().hex[:6]}"
+            )
+            self.spark.createDataFrame(
+                rows or [],
+                "partition string, file string, rows bigint, "
+                "bytes bigint, seq bigint",
+            ).createOrReplaceTempView(syn)
             views.append(syn)
             return quote_ident(syn)
 

@@ -1678,3 +1678,67 @@ def sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@register(
+    "sql_optimize_where_scoped",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    """,
+    "Partition-scoped compaction (r13): OPTIMIZE t WHERE p rewrites "
+    "only the files whose footer stats admit the predicate — 'compact "
+    "yesterday's hot partition', not the table. Asserted in-query via "
+    "the table_files('t') metadata TVF (zero-scan manifest inventory): "
+    "the scoped partition's file count drops, every out-of-scope file "
+    "survives byte-identical, and the visible content is unchanged.",
+)
+def sql_optimize_where_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeWriter
+
+    src = _event_source(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).cast("int").alias("grp"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_opt_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, root)
+    w = LakeWriter(cat.table("ev_hot"), pk=["event_id"], partition_by="grp")
+    # three appends → several files per partition
+    for r in (0, 1, 2):
+        w.append(src.filter(F.col("event_id") % 3 == r))
+    inv = {
+        row["partition"]: (row["n"], row["files"])
+        for row in cat.sql(
+            "SELECT partition, count(*) AS n, array_sort(collect_list(file)) AS files "
+            "FROM table_files('ev_hot') GROUP BY partition"
+        ).collect()
+    }
+    cat.sql("OPTIMIZE ev_hot WHERE grp = 2")
+    inv2 = {
+        row["partition"]: (row["n"], row["files"])
+        for row in cat.sql(
+            "SELECT partition, count(*) AS n, array_sort(collect_list(file)) AS files "
+            "FROM table_files('ev_hot') GROUP BY partition"
+        ).collect()
+    }
+    hot = next(k for k in inv if k.endswith("=2"))
+    if not inv2[hot][0] < inv[hot][0]:
+        raise AssertionError(f"hot partition not compacted: {inv[hot][0]} -> {inv2[hot][0]}")
+    for k in inv:
+        if k != hot and inv2[k] != inv[k]:
+            raise AssertionError(f"out-of-scope partition {k} changed")
+    return (
+        cat.table("ev_hot").read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

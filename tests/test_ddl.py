@@ -910,3 +910,38 @@ def test_explain_statement(spark, tmp_path):
     assert "HashAggregate" in plan or "Aggregate" in plan
     plan2 = cat.sql("EXPLAIN EXTENDED SELECT * FROM e WHERE id = 1").collect()[0]["plan"]
     assert "Parsed Logical Plan" in plan2 or "== Physical Plan ==" in plan2
+
+
+def test_table_files_tvf(spark, tmp_path):
+    """r13: table_files('t'[, v]) — the manifest file inventory as SQL
+    rows, metadata-only; aggregates answer fragmentation/debt questions."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    t = cat.table("f")
+    w = LakeWriter(t, pk=["id"], partition_by="grp")
+    for lo in (0, 50):
+        w.append(
+            spark.createDataFrame(
+                [(lo + i, i % 2) for i in range(20)], "id long, grp int"
+            )
+        )
+    rows = cat.sql(
+        "SELECT partition, count(*) AS n_files, sum(rows) AS n_rows "
+        "FROM table_files('f') GROUP BY partition ORDER BY partition"
+    ).collect()
+    assert len(rows) == 2
+    assert sum(r["n_rows"] for r in rows) == 40
+    assert all(r["n_files"] >= 2 for r in rows)
+    # version pin: v1 (first append) holds half the rows
+    total_v1 = cat.sql(
+        "SELECT sum(rows) AS r FROM table_files('f', 1)"
+    ).collect()[0]["r"]
+    assert total_v1 == 20
+    # MOR debt shows up as seq > 0 delta files
+    mor = LakeWriter(t, pk=["id"], merge_mode="merge-on-read")
+    mor.merge(spark.createDataFrame([(1, 1)], "id long, grp int"))
+    n_delta = cat.sql(
+        "SELECT count(*) AS n FROM table_files('f') WHERE seq > 0"
+    ).collect()[0]["n"]
+    assert n_delta == 1

@@ -193,3 +193,55 @@ class TestDedupRewrite:
         assert removed == 2
         got = {r["k"]: r["tag"] for r in cat.table("t").read().collect()}
         assert got == {"a": "first", "b": "only"}
+
+
+def test_optimize_where_scoped(spark, tmp_path):
+    """r13: OPTIMIZE ... WHERE compacts only partitions whose files the
+    predicate's stats admit — out-of-scope partitions keep their file
+    sets byte-identical, and a scoped OPTIMIZE on a merge-on-read table
+    materializes the touched files only."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+    from ducklake_kafka_connect_spark.lake.mor import mor_state
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    t = cat.table("hot")
+    w = LakeWriter(t, pk=["id"], partition_by="grp")
+    # several appends → multiple files per partition
+    for lo in (0, 100, 200):
+        w.append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo+i}", i % 2) for i in range(40)],
+                "id long, val string, grp int",
+            )
+        )
+    m0 = t.manifest()
+    files_by_part = {k: set(v) for k, v in m0.files.items()}
+    assert all(len(v) >= 3 for v in files_by_part.values())
+    before = {r["id"]: r["val"] for r in t.read().collect()}
+    cat.sql("OPTIMIZE hot WHERE grp = 1")
+    m1 = t.manifest()
+    after_by_part = {k: set(v) for k, v in m1.files.items()}
+    # grp=0's files survived untouched; grp=1 compacted to fewer files
+    g0 = next(k for k in files_by_part if "grp=0" in k or k.endswith("=0"))
+    g1 = next(k for k in files_by_part if "grp=1" in k or k.endswith("=1"))
+    assert after_by_part[g0] == files_by_part[g0]
+    assert len(after_by_part[g1]) < len(files_by_part[g1])
+    assert {r["id"]: r["val"] for r in t.read().collect()} == before
+    # scoped materialize on a MOR table: tombstone survives when it
+    # still suppresses rows in out-of-scope files
+    mor = LakeWriter(t, pk=["id"], merge_mode="merge-on-read")
+    mor.merge(
+        spark.createDataFrame(
+            [(0, "u0", 0), (1, "u1", 1)], "id long, val string, grp int"
+        )
+    )
+    assert mor_state(t.manifest())[1]
+    cat.sql("OPTIMIZE hot WHERE grp = 1")
+    # grp=1's debt materialized; the tombstone still guards grp=0's old
+    # row, so state stands until a full OPTIMIZE
+    assert mor_state(t.manifest())[1]
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[0] == "u0" and got[1] == "u1" and got[121] == "v121"
+    cat.sql("OPTIMIZE hot")
+    assert mor_state(t.manifest()) == ({}, {})
+    assert {r["id"]: r["val"] for r in t.read().collect()} == got
