@@ -227,6 +227,7 @@ def vacuum(
     table: LakeTable,
     keep_versions: int = 1,
     orphan_grace_s: float = 3600.0,
+    dry_run: bool = False,
 ) -> int:
     """Delete data files referenced by no retained snapshot (the newest
     ``keep_versions`` manifests) and drop older manifest versions.
@@ -239,7 +240,11 @@ def vacuum(
     driver's commit can take the table lock). Such files are reclaimed
     only once older than the grace window — the same recent-orphan
     protection Iceberg's orphan-file cleanup applies. Files referenced
-    by a DROPPED version are garbage regardless of age."""
+    by a DROPPED version are garbage regardless of age.
+
+    ``dry_run=True`` reports the reclaimable data-file count WITHOUT
+    deleting anything or compacting manifest chains (the operational
+    "what would VACUUM free" probe — SQL: ``VACUUM t ... DRY RUN``)."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     import json as _json
@@ -256,13 +261,16 @@ def vacuum(
             _json.dumps({"expires": _time.time() + table.VACUUM_INTENT_TTL}),
         )
         try:
-            return _vacuum_locked(table, keep_versions, lk, orphan_grace_s)
+            return _vacuum_locked(
+                table, keep_versions, lk, orphan_grace_s, dry_run=dry_run
+            )
         finally:
             table.fs.delete(table._vacuum_intent_path)
 
 
 def _vacuum_locked(
-    table: LakeTable, keep_versions: int, lk, orphan_grace_s: float = 3600.0
+    table: LakeTable, keep_versions: int, lk,
+    orphan_grace_s: float = 3600.0, dry_run: bool = False,
 ) -> int:
     latest = table.current_version()
     retained: list[int] = []
@@ -344,7 +352,7 @@ def _vacuum_locked(
     # retained version's resolution chain reaches past the window —
     # then every older manifest file is droppable
     oldest = min(retained)
-    if table._read_full_segment(oldest) is None:
+    if not dry_run and table._read_full_segment(oldest) is None:
         m_oldest = _resolve(oldest)
         if table.manifest_format == "binary":
             from .table import encode_segment_binary
@@ -383,9 +391,10 @@ def _vacuum_locked(
                         continue
                 except FileNotFoundError:
                     continue
-            table.fs.delete(abs_p)
-            # bloom sidecar dies with its data file
-            table.fs.delete(abs_p + ".bloom", missing_ok=True)
+            if not dry_run:
+                table.fs.delete(abs_p)
+                # bloom sidecar dies with its data file
+                table.fs.delete(abs_p + ".bloom", missing_ok=True)
             deleted += 1
             n_seen += 1
             if n_seen % 200 == 0:
@@ -394,6 +403,8 @@ def _vacuum_locked(
     # the grace window doubles as the empty-dir age guard — a concurrent
     # writer's staging dir is empty only for the instant between mkdir
     # and first file open, and must not be rmdir'd in that window
+    if dry_run:
+        return deleted
     table.fs.remove_empty_dirs(table.data_dir, min_age_s=orphan_grace_s)
     # drop manifest files outside every retained version's chain
     for fn in table.fs.list_names(table.meta_dir):

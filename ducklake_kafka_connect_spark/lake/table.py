@@ -2721,12 +2721,14 @@ class LakeCatalog:
         ("create_tag", rf"ALTER\s+TABLE\s+({_IDENT})\s+CREATE\s+TAG\s+({_IDENT})(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$"),
         ("drop_tag", rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+TAG\s+({_IDENT})\s*$"),
         ("rename_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$"),
+        ("add_constraint", rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.+)\)\s*$"),
+        ("drop_constraint", rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+(?:(IF\s+EXISTS)\s+)?({_IDENT})\s*$"),
         ("drop_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})\s*$"),
         ("add_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+({_IDENT})\s+(.+?)\s*$"),
         ("set_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$"),
         ("unset_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*(?:(IF\s+EXISTS)\s*)?\((.*)\)\s*$"),
         ("truncate", rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*$"),
-        ("vacuum", rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$"),
+        ("vacuum", rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+(DRY\s+RUN))?\s*$"),
         ("optimize", rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+?))?\s*$"),
     ]
     _CREATE_RE = rf"CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$"
@@ -3024,6 +3026,42 @@ class LakeCatalog:
                 return self._ddl_result(
                     "RENAME COLUMN", name, f"{old}->{new} v{v}"
                 )
+            if op == "add_constraint":
+                # table-stored CHECK constraint (Delta's ALTER TABLE ADD
+                # CONSTRAINT): persisted in TBLPROPERTIES under
+                # `constraint.<name>`, enforced by EVERY LakeWriter write
+                # from then on. Like Delta, existing rows must already
+                # satisfy it — validated here with one pruned-scan count.
+                cname = unquote_ident(m.group(2))
+                pred = m.group(3).strip()
+                key = f"constraint.{cname}"
+                if key in t.properties():
+                    raise ValueError(
+                        f"constraint {cname!r} already exists on {name}"
+                    )
+                n_bad = (
+                    t.read()
+                    .filter(f"NOT ({pred}) AND ({pred}) IS NOT NULL")
+                    .limit(1)
+                    .count()
+                )
+                if n_bad:
+                    raise ValueError(
+                        f"cannot ADD CONSTRAINT {cname}: existing rows of "
+                        f"{name} violate CHECK ({pred})"
+                    )
+                v = t.set_properties({key: pred})
+                return self._ddl_result(
+                    "ADD CONSTRAINT", name, f"{cname} CHECK ({pred}) v{v}"
+                )
+            if op == "drop_constraint":
+                cname = unquote_ident(m.group(3))
+                v = t.unset_properties(
+                    [f"constraint.{cname}"], if_exists=bool(m.group(2))
+                )
+                return self._ddl_result(
+                    "DROP CONSTRAINT", name, f"{cname} v{v}"
+                )
             if op == "drop_col":
                 col = unquote_ident(m.group(2))
                 v = t.drop_column(col)
@@ -3053,8 +3091,15 @@ class LakeCatalog:
                 from .maintenance import vacuum as _vacuum
 
                 keep = int(m.group(2)) if m.group(2) else 1
-                n = _vacuum(t, keep_versions=keep)
-                return self._ddl_result("VACUUM", name, f"deleted {n} files")
+                dry = bool(m.group(3))
+                n = _vacuum(t, keep_versions=keep, dry_run=dry)
+                return self._ddl_result(
+                    "VACUUM",
+                    name,
+                    f"would delete {n} files (dry run)"
+                    if dry
+                    else f"deleted {n} files",
+                )
             if op == "optimize":
                 from .maintenance import compact as _compact
 
@@ -3526,6 +3571,44 @@ class LakeCatalog:
                 raise ValueError(f"table {stm.group(1)!r} does not exist")
             rows = sorted(t.tags().items())
             return self.spark.createDataFrame(rows or [], "tag string, version long")
+        ddm = _re.match(
+            rf"DESC(?:RIBE)?\s+DETAIL\s+({_IDENT})\s*$", q, _re.IGNORECASE
+        )
+        if ddm:
+            # Delta's DESCRIBE DETAIL: one metadata-only summary row
+            from .mor import mor_state
+
+            t = self.table(unquote_ident(ddm.group(1)))
+            if not t.exists():
+                raise ValueError(f"table {ddm.group(1)!r} does not exist")
+            m = t.manifest()
+            seq_map, deletes = mor_state(m)
+            n_files = sum(len(v) for v in m.files.values())
+            stats = [m.file_stats.get(f) or {} for f in m.all_files()]
+            size = sum(int(s.get("__bytes") or 0) for s in stats)
+            nrows = (
+                sum(int(s["__rows"]) for s in stats)
+                if stats and all(s.get("__rows") is not None for s in stats)
+                else None
+            )
+            row = (
+                t.name,
+                int(m.version),
+                n_files,
+                size,
+                nrows,
+                ", ".join(m.partition_spec),
+                ", ".join(m.pk or []),
+                len(deletes),
+                json.dumps(dict(sorted(m.props.get("tblproperties", {}).items()))),
+            )
+            return self.spark.createDataFrame(
+                [row],
+                "table string, version bigint, num_files bigint, "
+                "size_bytes bigint, num_rows bigint, partition_spec string, "
+                "primary_key string, mor_tombstone_files bigint, "
+                "properties string",
+            )
         dhm = _re.match(
             rf"DESC(?:RIBE)?\s+HISTORY\s+({_IDENT})\s*$", q, _re.IGNORECASE
         )

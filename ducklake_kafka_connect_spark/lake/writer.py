@@ -383,22 +383,32 @@ class LakeWriter:
         NULL/UNKNOWN passes — standard SQL CHECK (and Delta Lake)
         semantics, where a constraint rejects only rows that provably
         break it. Constraints referencing columns the batch lacks fail
-        analysis → surfaced as-is."""
-        if not self.check_constraints:
+        analysis → surfaced as-is.
+
+        Table-STORED constraints (``ALTER TABLE ... ADD CONSTRAINT``,
+        persisted as ``constraint.<name>`` TBLPROPERTIES) are enforced
+        here too — every writer sees them, not just the one constructed
+        with ``check_constraints=`` (Delta's contract)."""
+        checks = dict(self.check_constraints)
+        if self.table.exists():
+            for k, v in self.table.properties().items():
+                if k.startswith("constraint."):
+                    checks.setdefault(k[len("constraint."):], v)
+        if not checks:
             return
         aggs = [
             F.sum(
                 F.when(F.coalesce(F.expr(pred), F.lit(True)), 0).otherwise(1)
             ).alias(name)
-            for name, pred in self.check_constraints.items()
+            for name, pred in checks.items()
         ]
         row = df.agg(*aggs).collect()[0]
-        bad = {n: int(row[n]) for n in self.check_constraints if row[n]}
+        bad = {n: int(row[n]) for n in checks if row[n]}
         if bad:
             raise ConstraintViolation(
                 f"batch violates CHECK constraint(s) on {self.table.name}: "
                 + ", ".join(
-                    f"{n} ({c} row(s), predicate: {self.check_constraints[n]!r})"
+                    f"{n} ({c} row(s), predicate: {checks[n]!r})"
                     for n, c in bad.items()
                 )
             )

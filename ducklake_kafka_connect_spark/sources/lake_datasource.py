@@ -604,6 +604,21 @@ class _WriterBase:
                 f"mergeKeys={','.join(m.pk)} for merge-on-read upserts, or "
                 f"use LakeWriter.merge / SQL MERGE"
             )
+        # table-stored CHECK constraints cannot be evaluated in this
+        # writer (tasks see raw Arrow batches, no SQL engine) — refuse
+        # rather than silently skip enforcement every other writer
+        # applies; the caller opts out explicitly if they accept that
+        stored_checks = sorted(
+            k for k in t.properties() if k.startswith("constraint.")
+        )
+        if stored_checks and not _truthy(options.get("skipconstraints", "")):
+            raise ValueError(
+                f"ducklake sink: table {self.name} carries CHECK "
+                f"constraint(s) {stored_checks} which this sink cannot "
+                f"enforce — write through LakeWriter, or pass "
+                f".option('skipConstraints', 'true') to accept "
+                f"unenforced writes"
+            )
         self.part_exprs = list(m.partition_exprs)
         for e in self.part_exprs:
             src_t = m.schema[e.column].dataType.simpleString()

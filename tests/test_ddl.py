@@ -945,3 +945,73 @@ def test_table_files_tvf(spark, tmp_path):
         "SELECT count(*) AS n FROM table_files('f') WHERE seq > 0"
     ).collect()[0]["n"]
     assert n_delta == 1
+
+
+def test_stored_check_constraints(spark, tmp_path):
+    """r13: ALTER TABLE ADD CONSTRAINT persists a CHECK in table props;
+    EVERY writer enforces it from then on; existing violations refuse
+    the ADD; DROP CONSTRAINT lifts it; the Arrow sink refuses unless
+    opted out."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+    from ducklake_kafka_connect_spark.lake.writer import ConstraintViolation
+    from ducklake_kafka_connect_spark.sources.lake_datasource import (
+        register_lake_datasource,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cat.sql("CREATE TABLE c (id BIGINT, cents BIGINT, PRIMARY KEY (id))")
+    w = LakeWriter(cat.table("c"), pk=["id"])
+    w.write(spark.createDataFrame([(1, 10), (2, 20)], "id long, cents long"))
+    cat.sql("ALTER TABLE c ADD CONSTRAINT pos CHECK (cents >= 0)")
+    # a FRESH writer (no check_constraints arg) enforces the stored one
+    w2 = LakeWriter(cat.table("c"), pk=["id"])
+    with pytest.raises(ConstraintViolation, match="pos"):
+        w2.write(spark.createDataFrame([(3, -5)], "id long, cents long"))
+    w2.write(spark.createDataFrame([(3, 5)], "id long, cents long"))
+    # NULL passes (SQL CHECK semantics)
+    w2.write(spark.createDataFrame([(4, None)], "id long, cents long"))
+    # ADD with existing violations refuses
+    with pytest.raises(ValueError, match="existing rows"):
+        cat.sql("ALTER TABLE c ADD CONSTRAINT big CHECK (cents >= 100)")
+    # duplicate name refuses; DROP lifts enforcement
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("ALTER TABLE c ADD CONSTRAINT pos CHECK (cents >= 1)")
+    cat.sql("ALTER TABLE c DROP CONSTRAINT pos")
+    w2.write(spark.createDataFrame([(5, -1)], "id long, cents long"))
+    with pytest.raises(ValueError, match="does not exist|IF EXISTS|absent"):
+        cat.sql("ALTER TABLE c DROP CONSTRAINT nope")
+    cat.sql("ALTER TABLE c DROP CONSTRAINT IF EXISTS nope")
+    # sink refusal on a constrained table, override honored
+    register_lake_datasource(spark)
+    cat.sql("ALTER TABLE c ADD CONSTRAINT pos CHECK (cents >= -1)")
+    d = spark.createDataFrame([(9, -100)], "id long, cents long")
+    with pytest.raises(Exception, match="skipConstraints"):
+        d.write.format("ducklake").option("path", str(tmp_path / "lake")) \
+            .option("table", "c").option("mergeKeys", "id").mode("append").save()
+    d.write.format("ducklake").option("path", str(tmp_path / "lake")) \
+        .option("table", "c").option("mergeKeys", "id") \
+        .option("skipConstraints", "true").mode("append").save()
+    assert cat.table("c").read().filter("id = 9").collect()[0]["cents"] == -100
+
+
+def test_vacuum_dry_run_and_describe_detail(spark, tmp_path):
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    t = cat.table("v")
+    w = LakeWriter(t, pk=["id"])
+    w.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    w.write(spark.createDataFrame([(1, "A2")], "id long, s string"))  # rewrite
+    det = cat.sql("DESCRIBE DETAIL v").collect()[0]
+    assert det["table"] == "v" and det["num_files"] >= 1
+    assert det["num_rows"] == 2 and det["primary_key"] == "id"
+    files_before = set(t.manifest().all_files())
+    r = cat.sql("VACUUM v RETAIN 1 VERSIONS DRY RUN").collect()[0]
+    assert "would delete" in r["detail"]
+    n_would = int(r["detail"].split()[2])
+    assert n_would >= 1
+    # dry run deleted nothing and time travel still works
+    assert set(t.manifest().all_files()) == files_before
+    assert t.read(version=1).count() == 2
+    r2 = cat.sql("VACUUM v RETAIN 1 VERSIONS").collect()[0]
+    assert f"deleted {n_would} files" in r2["detail"]
