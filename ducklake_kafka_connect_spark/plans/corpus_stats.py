@@ -2885,3 +2885,133 @@ def rho_learnability_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("__nt") == 2, "middle")
         .otherwise("dropped").alias("rho_bucket"),
     )
+
+
+@register(
+    "doremi_domain_weights",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             string_split_regex(trim(lower(text)), '{TOKEN_SPLIT}') AS ts
+      FROM documents
+    ),
+    d2 AS (SELECT * FROM d WHERE len(ts) >= 2),
+    bg AS (
+      SELECT doc_id, lang, source,
+             unnest(ts[1:len(ts)-1]) AS w1,
+             unnest(ts[2:len(ts)])   AS w2
+      FROM d2
+    ),
+    tr AS (SELECT w1, w2 FROM bg WHERE lang = 'en' AND doc_id % 2 = 1),
+    ho AS (SELECT w1, w2 FROM bg WHERE lang = 'en' AND doc_id % 2 = 0),
+    cbt AS (SELECT w1, w2, count(*) AS c FROM tr GROUP BY w1, w2),
+    cut AS (SELECT w1, count(*) AS c FROM tr GROUP BY w1),
+    vt  AS (SELECT count(DISTINCT w2) AS nv FROM tr),
+    cbr AS (SELECT w1, w2, count(*) AS c FROM ho GROUP BY w1, w2),
+    cur AS (SELECT w1, count(*) AS c FROM ho GROUP BY w1),
+    vr  AS (SELECT count(DISTINCT w2) AS nv FROM ho),
+    sc AS (
+      SELECT bg.source,
+             ({_micronats_sql('CAST(2 * coalesce(cut.c, 0) + vt.nv AS DOUBLE)')}
+            - {_micronats_sql('CAST(2 * coalesce(cbt.c, 0) + 1 AS DOUBLE)')})
+           - ({_micronats_sql('CAST(2 * coalesce(cur.c, 0) + vr.nv AS DOUBLE)')}
+            - {_micronats_sql('CAST(2 * coalesce(cbr.c, 0) + 1 AS DOUBLE)')})
+               AS gap_micro
+      FROM bg
+      LEFT JOIN cbt ON bg.w1 = cbt.w1 AND bg.w2 = cbt.w2
+      LEFT JOIN cut ON bg.w1 = cut.w1
+      LEFT JOIN cbr ON bg.w1 = cbr.w1 AND bg.w2 = cbr.w2
+      LEFT JOIN cur ON bg.w1 = cur.w1
+      CROSS JOIN vt CROSS JOIN vr
+    ),
+    dom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(floor(CAST(sum(gap_micro) AS DOUBLE) / count(*)) AS BIGINT)
+               AS excess_micro
+      FROM sc GROUP BY source
+    ),
+    sm AS (
+      SELECT source, n_bigrams, excess_micro,
+             exp(CAST(excess_micro AS DOUBLE) / 1000000.0)
+               / sum(exp(CAST(excess_micro AS DOUBLE) / 1000000.0)) OVER ()
+               AS soft,
+             CAST(count(*) OVER () AS DOUBLE) AS k
+      FROM dom
+    )
+    SELECT source, n_bigrams, excess_micro,
+           round(0.7 * soft + 0.3 / k, 6) AS weight
+    FROM sm
+    """,
+    "DoReMi-style domain reweighting (Xie et al. 2023): per-SOURCE "
+    "excess loss (proxy-model NLL minus reference-model NLL, reusing "
+    "the two half-corpus bigram LMs) drives a softmax over domains, "
+    "mixed 70/30 with uniform — domains the proxy finds hard but "
+    "learnable get upweighted in the training mixture. Per-domain "
+    "excess is exact (integer micro-nats); only the final softmax is "
+    "floating point, rounded to 6 decimals on both engines. 100 TB: "
+    "everything reduces map-side to one row per domain; the softmax is "
+    "a window over #domains rows.",
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT)
+    d2 = docs.select("doc_id", "lang", "source", ts.alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    n = F.size("ts")
+    bg = d2.select(
+        "doc_id", "lang", "source",
+        F.slice("ts", 1, n - 1).alias("a"),
+        F.slice("ts", 2, n - 1).alias("b"),
+    ).select(
+        "doc_id", "lang", "source",
+        F.explode(F.arrays_zip(F.col("a"), F.col("b"))).alias("z"),
+    ).select(
+        "doc_id", "lang", "source",
+        F.col("z.a").alias("w1"), F.col("z.b").alias("w2"),
+    )
+    bg.persist()
+    en = bg.filter(F.col("lang") == "en")
+    tr = en.filter(F.col("doc_id") % 2 == 1).select("w1", "w2")
+    ho = en.filter(F.col("doc_id") % 2 == 0).select("w1", "w2")
+
+    def lm(train, tag):
+        cb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias(f"cb_{tag}"))
+        cu = train.groupBy("w1").agg(F.count(F.lit(1)).alias(f"cu_{tag}"))
+        v = train.agg(F.countDistinct("w2").alias(f"nv_{tag}"))
+        return cb, cu, v
+
+    cbt, cut, vt = lm(tr, "t")
+    cbr, cur, vr = lm(ho, "r")
+
+    def nll(tag):
+        return _micronats_col(
+            (2 * F.coalesce(F.col(f"cu_{tag}"), F.lit(0)) + F.col(f"nv_{tag}")).cast("double")
+        ) - _micronats_col(
+            (2 * F.coalesce(F.col(f"cb_{tag}"), F.lit(0)) + 1).cast("double")
+        )
+
+    sc = (
+        bg.join(F.broadcast(cbt), ["w1", "w2"], "left")
+        .join(F.broadcast(cut), ["w1"], "left")
+        .join(F.broadcast(cbr), ["w1", "w2"], "left")
+        .join(F.broadcast(cur), ["w1"], "left")
+        .crossJoin(F.broadcast(vt))
+        .crossJoin(F.broadcast(vr))
+        .select("source", (nll("t") - nll("r")).alias("gap_micro"))
+    )
+    dom = sc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.floor(F.sum("gap_micro").cast("double") / F.count(F.lit(1)))
+        .cast("long").alias("excess_micro"),
+    )
+    wall = W.partitionBy()
+    soft = F.exp(F.col("excess_micro").cast("double") / 1000000.0)
+    return dom.select(
+        "source", "n_bigrams", "excess_micro",
+        F.round(
+            0.7 * soft / F.sum(soft).over(wall)
+            + 0.3 / F.count(F.lit(1)).over(wall).cast("double"),
+            6,
+        ).alias("weight"),
+    )
