@@ -391,6 +391,10 @@ class LakeWriter:
         with ``check_constraints=`` (Delta's contract)."""
         checks = dict(self.check_constraints)
         if self.table.exists():
+            # one metadata read per write — ADD/DROP CONSTRAINT take
+            # effect on live writers immediately (a version-keyed memo
+            # would refresh every commit anyway, since each write bumps
+            # the version)
             for k, v in self.table.properties().items():
                 if k.startswith("constraint."):
                     checks.setdefault(k[len("constraint."):], v)
