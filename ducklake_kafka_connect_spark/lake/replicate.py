@@ -1,0 +1,134 @@
+"""Incremental cross-lake table replication (DR / region mirroring).
+
+``CLONE`` (lake/table.py) snapshots ONE version into a new table whose
+history restarts at v0 — the right tool for dev copies and migrations.
+Replication is the other ops primitive a 100 TB lake needs: keep a
+WHOLE table — full version history, delta-segment chains, tags — in
+sync at a second location, copying only what the destination is
+missing on every run. Runs are idempotent and crash-safe:
+
+  * data files copy BEFORE the manifest segment that references them
+    (a crash leaves the destination at its previous consistent tip,
+    plus some orphaned-but-harmless data bytes the next run reuses);
+  * manifest segments copy byte-for-byte in ASCENDING version order,
+    so delta chains always find their parents;
+  * the posix version pointer (``LATEST``) advances LAST; the CAS
+    backend derives the tip by LIST, so segment arrival IS the publish
+    (same property the commit protocol relies on);
+  * tags sync through the destination's own refs-chain API, keeping
+    its lock-free CAS invariants instead of copying chain objects.
+
+Scale note: file bytes move through the storage backend's read/put
+here, which is the correct *logic* but not the fastest *transport* at
+100 TB — a real deployment swaps the byte loop for server-side copy
+(S3 CopyObject / DistCp); everything else (version diffing, ordering,
+pointer publish, tag sync) is exactly this code.
+
+Reference anchor: the reference ships data to ONE DuckLake catalog
+(`connect/DucklakeConnectionFactory.java:36-95`); multi-region
+durability is delegated to bucket replication. Manifest-level
+replication replicates table SEMANTICS (versions, tags, time travel),
+not just bytes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from .table import LakeTable
+
+
+@dataclass
+class ReplicationResult:
+    versions_synced: int
+    files_copied: int
+    bytes_copied: int
+    tags_synced: int
+    src_version: int
+    dest_version: int
+
+
+_SEGMENT_EXTS = (".json", ".avro", ".delta.json", ".delta.avro")
+
+
+def replicate(
+    src: LakeTable,
+    dest_root: str,
+    dest_name: str | None = None,
+    dest_backend=None,
+) -> ReplicationResult:
+    """Sync ``src``'s missing versions/files/tags into the table at
+    ``dest_root`` (same name by default). Incremental: versions and
+    data files already present are skipped, so steady-state cost is
+    O(new commits). The destination must only ever be written by
+    replication (it is a mirror, not a fork — a local write there would
+    collide with the next synced version number)."""
+    dest = LakeTable(
+        src.spark,
+        dest_root,
+        dest_name or src.name,
+        manifest_format=src.manifest_format,
+        backend=dest_backend,
+    )
+    latest = src.current_version()
+    to_sync = [
+        v
+        for v in range(latest + 1)
+        if src.has_version(v) and not dest.has_version(v)
+    ]
+    files_copied = 0
+    bytes_copied = 0
+    for v in to_sync:
+        m = src.manifest(v)
+        for rel in m.retention_files():
+            if os.path.isabs(rel):
+                raise ValueError(
+                    f"replicate: {src.name} v{v} references the absolute "
+                    f"path {rel!r} (a shallow clone) — deep-clone or "
+                    f"OPTIMIZE the source first so every file lives under "
+                    f"the table directory"
+                )
+            dst_p = os.path.join(dest.dir, rel)
+            if dest.fs.exists(dst_p):
+                continue
+            src_p = os.path.join(src.dir, rel)
+            data = src.fs.read_bytes(src_p)
+            dest.fs.ensure_dir(os.path.dirname(dst_p))
+            dest.fs.put(dst_p, data)
+            files_copied += 1
+            bytes_copied += len(data)
+            # bloom sidecars ride along (pruning parity at the mirror)
+            b = src.fs.try_read_bytes(src_p + ".bloom")
+            if b is not None:
+                dest.fs.put(dst_p + ".bloom", b)
+        # segment file(s) for THIS version, verbatim — after its data
+        for ext in _SEGMENT_EXTS:
+            seg = src.fs.try_read_bytes(
+                os.path.join(src.meta_dir, f"v{v}{ext}")
+            )
+            if seg is not None:
+                dest.fs.ensure_dir(dest.meta_dir)
+                dest.fs.put(os.path.join(dest.meta_dir, f"v{v}{ext}"), seg)
+    # publish: posix keeps an explicit pointer; CAS derives tip by LIST
+    if to_sync and not dest.fs.cas_commits:
+        dest.fs.put(
+            os.path.join(dest.meta_dir, "LATEST"), str(max(to_sync)).encode()
+        )
+    # tags through the destination's own refs machinery (not raw chain
+    # copies): idempotent re-point per differing tag
+    tags_synced = 0
+    src_tags = src.tags()
+    dest_tags = dest.tags() if to_sync or dest.exists() else {}
+    for name, v in sorted(src_tags.items()):
+        if dest_tags.get(name) != v and dest.has_version(v):
+            dest.tag(name, v)  # refs-chain upsert (tag() re-points existing names)
+            tags_synced += 1
+    return ReplicationResult(
+        versions_synced=len(to_sync),
+        files_copied=files_copied,
+        bytes_copied=bytes_copied,
+        tags_synced=tags_synced,
+        src_version=latest,
+        dest_version=dest.current_version(),
+    )

@@ -2789,6 +2789,26 @@ class LakeCatalog:
                 (cpm.group(3) or "PARQUET").upper(),
                 cpm.group(4).replace("''", "'") if cpm.group(4) else None,
             )
+        # ---- replication (lake/replicate.py) ----
+        rpm = _re.match(
+            rf"REPLICATE\s+TABLE\s+({_IDENT})\s+TO\s+'((?:[^']|'')*)'\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if rpm:
+            from .replicate import replicate as _replicate
+
+            name = unquote_ident(rpm.group(1))
+            t = self.table(name)
+            if not t.exists():
+                raise ValueError(f"table {name!r} does not exist")
+            r = _replicate(t, rpm.group(2).replace("''", "'"))
+            return self._ddl_result(
+                "REPLICATE TABLE",
+                name,
+                f"{r.versions_synced} version(s), {r.files_copied} file(s), "
+                f"{r.tags_synced} tag(s) -> v{r.dest_version}",
+            )
         # ---- materialized views (lake/matview.py) ----
         mvc = _re.match(
             rf"CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+({_IDENT})\s+AS\s+(.+)$",
@@ -3629,7 +3649,7 @@ class LakeCatalog:
             r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW)"
             r"|REFRESH\s+MATERIALIZED\s+VIEW"
             r"|ALTER\s+TABLE|ALTER\s+VIEW|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE"
-            r"|RESTORE\s+TABLE|COPY\s+INTO)\b",
+            r"|RESTORE\s+TABLE|COPY\s+INTO|REPLICATE\s+TABLE)\b",
             query,
             _re.IGNORECASE,
         ):

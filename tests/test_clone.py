@@ -171,3 +171,83 @@ class TestPinnedClone:
             if not os.path.exists(os.path.join(c.dir, f))
         ]
         assert missing  # shared files are gone once unpinned
+
+
+def test_replicate_incremental(spark, tmp_path):
+    """r13: cross-lake replication — full history, delta chains, and
+    tags mirror to a second root; re-runs copy only what's new."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+    from ducklake_kafka_connect_spark.lake.replicate import replicate
+
+    import pytest as _pytest
+
+    cat = LakeCatalog(spark, str(tmp_path / "primary"))
+    t = cat.table("m")
+    w = LakeWriter(t, pk=["id"])
+    w.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    w.write(spark.createDataFrame([(1, "A2"), (3, "c")], "id long, s string"))
+    t.tag("gold", 1)
+    dest_root = str(tmp_path / "mirror")
+    r1 = replicate(t, dest_root)
+    assert r1.versions_synced >= 2 and r1.files_copied >= 2
+    assert r1.tags_synced == 1 and r1.dest_version == t.current_version()
+    mcat = LakeCatalog(spark, dest_root)
+    mt = mcat.table("m")
+    # content, history, and tags all mirror
+    assert {r["id"]: r["s"] for r in mt.read().collect()} == {1: "A2", 2: "b", 3: "c"}
+    assert mt.read(version=1).count() == 2
+    assert mt.resolve_tag("gold") == t.resolve_tag("gold")
+    # steady state: nothing new → nothing copied
+    r2 = replicate(t, dest_root)
+    assert r2.versions_synced == 0 and r2.files_copied == 0
+    # incremental: one more commit + a re-pointed tag syncs exactly that
+    w.delete_where("id = 2")
+    t.tag("gold", t.current_version())
+    r3 = replicate(t, dest_root)
+    assert r3.versions_synced == 1 and r3.tags_synced == 1
+    mt2 = LakeCatalog(spark, dest_root).table("m")
+    assert {r["id"] for r in mt2.read().collect()} == {1, 3}
+    assert mt2.resolve_tag("gold") == t.current_version()
+    # MOR state replicates too (tombstones are retention files)
+    mor = LakeWriter(t, pk=["id"], merge_mode="merge-on-read")
+    mor.merge(spark.createDataFrame([(1, "A3")], "id long, s string"))
+    replicate(t, dest_root)
+    mt3 = LakeCatalog(spark, dest_root).table("m")
+    assert {r["id"]: r["s"] for r in mt3.read().collect()} == {1: "A3", 3: "c"}
+    # shallow-clone sources (absolute refs) refuse with a remedy
+    t.clone(str(tmp_path / "primary"), "m_shallow")
+    with _pytest.raises(ValueError, match="absolute"):
+        replicate(cat.table("m_shallow"), dest_root, dest_name="m_shallow")
+
+
+def test_replicate_cross_backend(spark, tmp_path):
+    """Replication across commit protocols: posix source → CAS mirror
+    (segments are format-blind; the CAS tip derives by LIST, so segment
+    arrival is the publish)."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+    from ducklake_kafka_connect_spark.lake.replicate import replicate
+
+    cat = LakeCatalog(spark, str(tmp_path / "primary"))
+    t = cat.table("x")
+    w = LakeWriter(t, pk=["id"])
+    w.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    w.write(spark.createDataFrame([(2, "B")], "id long, s string"))
+    r = replicate(t, str(tmp_path / "mirror"), dest_backend="cas")
+    assert r.dest_version == t.current_version()
+    from ducklake_kafka_connect_spark.lake.table import LakeTable
+
+    mt = LakeTable(spark, str(tmp_path / "mirror"), "x", backend="cas")
+    assert {q["id"]: q["s"] for q in mt.read().collect()} == {1: "a", 2: "B"}
+    assert mt.read(version=1).count() == 2
+
+
+def test_replicate_table_sql(spark, tmp_path):
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    cat = LakeCatalog(spark, str(tmp_path / "p"))
+    w = LakeWriter(cat.table("s"), pk=["id"])
+    w.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    r = cat.sql(f"REPLICATE TABLE s TO '{tmp_path / 'm'}'").collect()[0]
+    assert "version(s)" in r["detail"]
+    mcat = LakeCatalog(spark, str(tmp_path / "m"))
+    assert mcat.table("s").read().count() == 1
