@@ -2888,6 +2888,35 @@ class LakeCatalog:
             if PROP_QUERY not in t.properties():
                 raise ValueError(f"{name!r} is a table, not a materialized view")
             return self.ddl(f"DROP TABLE {quote_ident(name)}")
+        lkm = _re.match(
+            rf"CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?({_IDENT})\s+"
+            rf"LIKE\s+({_IDENT})\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if lkm:
+            # schema/pk/partitioning copy, zero data (ANSI CREATE TABLE
+            # LIKE; CLONE is the data-carrying sibling)
+            name = unquote_ident(lkm.group(2))
+            src = self.table(unquote_ident(lkm.group(3)))
+            if not src.exists():
+                raise ValueError(
+                    f"CREATE TABLE LIKE: source {lkm.group(3)!r} does not exist"
+                )
+            t = self.table(name)
+            if t.exists():
+                if lkm.group(1):
+                    return self._ddl_result("CREATE TABLE LIKE", name, "exists")
+                raise ValueError(f"table {name!r} already exists")
+            m = src.manifest()
+            t.create(
+                m.schema,
+                pk=list(m.pk or []),
+                partition_by=list(m.partition_spec) or None,
+            )
+            return self._ddl_result(
+                "CREATE TABLE LIKE", name, f"like {src.name}"
+            )
         cm = _re.match(
             rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+"
             rf"(SHALLOW\s+|DEEP\s+)?CLONE\s+({_IDENT})"
@@ -3516,8 +3545,22 @@ class LakeCatalog:
         # attachment (`lake.main.<table>`) run unchanged
         query = strip_catalog_prefix(query)
         q = query.strip().rstrip(";").strip()
-        if _re.match(r"SHOW\s+TABLES\s*$", q, _re.IGNORECASE):
-            return self.show_tables()
+        stl = _re.match(
+            r"SHOW\s+TABLES(?:\s+LIKE\s+'((?:[^']|'')*)')?\s*$", q, _re.IGNORECASE
+        )
+        if stl:
+            if stl.group(1) is None:
+                return self.show_tables()
+            import fnmatch
+
+            pat = stl.group(1).replace("''", "'").replace("%", "*").replace("_", "?")
+            names = [
+                n for n in self.list_tables()
+                if fnmatch.fnmatchcase(n.lower(), pat.lower())
+            ]
+            return self.spark.createDataFrame(
+                [(n,) for n in names] or [], "name string"
+            )
         exm = _re.match(
             r"EXPLAIN(?:\s+(EXTENDED|FORMATTED|COST|CODEGEN))?\s+(.+)$",
             q,

@@ -1015,3 +1015,27 @@ def test_vacuum_dry_run_and_describe_detail(spark, tmp_path):
     assert t.read(version=1).count() == 2
     r2 = cat.sql("VACUUM v RETAIN 1 VERSIONS").collect()[0]
     assert f"deleted {n_would} files" in r2["detail"]
+
+
+def test_create_table_like_and_show_tables_like(spark, tmp_path):
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cat.sql(
+        "CREATE TABLE src (id BIGINT, ts TIMESTAMP, v STRING, "
+        "PRIMARY KEY (id)) PARTITIONED BY (month(ts))"
+    )
+    cat.sql("CREATE TABLE dst LIKE src")
+    md, ms = cat.table("dst").manifest(), cat.table("src").manifest()
+    assert md.schema == ms.schema and md.pk == ms.pk
+    assert md.partition_spec == ms.partition_spec
+    assert cat.table("dst").read().count() == 0
+    cat.sql("CREATE TABLE IF NOT EXISTS dst LIKE src")  # no-op
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE TABLE dst LIKE src")
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.sql("CREATE TABLE y LIKE nope")
+    names = [r["name"] for r in cat.sql("SHOW TABLES LIKE 'd%'").collect()]
+    assert names == ["dst"]
+    names = [r["name"] for r in cat.sql("SHOW TABLES LIKE '%s%'").collect()]
+    assert set(names) == {"src", "dst"}
