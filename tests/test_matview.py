@@ -482,3 +482,77 @@ def test_minmax_repair_with_where_and_nulls(spark, cat):
     assert "repair" in st["detail"]
     row = c.table("mvw").read().filter("region = 'rn'").collect()[0]
     assert row["lo"] is None and row["n"] == 1
+
+
+def test_random_churn_equivalence(spark, tmp_path):
+    """Seeded random churn (inserts / cross-group updates / deletes /
+    NULL measures) against the FULL aggregate ring — sum, count(*),
+    count(expr), avg, min, max — refreshed incrementally after every
+    batch. The incremental view must equal the from-scratch aggregate
+    at every step (modulo the documented NULL-sum divergence, excluded
+    by construction here via a non-null sum measure)."""
+    import random
+
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    rng = random.Random(1307)
+    c = LakeCatalog(spark, str(tmp_path / "lake"))
+    w = LakeWriter(c.table("rt"), pk=["id"])
+    rows = {
+        i: (f"g{i % 5}", rng.randrange(-50, 500)) for i in range(80)
+    }
+    df = lambda d: spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in d.items()],
+        "id int, grp string, cents long",
+    )
+    w.write(df(rows))
+    c.sql(
+        "CREATE MATERIALIZED VIEW rmv AS SELECT grp, sum(cents) AS s, "
+        "count(*) AS n, count(CASE WHEN cents > 100 THEN 1 END) AS nbig, "
+        "avg(cents) AS a, min(cents) AS lo, max(cents) AS hi "
+        "FROM rt GROUP BY grp"
+    )
+
+    def expected():
+        out = {}
+        for k, (g, v) in rows.items():
+            out.setdefault(g, []).append(v)
+        exp = {}
+        for g, vs in out.items():
+            exp[g] = (
+                sum(vs), len(vs), sum(1 for v in vs if v > 100),
+                round(sum(vs) / len(vs), 9), min(vs), max(vs),
+            )
+        return exp
+
+    def got():
+        return {
+            r["grp"]: (
+                r["s"], r["n"], r["nbig"],
+                round(r["a"], 9), r["lo"], r["hi"],
+            )
+            for r in c.table("rmv").read().collect()
+        }
+
+    next_id = 1000
+    for step in range(6):
+        batch = {}
+        for _ in range(rng.randrange(3, 12)):
+            op = rng.random()
+            if op < 0.4 and rows:  # update (possibly cross-group)
+                k = rng.choice(list(rows))
+                batch[k] = (f"g{rng.randrange(5)}", rng.randrange(-50, 500))
+            elif op < 0.7:  # insert
+                batch[next_id] = (f"g{rng.randrange(7)}", rng.randrange(-50, 500))
+                next_id += 1
+        if batch:
+            w.merge(df(batch))
+            rows.update(batch)
+        if rows and rng.random() < 0.8:  # predicate delete
+            cut = rng.randrange(-40, 480)
+            doomed = [k for k, (_, v) in rows.items() if v == cut]
+            w.delete_where(f"cents = {cut}")
+            for k in doomed:
+                del rows[k]
+        c.sql("REFRESH MATERIALIZED VIEW rmv")
+        assert got() == expected(), f"divergence at step {step}"
