@@ -93,7 +93,19 @@ def replicate(
             if dest.fs.exists(dst_p):
                 continue
             src_p = os.path.join(src.dir, rel)
-            data = src.fs.read_bytes(src_p)
+            try:
+                data = src.fs.read_bytes(src_p)
+            except FileNotFoundError:
+                # a concurrent source VACUUM reclaimed this version
+                # between the chain read and the copy — name the race
+                # and the remedy instead of surfacing a bare missing-file
+                raise ValueError(
+                    f"replicate: {src.name} v{v} file {rel!r} vanished "
+                    f"mid-copy (a concurrent vacuum passed this version) — "
+                    f"re-run replicate (it resumes incrementally), raise "
+                    f"the source's vacuum retention, or pin the tip with a "
+                    f"tag while replication runs (tags are retention roots)"
+                ) from None
             dest.fs.ensure_dir(os.path.dirname(dst_p))
             dest.fs.put(dst_p, data)
             files_copied += 1

@@ -251,3 +251,24 @@ def test_replicate_table_sql(spark, tmp_path):
     assert "version(s)" in r["detail"]
     mcat = LakeCatalog(spark, str(tmp_path / "m"))
     assert mcat.table("s").read().count() == 1
+
+
+def test_replicate_names_vacuum_race(spark, tmp_path):
+    """A source file vanishing mid-replication (concurrent vacuum) must
+    raise a descriptive error naming the remedy, not a bare missing-file."""
+    import os
+
+    import pytest as _pytest
+
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+    from ducklake_kafka_connect_spark.lake.replicate import replicate
+
+    cat = LakeCatalog(spark, str(tmp_path / "p"))
+    t = cat.table("r")
+    LakeWriter(t, pk=["id"]).write(
+        spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    rel = t.manifest().all_files()[0]
+    os.remove(os.path.join(t.dir, rel))  # simulate the vacuum race
+    with _pytest.raises(ValueError, match="retention|tag"):
+        replicate(t, str(tmp_path / "m"))
