@@ -1742,3 +1742,62 @@ def sql_optimize_where_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@register(
+    "lake_replication_mirror",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_id % 2 = 0 AND event_id % 11 <> 0
+    GROUP BY event_type
+    """,
+    "Incremental cross-lake replication (r13, lake/replicate.py): a "
+    "table's WHOLE history — two versions, a predicate delete, a tag — "
+    "mirrors to a second root, then ONE more commit syncs "
+    "incrementally (asserted: the second run copies exactly one "
+    "version, the steady-state third run copies nothing). The result "
+    "reads from the MIRROR, including time travel to the tagged "
+    "version.",
+)
+def lake_replication_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeTable, LakeWriter
+    from ..lake.replicate import replicate
+
+    src = _event_source(spark, sf_dir).filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_repl_{uuid.uuid4().hex[:8]}"
+    )
+    primary, mirror = os.path.join(root, "primary"), os.path.join(root, "mirror")
+    cat = LakeCatalog(spark, primary)
+    t = cat.table("ev_repl")
+    w = LakeWriter(t, pk=["event_id"])
+    w.write(src)
+    t.tag("gold")
+    r1 = replicate(t, mirror)
+    if r1.versions_synced < 1 or r1.tags_synced != 1:
+        raise AssertionError(f"first sync wrong: {r1}")
+    w.delete_where("event_id % 11 = 0")
+    r2 = replicate(t, mirror)
+    if r2.versions_synced != 1:
+        raise AssertionError(f"incremental sync wrong: {r2}")
+    r3 = replicate(t, mirror)
+    if r3.versions_synced != 0 or r3.files_copied != 0:
+        raise AssertionError(f"steady state not a no-op: {r3}")
+    mt = LakeTable(spark, mirror, "ev_repl")
+    if mt.read(tag="gold").count() != src.count():
+        raise AssertionError("tagged snapshot wrong on the mirror")
+    return (
+        mt.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

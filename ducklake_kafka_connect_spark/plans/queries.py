@@ -3436,7 +3436,7 @@ def cdf_over_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN CAST(floor(value * 100) AS BIGINT) + 1000
                     ELSE CAST(floor(value * 100) AS BIGINT) END AS m
         FROM events
-        WHERE event_id % 7 <> 0
+        WHERE event_id % 7 <> 0 AND event_id % 3 = 0
     )
     GROUP BY event_type
     """,
@@ -3450,7 +3450,9 @@ def cdf_over_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the result equals the from-scratch aggregate.",
 )
 def matview_minmax_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
+    # 1/3 slice: the query's POINT is the repair path, not corpus volume
+    # (every group gets deleted from, so repair recomputes them all)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0).select(
         "event_id",
         "event_type",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
