@@ -2167,6 +2167,14 @@ class LakeTable:
         elif layout == "rebalance":
             df = df.hint("rebalance", *dir_cols) if dir_cols else df.hint("rebalance")
         writer = df.write.mode("overwrite")
+        # per-table codec knob (Iceberg write.parquet.compression-codec /
+        # Delta parity): TBLPROPERTIES write.compression — zstd for cold
+        # archival tables, snappy (Spark default) for hot ones
+        codec = (m.props.get("tblproperties", {}) if m else {}).get(
+            "write.compression"
+        )
+        if codec:
+            writer = writer.option("compression", codec)
         if dir_cols:
             writer = writer.partitionBy(*dir_cols)
         with REGISTRY.timer("write.dataFiles"):

@@ -946,7 +946,12 @@ class LakeWriter:
                             if len(groups) == 1
                             else batch.take(pa.array(idxs))
                         )
-                        pq.write_table(sub, abs_file, compression="snappy")
+                        pq.write_table(
+                            sub, abs_file,
+                            compression=manifest.props.get(
+                                "tblproperties", {}
+                            ).get("write.compression", "snappy"),
+                        )
                         new_files.setdefault(part_key, []).append(rel_file)
                         s = _harvest_one(abs_file, stat_cols, bloom_col)
                         if s:
@@ -2086,9 +2091,13 @@ class LakeWriter:
                             os.path.join(self.table.dir, rel_files[-1])
                         )
 
+                    _codec = current.props.get("tblproperties", {}).get(
+                        "write.compression", "snappy"
+                    )
+
                     def _write_one(i: int):
                         pq.write_table(
-                            slices[i], abs_files[i], compression="snappy"
+                            slices[i], abs_files[i], compression=_codec
                         )
                         return _harvest_one(abs_files[i], stat_cols, None)
 

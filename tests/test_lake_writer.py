@@ -574,3 +574,32 @@ class TestCheckConstraints:
         w.write(spark.createDataFrame([(1, 2.0), (2, 3.0)], "id int, v double"))
         got = {r["id"]: r["v"] for r in catalog.table("c3").read().collect()}
         assert got == {1: 2.0, 2: 3.0}
+
+
+def test_write_compression_property(spark, tmp_path):
+    """r13: TBLPROPERTIES write.compression selects the parquet codec on
+    both the Spark write path and the driver-Arrow fast paths."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cat.sql("CREATE TABLE z (id BIGINT, v STRING, PRIMARY KEY (id))")
+    cat.sql("ALTER TABLE z SET TBLPROPERTIES ('write.compression' = 'zstd')")
+    t = cat.table("z")
+    w = LakeWriter(t, pk=["id"])
+    # small write → driver-Arrow fast path
+    w.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    # merge (arrow merge path)
+    w.write(spark.createDataFrame([(1, "A"), (3, "c")], "id long, v string"))
+    # large-ish append forcing the Spark writer path
+    w.append(spark.range(4, 5000).selectExpr("id", "cast(id as string) AS v"))
+    codecs = set()
+    for rel in t.manifest().all_files():
+        md = pq.ParquetFile(os.path.join(t.dir, rel)).metadata
+        codecs.add(md.row_group(0).column(0).compression)
+    assert codecs == {"ZSTD"}, codecs
+    got = {r["id"] for r in t.read().collect()}
+    assert {1, 2, 3, 4, 4999} <= got
