@@ -3513,3 +3513,53 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("jaccard") >= 0.7, "positive")
         .otherwise("hard_negative").alias("label"),
     )
+
+
+@register(
+    "sql_view_over_matview",
+    """
+    SELECT event_type, total_cents, n
+    FROM (
+        SELECT event_type,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE event_id % 2 = 0
+        GROUP BY event_type
+    )
+    WHERE n >= 10
+    """,
+    "A logical VIEW over a MATERIALIZED VIEW (r13): the MV is a lake "
+    "table, so a stored view body can filter/reshape it and the "
+    "expansion machinery registers the MV like any base table. The "
+    "view also survives an incremental MV refresh (asserted in-query: "
+    "refresh runs between view creation and the read).",
+)
+def sql_view_over_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_vm"), pk=["event_id"])
+    w.write(ev.filter(F.col("event_id") % 3 != 0))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW vm_rollup AS SELECT event_type, "
+        "sum(cents) AS total_cents, count(*) AS n FROM events_vm "
+        "GROUP BY event_type"
+    )
+    cat.sql(
+        "CREATE VIEW busy_types AS SELECT event_type, total_cents, n "
+        "FROM vm_rollup WHERE n >= 10"
+    )
+    # churn + incremental refresh BETWEEN view creation and the read
+    w.write(ev.filter(F.col("event_id") % 3 == 0))
+    st = cat.sql("REFRESH MATERIALIZED VIEW vm_rollup").collect()[0]
+    if "incremental" not in st["detail"]:
+        raise AssertionError(f"refresh took {st['detail']!r}")
+    return cat.sql("SELECT event_type, total_cents, n FROM busy_types")
