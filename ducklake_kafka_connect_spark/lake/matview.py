@@ -414,8 +414,21 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
                 elif all(isinstance(v, int) for v in vals):
                     lits = [str(v) for v in vals]
                 elif all(isinstance(v, str) for v in vals):
-                    esc = [v.replace("'", "''") for v in vals]
-                    lits = [f"'{v}'" for v in esc]
+                    # The predicate string is parsed by TWO lexers with
+                    # incompatible escape rules: Spark SQL's (backslash
+                    # escapes; adjacent literals concatenate, so '' is
+                    # NOT a safe quote escape) and the manifest skipper's
+                    # (doubled '' only; backslash is a plain char). No
+                    # single spelling round-trips a quote or backslash
+                    # through both, and a mangled literal would silently
+                    # repair the group over a subset of its rows — so any
+                    # such key disables the IN-prune (where stays None);
+                    # the left_semi join below guarantees exactness
+                    # regardless, the prune is purely an optimization.
+                    if any("'" in v or "\\" in v for v in vals):
+                        lits = None
+                    else:
+                        lits = [f"'{v}'" for v in vals]
                 else:
                     lits = None
                 if lits:

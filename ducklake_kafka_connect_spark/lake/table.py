@@ -504,6 +504,7 @@ class LakeTable:
         segments walk parents to the nearest full base and re-apply
         (bounded by COMPACT_EVERY — a full base is written at least
         every N commits, so the chain is short by construction)."""
+        REGISTRY.inc("manifest.resolves")
         v = self.current_version() if version is None else version
         base = self._read_full_segment(v)
         if base is not None:
@@ -708,6 +709,25 @@ class LakeTable:
             return new_tags
         raise CommitConflict(
             f"refs chain on {self.name}: lost the CAS 200 times (livelock?)"
+        )
+
+    # ---------- replication write-fence ----------
+
+    def replica_of(self) -> str | None:
+        """Source identity string when this table is a replication
+        mirror (stamped by ``lake/replicate.py``), else None. The
+        marker lives OUTSIDE the manifest segments because replication
+        copies those byte-for-byte from the source."""
+        b = self.fs.try_read_bytes(os.path.join(self.meta_dir, "REPLICA_OF"))
+        return b.decode().strip() if b is not None else None
+
+    def promote_replica(self) -> None:
+        """Detach this mirror from its source: lifts the commit fence so
+        local writes are accepted again. After promotion the source and
+        this table are independent forks — re-pointing replicate() at a
+        promoted table refuses on the first version collision."""
+        self.fs.delete(
+            os.path.join(self.meta_dir, "REPLICA_OF"), missing_ok=True
         )
 
     def tag(self, name: str, version: int | None = None) -> int:
@@ -940,6 +960,24 @@ class LakeTable:
         is written (the compaction step), bounding resolution cost.
         Time travel resolves any committed version through the chain.
         """
+        # replica write-fence (r14, VERDICT r13 #5): a mirror kept in
+        # sync by lake/replicate.py must never take local commits — a
+        # local version here would silently FORK the chain the next
+        # replication run tries to extend. replicate() stamps the
+        # destination with a REPLICA_OF marker (outside the verbatim-
+        # copied segments); every commit path funnels through this
+        # chokepoint, so the fence covers writers, DDL/DML, matview
+        # refreshes, and maintenance alike. Promote with
+        # LakeTable.promote_replica() to accept the fork explicitly.
+        marker = self.replica_of()
+        if marker is not None:
+            raise ValueError(
+                f"table {self.name} is a replication mirror of "
+                f"{marker!r} — local writes would fork the version "
+                f"chain the next replicate() run extends. Write to the "
+                f"source and re-replicate, or promote_replica() to "
+                f"detach this mirror first"
+            )
         self.fs.ensure_dir(self.meta_dir)
         # pre-check across BOTH serialization forms and delta-ness (the
         # CAS below only guards the exact path being written)
@@ -2607,7 +2645,14 @@ class LakeCatalog:
     def view_query(self, name: str) -> str:
         p = os.path.join(self._views_dir, f"{name}.json")
         if not self.fs.exists(p):
-            raise ValueError(f"view {name!r} does not exist")
+            # references resolve case-insensitively; so does lookup
+            canon = next(
+                (v for v in self.list_views() if v.lower() == name.lower()),
+                None,
+            )
+            if canon is None:
+                raise ValueError(f"view {name!r} does not exist")
+            p = os.path.join(self._views_dir, f"{canon}.json")
         return json.loads(self.fs.read_bytes(p))["query"]
 
     def create_view(self, name: str, query: str, replace: bool = False) -> None:
@@ -2617,9 +2662,19 @@ class LakeCatalog:
             raise ValueError(
                 f"cannot create view {name!r}: a table with that name exists"
             )
-        p = os.path.join(self._views_dir, f"{name}.json")
-        if self.fs.exists(p) and not replace:
+        # view-vs-view collision is case-insensitive too — references
+        # resolve case-insensitively, so `Docs` beside `docs` would drag
+        # two same-named CTEs into every query's prelude. OR REPLACE
+        # targets the existing canonical file rather than forking a
+        # second case variant on disk.
+        existing = next(
+            (v for v in self.list_views() if v.lower() == name.lower()), None
+        )
+        if existing is not None and not replace:
             raise ValueError(f"view {name!r} already exists (use OR REPLACE)")
+        if existing is not None:
+            name = existing
+        p = os.path.join(self._views_dir, f"{name}.json")
         q = query.strip().rstrip(";").strip()
         self.fs.ensure_dir(self._views_dir)
         prev = self.fs.try_read_bytes(p)  # OR REPLACE rollback target
@@ -2637,12 +2692,15 @@ class LakeCatalog:
             raise
 
     def drop_view(self, name: str, if_exists: bool = False) -> None:
-        p = os.path.join(self._views_dir, f"{name}.json")
-        if not self.fs.exists(p):
+        # case-insensitive, matching view resolution semantics
+        canon = next(
+            (v for v in self.list_views() if v.lower() == name.lower()), None
+        )
+        if canon is None:
             if if_exists:
                 return
             raise ValueError(f"view {name!r} does not exist")
-        self.fs.delete(p)
+        self.fs.delete(os.path.join(self._views_dir, f"{canon}.json"))
 
     def _expand_views(self, query: str) -> str:
         """Prepend every transitively-referenced view as a CTE (refused
@@ -2864,9 +2922,14 @@ class LakeCatalog:
         )
         if vwa:
             name = unquote_ident(vwa.group(1))
-            if name not in self.list_views():
+            # case-insensitive lookup, matching view resolution semantics
+            canon = next(
+                (v for v in self.list_views() if v.lower() == name.lower()),
+                None,
+            )
+            if canon is None:
                 raise ValueError(f"ALTER VIEW: view {name!r} does not exist")
-            self.create_view(name, vwa.group(2), replace=True)
+            self.create_view(canon, vwa.group(2), replace=True)
             return self._ddl_result("ALTER VIEW", name, "redefined")
         vwd = _re.match(
             rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
@@ -3421,9 +3484,17 @@ class LakeCatalog:
                 f"through MERGE); add one, or materialize the subquery "
                 f"and use a plain predicate"
             )
-        pk_cols = ", ".join(quote_ident(c) for c in pk)
+        # the source subquery's PK columns are aliased to reserved names
+        # so a SET expression referencing a PK column unqualified
+        # (UPDATE t SET a = id + 1 WHERE id IN (...)) resolves against
+        # the target only, instead of hitting an ambiguous-reference
+        # AnalysisException in the compiled projection
+        pk_cols = ", ".join(
+            f"{quote_ident(c)} AS {quote_ident('__s_pk_' + c)}" for c in pk
+        )
         on = " AND ".join(
-            f"__t.{quote_ident(c)} = __s.{quote_ident(c)}" for c in pk
+            f"__t.{quote_ident(c)} = __s.{quote_ident('__s_pk_' + c)}"
+            for c in pk
         )
         if assigns is None:
             action = "WHEN MATCHED THEN DELETE"
@@ -3578,9 +3649,26 @@ class LakeCatalog:
             # EXPLAIN <select>: plan the statement through this same
             # entry point (views expand, tables register pruned, time
             # travel resolves) and return the physical plan as a row —
-            # the SQL-side twin of df.explain()
+            # the SQL-side twin of df.explain(). A plan request must
+            # never have side effects, so statements that would hit the
+            # ddl()/dml() dispatch below (EXPLAIN DELETE / INSERT /
+            # VACUUM / ...) are refused up front rather than routed
+            # through sql(), which would EXECUTE them and plan only the
+            # tiny status DataFrame.
+            inner = exm.group(2).strip()
+            if _re.match(
+                r"(CREATE|DROP|REFRESH|ALTER|TRUNCATE|VACUUM|OPTIMIZE"
+                r"|RESTORE|COPY|REPLICATE|INSERT|DELETE|UPDATE|MERGE)\b",
+                inner,
+                _re.IGNORECASE,
+            ):
+                raise ValueError(
+                    "EXPLAIN supports SELECT queries only; refusing to "
+                    "plan (and thereby execute) a DDL/DML statement: "
+                    + inner.split(None, 1)[0].upper()
+                )
             mode = (exm.group(1) or "formatted").lower()
-            df = self.sql(exm.group(2), versions=versions, where_hints=where_hints)
+            df = self.sql(inner, versions=versions, where_hints=where_hints)
             jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
             plan = df._jdf.queryExecution().explainString(jmode)
             return self.spark.createDataFrame([(plan,)], "plan string")

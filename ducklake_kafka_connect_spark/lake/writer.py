@@ -376,7 +376,9 @@ class LakeWriter:
 
     # ---------- public API ----------
 
-    def _enforce_constraints(self, df: DataFrame) -> None:
+    _RESOLVE = object()  # sentinel: "resolve the manifest yourself"
+
+    def _enforce_constraints(self, df: DataFrame, manifest=_RESOLVE) -> None:
         """Reject the batch if any CHECK constraint is violated. One
         aggregate job computes every constraint's violation count at
         once. A row violates only when the predicate evaluates FALSE;
@@ -388,16 +390,28 @@ class LakeWriter:
         Table-STORED constraints (``ALTER TABLE ... ADD CONSTRAINT``,
         persisted as ``constraint.<name>`` TBLPROPERTIES) are enforced
         here too — every writer sees them, not just the one constructed
-        with ``check_constraints=`` (Delta's contract)."""
+        with ``check_constraints=`` (Delta's contract). ADD/DROP
+        CONSTRAINT take effect on live writers immediately because the
+        props come off the manifest the write is planned against.
+
+        ``manifest`` is the write path's ALREADY-RESOLVED manifest —
+        pass it so constraint lookup costs zero extra metadata reads
+        (at 100 TB a manifest is O(files) big; a second chain resolve
+        per 10k-row CDC batch is real money). ``None`` means the table
+        is known to not exist (no stored constraints possible); the
+        default self-resolves, for callers with no manifest in hand."""
         checks = dict(self.check_constraints)
-        if self.table.exists():
-            # one metadata read per write — ADD/DROP CONSTRAINT take
-            # effect on live writers immediately (a version-keyed memo
-            # would refresh every commit anyway, since each write bumps
-            # the version)
-            for k, v in self.table.properties().items():
-                if k.startswith("constraint."):
-                    checks.setdefault(k[len("constraint."):], v)
+        if manifest is LakeWriter._RESOLVE:
+            stored = (
+                self.table.properties() if self.table.exists() else {}
+            ).items()
+        elif manifest is None:
+            stored = ()
+        else:
+            stored = manifest.props.get("tblproperties", {}).items()
+        for k, v in stored:
+            if k.startswith("constraint."):
+                checks.setdefault(k[len("constraint."):], v)
         if not checks:
             return
         aggs = [
@@ -524,7 +538,7 @@ class LakeWriter:
 
         with REGISTRY.timer("deleteWhere"), self.table.lock():
             manifest = self.table.manifest()
-            affected, _ = self.table.prune_files(predicate)
+            affected, _ = self.table.prune_files(predicate, manifest=manifest)
             if not affected:
                 return
             if self.pk and resolve_merge_mode(manifest, self.merge_mode) == MODE_MOR:
@@ -641,7 +655,7 @@ class LakeWriter:
             ]
             if unknown:
                 raise ValueError(f"update_where: unknown column(s) {unknown}")
-            affected, _ = self.table.prune_files(predicate)
+            affected, _ = self.table.prune_files(predicate, manifest=manifest)
             if not affected:
                 return
             from .mor import MODE_MOR, resolve_merge_mode
@@ -664,7 +678,7 @@ class LakeWriter:
             # SET expressions must not commit rows that append()/merge()
             # would have rejected — validate the rewritten rows against
             # the table's CHECK constraints before any file is written.
-            self._enforce_constraints(rewritten)
+            self._enforce_constraints(rewritten, manifest)
             new_files, new_stats = self.table.write_data_files(
                 rewritten, manifest.version + 1, layout="natural",
                 manifest=manifest,
@@ -718,7 +732,7 @@ class LakeWriter:
                 for c in src.columns
             ]
         )
-        self._enforce_constraints(delta)
+        self._enforce_constraints(delta, manifest)
         v = manifest.version + 1
         new_files, new_stats = self.table.write_data_files(
             delta, v, layout="natural", manifest=manifest
@@ -785,11 +799,20 @@ class LakeWriter:
             self._txn = txn
         try:
             with REGISTRY.timer("insertOverwrite"):
-                self._enforce_constraints(df)
-                manifest = self._ensure_table(df)
+                # one manifest resolve: enforcement reuses the planning
+                # manifest; a violating first batch still rejects BEFORE
+                # auto-create (no stored constraints can exist then)
+                if self.table.exists():
+                    manifest = self.table.manifest()
+                    self._enforce_constraints(df, manifest)
+                else:
+                    self._enforce_constraints(df, None)
+                    manifest = self._ensure_table(df)
                 out = self._prepare_insert(df, manifest)
                 with self.table.lock():
-                    manifest = self.table.manifest()  # re-read under lock
+                    # re-resolve only if a commit landed since planning
+                    if self.table.current_version() != manifest.version:
+                        manifest = self.table.manifest()
                     new_files, new_stats = self.table.write_data_files(
                         out,
                         manifest.version + 1,
@@ -808,13 +831,20 @@ class LakeWriter:
                 self._txn = None
 
     def _append(self, df: DataFrame) -> None:
-        self._enforce_constraints(df)
-        manifest = self._ensure_table(df)
+        # one manifest resolve: enforcement reuses the planning manifest
+        if self.table.exists():
+            manifest = self.table.manifest()
+            self._enforce_constraints(df, manifest)
+        else:
+            self._enforce_constraints(df, None)
+            manifest = self._ensure_table(df)
         out = self._prepare_insert(df, manifest)
         if self._append_small_arrow(out, df, manifest):
             return
         with self.table.lock():
-            manifest = self.table.manifest()  # re-read under lock
+            # re-resolve only if a commit landed since planning
+            if self.table.current_version() != manifest.version:
+                manifest = self.table.manifest()
             new_files, new_stats = self.table.write_data_files(
                 out, manifest.version + 1, layout="rebalance",
                 manifest=manifest,
@@ -1082,15 +1112,22 @@ class LakeWriter:
     ) -> None:
         if not self.pk:
             raise ValueError(f"merge() on table {self.table.name} requires pk columns")
-        self._enforce_constraints(df)
+        # one manifest resolve: the pre-lock planning manifest doubles as
+        # the constraint source and seeds the FIRST _merge_once attempt
+        # (replans after a commit conflict re-resolve, as they must)
+        pre = self.table.manifest() if self.table.exists() else None
+        self._enforce_constraints(df, pre)
         # The rewrite set is planned against a manifest read OUTSIDE the
         # table lock; if another commit lands before this merge takes the
         # lock, the planned file list is stale (re-emitting rows a
         # concurrent compaction already rewrote would duplicate them) —
         # so the commit re-checks the version under the lock and replans.
         retries = max(1, self.max_retry_count)
-        for _ in range(retries):
-            if self._merge_once(df, order_col, tombstone_col, ephemeral_order):
+        for attempt in range(retries):
+            if self._merge_once(
+                df, order_col, tombstone_col, ephemeral_order,
+                manifest=pre if attempt == 0 else None,
+            ):
                 return
             REGISTRY.inc("merge.commitConflictReplans")
         raise CommitConflict(
@@ -1104,13 +1141,15 @@ class LakeWriter:
         order_col: str | None,
         tombstone_col: str | None,
         ephemeral_order: bool = False,
+        manifest=None,
     ) -> bool:
         # ephemeral order columns never enter the table schema
         drop_for_schema = [c for c in (tombstone_col,) if c]
         if ephemeral_order and order_col:
             drop_for_schema.append(order_col)
         payload = df.drop(*drop_for_schema) if drop_for_schema else df
-        manifest = self._ensure_table(payload)
+        if manifest is None:
+            manifest = self._ensure_table(payload)
         planned_version = manifest.version
         final_logical = _logical_schema_of_batch(payload, manifest)
         exprs = manifest.partition_exprs
@@ -1394,8 +1433,10 @@ class LakeWriter:
 
         try:
             with self.table.lock():
-                manifest = self.table.manifest()
-                if manifest.version != planned_version:
+                # cheap tip check (one tiny LATEST read, not a chain
+                # resolve): unchanged version ⇒ the pre-lock planning
+                # manifest IS the tip, so reuse it as-is
+                if self.table.current_version() != planned_version:
                     return False  # concurrent commit — replan against it
                 if small and n_out > 1:
                     # key-disjoint output files: see write_data_files'
@@ -1574,8 +1615,8 @@ class LakeWriter:
             )
 
             with self.table.lock():
-                manifest = self.table.manifest()
-                if manifest.version != planned_version:
+                # cheap tip check; unchanged ⇒ planning manifest is tip
+                if self.table.current_version() != planned_version:
                     return False  # concurrent commit — replan
                 v = manifest.version + 1
                 if est_bytes <= SMALL_OUTPUT_BYTES:
@@ -1720,9 +1761,10 @@ class LakeWriter:
             single_partition=est_rows <= SMALL_MERGE_SINGLE_TASK_ROWS,
         )
         with self.table.lock():
-            current = self.table.manifest()
-            if current.version != planned_version:
+            # cheap tip check; unchanged ⇒ planning manifest is tip
+            if self.table.current_version() != planned_version:
                 return False  # concurrent commit — replan against it
+            current = manifest
             # skip_bloom: a table this small is read whole for any point
             # lookup, so a sidecar buys nothing; once the table graduates
             # past the size gate, the first pruning-path rewrite restores
@@ -2018,9 +2060,10 @@ class LakeWriter:
             from .table import _harvest_one
 
             with self.table.lock():
-                current = self.table.manifest()
-                if current.version != planned_version:
+                # cheap tip check; unchanged ⇒ planning manifest is tip
+                if self.table.current_version() != planned_version:
                     return False
+                current = manifest
                 stage_rel = os.path.join(
                     "data", f"s{current.version + 1}-{_uuid.uuid4().hex[:8]}"
                 )

@@ -604,21 +604,6 @@ class _WriterBase:
                 f"mergeKeys={','.join(m.pk)} for merge-on-read upserts, or "
                 f"use LakeWriter.merge / SQL MERGE"
             )
-        # table-stored CHECK constraints cannot be evaluated in this
-        # writer (tasks see raw Arrow batches, no SQL engine) — refuse
-        # rather than silently skip enforcement every other writer
-        # applies; the caller opts out explicitly if they accept that
-        stored_checks = sorted(
-            k for k in t.properties() if k.startswith("constraint.")
-        )
-        if stored_checks and not _truthy(options.get("skipconstraints", "")):
-            raise ValueError(
-                f"ducklake sink: table {self.name} carries CHECK "
-                f"constraint(s) {stored_checks} which this sink cannot "
-                f"enforce — write through LakeWriter, or pass "
-                f".option('skipConstraints', 'true') to accept "
-                f"unenforced writes"
-            )
         self.part_exprs = list(m.partition_exprs)
         for e in self.part_exprs:
             src_t = m.schema[e.column].dataType.simpleString()
@@ -687,6 +672,55 @@ class _WriterBase:
             self.renames.get(c, c) for c in _stats_columns(surface, [])
         ]
         self.stamp_inserted = INSERTED_AT in surface.fieldNames()
+        # table-stored CHECK constraints (r14, VERDICT r13 #3): the
+        # compilable subset — comparisons, IS [NOT] NULL, IN, BETWEEN,
+        # AND/OR/NOT — evaluates executor-side per Arrow batch via
+        # pyarrow.compute (sources/arrow_checks.py), with SQL CHECK null
+        # semantics (only FALSE violates). Each predicate is compiled AND
+        # dry-run against an empty table of the write schema here on the
+        # driver, so type errors refuse at plan time, not in a task.
+        # Only genuinely non-compilable predicates keep the old refusal.
+        self.checks: dict = {}
+        stored = {
+            k[len("constraint."):]: v
+            for k, v in m.props.get("tblproperties", {}).items()
+            if k.startswith("constraint.")
+        }
+        if stored and not _truthy(options.get("skipconstraints", "")):
+            import pyarrow as pa
+
+            from .arrow_checks import (
+                CheckCompileError,
+                compile_check,
+                violations,
+            )
+
+            cols = {f.name for f in surface.fields if f.name != INSERTED_AT}
+            empty = pa.table(
+                {
+                    f.name: pa.array([], type=to_arrow_type(f.dataType))
+                    for f in surface.fields
+                    if f.name != INSERTED_AT
+                }
+            )
+            bad: dict = {}
+            for cname, pred in sorted(stored.items()):
+                try:
+                    node = compile_check(pred, cols)
+                    violations({cname: node}, empty)  # plan-time dry run
+                    self.checks[cname] = (node, pred)
+                except CheckCompileError as e:
+                    bad[cname] = str(e)[:120]
+            if bad:
+                raise ValueError(
+                    f"ducklake sink: table {self.name} carries CHECK "
+                    f"constraint(s) {sorted(bad)} outside this sink's "
+                    f"compilable subset ("
+                    + "; ".join(f"{k}: {v}" for k, v in sorted(bad.items()))
+                    + ") — write through LakeWriter, or pass "
+                    f".option('skipConstraints', 'true') to accept "
+                    f"unenforced writes"
+                )
         self.table_dir = t.dir
         # commit-time drift gates: layout decisions baked into staged
         # files must still hold when the manifest is folded
@@ -761,6 +795,26 @@ class _WriterBase:
                 # comes from the FILLED column list (a null-filled
                 # partition source derives a null cell → HIVE_NULL dir).
                 by_name = dict(zip(self.col_order, cols))
+                if self.checks:
+                    # CHECK enforcement per Arrow batch, logical names,
+                    # BEFORE any file content is staged for this batch
+                    from ..lake.writer import ConstraintViolation
+                    from .arrow_checks import violations
+
+                    bad = violations(
+                        {n: node for n, (node, _) in self.checks.items()},
+                        pa.table(by_name),
+                    )
+                    if bad:
+                        raise ConstraintViolation(
+                            f"batch violates CHECK constraint(s) on "
+                            f"{self.name}: "
+                            + ", ".join(
+                                f"{n} ({c} row(s), predicate: "
+                                f"{self.checks[n][1]!r})"
+                                for n, c in sorted(bad.items())
+                            )
+                        )
                 for e in self.part_exprs:
                     if not e.is_derived:
                         continue

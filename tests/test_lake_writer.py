@@ -603,3 +603,69 @@ def test_write_compression_property(spark, tmp_path):
     assert codecs == {"ZSTD"}, codecs
     got = {r["id"] for r in t.read().collect()}
     assert {1, 2, 3, 4, 4999} <= got
+
+
+class TestSingleManifestResolve:
+    """r14 (VERDICT #2): the hot write path resolves the manifest chain
+    exactly ONCE per write — constraint enforcement reuses the planning
+    manifest, the under-lock conflict check is a cheap version read (not
+    a chain resolve), and prune_files reuses the in-hand manifest. At
+    100 TB manifests are O(files) big; doubling metadata reads per
+    10k-row CDC batch is real money."""
+
+    @staticmethod
+    def _count(fn):
+        from ducklake_kafka_connect_spark.metrics import REGISTRY
+
+        with REGISTRY._lock:
+            REGISTRY.counters.pop("manifest.resolves", None)
+        fn()
+        return REGISTRY.counters.get("manifest.resolves", 0)
+
+    def test_one_resolve_per_write(self, spark, catalog):
+        w = LakeWriter(catalog.table("one"), pk=["id"])
+        w.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+        # small-table merge path
+        n = self._count(
+            lambda: w.write(spark.createDataFrame([(3, "c")], "id long, v string"))
+        )
+        assert n == 1, f"merge write did {n} manifest resolves, want 1"
+        # append path
+        wa = LakeWriter(catalog.table("one_a"))
+        wa.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+        n = self._count(
+            lambda: wa.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+        )
+        assert n == 1, f"append did {n} manifest resolves, want 1"
+        # overwrite path
+        n = self._count(
+            lambda: wa.overwrite(spark.createDataFrame([(9, "z")], "id long, v string"))
+        )
+        assert n == 1, f"overwrite did {n} manifest resolves, want 1"
+        # MOR merge path
+        wm = LakeWriter(catalog.table("one_m"), pk=["id"], merge_mode="merge-on-read")
+        wm.write(spark.createDataFrame([(i, "x") for i in range(100)], "id long, v string"))
+        n = self._count(
+            lambda: wm.write(spark.createDataFrame([(1, "z")], "id long, v string"))
+        )
+        assert n == 1, f"MOR merge did {n} manifest resolves, want 1"
+        # predicate DML
+        n = self._count(lambda: w.update_where("id = 1", {"v": "'u'"}))
+        assert n == 1, f"update_where did {n} manifest resolves, want 1"
+        n = self._count(lambda: w.delete_where("id = 2"))
+        assert n == 1, f"delete_where did {n} manifest resolves, want 1"
+
+    def test_stored_constraints_still_enforced_one_resolve(self, spark, catalog):
+        from ducklake_kafka_connect_spark.lake import ConstraintViolation
+
+        t = catalog.table("one_c")
+        w = LakeWriter(t, pk=["id"])
+        w.write(spark.createDataFrame([(1, 1.0)], "id int, v double"))
+        catalog.sql("ALTER TABLE one_c ADD CONSTRAINT pos CHECK (v > 0)")
+        w2 = LakeWriter(t, pk=["id"])  # fresh writer, no inline constraints
+        with pytest.raises(ConstraintViolation, match="pos"):
+            w2.write(spark.createDataFrame([(2, -1.0)], "id int, v double"))
+        n = self._count(
+            lambda: w2.write(spark.createDataFrame([(2, 2.0)], "id int, v double"))
+        )
+        assert n == 1, f"constrained write did {n} manifest resolves, want 1"

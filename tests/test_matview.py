@@ -556,3 +556,55 @@ def test_random_churn_equivalence(spark, tmp_path):
                 del rows[k]
         c.sql("REFRESH MATERIALIZED VIEW rmv")
         assert got() == expected(), f"divergence at step {step}"
+
+
+def test_minmax_repair_backslash_and_quote_keys(spark, cat):
+    """r14 (ADVICE): group keys containing backslashes or quotes must
+    not be mangled by the IN-prune literal — the prune is skipped for
+    such keys (the left_semi join alone guarantees exactness)."""
+    c, w = cat
+    w.write(
+        spark.createDataFrame(
+            [
+                (900, "C:\\temp", 10),
+                (901, "C:\\temp", 99),
+                (902, "it's", 5),
+                (903, "it's", 77),
+                (904, "plain", 3),
+            ],
+            "id int, region string, cents long",
+        )
+    )
+    c.sql(
+        "CREATE MATERIALIZED VIEW mvb AS SELECT region, min(cents) AS lo, "
+        "max(cents) AS hi, count(*) AS n FROM sales GROUP BY region"
+    )
+
+    def state():
+        return {
+            r["region"]: (r["lo"], r["hi"], r["n"])
+            for r in c.table("mvb").read().collect()
+        }
+
+    def expected():
+        return {
+            r["region"]: (r["lo"], r["hi"], r["n"])
+            for r in c.table("sales").read().groupBy("region").agg(
+                F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+                F.count("*").alias("n"),
+            ).collect()
+        }
+
+    # delete the argmax of BOTH tricky-keyed groups: repair recomputes
+    # them from the base; a mangled literal would under-read the group
+    w.delete_where("id IN (901, 903)")
+    st = c.sql("REFRESH MATERIALIZED VIEW mvb").collect()[0]
+    assert "repair" in st["detail"], st["detail"]
+    assert state() == expected()
+    assert state()["C:\\temp"] == (10, 10, 1)
+    assert state()["it's"] == (5, 5, 1)
+    # kill the backslash group entirely: must tombstone, not linger
+    w.delete_where("id = 900")
+    c.sql("REFRESH MATERIALIZED VIEW mvb")
+    assert state() == expected()
+    assert "C:\\temp" not in state()

@@ -215,3 +215,31 @@ def test_view_over_matview(spark, cat):
     assert got == exp
     stmt = c.sql("SHOW CREATE TABLE mv").collect()[0]["create_statement"]
     assert "MATERIALIZED VIEW" in stmt and "no join views" in stmt
+
+
+def test_view_collision_case_insensitive(spark, cat):
+    """r14 (ADVICE): view names resolve case-insensitively, so the
+    view-vs-view collision check, ALTER VIEW lookup, and DROP VIEW are
+    case-insensitive too — `Docs` beside `docs` must refuse, and OR
+    REPLACE / ALTER on a case variant targets the canonical file."""
+    c, _ = cat
+    c.sql("CREATE VIEW docs AS SELECT * FROM sales WHERE cents >= 500")
+    with pytest.raises(ValueError, match="already exists"):
+        c.sql("CREATE VIEW Docs AS SELECT * FROM sales")
+    # OR REPLACE through a case variant rewrites the canonical view —
+    # no second file forks on disk
+    c.sql("CREATE OR REPLACE VIEW DOCS AS SELECT * FROM sales WHERE cents >= 900")
+    assert c.list_views() == ["docs"]
+    assert "cents >= 900" in c.view_query("Docs")
+    n = c.sql("SELECT count(*) AS n FROM docs").collect()[0]["n"]
+    exp = c.table("sales").read().filter("cents >= 900").count()
+    assert n == exp
+    # ALTER VIEW through a case variant
+    c.sql("ALTER VIEW Docs AS SELECT id FROM sales WHERE cents >= 800")
+    assert c.list_views() == ["docs"]
+    assert "cents >= 800" in c.view_query("docs")
+    # DROP through a case variant
+    c.sql("DROP VIEW DoCs")
+    assert c.list_views() == []
+    with pytest.raises(ValueError, match="does not exist"):
+        c.sql("ALTER VIEW docs AS SELECT 1")
