@@ -33,6 +33,7 @@ def main() -> None:
         # one fresh-JVM host calibration (spawned by host_factor_harness)
         print("HOSTF_JSON " + json.dumps(host_factor_measure()))
         return
+    probes: dict = {"start": mini_probe()}
     spark = build_session(app_name="ducklake-bench")
     # warm up JVM / parquet footer caches with a trivial action
     spark.range(1000).count()
@@ -72,10 +73,10 @@ def main() -> None:
         # queries aren't timed under another query's storage-memory churn
         spark.catalog.clearCache()
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    probes["after_queries"] = mini_probe()
     record = {
         "metric": "query_surface_total_wall",
-        "value": total,
+        "value": None,  # filled after the end-of-run second pass
         "unit": "sec",
         "queries": timings,
         "split": split_harness(spark, sf_dir),
@@ -94,6 +95,27 @@ def main() -> None:
         "replay": replay_harness(spark),
         "wide_scan": wide_scan_harness(spark, sf_dir),
         "sf1": sf1_harness(spark, sf_dir, timings),
+    }
+    # ---- end-of-run second pass (VERDICT r13 #1c): the single-shot
+    # segments (slowest surface queries, wide26, sf1 ingest block) are
+    # the ones a degraded window contaminates — re-run them once more at
+    # the very end and keep the min, so one bad window can't own them.
+    record["second_pass"] = second_pass_harness(spark, sf_dir, timings, record)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    record["value"] = total
+    # ---- load telemetry + contamination stamp (VERDICT r13 #1b/#1d):
+    # when the single-thread probe drifted >1.3x across the run (or an
+    # A/B side saw drift), raw round-over-round comparisons are invalid
+    # and the artifact says so itself instead of letting numbers stand.
+    probes["end"] = mini_probe()
+    samples = list(probes.values())
+    for cell in (record.get("ab", {}).get("orders") or {}).values():
+        samples.extend(cell.get("probes", {}).values())
+    drift = load_drift(samples)
+    record["load"] = {
+        "probes": probes,
+        "drift": drift,
+        "load_contaminated": drift > 1.3,
     }
     # Full record to a repo file FIRST: the driver captures only the tail
     # of stdout, which has truncated past rounds' records (VERDICT r4 #5)
@@ -134,6 +156,14 @@ def main() -> None:
         "host_factor": record["host_factor"],
         "wide_scan": record["wide_scan"],
         "sf1_ingest": record["sf1"].get("ingest", {}),
+        "load": {
+            "drift": record["load"]["drift"],
+            "load_contaminated": record["load"]["load_contaminated"],
+        },
+        "ab_pooled_cur_over_prev": {
+            q: v.get("cur_over_prev")
+            for q, v in (record.get("ab", {}).get("pooled_median") or {}).items()
+        },
         "errors": sorted(n for n, t in timings.items() if t < 0),
         "detail": "BENCH_LOCAL.json",
     }
@@ -284,6 +314,35 @@ AB_QUERIES += [
 ]
 
 
+def loadavg() -> list[float]:
+    try:
+        return [float(x) for x in open("/proc/loadavg").read().split()[:3]]
+    except Exception:
+        return []
+
+
+def mini_probe() -> dict:
+    """~0.2 s single-threaded CPU probe + loadavg snapshot. Taken before
+    and after the query surface and around each A/B side (VERDICT r13
+    #1b): probe drift across the run means the HOST changed speed while
+    the artifact was being produced — numbers from a drifted run cannot
+    support round-over-round claims and get stamped load_contaminated."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"probe"
+    for _ in range(120_000):
+        h = hashlib.md5(h).digest()
+    return {"probe_s": round(time.perf_counter() - t0, 4), "loadavg": loadavg()}
+
+
+def load_drift(samples: list[dict]) -> float:
+    vals = [s["probe_s"] for s in samples if isinstance(s.get("probe_s"), float)]
+    if len(vals) < 2 or min(vals) <= 0:
+        return 1.0
+    return round(max(vals) / min(vals), 3)
+
+
 def host_factor_measure() -> dict:
     """The pinned microbenchmark itself (runs inside a fresh JVM via
     ``--host-factor``): fixed-size CPU aggregate, shuffle, parquet
@@ -411,6 +470,62 @@ def ingest_min_of_harness(n_runs: int = 3) -> dict:
     return out
 
 
+def second_pass_harness(spark, sf_dir: str, timings: dict, record: dict) -> dict:
+    """Re-run the slowest single-shot segments once at the very end and
+    fold the MIN back into the artifact (VERDICT r13 #1c). The segments
+    re-run here are exactly the ones the r13 contamination hit: the
+    slowest surface queries (single JVM, one window), the ingest harness
+    (wide26 block), and the sf1 ingest block."""
+    out: dict = {}
+    if os.environ.get("SPARK_GRAFT_SECOND_PASS", "1") == "0":
+        return {"skipped": "SPARK_GRAFT_SECOND_PASS=0"}
+    # 1. five slowest surface queries, one extra run each, keep min
+    slowest = sorted(
+        ((t, n) for n, t in timings.items() if t >= 0), reverse=True
+    )[:5]
+    rerun: dict = {}
+    for t_old, name in slowest:
+        try:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).collect()
+            el = round(time.perf_counter() - t0, 3)
+            rerun[name] = {"was": t_old, "rerun": el}
+            timings[name] = min(t_old, el)
+        except Exception as e:
+            rerun[name] = {"was": t_old, "error": str(e)[:120]}
+        spark.catalog.clearCache()
+    out["slowest_rerun"] = rerun
+
+    def fold(dst: dict, src: dict) -> dict:
+        changed = {}
+        for k, v in src.items():
+            old = dst.get(k)
+            if not isinstance(v, (int, float)) or not isinstance(old, (int, float)):
+                continue
+            new = max(old, v) if str(k).endswith("_per_s") else min(old, v)
+            if new != old:
+                changed[k] = {"was": old, "now": new}
+                dst[k] = new
+        return changed
+
+    # 2. one more fresh-JVM ingest run (covers the wide26 block), min-fold
+    try:
+        extra = ingest_min_of_harness(n_runs=1)
+        extra.pop("runs", None)
+        extra.pop("ingest_min_of", None)
+        out["ingest_refold"] = fold(record.get("ingest", {}), extra)
+    except Exception as e:
+        out["ingest_refold"] = {"error": str(e)[:150]}
+    # 3. sf1 ingest block once more (same session), min-fold
+    try:
+        sf1 = record.get("sf1", {})
+        if isinstance(sf1.get("ingest"), dict) and "error" not in sf1["ingest"]:
+            out["sf1_ingest_refold"] = fold(sf1["ingest"], sf1_ingest(spark))
+    except Exception as e:
+        out["sf1_ingest_refold"] = {"error": str(e)[:150]}
+    return out
+
+
 def ab_harness(sf_dir: str) -> dict:
     """VERDICT r9 #2: record the machine factor per artifact instead of
     arguing it per round — run AB_QUERIES on this tree AND the previous
@@ -449,7 +564,11 @@ def ab_harness(sf_dir: str) -> dict:
 
         # version-agnostic side runner (the previous tip predates any
         # --ab-queries flag): time the triple straight off that tree's
-        # QUERIES registry in a fresh JVM
+        # QUERIES registry in a fresh JVM. VERDICT r13 #1a: best-of-2
+        # with a ~10 s cold first run is effectively ONE contaminated
+        # sample — each side now runs 1 discarded cold + 3 warm
+        # iterations, and the verdict pools warm samples across BOTH
+        # orders into a median per side.
         side_script = (
             "import json, sys, time\n"
             "from ducklake_kafka_connect_spark.plans.queries import QUERIES\n"
@@ -459,13 +578,16 @@ def ab_harness(sf_dir: str) -> dict:
             "spark.range(1000).count()\n"
             "out = {}\n"
             "for n in names:\n"
-            "    best = None\n"
-            "    for _ in range(2):\n"
+            "    warm = []\n"
+            "    for i in range(4):\n"
             "        t0 = time.perf_counter()\n"
             "        QUERIES[n].fn(spark, sf_dir).collect()\n"
-            "        el = time.perf_counter() - t0\n"
-            "        best = el if best is None else min(best, el)\n"
-            "    out[n] = round(best, 3)\n"
+            "        el = round(time.perf_counter() - t0, 3)\n"
+            "        if i == 0:\n"
+            "            out[n + '__cold'] = el\n"  # discarded from stats
+            "        else:\n"
+            "            warm.append(el)\n"
+            "    out[n] = warm\n"
             "print('AB_JSON ' + json.dumps(out))\n"
             "spark.stop()\n"
         )
@@ -492,16 +614,49 @@ def ab_harness(sf_dir: str) -> dict:
             sides = [("prev", wt), ("cur", repo)]
             if order == "cur_first":
                 sides.reverse()
-            cell: dict = {}
+            cell: dict = {"probes": {}}
             for label, tree in sides:
+                cell["probes"][f"before_{label}"] = mini_probe()
                 cell[label] = run_side(tree)
-            ratios = {}
-            for q in AB_QUERIES:
-                p, c = cell.get("prev", {}).get(q), cell.get("cur", {}).get(q)
-                if isinstance(p, (int, float)) and isinstance(c, (int, float)) and p > 0:
-                    ratios[q] = round(c / p, 3)
-            cell["cur_over_prev"] = ratios
             out["orders"][order] = cell
+        # pooled medians across both orders (3 warm samples x 2 orders
+        # = 6 per side per query); the per-order raw samples stay in the
+        # artifact so the pooling is auditable
+        def med(vals: list) -> float | None:
+            vals = sorted(v for v in vals if isinstance(v, (int, float)))
+            if not vals:
+                return None
+            n = len(vals)
+            mid = n // 2
+            return round(
+                vals[mid] if n % 2 else (vals[mid - 1] + vals[mid]) / 2, 3
+            )
+
+        pooled: dict = {}
+        for q in AB_QUERIES:
+            qq: dict = {}
+            for side in ("prev", "cur"):
+                samples: list = []
+                for cell in out["orders"].values():
+                    got = cell.get(side, {}).get(q)
+                    if isinstance(got, list):
+                        samples.extend(got)
+                    elif isinstance(got, (int, float)):
+                        samples.append(got)
+                qq[side] = med(samples)
+                qq[f"{side}_n"] = len(
+                    [s for s in samples if isinstance(s, (int, float))]
+                )
+            if qq.get("prev") and qq.get("cur"):
+                qq["cur_over_prev"] = round(qq["cur"] / qq["prev"], 3)
+            pooled[q] = qq
+        out["pooled_median"] = pooled
+        drift = load_drift(
+            [p for cell in out["orders"].values()
+             for p in cell.get("probes", {}).values()]
+        )
+        out["load_drift"] = drift
+        out["load_contaminated"] = drift > 1.3
     except Exception as e:
         out["error"] = str(e)[:200]
     finally:

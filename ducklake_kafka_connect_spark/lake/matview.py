@@ -343,6 +343,26 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
         w.extra_commit_props = marker
         w.overwrite(frame)
         return {"view": name, "mode": "full", "from": from_v, "to": to_v}
+    # base-evolution guard (r14, VERDICT r13 #4): a REPLACE'd base is a
+    # DISJOINT history — its change-feed span diff would fold "delete
+    # everything, insert the new content" through aggregates whose
+    # stored state was derived under the OLD schema/semantics (and a
+    # REPLACE may change columns, pk, even the meaning of the measure).
+    # Refuse with the FULL remedy instead of silently folding.
+    # props travel whole in delta segments, so each version's own
+    # segment answers last_op WITHOUT a chain resolve — O(span) tiny
+    # metadata reads, not O(span × chain)
+    for v in range(from_v + 1, to_v + 1):
+        seg = base._read_delta_segment(v) or base._read_full_segment(v)
+        if seg is None:
+            continue
+        if str((seg.get("props") or {}).get("last_op") or "") == "REPLACE":
+            raise ValueError(
+                f"refresh {name!r}: base table {d.base!r} was REPLACE'd "
+                f"at v{v} (history is disjoint across a REPLACE) — run "
+                f"REFRESH MATERIALIZED VIEW {name} FULL to re-initialize "
+                f"from the current base"
+            )
     ch = base.changes(from_v, to_v, preimages=True)
     sign = (
         F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)

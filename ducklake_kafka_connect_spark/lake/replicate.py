@@ -18,11 +18,20 @@ missing on every run. Runs are idempotent and crash-safe:
   * tags sync through the destination's own refs-chain API, keeping
     its lock-free CAS invariants instead of copying chain objects.
 
-Scale note: file bytes move through the storage backend's read/put
-here, which is the correct *logic* but not the fastest *transport* at
-100 TB — a real deployment swaps the byte loop for server-side copy
-(S3 CopyObject / DistCp); everything else (version diffing, ordering,
-pointer publish, tag sync) is exactly this code.
+Scale note: file bytes fan out over a thread pool per version (byte
+copies are independent and I/O bound; the per-version barrier before
+the segment PUT preserves crash-safety), which is the transfer-manager
+shape object stores want. A real deployment can still swap `_copy_one`
+for server-side copy (S3 CopyObject / DistCp) without touching the
+version diffing, ordering, pointer publish, or tag sync.
+
+The destination is write-fenced: the first sync stamps ``REPLICA_OF``
+in the mirror's meta dir and ``LakeTable._commit`` refuses local
+commits from then on (a local version would silently fork the chain
+the next run extends). ``LakeTable.promote_replica()`` detaches.
+Mirror-side VACUUM retention is respected — replication only syncs
+versions past the mirror's tip, so a mirror may keep a shorter
+history than its source without replication re-copying it back.
 
 Reference anchor: the reference ships data to ONE DuckLake catalog
 (`connect/DucklakeConnectionFactory.java:36-95`); multi-region
@@ -57,13 +66,25 @@ def replicate(
     dest_root: str,
     dest_name: str | None = None,
     dest_backend=None,
+    copy_workers: int = 16,
 ) -> ReplicationResult:
     """Sync ``src``'s missing versions/files/tags into the table at
     ``dest_root`` (same name by default). Incremental: versions and
     data files already present are skipped, so steady-state cost is
-    O(new commits). The destination must only ever be written by
-    replication (it is a mirror, not a fork — a local write there would
-    collide with the next synced version number)."""
+    O(new commits). The destination is a mirror, not a fork: the first
+    run stamps it with a ``REPLICA_OF`` marker and every local commit
+    path refuses from then on (``LakeTable._commit`` fence) — a local
+    write would collide with the next synced version number. Promote
+    with ``LakeTable.promote_replica()`` to detach.
+
+    Data-file bytes for each version copy CONCURRENTLY (``copy_workers``
+    threads over the storage backend — byte copies are I/O bound and
+    independent; per-object stores this is the fan-out a transfer
+    manager would use). The crash-safety ordering is preserved exactly:
+    ALL of a version's data files land before that version's manifest
+    segment, and segments still publish in ascending version order."""
+    from concurrent.futures import ThreadPoolExecutor
+
     dest = LakeTable(
         src.spark,
         dest_root,
@@ -72,60 +93,100 @@ def replicate(
         backend=dest_backend,
     )
     latest = src.current_version()
+    # sync strictly PAST the mirror's tip: versions below it that the
+    # mirror lacks were reclaimed by MIRROR-SIDE vacuum retention, and
+    # re-copying them would silently undo that retention on every run
+    # (the mirror may legitimately keep a shorter history than the
+    # source). Within (tip, latest], holes on the source side are its
+    # own vacuum's doing and skip; holes on the mirror side re-copy.
+    try:
+        dest_tip = dest.current_version() if dest.exists() else -1
+    except FileNotFoundError:
+        dest_tip = -1
     to_sync = [
         v
-        for v in range(latest + 1)
+        for v in range(dest_tip + 1, latest + 1)
         if src.has_version(v) and not dest.has_version(v)
     ]
+    # write-fence stamp BEFORE any bytes move: a half-synced mirror is
+    # exactly the state a stray local writer must not commit into
+    if to_sync and dest.replica_of() is None:
+        dest.fs.ensure_dir(dest.meta_dir)
+        dest.fs.put(
+            os.path.join(dest.meta_dir, "REPLICA_OF"),
+            src.dir.encode(),
+        )
     files_copied = 0
     bytes_copied = 0
-    for v in to_sync:
-        m = src.manifest(v)
-        for rel in m.retention_files():
-            if os.path.isabs(rel):
-                raise ValueError(
-                    f"replicate: {src.name} v{v} references the absolute "
-                    f"path {rel!r} (a shallow clone) — deep-clone or "
-                    f"OPTIMIZE the source first so every file lives under "
-                    f"the table directory"
+
+    def _copy_one(v: int, rel: str) -> int | None:
+        """→ bytes copied, or None if the file was already present."""
+        dst_p = os.path.join(dest.dir, rel)
+        if dest.fs.exists(dst_p):
+            return None
+        src_p = os.path.join(src.dir, rel)
+        try:
+            data = src.fs.read_bytes(src_p)
+        except FileNotFoundError:
+            # a concurrent source VACUUM reclaimed this version
+            # between the chain read and the copy — name the race
+            # and the remedy instead of surfacing a bare missing-file
+            raise ValueError(
+                f"replicate: {src.name} v{v} file {rel!r} vanished "
+                f"mid-copy (a concurrent vacuum passed this version) — "
+                f"re-run replicate (it resumes incrementally), raise "
+                f"the source's vacuum retention, or pin the tip with a "
+                f"tag while replication runs (tags are retention roots)"
+            ) from None
+        dest.fs.ensure_dir(os.path.dirname(dst_p))
+        dest.fs.put(dst_p, data)
+        # bloom sidecars ride along (pruning parity at the mirror)
+        b = src.fs.try_read_bytes(src_p + ".bloom")
+        if b is not None:
+            dest.fs.put(dst_p + ".bloom", b)
+        return len(data)
+
+    with ThreadPoolExecutor(max_workers=max(1, copy_workers)) as pool:
+        for v in to_sync:
+            m = src.manifest(v)
+            rels = list(m.retention_files())
+            for rel in rels:
+                if os.path.isabs(rel):
+                    raise ValueError(
+                        f"replicate: {src.name} v{v} references the "
+                        f"absolute path {rel!r} (a shallow clone) — "
+                        f"deep-clone or OPTIMIZE the source first so every "
+                        f"file lives under the table directory"
+                    )
+            # concurrent copies, but a HARD BARRIER before the segment:
+            # pool.map drains fully (re-raising the first error) before
+            # this version's manifest becomes visible at the mirror
+            for got in pool.map(lambda rel, _v=v: _copy_one(_v, rel), rels):
+                if got is not None:
+                    files_copied += 1
+                    bytes_copied += got
+            # segment file(s) for THIS version, verbatim — after its data
+            for ext in _SEGMENT_EXTS:
+                seg = src.fs.try_read_bytes(
+                    os.path.join(src.meta_dir, f"v{v}{ext}")
                 )
-            dst_p = os.path.join(dest.dir, rel)
-            if dest.fs.exists(dst_p):
-                continue
-            src_p = os.path.join(src.dir, rel)
-            try:
-                data = src.fs.read_bytes(src_p)
-            except FileNotFoundError:
-                # a concurrent source VACUUM reclaimed this version
-                # between the chain read and the copy — name the race
-                # and the remedy instead of surfacing a bare missing-file
-                raise ValueError(
-                    f"replicate: {src.name} v{v} file {rel!r} vanished "
-                    f"mid-copy (a concurrent vacuum passed this version) — "
-                    f"re-run replicate (it resumes incrementally), raise "
-                    f"the source's vacuum retention, or pin the tip with a "
-                    f"tag while replication runs (tags are retention roots)"
-                ) from None
-            dest.fs.ensure_dir(os.path.dirname(dst_p))
-            dest.fs.put(dst_p, data)
-            files_copied += 1
-            bytes_copied += len(data)
-            # bloom sidecars ride along (pruning parity at the mirror)
-            b = src.fs.try_read_bytes(src_p + ".bloom")
-            if b is not None:
-                dest.fs.put(dst_p + ".bloom", b)
-        # segment file(s) for THIS version, verbatim — after its data
-        for ext in _SEGMENT_EXTS:
-            seg = src.fs.try_read_bytes(
-                os.path.join(src.meta_dir, f"v{v}{ext}")
-            )
-            if seg is not None:
-                dest.fs.ensure_dir(dest.meta_dir)
-                dest.fs.put(os.path.join(dest.meta_dir, f"v{v}{ext}"), seg)
-    # publish: posix keeps an explicit pointer; CAS derives tip by LIST
-    if to_sync and not dest.fs.cas_commits:
+                if seg is not None:
+                    dest.fs.ensure_dir(dest.meta_dir)
+                    dest.fs.put(
+                        os.path.join(dest.meta_dir, f"v{v}{ext}"), seg
+                    )
+    # publish: posix keeps an explicit pointer; CAS derives tip by LIST.
+    # The pointer advances to the highest version PRESENT past the old
+    # tip (not merely max(to_sync)): a crash after segment copies but
+    # before this PUT leaves segments above a stale LATEST, and the next
+    # run must repair the pointer even though to_sync is then empty.
+    present_tip = max(
+        (v for v in range(dest_tip + 1, latest + 1) if dest.has_version(v)),
+        default=dest_tip,
+    )
+    if present_tip > dest_tip and not dest.fs.cas_commits:
         dest.fs.put(
-            os.path.join(dest.meta_dir, "LATEST"), str(max(to_sync)).encode()
+            os.path.join(dest.meta_dir, "LATEST"), str(present_tip).encode()
         )
     # tags through the destination's own refs machinery (not raw chain
     # copies): idempotent re-point per differing tag

