@@ -3015,3 +3015,87 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight"),
     )
+
+
+MIXTURE_BUDGET = 200  # docs in the sampled training mixture
+
+
+@register(
+    "temperature_domain_mixture",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT)
+               AS w_units
+      FROM documents GROUP BY source
+    ),
+    quotas AS (
+      SELECT source, n_docs, w_units,
+             CAST((w_units * {MIXTURE_BUDGET})
+                  // (SELECT sum(w_units) FROM counts) AS BIGINT) AS quota
+      FROM counts
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+               AS rn
+      FROM documents d
+    )
+    SELECT q.source, q.n_docs, q.quota,
+           CAST(count(r.doc_id) AS BIGINT) AS selected,
+           CAST(coalesce(sum(r.doc_id), 0) AS BIGINT) AS sum_doc_id
+    FROM quotas q LEFT JOIN ranked r
+      ON r.source = q.source AND r.rn <= q.quota
+    GROUP BY q.source, q.n_docs, q.quota
+    """,
+    "Temperature-sampled domain mixture (T5/UniMax-style alpha=0.5 "
+    "smoothing): per-source weights sqrt(n) flatten the head domains; "
+    "integer weight-units (floor(sqrt(n)*1000)) and integer quota "
+    "division keep both engines bit-identical (IEEE sqrt is correctly "
+    "rounded, unlike pow); selection is the deterministic first "
+    "quota docs per source by doc_id.",
+)
+def temperature_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: counts/quotas are one map-side-combined aggregate
+    over 20 sources (broadcast back), selection is one per-source
+    row_number window — the same two passes at any scale, and the
+    selected set streams out without ever collecting. sqrt (not pow):
+    IEEE-exact in every engine, so the integer weight units — and hence
+    every quota — match the oracle bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn(
+        "w_units",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long"),
+    )
+    total_units = counts.agg(F.sum("w_units").alias("t"))
+    quotas = counts.crossJoin(F.broadcast(total_units)).select(
+        "source", "n_docs", "w_units",
+        # integer floor division on BIGINT in BOTH engines (DuckDB //,
+        # Spark DIV) — float division + cast disagrees between the two
+        # (DuckDB CAST rounds, Spark cast truncates)
+        F.expr(f"w_units * {MIXTURE_BUDGET} DIV t").alias("quota"),
+    )
+    ranked = docs.select(
+        "source", "doc_id",
+        F.row_number().over(
+            W.partitionBy("source").orderBy("doc_id")
+        ).alias("rn"),
+    )
+    sel = ranked.join(
+        F.broadcast(quotas.select("source", "quota")), on="source", how="inner"
+    ).filter(F.col("rn") <= F.col("quota"))
+    agg = sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("selected"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+    return (
+        quotas.select("source", "n_docs", "quota")
+        .join(agg, on="source", how="left")
+        .select(
+            "source", "n_docs", "quota",
+            F.coalesce(F.col("selected"), F.lit(0)).cast("long").alias("selected"),
+            F.coalesce(F.col("sum_doc_id"), F.lit(0)).cast("long").alias("sum_doc_id"),
+        )
+    )

@@ -1801,3 +1801,207 @@ def lake_replication_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@register(
+    "replica_fence_promote",
+    """
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 3 = 0
+    ),
+    final AS (
+      SELECT event_type,
+             CASE WHEN event_id % 30 = 0 THEN event_id ELSE cents END AS cents
+      FROM src
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY event_type
+    """,
+    "r14 mirror write-fence: replicate stamps the mirror REPLICA_OF and "
+    "every local commit path refuses (asserted in-query); "
+    "promote_replica() detaches, after which a local upsert lands — the "
+    "result reads the promoted fork (source rows + the local override).",
+)
+def replica_fence_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeTable, LakeWriter
+    from ..lake.replicate import replicate
+
+    src = _event_source(spark, sf_dir).filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_fence_{uuid.uuid4().hex[:8]}"
+    )
+    primary, mirror = os.path.join(root, "p"), os.path.join(root, "m")
+    t = LakeCatalog(spark, primary).table("ev_f")
+    LakeWriter(t, pk=["event_id"]).write(src)
+    replicate(t, mirror)
+    mt = LakeTable(spark, mirror, "ev_f")
+    if mt.replica_of() is None:
+        raise AssertionError("mirror not stamped REPLICA_OF")
+    mw = LakeWriter(mt, pk=["event_id"])
+    local = (
+        mt.read()
+        .filter(F.col("event_id") % 30 == 0)
+        .withColumn("cents", F.col("event_id").cast("long"))
+        .drop("_inserted_at")
+    )
+    try:
+        mw.merge(local)
+        raise AssertionError("fenced mirror accepted a local commit")
+    except ValueError as e:
+        if "replication mirror" not in str(e):
+            raise
+    mt.promote_replica()
+    mw.merge(local)  # now a legitimate fork
+    return (
+        mt.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "lake_sink_check_constraints",
+    """
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(abs(floor(value * 100)) AS BIGINT) AS cents
+      FROM events WHERE event_id % 4 = 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM src GROUP BY event_type
+    """,
+    "r14 Arrow-sink CHECK evaluation: a stored constraint (cents >= 0 "
+    "AND event_type IS NOT NULL) compiles to pyarrow.compute and is "
+    "enforced per Arrow batch executor-side — the clean batch lands, a "
+    "violating batch fails the write and leaves the table untouched "
+    "(asserted in-query); the result is the landed content.",
+)
+def lake_sink_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lake_datasource import register_lake_datasource
+
+    register_lake_datasource(spark)
+    cat = _fresh_catalog(spark, "sinkck")
+    cat.sql(
+        "CREATE TABLE ev_c (event_id BIGINT, event_type STRING, "
+        "cents BIGINT, PRIMARY KEY (event_id))"
+    )
+    cat.sql(
+        "ALTER TABLE ev_c ADD CONSTRAINT clean "
+        "CHECK (cents >= 0 AND event_type IS NOT NULL)"
+    )
+    clean = _event_source(spark, sf_dir).filter(F.col("event_id") % 4 == 0).select(
+        "event_id",
+        "event_type",
+        F.abs(F.floor(F.col("value") * 100)).cast("long").alias("cents"),
+    )
+    sink = lambda df: (  # noqa: E731
+        df.write.format("ducklake")
+        .option("path", cat.root)
+        .option("table", "ev_c")
+        .option("mergeKeys", "event_id")
+        .mode("append")
+        .save()
+    )
+    sink(clean)
+    n_clean = cat.table("ev_c").read().count()
+    bad = spark.createDataFrame(
+        [(999_999_901, "EVIL", -5)], "event_id long, event_type string, cents long"
+    )
+    try:
+        sink(bad)
+        raise AssertionError("Arrow sink accepted a CHECK-violating batch")
+    except Exception as e:  # Spark wraps the task's ConstraintViolation
+        if "violates CHECK constraint" not in str(e):
+            raise
+    if cat.table("ev_c").read().count() != n_clean:
+        raise AssertionError("violating batch changed the table")
+    return (
+        cat.table("ev_c")
+        .read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "matview_replace_reinit",
+    """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 35 = 0 THEN event_id
+                  ELSE 2 * CAST(floor(value * 100) AS BIGINT) END AS cents
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT event_type,
+           CAST(sum(cents) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM base GROUP BY event_type
+    """,
+    "r14 matview x base-REPLACE: a CREATE OR REPLACE of the base makes "
+    "its history disjoint — the incremental refresh REFUSES (asserted "
+    "in-query, MV untouched), REFRESH FULL re-initializes from the new "
+    "base, and incremental folding resumes cleanly afterwards.",
+)
+def matview_replace_reinit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, "mvrepl")
+    old = _event_source(spark, sf_dir).filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    from ..lake import LakeWriter
+
+    LakeWriter(cat.table("ev_b"), pk=["event_id"]).write(old)
+    cat.sql(
+        "CREATE MATERIALIZED VIEW mv_b AS SELECT event_type, "
+        "sum(cents) AS total, count(*) AS n FROM ev_b GROUP BY event_type"
+    )
+    # REPLACE the base with a disjoint population (%7, doubled cents)
+    cat.sql(
+        "CREATE OR REPLACE TABLE ev_b (event_id BIGINT, event_type STRING, "
+        "cents BIGINT, PRIMARY KEY (event_id))"
+    )
+    w2 = LakeWriter(cat.table("ev_b"), pk=["event_id"])
+    w2.write(
+        _event_source(spark, sf_dir).filter(F.col("event_id") % 7 == 0).select(
+            "event_id",
+            "event_type",
+            (F.floor(F.col("value") * 100).cast("long") * 2).alias("cents"),
+        )
+    )
+    try:
+        cat.sql("REFRESH MATERIALIZED VIEW mv_b")
+        raise AssertionError("incremental refresh folded across a REPLACE")
+    except ValueError as e:
+        if "REPLACE" not in str(e):
+            raise
+    cat.sql("REFRESH MATERIALIZED VIEW mv_b FULL")
+    # incremental folding resumes after the re-init
+    churn = (
+        cat.table("ev_b")
+        .read()
+        .filter(F.col("event_id") % 35 == 0)
+        .withColumn("cents", F.col("event_id").cast("long"))
+        .drop("_inserted_at")
+    )
+    w2.merge(churn)
+    st = cat.sql("REFRESH MATERIALIZED VIEW mv_b").collect()[0]
+    if "incremental" not in st["detail"]:
+        raise AssertionError(f"post-reinit refresh not incremental: {st}")
+    return cat.table("mv_b").read().select("event_type", "total", "n")
