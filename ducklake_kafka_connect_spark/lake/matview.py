@@ -45,8 +45,17 @@ maintained
 from-scratch aggregate reports NULL — documented divergence, avoided
 entirely by non-null measures (avg does NOT inherit it: its hidden sum
 is 0-seeded in both paths and the public column keys off the count).
-Single-base GROUP BY definitions only — no join views (the standard
-IVM restriction; SHOW CREATE TABLE on the MV states it).
+Definitions are single-base GROUP BY, optionally star-joined to ONE
+broadcast dimension (r14): ``SELECT ... FROM fact JOIN dim ON
+fact.k = dim.k [WHERE ...] GROUP BY ...``. Fact-side churn folds
+incrementally through the dim snapshot PINNED at the last refresh
+(pre- and post-images join to identical attributes, so signed folding
+commutes; inner join mirrors the full recompute's null-key drops). A
+dim change — which silently re-maps attributes of fact rows already
+folded — refuses the incremental path with a REFRESH FULL remedy: the
+honest boundary, since no churn-sized fold exists for it. General
+multi-join views remain out of scope (the standard IVM restriction;
+SHOW CREATE TABLE on the MV states it).
 
 Reference anchor: the reference exposes its tables to DuckDB for
 exactly this kind of derived rollup (`DucklakeTableManager.java:161-164`
@@ -73,6 +82,7 @@ from .writer import LakeWriter
 PROP_QUERY = "mv.query"
 PROP_BASE = "mv.base"
 PROP_BASE_VERSION = "mv.base_version"
+PROP_DIM_VERSION = "mv.dim_version"
 
 _AGG_RE = re.compile(
     r"^(sum|count|avg|min|max)\s*\((.+)\)\s+AS\s+(" + _IDENT + r")\s*$",
@@ -80,9 +90,15 @@ _AGG_RE = re.compile(
 )
 _DEF_RE = re.compile(
     r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<base>" + _IDENT + r")"
+    r"(?:\s+JOIN\s+(?P<dim>" + _IDENT + r")\s+ON\s+(?P<on>.+?))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"\s+GROUP\s+BY\s+(?P<groups>.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+_ON_RE = re.compile(
+    r"^\s*(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*=\s*"
+    r"(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -95,6 +111,12 @@ class MvDef:
     aggs: list[tuple[str, str, str]]
     count_alias: str
     query: str
+    # star-join extension (r14): exactly one broadcast dimension joined
+    # on a single equality. Fact-side churn folds through the PINNED dim
+    # snapshot; any dim change refuses incremental (FULL remedy) — a dim
+    # update re-maps fact rows already folded under the old attributes.
+    dim: str | None = None
+    join_on: tuple[str, str] | None = None  # (base_col, dim_col)
 
     def maintained(self) -> list[tuple[str, str, str]]:
         """The self-maintainable column ring the refresh folds: avg is
@@ -198,6 +220,25 @@ def parse_mv_query(query: str) -> MvDef:
             f"materialized view column collision: {sorted(dupes)} (avg "
             f"columns also reserve <alias>__sum and <alias>__cnt)"
         )
+    dim = unquote_ident(m.group("dim")) if m.group("dim") else None
+    join_on = None
+    if dim is not None:
+        base_name = unquote_ident(m.group("base"))
+        om = _ON_RE.match(m.group("on") or "")
+        if not om:
+            raise ValueError(
+                "materialized view JOIN requires a single qualified "
+                "equality: ON <base>.<col> = <dim>.<col>"
+            )
+        lt, lc, rt, rc = (unquote_ident(om.group(i)) for i in (1, 2, 3, 4))
+        sides = {lt.lower(): lc, rt.lower(): rc}
+        if set(sides) != {base_name.lower(), dim.lower()}:
+            raise ValueError(
+                f"materialized view ON clause must reference "
+                f"{base_name!r} and {dim!r} exactly once each, got "
+                f"{lt!r} = {rt!r}"
+            )
+        join_on = (sides[base_name.lower()], sides[dim.lower()])
     return MvDef(
         base=unquote_ident(m.group("base")),
         where=(m.group("where") or "").strip() or None,
@@ -205,6 +246,8 @@ def parse_mv_query(query: str) -> MvDef:
         aggs=aggs,
         count_alias=count_alias,
         query=q,
+        dim=dim,
+        join_on=join_on,
     )
 
 
@@ -260,9 +303,35 @@ def _guard_null_groups(df: DataFrame, groups: list[str], ctx: str) -> None:
         )
 
 
-def _full_frame(cat, d: MvDef, version: int) -> DataFrame:
+def _apply_dim_join(cat, d: MvDef, df: DataFrame, dim_version: int) -> DataFrame:
+    """Inner-join the fact frame to the PINNED dim snapshot (broadcast —
+    the star-schema assumption this extension is scoped to). The dim's
+    join column and system columns drop after the join so items/WHERE
+    see base + dim attribute columns unqualified."""
+    from ..schema.reconcile import INSERTED_AT
+
+    bcol, dcol = d.join_on
+    dim_df = cat.table(d.dim).read(version=dim_version)
+    if INSERTED_AT in dim_df.columns:
+        dim_df = dim_df.drop(INSERTED_AT)
+    overlap = (set(dim_df.columns) - {dcol}) & set(df.columns)
+    if overlap:
+        raise ValueError(
+            f"materialized view join: dim {d.dim!r} columns {sorted(overlap)} "
+            f"collide with fact columns — rename them in the dim table"
+        )
+    dim_df = dim_df.withColumnRenamed(dcol, "__mv_dim_jk")
+    return df.join(
+        F.broadcast(dim_df), F.col(quote_ident(bcol)) == F.col("__mv_dim_jk"),
+        "inner",
+    ).drop("__mv_dim_jk")
+
+
+def _full_frame(cat, d: MvDef, version: int, dim_version: int | None = None) -> DataFrame:
     base = cat.table(d.base)
     df = base.read(version=version)
+    if d.dim is not None:
+        df = _apply_dim_join(cat, d, df, dim_version)
     if d.where:
         df = df.filter(d.where)
     _guard_null_groups(df.select(*d.groups), d.groups, f"materialize {d.base}")
@@ -299,13 +368,23 @@ def create_materialized_view(
     base = cat.table(d.base)
     if not base.exists():
         raise ValueError(f"materialized view base {d.base!r} does not exist")
+    dim_v = None
+    if d.dim is not None:
+        dimt = cat.table(d.dim)
+        if not dimt.exists():
+            raise ValueError(
+                f"materialized view dim {d.dim!r} does not exist"
+            )
+        dim_v = dimt.current_version()
     v = base.current_version()
-    frame = _full_frame(cat, d, v)
+    frame = _full_frame(cat, d, v, dim_version=dim_v)
     marker = {
         PROP_QUERY: d.query,
         PROP_BASE: d.base,
         PROP_BASE_VERSION: str(v),
     }
+    if dim_v is not None:
+        marker[PROP_DIM_VERSION] = str(dim_v)
     if t.exists():
         # replace is two commits (schema reset, then data). The marker
         # rides the FIRST commit too, so a crash in between leaves an
@@ -332,13 +411,34 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
     base = cat.table(d.base)
     from_v = int(props[PROP_BASE_VERSION])
     to_v = base.current_version()
-    if to_v == from_v and not full:
+    dim_from = dim_to = None
+    if d.dim is not None:
+        dim_from = int(props[PROP_DIM_VERSION])
+        dim_to = cat.table(d.dim).current_version()
+        if dim_to != dim_from and not full:
+            # a dim change re-maps attributes of fact rows ALREADY folded
+            # under the old dim snapshot — no churn-sized fold exists for
+            # that (it would require re-reading every fact row whose dim
+            # key changed attributes), so incremental refuses honestly
+            raise ValueError(
+                f"refresh {name!r}: dim table {d.dim!r} changed "
+                f"(v{dim_from} → v{dim_to}); fact-side churn folds "
+                f"incrementally but dim changes re-map already-folded "
+                f"rows — run REFRESH MATERIALIZED VIEW {name} FULL"
+            )
+    if to_v == from_v and (d.dim is None or dim_to == dim_from) and not full:
         return {"view": name, "mode": "noop", "from": from_v, "to": to_v}
     marker = {
-        "tblproperties": {**props, PROP_BASE_VERSION: str(to_v)}
+        "tblproperties": {
+            **props,
+            PROP_BASE_VERSION: str(to_v),
+            **(
+                {PROP_DIM_VERSION: str(dim_to)} if d.dim is not None else {}
+            ),
+        }
     }
     if full:
-        frame = _full_frame(cat, d, to_v)
+        frame = _full_frame(cat, d, to_v, dim_version=dim_to)
         w = _writer(cat, name, d)
         w.extra_commit_props = marker
         w.overwrite(frame)
@@ -370,6 +470,13 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
         .otherwise(0)
     )
     ch = ch.withColumn("__sign", sign)
+    if d.dim is not None:
+        # fact churn folds through the PINNED dim snapshot (== current,
+        # the guard above refused otherwise): pre- and post-images join
+        # to identical dim attributes, so signed folding still commutes.
+        # Inner join also mirrors the full recompute: fact rows with no
+        # dim match contribute nothing, in both directions.
+        ch = _apply_dim_join(cat, d, ch, dim_from)
     if d.where:
         # row-level predicates commute with signed folding: a pre-image
         # that matched contributes -1, a post-image that matches +1
@@ -427,7 +534,15 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
                 F.broadcast(repair_keys), on=list(d.groups), how="left_anti"
             )
             where = None
-            if len(d.groups) == 1 and len(keys) <= 256:
+            # the IN-prune predicate runs against the BASE's manifest —
+            # it only makes sense when the single group key is a base
+            # column (join views may group by a dim attribute)
+            base_cols = set(base.manifest().schema.fieldNames())
+            if (
+                len(d.groups) == 1
+                and len(keys) <= 256
+                and d.groups[0] in base_cols
+            ):
                 vals = [k[0] for k in keys]
                 if all(isinstance(v, bool) for v in vals):
                     lits = [str(v).lower() for v in vals]
@@ -454,6 +569,8 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
                 if lits:
                     where = f"{quote_ident(d.groups[0])} IN ({', '.join(lits)})"
             rep = base.read(version=to_v, where=where)
+            if d.dim is not None:
+                rep = _apply_dim_join(cat, d, rep, dim_from)
             if d.where:
                 rep = rep.filter(d.where)
             rep = rep.join(

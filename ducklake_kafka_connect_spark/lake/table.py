@@ -3284,13 +3284,19 @@ class LakeCatalog:
         if _MV_Q in props:
             # a materialized view IS a lake table — SHOW CREATE emits its
             # maintained definition, with the IVM restriction stated
+            note = (
+                "-- incremental refresh folds fact churn through the "
+                "pinned broadcast dim; dim changes require REFRESH FULL"
+                if "mv.dim_version" in props
+                else "-- incremental refresh maintains sum/count/avg over "
+                "a single base table (no join views; star-join to one "
+                "broadcast dim supported)"
+            )
             return self.spark.createDataFrame(
                 [(
                     name,
                     f"CREATE MATERIALIZED VIEW {quote_ident(name)} AS "
-                    f"{props[_MV_Q]} "
-                    f"-- incremental refresh maintains sum/count/avg over "
-                    f"a single base table (no join views)",
+                    f"{props[_MV_Q]} {note}",
                 )],
                 "table string, create_statement string",
             )

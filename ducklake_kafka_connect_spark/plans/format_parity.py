@@ -2005,3 +2005,84 @@ def matview_replace_reinit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "incremental" not in st["detail"]:
         raise AssertionError(f"post-reinit refresh not incremental: {st}")
     return cat.table("mv_b").read().select("event_type", "total", "n")
+
+
+@register(
+    "matview_star_join",
+    """
+    WITH fact AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 6 = 0 AND event_id % 66 <> 0
+    ),
+    dim AS (
+      SELECT DISTINCT event_type,
+             CASE WHEN length(event_type) % 2 = 0 THEN 'even' ELSE 'odd' END
+               AS bucket
+      FROM events
+    )
+    SELECT d.bucket,
+           CAST(sum(f.cents) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM fact f JOIN dim d ON f.event_type = d.event_type
+    GROUP BY d.bucket
+    """,
+    "r14 star-join matview: fact JOIN one broadcast dim with GROUP BY a "
+    "dim attribute — fact inserts and a predicate delete fold "
+    "INCREMENTALLY through the pinned dim snapshot (asserted "
+    "incremental in-query); a dim change refuses with a FULL remedy "
+    "(also asserted); result is the maintained view content.",
+)
+def matview_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeWriter
+
+    cat = _fresh_catalog(spark, "mvstar")
+    ev = _event_source(spark, sf_dir)
+    fact0 = ev.filter(F.col("event_id") % 6 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wf = LakeWriter(cat.table("fact_ev"), pk=["event_id"])
+    # initial load holds back the %66 rows so their delete-and-insert
+    # churn exercises the incremental fold below
+    wf.write(fact0.filter(F.col("event_id") % 66 != 0))
+    dim = ev.select("event_type").distinct().select(
+        "event_type",
+        F.when(F.length("event_type") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd")).alias("bucket"),
+    )
+    LakeWriter(cat.table("dim_et"), pk=["event_type"]).write(dim)
+    cat.sql(
+        "CREATE MATERIALIZED VIEW mv_star AS SELECT bucket, "
+        "sum(cents) AS total, count(*) AS n FROM fact_ev "
+        "JOIN dim_et ON fact_ev.event_type = dim_et.event_type "
+        "GROUP BY bucket"
+    )
+    # fact churn: insert the held-back rows, then delete them again —
+    # both legs must fold incrementally and exactly cancel
+    held = fact0.filter(F.col("event_id") % 66 == 0)
+    wf.write(held)
+    st = cat.sql("REFRESH MATERIALIZED VIEW mv_star").collect()[0]
+    if "incremental" not in st["detail"]:
+        raise AssertionError(f"fact fold not incremental: {st}")
+    wf.delete_where("event_id % 66 = 0")
+    st = cat.sql("REFRESH MATERIALIZED VIEW mv_star").collect()[0]
+    if "incremental" not in st["detail"]:
+        raise AssertionError(f"fact fold not incremental: {st}")
+    # dim change refuses incremental with the FULL remedy
+    # (deterministic row: the lexicographically-first event_type)
+    first = dim.orderBy("event_type").limit(1)
+    LakeWriter(cat.table("dim_et"), pk=["event_type"]).merge(
+        first.withColumn("bucket", F.lit("flipped"))
+    )
+    try:
+        cat.sql("REFRESH MATERIALIZED VIEW mv_star")
+        raise AssertionError("dim change folded incrementally")
+    except ValueError as e:
+        if "FULL" not in str(e):
+            raise
+    # restore the dim row so the view matches the oracle, then FULL
+    LakeWriter(cat.table("dim_et"), pk=["event_type"]).merge(first)
+    cat.sql("REFRESH MATERIALIZED VIEW mv_star FULL")
+    return cat.table("mv_star").read().select("bucket", "total", "n")

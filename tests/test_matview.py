@@ -708,3 +708,141 @@ class TestBaseEvolutionMatrix:
         c.sql("REFRESH MATERIALIZED VIEW mv")
         assert int(c.table("mv").properties()[PROP_BASE_VERSION]) == pinned + 1
         assert _content(c) == _expected(c)
+
+
+class TestStarJoinMatview:
+    """r14: star-join matviews — fact JOIN one broadcast dim. Fact
+    churn folds through the pinned dim snapshot; any dim change refuses
+    incremental with a FULL remedy."""
+
+    def _mk(self, spark, c):
+        wd = LakeWriter(c.table("dim_region"), pk=["region"])
+        wd.write(
+            spark.createDataFrame(
+                [(f"r{i}", "west" if i % 2 == 0 else "east") for i in range(4)],
+                "region string, zone string",
+            )
+        )
+        c.sql(
+            "CREATE MATERIALIZED VIEW mvj AS SELECT zone, sum(cents) AS total, "
+            "count(*) AS n FROM sales JOIN dim_region "
+            "ON sales.region = dim_region.region GROUP BY zone"
+        )
+        return wd
+
+    def _expected(self, spark, c):
+        return {
+            r["zone"]: (r["total"], r["n"])
+            for r in c.table("sales").read().alias("s").join(
+                c.table("dim_region").read().select("region", "zone"),
+                on="region",
+            ).groupBy("zone").agg(
+                F.sum("cents").alias("total"), F.count("*").alias("n")
+            ).collect()
+        }
+
+    def _got(self, c):
+        return {
+            r["zone"]: (r["total"], r["n"])
+            for r in c.table("mvj").read().collect()
+        }
+
+    def test_create_and_incremental_fact_churn(self, spark, cat):
+        c, w = cat
+        self._mk(spark, c)
+        assert self._got(c) == self._expected(spark, c)
+        # fact insert + cross-group update + delete fold incrementally
+        w.write(
+            spark.createDataFrame(
+                [(900, "r0", 5), (901, "r5", 7)],  # r5 has no dim row -> drops
+                "id int, region string, cents long",
+            )
+        )
+        st = c.sql("REFRESH MATERIALIZED VIEW mvj").collect()[0]
+        assert "incremental" in st["detail"], st["detail"]
+        assert self._got(c) == self._expected(spark, c)
+        w.merge(
+            spark.createDataFrame(
+                [(900, "r1", 5)], "id int, region string, cents long"
+            )
+        )  # moves a row west -> east
+        w.delete_where("id = 10")
+        c.sql("REFRESH MATERIALIZED VIEW mvj")
+        assert self._got(c) == self._expected(spark, c)
+
+    def test_dim_change_refuses_then_full(self, spark, cat):
+        c, w = cat
+        wd = self._mk(spark, c)
+        # dim attribute flips a region to the other zone
+        wd.merge(
+            spark.createDataFrame([("r0", "east")], "region string, zone string")
+        )
+        with pytest.raises(ValueError, match="FULL"):
+            c.sql("REFRESH MATERIALIZED VIEW mvj")
+        c.sql("REFRESH MATERIALIZED VIEW mvj FULL")
+        assert self._got(c) == self._expected(spark, c)
+        # fact churn resumes incrementally against the new pinned dim
+        w.write(
+            spark.createDataFrame(
+                [(910, "r0", 9)], "id int, region string, cents long"
+            )
+        )
+        st = c.sql("REFRESH MATERIALIZED VIEW mvj").collect()[0]
+        assert "incremental" in st["detail"]
+        assert self._got(c) == self._expected(spark, c)
+
+    def test_minmax_repair_on_join_view(self, spark, cat):
+        c, w = cat
+        wd = LakeWriter(c.table("dim_region"), pk=["region"])
+        wd.write(
+            spark.createDataFrame(
+                [(f"r{i}", "west" if i % 2 == 0 else "east") for i in range(4)],
+                "region string, zone string",
+            )
+        )
+        c.sql(
+            "CREATE MATERIALIZED VIEW mvjm AS SELECT zone, min(cents) AS lo, "
+            "max(cents) AS hi, count(*) AS n FROM sales JOIN dim_region "
+            "ON sales.region = dim_region.region GROUP BY zone"
+        )
+        # delete the global argmax: repair recomputes the touched zone
+        # through the join (group key 'zone' is a DIM column, so the
+        # base-manifest IN-prune is skipped — the semi-join is exact)
+        top = c.table("sales").read().orderBy(F.desc("cents"), "id").limit(1).collect()[0]
+        w.delete_where(f"id = {top['id']}")
+        st = c.sql("REFRESH MATERIALIZED VIEW mvjm").collect()[0]
+        assert "repair" in st["detail"], st["detail"]
+        got = {
+            r["zone"]: (r["lo"], r["hi"], r["n"])
+            for r in c.table("mvjm").read().collect()
+        }
+        exp = {
+            r["zone"]: (r["lo"], r["hi"], r["n"])
+            for r in c.table("sales").read().join(
+                c.table("dim_region").read().select("region", "zone"), on="region"
+            ).groupBy("zone").agg(
+                F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+                F.count("*").alias("n"),
+            ).collect()
+        }
+        assert got == exp
+
+    def test_join_guards(self, spark, cat):
+        c, _ = cat
+        LakeWriter(c.table("dim_bad"), pk=["region"]).write(
+            spark.createDataFrame(
+                [("r0", 1)], "region string, cents int"  # collides with fact
+            )
+        )
+        with pytest.raises(ValueError, match="collide"):
+            c.sql(
+                "CREATE MATERIALIZED VIEW mvx AS SELECT region, sum(cents) AS t, "
+                "count(*) AS n FROM sales JOIN dim_bad "
+                "ON sales.region = dim_bad.region GROUP BY region"
+            )
+        with pytest.raises(ValueError, match="qualified equality"):
+            c.sql(
+                "CREATE MATERIALIZED VIEW mvy AS SELECT region, sum(cents) AS t, "
+                "count(*) AS n FROM sales JOIN dim_bad ON region = region "
+                "GROUP BY region"
+            )
