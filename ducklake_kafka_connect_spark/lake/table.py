@@ -2588,6 +2588,92 @@ def split_top_level(text: str, sep: str = ",") -> list[str]:
     return parts
 
 
+def _find_top_level_kw(text: str, kw: str) -> int:
+    """Index of the first paren-depth-0 occurrence of keyword ``kw``
+    outside single-quoted literals, word-bounded; -1 if absent."""
+    i, depth, n, L = 0, 0, len(text), len(kw)
+    kw_u = kw.upper()
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and text[i:i + L].upper() == kw_u:
+            before = text[i - 1] if i else " "
+            after = text[i + L] if i + L < n else " "
+            if not (before.isalnum() or before in "_`\"") and not (
+                after.isalnum() or after in "_`\""
+            ):
+                return i
+        i += 1
+    return -1
+
+
+def _rewrite_duckdb_dialect(query: str) -> str:
+    """DuckDB-dialect SELECT features the reference's users rely on,
+    rewritten onto Spark SQL (r14):
+
+    - ``* EXCLUDE (cols)`` → Spark's ``* EXCEPT (cols)`` (same
+      semantics, different keyword).
+    - top-level ``QUALIFY <pred>`` → the standard wrap: the query (sans
+      QUALIFY/ORDER/LIMIT) becomes a subquery filtered by the predicate,
+      with ORDER BY/LIMIT re-applied outside. Predicates naming window
+      ALIASES wrap directly (works under leading CTEs too); predicates
+      with INLINE ``... OVER (...)`` windows inject a computed
+      ``__qualify`` column into the select list and filter on it
+      (``SELECT * EXCEPT (__qualify)`` keeps the output shape) —
+      supported on plain SELECT statements.
+
+    Subquery-level QUALIFY is out of scope (Spark's parser reports it)."""
+    q = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", query, flags=re.IGNORECASE)
+    qi = _find_top_level_kw(q, "QUALIFY")
+    if qi < 0:
+        return q
+    head = q[:qi].rstrip()
+    rest = q[qi + len("QUALIFY"):]
+    cuts = [
+        x
+        for x in (
+            _find_top_level_kw(rest, "ORDER"),
+            _find_top_level_kw(rest, "LIMIT"),
+        )
+        if x >= 0
+    ]
+    cut = min(cuts) if cuts else len(rest)
+    pred, tail = rest[:cut].strip(), rest[cut:].strip()
+    tail = f" {tail}" if tail else ""
+    if re.search(r"\bOVER\s*\(", pred, re.IGNORECASE):
+        if not head.lstrip().upper().startswith("SELECT"):
+            raise ValueError(
+                "QUALIFY with an inline OVER(...) window is supported on "
+                "plain SELECT statements — under WITH, alias the window "
+                "in the select list and QUALIFY the alias"
+            )
+        fi = _find_top_level_kw(head, "FROM")
+        if fi < 0:
+            raise ValueError("QUALIFY requires a FROM clause")
+        injected = (
+            head[:fi].rstrip() + f", ({pred}) AS __qualify " + head[fi:]
+        )
+        return (
+            f"SELECT * EXCEPT (__qualify) FROM ({injected}) __q "
+            f"WHERE __qualify{tail}"
+        )
+    return f"SELECT * FROM ({head}) __q WHERE {pred}{tail}"
+
+
 class LakeCatalog:
     """A directory of LakeTables — the engine's 'lake.main' namespace."""
 
@@ -3811,6 +3897,9 @@ class LakeCatalog:
             return self.dml(query)
         # logical views expand next (leading CTEs), so time travel /
         # CDF rewrites and table registration see the expanded text
+        # DuckDB-dialect rewrites (r14): the reference's users write
+        # DuckDB SQL — QUALIFY and `* EXCLUDE (...)` port unchanged
+        query = _rewrite_duckdb_dialect(query)
         query = self._expand_views(query)
         # SQL time travel: `t VERSION AS OF n`, `t TIMESTAMP AS OF 'ts'`,
         # `t FOR TAG x` table references resolve to pinned versions

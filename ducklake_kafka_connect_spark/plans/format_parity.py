@@ -2086,3 +2086,39 @@ def matview_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     LakeWriter(cat.table("dim_et"), pk=["event_type"]).merge(first)
     cat.sql("REFRESH MATERIALIZED VIEW mv_star FULL")
     return cat.table("mv_star").read().select("bucket", "total", "n")
+
+
+@register(
+    "sql_qualify_topk",
+    """
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT event_type, event_id, cents
+    FROM src
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY cents DESC, event_id) <= 3
+    """,
+    "r14 DuckDB-dialect QUALIFY: top-3 rows per event_type by cents "
+    "through the catalog SQL path — the inline-window QUALIFY rewrites "
+    "onto a __qualify-injected subquery on Spark, while the oracle runs "
+    "DuckDB's native QUALIFY verbatim.",
+)
+def sql_qualify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeWriter
+
+    cat = _fresh_catalog(spark, "qual")
+    LakeWriter(cat.table("src_q"), pk=["event_id"]).write(
+        _event_source(spark, sf_dir).filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return cat.sql(
+        "SELECT event_type, event_id, cents FROM src_q "
+        "QUALIFY row_number() OVER (PARTITION BY event_type "
+        "ORDER BY cents DESC, event_id) <= 3"
+    )

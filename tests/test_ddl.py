@@ -1112,3 +1112,55 @@ def test_update_subquery_unqualified_pk_in_set(spark, tmp_path):
     got = {r["id"]: r["val"] for r in t.read().collect()}
     assert got[3] == "k3" and got[7] == "k7"
     assert got[0] == "v0" and got[9] == "v9"
+
+
+def test_duckdb_dialect_qualify_and_exclude(spark, tmp_path):
+    """r14: DuckDB-dialect SELECT features rewrite onto Spark SQL —
+    QUALIFY (alias predicates, inline OVER() windows, with ORDER/LIMIT
+    tails, under WITH) and `* EXCLUDE (...)`."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    LakeWriter(cat.table("s"), pk=["id"]).write(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", i * 10) for i in range(12)],
+            "id int, grp string, cents long",
+        )
+    )
+    # alias-predicate QUALIFY
+    rows = cat.sql(
+        "SELECT grp, id, row_number() OVER (PARTITION BY grp ORDER BY cents DESC) AS rn "
+        "FROM s QUALIFY rn <= 2 ORDER BY grp, rn"
+    ).collect()
+    assert [(r["grp"], r["id"]) for r in rows] == [
+        ("g0", 9), ("g0", 6), ("g1", 10), ("g1", 7), ("g2", 11), ("g2", 8)
+    ]
+    # inline-window QUALIFY (no alias) + LIMIT tail
+    rows = cat.sql(
+        "SELECT grp, id FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY cents DESC) = 1 "
+        "ORDER BY grp LIMIT 2"
+    ).collect()
+    assert [(r["grp"], r["id"]) for r in rows] == [("g0", 9), ("g1", 10)]
+    assert rows[0].asDict().keys() == {"grp", "id"}  # __qualify dropped
+    # QUALIFY under WITH (alias predicate wraps the whole statement)
+    rows = cat.sql(
+        "WITH big AS (SELECT * FROM s WHERE cents >= 40) "
+        "SELECT grp, id, rank() OVER (PARTITION BY grp ORDER BY cents DESC) AS rk "
+        "FROM big QUALIFY rk = 1 ORDER BY grp"
+    ).collect()
+    assert [(r["grp"], r["id"]) for r in rows] == [("g0", 9), ("g1", 10), ("g2", 11)]
+    # inline window under WITH refuses with the alias remedy
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alias the window"):
+        cat.sql(
+            "WITH b AS (SELECT * FROM s) SELECT grp FROM b "
+            "QUALIFY row_number() OVER (ORDER BY grp) = 1"
+        )
+    # * EXCLUDE -> * EXCEPT
+    cols = cat.sql("SELECT * EXCLUDE (cents, _inserted_at) FROM s").columns
+    assert cols == ["id", "grp"]
+    # QUALIFY inside a string literal is untouched
+    n = cat.sql("SELECT count(*) AS n FROM s WHERE grp != 'QUALIFY x'").collect()[0]["n"]
+    assert n == 12

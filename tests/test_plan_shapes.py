@@ -55,6 +55,10 @@ def plans(spark):
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     out = {}
     for name in PINS:
+        # earlier suite tests may have cached shared lineage (a cached
+        # scan plans as InMemoryTableScan, dropping scan/exchange
+        # counts) — clear so pins see the cold plan, as in isolation
+        spark.catalog.clearCache()
         df = QUERIES[name].fn(spark, SF_DIR)
         out[name] = df._jdf.queryExecution().explainString(mode)
     return out
