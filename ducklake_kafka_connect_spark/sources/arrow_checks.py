@@ -59,11 +59,15 @@ _TOKEN = re.compile(
     r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
     r")"
 )
-_KEYWORDS = {"and", "or", "not", "is", "null", "in", "between", "true", "false"}
+_KEYWORDS = {
+    "and", "or", "not", "is", "null", "in", "between", "true", "false",
+    "date", "timestamp",
+}
 
 
 def _tokenize(text: str) -> list[tuple[str, object]]:
     out: list[tuple[str, object]] = []
+    raws: list[tuple[int, str]] = []
     pos = 0
     while pos < len(text):
         m = _TOKEN.match(text, pos)
@@ -92,6 +96,16 @@ def _tokenize(text: str) -> list[tuple[str, object]]:
             out.append(
                 ("kw", w.lower()) if w.lower() in _KEYWORDS else ("ident", w)
             )
+            raws.append((len(out) - 1, w))
+    # DATE/TIMESTAMP are typed-literal keywords ONLY directly before a
+    # string ('DATE ''2024-01-01'''); elsewhere they are ordinary column
+    # names (common ones, too) — restored with their original case
+    for idx, raw in raws:
+        k, v = out[idx]
+        if k == "kw" and v in ("date", "timestamp"):
+            nxt = out[idx + 1][0] if idx + 1 < len(out) else None
+            if nxt != "str":
+                out[idx] = ("ident", raw)
     return out
 
 
@@ -161,6 +175,18 @@ class _Parser:
             return v
         if k == "kw" and v in ("true", "false"):
             return v == "true"
+        if k == "kw" and v in ("date", "timestamp") and self.peek()[0] == "str":
+            import datetime as _dt
+
+            raw = self.take()[1]
+            try:
+                return (
+                    _dt.date.fromisoformat(raw)
+                    if v == "date"
+                    else _dt.datetime.fromisoformat(raw)
+                )
+            except ValueError as e:
+                raise CheckCompileError(f"bad {v.upper()} literal {raw!r}: {e}")
         raise CheckCompileError(f"expected literal, got {v!r}")
 
     def _column(self, name) -> str:

@@ -101,3 +101,26 @@ def test_ast_is_picklable(tbl):
     )
     node2 = pickle.loads(pickle.dumps(node))
     assert violations({"x": node2}, tbl) == violations({"x": node}, tbl)
+
+
+def test_date_timestamp_literals():
+    import datetime as dt
+
+    tbl = pa.table(
+        {
+            "d": pa.array(
+                [dt.date(2024, 1, 1), dt.date(2025, 6, 1), None], pa.date32()
+            ),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 12), dt.datetime(2025, 6, 1), None],
+                pa.timestamp("us"),
+            ),
+            "date": pa.array([1, 2, 3]),  # column NAMED date still works
+        }
+    )
+    cols = set(tbl.column_names)
+    assert _viol(tbl, "d >= DATE '2024-06-01'") == 1
+    assert _viol(tbl, "ts < TIMESTAMP '2025-01-01 00:00:00'") == 1
+    assert _viol(tbl, "date BETWEEN 1 AND 3") == 0
+    with pytest.raises(CheckCompileError, match="bad DATE"):
+        compile_check("d >= DATE 'not-a-date'", cols)
