@@ -3083,19 +3083,19 @@ def temperature_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("source").orderBy("doc_id")
         ).alias("rn"),
     )
-    sel = ranked.join(
-        F.broadcast(quotas.select("source", "quota")), on="source", how="inner"
-    ).filter(F.col("rn") <= F.col("quota"))
-    agg = sel.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("selected"),
-        F.sum("doc_id").cast("long").alias("sum_doc_id"),
-    )
+    # ONE pass over the ranked corpus: selection is a conditional
+    # aggregate (rn <= quota), not a filter + re-join — every source
+    # stays present (selected = 0 when quota is 0), and the documents
+    # table scans 3× total (window + the two tiny count lineages)
+    # instead of 5×
+    picked = F.col("rn") <= F.col("quota")
     return (
-        quotas.select("source", "n_docs", "quota")
-        .join(agg, on="source", how="left")
-        .select(
-            "source", "n_docs", "quota",
-            F.coalesce(F.col("selected"), F.lit(0)).cast("long").alias("selected"),
-            F.coalesce(F.col("sum_doc_id"), F.lit(0)).cast("long").alias("sum_doc_id"),
+        ranked.join(F.broadcast(quotas.select("source", "n_docs", "quota")),
+                    on="source", how="inner")
+        .groupBy("source", "n_docs", "quota")
+        .agg(
+            F.count(F.when(picked, F.lit(1))).cast("long").alias("selected"),
+            F.coalesce(F.sum(F.when(picked, F.col("doc_id"))), F.lit(0))
+            .cast("long").alias("sum_doc_id"),
         )
     )

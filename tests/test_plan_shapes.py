@@ -51,15 +51,19 @@ PINS = {
 
 @pytest.fixture(scope="module")
 def plans(spark):
-    jvm = spark._jvm
+    # pins must see the session AS BUILT: earlier suite tests leak
+    # session state (spark.conf.set, temp views, cached lineage — a
+    # cached scan plans as InMemoryTableScan, dropping scan/exchange
+    # counts). newSession() re-derives a pristine SQLConf + empty view
+    # registry over the same JVM context; the cache is context-shared,
+    # so it still clears per explain.
+    s = spark.newSession()
+    jvm = s._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     out = {}
     for name in PINS:
-        # earlier suite tests may have cached shared lineage (a cached
-        # scan plans as InMemoryTableScan, dropping scan/exchange
-        # counts) — clear so pins see the cold plan, as in isolation
-        spark.catalog.clearCache()
-        df = QUERIES[name].fn(spark, SF_DIR)
+        s.catalog.clearCache()
+        df = QUERIES[name].fn(s, SF_DIR)
         out[name] = df._jdf.queryExecution().explainString(mode)
     return out
 
