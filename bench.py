@@ -84,9 +84,6 @@ def main() -> None:
         # min over 3 FRESH JVMs (VERDICT r9 #2): single-invocation ingest
         # figures swing ±30 % on this host; the min is the code's number
         "ingest": ingest_min_of_harness(),
-        # same-host previous-tip A/B, both orders: the machine factor,
-        # recorded per artifact instead of argued per round
-        "ab": ab_harness(sf_dir),
         # pinned CPU/shuffle/parquet microbenchmark in a fresh JVM
         # (VERDICT r10 #6): divide any round's query walls by the ratio
         # of host_factor.total_s across rounds to normalize host drift
@@ -103,6 +100,14 @@ def main() -> None:
     record["second_pass"] = second_pass_harness(spark, sf_dir, timings, record)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     record["value"] = total
+    # same-host previous-tip A/B, both orders, pooled medians — run LAST
+    # with the main session STOPPED: the r14 raw samples showed the A/B
+    # window right after the surface absorbing page-cache/heap pressure
+    # from the parent JVM (one side read 75 s on a query whose quiet-
+    # window samples are 3.1-3.7 s); fresh side JVMs on a quiet machine
+    # are the comparison the verdict needs
+    spark.stop()
+    record["ab"] = ab_harness(sf_dir)
     # ---- load telemetry + contamination stamp (VERDICT r13 #1b/#1d):
     # when the single-thread probe drifted >1.3x across the run (or an
     # A/B side saw drift), raw round-over-round comparisons are invalid
@@ -164,6 +169,10 @@ def main() -> None:
             q: v.get("cur_over_prev")
             for q, v in (record.get("ab", {}).get("pooled_median") or {}).items()
         },
+        "ab_best_window_cur_over_prev": {
+            q: v.get("cur_over_prev_best")
+            for q, v in (record.get("ab", {}).get("pooled_median") or {}).items()
+        },
         "errors": sorted(n for n, t in timings.items() if t < 0),
         "detail": "BENCH_LOCAL.json",
     }
@@ -175,7 +184,7 @@ def main() -> None:
         compact["queries"] = {n: t for t, n in top10}
         line = json.dumps(compact)
     print(line)
-    spark.stop()
+    # (the main session already stopped before the A/B ran)
 
 
 def wide_scan_harness(spark, sf_dir: str) -> dict:
@@ -322,18 +331,28 @@ def loadavg() -> list[float]:
 
 
 def mini_probe() -> dict:
-    """~0.2 s single-threaded CPU probe + loadavg snapshot. Taken before
+    """~0.5 s single-threaded CPU probe + loadavg snapshot. Taken before
     and after the query surface and around each A/B side (VERDICT r13
     #1b): probe drift across the run means the HOST changed speed while
     the artifact was being produced — numbers from a drifted run cannot
-    support round-over-round claims and get stamped load_contaminated."""
+    support round-over-round claims and get stamped load_contaminated.
+
+    The loop warms up untimed first and the timed figure is the MIN of
+    three runs: an idle host ramps CPU frequency on the first burst, and
+    without the warm-up the probe reads "slow" on a QUIET machine —
+    the exact inversion of what the drift stamp means."""
     import hashlib
 
-    t0 = time.perf_counter()
-    h = b"probe"
-    for _ in range(120_000):
-        h = hashlib.md5(h).digest()
-    return {"probe_s": round(time.perf_counter() - t0, 4), "loadavg": loadavg()}
+    def burst() -> float:
+        t0 = time.perf_counter()
+        h = b"probe"
+        for _ in range(120_000):
+            h = hashlib.md5(h).digest()
+        return time.perf_counter() - t0
+
+    burst()  # untimed frequency/cache warm-up
+    best = min(burst() for _ in range(3))
+    return {"probe_s": round(best, 4), "loadavg": loadavg()}
 
 
 def load_drift(samples: list[dict]) -> float:
@@ -637,18 +656,38 @@ def ab_harness(sf_dir: str) -> dict:
             qq: dict = {}
             for side in ("prev", "cur"):
                 samples: list = []
+                per_order: list = []
                 for cell in out["orders"].values():
                     got = cell.get(side, {}).get(q)
                     if isinstance(got, list):
                         samples.extend(got)
+                        om = med(got)
+                        if om is not None:
+                            per_order.append(om)
                     elif isinstance(got, (int, float)):
                         samples.append(got)
+                        per_order.append(got)
                 qq[side] = med(samples)
                 qq[f"{side}_n"] = len(
                     [s for s in samples if isinstance(s, (int, float))]
                 )
+                # one degraded window poisons a pooled median (r14 run:
+                # order medians 3.2 s vs 32.8 s for identical code) —
+                # keep the per-order medians, the quiet-window min, and
+                # a disagreement flag so the verdict can defend itself
+                if per_order:
+                    qq[f"{side}_best"] = min(per_order)
+                    qq[f"{side}_order_disagree"] = (
+                        len(per_order) > 1
+                        and min(per_order) > 0
+                        and max(per_order) / min(per_order) > 1.5
+                    )
             if qq.get("prev") and qq.get("cur"):
                 qq["cur_over_prev"] = round(qq["cur"] / qq["prev"], 3)
+            if qq.get("prev_best") and qq.get("cur_best"):
+                qq["cur_over_prev_best"] = round(
+                    qq["cur_best"] / qq["prev_best"], 3
+                )
             pooled[q] = qq
         out["pooled_median"] = pooled
         drift = load_drift(
