@@ -107,11 +107,16 @@ def main() -> None:
     # window samples are 3.1-3.7 s); fresh side JVMs on a quiet machine
     # are the comparison the verdict needs
     spark.stop()
+    probes["after_stop"] = mini_probe()
     record["ab"] = ab_harness(sf_dir)
     # ---- load telemetry + contamination stamp (VERDICT r13 #1b/#1d):
     # when the single-thread probe drifted >1.3x across the run (or an
     # A/B side saw drift), raw round-over-round comparisons are invalid
     # and the artifact says so itself instead of letting numbers stand.
+    # settle before the final probe: the last A/B side JVM takes a few
+    # seconds to exit, and probing into its shutdown measures OUR tail
+    # load as if the host had drifted
+    time.sleep(3)
     probes["end"] = mini_probe()
     samples = list(probes.values())
     for cell in (record.get("ab", {}).get("orders") or {}).values():
