@@ -3444,6 +3444,42 @@ class LakeCatalog:
             return self._ddl_result(
                 "MERGE", name, f"v{self.table(name).current_version()}"
             )
+        # DuckDB upsert dialect (r14): INSERT ... ON CONFLICT, UPDATE ...
+        # FROM, DELETE ... USING — all compile onto MERGE (lake/sql_merge)
+        ci = _find_top_level_kw(stmt, "CONFLICT")
+        if ci >= 0 and _re.match(r"INSERT\s+INTO\b", stmt, _re.IGNORECASE):
+            om = _re.search(r"\bON\s*$", stmt[:ci], _re.IGNORECASE)
+            if om:
+                return self._insert_on_conflict(
+                    stmt[:om.start()].rstrip(),
+                    stmt[ci + len("CONFLICT"):].strip(),
+                )
+        m = _re.match(rf"UPDATE\s+({_IDENT})\s+SET\s+", stmt, _re.IGNORECASE)
+        if m:
+            body = stmt[m.end():]
+            fi = _find_top_level_kw(body, "FROM")
+            wi = _find_top_level_kw(body, "WHERE")
+            if fi >= 0 and wi > fi:
+                return self._dml_from_source(
+                    unquote_ident(m.group(1)),
+                    body[fi + 4:wi].strip(),
+                    body[wi + 5:].strip(),
+                    assigns_text=body[:fi].strip(),
+                )
+        m = _re.match(
+            rf"DELETE\s+FROM\s+({_IDENT})\s+USING\s+", stmt, _re.IGNORECASE
+        )
+        if m:
+            body = stmt[m.end():]
+            wi = _find_top_level_kw(body, "WHERE")
+            if wi < 0:
+                raise ValueError("DELETE ... USING requires a WHERE clause")
+            return self._dml_from_source(
+                unquote_ident(m.group(1)),
+                body[:wi].strip(),
+                body[wi + 5:].strip(),
+                assigns_text=None,
+            )
         m = _re.match(
             rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*(?:\(([^)]*)\)\s*)?"
             rf"((?:SELECT|VALUES|WITH|TABLE)\b.*)$",
@@ -3451,44 +3487,9 @@ class LakeCatalog:
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
-            from ..schema.reconcile import INSERTED_AT
-
             overwrite = m.group(1).upper() == "OVERWRITE"
             name = unquote_ident(m.group(2))
-            t = self.table(name)
-            df = self.sql(m.group(4))
-            if m.group(3) is not None:
-                # explicit column list — map the query's output columns
-                # POSITIONALLY onto the named target columns (the form
-                # VALUES needs: Spark names literal columns col1, col2…)
-                cols = [
-                    unquote_ident(c) for c in split_top_level(m.group(3))
-                ]
-                if len(cols) != len(df.columns):
-                    raise ValueError(
-                        f"INSERT INTO {name} ({len(cols)} column(s)) fed by "
-                        f"a {len(df.columns)}-column query"
-                    )
-                df = df.toDF(*cols)
-            elif _re.match(r"VALUES\b", m.group(4), _re.IGNORECASE):
-                # bare VALUES: positional against the table's data
-                # columns (Spark's col1/col2… names mean nothing here)
-                if not t.exists():
-                    raise ValueError(
-                        f"INSERT INTO {name} VALUES needs an existing table "
-                        f"(or an explicit column list)"
-                    )
-                data_cols = [
-                    f.name
-                    for f in t.manifest().schema.fields
-                    if f.name != INSERTED_AT
-                ]
-                if len(data_cols) != len(df.columns):
-                    raise ValueError(
-                        f"INSERT INTO {name} VALUES arity {len(df.columns)} "
-                        f"!= table data columns {len(data_cols)}"
-                    )
-                df = df.toDF(*data_cols)
+            t, df = self._insert_frame(name, m.group(3), m.group(4))
             pk = t.manifest().pk if t.exists() else []
             w = _W(t, pk=pk or None, auto_create=False)
             if overwrite:
@@ -3555,6 +3556,209 @@ class LakeCatalog:
             )
             return self._ddl_result("UPDATE", name, f"v{t.current_version()}")
         raise ValueError(f"unsupported DML statement: {statement!r}")
+
+    def _insert_frame(self, name: str, cols_text: "str | None", query_text: str):
+        """Shared INSERT source mapping: run the feeding query and map
+        its output onto target column names — positionally through an
+        explicit column list, or against the table's data columns for
+        bare VALUES (Spark's col1/col2… literal names mean nothing)."""
+        import re as _re
+
+        from ..schema.reconcile import INSERTED_AT
+
+        t = self.table(name)
+        df = self.sql(query_text)
+        if cols_text is not None:
+            cols = [unquote_ident(c) for c in split_top_level(cols_text)]
+            if len(cols) != len(df.columns):
+                raise ValueError(
+                    f"INSERT INTO {name} ({len(cols)} column(s)) fed by "
+                    f"a {len(df.columns)}-column query"
+                )
+            df = df.toDF(*cols)
+        elif _re.match(r"VALUES\b", query_text, _re.IGNORECASE):
+            if not t.exists():
+                raise ValueError(
+                    f"INSERT INTO {name} VALUES needs an existing table "
+                    f"(or an explicit column list)"
+                )
+            data_cols = [
+                f.name
+                for f in t.manifest().schema.fields
+                if f.name != INSERTED_AT
+            ]
+            if len(data_cols) != len(df.columns):
+                raise ValueError(
+                    f"INSERT INTO {name} VALUES arity {len(df.columns)} "
+                    f"!= table data columns {len(data_cols)}"
+                )
+            df = df.toDF(*data_cols)
+        return t, df
+
+    def _insert_on_conflict(self, insert_head: str, conflict_tail: str):
+        """DuckDB's ``INSERT INTO t [(cols)] <src> ON CONFLICT [(cols)]
+        DO NOTHING | DO UPDATE SET ... [WHERE c]`` compiled onto MERGE.
+        The conflict target must be the table's PRIMARY KEY (the lake's
+        only uniqueness constraint). The incoming row is visible to DO
+        UPDATE expressions as ``excluded.<col>`` (DuckDB's convention);
+        target columns qualify with the table name."""
+        import re as _re
+        import uuid as _uuid
+
+        m = _re.match(
+            rf"INSERT\s+INTO\s+(?:TABLE\s+)?({_IDENT})\s*(?:\(([^)]*)\)\s*)?"
+            rf"((?:SELECT|VALUES|WITH|TABLE)\b.*)$",
+            insert_head,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                f"unsupported INSERT ... ON CONFLICT head: {insert_head!r}"
+            )
+        name = unquote_ident(m.group(1))
+        t, df = self._insert_frame(name, m.group(2), m.group(3))
+        if not t.exists():
+            raise ValueError(f"INSERT ... ON CONFLICT: unknown table {name!r}")
+        pk = list(t.manifest().pk or [])
+        if not pk:
+            raise ValueError(
+                f"INSERT ... ON CONFLICT on {name!r} requires a PRIMARY KEY "
+                f"(the conflict target); plain INSERT appends"
+            )
+        cm = _re.match(
+            r"(?:\(([^)]*)\)\s*)?DO\s+(NOTHING|UPDATE\s+SET\s+(.+))$",
+            conflict_tail,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if not cm:
+            raise ValueError(
+                f"unsupported ON CONFLICT clause: {conflict_tail!r}"
+            )
+        if cm.group(1) is not None:
+            target = sorted(
+                unquote_ident(c) for c in split_top_level(cm.group(1))
+            )
+            if target != sorted(pk):
+                raise ValueError(
+                    f"ON CONFLICT target {target} must be {name}'s "
+                    f"PRIMARY KEY {sorted(pk)} (the lake's only "
+                    f"uniqueness constraint)"
+                )
+        missing = [c for c in pk if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"INSERT ... ON CONFLICT source lacks pk column(s) {missing}"
+            )
+        on = " AND ".join(
+            f"{quote_ident(name)}.{quote_ident(c)} = excluded.{quote_ident(c)}"
+            for c in pk
+        )
+        ins_cols = ", ".join(quote_ident(c) for c in df.columns)
+        ins_vals = ", ".join(f"excluded.{quote_ident(c)}" for c in df.columns)
+        if cm.group(2).upper() == "NOTHING":
+            matched = ""
+        else:
+            set_text = cm.group(3)
+            wi = _find_top_level_kw(set_text, "WHERE")
+            cond = ""
+            if wi >= 0:
+                cond = f"AND ({set_text[wi + 5:].strip()}) "
+                set_text = set_text[:wi].strip()
+            matched = f"WHEN MATCHED {cond}THEN UPDATE SET {set_text} "
+        tmp = f"__oc_{_uuid.uuid4().hex[:10]}"
+        df.createOrReplaceTempView(tmp)
+        try:
+            from .sql_merge import merge_into
+
+            merge_into(
+                self,
+                f"MERGE INTO {quote_ident(name)} USING (SELECT * FROM {tmp}) "
+                f"AS excluded ON {on} {matched}"
+                f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) "
+                f"VALUES ({ins_vals})",
+            )
+        finally:
+            self.spark.catalog.dropTempView(tmp)
+        return self._ddl_result(
+            "INSERT ON CONFLICT", name, f"v{t.current_version()}"
+        )
+
+    def _dml_from_source(
+        self,
+        name: str,
+        source_text: str,
+        where_text: str,
+        assigns_text: "str | None",
+    ):
+        """DuckDB's joined DML — ``UPDATE t SET ... FROM s WHERE ...``
+        and ``DELETE FROM t USING s WHERE ...`` — compiled onto MERGE.
+        The WHERE's top-level AND conjuncts split into the MERGE ON
+        (equalities binding the target's pk columns — required to cover
+        the full pk, row identity) and the WHEN MATCHED condition
+        (everything else). Aliases: the target is its table name; the
+        source keeps the user's alias (or its own name)."""
+        import re as _re
+
+        t = self.table(name)
+        if not t.exists():
+            raise ValueError(f"{name!r} does not exist")
+        pk = list(t.manifest().pk or [])
+        if not pk:
+            raise ValueError(
+                f"UPDATE ... FROM / DELETE ... USING on {name!r} requires "
+                f"a PRIMARY KEY (keys select through MERGE)"
+            )
+        # split WHERE on top-level ANDs; pk-equality conjuncts → ON
+        conjs, rest = [], where_text
+        while True:
+            ai = _find_top_level_kw(rest, "AND")
+            if ai < 0:
+                conjs.append(rest.strip())
+                break
+            conjs.append(rest[:ai].strip())
+            rest = rest[ai + 3:]
+        on_conjs, extra = [], []
+        pk_l = {c.lower() for c in pk}
+        for c in conjs:
+            sides = split_top_level(c, "=")
+            is_on = False
+            if len(sides) == 2 and not any(
+                s.rstrip().endswith(("<", ">", "!")) for s in sides[:1]
+            ):
+                for s in sides:
+                    ref = _re.fullmatch(
+                        rf"\s*(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*", s
+                    )
+                    if ref and unquote_ident(ref.group(2)).lower() in pk_l and (
+                        ref.group(1) is None
+                        or unquote_ident(ref.group(1)).lower() == name.lower()
+                    ):
+                        is_on = True
+                        break
+            (on_conjs if is_on else extra).append(c)
+        if not on_conjs:
+            raise ValueError(
+                f"the WHERE clause must equate {name}'s PRIMARY KEY "
+                f"{pk} with the source (row identity for the MERGE)"
+            )
+        cond = f"AND ({' AND '.join(extra)}) " if extra else ""
+        action = (
+            f"WHEN MATCHED {cond}THEN UPDATE SET {assigns_text}"
+            if assigns_text is not None
+            else f"WHEN MATCHED {cond}THEN DELETE"
+        )
+        from .sql_merge import merge_into
+
+        merge_into(
+            self,
+            f"MERGE INTO {quote_ident(name)} USING {source_text} "
+            f"ON {' AND '.join(on_conjs)} {action}",
+        )
+        return self._ddl_result(
+            "UPDATE" if assigns_text is not None else "DELETE",
+            name,
+            f"v{t.current_version()}",
+        )
 
     def _dml_via_merge(
         self, name: str, t: "LakeTable", predicate: str,

@@ -2122,3 +2122,79 @@ def sql_qualify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "QUALIFY row_number() OVER (PARTITION BY event_type "
         "ORDER BY cents DESC, event_id) <= 3"
     )
+
+
+@register(
+    "sql_upsert_dialect_suite",
+    """
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 8 = 0
+    ),
+    conflicted AS (  -- ON CONFLICT DO UPDATE: %40 keys re-inserted, cents summed
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 40 = 0 THEN cents + event_id
+                  ELSE cents END AS cents
+      FROM src
+    ),
+    bumped AS (      -- UPDATE ... FROM a deltas table: %80 keys += 7
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 80 = 0 THEN cents + 7 ELSE cents END AS cents
+      FROM conflicted
+    )
+    SELECT event_type,    -- DELETE ... USING drops %160 keys
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM bumped WHERE event_id % 160 <> 0
+    GROUP BY event_type
+    """,
+    "r14 DuckDB upsert dialect through catalog SQL: INSERT ... ON "
+    "CONFLICT DO UPDATE (excluded.* refs), UPDATE ... FROM a source "
+    "table, DELETE ... USING — each compiled onto the pk-keyed MERGE; "
+    "the oracle replays the same edits as plain arithmetic.",
+)
+def sql_upsert_dialect_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeWriter
+
+    cat = _fresh_catalog(spark, "updial")
+    src = _event_source(spark, sf_dir).filter(F.col("event_id") % 8 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    LakeWriter(cat.table("t_up"), pk=["event_id"]).write(src)
+    # ON CONFLICT DO UPDATE: re-insert the %40 subset, summing cents
+    # with the incoming event_id
+    src.filter(F.col("event_id") % 40 == 0).createOrReplaceTempView("oc_src")
+    cat.sql(
+        "INSERT INTO t_up SELECT * FROM oc_src ON CONFLICT (event_id) "
+        "DO UPDATE SET cents = t_up.cents + excluded.event_id"
+    )
+    # UPDATE ... FROM: +7 on the %80 subset via a deltas table
+    LakeWriter(cat.table("deltas"), pk=["event_id"]).write(
+        src.filter(F.col("event_id") % 80 == 0).select(
+            "event_id", F.lit(7).cast("long").alias("bump")
+        )
+    )
+    cat.sql(
+        "UPDATE t_up SET cents = t_up.cents + deltas.bump FROM deltas "
+        "WHERE t_up.event_id = deltas.event_id"
+    )
+    # DELETE ... USING: drop the %160 subset
+    LakeWriter(cat.table("gone"), pk=["event_id"]).write(
+        src.filter(F.col("event_id") % 160 == 0).select("event_id")
+    )
+    cat.sql(
+        "DELETE FROM t_up USING gone WHERE t_up.event_id = gone.event_id"
+    )
+    spark.catalog.dropTempView("oc_src")
+    return (
+        cat.table("t_up")
+        .read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )

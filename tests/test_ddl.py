@@ -1164,3 +1164,51 @@ def test_duckdb_dialect_qualify_and_exclude(spark, tmp_path):
     # QUALIFY inside a string literal is untouched
     n = cat.sql("SELECT count(*) AS n FROM s WHERE grp != 'QUALIFY x'").collect()[0]["n"]
     assert n == 12
+
+
+def test_duckdb_upsert_dml_forms(spark, tmp_path):
+    """r14: DuckDB's joined DML — INSERT ... ON CONFLICT (DO NOTHING /
+    DO UPDATE SET [WHERE]), UPDATE ... FROM, DELETE ... USING — all
+    compile onto the pk-keyed MERGE."""
+    from ducklake_kafka_connect_spark.lake import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cat.sql("CREATE TABLE t (id BIGINT, v STRING, n BIGINT, PRIMARY KEY (id))")
+    cat.sql("INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20)")
+    cat.sql(
+        "INSERT INTO t VALUES (2, 'B2', 99), (3, 'c', 30) ON CONFLICT (id) "
+        "DO UPDATE SET v = excluded.v, n = t.n + excluded.n"
+    )
+    got = {r["id"]: (r["v"], r["n"]) for r in cat.table("t").read().collect()}
+    assert got == {1: ("a", 10), 2: ("B2", 119), 3: ("c", 30)}
+    cat.sql("INSERT INTO t VALUES (3, 'z', 1), (4, 'd', 40) ON CONFLICT DO NOTHING")
+    got = {r["id"]: (r["v"], r["n"]) for r in cat.table("t").read().collect()}
+    assert got[3] == ("c", 30) and got[4] == ("d", 40)
+    # conditional DO UPDATE ... WHERE over the excluded row
+    cat.sql(
+        "INSERT INTO t VALUES (1, 'A9', 500), (4, 'D9', 1) ON CONFLICT (id) "
+        "DO UPDATE SET v = excluded.v WHERE excluded.n > 100"
+    )
+    got = {r["id"]: r["v"] for r in cat.table("t").read().collect()}
+    assert got[1] == "A9" and got[4] == "d"
+    # joined UPDATE / DELETE
+    cat.sql("CREATE TABLE s (id BIGINT, bump BIGINT, PRIMARY KEY (id))")
+    cat.sql("INSERT INTO s VALUES (2, 1000), (3, 2000), (9, 1)")
+    cat.sql("UPDATE t SET n = t.n + s.bump FROM s WHERE t.id = s.id AND s.bump > 1500")
+    got = {r["id"]: r["n"] for r in cat.table("t").read().collect()}
+    assert got[3] == 2030 and got[2] == 119
+    cat.sql("DELETE FROM t USING s WHERE t.id = s.id AND s.bump >= 1000")
+    assert sorted(r["id"] for r in cat.table("t").read().collect()) == [1, 4]
+    # guards: wrong conflict target, pk-less table, no pk equality
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        cat.sql("INSERT INTO t VALUES (1,'x',1) ON CONFLICT (v) DO NOTHING")
+    cat.sql("CREATE TABLE nk (id BIGINT, v BIGINT)")
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        cat.sql("INSERT INTO nk VALUES (1, 1) ON CONFLICT DO NOTHING")
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        cat.sql("DELETE FROM t USING s WHERE t.n = s.bump")
+    # plain UPDATE / DELETE / INSERT still route to their own paths
+    cat.sql("UPDATE t SET n = 7 WHERE id = 1")
+    assert {r["n"] for r in cat.table("t").read().filter("id=1").collect()} == {7}
+    cat.sql("DELETE FROM t WHERE id = 4")
+    assert cat.table("t").read().count() == 1
