@@ -45,17 +45,19 @@ maintained
 from-scratch aggregate reports NULL — documented divergence, avoided
 entirely by non-null measures (avg does NOT inherit it: its hidden sum
 is 0-seeded in both paths and the public column keys off the count).
-Definitions are single-base GROUP BY, optionally star-joined to ONE
-broadcast dimension (r14): ``SELECT ... FROM fact JOIN dim ON
-fact.k = dim.k [WHERE ...] GROUP BY ...``. Fact-side churn folds
-incrementally through the dim snapshot PINNED at the last refresh
-(pre- and post-images join to identical attributes, so signed folding
-commutes; inner join mirrors the full recompute's null-key drops). A
-dim change — which silently re-maps attributes of fact rows already
-folded — refuses the incremental path with a REFRESH FULL remedy: the
-honest boundary, since no churn-sized fold exists for it. General
-multi-join views remain out of scope (the standard IVM restriction;
-SHOW CREATE TABLE on the MV states it).
+Definitions are single-base GROUP BY, optionally STAR-joined to any
+number of broadcast dimensions (r14): ``SELECT ... FROM fact JOIN d1
+ON fact.k1 = d1.k JOIN d2 ON fact.k2 = d2.k [WHERE ...] GROUP BY
+...`` — every join binds the BASE to one dim on one equality (star,
+not snowflake). Fact-side churn folds incrementally through the dim
+snapshots PINNED at the last refresh (pre- and post-images join to
+identical attributes, so signed folding commutes; inner joins mirror
+the full recompute's null-key drops). Any dim change — which silently
+re-maps attributes of fact rows already folded — refuses the
+incremental path with a REFRESH FULL remedy: the honest boundary,
+since no churn-sized fold exists for it. General join views (dim-to-
+dim, non-equality, aliased self-joins) remain out of scope (the
+standard IVM restriction; SHOW CREATE TABLE on the MV states it).
 
 Reference anchor: the reference exposes its tables to DuckDB for
 exactly this kind of derived rollup (`DucklakeTableManager.java:161-164`
@@ -71,6 +73,7 @@ idempotently.
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass
 
@@ -90,14 +93,16 @@ _AGG_RE = re.compile(
 )
 _DEF_RE = re.compile(
     r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<base>" + _IDENT + r")"
-    r"(?:\s+JOIN\s+(?P<dim>" + _IDENT + r")\s+ON\s+(?P<on>.+?))?"
+    r"(?P<joins>(?:\s+JOIN\s+.+?)*?)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"\s+GROUP\s+BY\s+(?P<groups>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-_ON_RE = re.compile(
-    r"^\s*(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*=\s*"
-    r"(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*$",
+# each star join is ONE qualified equality: JOIN d ON x.a = y.b
+_JOIN_RE = re.compile(
+    r"\s*JOIN\s+(" + _IDENT + r")\s+ON\s+"
+    r"(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*=\s*"
+    r"(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*",
     re.IGNORECASE,
 )
 
@@ -111,12 +116,16 @@ class MvDef:
     aggs: list[tuple[str, str, str]]
     count_alias: str
     query: str
-    # star-join extension (r14): exactly one broadcast dimension joined
-    # on a single equality. Fact-side churn folds through the PINNED dim
-    # snapshot; any dim change refuses incremental (FULL remedy) — a dim
-    # update re-maps fact rows already folded under the old attributes.
-    dim: str | None = None
-    join_on: tuple[str, str] | None = None  # (base_col, dim_col)
+    # star-join extension (r14): broadcast dimensions, each joined to
+    # the BASE on a single equality (star, not snowflake). Fact-side
+    # churn folds through the PINNED dim snapshots; any dim change
+    # refuses incremental (FULL remedy) — a dim update re-maps fact
+    # rows already folded under the old attributes.
+    dims: "list[tuple[str, str, str]]" = None  # (dim, base_col, dim_col)
+
+    def __post_init__(self):
+        if self.dims is None:
+            self.dims = []
 
     def maintained(self) -> list[tuple[str, str, str]]:
         """The self-maintainable column ring the refresh folds: avg is
@@ -220,34 +229,42 @@ def parse_mv_query(query: str) -> MvDef:
             f"materialized view column collision: {sorted(dupes)} (avg "
             f"columns also reserve <alias>__sum and <alias>__cnt)"
         )
-    dim = unquote_ident(m.group("dim")) if m.group("dim") else None
-    join_on = None
-    if dim is not None:
-        base_name = unquote_ident(m.group("base"))
-        om = _ON_RE.match(m.group("on") or "")
-        if not om:
+    base_name = unquote_ident(m.group("base"))
+    dims: list[tuple[str, str, str]] = []
+    joins_text = m.group("joins") or ""
+    pos = 0
+    while pos < len(joins_text.rstrip()):
+        jm = _JOIN_RE.match(joins_text, pos)
+        if not jm:
             raise ValueError(
-                "materialized view JOIN requires a single qualified "
-                "equality: ON <base>.<col> = <dim>.<col>"
+                "materialized view JOINs must each be a single qualified "
+                "equality against the base table: JOIN <dim> ON "
+                f"<base>.<col> = <dim>.<col>; got {joins_text[pos:]!r}"
             )
-        lt, lc, rt, rc = (unquote_ident(om.group(i)) for i in (1, 2, 3, 4))
+        dim = unquote_ident(jm.group(1))
+        lt, lc, rt, rc = (unquote_ident(jm.group(i)) for i in (2, 3, 4, 5))
         sides = {lt.lower(): lc, rt.lower(): rc}
         if set(sides) != {base_name.lower(), dim.lower()}:
             raise ValueError(
                 f"materialized view ON clause must reference "
-                f"{base_name!r} and {dim!r} exactly once each, got "
-                f"{lt!r} = {rt!r}"
+                f"{base_name!r} and {dim!r} exactly once each (star, not "
+                f"snowflake), got {lt!r} = {rt!r}"
             )
-        join_on = (sides[base_name.lower()], sides[dim.lower()])
+        if any(d == dim for d, _, _ in dims):
+            raise ValueError(
+                f"materialized view joins dim {dim!r} twice — alias-free "
+                f"star joins need distinct dim tables"
+            )
+        dims.append((dim, sides[base_name.lower()], sides[dim.lower()]))
+        pos = jm.end()
     return MvDef(
-        base=unquote_ident(m.group("base")),
+        base=base_name,
         where=(m.group("where") or "").strip() or None,
         groups=groups,
         aggs=aggs,
         count_alias=count_alias,
         query=q,
-        dim=dim,
-        join_on=join_on,
+        dims=dims,
     )
 
 
@@ -303,35 +320,38 @@ def _guard_null_groups(df: DataFrame, groups: list[str], ctx: str) -> None:
         )
 
 
-def _apply_dim_join(cat, d: MvDef, df: DataFrame, dim_version: int) -> DataFrame:
-    """Inner-join the fact frame to the PINNED dim snapshot (broadcast —
-    the star-schema assumption this extension is scoped to). The dim's
-    join column and system columns drop after the join so items/WHERE
-    see base + dim attribute columns unqualified."""
+def _apply_dim_join(cat, d: MvDef, df: DataFrame, dim_versions: dict) -> DataFrame:
+    """Inner-join the fact frame to every PINNED dim snapshot
+    (broadcast — the star-schema assumption this extension is scoped
+    to). Each dim's join column and system columns drop after its join
+    so items/WHERE see base + dim attribute columns unqualified."""
     from ..schema.reconcile import INSERTED_AT
 
-    bcol, dcol = d.join_on
-    dim_df = cat.table(d.dim).read(version=dim_version)
-    if INSERTED_AT in dim_df.columns:
-        dim_df = dim_df.drop(INSERTED_AT)
-    overlap = (set(dim_df.columns) - {dcol}) & set(df.columns)
-    if overlap:
-        raise ValueError(
-            f"materialized view join: dim {d.dim!r} columns {sorted(overlap)} "
-            f"collide with fact columns — rename them in the dim table"
-        )
-    dim_df = dim_df.withColumnRenamed(dcol, "__mv_dim_jk")
-    return df.join(
-        F.broadcast(dim_df), F.col(quote_ident(bcol)) == F.col("__mv_dim_jk"),
-        "inner",
-    ).drop("__mv_dim_jk")
+    for i, (dim, bcol, dcol) in enumerate(d.dims):
+        dim_df = cat.table(dim).read(version=dim_versions[dim])
+        if INSERTED_AT in dim_df.columns:
+            dim_df = dim_df.drop(INSERTED_AT)
+        overlap = (set(dim_df.columns) - {dcol}) & set(df.columns)
+        if overlap:
+            raise ValueError(
+                f"materialized view join: dim {dim!r} columns "
+                f"{sorted(overlap)} collide with fact/other-dim columns — "
+                f"rename them in the dim table"
+            )
+        jk = f"__mv_dim_jk_{i}"
+        dim_df = dim_df.withColumnRenamed(dcol, jk)
+        df = df.join(
+            F.broadcast(dim_df), F.col(quote_ident(bcol)) == F.col(jk),
+            "inner",
+        ).drop(jk)
+    return df
 
 
-def _full_frame(cat, d: MvDef, version: int, dim_version: int | None = None) -> DataFrame:
+def _full_frame(cat, d: MvDef, version: int, dim_versions: "dict | None" = None) -> DataFrame:
     base = cat.table(d.base)
     df = base.read(version=version)
-    if d.dim is not None:
-        df = _apply_dim_join(cat, d, df, dim_version)
+    if d.dims:
+        df = _apply_dim_join(cat, d, df, dim_versions)
     if d.where:
         df = df.filter(d.where)
     _guard_null_groups(df.select(*d.groups), d.groups, f"materialize {d.base}")
@@ -368,23 +388,21 @@ def create_materialized_view(
     base = cat.table(d.base)
     if not base.exists():
         raise ValueError(f"materialized view base {d.base!r} does not exist")
-    dim_v = None
-    if d.dim is not None:
-        dimt = cat.table(d.dim)
+    dim_vs: "dict[str, int]" = {}
+    for dim, _, _ in d.dims:
+        dimt = cat.table(dim)
         if not dimt.exists():
-            raise ValueError(
-                f"materialized view dim {d.dim!r} does not exist"
-            )
-        dim_v = dimt.current_version()
+            raise ValueError(f"materialized view dim {dim!r} does not exist")
+        dim_vs[dim] = dimt.current_version()
     v = base.current_version()
-    frame = _full_frame(cat, d, v, dim_version=dim_v)
+    frame = _full_frame(cat, d, v, dim_versions=dim_vs)
     marker = {
         PROP_QUERY: d.query,
         PROP_BASE: d.base,
         PROP_BASE_VERSION: str(v),
     }
-    if dim_v is not None:
-        marker[PROP_DIM_VERSION] = str(dim_v)
+    if dim_vs:
+        marker[PROP_DIM_VERSION] = json.dumps(dim_vs, sort_keys=True)
     if t.exists():
         # replace is two commits (schema reset, then data). The marker
         # rides the FIRST commit too, so a crash in between leaves an
@@ -411,34 +429,44 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
     base = cat.table(d.base)
     from_v = int(props[PROP_BASE_VERSION])
     to_v = base.current_version()
-    dim_from = dim_to = None
-    if d.dim is not None:
-        dim_from = int(props[PROP_DIM_VERSION])
-        dim_to = cat.table(d.dim).current_version()
-        if dim_to != dim_from and not full:
+    dims_from: "dict[str, int]" = {}
+    dims_to: "dict[str, int]" = {}
+    if d.dims:
+        dims_from = {
+            k: int(v) for k, v in json.loads(props[PROP_DIM_VERSION]).items()
+        }
+        dims_to = {
+            dim: cat.table(dim).current_version() for dim, _, _ in d.dims
+        }
+        changed = sorted(
+            dim for dim, v in dims_to.items() if dims_from.get(dim) != v
+        )
+        if changed and not full:
             # a dim change re-maps attributes of fact rows ALREADY folded
             # under the old dim snapshot — no churn-sized fold exists for
             # that (it would require re-reading every fact row whose dim
             # key changed attributes), so incremental refuses honestly
             raise ValueError(
-                f"refresh {name!r}: dim table {d.dim!r} changed "
-                f"(v{dim_from} → v{dim_to}); fact-side churn folds "
-                f"incrementally but dim changes re-map already-folded "
-                f"rows — run REFRESH MATERIALIZED VIEW {name} FULL"
+                f"refresh {name!r}: dim table(s) {changed} changed; "
+                f"fact-side churn folds incrementally but dim changes "
+                f"re-map already-folded rows — run REFRESH MATERIALIZED "
+                f"VIEW {name} FULL"
             )
-    if to_v == from_v and (d.dim is None or dim_to == dim_from) and not full:
+    if to_v == from_v and dims_to == dims_from and not full:
         return {"view": name, "mode": "noop", "from": from_v, "to": to_v}
     marker = {
         "tblproperties": {
             **props,
             PROP_BASE_VERSION: str(to_v),
             **(
-                {PROP_DIM_VERSION: str(dim_to)} if d.dim is not None else {}
+                {PROP_DIM_VERSION: json.dumps(dims_to, sort_keys=True)}
+                if d.dims
+                else {}
             ),
         }
     }
     if full:
-        frame = _full_frame(cat, d, to_v, dim_version=dim_to)
+        frame = _full_frame(cat, d, to_v, dim_versions=dims_to)
         w = _writer(cat, name, d)
         w.extra_commit_props = marker
         w.overwrite(frame)
@@ -470,13 +498,13 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
         .otherwise(0)
     )
     ch = ch.withColumn("__sign", sign)
-    if d.dim is not None:
-        # fact churn folds through the PINNED dim snapshot (== current,
+    if d.dims:
+        # fact churn folds through the PINNED dim snapshots (== current,
         # the guard above refused otherwise): pre- and post-images join
         # to identical dim attributes, so signed folding still commutes.
-        # Inner join also mirrors the full recompute: fact rows with no
+        # Inner joins also mirror the full recompute: fact rows with no
         # dim match contribute nothing, in both directions.
-        ch = _apply_dim_join(cat, d, ch, dim_from)
+        ch = _apply_dim_join(cat, d, ch, dims_from)
     if d.where:
         # row-level predicates commute with signed folding: a pre-image
         # that matched contributes -1, a post-image that matches +1
@@ -569,8 +597,8 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
                 if lits:
                     where = f"{quote_ident(d.groups[0])} IN ({', '.join(lits)})"
             rep = base.read(version=to_v, where=where)
-            if d.dim is not None:
-                rep = _apply_dim_join(cat, d, rep, dim_from)
+            if d.dims:
+                rep = _apply_dim_join(cat, d, rep, dims_from)
             if d.where:
                 rep = rep.filter(d.where)
             rep = rep.join(

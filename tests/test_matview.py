@@ -846,3 +846,82 @@ class TestStarJoinMatview:
                 "count(*) AS n FROM sales JOIN dim_bad ON region = region "
                 "GROUP BY region"
             )
+
+
+def test_star_join_two_dims(spark, cat):
+    """r14: multi-dim star joins — fact churn folds through BOTH pinned
+    dims; a change to EITHER dim refuses with the FULL remedy naming
+    the changed dim(s)."""
+    c, w = cat
+    LakeWriter(c.table("dim_zone"), pk=["region"]).write(
+        spark.createDataFrame(
+            [(f"r{i}", "west" if i % 2 == 0 else "east") for i in range(4)],
+            "region string, zone string",
+        )
+    )
+    LakeWriter(c.table("dim_tier"), pk=["cents"]).write(
+        spark.createDataFrame(
+            [(c_ * 100, "hi" if c_ >= 5 else "lo") for c_ in range(10)],
+            "cents long, tier string",
+        )
+    )
+    c.sql(
+        "CREATE MATERIALIZED VIEW mv2d AS SELECT zone, tier, "
+        "sum(cents) AS total, count(*) AS n FROM sales "
+        "JOIN dim_zone ON sales.region = dim_zone.region "
+        "JOIN dim_tier ON sales.cents = dim_tier.cents "
+        "GROUP BY zone, tier"
+    )
+
+    def expected():
+        return {
+            (r["zone"], r["tier"]): (r["total"], r["n"])
+            for r in c.table("sales").read()
+            .join(c.table("dim_zone").read().select("region", "zone"), on="region")
+            .join(c.table("dim_tier").read().select("cents", "tier"), on="cents")
+            .groupBy("zone", "tier")
+            .agg(F.sum("cents").alias("total"), F.count("*").alias("n"))
+            .collect()
+        }
+
+    def got():
+        return {
+            (r["zone"], r["tier"]): (r["total"], r["n"])
+            for r in c.table("mv2d").read().collect()
+        }
+
+    assert got() == expected()
+    # fact churn folds incrementally through both pinned dims
+    w.write(
+        spark.createDataFrame(
+            [(950, "r1", 700), (951, "r2", 0)],
+            "id int, region string, cents long",
+        )
+    )
+    w.delete_where("id = 7")
+    st = c.sql("REFRESH MATERIALIZED VIEW mv2d").collect()[0]
+    assert "incremental" in st["detail"], st["detail"]
+    assert got() == expected()
+    # EITHER dim changing refuses, naming it
+    LakeWriter(c.table("dim_tier"), pk=["cents"]).merge(
+        spark.createDataFrame([(900, "mid")], "cents long, tier string")
+    )
+    with pytest.raises(ValueError, match="dim_tier"):
+        c.sql("REFRESH MATERIALIZED VIEW mv2d")
+    c.sql("REFRESH MATERIALIZED VIEW mv2d FULL")
+    assert got() == expected()
+    # duplicate dim refuses at create; snowflake (dim-to-dim) refuses
+    with pytest.raises(ValueError, match="twice"):
+        c.sql(
+            "CREATE MATERIALIZED VIEW mvdup AS SELECT zone, sum(cents) AS t, "
+            "count(*) AS n FROM sales "
+            "JOIN dim_zone ON sales.region = dim_zone.region "
+            "JOIN dim_zone ON sales.region = dim_zone.region GROUP BY zone"
+        )
+    with pytest.raises(ValueError, match="star, not snowflake"):
+        c.sql(
+            "CREATE MATERIALIZED VIEW mvsnow AS SELECT tier, sum(cents) AS t, "
+            "count(*) AS n FROM sales "
+            "JOIN dim_zone ON sales.region = dim_zone.region "
+            "JOIN dim_tier ON dim_zone.zone = dim_tier.tier GROUP BY tier"
+        )
