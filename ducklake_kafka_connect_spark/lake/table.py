@@ -4102,7 +4102,12 @@ class LakeCatalog:
         # logical views expand next (leading CTEs), so time travel /
         # CDF rewrites and table registration see the expanded text
         # DuckDB-dialect rewrites (r14): the reference's users write
-        # DuckDB SQL — QUALIFY and `* EXCLUDE (...)` port unchanged
+        # DuckDB SQL — ASOF JOIN, QUALIFY and `* EXCLUDE (...)` port
+        # unchanged. ASOF goes first: its sides resolve recursively
+        # through sql(), so a side may itself use QUALIFY/EXCLUDE.
+        asof_views: list[str] = []
+        if _find_top_level_kw(query, "ASOF") >= 0:
+            query, asof_views = self._rewrite_asof_join(query)
         query = _rewrite_duckdb_dialect(query)
         query = self._expand_views(query)
         # SQL time travel: `t VERSION AS OF n`, `t TIMESTAMP AS OF 'ts'`,
@@ -4116,7 +4121,7 @@ class LakeCatalog:
         # metadata TVF: table_files('t'[, version]) — the manifest's file
         # inventory as SQL rows (Iceberg `t.files` analogue), zero scan
         query, files_views = self._rewrite_table_files(query)
-        cdf_views = cdf_views + files_views
+        cdf_views = cdf_views + files_views + asof_views
         pins = dict(versions or {})
         hints = dict(where_hints or {})
         referenced = [
@@ -4246,6 +4251,257 @@ class LakeCatalog:
             return quote_ident(syn)
 
         return pat.sub(sub, query), views
+
+    # grammar: FROM <rel> [AS] <alias> ASOF [LEFT] JOIN <rel> [AS] <alias>
+    #          ON <equi-conds AND one ts inequality>
+    # where <rel> is a table/view name or a parenthesized subquery.
+    _ASOF_TAIL_KWS = (
+        "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+        "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+    )
+
+    def _rewrite_asof_join(self, query: str):
+        """DuckDB ``ASOF [LEFT] JOIN`` SQL surface — the reference's
+        users write it natively (DuckDB docs: AsOf joins), Spark's
+        parser has no such clause. Rewritten onto the union-and-sweep
+        operator (operators/asof.py — one shuffle + one window sweep,
+        no range-join explosion): both sides resolve recursively
+        through :meth:`sql` (so views, time travel, and subquery WHERE
+        pruning all apply inside a side), the joined result registers
+        as a synthetic temp view, and the statement's FROM clause plus
+        every ``alias.col`` reference rewrites against it. All four
+        comparison operators (``>= > <= <``) map to the operator's
+        direction/strict axes; ``ASOF JOIN`` is inner, ``ASOF LEFT
+        JOIN`` keeps unmatched probes. Returns (rewritten query, list
+        of synthetic views to drop). One ASOF join per statement; a
+        WITH prelude is refused (inline the CTE as a subquery)."""
+        import re as _re
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        from ..operators.asof import asof_join
+
+        q = query
+        ai = _find_top_level_kw(q, "ASOF")
+        if ai < 0:
+            return q, []
+        jm = _re.match(r"ASOF\s+(LEFT\s+)?JOIN\b", q[ai:], _re.IGNORECASE)
+        if not jm:
+            return q, []  # e.g. a column literally named asof
+        if _re.match(r"\s*WITH\b", q, _re.IGNORECASE):
+            raise ValueError(
+                "ASOF JOIN under a WITH prelude is not supported — "
+                "inline the CTE as a parenthesized subquery"
+            )
+        if _find_top_level_kw(q[ai + 4:], "ASOF") >= 0:
+            raise ValueError("one ASOF JOIN per statement is supported")
+        how = "left" if jm.group(1) else "inner"
+        fi = _find_top_level_kw(q, "FROM")
+        if fi < 0 or fi > ai:
+            raise ValueError("ASOF JOIN requires a FROM clause")
+        head = q[:fi]
+        left_txt = q[fi + 4:ai].strip()
+        if len(split_top_level(left_txt)) > 1 or _find_top_level_kw(
+            left_txt, "JOIN"
+        ) >= 0:
+            raise ValueError(
+                "ASOF JOIN must be the only join in the FROM clause — "
+                "wrap other joins in a parenthesized subquery side"
+            )
+        rest = q[ai + jm.end():]
+        oi = _find_top_level_kw(rest, "ON")
+        if oi < 0:
+            raise ValueError("ASOF JOIN requires an ON clause")
+        right_txt = rest[:oi].strip()
+        after_on = rest[oi + 2:]
+        cuts = [
+            x
+            for kw in self._ASOF_TAIL_KWS
+            if (x := _find_top_level_kw(after_on, kw)) >= 0
+        ]
+        cut = min(cuts) if cuts else len(after_on)
+        cond_txt, tail = after_on[:cut].strip(), after_on[cut:]
+
+        def _parse_rel(txt: str, side: str):
+            txt = txt.strip()
+            if txt.startswith("("):
+                depth, i, quote = 0, 0, None
+                for i, ch in enumerate(txt):
+                    if quote:
+                        if ch == quote:
+                            quote = None
+                    elif ch in ("'", '"', "`"):
+                        quote = ch
+                    elif ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                sub, alias_txt = txt[1:i], txt[i + 1:].strip()
+                am = _re.match(
+                    rf"(?:AS\s+)?({_IDENT})\s*$", alias_txt, _re.IGNORECASE
+                )
+                if not am:
+                    raise ValueError(
+                        f"ASOF JOIN: the {side} subquery needs an alias"
+                    )
+                return self.sql(sub), unquote_ident(am.group(1))
+            m = _re.match(
+                rf"({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?\s*$",
+                txt,
+                _re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(
+                    f"ASOF JOIN: cannot parse the {side} relation: {txt!r}"
+                )
+            name = unquote_ident(m.group(1))
+            alias = unquote_ident(m.group(2)) if m.group(2) else name
+            return self.sql(f"SELECT * FROM {m.group(1)}"), alias
+
+        ldf, la = _parse_rel(left_txt, "left")
+        rdf, ra = _parse_rel(right_txt, "right")
+        if la.lower() == ra.lower():
+            raise ValueError("ASOF JOIN sides must have distinct aliases")
+
+        # --- ON clause: equality pairs + exactly one ts inequality ---
+        conds, cur = [], cond_txt
+        while True:
+            i = _find_top_level_kw(cur, "AND")
+            if i < 0:
+                conds.append(cur.strip())
+                break
+            conds.append(cur[:i].strip())
+            cur = cur[i + 3:]
+        cpat = _re.compile(
+            rf"^\(?\s*({_IDENT})\.({_IDENT})\s*(>=|<=|=|>|<)\s*"
+            rf"({_IDENT})\.({_IDENT})\s*\)?$"
+        )
+        pairs: list[tuple[str, str]] = []
+        ineq = None
+        lmap_ci = {c.lower(): c for c in ldf.columns}
+        rmap_ci = {c.lower(): c for c in rdf.columns}
+        for c in conds:
+            m = cpat.match(c)
+            if not m:
+                raise ValueError(
+                    f"ASOF JOIN ON supports alias-qualified comparisons "
+                    f"joined by AND; cannot parse: {c!r}"
+                )
+            q1, c1, op, q2, c2 = (
+                unquote_ident(m.group(1)), unquote_ident(m.group(2)),
+                m.group(3),
+                unquote_ident(m.group(4)), unquote_ident(m.group(5)),
+            )
+            if q1.lower() == la.lower() and q2.lower() == ra.lower():
+                lc, rc = c1, c2
+            elif q1.lower() == ra.lower() and q2.lower() == la.lower():
+                lc, rc = c2, c1
+                op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}.get(op, op)
+            else:
+                raise ValueError(
+                    f"ASOF JOIN ON term must compare the two sides "
+                    f"({la!r}, {ra!r}): {c!r}"
+                )
+            lc = lmap_ci.get(lc.lower())
+            rc = rmap_ci.get(rc.lower())
+            if lc is None or rc is None:
+                raise ValueError(f"ASOF JOIN ON references unknown column: {c!r}")
+            if op == "=":
+                pairs.append((lc, rc))
+            elif ineq is not None:
+                raise ValueError(
+                    "ASOF JOIN requires exactly one inequality in ON"
+                )
+            else:
+                ineq = (lc, rc, op)
+        if ineq is None:
+            raise ValueError("ASOF JOIN requires one ts inequality in ON")
+        lts, rts, op = ineq
+        direction = "backward" if op in (">=", ">") else "forward"
+        strict = op in (">", "<")
+
+        # --- build the joined frame: right key cols under the LEFT
+        # names for the equi-join, the ts under a reserved name, and
+        # EVERY right column duplicated as an indexed payload copy so
+        # `ra.anything` (including the key and ts) survives with LEFT-
+        # join NULL semantics for unmatched probes ---
+        rcols = list(rdf.columns)
+        l_out = list(ldf.columns)
+        if not pairs:
+            # keyless ASOF (DuckDB allows it): one global timeline.
+            # Constant key = a single window partition — correct, but
+            # serializes the sweep; at scale users should carry an
+            # equality key (the operator docstring's escalation note).
+            ldf = ldf.withColumn("__asof_k", F.lit(1))
+            rdf = rdf.withColumn("__asof_k", F.lit(1))
+            pairs = [("__asof_k", "__asof_k")]
+            rcols = [c for c in rcols]  # __asof_k stays internal
+        rdf2 = rdf.select(
+            *[F.col(rc).alias(lc) for lc, rc in pairs],
+            F.col(rts).alias("__asof_rts"),
+            *[F.col(c).alias(f"__asof_p_{i}") for i, c in enumerate(rcols)],
+        )
+        joined = asof_join(
+            ldf,
+            rdf2,
+            key=[lc for lc, _ in pairs],
+            left_ts=lts,
+            right_ts="__asof_rts",
+            payload=[f"__asof_p_{i}" for i in range(len(rcols))],
+            suffix="",
+            how=how,
+            direction=direction,
+            strict=strict,
+        )
+        taken = {c.lower() for c in l_out}
+        exposed: dict[str, str] = {}
+        out_cols = [F.col(c) for c in l_out]
+        for i, c in enumerate(rcols):
+            name = c
+            while name.lower() in taken:
+                name = f"{name}_r"
+            taken.add(name.lower())
+            exposed[c.lower()] = name
+            out_cols.append(F.col(f"__asof_p_{i}").alias(name))
+        syn = f"__asof_{_uuid.uuid4().hex[:8]}"
+        joined.select(*out_cols).createOrReplaceTempView(syn)
+
+        def _fix_refs(txt: str) -> str:
+            def repl(m: "_re.Match") -> str:
+                alias, col = unquote_ident(m.group(1)), m.group(2)
+                if alias.lower() == la.lower():
+                    if col == "*":
+                        return ", ".join(quote_ident(c) for c in l_out)
+                    lc = lmap_ci.get(unquote_ident(col).lower())
+                    if lc is None:
+                        raise ValueError(
+                            f"unknown column {col!r} on ASOF side {la!r}"
+                        )
+                    return quote_ident(lc)
+                if col == "*":
+                    return ", ".join(
+                        quote_ident(exposed[c.lower()]) for c in rcols
+                    )
+                rc = rmap_ci.get(unquote_ident(col).lower())
+                if rc is None:
+                    raise ValueError(
+                        f"unknown column {col!r} on ASOF side {ra!r}"
+                    )
+                return quote_ident(exposed[rc.lower()])
+
+            return _re.sub(
+                rf"(?<![\w.])({_re.escape(la)}|{_re.escape(ra)})"
+                rf"\.({_IDENT}|\*)",
+                repl,
+                txt,
+                flags=_re.IGNORECASE,
+            )
+
+        new_q = f"{_fix_refs(head)}FROM {quote_ident(syn)} {_fix_refs(tail)}"
+        return new_q, [syn]
 
     def _rewrite_time_travel(self, query: str):
         """Rewrite AS-OF table references to synthetic view names.

@@ -99,3 +99,61 @@ def test_matches_naive_theta_join(spark):
     )
     expect = {r["id"]: r["v"] for r in naive.collect()}
     assert got == expect
+
+
+def test_direction_strict_how_matrix(spark):
+    """The four DuckDB comparison operators + inner/left row semantics."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00")),
+         (2, "u", _ts("2024-01-01 11:00:00")),
+         (3, "u", _ts("2024-01-01 09:00:00"))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-01 09:30:00"), 1.0),
+         ("u", _ts("2024-01-01 10:00:00"), 2.0),
+         ("u", _ts("2024-01-01 10:30:00"), 3.0)],
+        "k string, ts timestamp, v double",
+    )
+
+    def run(**kw):
+        return {
+            r["id"]: r["v_right"]
+            for r in asof_join(left, right, key="k", **kw).collect()
+        }
+
+    assert run(direction="backward", strict=False) == {1: 2.0, 2: 3.0, 3: None}
+    assert run(direction="backward", strict=True) == {1: 1.0, 2: 3.0, 3: None}
+    assert run(direction="forward", strict=False) == {1: 2.0, 2: None, 3: 1.0}
+    assert run(direction="forward", strict=True) == {1: 3.0, 2: None, 3: 1.0}
+    assert run(how="inner") == {1: 2.0, 2: 3.0}
+    assert run(how="inner", direction="forward", strict=True) == {1: 3.0, 3: 1.0}
+
+
+def test_null_right_ts_never_matches(spark):
+    """A NULL right timestamp compares false against every probe in SQL
+    — it must not shadow (backward) or leak into (forward) real rows."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00"))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", None, 99.0), ("u", _ts("2024-01-01 09:00:00"), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    (row,) = asof_join(left, right, key="k").collect()
+    assert row["v_right"] == 1.0
+    (row,) = asof_join(left, right, key="k", direction="forward").collect()
+    assert row["v_right"] is None
+
+
+def test_null_left_ts_gets_null_payload_both_directions(spark):
+    left = spark.createDataFrame(
+        [(1, "u", None)], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-01 09:00:00"), 1.0)], "k string, ts timestamp, v double"
+    )
+    for d in ("backward", "forward"):
+        (row,) = asof_join(left, right, key="k", direction=d).collect()
+        assert row["v_right"] is None, d
+    assert asof_join(left, right, key="k", how="inner").count() == 0
