@@ -957,6 +957,127 @@ def sql_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Grouping analytics: ROLLUP / CUBE / GROUPING SETS / PIVOT — the OLAP
+# subtotal surface DuckDB users reach for on dashboards. All four stay
+# entirely JVM-side (Expand + partial agg; one shuffle each) and scale
+# as plain aggregates: Expand multiplies rows by the number of grouping
+# sets BEFORE the map-side combine, so the shuffle carries one partial
+# row per (set, group), not per input row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_returnflag_hierarchy",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           count(*) AS n, ROUND(sum(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP subtotal hierarchy with GROUPING() disambiguation (a NULL "
+    "group key vs a subtotal row) — Spark's Expand operator emits the "
+    "3 grouping sets before the partial aggregate; one shuffle total.",
+)
+def rollup_returnflag_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
+
+
+@register(
+    "cube_order_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           count(*) AS n, ROUND(sum(o_totalprice), 6) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE over (status, priority): all 4 grouping sets in one pass — "
+    "same Expand + single-shuffle plan as ROLLUP, just more sets.",
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+    )
+
+
+@register(
+    "grouping_sets_event_matrix",
+    """
+    SELECT event_type, CAST(user_id % 7 AS BIGINT) AS user_mod,
+           count(*) AS n, ROUND(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 7), ())
+    """,
+    "Explicit GROUPING SETS (per-type totals, per-user-mod totals, and "
+    "a grand total in one scan) via DataFrame.groupingSets — the "
+    "arbitrary-sets form ROLLUP/CUBE cannot express.",
+)
+def grouping_sets_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_mod", (F.col("user_id") % 7).cast("bigint")
+    )
+    return ev.groupingSets(
+        [[F.col("event_type")], [F.col("user_mod")], []],
+        F.col("event_type"),
+        F.col("user_mod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+@register(
+    "pivot_event_type_wide",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_mod,
+           count(*) FILTER (WHERE event_type = 'click') AS click_n,
+           count(*) FILTER (WHERE event_type = 'view') AS view_n,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+           ROUND(sum(value) FILTER (WHERE event_type = 'purchase'), 6)
+             AS purchase_value
+    FROM events
+    GROUP BY 1
+    """,
+    "PIVOT (long→wide reshape) with explicit value list: "
+    "groupBy().pivot(values=[...]) compiles to conditional aggregates "
+    "in ONE pass — no per-value scan, no second shuffle; the explicit "
+    "list keeps the plan static (no distinct-values driver collect).",
+)
+def pivot_event_type_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_mod", (F.col("user_id") % 10).cast("bigint")
+    )
+    wide = (
+        ev.groupBy("user_mod")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value"),
+        )
+    )
+    return wide.select(
+        "user_mod",
+        F.col("click_n").alias("click_n"),
+        F.col("view_n").alias("view_n"),
+        F.col("purchase_n").alias("purchase_n"),
+        F.col("purchase_value").alias("purchase_value"),
+    )
+
+
 @register(
     "range_join_click_attribution",
     """
