@@ -3430,16 +3430,41 @@ class LakeCatalog:
           compiled onto the writer merge (``lake/sql_merge.py``).
 
         ``LakeCatalog.sql`` routes these automatically. Returns a
-        one-row status DataFrame."""
+        one-row status DataFrame — unless the statement carries
+        DuckDB's ``RETURNING <exprs>`` tail, in which case the affected
+        rows come back instead: INSERT returns the inserted frame,
+        DELETE the deleted rows, UPDATE the post-assignment rows (all
+        SET right-hand sides evaluate against the OLD row, like SQL).
+        The returned frame is pinned to the statement's snapshot
+        versions, so it stays valid until a VACUUM drops them.
+        RETURNING is supported on the plain three forms; the
+        merge-compiled dialects (ON CONFLICT, UPDATE FROM, DELETE
+        USING, subquery predicates, MERGE) refuse it explicitly."""
         import re as _re
+
+        from pyspark.sql import functions as _F
 
         from .sql_prune import strip_catalog_prefix
         from .writer import LakeWriter as _W
 
         stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
+        returning: str | None = None
+        ri = _find_top_level_kw(stmt, "RETURNING")
+        if ri >= 0:
+            returning = stmt[ri + len("RETURNING"):].strip()
+            if not returning:
+                raise ValueError("RETURNING requires at least one expression")
+            stmt = stmt[:ri].rstrip()
+
+        def _ret(df):
+            return df.selectExpr(
+                *[p.strip() for p in split_top_level(returning)]
+            )
         if _re.match(r"MERGE\s+INTO\b", stmt, _re.IGNORECASE):
             from .sql_merge import merge_into
 
+            if returning is not None:
+                raise ValueError("RETURNING is not supported on MERGE")
             name = merge_into(self, stmt)
             return self._ddl_result(
                 "MERGE", name, f"v{self.table(name).current_version()}"
@@ -3450,6 +3475,11 @@ class LakeCatalog:
         if ci >= 0 and _re.match(r"INSERT\s+INTO\b", stmt, _re.IGNORECASE):
             om = _re.search(r"\bON\s*$", stmt[:ci], _re.IGNORECASE)
             if om:
+                if returning is not None:
+                    raise ValueError(
+                        "RETURNING is not supported on INSERT ... ON "
+                        "CONFLICT (it compiles onto MERGE)"
+                    )
                 return self._insert_on_conflict(
                     stmt[:om.start()].rstrip(),
                     stmt[ci + len("CONFLICT"):].strip(),
@@ -3460,6 +3490,11 @@ class LakeCatalog:
             fi = _find_top_level_kw(body, "FROM")
             wi = _find_top_level_kw(body, "WHERE")
             if fi >= 0 and wi > fi:
+                if returning is not None:
+                    raise ValueError(
+                        "RETURNING is not supported on UPDATE ... FROM "
+                        "(it compiles onto MERGE)"
+                    )
                 return self._dml_from_source(
                     unquote_ident(m.group(1)),
                     body[fi + 4:wi].strip(),
@@ -3474,6 +3509,11 @@ class LakeCatalog:
             wi = _find_top_level_kw(body, "WHERE")
             if wi < 0:
                 raise ValueError("DELETE ... USING requires a WHERE clause")
+            if returning is not None:
+                raise ValueError(
+                    "RETURNING is not supported on DELETE ... USING "
+                    "(it compiles onto MERGE)"
+                )
             return self._dml_from_source(
                 unquote_ident(m.group(1)),
                 body[:wi].strip(),
@@ -3497,6 +3537,8 @@ class LakeCatalog:
                 w.overwrite(df)
             else:
                 w.write(df)
+            if returning is not None:
+                return _ret(df)
             return self._ddl_result(
                 "INSERT OVERWRITE" if overwrite else "INSERT",
                 name,
@@ -3510,10 +3552,23 @@ class LakeCatalog:
         if m:
             name = unquote_ident(m.group(1))
             t = self.table(name)
+            ret = None
+            if returning is not None:
+                if m.group(2) is not None and _has_subquery(m.group(2)):
+                    raise ValueError(
+                        "RETURNING is not supported with a subquery "
+                        "predicate (it compiles onto MERGE)"
+                    )
+                # the deleted rows, pinned to the pre-statement snapshot
+                ret = t.read(version=t.current_version())
+                if m.group(2) is not None:
+                    ret = ret.filter(m.group(2))
             if m.group(2) is None:
                 # standard SQL: DELETE without WHERE removes every row —
                 # metadata-only (truncate semantics, history preserved)
                 v = t.truncate()
+                if ret is not None:
+                    return _ret(ret)
                 return self._ddl_result("DELETE", name, f"all rows v{v}")
             if _has_subquery(m.group(2)):
                 # subquery predicate (`WHERE id IN (SELECT ...)`): the
@@ -3525,6 +3580,8 @@ class LakeCatalog:
             _W(t, pk=t.manifest().pk or None, auto_create=False).delete_where(
                 m.group(2)
             )
+            if ret is not None:
+                return _ret(ret)
             return self._ddl_result("DELETE", name, f"v{t.current_version()}")
         m = _re.match(
             rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
@@ -3550,10 +3607,34 @@ class LakeCatalog:
                         "UPDATE: subqueries are supported in WHERE, not in "
                         "SET expressions"
                     )
+                if returning is not None:
+                    raise ValueError(
+                        "RETURNING is not supported with a subquery "
+                        "predicate (it compiles onto MERGE)"
+                    )
                 return self._dml_via_merge(name, t, m.group(3), assigns)
+            ret = None
+            if returning is not None:
+                # the post-assignment rows: pre-statement snapshot rows
+                # matching WHERE, with every SET right-hand side
+                # evaluated against the OLD row in one projection
+                # (simultaneous-assignment SQL semantics, matching
+                # update_where itself)
+                ret = t.read(version=t.current_version())
+                if m.group(3) is not None:
+                    ret = ret.filter(m.group(3))
+                ret = ret.select(
+                    *[
+                        _F.expr(assigns[c]).alias(c) if c in assigns
+                        else _F.col(c)
+                        for c in ret.columns
+                    ]
+                )
             _W(t, pk=t.manifest().pk or None, auto_create=False).update_where(
                 m.group(3) if m.group(3) is not None else "true", assigns
             )
+            if ret is not None:
+                return _ret(ret)
             return self._ddl_result("UPDATE", name, f"v{t.current_version()}")
         raise ValueError(f"unsupported DML statement: {statement!r}")
 
@@ -3593,6 +3674,40 @@ class LakeCatalog:
                     f"!= table data columns {len(data_cols)}"
                 )
             df = df.toDF(*data_cols)
+        if t.exists():
+            # SQL literal typing diverges from the stored schema in
+            # benign ways (Spark types `4.0` as DECIMAL(2,1), integer
+            # literals as INT against a BIGINT column). Cast matching
+            # columns to the table's declared type up front — DuckDB
+            # coerces INSERT sources the same way — so the writer's
+            # evolution planner only sees REAL schema changes.
+            from pyspark.sql import functions as _F
+
+            # UP-casts only: a WIDER incoming type must stay as-is so
+            # the writer's evolution planner widens the TABLE instead
+            # of this silently truncating the data.
+            rank = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+            target = {f.name: f.dataType for f in t.manifest().schema.fields}
+
+            def _up(src, dst):
+                s, d = src.typeName(), dst.typeName()
+                if s == "decimal" and d in ("double", "float"):
+                    return True  # SQL literal `4.0` arrives as DECIMAL
+                if s in rank and (
+                    d in ("double", "float", "decimal")
+                    or (d in rank and rank[s] < rank[d])
+                ):
+                    return True
+                return s == "float" and d == "double"
+
+            casts = {
+                c: _F.col(c).cast(target[c])
+                for c in df.columns
+                if c in target and df.schema[c].dataType != target[c]
+                and _up(df.schema[c].dataType, target[c])
+            }
+            if casts:
+                df = df.withColumns(casts)
         return t, df
 
     def _insert_on_conflict(self, insert_head: str, conflict_tail: str):

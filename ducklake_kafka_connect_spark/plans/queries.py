@@ -957,6 +957,42 @@ def sql_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_update_returning",
+    """
+    SELECT event_id, user_id, ROUND(value * 1.1, 6) AS value
+    FROM events
+    WHERE event_type = 'purchase' AND user_id % 10 = 3
+    """,
+    "DuckDB's RETURNING tail on UPDATE through LakeCatalog.sql: the "
+    "statement returns the post-assignment rows instead of a status "
+    "row (pinned to the statement's snapshot version). INSERT and "
+    "DELETE carry the same tail (lake/table.py dml()).",
+)
+def sql_update_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a purchases lake table, then runs ``UPDATE ... RETURNING``
+    — the returned frame must equal the oracle's projection of the
+    updated rows. Memoized so repeat calls don't re-apply the bump."""
+    src = _t(spark, sf_dir, "events")
+
+    def build():
+        ev = src.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "value"
+        )
+        lake_dir = os.path.join(
+            tempfile.gettempdir(), f"ducklake_ret_{uuid.uuid4().hex[:8]}"
+        )
+        cat = LakeCatalog(spark, lake_dir)
+        LakeWriter(cat.table("ev_ret"), pk=["event_id"]).append(ev)
+        return cat.sql(
+            "UPDATE ev_ret SET value = ROUND(value * 1.1, 6) "
+            "WHERE user_id % 10 = 3 "
+            "RETURNING event_id, user_id, value"
+        )
+
+    return dedup_ops._memo_plan(src, "sql_update_returning", (), build)
+
+
 # ---------------------------------------------------------------------------
 # Grouping analytics: ROLLUP / CUBE / GROUPING SETS / PIVOT — the OLAP
 # subtotal surface DuckDB users reach for on dashboards. All four stay

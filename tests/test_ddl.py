@@ -1212,3 +1212,67 @@ def test_duckdb_upsert_dml_forms(spark, tmp_path):
     assert {r["n"] for r in cat.table("t").read().filter("id=1").collect()} == {7}
     cat.sql("DELETE FROM t WHERE id = 4")
     assert cat.table("t").read().count() == 1
+
+
+def test_dml_returning(cat):
+    """DuckDB's RETURNING tail on the plain three DML forms: INSERT
+    returns the inserted frame, UPDATE the post-assignment rows (SET
+    right-hand sides see OLD values), DELETE the deleted rows pinned to
+    the pre-statement snapshot. Merge-compiled dialects refuse."""
+    cat.sql(
+        "CREATE TABLE t (id BIGINT, s STRING, v DOUBLE, PRIMARY KEY (id))"
+    )
+    cat.sql("INSERT INTO t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+
+    r = cat.sql("INSERT INTO t VALUES (4, 'd', 4.0) RETURNING id, s")
+    assert [tuple(x) for x in r.collect()] == [(4, "d")]
+
+    r = cat.sql("UPDATE t SET v = v * 10 WHERE id <= 2 RETURNING id, v")
+    assert sorted(tuple(x) for x in r.collect()) == [(1, 10.0), (2, 20.0)]
+    got = {x["id"]: x["v"] for x in cat.table("t").read().collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 3.0, 4: 4.0}
+
+    # simultaneous assignment: v's RHS sees the OLD s, s's RHS the OLD v
+    r = cat.sql(
+        "UPDATE t SET s = CAST(v AS STRING), v = length(s) "
+        "WHERE id = 3 RETURNING id, s, v"
+    )
+    assert [tuple(x) for x in r.collect()] == [(3, "3.0", 1.0)]
+
+    r = cat.sql("DELETE FROM t WHERE v >= 10.0 RETURNING id")
+    assert sorted(x["id"] for x in r.collect()) == [1, 2]
+    assert sorted(x["id"] for x in cat.table("t").read().collect()) == [3, 4]
+
+    # RETURNING * carries the full row (incl. the engine's stamp column)
+    r = cat.sql("DELETE FROM t RETURNING *")
+    assert sorted(x["id"] for x in r.collect()) == [3, 4]
+    assert "_inserted_at" in r.columns
+    assert cat.table("t").read().count() == 0
+
+    # merge-compiled forms refuse with a clear message
+    cat.sql("INSERT INTO t VALUES (1, 'a', 1.0)")
+    for bad in [
+        "INSERT INTO t VALUES (1, 'x', 9.0) ON CONFLICT DO NOTHING RETURNING id",
+        "MERGE INTO t USING (SELECT CAST(1 AS BIGINT) AS id) s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE RETURNING *",
+        "DELETE FROM t WHERE id IN (SELECT CAST(1 AS BIGINT) AS id) RETURNING id",
+        "UPDATE t SET v = 0 WHERE id IN (SELECT CAST(1 AS BIGINT)) RETURNING id",
+    ]:
+        with pytest.raises(ValueError, match="RETURNING"):
+            cat.sql(bad)
+
+
+def test_insert_values_literal_upcast(cat):
+    """SQL literals arrive typed DECIMAL/INT; against DOUBLE/BIGINT
+    columns the insert up-casts instead of tripping the evolution
+    planner. A WIDER incoming type still widens the table (no silent
+    downcast)."""
+    cat.sql("CREATE TABLE t (id BIGINT, v DOUBLE, PRIMARY KEY (id))")
+    cat.sql("INSERT INTO t VALUES (1, 4.0)")  # DECIMAL(2,1) literal
+    (row,) = cat.table("t").read().collect()
+    assert row["v"] == 4.0
+    assert dict(cat.table("t").read().dtypes)["v"] == "double"
+    # int-typed column receiving BIGINT-range values widens the TABLE
+    cat.sql("CREATE TABLE n (id INT, PRIMARY KEY (id))")
+    cat.sql("INSERT INTO n SELECT CAST(5000000000 AS BIGINT) AS id")
+    assert dict(cat.table("n").read().dtypes)["id"] == "bigint"
