@@ -2621,6 +2621,199 @@ def _find_top_level_kw(text: str, kw: str) -> int:
     return -1
 
 
+# DuckDB scalar-function names with a 1:1 Spark builtin (identical arg
+# shape and semantics) — renamed in place. Names Spark 4 already ships
+# (len, contains, string_agg, split_part, date_trunc, ...) need nothing.
+_DUCKDB_FN_RENAME = {
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_contains": "array_contains",
+    "list_value": "array",
+    "list_pack": "array",
+    "list_distinct": "array_distinct",
+    "list_concat": "concat",
+    "list_cat": "concat",
+    "array_length": "size",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "suffix": "endswith",
+    "prefix": "startswith",
+    "strpos": "instr",
+    "regexp_matches": "regexp_like",
+    "epoch_ms": "unix_millis",
+    "epoch_us": "unix_micros",
+}
+
+# strftime/strptime %-token → JDK DateTimeFormatter pattern. The
+# dash modifier (%-d = no padding) maps to the single-letter form.
+_STRF_TOKENS = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "-m": "M", "d": "dd", "-d": "d",
+    "H": "HH", "-H": "H", "I": "hh", "-I": "h", "M": "mm", "-M": "m",
+    "S": "ss", "-S": "s", "f": "SSSSSS", "g": "SSS", "j": "DDD",
+    "p": "a", "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM",
+    "%": "%",
+}
+
+
+def _strf_to_java(fmt: str) -> str:
+    """``%Y-%m-%d`` → ``yyyy-MM-dd``; literal text that is meaningful to
+    DateTimeFormatter (letters) gets quoted. Unknown % tokens refuse —
+    a silently-wrong format is worse than an error."""
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c == "%":
+            tok = fmt[i + 1] if i + 1 < n else ""
+            if tok == "-" and i + 2 < n:
+                tok = "-" + fmt[i + 2]
+                i += 3
+            else:
+                i += 2
+            if tok == "%":
+                out.append("%")
+                continue
+            if tok not in _STRF_TOKENS:
+                raise ValueError(
+                    f"strftime/strptime: unsupported format token %{tok}"
+                )
+            out.append(_STRF_TOKENS[tok])
+        elif c.isalpha():
+            j = i
+            while j < n and fmt[j].isalpha():
+                j += 1
+            out.append("'" + fmt[i:j] + "'")
+            i = j
+        else:
+            if c == "'":
+                out.append("''")
+            else:
+                out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _sql_str(value: str) -> str:
+    """Value → single-quoted Spark SQL literal (backslash + quote
+    escaped; Spark's lexer treats backslash as an escape)."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _rewrite_duckdb_functions(text: str) -> str:
+    """Quote-aware scan renaming DuckDB scalar functions onto Spark
+    builtins, plus three arg-transforming rewrites: ``strftime(ts,
+    '%…')`` → ``date_format(ts, '<java>')``, ``strptime(s, '%…')`` →
+    ``to_timestamp(s, '<java>')`` (literal formats only — a computed
+    format refuses), and ``string_split(s, sep)`` → ``split(s,
+    <regex-escaped sep>)`` (DuckDB's separator is a literal, Spark's a
+    regex — escaping at rewrite time keeps the semantics exact).
+    Recurses into argument lists so nested calls rewrite too."""
+    import re as _re2
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    transform_fns = ("strftime", "strptime", "string_split", "str_split")
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i:j + 1])
+            i = j + 1
+            continue
+        if ch in ('"', "`"):
+            j = text.find(ch, i + 1)
+            while j != -1 and j + 1 < n and text[j + 1] == ch:
+                j = text.find(ch, j + 2)
+            if j == -1:
+                j = n - 1
+            out.append(text[i:j + 1])
+            i = j + 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            word = text[i:j]
+            lw = word.lower()
+            k = j
+            while k < n and text[k].isspace():
+                k += 1
+            is_call = k < n and text[k] == "("
+            if is_call and (lw in _DUCKDB_FN_RENAME or lw in transform_fns):
+                depth, m_, quote = 0, k, None
+                while m_ < n:
+                    c = text[m_]
+                    if quote:
+                        if c == quote:
+                            if (
+                                quote == "'"
+                                and m_ + 1 < n
+                                and text[m_ + 1] == "'"
+                            ):
+                                m_ += 1
+                            else:
+                                quote = None
+                    elif c in ("'", '"', "`"):
+                        quote = c
+                    elif c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    m_ += 1
+                inner = _rewrite_duckdb_functions(text[k + 1:m_])
+                if lw in _DUCKDB_FN_RENAME:
+                    out.append(f"{_DUCKDB_FN_RENAME[lw]}({inner})")
+                else:
+                    args = [a.strip() for a in split_top_level(inner)]
+                    if len(args) != 2:
+                        raise ValueError(f"{word}: expected 2 arguments")
+                    if lw in ("strftime", "strptime"):
+                        # DuckDB puts the format second; fall back to a
+                        # literal first arg (seen in the wild) only
+                        # when the second isn't a literal
+                        if args[1].startswith("'"):
+                            lit, other = args[1], args[0]
+                        elif args[0].startswith("'"):
+                            lit, other = args[0], args[1]
+                        else:
+                            raise ValueError(
+                                f"{word}: the format must be a string "
+                                f"literal for the Spark rewrite"
+                            )
+                        java = _strf_to_java(_parse_string_literal(lit))
+                        fn = (
+                            "date_format" if lw == "strftime"
+                            else "to_timestamp"
+                        )
+                        out.append(f"{fn}({other}, {_sql_str(java)})")
+                    else:  # string_split / str_split
+                        s, sep = args
+                        if not sep.startswith("'"):
+                            raise ValueError(
+                                f"{word}: the separator must be a string "
+                                f"literal for the Spark rewrite"
+                            )
+                        esc = _re2.escape(_parse_string_literal(sep))
+                        out.append(f"split({s}, {_sql_str(esc)})")
+                i = m_ + 1
+                continue
+            out.append(word)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_duckdb_dialect(query: str) -> str:
     """DuckDB-dialect SELECT features the reference's users rely on,
     rewritten onto Spark SQL (r14):
@@ -2636,7 +2829,13 @@ def _rewrite_duckdb_dialect(query: str) -> str:
       (``SELECT * EXCEPT (__qualify)`` keeps the output shape) —
       supported on plain SELECT statements.
 
-    Subquery-level QUALIFY is out of scope (Spark's parser reports it)."""
+    Subquery-level QUALIFY is out of scope (Spark's parser reports it).
+
+    Scalar-function parity runs first (``_rewrite_duckdb_functions``):
+    DuckDB names with exact Spark builtins rename in place, and
+    strftime/strptime/string_split translate their literal format or
+    separator arguments."""
+    query = _rewrite_duckdb_functions(query)
     q = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", query, flags=re.IGNORECASE)
     qi = _find_top_level_kw(q, "QUALIFY")
     if qi < 0:

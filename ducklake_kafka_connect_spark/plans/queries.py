@@ -958,6 +958,45 @@ def sql_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_duckdb_function_suite",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT strftime(ts, '%a') AS dow, count(*) AS n_clicks,
+           sum(array_length(string_split(strftime(ts, '%Y-%m-%d'), '-')))
+             AS date_parts,
+           sum(CASE WHEN regexp_matches(strftime(ts, '%d/%m'), '^0')
+               THEN 1 ELSE 0 END) AS first9_days
+    FROM clicks GROUP BY dow
+    """,
+    "DuckDB scalar-function surface through LakeCatalog.sql: strftime "
+    "%-formats translate to Java patterns, string_split's literal "
+    "separator regex-escapes, array_length/regexp_matches rename onto "
+    "Spark builtins — the SELECT text runs verbatim in both engines "
+    "(lake/table.py _rewrite_duckdb_functions).",
+)
+def sql_duckdb_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "events")
+    return dedup_ops._memo_plan(
+        src,
+        "sql_fn_suite",
+        (),
+        lambda: _asof_catalog(spark, sf_dir).sql(
+            """
+            SELECT strftime(ts, '%a') AS dow, count(*) AS n_clicks,
+                   sum(array_length(string_split(strftime(ts, '%Y-%m-%d'), '-')))
+                     AS date_parts,
+                   sum(CASE WHEN regexp_matches(strftime(ts, '%d/%m'), '^0')
+                       THEN 1 ELSE 0 END) AS first9_days
+            FROM clicks GROUP BY dow
+            """
+        ),
+    )
+
+
+@register(
     "sql_update_returning",
     """
     SELECT event_id, user_id, ROUND(value * 1.1, 6) AS value
