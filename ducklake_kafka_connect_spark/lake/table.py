@@ -2814,6 +2814,81 @@ def _rewrite_duckdb_functions(text: str) -> str:
     return "".join(out)
 
 
+def _rewrite_distinct_on(query: str) -> str:
+    """DuckDB/Postgres ``SELECT DISTINCT ON (keys) ... [ORDER BY o]`` —
+    keep the FIRST row per key group under the statement's ORDER BY
+    (arbitrary but deterministic when no ORDER BY is given). Spark has
+    no such clause; the standard rewrite is a ``row_number() OVER
+    (PARTITION BY keys ORDER BY o) = 1`` filter around the FROM body,
+    with the select list, ORDER BY, and LIMIT re-applied outside. The
+    ORDER BY must reference base columns (not select-list aliases) —
+    the window runs BENEATH the projection. One shuffle on the keys,
+    same as the hand-written window idiom."""
+    di = _find_top_level_kw(query, "DISTINCT")
+    if di < 0:
+        return query
+    after = query[di + len("DISTINCT"):]
+    am = re.match(r"\s*ON\s*\(", after, re.IGNORECASE)
+    if not am:
+        return query
+    pre = query[:di]
+    if not pre.rstrip().upper().endswith("SELECT"):
+        return query
+    pre = pre.rstrip()[: -len("SELECT")]
+    # keys: the parenthesized expression list (paren/quote aware)
+    k0 = di + len("DISTINCT") + am.end() - 1
+    depth, i, quote = 0, k0, None
+    n = len(query)
+    while i < n:
+        c = query[i]
+        if quote:
+            if c == quote:
+                if quote == "'" and i + 1 < n and query[i + 1] == "'":
+                    i += 1
+                else:
+                    quote = None
+        elif c in ("'", '"', "`"):
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    keys_txt = query[k0 + 1:i].strip()
+    if not keys_txt:
+        raise ValueError("DISTINCT ON requires at least one expression")
+    rest = query[i + 1:]
+    fi = _find_top_level_kw(rest, "FROM")
+    if fi < 0:
+        raise ValueError("DISTINCT ON requires a FROM clause")
+    select_list = rest[:fi].strip()
+    body_plus = rest[fi:]
+    cuts = [
+        x
+        for x in (
+            _find_top_level_kw(body_plus, "ORDER"),
+            _find_top_level_kw(body_plus, "LIMIT"),
+        )
+        if x >= 0
+    ]
+    cut = min(cuts) if cuts else len(body_plus)
+    body, tail = body_plus[:cut].rstrip(), body_plus[cut:].strip()
+    om = re.match(r"ORDER\s+BY\s+(.*?)(?:\bLIMIT\b.*)?$", tail,
+                  re.IGNORECASE | re.DOTALL)
+    order_txt = om.group(1).strip() if om else keys_txt
+    tail = f" {tail}" if tail else ""
+    if select_list == "*":
+        select_list = "* EXCEPT (__don)"
+    return (
+        f"{pre}SELECT {select_list} FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {keys_txt} "
+        f"ORDER BY {order_txt}) AS __don {body}"
+        f") __don_q WHERE __don = 1{tail}"
+    )
+
+
 def _rewrite_duckdb_dialect(query: str) -> str:
     """DuckDB-dialect SELECT features the reference's users rely on,
     rewritten onto Spark SQL (r14):
@@ -2836,6 +2911,7 @@ def _rewrite_duckdb_dialect(query: str) -> str:
     strftime/strptime/string_split translate their literal format or
     separator arguments."""
     query = _rewrite_duckdb_functions(query)
+    query = _rewrite_distinct_on(query)
     q = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", query, flags=re.IGNORECASE)
     qi = _find_top_level_kw(q, "QUALIFY")
     if qi < 0:

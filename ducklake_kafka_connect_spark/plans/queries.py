@@ -997,6 +997,39 @@ def sql_duckdb_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_distinct_on_latest",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT DISTINCT ON (user_id) user_id, event_id
+    FROM clicks
+    ORDER BY user_id, ts DESC, event_id
+    """,
+    "DuckDB/Postgres DISTINCT ON through LakeCatalog.sql (latest click "
+    "per user, ties broken by event_id for a total order): rewritten "
+    "onto a row_number() = 1 window filter — one shuffle on the key, "
+    "identical to the hand-written idiom (lake/table.py "
+    "_rewrite_distinct_on).",
+)
+def sql_distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "events")
+    return dedup_ops._memo_plan(
+        src,
+        "sql_distinct_on",
+        (),
+        lambda: _asof_catalog(spark, sf_dir).sql(
+            """
+            SELECT DISTINCT ON (user_id) user_id, event_id
+            FROM clicks
+            ORDER BY user_id, ts DESC, event_id
+            """
+        ),
+    )
+
+
+@register(
     "sql_update_returning",
     """
     SELECT event_id, user_id, ROUND(value * 1.1, 6) AS value

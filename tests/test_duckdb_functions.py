@@ -88,3 +88,62 @@ def test_refusals_and_non_calls(env):
     # the names must NOT rewrite inside string literals or quoted idents
     (row,) = cat.sql("SELECT 'strpos(x)' AS a, length('epoch_ms(t)') AS b").collect()
     assert row["a"] == "strpos(x)" and row["b"] == len("epoch_ms(t)")
+
+
+class TestDistinctOn:
+    """DuckDB/Postgres DISTINCT ON → row_number window rewrite."""
+
+    @pytest.fixture(scope="class")
+    def don(self, spark):
+        import datetime as dt
+
+        from ducklake_kafka_connect_spark.lake import LakeWriter
+
+        def _ts(s):
+            return dt.datetime.fromisoformat(s)
+
+        cat = LakeCatalog(
+            spark,
+            os.path.join(tempfile.gettempdir(), "don_" + uuid.uuid4().hex[:6]),
+        )
+        ev = spark.createDataFrame(
+            [(1, "u", _ts("2024-01-01 10:00:00"), 5.0),
+             (2, "u", _ts("2024-01-01 11:00:00"), 7.0),
+             (3, "w", _ts("2024-01-01 09:00:00"), 1.0),
+             (4, "w", _ts("2024-01-01 09:30:00"), 2.0),
+             (5, "x", _ts("2024-01-02 00:00:00"), 9.0)],
+            "id long, k string, ts timestamp, v double",
+        )
+        LakeWriter(cat.table("ev"), pk=["id"]).append(ev)
+        con = duckdb.connect()
+        con.register("ev", ev.toPandas())
+        return cat, con
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            "SELECT DISTINCT ON (k) id, k, v FROM ev ORDER BY k, ts DESC",
+            "SELECT DISTINCT ON (k) id, k, v FROM ev ORDER BY k, ts DESC LIMIT 2",
+            "SELECT DISTINCT ON (k) id, k FROM ev WHERE v > 1.0 ORDER BY k, v ASC",
+            "WITH big AS (SELECT * FROM ev WHERE v >= 2.0) "
+            "SELECT DISTINCT ON (k) id, k FROM big ORDER BY k, ts DESC",
+        ],
+    )
+    def test_matches_duckdb(self, don, q):
+        cat, con = don
+        mine = sorted(tuple(r) for r in cat.sql(q).collect())
+        ref = sorted(tuple(r) for r in con.execute(q).fetchall())
+        assert mine == ref, q
+
+    def test_star_keeps_shape(self, don):
+        cat, _ = don
+        out = cat.sql("SELECT DISTINCT ON (k) * FROM ev ORDER BY k, ts DESC")
+        assert "__don" not in out.columns
+        assert out.count() == 3
+
+    def test_plain_distinct_untouched(self, don):
+        cat, _ = don
+        assert cat.sql("SELECT DISTINCT k FROM ev").count() == 3
+        # aggregate DISTINCT is inside parens — must not trigger
+        (row,) = cat.sql("SELECT count(DISTINCT k) AS n FROM ev").collect()
+        assert row["n"] == 3
