@@ -3627,6 +3627,84 @@ class LakeCatalog:
             rows, "column_name string, column_type string, null string, key string"
         )
 
+    def summarize(self, target: str):
+        """DuckDB's ``SUMMARIZE <t>`` / ``SUMMARIZE SELECT ...`` — one
+        profiling row per column: (column_name, column_type, min, max,
+        approx_unique, avg, std, q25, q50, q75, count,
+        null_percentage). Everything computes in ONE aggregate pass
+        over the relation (map-side combined; approx_count_distinct is
+        HLL, quantiles are percentile_approx) — the single collected
+        row is O(columns), then transposed driver-side. min/max render
+        as strings so heterogeneous column types share the output
+        schema, exactly like DuckDB's."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        if _re.match(rf"^{_IDENT}\s*$", target):
+            name = unquote_ident(target)
+            t = self.table(name)
+            if t.exists():
+                df = t.read()
+            else:
+                df = self.sql(f"SELECT * FROM {target}")  # view / temp
+        else:
+            df = self.sql(target)
+        num_types = {
+            "byte", "short", "integer", "long", "float", "double", "decimal"
+        }
+        aggs: list = [F.count(F.lit(1)).alias("__n")]
+        for f in df.schema.fields:
+            c, tn = f.name, f.dataType.typeName()
+            simple = tn in num_types or tn in (
+                "string", "date", "timestamp", "timestamp_ntz", "boolean"
+            )
+            aggs.append(
+                (F.min(c).cast("string") if simple else F.lit(None).cast("string"))
+                .alias(f"__min_{c}")
+            )
+            aggs.append(
+                (F.max(c).cast("string") if simple else F.lit(None).cast("string"))
+                .alias(f"__max_{c}")
+            )
+            aggs.append(F.approx_count_distinct(c).alias(f"__uniq_{c}"))
+            if tn in num_types:
+                aggs.append(F.avg(c).cast("double").alias(f"__avg_{c}"))
+                aggs.append(F.stddev(c).cast("double").alias(f"__std_{c}"))
+                aggs.append(
+                    F.percentile_approx(c, [0.25, 0.5, 0.75]).alias(f"__q_{c}")
+                )
+            aggs.append(F.count(c).alias(f"__cnt_{c}"))
+        (row,) = df.agg(*aggs).collect()
+        n = row["__n"]
+        out = []
+        for f in df.schema.fields:
+            c, tn = f.name, f.dataType.typeName()
+            qs = row[f"__q_{c}"] if tn in num_types else None
+            out.append((
+                c,
+                f.dataType.simpleString().upper(),
+                row[f"__min_{c}"],
+                row[f"__max_{c}"],
+                int(row[f"__uniq_{c}"]),
+                float(row[f"__avg_{c}"]) if tn in num_types
+                and row[f"__avg_{c}"] is not None else None,
+                float(row[f"__std_{c}"]) if tn in num_types
+                and row[f"__std_{c}"] is not None else None,
+                float(qs[0]) if qs else None,
+                float(qs[1]) if qs else None,
+                float(qs[2]) if qs else None,
+                int(n),
+                round(100.0 * (n - row[f"__cnt_{c}"]) / n, 2) if n else None,
+            ))
+        return self.spark.createDataFrame(
+            out,
+            "column_name string, column_type string, min string, "
+            "max string, approx_unique bigint, avg double, std double, "
+            "q25 double, q50 double, q75 double, count bigint, "
+            "null_percentage double",
+        )
+
     def show_create_table(self, name: str):
         """``SHOW CREATE TABLE <t>`` — a ROUND-TRIPPABLE statement: the
         emitted string re-creates an equivalent table through
@@ -4465,6 +4543,9 @@ class LakeCatalog:
         dm = _re.match(rf"DESC(?:RIBE)?\s+({_IDENT})\s*$", q, _re.IGNORECASE)
         if dm:
             return self.describe(unquote_ident(dm.group(1)))
+        sm = _re.match(r"SUMMARIZE\s+(.+)$", q, _re.IGNORECASE | _re.DOTALL)
+        if sm:
+            return self.summarize(sm.group(1).strip())
         svw = _re.match(r"SHOW\s+VIEWS\s*$", q, _re.IGNORECASE)
         if svw:
             rows = [(v, self.view_query(v)) for v in self.list_views()]

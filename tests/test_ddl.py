@@ -1276,3 +1276,26 @@ def test_insert_values_literal_upcast(cat):
     cat.sql("CREATE TABLE n (id INT, PRIMARY KEY (id))")
     cat.sql("INSERT INTO n SELECT CAST(5000000000 AS BIGINT) AS id")
     assert dict(cat.table("n").read().dtypes)["id"] == "bigint"
+
+
+def test_summarize(cat):
+    """DuckDB's SUMMARIZE: one profiling row per column from a single
+    aggregate pass, for a table name or an arbitrary SELECT."""
+    cat.sql("CREATE TABLE t (id BIGINT, s STRING, v DOUBLE, PRIMARY KEY (id))")
+    cat.sql(
+        "INSERT INTO t VALUES (1, 'a', 1.0), (2, 'b', 2.0), "
+        "(3, NULL, 4.0), (4, 'd', NULL)"
+    )
+    out = {r["column_name"]: r for r in cat.sql("SUMMARIZE t").collect()}
+    assert out["id"]["min"] == "1" and out["id"]["max"] == "4"
+    assert out["id"]["count"] == 4 and out["id"]["null_percentage"] == 0.0
+    assert out["s"]["null_percentage"] == 25.0
+    assert out["v"]["avg"] == pytest.approx(7.0 / 3)
+    assert out["v"]["q50"] == pytest.approx(2.0)
+    assert out["id"]["approx_unique"] == 4
+    # SELECT form profiles the query result, not a stored table
+    out2 = {
+        r["column_name"]: r
+        for r in cat.sql("SUMMARIZE SELECT v * 2 AS w FROM t WHERE v IS NOT NULL").collect()
+    }
+    assert out2["w"]["max"] == "8.0" and out2["w"]["count"] == 3
