@@ -1160,29 +1160,28 @@ def grouping_sets_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY 1
     """,
-    "PIVOT (long→wide reshape) with explicit value list: "
-    "groupBy().pivot(values=[...]) compiles to conditional aggregates "
-    "in ONE pass — no per-value scan, no second shuffle; the explicit "
-    "list keeps the plan static (no distinct-values driver collect).",
+    "PIVOT (long→wide reshape) with a static value list, compiled to "
+    "conditional aggregates in ONE pass — one shuffle on the group key "
+    "only. Spark's groupBy().pivot() would plan TWO exchanges (an "
+    "intermediate (group, pivot-value) aggregate, then the reshape); "
+    "with the values known up front the FILTER-aggregate form is the "
+    "strictly better 100 TB plan and what DuckDB's PIVOT compiles to.",
 )
 def pivot_event_type_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn(
         "user_mod", (F.col("user_id") % 10).cast("bigint")
     )
-    wide = (
-        ev.groupBy("user_mod")
-        .pivot("event_type", ["click", "view", "purchase"])
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("value"),
-        )
-    )
-    return wide.select(
-        "user_mod",
-        F.col("click_n").alias("click_n"),
-        F.col("view_n").alias("view_n"),
-        F.col("purchase_n").alias("purchase_n"),
-        F.col("purchase_value").alias("purchase_value"),
+
+    def n_of(t):
+        return F.count(F.when(F.col("event_type") == t, F.lit(1)))
+
+    return ev.groupBy("user_mod").agg(
+        n_of("click").alias("click_n"),
+        n_of("view").alias("view_n"),
+        n_of("purchase").alias("purchase_n"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 6
+        ).alias("purchase_value"),
     )
 
 

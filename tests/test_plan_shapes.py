@@ -46,6 +46,15 @@ PINS = {
     "window_rank_suite": (1, 1, 0, 0, False),
     "timeseries_gapfill": (1, 6, 2, 0, False),
     "sql_pruned_point_lookup": (1, 1, 0, 0, True),
+    # r14 grouping-analytics block: every clause must stay a single
+    # Expand + one-shuffle aggregate (pivot pinned at 1 exchange — the
+    # conditional-aggregate form, NOT groupBy().pivot()'s two)
+    "rollup_returnflag_hierarchy": (1, 1, 0, 0, False),
+    "cube_order_status_priority": (1, 1, 0, 0, False),
+    "grouping_sets_event_matrix": (1, 1, 0, 0, False),
+    "pivot_event_type_wide": (1, 1, 0, 0, False),
+    # as-of joins: one shuffle (the key window), pushed type filters
+    "asof_forward_next_purchase": (2, 1, 0, 0, True),
 }
 
 
