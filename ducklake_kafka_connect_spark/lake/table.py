@@ -2814,6 +2814,55 @@ def _rewrite_duckdb_functions(text: str) -> str:
     return "".join(out)
 
 
+def _subst_macro_params(body: str, binding: "dict[str, str]") -> str:
+    """Replace whole-word parameter references in a macro body with the
+    parenthesized argument text, case-insensitively, skipping string
+    literals and quoted identifiers (a parameter named ``x`` must not
+    rewrite inside ``'x marks'`` or ``"x"``). Dotted references
+    (``t.x``) never substitute — the dot marks a column qualifier."""
+    lut = {p.lower(): a for p, a in binding.items()}
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if body[j] == "'":
+                    if j + 1 < n and body[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(body[i:j + 1])
+            i = j + 1
+            continue
+        if ch in ('"', "`"):
+            j = body.find(ch, i + 1)
+            while j != -1 and j + 1 < n and body[j + 1] == ch:
+                j = body.find(ch, j + 2)
+            if j == -1:
+                j = n - 1
+            out.append(body[i:j + 1])
+            i = j + 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (body[j].isalnum() or body[j] == "_"):
+                j += 1
+            word = body[i:j]
+            prev = body[i - 1] if i else " "
+            if word.lower() in lut and prev != ".":
+                out.append(f"({lut[word.lower()]})")
+            else:
+                out.append(word)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_distinct_on(query: str) -> str:
     """DuckDB/Postgres ``SELECT DISTINCT ON (keys) ... [ORDER BY o]`` —
     keep the FIRST row per key group under the statement's ORDER BY
@@ -3063,6 +3112,193 @@ class LakeCatalog:
             raise ValueError(f"view {name!r} does not exist")
         self.fs.delete(os.path.join(self._views_dir, f"{canon}.json"))
 
+    # ---------- SQL macros (DuckDB CREATE MACRO) ----------
+    #
+    # A macro is a stored, named SQL expression with parameters —
+    # DuckDB's reusable-snippet mechanism (scalar macros inline into
+    # expressions; table macros into FROM clauses as parenthesized
+    # subqueries). Expansion is TEXTUAL, before every other rewrite, so
+    # Catalyst sees only the substituted expression: zero runtime cost,
+    # zero Python boundary, and the dialect layer (ASOF, strftime, …)
+    # applies inside macro bodies too. Definitions live under
+    # <root>/_macros/ like views.
+
+    @property
+    def _macros_dir(self) -> str:
+        return os.path.join(self.root, "_macros")
+
+    def list_macros(self) -> list[str]:
+        try:
+            names = self.fs.list_names(self._macros_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(n[:-5] for n in names if n.endswith(".json"))
+
+    def macro_def(self, name: str) -> dict:
+        canon = next(
+            (m for m in self.list_macros() if m.lower() == name.lower()), None
+        )
+        if canon is None:
+            raise ValueError(f"macro {name!r} does not exist")
+        return json.loads(
+            self.fs.read_bytes(os.path.join(self._macros_dir, f"{canon}.json"))
+        )
+
+    def create_macro(
+        self,
+        name: str,
+        params: "list[str]",
+        body: str,
+        replace: bool = False,
+        table: bool = False,
+        defaults: "dict[str, str] | None" = None,
+    ) -> None:
+        existing = next(
+            (m for m in self.list_macros() if m.lower() == name.lower()), None
+        )
+        if existing is not None and not replace:
+            raise ValueError(f"macro {name!r} already exists (use OR REPLACE)")
+        if existing is not None:
+            name = existing
+        seen = set()
+        for p in params:
+            if p.lower() in seen:
+                raise ValueError(f"macro {name!r}: duplicate parameter {p!r}")
+            seen.add(p.lower())
+        self.fs.ensure_dir(self._macros_dir)
+        self.fs.put(
+            os.path.join(self._macros_dir, f"{name}.json"),
+            json.dumps(
+                {
+                    "params": list(params),
+                    "defaults": dict(defaults or {}),
+                    "body": body.strip().rstrip(";").strip(),
+                    "table": bool(table),
+                }
+            ),
+        )
+
+    def drop_macro(self, name: str, if_exists: bool = False) -> None:
+        canon = next(
+            (m for m in self.list_macros() if m.lower() == name.lower()), None
+        )
+        if canon is None:
+            if if_exists:
+                return
+            raise ValueError(f"macro {name!r} does not exist")
+        self.fs.delete(os.path.join(self._macros_dir, f"{canon}.json"))
+
+    _MACRO_MAX_DEPTH = 10
+
+    def _expand_macros(self, query: str, _depth: int = 0) -> str:
+        """Inline every ``name(args)`` macro call: arguments bind
+        positionally then by trailing defaults, each substitutes into
+        the body parenthesized (so ``a + b`` called with ``1, 2 * 3``
+        stays ``(1) + (2 * 3)``), and the substituted body re-expands
+        (macros may call macros; cycles hit the depth cap and refuse).
+        Quote-aware: calls inside string literals or quoted identifiers
+        never expand."""
+        macros = {m.lower(): m for m in self.list_macros()}
+        if not macros or _depth > self._MACRO_MAX_DEPTH:
+            if macros and _depth > self._MACRO_MAX_DEPTH:
+                raise ValueError(
+                    "macro expansion exceeded depth "
+                    f"{self._MACRO_MAX_DEPTH} (cyclic macros?)"
+                )
+            return query
+
+        out: list[str] = []
+        i, n = 0, len(query)
+        changed = False
+        while i < n:
+            ch = query[i]
+            if ch == "'":
+                j = i + 1
+                while j < n:
+                    if query[j] == "'":
+                        if j + 1 < n and query[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(query[i:j + 1])
+                i = j + 1
+                continue
+            if ch in ('"', "`"):
+                j = query.find(ch, i + 1)
+                while j != -1 and j + 1 < n and query[j + 1] == ch:
+                    j = query.find(ch, j + 2)
+                if j == -1:
+                    j = n - 1
+                out.append(query[i:j + 1])
+                i = j + 1
+                continue
+            if ch.isalpha() or ch == "_":
+                j = i
+                while j < n and (query[j].isalnum() or query[j] == "_"):
+                    j += 1
+                word = query[i:j]
+                k = j
+                while k < n and query[k].isspace():
+                    k += 1
+                if word.lower() in macros and k < n and query[k] == "(":
+                    depth, m_, quote = 0, k, None
+                    while m_ < n:
+                        c = query[m_]
+                        if quote:
+                            if c == quote:
+                                if (
+                                    quote == "'"
+                                    and m_ + 1 < n
+                                    and query[m_ + 1] == "'"
+                                ):
+                                    m_ += 1
+                                else:
+                                    quote = None
+                        elif c in ("'", '"', "`"):
+                            quote = c
+                        elif c == "(":
+                            depth += 1
+                        elif c == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        m_ += 1
+                    d = self.macro_def(macros[word.lower()])
+                    inner = query[k + 1:m_].strip()
+                    args = (
+                        [a.strip() for a in split_top_level(inner)]
+                        if inner
+                        else []
+                    )
+                    params = d["params"]
+                    if len(args) > len(params):
+                        raise ValueError(
+                            f"macro {word}: takes {len(params)} "
+                            f"argument(s), got {len(args)}"
+                        )
+                    binding = dict(zip(params, args))
+                    for p in params[len(args):]:
+                        if p not in d["defaults"]:
+                            raise ValueError(
+                                f"macro {word}: missing argument {p!r}"
+                            )
+                        binding[p] = d["defaults"][p]
+                    body = _subst_macro_params(d["body"], binding)
+                    out.append(f"({body})")
+                    changed = True
+                    i = m_ + 1
+                    continue
+                out.append(word)
+                i = j
+                continue
+            out.append(ch)
+            i += 1
+        result = "".join(out)
+        if changed:
+            return self._expand_macros(result, _depth + 1)
+        return result
+
     def _expand_views(self, query: str) -> str:
         """Prepend every transitively-referenced view as a CTE (refused
         cycles raise). Word-boundary reference detection — the same
@@ -3276,6 +3512,40 @@ class LakeCatalog:
             name = unquote_ident(vwc.group(2))
             self.create_view(name, vwc.group(3), replace=bool(vwc.group(1)))
             return self._ddl_result("CREATE VIEW", name, "defined")
+        mc = _re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+({_IDENT})\s*\(([^)]*)\)"
+            rf"\s+AS\s+(TABLE\s+)?(.+)$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if mc:
+            name = unquote_ident(mc.group(2))
+            params, defaults = [], {}
+            ptxt = mc.group(3).strip()
+            for p in split_top_level(ptxt) if ptxt else []:
+                pname, sep, dflt = p.partition(":=")
+                pname = unquote_ident(pname.strip())
+                params.append(pname)
+                if sep:
+                    defaults[pname] = dflt.strip()
+            self.create_macro(
+                name,
+                params,
+                mc.group(5),
+                replace=bool(mc.group(1)),
+                table=bool(mc.group(4)),
+                defaults=defaults,
+            )
+            return self._ddl_result("CREATE MACRO", name, "defined")
+        md = _re.match(
+            rf"DROP\s+MACRO\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if md:
+            name = unquote_ident(md.group(2))
+            self.drop_macro(name, if_exists=bool(md.group(1)))
+            return self._ddl_result("DROP MACRO", name, "dropped")
         vwa = _re.match(
             rf"ALTER\s+VIEW\s+({_IDENT})\s+AS\s+(.+)$",
             stmt,
@@ -4551,8 +4821,8 @@ class LakeCatalog:
             rows = [(v, self.view_query(v)) for v in self.list_views()]
             return self.spark.createDataFrame(rows or [], "view string, query string")
         if _re.match(
-            r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|MATERIALIZED\s+VIEW|VIEW)"
-            r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW)"
+            r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|MATERIALIZED\s+VIEW|VIEW|MACRO)"
+            r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW|MACRO)"
             r"|REFRESH\s+MATERIALIZED\s+VIEW"
             r"|ALTER\s+TABLE|ALTER\s+VIEW|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE"
             r"|RESTORE\s+TABLE|COPY\s+INTO|REPLICATE\s+TABLE)\b",
@@ -4573,9 +4843,11 @@ class LakeCatalog:
         # logical views expand next (leading CTEs), so time travel /
         # CDF rewrites and table registration see the expanded text
         # DuckDB-dialect rewrites (r14): the reference's users write
-        # DuckDB SQL — ASOF JOIN, QUALIFY and `* EXCLUDE (...)` port
-        # unchanged. ASOF goes first: its sides resolve recursively
+        # DuckDB SQL — macros, ASOF JOIN, QUALIFY and `* EXCLUDE (...)`
+        # port unchanged. Macros expand first (their bodies may use any
+        # dialect feature); ASOF next: its sides resolve recursively
         # through sql(), so a side may itself use QUALIFY/EXCLUDE.
+        query = self._expand_macros(query)
         asof_views: list[str] = []
         if _find_top_level_kw(query, "ASOF") >= 0:
             query, asof_views = self._rewrite_asof_join(query)

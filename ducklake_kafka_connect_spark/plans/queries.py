@@ -997,6 +997,39 @@ def sql_duckdb_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_macro_expansion",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT CAST(strftime(ts, '%H') AS INT) AS hour, count(*) AS n_clicks
+    FROM clicks GROUP BY hour
+    """,
+    "DuckDB CREATE MACRO through catalog SQL: a stored parameterized "
+    "snippet (itself using the strftime dialect surface) expands "
+    "textually into the statement before planning — zero runtime "
+    "cost, and the oracle is the hand-expanded SELECT "
+    "(lake/table.py _expand_macros).",
+)
+def sql_macro_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "events")
+
+    def build():
+        cat = _asof_catalog(spark, sf_dir)
+        cat.sql(
+            "CREATE OR REPLACE MACRO hour_bucket(ts0) AS "
+            "CAST(strftime(ts0, '%H') AS INT)"
+        )
+        return cat.sql(
+            "SELECT hour_bucket(ts) AS hour, count(*) AS n_clicks "
+            "FROM clicks GROUP BY hour"
+        )
+
+    return dedup_ops._memo_plan(src, "sql_macro_expansion", (), build)
+
+
+@register(
     "sql_distinct_on_latest",
     """
     WITH clicks AS (
