@@ -3013,6 +3013,107 @@ class LakeCatalog:
         self.manifest_format = manifest_format
         self.fs = resolve_backend(backend)
         self.fs.ensure_dir(root)
+        # ATTACH'd sibling lakes (alias → LakeCatalog), session-scoped
+        # like DuckDB's ATTACH — nothing persists across processes
+        self._attached: "dict[str, LakeCatalog]" = {}
+
+    # ---------- ATTACH (read-only sibling lakes) ----------
+    #
+    # `ATTACH '<root>' AS alias` exposes another lake's tables to this
+    # catalog's SQL as `alias.table` — the engine-side analogue of the
+    # reference attaching its ducklake catalog to a DuckDB connection
+    # (`connect/DucklakeConnectionFactory.java:36-95`). Attachment is
+    # READ-ONLY by design: a replica's version chain must not fork
+    # under a remote writer (lake/replicate.py's fence rationale), so
+    # DML/DDL against an attached name refuses.
+
+    def attach(self, path: str, alias: str) -> None:
+        if not re.match(r"[A-Za-z_]\w*$", alias):
+            raise ValueError(f"ATTACH: invalid alias {alias!r}")
+        if alias.lower() in (a.lower() for a in self._attached):
+            raise ValueError(f"ATTACH: alias {alias!r} already in use")
+        self._attached[alias] = LakeCatalog(
+            self.spark, path, manifest_format=self.manifest_format
+        )
+
+    def detach(self, alias: str) -> None:
+        canon = next(
+            (a for a in self._attached if a.lower() == alias.lower()), None
+        )
+        if canon is None:
+            raise ValueError(f"DETACH: {alias!r} is not attached")
+        del self._attached[canon]
+
+    def _rewrite_attached_refs(self, query: str):
+        """Rewrite every ``alias.table`` reference to a synthetic temp
+        view over the attached catalog's table read (current version).
+        Quote-aware; returns (rewritten query, views to drop)."""
+        import uuid as _uuid
+
+        views: list[str] = []
+        if not self._attached:
+            return query, views
+        aliases = {a.lower(): a for a in self._attached}
+        out: list[str] = []
+        i, n = 0, len(query)
+        while i < n:
+            ch = query[i]
+            if ch == "'":
+                j = i + 1
+                while j < n:
+                    if query[j] == "'":
+                        if j + 1 < n and query[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(query[i:j + 1])
+                i = j + 1
+                continue
+            if ch in ('"', "`"):
+                j = query.find(ch, i + 1)
+                while j != -1 and j + 1 < n and query[j + 1] == ch:
+                    j = query.find(ch, j + 2)
+                if j == -1:
+                    j = n - 1
+                out.append(query[i:j + 1])
+                i = j + 1
+                continue
+            if (ch.isalpha() or ch == "_") and (
+                i == 0 or not (query[i - 1].isalnum() or query[i - 1] in "_.")
+            ):
+                j = i
+                while j < n and (query[j].isalnum() or query[j] == "_"):
+                    j += 1
+                word = query[i:j]
+                if (
+                    word.lower() in aliases
+                    and j < n
+                    and query[j] == "."
+                    and j + 1 < n
+                    and (query[j + 1].isalpha() or query[j + 1] == "_")
+                ):
+                    k = j + 1
+                    while k < n and (query[k].isalnum() or query[k] == "_"):
+                        k += 1
+                    tbl = query[j + 1:k]
+                    att = self._attached[aliases[word.lower()]]
+                    if att.table_exists(tbl):
+                        syn = (
+                            f"__att_{word.lower()}_{tbl}_"
+                            f"{_uuid.uuid4().hex[:6]}"
+                        )
+                        att.table(tbl).read().createOrReplaceTempView(syn)
+                        views.append(syn)
+                        out.append(quote_ident(syn))
+                        i = k
+                        continue
+                out.append(word)
+                i = j
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out), views
 
     def table(self, name: str) -> LakeTable:
         return LakeTable(
@@ -4259,6 +4360,15 @@ class LakeCatalog:
             if ret is not None:
                 return _ret(ret)
             return self._ddl_result("UPDATE", name, f"v{t.current_version()}")
+        if any(
+            re.search(rf"(?<![\w.]){re.escape(a)}\.\w", stmt, re.IGNORECASE)
+            for a in self._attached
+        ):
+            raise ValueError(
+                "attached lakes are READ-ONLY: write through a "
+                "LakeCatalog rooted at the attached path (or REPLICATE "
+                "TABLE for mirroring) instead"
+            )
         raise ValueError(f"unsupported DML statement: {statement!r}")
 
     def _insert_frame(self, name: str, cols_text: "str | None", query_text: str):
@@ -4816,6 +4926,27 @@ class LakeCatalog:
         sm = _re.match(r"SUMMARIZE\s+(.+)$", q, _re.IGNORECASE | _re.DOTALL)
         if sm:
             return self.summarize(sm.group(1).strip())
+        am = _re.match(
+            r"ATTACH\s+'((?:[^']|'')+)'\s+AS\s+(\w+)"
+            r"(?:\s*\(\s*READ_ONLY\s*\))?\s*$",
+            q,
+            _re.IGNORECASE,
+        )
+        if am:
+            self.attach(am.group(1).replace("''", "'"), am.group(2))
+            return self._ddl_result("ATTACH", am.group(2), "read_only")
+        dtm = _re.match(r"DETACH\s+(\w+)\s*$", q, _re.IGNORECASE)
+        if dtm:
+            self.detach(dtm.group(1))
+            return self._ddl_result("DETACH", dtm.group(1), "detached")
+        if _re.match(r"SHOW\s+DATABASES\s*$", q, _re.IGNORECASE):
+            rows = [("main", self.root, "read_write")] + [
+                (a, c.root, "read_only")
+                for a, c in sorted(self._attached.items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "database string, root string, access string"
+            )
         svw = _re.match(r"SHOW\s+VIEWS\s*$", q, _re.IGNORECASE)
         if svw:
             rows = [(v, self.view_query(v)) for v in self.list_views()]
@@ -4848,6 +4979,9 @@ class LakeCatalog:
         # dialect feature); ASOF next: its sides resolve recursively
         # through sql(), so a side may itself use QUALIFY/EXCLUDE.
         query = self._expand_macros(query)
+        # attached-lake references resolve next (read-only snapshots) so
+        # ASOF sides and view bodies may name `alias.table` directly
+        query, att_views = self._rewrite_attached_refs(query)
         asof_views: list[str] = []
         if _find_top_level_kw(query, "ASOF") >= 0:
             query, asof_views = self._rewrite_asof_join(query)
@@ -4864,7 +4998,7 @@ class LakeCatalog:
         # metadata TVF: table_files('t'[, version]) — the manifest's file
         # inventory as SQL rows (Iceberg `t.files` analogue), zero scan
         query, files_views = self._rewrite_table_files(query)
-        cdf_views = cdf_views + files_views + asof_views
+        cdf_views = cdf_views + files_views + asof_views + att_views
         pins = dict(versions or {})
         hints = dict(where_hints or {})
         referenced = [

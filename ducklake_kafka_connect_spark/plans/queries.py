@@ -997,6 +997,56 @@ def sql_duckdb_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_attach_cross_lake",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    user_totals AS (
+      SELECT user_id, ROUND(sum(value), 6) AS total_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT c.user_id, count(*) AS n_clicks,
+           max(s.total_purchase) AS total_purchase
+    FROM clicks c JOIN user_totals s ON c.user_id = s.user_id
+    GROUP BY c.user_id
+    """,
+    "ATTACH: a second lake's table joins into this catalog's SQL as "
+    "`alias.table` (read-only snapshot) — the engine-side analogue of "
+    "the reference attaching its ducklake catalog to a DuckDB "
+    "connection (DucklakeConnectionFactory.java:36-95); writes through "
+    "the attachment refuse (lake/table.py attach/_rewrite_attached_refs).",
+)
+def sql_attach_cross_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "events")
+
+    def build():
+        cat = _asof_catalog(spark, sf_dir)
+        side_dir = os.path.join(
+            tempfile.gettempdir(), f"ducklake_att_{uuid.uuid4().hex[:8]}"
+        )
+        side = LakeCatalog(spark, side_dir)
+        LakeWriter(side.table("user_totals"), pk=["user_id"]).append(
+            src.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.round(F.sum("value"), 6).alias("total_purchase"))
+        )
+        if "stats" not in cat._attached:
+            cat.sql(f"ATTACH '{side_dir}' AS stats")
+        return cat.sql(
+            """
+            SELECT c.user_id, count(*) AS n_clicks,
+                   max(s.total_purchase) AS total_purchase
+            FROM clicks c JOIN stats.user_totals s ON c.user_id = s.user_id
+            GROUP BY c.user_id
+            """
+        )
+
+    return dedup_ops._memo_plan(src, "sql_attach_cross_lake", (), build)
+
+
+@register(
     "sql_macro_expansion",
     """
     WITH clicks AS (
