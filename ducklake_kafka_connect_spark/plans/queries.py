@@ -965,10 +965,10 @@ def sql_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'click'
     )
     SELECT strftime(ts, '%a') AS dow, count(*) AS n_clicks,
-           sum(array_length(string_split(strftime(ts, '%Y-%m-%d'), '-')))
-             AS date_parts,
-           sum(CASE WHEN regexp_matches(strftime(ts, '%d/%m'), '^0')
-               THEN 1 ELSE 0 END) AS first9_days
+           CAST(sum(array_length(string_split(strftime(ts, '%Y-%m-%d'), '-')))
+             AS BIGINT) AS date_parts,
+           CAST(sum(CASE WHEN regexp_matches(strftime(ts, '%d/%m'), '^0')
+               THEN 1 ELSE 0 END) AS BIGINT) AS first9_days
     FROM clicks GROUP BY dow
     """,
     "DuckDB scalar-function surface through LakeCatalog.sql: strftime "
@@ -986,10 +986,10 @@ def sql_duckdb_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _asof_catalog(spark, sf_dir).sql(
             """
             SELECT strftime(ts, '%a') AS dow, count(*) AS n_clicks,
-                   sum(array_length(string_split(strftime(ts, '%Y-%m-%d'), '-')))
-                     AS date_parts,
-                   sum(CASE WHEN regexp_matches(strftime(ts, '%d/%m'), '^0')
-                       THEN 1 ELSE 0 END) AS first9_days
+                   CAST(sum(array_length(string_split(strftime(ts, '%Y-%m-%d'), '-')))
+                     AS BIGINT) AS date_parts,
+                   CAST(sum(CASE WHEN regexp_matches(strftime(ts, '%d/%m'), '^0')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS first9_days
             FROM clicks GROUP BY dow
             """
         ),
