@@ -889,7 +889,11 @@ def _asof_catalog(spark: SparkSession, sf_dir: str) -> LakeCatalog:
     if cat is not None:
         try:
             cat.spark.sparkContext.applicationId  # session still alive?
-            if cat.table_exists("clicks") and cat.table_exists("purchases"):
+            if (
+                cat.table_exists("clicks")
+                and cat.table_exists("purchases")
+                and cat.table_exists("ev_small")
+            ):
                 return cat
         except Exception:
             pass
@@ -908,6 +912,9 @@ def _asof_catalog(spark: SparkSession, sf_dir: str) -> LakeCatalog:
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("purchase_value"))
+    )
+    LakeWriter(cat.table("ev_small"), pk=["event_id"]).append(
+        ev.select("event_id", "user_id", "event_type", "value")
     )
     _ASOF_CAT_MEMO[key] = cat
     return cat
@@ -991,6 +998,70 @@ def sql_duckdb_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(CASE WHEN regexp_matches(strftime(ts, '%d/%m'), '^0')
                        THEN 1 ELSE 0 END) AS BIGINT) AS first9_days
             FROM clicks GROUP BY dow
+            """
+        ),
+    )
+
+
+_STD_PIVOT_BODY = """
+SELECT um, COALESCE(c_n, 0) AS c_n, ROUND(c_sv, 6) AS c_sv,
+       COALESCE(p_n, 0) AS p_n, ROUND(p_sv, 6) AS p_sv
+FROM (SELECT CAST(user_id %% 5 AS BIGINT) AS um, event_type, value
+      FROM %s WHERE event_type IN ('click', 'purchase'))
+PIVOT (count(*) AS n, sum(value) AS sv
+       FOR event_type IN ('click' AS c, 'purchase' AS p))
+"""
+
+
+@register(
+    "sql_std_pivot_clause",
+    _STD_PIVOT_BODY % "events",
+    "SQL-standard PIVOT clause (identical text both engines): "
+    "relation PIVOT (aggs FOR col IN (values AS aliases)) — Spark and "
+    "DuckDB both parse it natively and emit the same <alias>_<agg> "
+    "column names; COALESCE aligns Spark's NULL-for-absent count with "
+    "DuckDB's 0.",
+)
+def sql_std_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "events")
+    return dedup_ops._memo_plan(
+        src,
+        "sql_std_pivot",
+        (),
+        lambda: _asof_catalog(spark, sf_dir).sql(_STD_PIVOT_BODY % "ev_small"),
+    )
+
+
+@register(
+    "sql_std_unpivot_clause",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT user_id, metric, val
+    FROM base UNPIVOT (val FOR metric IN (n_events, n_distinct))
+    """,
+    "SQL-standard UNPIVOT clause (wide→long reshape, identical text "
+    "both engines): relation UNPIVOT (value FOR name IN (cols)) — "
+    "zero-shuffle Expand on the Spark side.",
+)
+def sql_std_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "events")
+    return dedup_ops._memo_plan(
+        src,
+        "sql_std_unpivot",
+        (),
+        lambda: _asof_catalog(spark, sf_dir).sql(
+            """
+            WITH base AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+              FROM clicks GROUP BY user_id
+            )
+            SELECT user_id, metric, val
+            FROM base UNPIVOT (val FOR metric IN (n_events, n_distinct))
             """
         ),
     )
