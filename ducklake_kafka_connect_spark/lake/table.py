@@ -3469,8 +3469,15 @@ class LakeCatalog:
                     f"inside the view definition instead, or query the base "
                     f"table directly with VERSION AS OF"
                 )
+        # view bodies may use macros and DuckDB dialect (QUALIFY,
+        # EXCLUDE, strftime, ...): those rewrites already ran over the
+        # OUTER query text before expansion, so apply them to each body
+        # as it inlines — otherwise a macro call stored inside a view
+        # reaches Catalyst unexpanded and dies as UNRESOLVED_ROUTINE
         ctes = ", ".join(
-            f"{quote_ident(v)} AS ({self.view_query(v)})" for v in needed
+            f"{quote_ident(v)} AS "
+            f"({_rewrite_duckdb_dialect(self._expand_macros(self.view_query(v)))})"
+            for v in needed
         )
         m = _re.match(r"^\s*WITH\s+", query, _re.IGNORECASE)
         if m:
@@ -3527,6 +3534,8 @@ class LakeCatalog:
         - ``TRUNCATE TABLE t``                  (metadata-only)
         - ``VACUUM t [RETAIN n VERSIONS]``
         - ``OPTIMIZE t [ZORDER BY (a, b)]``
+        - ``EXPORT DATABASE 'dir'`` / ``IMPORT DATABASE 'dir'``
+          (whole-catalog round trip: parquet data + replayable DDL)
 
         ``LakeCatalog.sql`` routes these automatically. Returns a
         one-row status DataFrame (op, table, detail). Anything
@@ -3553,6 +3562,17 @@ class LakeCatalog:
                 (cpm.group(3) or "PARQUET").upper(),
                 cpm.group(4).replace("''", "'") if cpm.group(4) else None,
             )
+        # ---- EXPORT/IMPORT DATABASE: whole-catalog round trip ----
+        edm = _re.match(
+            r"(EXPORT|IMPORT)\s+DATABASE\s+'((?:[^']|'')*)'\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if edm:
+            d = edm.group(2).replace("''", "'")
+            if edm.group(1).upper() == "EXPORT":
+                return self.export_database(d)
+            return self.import_database(d)
         # ---- replication (lake/replicate.py) ----
         rpm = _re.match(
             rf"REPLICATE\s+TABLE\s+({_IDENT})\s+TO\s+'((?:[^']|'')*)'\s*$",
@@ -4074,6 +4094,165 @@ class LakeCatalog:
             "max string, approx_unique bigint, avg double, std double, "
             "q25 double, q50 double, q75 double, count bigint, "
             "null_percentage double",
+        )
+
+    def export_database(self, out_dir: str):
+        """DuckDB's ``EXPORT DATABASE '<dir>'``: every plain table's
+        rows land as a parquet directory (one distributed write per
+        table — executor-parallel, no driver row handling), and the
+        catalog's DDL lands twice: ``schema.sql`` for humans (the
+        round-trippable SHOW CREATE statements plus views and macros)
+        and ``manifest.json`` for :meth:`import_database` (no
+        statement-splitting heuristics on the way back in).
+        Materialized views export as their CREATE statement only —
+        REFRESH FULL rebuilds their rows from the imported bases —
+        and replicas are skipped (they refuse writes by design)."""
+        from ..schema.reconcile import INSERTED_AT
+        from .matview import PROP_QUERY as _MV_Q
+
+        os.makedirs(out_dir, exist_ok=True)
+        stmts: list[str] = []
+        data_tables: list[str] = []
+        mv_stmts: list[str] = []
+        skipped: list[str] = []
+        for name in self.list_tables():
+            t = self.table(name)
+            props = t.properties()
+            if t.replica_of() is not None:
+                skipped.append(name)
+                continue
+            if _MV_Q in props:
+                mv_stmts.append(
+                    f"CREATE MATERIALIZED VIEW {quote_ident(name)} AS "
+                    f"{props[_MV_Q]}"
+                )
+                continue
+            (row,) = self.show_create_table(name).collect()
+            stmts.append(row["create_statement"])
+            data_tables.append(name)
+            m = t.manifest()
+            derived = [
+                e.output_name
+                for e in m.partition_exprs
+                if e.output_name != e.column
+            ]
+            df = t.read().drop(INSERTED_AT, *derived)
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        # macros BEFORE views: create_view validates eagerly on import,
+        # so anything a view body expands must already exist
+        for mname in self.list_macros():
+            d = self.macro_def(mname)
+            params = ", ".join(
+                p + (f" := {d['defaults'][p]}" if p in d["defaults"] else "")
+                for p in d["params"]
+            )
+            stmts.append(
+                f"CREATE MACRO {quote_ident(mname)}({params}) AS "
+                f"{'TABLE ' if d['table'] else ''}{d['body']}"
+            )
+        # views in dependency order (view-over-view is legal): a view
+        # whose body references another view sorts after it. Textual
+        # word-boundary detection, case-insensitive like resolution.
+        views = self.list_views()
+        bodies = {v: self.view_query(v) for v in views}
+        emitted: set[str] = set()
+        pending = list(views)
+        while pending:
+            progress = False
+            for v in list(pending):
+                deps = [
+                    o
+                    for o in views
+                    if o.lower() != v.lower()
+                    and re.search(
+                        rf"\b{re.escape(o)}\b", bodies[v], re.IGNORECASE
+                    )
+                ]
+                if all(d.lower() in emitted for d in deps):
+                    stmts.append(
+                        f"CREATE VIEW {quote_ident(v)} AS {bodies[v]}"
+                    )
+                    emitted.add(v.lower())
+                    pending.remove(v)
+                    progress = True
+            if not progress:  # reference cycle: emit remaining as-is
+                for v in pending:
+                    stmts.append(
+                        f"CREATE VIEW {quote_ident(v)} AS {bodies[v]}"
+                    )
+                break
+        stmts.extend(mv_stmts)  # matviews AFTER their bases and views
+        with open(os.path.join(out_dir, "schema.sql"), "w") as f:
+            f.write(";\n".join(stmts) + ("\n" if stmts else ""))
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "statements": stmts,
+                    "tables": data_tables,
+                    "format": "parquet",
+                    "skipped_replicas": skipped,
+                },
+                f,
+                indent=1,
+            )
+        return self._ddl_result(
+            "EXPORT DATABASE",
+            out_dir,
+            f"{len(data_tables)} table(s), {len(stmts)} statement(s)",
+        )
+
+    def import_database(self, in_dir: str):
+        """``IMPORT DATABASE '<dir>'``: replay the exported DDL, then
+        bulk-load each table's parquet directory through COPY INTO —
+        so the import inherits COPY INTO's idempotence (a crashed
+        import rerun skips exactly the files that landed) and the
+        writer's merge-vs-insert routing. The DDL replay is made
+        idempotent to match (CREATE TABLE → IF NOT EXISTS, views/
+        macros/matviews → OR REPLACE): a crashed import simply reruns.
+        Materialized views are created LAST, after their bases load,
+        and CREATE materializes against the current base — no extra
+        refresh needed."""
+        man_p = os.path.join(in_dir, "manifest.json")
+        if not os.path.exists(man_p):
+            raise ValueError(
+                f"IMPORT DATABASE: no manifest.json under {in_dir!r} "
+                f"(exported by EXPORT DATABASE)"
+            )
+        with open(man_p) as f:
+            man = json.load(f)
+        mvs: list[str] = []
+        for stmt in man["statements"]:
+            stmt = re.sub(
+                r"^\s*CREATE\s+TABLE\s+(?!IF\s+NOT\s+EXISTS\b)",
+                "CREATE TABLE IF NOT EXISTS ",
+                stmt,
+                flags=re.IGNORECASE,
+            )
+            stmt = re.sub(
+                r"^\s*CREATE\s+(?!OR\s+REPLACE\b)"
+                r"(VIEW|MACRO|MATERIALIZED\s+VIEW)\b",
+                r"CREATE OR REPLACE \1",
+                stmt,
+                flags=re.IGNORECASE,
+            )
+            if re.match(
+                r"\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s",
+                stmt,
+                re.IGNORECASE,
+            ):
+                mvs.append(stmt)
+                continue
+            self.sql(stmt)
+        for name in man["tables"]:
+            self._copy_into(
+                name, os.path.join(in_dir, name), man["format"].upper(), None
+            )
+        for stmt in mvs:
+            self.sql(stmt)
+        return self._ddl_result(
+            "IMPORT DATABASE",
+            in_dir,
+            f"{len(man['tables'])} table(s), {len(mvs)} matview(s)",
         )
 
     def show_create_table(self, name: str):
@@ -4956,7 +5135,8 @@ class LakeCatalog:
             r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW|MACRO)"
             r"|REFRESH\s+MATERIALIZED\s+VIEW"
             r"|ALTER\s+TABLE|ALTER\s+VIEW|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE"
-            r"|RESTORE\s+TABLE|COPY\s+INTO|REPLICATE\s+TABLE)\b",
+            r"|RESTORE\s+TABLE|COPY\s+INTO|REPLICATE\s+TABLE"
+            r"|EXPORT\s+DATABASE|IMPORT\s+DATABASE)\b",
             query,
             _re.IGNORECASE,
         ):

@@ -102,3 +102,21 @@ def test_lifecycle_and_errors(cat):
         cat.sql("DROP MACRO m1")
     cat.sql("DROP MACRO IF EXISTS m1")
     assert "m1" not in cat.list_macros()
+
+
+def test_macro_inside_view_body(cat):
+    # a VIEW may call a macro: the body inlines as a CTE during view
+    # expansion, which happens AFTER the outer macro pass — so the
+    # expansion must re-run over each inlined body (UNRESOLVED_ROUTINE
+    # otherwise). DuckDB allows views over macros; so do we.
+    cat.sql("CREATE MACRO dbl(x) AS x * 2")
+    cat.sql("CREATE VIEW v_dbl AS SELECT id, dbl(v) AS v2 FROM t")
+    rows = {r["id"]: r["v2"] for r in cat.sql("SELECT * FROM v_dbl").collect()}
+    assert rows == {1: 4.0, 2: 10.0, 3: 18.0}
+    # dialect features inside the view body rewrite on inline too
+    cat.sql(
+        "CREATE VIEW v_q AS SELECT id, v FROM t "
+        "QUALIFY row_number() OVER (ORDER BY v DESC) = 1"
+    )
+    (row,) = cat.sql("SELECT id FROM v_q").collect()
+    assert row["id"] == 3
