@@ -2198,3 +2198,77 @@ def sql_upsert_dialect_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+@register(
+    "sql_export_import_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT) % 97) AS BIGINT)
+               AS total_b
+    FROM events
+    WHERE event_id % 6 = 0
+    GROUP BY event_type
+    """,
+    "EXPORT DATABASE / IMPORT DATABASE (r14, DuckDB parity): the whole "
+    "catalog — table rows as one distributed parquet write per table, "
+    "plus a replayable DDL script with macros before views, views in "
+    "dependency order, matviews last — round-trips into a fresh lake. "
+    "The import replays DDL idempotently and bulk-loads through COPY "
+    "INTO (crashed-import rerun loads 0 files). The returned aggregate "
+    "is computed THROUGH the imported view, so the macro-inside-view "
+    "expansion path is what's being value-checked.",
+)
+def sql_export_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeWriter
+
+    src = _event_source(spark, sf_dir).filter(F.col("event_id") % 6 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_expdb_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, os.path.join(root, "src"))
+    LakeWriter(cat.table("ev_exp"), pk=["event_id"]).write(src)
+    cat.sql("CREATE MACRO bucket(c) AS c % 97")
+    cat.sql(
+        "CREATE VIEW v_bucket AS "
+        "SELECT event_id, event_type, bucket(cents) AS b FROM ev_exp"
+    )
+    cat.sql(
+        "CREATE MATERIALIZED VIEW mv_exp AS SELECT event_type, "
+        "count(*) AS n, sum(cents) AS total_cents FROM ev_exp "
+        "GROUP BY event_type"
+    )
+    dump = os.path.join(root, "dump")
+    cat.sql(f"EXPORT DATABASE '{dump}'")
+    dst = LakeCatalog(spark, os.path.join(root, "dst"))
+    dst.sql(f"IMPORT DATABASE '{dump}'")
+    # the matview must have re-materialized against the imported base
+    mv_rows = {
+        r["event_type"]: (r["n"], r["total_cents"])
+        for r in dst.sql("SELECT * FROM mv_exp").collect()
+    }
+    base_rows = {
+        r["event_type"]: (r["n"], r["total_cents"])
+        for r in dst.sql(
+            "SELECT event_type, count(*) AS n, sum(cents) AS total_cents "
+            "FROM ev_exp GROUP BY event_type"
+        ).collect()
+    }
+    if mv_rows != base_rows:
+        raise AssertionError("imported matview diverges from imported base")
+    # rerun (crashed-import recovery) must load 0 new files, 0 new rows
+    n_before = dst.sql("SELECT count(*) AS n FROM ev_exp").collect()[0]["n"]
+    dst.sql(f"IMPORT DATABASE '{dump}'")
+    n_after = dst.sql("SELECT count(*) AS n FROM ev_exp").collect()[0]["n"]
+    if n_before != n_after:
+        raise AssertionError("IMPORT DATABASE rerun duplicated rows")
+    return dst.sql(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(b) AS BIGINT) AS total_b "
+        "FROM v_bucket GROUP BY event_type"
+    )
