@@ -1527,6 +1527,15 @@ class LakeTable:
                 props["column_renames"] = renames
             else:
                 props.pop("column_renames", None)
+            # per-column DEFAULT / NOT NULL props follow the rename
+            tp = dict(props.get("tblproperties", {}))
+            moved = False
+            for pre in ("default.", "notnull."):
+                if pre + old in tp:
+                    tp[pre + new] = tp.pop(pre + old)
+                    moved = True
+            if moved:
+                props["tblproperties"] = tp
             nm = Manifest(
                 version=m.version + 1,
                 schema=T.StructType(fields),
@@ -1682,6 +1691,15 @@ class LakeTable:
                 for f, s in m.file_stats.items()
             }
             props = {**m.props, "last_op": f"DROP COLUMN({name})"}
+            # retire the column's DEFAULT / NOT NULL props — a stale
+            # `default.<col>` would resurrect if the name is re-added
+            tp = {
+                k: v
+                for k, v in props.get("tblproperties", {}).items()
+                if k not in (f"default.{name}", f"notnull.{name}")
+            }
+            if tp != props.get("tblproperties", {}):
+                props["tblproperties"] = tp
             renames = m.column_renames
             if renames.pop(name, None) is not None:
                 # dropping a renamed column retires its mapping entry
@@ -2586,6 +2604,52 @@ def split_top_level(text: str, sep: str = ",") -> list[str]:
         i += 1
     parts.append("".join(buf))
     return parts
+
+
+def _strip_column_options(cols: str) -> "tuple[str, dict[str, str]]":
+    """Strip per-column ``DEFAULT <expr>`` / ``NOT NULL`` options from a
+    CREATE TABLE column list (either order, DuckDB-style) and return the
+    bare ``name type`` list Spark's ``fromDDL`` parses, plus the options
+    as table properties: ``default.<col>`` → the default expression,
+    ``notnull.<col>`` → "true". Keyword scanning runs over a literal-
+    blanked copy (same length, positions map 1:1) so a default like
+    ``DEFAULT 'NOT NULL'`` can't be mangled."""
+
+    def _blank(text: str) -> str:
+        return re.sub(r"'(?:[^']|'')*'", lambda m: " " * len(m.group(0)), text)
+
+    out: list[str] = []
+    props: dict[str, str] = {}
+    for item in split_top_level(cols):
+        s = item.strip()
+        notnull = False
+        default: str | None = None
+        while True:
+            b = _blank(s)
+            # single-\s anchors, not \s+: a blanked literal is all
+            # spaces, and a greedy \s+ would swallow it into the match
+            # (mangling `DEFAULT 'new' NOT NULL` to `DEFAULT`)
+            mnn = re.search(r"\sNOT\s+NULL\s*$", b, re.IGNORECASE)
+            if mnn:
+                notnull = True
+                s = s[: mnn.start()].rstrip()
+                continue
+            if default is None:
+                mdf = re.search(r"\sDEFAULT(?=\s)", b, re.IGNORECASE)
+                if mdf:
+                    default = s[mdf.end():].strip()
+                    s = s[: mdf.start()].rstrip()
+                    continue
+            break
+        cm = re.match(rf"\s*({_IDENT})", s)
+        cname = unquote_ident(cm.group(1)) if cm else None
+        if cname:
+            if notnull:
+                props[f"notnull.{cname}"] = "true"
+            if default is not None:
+                props[f"default.{cname}"] = default
+        out.append(s)
+    return ", ".join(out), props
 
 
 def _find_top_level_kw(text: str, kw: str) -> int:
@@ -3495,6 +3559,10 @@ class LakeCatalog:
         ("add_constraint", rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.+)\)\s*$"),
         ("drop_constraint", rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+(?:(IF\s+EXISTS)\s+)?({_IDENT})\s*$"),
         ("drop_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})\s*$"),
+        ("set_default", rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+SET\s+DEFAULT\s+(.+?)\s*$"),
+        ("drop_default", rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+DROP\s+DEFAULT\s*$"),
+        ("set_notnull", rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+SET\s+NOT\s+NULL\s*$"),
+        ("drop_notnull", rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+DROP\s+NOT\s+NULL\s*$"),
         ("add_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+({_IDENT})\s+(.+?)\s*$"),
         ("set_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$"),
         ("unset_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*(?:(IF\s+EXISTS)\s*)?\((.*)\)\s*$"),
@@ -3516,7 +3584,14 @@ class LakeCatalog:
 
         - ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t
           (cols...[, PRIMARY KEY (a,b)]) [PARTITIONED BY (exprs)]``
-          (OR REPLACE = history-preserving schema/pk/partition reset)
+          (OR REPLACE = history-preserving schema/pk/partition reset;
+          columns take ``DEFAULT <expr>`` and ``NOT NULL`` options,
+          stored as ``default.<col>`` / ``notnull.<col>`` properties —
+          defaults fill writes that omit the column, NOT NULL is
+          enforced strictly by every writer)
+        - ``ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr> |
+          DROP DEFAULT | SET NOT NULL | DROP NOT NULL`` (SET NOT NULL
+          validates existing rows with one column-pruned scan)
         - ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t
           [PARTITIONED BY (exprs)] AS <query>`` (CTAS through the
           pruned SQL path, landed via the writer append)
@@ -3854,11 +3929,13 @@ class LakeCatalog:
                     unquote_ident(c) for c in split_top_level(pk_m.group(1))
                 ]
                 cols = cols[: pk_m.start()]
+            cols, col_props = _strip_column_options(cols)
             schema = T.StructType.fromDDL(_dq_idents_to_backticks(cols))
+            cprops = {"tblproperties": col_props} if col_props else None
             if replace and t.exists():
-                t.replace(schema, pk=pk, partition_by=part_spec)
+                t.replace(schema, pk=pk, partition_by=part_spec, props=cprops)
             else:
-                t.create(schema, pk=pk, partition_by=part_spec)
+                t.create(schema, pk=pk, partition_by=part_spec, props=cprops)
             return self._ddl_result(
                 "CREATE OR REPLACE TABLE" if replace else "CREATE TABLE",
                 name,
@@ -3938,11 +4015,73 @@ class LakeCatalog:
                 col = unquote_ident(m.group(2))
                 v = t.drop_column(col)
                 return self._ddl_result("DROP COLUMN", name, f"{col} v{v}")
+            if op in ("set_default", "drop_default", "set_notnull",
+                      "drop_notnull"):
+                col = unquote_ident(m.group(2))
+                if col not in t.manifest().schema.fieldNames():
+                    raise ValueError(
+                        f"table {name!r} has no column {col!r}"
+                    )
+                if op == "set_default":
+                    v = t.set_properties({f"default.{col}": m.group(3)})
+                    return self._ddl_result(
+                        "SET DEFAULT", name, f"{col} = {m.group(3)} v{v}"
+                    )
+                if op == "drop_default":
+                    v = t.unset_properties([f"default.{col}"])
+                    return self._ddl_result("DROP DEFAULT", name, f"{col} v{v}")
+                if op == "set_notnull":
+                    # validate existing rows first (a single column-pruned
+                    # scan) — DuckDB errors on existing NULLs the same way
+                    n_bad = (
+                        t.read()
+                        .filter(f"{quote_ident(col)} IS NULL")
+                        .limit(1)
+                        .count()
+                    )
+                    if n_bad:
+                        raise ValueError(
+                            f"cannot SET NOT NULL: existing rows of "
+                            f"{name} hold NULL in {col!r}"
+                        )
+                    v = t.set_properties({f"notnull.{col}": "true"})
+                    return self._ddl_result(
+                        "SET NOT NULL", name, f"{col} v{v}"
+                    )
+                v = t.unset_properties([f"notnull.{col}"])
+                return self._ddl_result("DROP NOT NULL", name, f"{col} v{v}")
             if op == "add_col":
                 col = unquote_ident(m.group(2))
-                v = t.add_column(col, m.group(3))
+                type_ddl = m.group(3)
+                clean, copts = _strip_column_options(
+                    f"{m.group(2)} {type_ddl}"
+                )
+                if f"notnull.{col}" in copts:
+                    # existing rows read NULL for a just-added column (the
+                    # add is metadata-only — no O(table) backfill rewrite),
+                    # so a NOT NULL new column is unsatisfiable. Delta
+                    # refuses the same way.
+                    raise ValueError(
+                        "ADD COLUMN ... NOT NULL is not supported: existing "
+                        "rows read NULL for the new column (metadata-only "
+                        "add; no backfill). Add the column nullable, "
+                        "backfill with UPDATE, then ALTER COLUMN ... SET "
+                        "NOT NULL"
+                    )
+                type_clean = clean[len(m.group(2)):].strip()
+                v = t.add_column(col, type_clean)
+                dflt = copts.get(f"default.{col}")
+                if dflt is not None:
+                    # Delta semantics, named divergence from DuckDB: the
+                    # default applies to FUTURE writes that omit the
+                    # column; existing rows read NULL (no backfill —
+                    # a backfill is an O(table) rewrite at 100 TB)
+                    v = t.set_properties({f"default.{col}": dflt})
                 return self._ddl_result(
-                    "ADD COLUMN", name, f"{col} {m.group(3)} v{v}"
+                    "ADD COLUMN", name,
+                    f"{col} {type_clean}"
+                    + (f" DEFAULT {dflt}" if dflt is not None else "")
+                    + f" v{v}",
                 )
             if op == "set_props":
                 v = t.set_properties(_parse_tblproperties(m.group(2)))
@@ -4005,11 +4144,14 @@ class LakeCatalog:
             raise ValueError(f"table {name!r} does not exist")
         m = t.manifest()
         pk = set(m.pk or [])
+        tp = m.props.get("tblproperties", {})
         rows = [
             (
                 f.name,
                 f.dataType.simpleString().upper(),
-                "YES" if f.nullable else "NO",
+                "NO"
+                if (f"notnull.{f.name}" in tp or not f.nullable)
+                else "YES",
                 "PRI" if f.name in pk else "",
             )
             for f in m.schema.fields
@@ -4297,6 +4439,12 @@ class LakeCatalog:
         }
         cols = [
             f"{quote_ident(f.name)} {f.dataType.simpleString().upper()}"
+            + (
+                f" DEFAULT {props['default.' + f.name]}"
+                if f"default.{f.name}" in props
+                else ""
+            )
+            + (" NOT NULL" if f"notnull.{f.name}" in props else "")
             for f in m.schema.fields
             if f.name != INSERTED_AT and f.name not in derived
         ]

@@ -243,8 +243,27 @@ def _bt(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def column_defaults(manifest) -> "dict[str, str]":
+    """``{col: SQL default expr}`` from ``default.<col>`` table
+    properties (``CREATE TABLE (c T DEFAULT expr)`` / ``ALTER COLUMN c
+    SET DEFAULT expr``). Applied where SQL applies defaults: a write
+    that OMITS the column entirely; an explicitly-NULL value in a
+    present column stays NULL."""
+    if manifest is None:
+        return {}
+    tp = manifest.props.get("tblproperties", {})
+    return {
+        k[len("default."):]: v
+        for k, v in tp.items()
+        if k.startswith("default.")
+    }
+
+
 def _conform_exprs(
-    df: DataFrame, logical: T.StructType, extra: Sequence[str] = ()
+    df: DataFrame,
+    logical: T.StructType,
+    extra: Sequence[str] = (),
+    defaults: "dict[str, str] | None" = None,
 ) -> list[str]:
     """SQL expression strings projecting a batch onto the table's
     logical schema in physical form (see _conform). String-built so the
@@ -262,7 +281,9 @@ def _conform_exprs(
         taken.add(lf.name)
         q = _bt(lf.name)
         if lf.name not in df_cols:
-            cols.append(f"CAST(NULL AS {pf.dataType.simpleString()}) AS {q}")
+            d = (defaults or {}).get(lf.name)
+            fill = f"({d})" if d is not None else "NULL"
+            cols.append(f"CAST({fill} AS {pf.dataType.simpleString()}) AS {q}")
         elif is_complex(lf.dataType):
             if schema is None:
                 schema = df.schema
@@ -280,12 +301,20 @@ def _conform_exprs(
     return cols
 
 
-def _conform(df: DataFrame, logical: T.StructType, extra: Sequence[str] = ()) -> DataFrame:
+def _conform(
+    df: DataFrame,
+    logical: T.StructType,
+    extra: Sequence[str] = (),
+    defaults: "dict[str, str] | None" = None,
+) -> DataFrame:
     """Project a batch onto the table's logical schema in physical form:
-    missing columns null-filled (B1), complex columns serialized to JSON
-    (B9), scalars cast to the (possibly widened) table type. ``extra``
-    columns (system / partition columns) pass through untouched."""
-    return df.selectExpr(*_conform_exprs(df, logical, extra))
+    missing columns default- or null-filled (B1), complex columns
+    serialized to JSON (B9), scalars cast to the (possibly widened)
+    table type. ``extra`` columns (system / partition columns) pass
+    through untouched. ``defaults`` applies ONLY on incoming-batch
+    conforms — existing-row rewrites (merge target, dead rows) must
+    not mutate stored NULLs into defaults."""
+    return df.selectExpr(*_conform_exprs(df, logical, extra, defaults))
 
 
 def _overlaps(stats, bounds, pk0: str) -> bool:
@@ -402,16 +431,33 @@ class LakeWriter:
         default self-resolves, for callers with no manifest in hand."""
         checks = dict(self.check_constraints)
         if manifest is LakeWriter._RESOLVE:
-            stored = (
+            stored = dict(
                 self.table.properties() if self.table.exists() else {}
-            ).items()
+            )
         elif manifest is None:
-            stored = ()
+            stored = {}
         else:
-            stored = manifest.props.get("tblproperties", {}).items()
-        for k, v in stored:
+            stored = dict(manifest.props.get("tblproperties", {}))
+        for k, v in stored.items():
             if k.startswith("constraint."):
                 checks.setdefault(k[len("constraint."):], v)
+        # stored NOT NULL constraints (`notnull.<col>` props): strict —
+        # unlike CHECK, a NULL violates. A batch that OMITS the column
+        # entirely is fine when the column has a DEFAULT (the conform
+        # fills it); without one, every row would land NULL — refuse up
+        # front, no scan needed.
+        for k in stored:
+            if not k.startswith("notnull."):
+                continue
+            col = k[len("notnull."):]
+            if col not in df.columns:
+                if f"default.{col}" in stored:
+                    continue  # conform fills the default, never NULL
+                raise ConstraintViolation(
+                    f"batch omits NOT NULL column {col!r} of "
+                    f"{self.table.name} and the column has no DEFAULT"
+                )
+            checks[f"notnull_{col}"] = f"`{col}` IS NOT NULL"
         if not checks:
             return
         aggs = [
@@ -1200,7 +1246,7 @@ class LakeWriter:
             flag = F.coalesce(F.col(tombstone_col), F.lit(False))
             dead = src0.filter(flag).drop(tombstone_col)
             src0 = src0.filter(~flag).drop(tombstone_col)
-            raw = _conform(src0, final_logical)
+            raw = _conform(src0, final_logical, defaults=column_defaults(manifest))
             np_cap = self.table.spark.sparkContext.defaultParallelism
             raw = with_partition_columns(raw, exprs).coalesce(np_cap).cache()
             src = raw
@@ -1213,7 +1259,10 @@ class LakeWriter:
             # dedup window runs lazily inside the write job instead,
             # where its shuffle overlaps the rest of the plan.
             extra = (order_col,) if ephemeral_order and order_col else ()
-            raw = _conform(df, final_logical, extra=extra)
+            raw = _conform(
+                df, final_logical, extra=extra,
+                defaults=column_defaults(manifest),
+            )
             # cap the batch's partition count at the session's parallelism:
             # a merge_many union of N micro-batches arrives with N×32 tiny
             # upstream partitions, and every downstream stage (planning
@@ -1505,7 +1554,10 @@ class LakeWriter:
         keep_extra = tuple(c for c in (tombstone_col,) if c) + (
             (order_col,) if ephemeral_order and order_col else ()
         )
-        src0 = _conform(df, final_logical, extra=keep_extra)
+        src0 = _conform(
+            df, final_logical, extra=keep_extra,
+            defaults=column_defaults(manifest),
+        )
         np_cap = self.table.spark.sparkContext.defaultParallelism
         # delta files must hold exactly ONE row per pk (rows within one
         # commit share a seq, so nothing suppresses an in-batch dup) —
@@ -1693,7 +1745,10 @@ class LakeWriter:
         # Py4J round trip on the per-batch hot path). Derived exprs wrap
         # the conform cast of their source column so they see the same
         # value a post-conform withColumn would.
-        proj = _conform_exprs(df, final_logical, extra=extra)
+        proj = _conform_exprs(
+            df, final_logical, extra=extra,
+            defaults=column_defaults(manifest),
+        )
         logical_types = {f.name: f for f in to_physical_schema(final_logical).fields}
         _part_sql = {"year": "year", "month": "month", "day": "dayofmonth"}
         if all(
@@ -2220,7 +2275,9 @@ class LakeWriter:
 
     def _prepare_insert(self, df: DataFrame, manifest: Manifest) -> DataFrame:
         final_logical = _logical_schema_of_batch(df, manifest)
-        out = _conform(df, final_logical).withColumn(INSERTED_AT, F.current_timestamp())
+        out = _conform(
+            df, final_logical, defaults=column_defaults(manifest)
+        ).withColumn(INSERTED_AT, F.current_timestamp())
         return with_partition_columns(out, manifest.partition_exprs)
 
     def _commit_next(

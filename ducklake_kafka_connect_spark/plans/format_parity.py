@@ -2272,3 +2272,57 @@ def sql_export_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(b) AS BIGINT) AS total_b "
         "FROM v_bucket GROUP BY event_type"
     )
+
+
+@register(
+    "sql_column_defaults",
+    """
+    SELECT event_type,
+           'new' AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_id % 10 = 0 THEN 3 ELSE 9 END)
+                AS BIGINT) AS total_w
+    FROM events
+    WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+    "Column DEFAULT + NOT NULL constraints (r14, DuckDB column-option "
+    "parity): CREATE TABLE stores `default.<col>` / `notnull.<col>` "
+    "properties; INSERTs that omit the columns land the default "
+    "expression (writer-conform fill — one selectExpr, no extra pass), "
+    "NOT NULL enforces strictly inside the same single-aggregate "
+    "constraint job CHECKs use. ALTER COLUMN SET DEFAULT changes the "
+    "fill for subsequent writes only, which the two-batch split here "
+    "value-checks.",
+)
+def sql_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _event_source(spark, sf_dir).filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_dflt_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, root)
+    cat.sql(
+        "CREATE TABLE ev_dflt (event_id BIGINT, event_type STRING, "
+        "cents BIGINT, status STRING DEFAULT 'new' NOT NULL, "
+        "weight BIGINT DEFAULT 3, PRIMARY KEY (event_id))"
+    )
+    src.createOrReplaceTempView("dflt_src")
+    cat.sql(
+        "INSERT INTO ev_dflt (event_id, event_type, cents) "
+        "SELECT * FROM dflt_src WHERE event_id % 10 = 0"
+    )
+    cat.sql("ALTER TABLE ev_dflt ALTER COLUMN weight SET DEFAULT 9")
+    cat.sql(
+        "INSERT INTO ev_dflt (event_id, event_type, cents) "
+        "SELECT * FROM dflt_src WHERE event_id % 10 = 5"
+    )
+    spark.catalog.dropTempView("dflt_src")
+    return cat.sql(
+        "SELECT event_type, status, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(weight) AS BIGINT) AS total_w "
+        "FROM ev_dflt GROUP BY event_type, status"
+    )

@@ -665,6 +665,28 @@ class _WriterBase:
             for f in surface.fields
             if f.name != INSERTED_AT and f.name not in self.frame_cols
         }
+        # column DEFAULTs are SQL expressions the LakeWriter conform
+        # evaluates; this sink null-fills frame-absent columns in Arrow,
+        # which would silently land NULL where the contract says the
+        # default — refuse rather than diverge (include the column in
+        # the frame, or write through LakeWriter)
+        _defaulted_absent = sorted(
+            k[len("default."):]
+            for k in m.props.get("tblproperties", {})
+            if k.startswith("default.")
+            and k[len("default."):] in self.fill_types
+        )
+        if _defaulted_absent and not _truthy(
+            options.get("skipconstraints", "")
+        ):
+            raise ValueError(
+                f"ducklake sink: frame omits column(s) "
+                f"{_defaulted_absent} of {self.name} that carry a "
+                f"DEFAULT — this sink's executor-side fill is NULL, not "
+                f"the default expression. Include the column(s) in the "
+                f"frame, write through LakeWriter, or pass "
+                f".option('skipConstraints', 'true') to accept NULL fill"
+            )
         # executor-side plan: physical layout + stats columns
         self.renames = dict(m.column_renames)
         self.col_order = [f.name for f in surface.fields if f.name != INSERTED_AT]
@@ -686,6 +708,15 @@ class _WriterBase:
             for k, v in m.props.get("tblproperties", {}).items()
             if k.startswith("constraint.")
         }
+        # stored NOT NULL constraints compile to `col IS NOT NULL` —
+        # always inside the compilable subset, strict by construction
+        # (the predicate never evaluates to UNKNOWN). A frame-absent
+        # NOT NULL column null-fills executor-side, so every row would
+        # violate — exactly the refusal LakeWriter gives
+        for k in m.props.get("tblproperties", {}):
+            if k.startswith("notnull."):
+                col = k[len("notnull."):]
+                stored.setdefault(f"notnull_{col}", f"{col} IS NOT NULL")
         if stored and not _truthy(options.get("skipconstraints", "")):
             import pyarrow as pa
 
