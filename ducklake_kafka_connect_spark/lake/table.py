@@ -3522,7 +3522,8 @@ class LakeCatalog:
         for v in needed:
             if _re.search(
                 rf"(?<![A-Za-z0-9_]){_re.escape(v)}(?![A-Za-z0-9_])\s+"
-                rf"(?:VERSION\s+AS\s+OF|TIMESTAMP\s+AS\s+OF|FOR\s+TAG)\b",
+                rf"(?:VERSION\s+AS\s+OF|TIMESTAMP\s+AS\s+OF|FOR\s+TAG"
+                rf"|AT\s*\(\s*(?:VERSION|SNAPSHOT|TIMESTAMP)\s*=>)",
                 _blank_literals(query),
                 _re.IGNORECASE,
             ):
@@ -5713,7 +5714,11 @@ class LakeCatalog:
 
         Recognized (Delta/Iceberg SQL): ``<table> [FOR] VERSION AS OF
         <n>``, ``<table> [FOR] TIMESTAMP AS OF '<ts>'``, ``<table> FOR
-        TAG <name>``. Only identifiers naming an existing lake table are
+        TAG <name>``; and the DuckLake-native spellings DuckDB users
+        write against the reference's catalog: ``<table> AT (VERSION =>
+        <n>)``, ``<table> AT (TIMESTAMP => '<ts>')`` (snapshot ids here
+        ARE versions, so ``AT (SNAPSHOT => <n>)`` is accepted as a
+        synonym). Only identifiers naming an existing lake table are
         rewritten (an alias that happens to precede the words stays
         untouched because the clause itself must follow the name).
         Returns (rewritten query, {synthetic: (base table, version)})."""
@@ -5727,6 +5732,8 @@ class LakeCatalog:
             rf"(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)"
             rf"|(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*')"
             rf"|FOR\s+TAG\s+({_IDENT})"
+            rf"|AT\s*\(\s*(?:VERSION|SNAPSHOT)\s*=>\s*(\d+)\s*\)"
+            rf"|AT\s*\(\s*TIMESTAMP\s*=>\s*('(?:[^']|'')*')\s*\)"
             rf")",
             _re.IGNORECASE,
         )
@@ -5736,14 +5743,14 @@ class LakeCatalog:
             if base not in existing:
                 return m.group(0)
             t = self.table(base)
-            if m.group(2) is not None:
-                v = int(m.group(2))
+            if m.group(2) is not None or m.group(5) is not None:
+                v = int(m.group(2) or m.group(5))
                 if not t.has_version(v):
                     raise ValueError(
                         f"Version {v} of {base} does not exist"
                     )
-            elif m.group(3) is not None:
-                v = t.resolve_timestamp(m.group(3))
+            elif m.group(3) is not None or m.group(6) is not None:
+                v = t.resolve_timestamp(m.group(3) or m.group(6))
             else:
                 v = t.resolve_tag(unquote_ident(m.group(4)))
             safe = _re.sub(r"\W", "_", base)

@@ -1299,3 +1299,63 @@ def test_summarize(cat):
         for r in cat.sql("SUMMARIZE SELECT v * 2 AS w FROM t WHERE v IS NOT NULL").collect()
     }
     assert out2["w"]["max"] == "8.0" and out2["w"]["count"] == 3
+
+
+class TestDucklakeAtSyntax:
+    """DuckLake's native `AT (VERSION => n)` / `AT (TIMESTAMP => 'ts')`
+    table-reference spelling — what DuckDB users write against the
+    reference's catalog. SNAPSHOT is a synonym for VERSION here
+    (snapshot ids ARE versions in this lake format)."""
+
+    def _three_versions(self, cat, name="tt"):
+        t = cat.table(name)
+        w = LakeWriter(t, pk=["pk"])
+        for i in range(3):
+            w.write(
+                cat.spark.range(10).select(
+                    F.col("id").alias("pk"), F.lit(i).alias("gen")
+                )
+            )
+        return t
+
+    def test_at_version_and_snapshot(self, cat):
+        self._three_versions(cat)
+        assert (
+            cat.sql("SELECT max(gen) AS g FROM tt AT (VERSION => 1)")
+            .collect()[0]["g"]
+            == 0
+        )
+        assert (
+            cat.sql("SELECT max(gen) AS g FROM tt AT (SNAPSHOT => 2)")
+            .collect()[0]["g"]
+            == 1
+        )
+        with pytest.raises(ValueError, match="does not exist"):
+            cat.sql("SELECT * FROM tt AT (VERSION => 99)").collect()
+
+    def test_at_timestamp(self, cat):
+        t = self._three_versions(cat)
+        ts1 = float(t.manifest(1).props["committed_at"])
+        import datetime
+
+        lit = datetime.datetime.fromtimestamp(
+            ts1, tz=datetime.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S.%f")
+        got = cat.sql(
+            f"SELECT max(gen) AS g FROM tt AT (TIMESTAMP => '{lit}')"
+        ).collect()[0]["g"]
+        assert got == 0
+
+    def test_at_joins_two_snapshots(self, cat):
+        self._three_versions(cat)
+        diff = cat.sql(
+            "SELECT count(*) AS changed FROM tt AT (VERSION => 3) a "
+            "JOIN tt AT (VERSION => 1) b ON a.pk = b.pk AND a.gen <> b.gen"
+        ).collect()[0]["changed"]
+        assert diff == 10
+
+    def test_at_through_view_refused(self, cat):
+        self._three_versions(cat)
+        cat.sql("CREATE VIEW vtt AS SELECT * FROM tt")
+        with pytest.raises(ValueError, match="ambiguous"):
+            cat.sql("SELECT * FROM vtt AT (VERSION => 1)").collect()
