@@ -4523,6 +4523,24 @@ class LakeCatalog:
             )
         # DuckDB upsert dialect (r14): INSERT ... ON CONFLICT, UPDATE ...
         # FROM, DELETE ... USING — all compile onto MERGE (lake/sql_merge)
+        orm = _re.match(
+            r"INSERT\s+OR\s+(REPLACE|IGNORE)\s+INTO\b", stmt, _re.IGNORECASE
+        )
+        if orm:
+            # DuckDB shorthand: OR REPLACE ≡ ON CONFLICT DO UPDATE SET
+            # <every non-pk source column> = excluded.<col>; OR IGNORE ≡
+            # ON CONFLICT DO NOTHING — same MERGE compilation
+            if returning is not None:
+                raise ValueError(
+                    "RETURNING is not supported on INSERT OR "
+                    f"{orm.group(1).upper()} (it compiles onto MERGE)"
+                )
+            head = "INSERT INTO" + stmt[orm.end():]
+            return self._insert_on_conflict(
+                head,
+                "DO NOTHING",
+                replace_all=orm.group(1).upper() == "REPLACE",
+            )
         ci = _find_top_level_kw(stmt, "CONFLICT")
         if ci >= 0 and _re.match(r"INSERT\s+INTO\b", stmt, _re.IGNORECASE):
             om = _re.search(r"\bON\s*$", stmt[:ci], _re.IGNORECASE)
@@ -4771,13 +4789,21 @@ class LakeCatalog:
                 df = df.withColumns(casts)
         return t, df
 
-    def _insert_on_conflict(self, insert_head: str, conflict_tail: str):
+    def _insert_on_conflict(
+        self,
+        insert_head: str,
+        conflict_tail: str,
+        replace_all: bool = False,
+    ):
         """DuckDB's ``INSERT INTO t [(cols)] <src> ON CONFLICT [(cols)]
         DO NOTHING | DO UPDATE SET ... [WHERE c]`` compiled onto MERGE.
         The conflict target must be the table's PRIMARY KEY (the lake's
         only uniqueness constraint). The incoming row is visible to DO
         UPDATE expressions as ``excluded.<col>`` (DuckDB's convention);
-        target columns qualify with the table name."""
+        target columns qualify with the table name. ``replace_all``
+        (INSERT OR REPLACE) synthesizes DO UPDATE SET over every non-pk
+        source column; with no non-pk columns it degrades to DO
+        NOTHING, as DuckDB's does."""
         import re as _re
         import uuid as _uuid
 
@@ -4831,7 +4857,13 @@ class LakeCatalog:
         )
         ins_cols = ", ".join(quote_ident(c) for c in df.columns)
         ins_vals = ", ".join(f"excluded.{quote_ident(c)}" for c in df.columns)
-        if cm.group(2).upper() == "NOTHING":
+        non_pk = [c for c in df.columns if c not in pk]
+        if replace_all and non_pk:
+            matched = "WHEN MATCHED THEN UPDATE SET " + ", ".join(
+                f"{quote_ident(c)} = excluded.{quote_ident(c)}"
+                for c in non_pk
+            ) + " "
+        elif cm.group(2).upper() == "NOTHING" or replace_all:
             matched = ""
         else:
             set_text = cm.group(3)
@@ -5297,7 +5329,8 @@ class LakeCatalog:
         # INSERT/MERGE source queries route back through sql(), and the
         # MERGE bare-name source resolves lake views explicitly.
         if _re.match(
-            r"\s*(INSERT\s+(?:INTO|OVERWRITE)|DELETE\s+FROM|UPDATE|MERGE\s+INTO)\b", query, _re.IGNORECASE
+            r"\s*(INSERT\s+(?:INTO|OVERWRITE|OR\s+(?:REPLACE|IGNORE)\s+INTO)"
+            r"|DELETE\s+FROM|UPDATE|MERGE\s+INTO)\b", query, _re.IGNORECASE
         ):
             return self.dml(query)
         # logical views expand next (leading CTEs), so time travel /

@@ -1359,3 +1359,43 @@ class TestDucklakeAtSyntax:
         cat.sql("CREATE VIEW vtt AS SELECT * FROM tt")
         with pytest.raises(ValueError, match="ambiguous"):
             cat.sql("SELECT * FROM vtt AT (VERSION => 1)").collect()
+
+
+class TestInsertOrReplaceIgnore:
+    """DuckDB's INSERT OR REPLACE / OR IGNORE shorthand — sugar over
+    the ON CONFLICT MERGE compilation (same plan, same PK contract)."""
+
+    def _seed(self, cat):
+        cat.sql("CREATE TABLE u (pk BIGINT, v BIGINT, PRIMARY KEY (pk))")
+        cat.sql("INSERT INTO u VALUES (1, 10), (2, 20)")
+
+    def test_or_replace_overwrites_conflicts(self, cat):
+        self._seed(cat)
+        cat.sql("INSERT OR REPLACE INTO u VALUES (2, 99), (3, 30)")
+        rows = {r["pk"]: r["v"] for r in cat.sql("SELECT * FROM u").collect()}
+        assert rows == {1: 10, 2: 99, 3: 30}
+
+    def test_or_ignore_keeps_existing(self, cat):
+        self._seed(cat)
+        cat.sql("INSERT OR IGNORE INTO u VALUES (2, 99), (3, 30)")
+        rows = {r["pk"]: r["v"] for r in cat.sql("SELECT * FROM u").collect()}
+        assert rows == {1: 10, 2: 20, 3: 30}
+
+    def test_or_replace_with_column_list_and_select(self, cat):
+        self._seed(cat)
+        cat.sql(
+            "INSERT OR REPLACE INTO u (pk, v) "
+            "SELECT pk, v * 1000 FROM u WHERE pk = 1"
+        )
+        rows = {r["pk"]: r["v"] for r in cat.sql("SELECT * FROM u").collect()}
+        assert rows == {1: 10000, 2: 20}
+
+    def test_requires_pk(self, cat):
+        cat.sql("CREATE TABLE nopk (pk BIGINT, v BIGINT)")
+        with pytest.raises(ValueError, match="PRIMARY KEY"):
+            cat.sql("INSERT OR REPLACE INTO nopk VALUES (1, 1)")
+
+    def test_returning_refused(self, cat):
+        self._seed(cat)
+        with pytest.raises(ValueError, match="RETURNING"):
+            cat.sql("INSERT OR IGNORE INTO u VALUES (4, 40) RETURNING pk")
