@@ -1030,9 +1030,13 @@ class LakeTable:
     # ---------- history / restore ----------
 
     def history(self) -> "DataFrame":
-        """DESCRIBE-HISTORY analogue: one row per resolvable committed
-        version — (version, parent, op, n_files, n_bytes). Vacuumed
-        versions are skipped (their segments are gone by design)."""
+        """DESCRIBE-HISTORY analogue (DuckLake's ``ducklake_snapshots``
+        shape): one row per resolvable committed version — (version,
+        parent, op, n_files, n_bytes, committed_at). Vacuumed versions
+        are skipped (their segments are gone by design). SQL surface:
+        ``DESCRIBE HISTORY t`` or the ``table_snapshots('t')`` TVF."""
+        import datetime as _dt
+
         rows = []
         for v in range(self.current_version() + 1):
             if not self.has_version(v):
@@ -1042,6 +1046,12 @@ class LakeTable:
                 int((m.file_stats.get(f) or {}).get("__bytes") or 0)
                 for f in m.all_files()
             )
+            try:
+                ts = _dt.datetime.fromtimestamp(
+                    float(m.props["committed_at"]), tz=_dt.timezone.utc
+                ).replace(tzinfo=None)
+            except (KeyError, TypeError, ValueError):
+                ts = None
             rows.append(
                 (
                     v,
@@ -1049,10 +1059,13 @@ class LakeTable:
                     str(m.props.get("last_op") or "WRITE"),
                     len(m.all_files()),
                     n_bytes,
+                    ts,
                 )
             )
         return self.spark.createDataFrame(
-            rows, "version long, parent long, op string, n_files long, n_bytes long"
+            rows,
+            "version long, parent long, op string, n_files long, "
+            "n_bytes long, committed_at timestamp",
         )
 
     def restore(self, version: int) -> int:
@@ -5360,7 +5373,10 @@ class LakeCatalog:
         # metadata TVF: table_files('t'[, version]) — the manifest's file
         # inventory as SQL rows (Iceberg `t.files` analogue), zero scan
         query, files_views = self._rewrite_table_files(query)
-        cdf_views = cdf_views + files_views + asof_views + att_views
+        # metadata TVF: table_snapshots('t') — version history as rows
+        # (DuckLake's ducklake_snapshots per-table), zero scan
+        query, snap_views = self._rewrite_table_snapshots(query)
+        cdf_views = cdf_views + files_views + snap_views + asof_views + att_views
         pins = dict(versions or {})
         hints = dict(where_hints or {})
         referenced = [
@@ -5486,6 +5502,36 @@ class LakeCatalog:
                 "partition string, file string, rows bigint, "
                 "bytes bigint, seq bigint",
             ).createOrReplaceTempView(syn)
+            views.append(syn)
+            return quote_ident(syn)
+
+        return pat.sub(sub, query), views
+
+    def _rewrite_table_snapshots(self, query: str):
+        """Rewrite ``table_snapshots('t')`` calls to synthetic views
+        over :meth:`LakeTable.history` — DuckLake's
+        ``ducklake_snapshots()`` as a per-table TVF (one metadata row
+        per resolvable version; no data file opened). Lets operational
+        SQL join snapshot metadata against anything: "versions per
+        hour", "which commit grew the table", retention audits."""
+        import re as _re
+        import uuid as _uuid
+
+        views: list[str] = []
+        pat = _re.compile(
+            r"table_snapshots\s*\(\s*'([^']+)'\s*\)", _re.IGNORECASE
+        )
+
+        def sub(m: "_re.Match") -> str:
+            name = m.group(1)
+            t = self.table(name)
+            if not t.exists():
+                raise ValueError(f"table_snapshots: unknown table {name!r}")
+            syn = (
+                f"{_re.sub(r'[^A-Za-z0-9_]', '_', name)}__snaps_"
+                f"{_uuid.uuid4().hex[:6]}"
+            )
+            t.history().createOrReplaceTempView(syn)
             views.append(syn)
             return quote_ident(syn)
 

@@ -2326,3 +2326,62 @@ def sql_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(weight) AS BIGINT) AS total_w "
         "FROM ev_dflt GROUP BY event_type, status"
     )
+
+
+@register(
+    "sql_snapshot_lineage",
+    """
+    SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_id % 14 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM events WHERE event_id % 7 = 0
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM events WHERE event_id % 7 = 0 AND event_id % 21 <> 0
+    """,
+    "Snapshot lineage through the DuckLake dialect (r14): INSERT builds "
+    "v1, INSERT OR REPLACE (the ON-CONFLICT MERGE shorthand) builds v2, "
+    "DELETE builds v3; the query reads each snapshot back with the "
+    "DuckLake-native `AT (VERSION => n)` spelling and cross-checks the "
+    "version count against the table_snapshots('t') metadata TVF "
+    "in-query (zero data files opened for the TVF side). Counting rows "
+    "at three pinned versions value-checks that time travel, the upsert "
+    "shorthand, and predicate delete compose.",
+)
+def sql_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _event_source(spark, sf_dir).filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_snap_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, root)
+    cat.sql(
+        "CREATE TABLE ev_snap (event_id BIGINT, event_type STRING, "
+        "cents BIGINT, PRIMARY KEY (event_id))"
+    )
+    src.createOrReplaceTempView("snap_src")
+    cat.sql(
+        "INSERT INTO ev_snap SELECT * FROM snap_src WHERE event_id % 14 = 0"
+    )
+    cat.sql("INSERT OR REPLACE INTO ev_snap SELECT * FROM snap_src")
+    cat.sql("DELETE FROM ev_snap WHERE event_id % 21 = 0")
+    spark.catalog.dropTempView("snap_src")
+    tip = cat.sql(
+        "SELECT max(version) AS v FROM table_snapshots('ev_snap')"
+    ).collect()[0]["v"]
+    if tip != 3:
+        raise AssertionError(f"expected 3 committed versions, got {tip}")
+    return cat.sql(
+        "SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n "
+        "FROM ev_snap AT (VERSION => 1) "
+        "UNION ALL "
+        "SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) "
+        "FROM ev_snap AT (SNAPSHOT => 2) "
+        "UNION ALL "
+        "SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) "
+        "FROM ev_snap AT (VERSION => 3)"
+    )

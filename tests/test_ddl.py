@@ -1399,3 +1399,34 @@ class TestInsertOrReplaceIgnore:
         self._seed(cat)
         with pytest.raises(ValueError, match="RETURNING"):
             cat.sql("INSERT OR IGNORE INTO u VALUES (4, 40) RETURNING pk")
+
+
+class TestSnapshotsTvf:
+    """table_snapshots('t') — version history as SQL rows (DuckLake's
+    ducklake_snapshots as a per-table TVF), and the committed_at column
+    on DESCRIBE HISTORY."""
+
+    def test_snapshots_rows_and_join(self, cat):
+        cat.sql("CREATE TABLE s1 (pk BIGINT, v BIGINT, PRIMARY KEY (pk))")
+        cat.sql("INSERT INTO s1 VALUES (1, 10)")
+        cat.sql("INSERT INTO s1 VALUES (2, 20)")
+        rows = cat.sql(
+            "SELECT version, op FROM table_snapshots('s1') ORDER BY version"
+        ).collect()
+        assert [r["version"] for r in rows] == [0, 1, 2]
+        assert rows[0]["op"].startswith("CREATE") or rows[0]["op"] == "WRITE"
+        # joins/aggregates work like any relation
+        (row,) = cat.sql(
+            "SELECT count(*) AS n, max(version) AS mv "
+            "FROM table_snapshots('s1') WHERE n_files > 0"
+        ).collect()
+        assert row["mv"] == 2
+        # committed_at present and non-null on write versions
+        hist = cat.sql("DESCRIBE HISTORY s1").collect()
+        assert all(r["committed_at"] is not None for r in hist)
+
+    def test_unknown_table_refused(self, cat):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown table"):
+            cat.sql("SELECT * FROM table_snapshots('ghost')").collect()
