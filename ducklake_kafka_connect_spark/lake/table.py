@@ -2620,11 +2620,15 @@ def split_top_level(text: str, sep: str = ",") -> list[str]:
 
 
 def _strip_column_options(cols: str) -> "tuple[str, dict[str, str]]":
-    """Strip per-column ``DEFAULT <expr>`` / ``NOT NULL`` options from a
-    CREATE TABLE column list (either order, DuckDB-style) and return the
-    bare ``name type`` list Spark's ``fromDDL`` parses, plus the options
-    as table properties: ``default.<col>`` → the default expression,
-    ``notnull.<col>`` → "true". Keyword scanning runs over a literal-
+    """Strip per-column ``DEFAULT <expr>`` / ``NOT NULL`` /
+    ``CHECK (<pred>)`` options and table-level ``[CONSTRAINT <name>]
+    CHECK (<pred>)`` items from a CREATE TABLE column list (any order,
+    DuckDB-style) and return the bare ``name type`` list Spark's
+    ``fromDDL`` parses, plus the options as table properties:
+    ``default.<col>`` → the default expression, ``notnull.<col>`` →
+    "true", ``constraint.<name>`` → the CHECK predicate (the same
+    namespace ``ALTER TABLE ADD CONSTRAINT`` uses, so every writer
+    enforces them identically). Keyword scanning runs over a literal-
     blanked copy (same length, positions map 1:1) so a default like
     ``DEFAULT 'NOT NULL'`` can't be mangled."""
 
@@ -2633,10 +2637,26 @@ def _strip_column_options(cols: str) -> "tuple[str, dict[str, str]]":
 
     out: list[str] = []
     props: dict[str, str] = {}
+    n_anon = 0
     for item in split_top_level(cols):
         s = item.strip()
+        # table-level constraint item: [CONSTRAINT name] CHECK (pred)
+        tm = re.match(
+            rf"(?:CONSTRAINT\s+({_IDENT})\s+)?CHECK\s*\((.+)\)\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if tm:
+            if tm.group(1):
+                cname = unquote_ident(tm.group(1))
+            else:
+                n_anon += 1
+                cname = f"check_{n_anon}"
+            props[f"constraint.{cname}"] = tm.group(2).strip()
+            continue
         notnull = False
         default: str | None = None
+        check: str | None = None
         while True:
             b = _blank(s)
             # single-\s anchors, not \s+: a blanked literal is all
@@ -2647,6 +2667,15 @@ def _strip_column_options(cols: str) -> "tuple[str, dict[str, str]]":
                 notnull = True
                 s = s[: mnn.start()].rstrip()
                 continue
+            if check is None:
+                mck = re.search(
+                    r"\sCHECK\s*\(.*\)\s*$", b, re.IGNORECASE | re.DOTALL
+                )
+                if mck:
+                    tail = s[mck.start():].strip()
+                    check = tail[tail.index("(") + 1: tail.rindex(")")].strip()
+                    s = s[: mck.start()].rstrip()
+                    continue
             if default is None:
                 mdf = re.search(r"\sDEFAULT(?=\s)", b, re.IGNORECASE)
                 if mdf:
@@ -2661,6 +2690,8 @@ def _strip_column_options(cols: str) -> "tuple[str, dict[str, str]]":
                 props[f"notnull.{cname}"] = "true"
             if default is not None:
                 props[f"default.{cname}"] = default
+            if check is not None:
+                props[f"constraint.{cname}_check"] = check
         out.append(s)
     return ", ".join(out), props
 
@@ -3945,6 +3976,20 @@ class LakeCatalog:
                 cols = cols[: pk_m.start()]
             cols, col_props = _strip_column_options(cols)
             schema = T.StructType.fromDDL(_dq_idents_to_backticks(cols))
+            # CHECK predicates bind at create time (driver-only analysis
+            # over a zero-row frame) — a typo'd column refuses here, not
+            # at the first write
+            for ck, cpred in col_props.items():
+                if not ck.startswith("constraint."):
+                    continue
+                try:
+                    self.spark.createDataFrame([], schema).filter(
+                        cpred
+                    ).schema
+                except Exception as e:
+                    raise ValueError(
+                        f"invalid CHECK ({cpred}) on {name}: {e}"
+                    ) from None
             cprops = {"tblproperties": col_props} if col_props else None
             if replace and t.exists():
                 t.replace(schema, pk=pk, partition_by=part_spec, props=cprops)
@@ -4462,6 +4507,13 @@ class LakeCatalog:
             for f in m.schema.fields
             if f.name != INSERTED_AT and f.name not in derived
         ]
+        # stored CHECK constraints round-trip as table-level items (the
+        # re-parse lands them back in the same constraint.* namespace)
+        cols.extend(
+            f"CONSTRAINT {quote_ident(k[len('constraint.'):])} CHECK ({v})"
+            for k, v in sorted(props.items())
+            if k.startswith("constraint.")
+        )
         if m.pk:
             cols.append(
                 "PRIMARY KEY (" + ", ".join(quote_ident(c) for c in m.pk) + ")"

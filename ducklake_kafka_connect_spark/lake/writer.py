@@ -460,6 +460,16 @@ class LakeWriter:
             checks[f"notnull_{col}"] = f"`{col}` IS NOT NULL"
         if not checks:
             return
+        # constraints run BEFORE the conform projection, so a batch that
+        # legitimately omits a DEFAULT-bearing column must see the value
+        # the conform will fill — extend the evaluation frame (lazy, no
+        # extra job; same single aggregate). Columns missing WITHOUT a
+        # default still fail analysis, surfaced as-is.
+        for k, d in stored.items():
+            if k.startswith("default."):
+                c = k[len("default."):]
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(d))
         aggs = [
             F.sum(
                 F.when(F.coalesce(F.expr(pred), F.lit(True)), 0).otherwise(1)

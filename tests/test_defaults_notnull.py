@@ -185,3 +185,61 @@ class TestNotNull:
             for r in cat.sql("DESCRIBE n5").collect()
         }
         assert rows["v"] == "NO" and rows["pk"] == "YES"
+
+
+class TestInlineCheck:
+    """Inline CHECK constraints in CREATE TABLE — column-level suffix
+    and table-level [CONSTRAINT name] CHECK items — stored in the same
+    constraint.* namespace ALTER TABLE ADD CONSTRAINT uses, so every
+    writer (and the Arrow sink's compiled subset) enforces them."""
+
+    def test_column_and_table_level(self, cat, spark):
+        cat.sql(
+            "CREATE TABLE c1 (pk BIGINT, v BIGINT CHECK (v >= 0), "
+            "w BIGINT, CONSTRAINT w_cap CHECK (w < 100), "
+            "CHECK (pk IS NOT NULL))"
+        )
+        props = cat.table("c1").properties()
+        assert props["constraint.v_check"] == "v >= 0"
+        assert props["constraint.w_cap"] == "w < 100"
+        assert props["constraint.check_1"] == "pk IS NOT NULL"
+        w = LakeWriter(cat.table("c1"), auto_create=False)
+        with pytest.raises(ConstraintViolation, match="v_check"):
+            w.write(spark.createDataFrame([(1, -5, 3)], "pk long, v long, w long"))
+        with pytest.raises(ConstraintViolation, match="w_cap"):
+            w.write(spark.createDataFrame([(1, 5, 300)], "pk long, v long, w long"))
+        w.write(spark.createDataFrame([(1, 5, 30)], "pk long, v long, w long"))
+        assert cat.table("c1").read().count() == 1
+
+    def test_check_composes_with_default_and_notnull(self, cat, spark):
+        cat.sql(
+            "CREATE TABLE c2 (pk BIGINT, "
+            "v BIGINT DEFAULT 5 NOT NULL CHECK (v > 0))"
+        )
+        props = cat.table("c2").properties()
+        assert props["default.v"] == "5"
+        assert props["notnull.v"] == "true"
+        assert props["constraint.v_check"] == "v > 0"
+        cat.sql("INSERT INTO c2 (pk) VALUES (1)")  # default 5 passes CHECK
+        (row,) = cat.sql("SELECT v FROM c2").collect()
+        assert row["v"] == 5
+
+    def test_bad_predicate_refused_at_create(self, cat):
+        with pytest.raises(ValueError, match="invalid CHECK"):
+            cat.sql("CREATE TABLE c3 (pk BIGINT, CHECK (ghost > 0))")
+        assert not cat.table("c3").exists()
+
+    def test_show_create_round_trips_checks(self, cat, spark, tmp_path):
+        cat.sql(
+            "CREATE TABLE c4 (pk BIGINT, v BIGINT CHECK (v >= 0))"
+        )
+        (row,) = cat.sql("SHOW CREATE TABLE c4").collect()
+        assert "CHECK (v >= 0)" in row["create_statement"]
+        cat.sql("INSERT INTO c4 VALUES (1, 2)")
+        out = str(tmp_path / "dump")
+        cat.sql(f"EXPORT DATABASE '{out}'")
+        dst = LakeCatalog(spark, str(tmp_path / "dst"))
+        dst.sql(f"IMPORT DATABASE '{out}'")
+        assert dst.table("c4").properties()["constraint.v_check"] == "v >= 0"
+        with pytest.raises(ConstraintViolation):
+            dst.sql("INSERT INTO c4 VALUES (2, -1)")
