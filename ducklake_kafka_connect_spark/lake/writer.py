@@ -413,8 +413,16 @@ class LakeWriter:
         once. A row violates only when the predicate evaluates FALSE;
         NULL/UNKNOWN passes — standard SQL CHECK (and Delta Lake)
         semantics, where a constraint rejects only rows that provably
-        break it. Constraints referencing columns the batch lacks fail
-        analysis → surfaced as-is.
+        break it. The evaluation frame mirrors what the conform will
+        LAND, not what the batch carries: schema columns missing from
+        the batch extend lazily as their DEFAULT expression (when one
+        is stored) or a typed NULL — so a CHECK over an omitted column
+        evaluates exactly as it would post-write (usually UNKNOWN →
+        pass), a stored NOT NULL over an omitted defaultless column
+        rejects every row, and a zero-row frame (the live subset of a
+        delete-only tombstone batch) passes everything. User-supplied
+        ``check_constraints`` naming columns outside the table schema
+        still fail analysis, surfaced as-is.
 
         Table-STORED constraints (``ALTER TABLE ... ADD CONSTRAINT``,
         persisted as ``constraint.<name>`` TBLPROPERTIES) are enforced
@@ -422,6 +430,8 @@ class LakeWriter:
         with ``check_constraints=`` (Delta's contract). ADD/DROP
         CONSTRAINT take effect on live writers immediately because the
         props come off the manifest the write is planned against.
+        Stored NOT NULL (``notnull.<col>``) enforces strictly in the
+        same single aggregate.
 
         ``manifest`` is the write path's ALREADY-RESOLVED manifest —
         pass it so constraint lookup costs zero extra metadata reads
@@ -431,45 +441,37 @@ class LakeWriter:
         default self-resolves, for callers with no manifest in hand."""
         checks = dict(self.check_constraints)
         if manifest is LakeWriter._RESOLVE:
-            stored = dict(
-                self.table.properties() if self.table.exists() else {}
-            )
+            m = self.table.manifest() if self.table.exists() else None
         elif manifest is None:
-            stored = {}
+            m = None
         else:
-            stored = dict(manifest.props.get("tblproperties", {}))
+            m = manifest
+        stored = dict(m.props.get("tblproperties", {})) if m else {}
         for k, v in stored.items():
             if k.startswith("constraint."):
                 checks.setdefault(k[len("constraint."):], v)
-        # stored NOT NULL constraints (`notnull.<col>` props): strict —
-        # unlike CHECK, a NULL violates. A batch that OMITS the column
-        # entirely is fine when the column has a DEFAULT (the conform
-        # fills it); without one, every row would land NULL — refuse up
-        # front, no scan needed.
-        for k in stored:
-            if not k.startswith("notnull."):
-                continue
-            col = k[len("notnull."):]
-            if col not in df.columns:
-                if f"default.{col}" in stored:
-                    continue  # conform fills the default, never NULL
-                raise ConstraintViolation(
-                    f"batch omits NOT NULL column {col!r} of "
-                    f"{self.table.name} and the column has no DEFAULT"
-                )
-            checks[f"notnull_{col}"] = f"`{col}` IS NOT NULL"
+            elif k.startswith("notnull."):
+                col = k[len("notnull."):]
+                checks[f"notnull_{col}"] = f"`{col}` IS NOT NULL"
         if not checks:
             return
-        # constraints run BEFORE the conform projection, so a batch that
-        # legitimately omits a DEFAULT-bearing column must see the value
-        # the conform will fill — extend the evaluation frame (lazy, no
-        # extra job; same single aggregate). Columns missing WITHOUT a
-        # default still fail analysis, surfaced as-is.
-        for k, d in stored.items():
-            if k.startswith("default."):
-                c = k[len("default."):]
-                if c not in df.columns:
-                    df = df.withColumn(c, F.expr(d))
+        # constraints run BEFORE the conform projection, so the
+        # evaluation frame extends (lazily — same single aggregate, no
+        # extra job) to what the conform will land: omitted columns fill
+        # with their DEFAULT when stored, else a typed NULL off the
+        # table schema
+        fill = {}
+        for f in m.schema.fields if m else ():
+            if f.name == INSERTED_AT or f.name in df.columns:
+                continue
+            d = stored.get(f"default.{f.name}")
+            fill[f.name] = (
+                F.expr(d).cast(f.dataType)
+                if d is not None
+                else F.lit(None).cast(f.dataType)
+            )
+        if fill:
+            df = df.withColumns(fill)
         aggs = [
             F.sum(
                 F.when(F.coalesce(F.expr(pred), F.lit(True)), 0).otherwise(1)
@@ -1172,7 +1174,16 @@ class LakeWriter:
         # the constraint source and seeds the FIRST _merge_once attempt
         # (replans after a commit conflict re-resolve, as they must)
         pre = self.table.manifest() if self.table.exists() else None
-        self._enforce_constraints(df, pre)
+        # tombstoned rows are DELETES — they carry no insertable values,
+        # so constraints (incl. NOT NULL) must not judge them: a narrow
+        # pk-only delete batch against a NOT NULL table is legitimate
+        if tombstone_col and tombstone_col in df.columns:
+            self._enforce_constraints(
+                df.filter(~F.coalesce(F.col(tombstone_col), F.lit(False))),
+                pre,
+            )
+        else:
+            self._enforce_constraints(df, pre)
         # The rewrite set is planned against a manifest read OUTSIDE the
         # table lock; if another commit lands before this merge takes the
         # lock, the planned file list is stale (re-emitting rows a

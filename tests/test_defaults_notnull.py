@@ -148,7 +148,7 @@ class TestNotNull:
 
     def test_missing_column_without_default_refused(self, cat, spark):
         cat.sql("CREATE TABLE n2 (pk BIGINT, v BIGINT NOT NULL)")
-        with pytest.raises(ConstraintViolation, match="omits NOT NULL"):
+        with pytest.raises(ConstraintViolation, match="notnull_v"):
             LakeWriter(cat.table("n2"), auto_create=False).write(
                 spark.range(2).select(F.col("id").alias("pk"))
             )
@@ -243,3 +243,22 @@ class TestInlineCheck:
         assert dst.table("c4").properties()["constraint.v_check"] == "v >= 0"
         with pytest.raises(ConstraintViolation):
             dst.sql("INSERT INTO c4 VALUES (2, -1)")
+
+
+def test_tombstone_delete_batch_skips_constraints(cat, spark):
+    # a MOR delete batch carrying only (pk, flag) must not be judged by
+    # NOT NULL / CHECK — deletes have no insertable values
+    cat.sql(
+        "CREATE TABLE td (pk BIGINT, v BIGINT NOT NULL CHECK (v >= 0), "
+        "PRIMARY KEY (pk))"
+    )
+    w = LakeWriter(cat.table("td"), auto_create=False)
+    w.write(
+        spark.createDataFrame([(1, 5), (2, 7)], "pk long, v long")
+    )
+    w2 = LakeWriter(cat.table("td"), pk=["pk"], auto_create=False)
+    w2.merge(
+        spark.createDataFrame([(1, True)], "pk long, _deleted boolean"),
+        tombstone_col="_deleted",
+    )
+    assert {r["pk"] for r in cat.table("td").read().collect()} == {2}
