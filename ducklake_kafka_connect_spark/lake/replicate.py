@@ -45,6 +45,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+from . import txn as _txn
 from .table import LakeTable
 
 
@@ -92,7 +93,13 @@ def replicate(
         manifest_format=src.manifest_format,
         backend=dest_backend,
     )
-    latest = src.current_version()
+    # VISIBLE tip, not physical: versions pending under an open
+    # multi-table transaction (lake/txn.py) must not reach the mirror —
+    # if the txn aborts they are deleted and their numbers reused, which
+    # would leave the mirror holding segments the source never
+    # committed. Committed-txn versions DO replicate; their visibility
+    # markers are copied below so the mirror resolves them.
+    latest = src.visible_version()
     # sync strictly PAST the mirror's tip: versions below it that the
     # mirror lacks were reclaimed by MIRROR-SIDE vacuum retention, and
     # re-copying them would silently undo that retention on every run
@@ -118,6 +125,7 @@ def replicate(
         )
     files_copied = 0
     bytes_copied = 0
+    copied_txns: set[str] = set()
 
     def _copy_one(v: int, rel: str) -> int | None:
         """→ bytes copied, or None if the file was already present."""
@@ -175,6 +183,21 @@ def replicate(
                     dest.fs.put(
                         os.path.join(dest.meta_dir, f"v{v}{ext}"), seg
                     )
+            # versions committed inside a multi-table transaction carry
+            # a pending_txn stamp whose visibility lives in the SOURCE
+            # catalog's _txns/ marker — copy it (idempotent PUT, once
+            # per txn) or the mirror would treat the version as open
+            # and skip it forever. Only committed txns can appear here:
+            # the sync cap is the source's VISIBLE tip.
+            p = m.props.get("pending_txn")
+            if p is not None and p not in copied_txns:
+                mk = src.fs.try_read_bytes(_txn.final_path(src.root, p))
+                if mk is not None:
+                    dest.fs.ensure_dir(
+                        os.path.join(dest_root, _txn.TXN_DIR)
+                    )
+                    dest.fs.put(_txn.final_path(dest_root, p), mk)
+                copied_txns.add(p)
     # publish: posix keeps an explicit pointer; CAS derives tip by LIST.
     # The pointer advances to the highest version PRESENT past the old
     # tip (not merely max(to_sync)): a crash after segment copies but

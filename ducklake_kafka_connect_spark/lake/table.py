@@ -47,7 +47,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..metrics import REGISTRY
+from . import txn as _txn
 from .backend import StorageBackend, resolve_backend
+from .txn import TxnContext, TxnInProgress
 from .partitioning import (
     PartitionExpr,
     derived_column_names,
@@ -421,6 +423,7 @@ class LakeTable:
         name: str,
         manifest_format: str | None = None,
         backend: "StorageBackend | str | None" = None,
+        txn_ctx: "TxnContext | None" = None,
     ):
         # default comes from $DUCKLAKE_MANIFEST_FORMAT so whole suites
         # can exercise the binary form without touching call sites
@@ -430,6 +433,14 @@ class LakeTable:
             raise ValueError(f"unknown manifest_format {manifest_format!r}")
         self.spark = spark
         self.name = name
+        self.root = root
+        # catalog-shared transaction context (lake/txn.py): when the
+        # owning catalog has an open BEGIN, commits stamp pending_txn
+        # and reads see the txn's own pending versions. Tables built
+        # outside a catalog get a fresh inactive context — visibility
+        # rules for FOREIGN pending versions still apply (they derive
+        # from manifest props + markers, not from this object).
+        self._txn_ctx = txn_ctx if txn_ctx is not None else _txn.TxnContext()
         self.dir = os.path.join(root, name)
         self.meta_dir = os.path.join(self.dir, "_meta")
         self.data_dir = os.path.join(self.dir, "data")
@@ -499,13 +510,69 @@ class LakeTable:
             self.fs.read_bytes(os.path.join(self.meta_dir, "LATEST")).decode().strip()
         )
 
-    def manifest(self, version: int | None = None) -> Manifest:
+    def manifest(
+        self, version: int | None = None, *, check_txn: bool = True
+    ) -> Manifest:
         """Resolve a version: full manifests load directly; delta
         segments walk parents to the nearest full base and re-apply
         (bounded by COMPACT_EVERY — a full base is written at least
-        every N commits, so the chain is short by construction)."""
+        every N commits, so the chain is short by construction).
+
+        Transaction visibility (lake/txn.py): with no explicit version,
+        the walk starts at the physical tip and steps down parent
+        pointers past versions whose ``pending_txn`` is not visible to
+        this reader (not committed and not this catalog's own open
+        transaction) — so a half-done multi-table BEGIN is invisible
+        here, at zero cost to tables with no pending marker (the props
+        check is on an already-loaded manifest). An EXPLICIT version
+        belonging to an open/aborted transaction refuses with the txn
+        named — time travel must never surface uncommitted state.
+        ``check_txn=False`` is for maintenance walks (history, vacuum,
+        timestamp scans, rollback itself) that must see the raw chain.
+        """
         REGISTRY.inc("manifest.resolves")
-        v = self.current_version() if version is None else version
+        if version is None:
+            m = self._resolve_segment(self.current_version())
+            while (
+                check_txn
+                and (p := m.props.get("pending_txn"))
+                and not self._txn_visible(p)
+            ):
+                if m.parent is None:
+                    raise FileNotFoundError(
+                        f"table {self.name} was created inside "
+                        f"transaction {p} ({_txn.txn_status(self.fs, self.root, p)}) "
+                        f"and has no committed version yet"
+                    )
+                m = self._resolve_segment(m.parent)
+            return m
+        m = self._resolve_segment(version)
+        if (
+            check_txn
+            and (p := m.props.get("pending_txn"))
+            and not self._txn_visible(p)
+        ):
+            raise ValueError(
+                f"version {version} of {self.name} belongs to "
+                f"transaction {p}, which is "
+                f"{_txn.txn_status(self.fs, self.root, p)} — uncommitted "
+                f"state is not addressable (COMMIT it, or rollback_txn "
+                f"to discard)"
+            )
+        return m
+
+    def _txn_visible(self, txn_id: str) -> bool:
+        if txn_id == self._txn_ctx.active:
+            return True  # read-your-writes inside the open transaction
+        return _txn.txn_status(self.fs, self.root, txn_id) == "committed"
+
+    def visible_version(self) -> int:
+        """The version committed READERS currently resolve — equals
+        ``current_version()`` except while an open/aborted transaction
+        holds the tip."""
+        return self.manifest().version
+
+    def _resolve_segment(self, v: int) -> Manifest:
         base = self._read_full_segment(v)
         if base is not None:
             return Manifest.from_dict(base)
@@ -778,16 +845,7 @@ class LakeTable:
         for v in range(self.current_version() + 1):
             if not self.has_version(v):
                 continue
-            t_v: float | None = None
-            try:
-                t_v = float(self.manifest(v).props.get("committed_at"))
-            except (TypeError, ValueError):
-                try:
-                    t_v = self.fs.file_mtime(
-                        os.path.join(self.meta_dir, self.chain_filenames(v)[0])
-                    )
-                except (FileNotFoundError, OSError, IndexError):
-                    t_v = None
+            t_v = self._commit_time_of(v)
             if t_v is not None and t_v <= target:
                 best = v
         if best is None:
@@ -796,6 +854,33 @@ class LakeTable:
                 f"{ts!r} (use DESCRIBE HISTORY to see available versions)"
             )
         return best
+
+    def _commit_time_of(self, v: int) -> "float | None":
+        """Commit wall-clock of version ``v`` for timestamp resolution,
+        or None when the version must not resolve (still pending or
+        aborted). Versions committed inside a multi-table transaction
+        became VISIBLE at the final marker's instant, not at their
+        segment stamp — a ``TIMESTAMP AS OF`` between the two must see
+        the pre-transaction state, so the marker's time wins."""
+        try:
+            m = self.manifest(v, check_txn=False)
+        except (FileNotFoundError, ValueError):
+            return None
+        p = m.props.get("pending_txn")
+        if p is not None:
+            t_marker = _txn.txn_committed_at(self.fs, self.root, p)
+            if t_marker is None:  # open or aborted — not resolvable
+                return None
+            return t_marker
+        try:
+            return float(m.props.get("committed_at"))
+        except (TypeError, ValueError):
+            try:
+                return self.fs.file_mtime(
+                    os.path.join(self.meta_dir, self.chain_filenames(v)[0])
+                )
+            except (FileNotFoundError, OSError, IndexError):
+                return None
 
     # ---------- user table properties (TBLPROPERTIES) ----------
     #
@@ -978,11 +1063,48 @@ class LakeTable:
                 f"source and re-replicate, or promote_replica() to "
                 f"detach this mirror first"
             )
+        # multi-table transaction protocol (lake/txn.py): stamp this
+        # version as pending when the owning catalog has an open BEGIN;
+        # otherwise STRIP any stamp inherited through the common
+        # ``{**parent.props, ...}`` construction — a committed txn's
+        # marker must not ride along forever (it would cost every future
+        # reader a marker lookup), and an open txn's must never leak
+        # onto an outside write. Building on a FOREIGN pending or
+        # aborted version is refused here, which is what makes the
+        # reader walk's invariant hold: non-visible versions are always
+        # a contiguous tip suffix of one transaction.
+        active = self._txn_ctx.active
+        parent_txn = (
+            parent_manifest.props.get("pending_txn")
+            if parent_manifest is not None
+            else None
+        )
+        if parent_txn is not None and parent_txn != active:
+            pst = _txn.txn_status(self.fs, self.root, parent_txn)
+            if pst == "open":
+                raise TxnInProgress(
+                    f"table {self.name} tip (v{parent_manifest.version}) "
+                    f"belongs to open transaction {parent_txn} — wait for "
+                    f"its COMMIT, or rollback_txn({parent_txn!r}) to "
+                    f"discard it"
+                )
+            if pst == "aborted":
+                raise TxnInProgress(
+                    f"table {self.name} tip (v{parent_manifest.version}) "
+                    f"belongs to aborted transaction {parent_txn} whose "
+                    f"cleanup has not finished — run "
+                    f"rollback_txn({parent_txn!r}) to complete it"
+                )
+        if active is not None:
+            manifest.props["pending_txn"] = active
+            _txn.record_touched(self.fs, self.root, active, self.name)
+        else:
+            manifest.props.pop("pending_txn", None)
         self.fs.ensure_dir(self.meta_dir)
         # pre-check across BOTH serialization forms and delta-ness (the
         # CAS below only guards the exact path being written)
         if self.has_version(manifest.version):
-            raise CommitConflict(f"Version {manifest.version} already committed on {self.name}")
+            raise self._commit_collision_error(manifest.version)
         # merge-on-read bookkeeping rides THIS chokepoint so no write
         # path can forget it: files added while tombstones are active
         # get stamped with the committing version, and tombstones that
@@ -1021,11 +1143,37 @@ class LakeTable:
                 spath = os.path.join(self.meta_dir, f"v{manifest.version}.json")
                 payload = manifest.to_json()
         if not self.fs.put_if_absent(spath, payload):
-            raise CommitConflict(
-                f"Version {manifest.version} already committed on {self.name} "
-                f"(lost the commit CAS on {os.path.basename(spath)})"
-            )
+            raise self._commit_collision_error(manifest.version)
         self.fs.put(os.path.join(self.meta_dir, "LATEST"), str(manifest.version))
+
+    def _commit_collision_error(self, version: int) -> Exception:
+        """The right error for 'version N already exists': a plain
+        CommitConflict (caller replans on the new tip) — UNLESS the
+        collider belongs to an open/aborted transaction, where a replan
+        would re-read the same visible manifest and collide forever;
+        that caller needs TxnInProgress with the remedy instead."""
+        try:
+            p = self._resolve_segment(version).props.get("pending_txn")
+        except (FileNotFoundError, KeyError, ValueError):
+            p = None
+        if p is not None and p != self._txn_ctx.active:
+            st = _txn.txn_status(self.fs, self.root, p)
+            if st == "open":
+                return TxnInProgress(
+                    f"cannot commit v{version} on {self.name}: that "
+                    f"version is held by open transaction {p} — wait for "
+                    f"its COMMIT, or rollback_txn({p!r}) to discard it"
+                )
+            if st == "aborted":
+                return TxnInProgress(
+                    f"cannot commit v{version} on {self.name}: that "
+                    f"version belongs to aborted transaction {p} whose "
+                    f"cleanup has not finished — run rollback_txn({p!r}) "
+                    f"to complete it"
+                )
+        return CommitConflict(
+            f"Version {version} already committed on {self.name}"
+        )
 
     # ---------- history / restore ----------
 
@@ -1041,7 +1189,10 @@ class LakeTable:
         for v in range(self.current_version() + 1):
             if not self.has_version(v):
                 continue
-            m = self.manifest(v)
+            # raw chain walk: versions pending under an open transaction
+            # appear (an operator debugging a stuck BEGIN needs to see
+            # them) but are invisible to reads until the txn commits
+            m = self.manifest(v, check_txn=False)
             n_bytes = sum(
                 int((m.file_stats.get(f) or {}).get("__bytes") or 0)
                 for f in m.all_files()
@@ -1668,11 +1819,8 @@ class LakeTable:
         for v in range(self.current_version() + 1):
             if not self.has_version(v):
                 continue
-            try:
-                t_v = float(self.manifest(v).props.get("committed_at"))
-            except (TypeError, ValueError):
-                continue
-            if t_v >= target:
+            t_v = self._commit_time_of(v)
+            if t_v is not None and t_v >= target:
                 return v
         return None
 
@@ -3124,6 +3272,10 @@ class LakeCatalog:
         # ATTACH'd sibling lakes (alias → LakeCatalog), session-scoped
         # like DuckDB's ATTACH — nothing persists across processes
         self._attached: "dict[str, LakeCatalog]" = {}
+        # multi-table transaction context (lake/txn.py) — shared with
+        # every LakeTable this catalog hands out, so BEGIN/COMMIT here
+        # govern all of them
+        self._txn = TxnContext()
 
     # ---------- ATTACH (read-only sibling lakes) ----------
     #
@@ -3230,7 +3382,181 @@ class LakeCatalog:
             name,
             manifest_format=self.manifest_format,
             backend=self.fs,
+            txn_ctx=self._txn,
         )
+
+    # ---------- multi-table transactions (lake/txn.py) ----------
+    #
+    # DuckLake's catalog-level ACID story: BEGIN; write several tables;
+    # COMMIT — and every touched table flips visible in ONE atomic
+    # create-if-absent PUT of the final marker. The reference gets this
+    # from its Postgres catalog's transactions
+    # (`DucklakeConnectionFactory.java:36-95`); here the protocol lives
+    # on storage so it holds on posix and object-store backends alike.
+    # See lake/txn.py for the full protocol + crash matrix.
+
+    def begin(self) -> str:
+        """Open a transaction. Subsequent writes through THIS catalog
+        (Python API or SQL DML/DDL) stay invisible to other readers
+        until :meth:`commit_txn`. Returns the transaction id."""
+        if self._txn.active is not None:
+            raise ValueError(
+                f"transaction {self._txn.active} is already open on this "
+                f"catalog (nested BEGIN is not supported — COMMIT or "
+                f"ROLLBACK it first)"
+            )
+        self._txn.active = _txn.begin_txn(self.fs, self.root)
+        return self._txn.active
+
+    def commit_txn(self) -> str:
+        """Atomically publish every write made since :meth:`begin`."""
+        txn_id = self._txn.active
+        if txn_id is None:
+            raise ValueError("no open transaction (BEGIN first)")
+        tables = _txn.touched_tables(self.fs, self.root, txn_id)
+        _txn.finalize_txn(self.fs, self.root, txn_id, "committed", tables)
+        self._txn.active = None
+        return txn_id
+
+    def rollback_txn(self, txn_id: str | None = None) -> str:
+        """Abort a transaction and physically undo its writes.
+
+        With no argument, rolls back this catalog's open transaction.
+        Pass an id to clean up a FOREIGN transaction (one whose process
+        died mid-flight, or whose own rollback crashed mid-cleanup) —
+        the final marker lands first, so re-running is idempotent and
+        a crash here never widens the damage. After cleanup the chain
+        is clean: freed version numbers are reused by the next writer.
+        """
+        target = txn_id if txn_id is not None else self._txn.active
+        if target is None:
+            raise ValueError("no open transaction and no txn id given")
+        status = _txn.txn_status(self.fs, self.root, target)
+        if status == "committed":
+            raise ValueError(
+                f"transaction {target} already committed — committed "
+                f"state rolls back via time travel (RESTORE), not "
+                f"ROLLBACK"
+            )
+        if status == "open":
+            _txn.finalize_txn(
+                self.fs,
+                self.root,
+                target,
+                "aborted",
+                _txn.touched_tables(self.fs, self.root, target),
+            )
+        for tname in _txn.touched_tables(self.fs, self.root, target):
+            self._rollback_table(tname, target)
+        if self._txn.active == target:
+            self._txn.active = None
+        return target
+
+    def _rollback_table(self, tname: str, txn_id: str) -> None:
+        """Delete ``txn_id``'s pending versions from one table: the
+        segments AND the data/tombstone files only they referenced.
+        Pending versions are a contiguous tip suffix (the _commit fence
+        guarantees it), so the walk is tip-down to the first visible
+        ancestor."""
+        t = self.table(tname)
+        if not t.exists():
+            return  # table was created inside the txn and fully cleaned
+        try:
+            tip = t.current_version()
+        except FileNotFoundError:
+            return
+        pending: list[Manifest] = []
+        v: int | None = tip
+        while v is not None and v >= 0:
+            try:
+                m = t.manifest(v, check_txn=False)
+            except FileNotFoundError:
+                break
+            if m.props.get("pending_txn") != txn_id:
+                break
+            pending.append(m)
+            v = m.parent if m.parent is not None else -1
+        if not pending:
+            return
+        keep_version = pending[-1].parent
+        kept_files: set[str] = set()
+        if keep_version is not None:
+            kept_files = set(
+                t.manifest(keep_version, check_txn=False).retention_files()
+            )
+        doomed_files = {
+            f for m in pending for f in m.retention_files()
+        } - kept_files
+        # order: data files first, segments last, pointer fix after —
+        # a crash at any point leaves the txn aborted-and-invisible,
+        # and a re-run resumes (missing files skip silently)
+        for rel in sorted(doomed_files):
+            for path in (
+                os.path.join(t.dir, rel),
+                os.path.join(t.dir, rel) + ".bloom",
+            ):
+                try:
+                    t.fs.delete(path)
+                except FileNotFoundError:
+                    pass
+        if doomed_files:
+            t.fs.remove_empty_dirs(t.data_dir)
+        for m in pending:
+            for fn in (
+                f"v{m.version}{ext}"
+                for ext in (".json", ".avro", ".delta.json", ".delta.avro")
+            ):
+                try:
+                    t.fs.delete(os.path.join(t.meta_dir, fn))
+                except FileNotFoundError:
+                    pass
+        if keep_version is None:
+            # table born inside the aborted txn — remove its breadcrumb
+            # pointer so exists() turns false again on posix
+            try:
+                t.fs.delete(os.path.join(t.meta_dir, "LATEST"))
+            except FileNotFoundError:
+                pass
+        elif not t.fs.cas_commits:
+            t.fs.put(os.path.join(t.meta_dir, "LATEST"), str(keep_version))
+
+    def list_transactions(self) -> "DataFrame":
+        """One row per transaction: (txn, status, opened_at,
+        finalized_at, tables)."""
+        rows = [
+            (
+                d["txn"],
+                d["status"],
+                d["opened_at"],
+                d["finalized_at"],
+                d["tables"],
+            )
+            for d in _txn.list_txns(self.fs, self.root)
+        ]
+        return self.spark.createDataFrame(
+            rows or [],
+            "txn string, status string, opened_at double, "
+            "finalized_at double, tables array<string>",
+        )
+
+    def transaction(self):
+        """Context manager: ``with cat.transaction(): ...`` commits on
+        clean exit, rolls back (physically undoing every write) when
+        the body raises."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            self.begin()
+            try:
+                yield self
+            except BaseException:
+                self.rollback_txn()
+                raise
+            else:
+                self.commit_txn()
+
+        return _cm()
 
     def table_exists(self, name: str) -> bool:
         return self.table(name).exists()
@@ -5193,6 +5519,30 @@ class LakeCatalog:
         # attachment (`lake.main.<table>`) run unchanged
         query = strip_catalog_prefix(query)
         q = query.strip().rstrip(";").strip()
+        # multi-table transaction statements (session-stateful, like
+        # DuckDB's BEGIN/COMMIT against an attached ducklake catalog)
+        if _re.match(r"(BEGIN|START)(\s+TRANSACTION)?\s*$", q, _re.IGNORECASE):
+            txn_id = self.begin()
+            return self.spark.createDataFrame(
+                [(txn_id, "open")], "txn string, status string"
+            )
+        if _re.match(r"COMMIT(\s+TRANSACTION)?\s*$", q, _re.IGNORECASE):
+            txn_id = self.commit_txn()
+            return self.spark.createDataFrame(
+                [(txn_id, "committed")], "txn string, status string"
+            )
+        rbm = _re.match(
+            r"ROLLBACK(?:\s+TRANSACTION)?(?:\s+'([0-9a-f]+)')?\s*$",
+            q,
+            _re.IGNORECASE,
+        )
+        if rbm:
+            txn_id = self.rollback_txn(rbm.group(1))
+            return self.spark.createDataFrame(
+                [(txn_id, "aborted")], "txn string, status string"
+            )
+        if _re.match(r"SHOW\s+TRANSACTIONS\s*$", q, _re.IGNORECASE):
+            return self.list_transactions()
         stl = _re.match(
             r"SHOW\s+TABLES(?:\s+LIKE\s+'((?:[^']|'')*)')?\s*$", q, _re.IGNORECASE
         )

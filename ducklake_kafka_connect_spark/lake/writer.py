@@ -869,7 +869,7 @@ class LakeWriter:
                 out = self._prepare_insert(df, manifest)
                 with self.table.lock():
                     # re-resolve only if a commit landed since planning
-                    if self.table.current_version() != manifest.version:
+                    if self._chain_advanced(manifest.version):
                         manifest = self.table.manifest()
                     new_files, new_stats = self.table.write_data_files(
                         out,
@@ -901,7 +901,7 @@ class LakeWriter:
             return
         with self.table.lock():
             # re-resolve only if a commit landed since planning
-            if self.table.current_version() != manifest.version:
+            if self._chain_advanced(manifest.version):
                 manifest = self.table.manifest()
             new_files, new_stats = self.table.write_data_files(
                 out, manifest.version + 1, layout="rebalance",
@@ -1160,6 +1160,20 @@ class LakeWriter:
                 tombstone_col=tombstone_col,
                 ephemeral_order=True,
             )
+
+    def _chain_advanced(self, planned_version: int) -> bool:
+        """Stale-plan check under the table lock: has the chain moved
+        past the manifest this write planned against?
+
+        Compares the PHYSICAL tip first (cheap pointer/LIST read — the
+        common path). When they differ, the tip may merely be held by a
+        foreign open transaction (lake/txn.py) whose versions are
+        invisible — replanning would spin forever because the VISIBLE
+        manifest never advances; in that case report not-stale and let
+        the commit CAS raise TxnInProgress with the remedy instead."""
+        if self.table.current_version() == planned_version:
+            return False
+        return self.table.visible_version() != planned_version
 
     def _merge(
         self,
@@ -1506,7 +1520,7 @@ class LakeWriter:
                 # cheap tip check (one tiny LATEST read, not a chain
                 # resolve): unchanged version ⇒ the pre-lock planning
                 # manifest IS the tip, so reuse it as-is
-                if self.table.current_version() != planned_version:
+                if self._chain_advanced(planned_version):
                     return False  # concurrent commit — replan against it
                 if small and n_out > 1:
                     # key-disjoint output files: see write_data_files'
@@ -1689,7 +1703,7 @@ class LakeWriter:
 
             with self.table.lock():
                 # cheap tip check; unchanged ⇒ planning manifest is tip
-                if self.table.current_version() != planned_version:
+                if self._chain_advanced(planned_version):
                     return False  # concurrent commit — replan
                 v = manifest.version + 1
                 if est_bytes <= SMALL_OUTPUT_BYTES:
@@ -1838,7 +1852,7 @@ class LakeWriter:
         )
         with self.table.lock():
             # cheap tip check; unchanged ⇒ planning manifest is tip
-            if self.table.current_version() != planned_version:
+            if self._chain_advanced(planned_version):
                 return False  # concurrent commit — replan against it
             current = manifest
             # skip_bloom: a table this small is read whole for any point
@@ -2137,7 +2151,7 @@ class LakeWriter:
 
             with self.table.lock():
                 # cheap tip check; unchanged ⇒ planning manifest is tip
-                if self.table.current_version() != planned_version:
+                if self._chain_advanced(planned_version):
                     return False
                 current = manifest
                 stage_rel = os.path.join(

@@ -375,12 +375,18 @@ class _StreamReader(DataSourceStreamReader):
             # OR AFTER the timestamp; all commits older → tip (future only)
             v = self.table.first_version_at_or_after(self._starting_ts)
             if v is None:
-                return {"version": self.table.current_version()}
+                return {"version": self.table.visible_version()}
             return {"version": v - 1}
-        return {"version": self.table.current_version()}
+        return {"version": self.table.visible_version()}
 
     def latestOffset(self) -> dict:
-        return {"version": self.table.current_version()}
+        # visible, not physical, tip: versions pending under an open
+        # multi-table transaction (lake/txn.py) must not be emitted —
+        # they become part of a batch only after the txn's atomic
+        # COMMIT, and if it rolls back their version numbers are freed
+        # and reused, which is safe precisely because the offset never
+        # advanced past the visible chain
+        return {"version": self.table.visible_version()}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
