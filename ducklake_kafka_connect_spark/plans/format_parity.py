@@ -2385,3 +2385,122 @@ def sql_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) "
         "FROM ev_snap AT (VERSION => 3)"
     )
+
+
+@register(
+    "multi_table_txn_atomic",
+    """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 5 = 0
+    ),
+    final_a AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 20 = 0 THEN event_id ELSE cents END AS cents
+      FROM s
+    ),
+    b AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS batch_n
+      FROM s WHERE event_id % 2 = 1 OR event_id % 20 = 0
+      GROUP BY event_type
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.cents) AS BIGINT) AS sum_cents,
+           max(b.batch_n) AS batch_n
+    FROM final_a a JOIN b ON a.event_type = b.event_type
+    GROUP BY a.event_type
+    """,
+    "r14 atomic multi-table transaction (lake/txn.py): BEGIN; upsert "
+    "into a fact table AND its per-type audit table; a SECOND catalog "
+    "over the same root must see the pre-txn snapshot of BOTH mid-txn "
+    "(asserted), then both flip visible at the single COMMIT marker "
+    "(asserted). A second BEGIN writes junk to both and ROLLBACK "
+    "physically undoes it — version chains return to their pre-junk "
+    "tips (asserted). DuckLake catalog parity: the reference gets this "
+    "from PG transactions (DucklakeConnectionFactory.java:36-95); here "
+    "the commit point is one create-if-absent marker PUT.",
+)
+def multi_table_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeWriter
+
+    s = _event_source(spark, sf_dir).filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ducklake_txn_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, root)
+    outside = LakeCatalog(spark, root)
+    wa = LakeWriter(cat.table("txn_ev"), pk=["event_id"])
+    wb = LakeWriter(cat.table("txn_audit"), pk=["event_type"])
+    initial = s.filter(F.col("event_id") % 2 == 0)
+    wa.write(initial)
+    n_initial = initial.count()
+
+    # --- atomic commit across both tables ---
+    batch = s.filter(
+        (F.col("event_id") % 2 == 1) | (F.col("event_id") % 20 == 0)
+    ).withColumn(
+        "cents",
+        F.when(F.col("event_id") % 20 == 0, F.col("event_id")).otherwise(
+            F.col("cents")
+        ),
+    )
+    audit = batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("batch_n")
+    )
+    cat.begin()
+    wa.write(batch)
+    wb.write(audit)
+    mid_a = outside.table("txn_ev").read().count()
+    if mid_a != n_initial:
+        raise AssertionError(
+            f"txn leak: outside reader saw {mid_a} rows mid-txn, "
+            f"expected the pre-txn {n_initial}"
+        )
+    if outside.table("txn_audit").exists():
+        try:
+            outside.table("txn_audit").read()
+            raise AssertionError("txn leak: audit table visible mid-txn")
+        except FileNotFoundError:
+            pass
+    cat.commit_txn()
+    post_a = outside.table("txn_ev").read().count()
+    expected_a = s.count()
+    if post_a != expected_a:
+        raise AssertionError(
+            f"post-commit fact count {post_a} != expected {expected_a}"
+        )
+
+    # --- rollback physically undoes both ---
+    tip_a = cat.table("txn_ev").current_version()
+    tip_b = cat.table("txn_audit").current_version()
+    junk = spark.createDataFrame(
+        [(-1, "junk", -1)], "event_id long, event_type string, cents long"
+    )
+    cat.begin()
+    wa.write(junk)
+    wb.write(
+        spark.createDataFrame(
+            [("junk", -1)], "event_type string, batch_n long"
+        )
+    )
+    cat.rollback_txn()
+    if cat.table("txn_ev").current_version() != tip_a:
+        raise AssertionError("rollback left fact-table versions behind")
+    if cat.table("txn_audit").current_version() != tip_b:
+        raise AssertionError("rollback left audit-table versions behind")
+    if outside.table("txn_ev").read().filter("event_id < 0").count() != 0:
+        raise AssertionError("rollback left junk rows visible")
+
+    return outside.sql(
+        "SELECT a.event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(a.cents) AS BIGINT) AS sum_cents, "
+        "max(b.batch_n) AS batch_n "
+        "FROM txn_ev a JOIN txn_audit b ON a.event_type = b.event_type "
+        "GROUP BY a.event_type"
+    )
