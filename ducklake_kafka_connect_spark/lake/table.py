@@ -3991,6 +3991,28 @@ class LakeCatalog:
         from .sql_prune import strip_catalog_prefix
 
         stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
+        # statements that mutate UNVERSIONED state (tree deletes, view/
+        # macro catalog files, foreign roots, physical file reclamation)
+        # cannot participate in ROLLBACK — refuse them inside an open
+        # transaction rather than silently breaking its atomicity.
+        # Versioned DDL (ALTER ADD COLUMN, TRUNCATE, RESTORE, CTAS, ...)
+        # rides _commit and rolls back like any write.
+        if self._txn.active is not None and _re.match(
+            r"(DROP\s+TABLE|VACUUM|OPTIMIZE"
+            r"|CREATE\s+(OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW"
+            r"|DROP\s+(MATERIALIZED\s+)?VIEW|ALTER\s+VIEW"
+            r"|CREATE\s+(OR\s+REPLACE\s+)?MACRO"
+            r"|DROP\s+MACRO|REPLICATE\s+TABLE|IMPORT\s+DATABASE"
+            r"|ATTACH|DETACH)\b",
+            stmt,
+            _re.IGNORECASE,
+        ):
+            raise ValueError(
+                f"{stmt.split(None, 1)[0].upper()} mutates unversioned "
+                f"catalog state and cannot be rolled back — not supported "
+                f"inside an open transaction (COMMIT or ROLLBACK "
+                f"{self._txn.active} first)"
+            )
         # ---- COPY INTO: idempotent bulk file ingestion (Delta parity:
         # already-loaded files are remembered in table props and skipped
         # on re-run, so a failed batch job reruns safely) ----

@@ -272,3 +272,32 @@ class TestStacking:
         LakeWriter(cat.table("a"), pk=["id"]).write(_df(spark, [(4, "p")]))
         m = cat.table("a").manifest()
         assert "pending_txn" not in m.props
+
+
+class TestUnversionedDdlGuard:
+    def test_drop_table_refused_inside_txn(self, spark, cat):
+        cat.begin()
+        with pytest.raises(ValueError, match="cannot be rolled back"):
+            cat.sql("DROP TABLE a")
+        cat.rollback_txn()
+        cat.sql("DROP TABLE a")  # fine outside
+        assert not cat.table("a").exists()
+
+    def test_vacuum_and_views_refused_inside_txn(self, spark, cat):
+        cat.begin()
+        for stmt in (
+            "VACUUM a",
+            "OPTIMIZE a",
+            "CREATE VIEW v1 AS SELECT * FROM a",
+            "CREATE MATERIALIZED VIEW mv1 AS SELECT count(*) AS n FROM a",
+        ):
+            with pytest.raises(ValueError, match="open transaction"):
+                cat.sql(stmt)
+        cat.rollback_txn()
+
+    def test_versioned_ddl_allowed_and_rolls_back(self, spark, cat):
+        cat.begin()
+        cat.sql("ALTER TABLE a ADD COLUMN extra INT")
+        assert "extra" in cat.table("a").manifest().schema.fieldNames()
+        cat.rollback_txn()
+        assert "extra" not in cat.table("a").manifest().schema.fieldNames()
