@@ -2504,3 +2504,46 @@ def multi_table_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM txn_ev a JOIN txn_audit b ON a.event_type = b.event_type "
         "GROUP BY a.event_type"
     )
+
+
+@register(
+    "sql_group_by_all",
+    """
+    WITH src AS (
+      SELECT event_type, user_id % 7 AS cohort,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 3 = 0
+    )
+    SELECT event_type, cohort,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM src
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    "DuckDB-dialect GROUP BY ALL / ORDER BY ALL (r14): both engines "
+    "support the forms natively (Spark since 3.4, SPARK-40218), so the "
+    "statement runs VERBATIM through the catalog SQL path and DuckDB — "
+    "grouping keys inferred from the non-aggregate select list, "
+    "ordering over the full projection. Plan shape is identical to the "
+    "explicit GROUP BY: one partial+final hash aggregate around one "
+    "exchange.",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeWriter
+
+    cat = _fresh_catalog(spark, "gba")
+    LakeWriter(cat.table("ev_gba"), pk=["event_id"]).write(
+        _event_source(spark, sf_dir).filter(F.col("event_id") % 3 == 0).select(
+            "event_id",
+            "event_type",
+            (F.col("user_id") % 7).alias("cohort"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return cat.sql(
+        "SELECT event_type, cohort, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(cents) AS BIGINT) AS sum_cents "
+        "FROM ev_gba GROUP BY ALL ORDER BY ALL"
+    )
