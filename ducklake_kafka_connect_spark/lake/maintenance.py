@@ -114,6 +114,14 @@ def compact(
     rewritten; untouched partitions carry their files into the new
     manifest unchanged. At 100 TB this runs as a background job per
     table with the same commit protocol as writes."""
+    # OPTIMIZE right-sizes the file set — buffered inlined rows belong
+    # in it, so flush first (lake/inline.py; DuckLake ties its flush to
+    # maintenance the same way)
+    from .inline import inline_state
+    from .writer import LakeWriter
+
+    if table.exists() and inline_state(table.manifest())[0]:
+        LakeWriter(table, auto_create=False).flush_inlined()
     with REGISTRY.timer("compactTable"), table.lock():
         from .mor import mor_state, read_visible
 
@@ -433,6 +441,13 @@ def dedup_rewrite(
     pre-dedup snapshot readable."""
     from ..schema.reconcile import INSERTED_AT
 
+    # buffered inlined rows must participate in the dedup (they may BE
+    # the duplicates) — flush first (lake/inline.py)
+    from .inline import inline_state
+    from .writer import LakeWriter
+
+    if inline_state(table.manifest())[0]:
+        LakeWriter(table, auto_create=False).flush_inlined()
     with REGISTRY.timer("dedupRewrite"), table.lock():
         m = table.manifest()
         df = table.read(include_hidden=True)

@@ -1361,6 +1361,14 @@ class LakeTable:
                 # merge-on-read seq/tombstone state remapped to the
                 # clone's paths; preserved verbatim through this commit
                 **({"mor": mor_props, "mor_preserve": True} if mor_props else {}),
+                # a pending inline buffer is table CONTENT — it must
+                # clone with the files (lake/inline.py; path-free, so
+                # no remapping needed)
+                **(
+                    {"inlined": src.props["inlined"]}
+                    if src.props.get("inlined", {}).get("ipc")
+                    else {}
+                ),
             },
             file_stats=stats,
         )
@@ -1592,7 +1600,9 @@ class LakeTable:
                 partition_spec=m.partition_spec,
                 files={},
                 parent=m.version,
-                props={**m.props, "last_op": "TRUNCATE"},
+                # TRUNCATE drops ALL content — pending inlined rows
+                # (lake/inline.py) are content and empty with it
+                props={**m.props, "inlined": {}, "last_op": "TRUNCATE"},
                 file_stats={},
             )
             self._commit(nm, parent_manifest=m)
@@ -1647,6 +1657,9 @@ class LakeTable:
         pruning, and dir layout). Returns the new version."""
         with self.lock():
             m = self.manifest()
+            from .inline import require_no_inline
+
+            require_no_inline(m, self.name, "RENAME COLUMN")
             names = m.schema.fieldNames()
             if old not in names:
                 raise ValueError(f"no column {old!r} on {self.name}")
@@ -1833,6 +1846,9 @@ class LakeTable:
         source/output, and system columns. Returns the new version."""
         with self.lock():
             m = self.manifest()
+            from .inline import require_no_inline
+
+            require_no_inline(m, self.name, "DROP COLUMN")
             if name not in m.schema.fieldNames():
                 raise ValueError(f"no column {name!r} on {self.name}")
             if name in (m.pk or []):
@@ -2057,9 +2073,18 @@ class LakeTable:
         # a plain schema'd multi-path read when the table has no MOR
         # state (lake/mor.py). File pruning above stays sound: pruning
         # only drops files whose rows the predicate rejects anyway.
+        from .inline import inline_rows_df
         from .mor import read_visible
 
         df = read_visible(self, m, rel_files, schema=schema)
+        # pending inlined rows (lake/inline.py) union in at the single
+        # read chokepoint — bounded by the inline limit, physical-shaped
+        # like any file row, and filtered by `where` below exactly as
+        # file rows are (file pruning above is unaffected: it only
+        # narrows the FILE list)
+        inl = inline_rows_df(self.spark, m, schema)
+        if inl is not None:
+            df = df.unionByName(inl, allowMissingColumns=True)
         df = self.to_logical_names(df, m)
         if where is not None:
             df = df.filter(where)
@@ -2082,7 +2107,9 @@ class LakeTable:
         m = self.manifest(version)
         if (m.props.get("mor") or {}).get("deletes"):
             return self.read(version=m.version).count()
-        total = 0
+        from .inline import inline_state
+
+        total = inline_state(m)[1]  # pending inlined rows: metadata-only
         missing: list[str] = []
         for f in m.all_files():
             r = (m.file_stats.get(f) or {}).get("__rows")
@@ -2137,6 +2164,19 @@ class LakeTable:
                 f"({list(m_to.pk or [])}) — the span crosses a REPLACE or "
                 f"pk redefinition, so row identity (and therefore CDF) is "
                 f"undefined across it; diff within one schema lineage"
+            )
+        # CDF is a FILE diff; an inline buffer that differs between the
+        # endpoints holds row changes no file records. Equal buffers
+        # cancel exactly (both sides would scan the same rows), so only
+        # a difference refuses — with the flush remedy.
+        from .inline import inline_state
+
+        if inline_state(m_from)[0] != inline_state(m_to)[0]:
+            raise ValueError(
+                f"changes() on {self.name}: the inline buffer differs "
+                f"between v{m_from.version} and v{m_to.version} — run "
+                f"FLUSH INLINED DATA {self.name} and diff spans whose "
+                f"endpoints have no pending inlined rows"
             )
         shared = set(m_from.all_files()) & set(m_to.all_files())
         only_from = [f for f in m_from.all_files() if f not in shared]
@@ -3938,6 +3978,7 @@ class LakeCatalog:
         ("set_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$"),
         ("unset_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*(?:(IF\s+EXISTS)\s*)?\((.*)\)\s*$"),
         ("truncate", rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*$"),
+        ("flush_inlined", rf"FLUSH\s+INLINED\s+DATA\s+({_IDENT})\s*$"),
         ("vacuum", rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+(DRY\s+RUN))?\s*$"),
         ("optimize", rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+?))?\s*$"),
     ]
@@ -4361,6 +4402,15 @@ class LakeCatalog:
                     raise ValueError(f"table {name!r} does not exist")
                 self.fs.delete_tree(t.dir)
                 return self._ddl_result("DROP TABLE", name, "")
+            if op == "flush_inlined":
+                from .writer import LakeWriter
+
+                if not t.exists():
+                    raise ValueError(f"table {name!r} does not exist")
+                n = LakeWriter(t, auto_create=False).flush_inlined()
+                return self._ddl_result(
+                    "FLUSH INLINED DATA", name, f"{n} row(s) flushed"
+                )
             if op == "create_tag":
                 # Iceberg SQL-extension parity: tags through SQL ride the
                 # same lock-free refs CAS chain as the API
@@ -5753,6 +5803,7 @@ class LakeCatalog:
             r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW|MACRO)"
             r"|REFRESH\s+MATERIALIZED\s+VIEW"
             r"|ALTER\s+TABLE|ALTER\s+VIEW|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE"
+            r"|FLUSH\s+INLINED\s+DATA"
             r"|RESTORE\s+TABLE|COPY\s+INTO|REPLICATE\s+TABLE"
             r"|EXPORT\s+DATABASE|IMPORT\s+DATABASE)\b",
             query,

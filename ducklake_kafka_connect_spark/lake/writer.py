@@ -580,6 +580,133 @@ class LakeWriter:
         finally:
             self._txn = None
 
+    # ---------- data inlining (lake/inline.py) ----------
+
+    def _maybe_inline_append(self, out: DataFrame, df: DataFrame, manifest):
+        """Inline-or-flush decision for an append on an opted-in table
+        (``write.inlining.row.limit`` tblproperty; lake/inline.py).
+
+        → (handled, out, manifest). handled=True means the batch was
+        committed here — either as a metadata-only inline commit (ONE
+        manifest PUT, no Spark write job, no parquet file) or, when the
+        accumulated buffer would overflow the limit, as a FLUSH commit
+        that lands buffer + batch together in real files. Both branches
+        run under the table lock with replan-on-advance, so concurrent
+        inline appends stack instead of losing rows."""
+        from .inline import encode_table, inline_state, table_inline_limit
+
+        limit = table_inline_limit(manifest)
+        if limit is None:
+            return False, out, manifest
+        # fast reject on a RELIABLE big estimate; the optimizer returns
+        # an 8-EiB sentinel for frames it cannot size (local relations —
+        # exactly the tiny-CDC shape inlining exists for), so an unknown
+        # estimate falls through to the bounded probe instead
+        try:
+            est = int(
+                out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = None
+        if est is not None and (1 << 60) > est > self.ARROW_APPEND_MAX_BYTES:
+            return False, out, manifest
+        # bounded probe: collect at most limit+1 rows — CollectLimit
+        # short-circuits, so a huge append pays one cheap partial scan,
+        # a tiny one IS fully collected right here (no second job)
+        with REGISTRY.timer("append.inlineEval"):
+            tbl = out.limit(limit + 1).toArrow()
+        if tbl.num_rows == 0 or tbl.num_rows > limit:
+            return False, out, manifest
+        with self.table.lock():
+            if self._chain_advanced(manifest.version):
+                manifest = self.table.manifest()
+            blobs, pending = inline_state(manifest)
+            schema = _logical_schema_of_batch(df, manifest)
+            if pending + tbl.num_rows <= limit:
+                with REGISTRY.timer("append.inlineCommit"):
+                    self._commit_next(
+                        manifest,
+                        manifest.files,
+                        schema,
+                        manifest.file_stats,
+                        op="INSERT_INLINE",
+                        extra_props={
+                            "inlined": {
+                                "ipc": blobs + [encode_table(tbl)],
+                                "rows": pending + tbl.num_rows,
+                            }
+                        },
+                    )
+                return True, out, manifest
+            # overflow → flush buffer + batch as real files, ONE commit
+            with REGISTRY.timer("append.inlineFlush"):
+                self._flush_locked(manifest, schema, extra=out)
+            return True, out, manifest
+
+    def _flush_locked(
+        self, manifest: Manifest, schema, extra: DataFrame | None = None
+    ) -> None:
+        """Write the pending inline buffer (+ optionally one more
+        physical batch frame) as real data files and clear the buffer —
+        caller holds the table lock."""
+        from .inline import inline_rows_df
+
+        pend = inline_rows_df(
+            self.table.spark, manifest, self.table.read_schema(manifest)
+        )
+        frames = [f for f in (pend, extra) if f is not None]
+        if not frames:
+            return
+        combined = frames[0]
+        for f in frames[1:]:
+            combined = combined.unionByName(f, allowMissingColumns=True)
+        new_files, new_stats = self.table.write_data_files(
+            combined, manifest.version + 1, layout="rebalance",
+            manifest=manifest,
+        )
+        files = {k: list(v) for k, v in manifest.files.items()}
+        for k, paths in new_files.items():
+            files.setdefault(k, []).extend(paths)
+        stats = dict(manifest.file_stats)
+        stats.update(new_stats)
+        self._commit_next(
+            manifest, files, schema,
+            stats, op="FLUSH_INLINED", extra_props={"inlined": {}},
+        )
+
+    def flush_inlined(self) -> int:
+        """``ducklake_flush_inlined_data()`` parity: materialize the
+        pending inline buffer into real parquet files (one commit) and
+        empty it. Returns the number of rows flushed (0 = no-op)."""
+        from .inline import inline_state
+
+        if not self.table.exists():
+            return 0
+        with self.table.lock():
+            manifest = self.table.manifest()
+            blobs, pending = inline_state(manifest)
+            if not blobs:
+                return 0
+            schema = T.StructType(
+                [f for f in manifest.schema.fields if f.name != INSERTED_AT]
+            )
+            self._flush_locked(manifest, schema)
+            return pending
+
+    def _flush_if_inlined(self) -> None:
+        """Flush-first hook for rewrite operations (MERGE / UPDATE /
+        DELETE): their planning is file-based, so pending inlined rows
+        must become file rows before the operation can see them. Only
+        pays when a buffer is actually pending; a concurrent inline
+        append racing the subsequent lock acquisition is caught by the
+        in-lock re-check raising with the flush remedy."""
+        from .inline import inline_state
+
+        if not self.table.exists():
+            return
+        if inline_state(self.table.manifest())[0]:
+            self.flush_inlined()
+
     def delete_where(self, predicate: str) -> None:
         """Predicate DELETE (``DELETE FROM t WHERE p``): only files whose
         stats admit a match are rewritten with the surviving rows;
@@ -592,10 +719,14 @@ class LakeWriter:
         Under ``write.merge.mode=merge-on-read`` the delete commits only
         a PK tombstone file for the matching VISIBLE rows — no file is
         rewritten (lake/mor.py); OPTIMIZE materializes later."""
+        from .inline import require_no_inline
         from .mor import MODE_MOR, resolve_merge_mode
 
+        self._flush_if_inlined()
         with REGISTRY.timer("deleteWhere"), self.table.lock():
             manifest = self.table.manifest()
+            # racing inline append between the flush and this lock
+            require_no_inline(manifest, self.table.name, "DELETE")
             affected, _ = self.table.prune_files(predicate, manifest=manifest)
             if not affected:
                 return
@@ -691,8 +822,12 @@ class LakeWriter:
         bad = [c for c in assignments if c in (self.pk or [])]
         if bad:
             raise ValueError(f"update_where cannot assign PK column(s) {bad}")
+        from .inline import require_no_inline
+
+        self._flush_if_inlined()
         with REGISTRY.timer("updateWhere"), self.table.lock():
             manifest = self.table.manifest()
+            require_no_inline(manifest, self.table.name, "UPDATE")
             # partition source/output columns are immutable under UPDATE:
             # moving a row between partition dirs is a merge-shaped
             # operation (delete + reinsert), not an in-place file rewrite
@@ -877,12 +1012,16 @@ class LakeWriter:
                         layout="rebalance",
                         manifest=manifest,
                     )
+                    # OVERWRITE replaces the table's whole content — any
+                    # pending inline buffer is part of that content and
+                    # empties here (no flush: the rows are superseded)
                     self._commit_next(
                         manifest,
                         new_files,
                         _logical_schema_of_batch(df, manifest),
                         new_stats,
                         op="INSERT_OVERWRITE",
+                        extra_props={"inlined": {}},
                     )
         finally:
             if txn is not None:
@@ -897,6 +1036,9 @@ class LakeWriter:
             self._enforce_constraints(df, None)
             manifest = self._ensure_table(df)
         out = self._prepare_insert(df, manifest)
+        handled, out, manifest = self._maybe_inline_append(out, df, manifest)
+        if handled:
+            return
         if self._append_small_arrow(out, df, manifest):
             return
         with self.table.lock():
@@ -1188,6 +1330,14 @@ class LakeWriter:
         # the constraint source and seeds the FIRST _merge_once attempt
         # (replans after a commit conflict re-resolve, as they must)
         pre = self.table.manifest() if self.table.exists() else None
+        # merge planning is file-based: pending inlined rows must become
+        # file rows first or a matching source row would duplicate
+        # instead of updating (lake/inline.py)
+        from .inline import inline_state
+
+        if pre is not None and inline_state(pre)[0]:
+            self.flush_inlined()
+            pre = self.table.manifest()
         # tombstoned rows are DELETES — they carry no insertable values,
         # so constraints (incl. NOT NULL) must not judge them: a narrow
         # pk-only delete batch against a NOT NULL table is legitimate

@@ -176,6 +176,10 @@ class _FileSlice(InputPartition):
     mor_seq: int = 0
     mor_tombs: "tuple" = ()
     mor_pk: "tuple" = ()
+    # pending inlined rows (lake/inline.py): base64 Arrow-IPC blobs
+    # decoded executor-side when path is the empty sentinel. Bounded by
+    # the table's inline limit, so one small partition carries them all.
+    inline_ipc: "tuple" = ()
 
 
 def _arrow_target(schema: StructType):
@@ -196,7 +200,14 @@ def _read_file_slices(
 
     target = _arrow_target(schema)
     for part in parts:
-        if not part.path:  # empty-plan sentinel (no files selected)
+        if not part.path:  # inline-rows carrier or empty-plan sentinel
+            if part.inline_ipc:
+                from ..lake.inline import conform_to_arrow, decode_blob
+
+                for blob in part.inline_ipc:
+                    out = conform_to_arrow(decode_blob(blob), target)
+                    for batch in out.to_batches(max_chunksize=part.batch_rows):
+                        yield batch
             continue
         pf = pq.ParquetFile(part.path)
         avail = set(pf.schema_arrow.names)
@@ -340,6 +351,18 @@ class _BatchReader(DataSourceReader):
                     os.path.join(self.table.dir, p), ren, self.batch_rows,
                     mor_seq=fseq, mor_tombs=tombs, mor_pk=pk_phys if tombs else (),
                 )
+            )
+        # pending inlined rows (lake/inline.py) ride ONE extra carrier
+        # partition; stat pruning never drops them (they have no stats),
+        # and Spark re-applies every filter row-level (pushFilters hands
+        # all of them back), so the carrier stays a conservative superset
+        # exactly like an unprunable file
+        from ..lake.inline import inline_state
+
+        blobs, _ = inline_state(m)
+        if blobs:
+            parts.append(
+                _FileSlice("", {}, self.batch_rows, inline_ipc=tuple(blobs))
             )
         # Spark requires at least one partition object; an empty-path
         # sentinel reads as zero rows
@@ -950,6 +973,13 @@ class _WriterBase:
         rel_files = [rel for _, rel in entries] + [rel for rel, _ in tombs]
         with t.lock():
             m = t.manifest()
+            if self.merge_keys:
+                # the sink's MERGE plans against files only: a pending
+                # inline buffer (lake/inline.py) would duplicate rather
+                # than update matching keys — refuse with the remedy
+                from ..lake.inline import require_no_inline
+
+                require_no_inline(m, self.name, "ducklake sink MERGE")
             # layout drift gates: the staged files were written for the
             # plan-time partition spec and rename map — a concurrent
             # ALTER between staging and commit would fold files laid out

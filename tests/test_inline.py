@@ -1,0 +1,234 @@
+"""Data inlining (lake/inline.py): tiny commits live in the manifest.
+
+Reference parity: ``data.inlining.row.limit``
+(``DucklakeSinkConfig.java:39/85``, semantics pinned by
+``DucklakeSinkConfigTest.java:58-88``) and DuckLake's
+``ducklake_flush_inlined_data()`` flush call."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+from ducklake_kafka_connect_spark.lake.inline import (
+    inline_state,
+    parse_inlining_limit,
+    table_inline_limit,
+)
+
+
+def _cat(spark, tmp_path, limit="50"):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cat.sql("CREATE TABLE ev (id INT, v STRING, PRIMARY KEY (id))")
+    if limit is not None:
+        cat.sql(
+            "ALTER TABLE ev SET TBLPROPERTIES "
+            f"('write.inlining.row.limit'='{limit}')"
+        )
+    return cat
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "id int, v string")
+
+
+class TestParseLimit:
+    def test_reference_semantics(self):
+        assert parse_inlining_limit(None) == 10_000
+        assert parse_inlining_limit("off") is None
+        assert parse_inlining_limit("OFF") is None
+        assert parse_inlining_limit("123") == 123
+        assert parse_inlining_limit(7) == 7
+        for bad in ("x", -1, True):
+            with pytest.raises(ValueError):
+                parse_inlining_limit(bad)
+
+    def test_table_optin_defaults_off(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path, limit=None)
+        assert table_inline_limit(cat.table("ev").manifest()) is None
+
+
+class TestInlineAppend:
+    def test_tiny_appends_mint_no_files(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        for i in range(4):
+            w.append(_rows(spark, [(i, f"r{i}")]))
+        m = t.manifest()
+        blobs, n = inline_state(m)
+        assert len(blobs) == 4 and n == 4
+        assert m.all_files() == []
+        assert m.props["last_op"] == "INSERT_INLINE"
+
+    def test_reads_union_inlined(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "a"), (2, "b")]))
+        assert sorted(r.id for r in t.read().collect()) == [1, 2]
+        assert t.read(where="id = 2").count() == 1
+        assert t.row_count() == 2  # metadata-only count includes buffer
+        assert cat.sql("SELECT count(*) AS n FROM ev").collect()[0].n == 2
+
+    def test_mixed_files_and_buffer(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        w = LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(i, "bulk") for i in range(60)]))  # > limit
+        assert inline_state(cat.table("ev").manifest())[1] == 0
+        w.append(_rows(spark, [(100, "tiny")]))
+        m = cat.table("ev").manifest()
+        assert inline_state(m)[1] == 1 and len(m.all_files()) >= 1
+        assert cat.table("ev").read().count() == 61
+
+    def test_overflow_flushes_buffer_and_batch(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        for i in range(3):
+            w.append(_rows(spark, [(i, "x")]))
+        w.append(_rows(spark, [(100 + i, "y") for i in range(48)]))
+        m = t.manifest()
+        blobs, n = inline_state(m)
+        assert blobs == [] and n == 0
+        assert m.props["last_op"] == "FLUSH_INLINED"
+        assert len(m.all_files()) >= 1
+        assert t.read().count() == 51
+
+    def test_schema_evolution_across_blobs(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "old")]))
+        w.append(
+            spark.createDataFrame(
+                [(2, "new", 9.5)], "id int, v string, score double"
+            )
+        )
+        got = {r.id: (r.v, r.score) for r in t.read().collect()}
+        assert got[1] == ("old", None)
+        assert got[2] == ("new", 9.5)
+        # flush lands both shapes in files under the evolved schema
+        n = LakeWriter(t, pk=["id"]).flush_inlined()
+        assert n == 2
+        got = {r.id: (r.v, r.score) for r in t.read().collect()}
+        assert got[1] == ("old", None) and got[2] == ("new", 9.5)
+
+
+class TestFlushAndRewrites:
+    def test_flush_sql_statement(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        w = LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "a")]))
+        out = cat.sql("FLUSH INLINED DATA ev").collect()[0]
+        assert "1 row" in out.detail
+        m = cat.table("ev").manifest()
+        assert inline_state(m)[1] == 0 and len(m.all_files()) == 1
+        # idempotent no-op second flush
+        assert "0 row" in cat.sql("FLUSH INLINED DATA ev").collect()[0].detail
+
+    def test_merge_flushes_first(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "inlined")]))
+        w.merge(_rows(spark, [(1, "merged"), (2, "new")]))
+        got = {r.id: r.v for r in t.read().collect()}
+        assert got == {1: "merged", 2: "new"}  # no duplicate id=1
+        assert inline_state(t.manifest())[1] == 0
+
+    def test_delete_and_update_see_buffered_rows(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "a"), (2, "b")]))
+        w.delete_where("id = 1")
+        assert {r.id for r in t.read().collect()} == {2}
+        w2 = LakeWriter(t, pk=["id"])
+        w2.append(_rows(spark, [(3, "c")]))
+        w2.update_where("id = 3", {"v": "'updated'"})
+        assert {r.v for r in t.read().where("id=3").collect()} == {"updated"}
+
+    def test_insert_overwrite_drops_buffer(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "stale")]))
+        w.overwrite(_rows(spark, [(9, "only")]))
+        assert [(r.id, r.v) for r in t.read().collect()] == [(9, "only")]
+        assert inline_state(t.manifest())[1] == 0
+
+    def test_truncate_drops_buffer(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "x")]))
+        cat.sql("TRUNCATE TABLE ev")
+        assert t.read().count() == 0
+        assert inline_state(t.manifest())[1] == 0
+
+    def test_optimize_flushes(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.lake.maintenance import compact
+
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(i, "bulk") for i in range(60)]))
+        w.append(_rows(spark, [(100, "tiny")]))
+        compact(t, max_files_per_partition=1)
+        assert inline_state(t.manifest())[1] == 0
+        assert t.read().count() == 61
+
+
+class TestGuards:
+    def test_rename_drop_refused_with_pending_buffer(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "x")]))
+        with pytest.raises(ValueError, match="FLUSH INLINED DATA"):
+            t.rename_column("v", "v2")
+        with pytest.raises(ValueError, match="FLUSH INLINED DATA"):
+            t.drop_column("v")
+        LakeWriter(t, pk=["id"]).flush_inlined()
+        t.rename_column("v", "v2")  # fine after flush
+
+    def test_cdf_refuses_buffer_delta_span(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(i, "f") for i in range(60)]))  # v1: files
+        v_files = t.current_version()
+        w.append(_rows(spark, [(100, "tiny")]))  # v2: inline
+        with pytest.raises(ValueError, match="inline buffer differs"):
+            t.changes(v_files, t.current_version())
+        LakeWriter(t, pk=["id"]).flush_inlined()
+        ch = t.changes(v_files, t.current_version())
+        assert {r.id for r in ch.collect()} == {100}
+
+    def test_time_travel_sees_buffer_as_of_version(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "a")]))
+        v1 = t.current_version()
+        w.append(_rows(spark, [(2, "b")]))
+        assert t.read(version=v1).count() == 1
+        assert t.read().count() == 2
+
+
+class TestClone:
+    def test_clone_carries_buffer(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        t, w = cat.table("ev"), LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "a"), (2, "b")]))
+        t.clone(str(tmp_path / "lake"), "ev_clone")
+        assert cat.table("ev_clone").read().count() == 2
+
+
+class TestDataSourceRead:
+    def test_ducklake_format_reads_buffer(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.sources.lake_datasource import (
+            register_lake_datasource,
+        )
+
+        register_lake_datasource(spark)
+        cat = _cat(spark, tmp_path)
+        w = LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(i, "bulk") for i in range(60)]))
+        w.append(_rows(spark, [(100, "tiny"), (101, "tiny2")]))
+        df = (
+            spark.read.format("ducklake")
+            .option("path", str(tmp_path / "lake"))
+            .option("table", "ev")
+            .load()
+        )
+        assert df.count() == 62
+        assert df.filter(F.col("id") >= 100).count() == 2
