@@ -765,6 +765,41 @@ def ingest_harness(spark) -> dict:
             t0 = time.perf_counter()
             w.write(batch)
             out[f"merge_10k_conflict{rate}pct_s"] = round(time.perf_counter() - t0, 3)
+        # data inlining (lake/inline.py, r14): a 20-row trickle append on
+        # an opted-in table commits as ONE metadata PUT — no Spark write
+        # job, no parquet file. The same drip on a plain table prices the
+        # file path; the ratio is the small-write latency win the
+        # reference's data.inlining.row.limit exists for.
+        from ducklake_kafka_connect_spark.lake.inline import inline_state
+
+        drip = [
+            spark.createDataFrame(
+                [(1_000_000 + 20 * i + j, f"d{i}", None) for j in range(20)],
+                "id long, name string, created_at timestamp",
+            )
+            for i in range(5)
+        ]
+        wi = LakeWriter(cat.table("bench_inline"), pk=["id"])
+        wi.write(drip[0].limit(1))  # create + warm
+        cat.sql(
+            "ALTER TABLE bench_inline SET TBLPROPERTIES "
+            "('write.inlining.row.limit'='1000')"
+        )
+        t0 = time.perf_counter()
+        for b in drip:
+            wi.append(b)
+        inline_s = time.perf_counter() - t0
+        if not inline_state(cat.table("bench_inline").manifest())[0]:
+            raise AssertionError("bench: inline path did not engage")
+        wp = LakeWriter(cat.table("bench_plain"), pk=["id"])
+        wp.write(drip[0].limit(1))
+        t0 = time.perf_counter()
+        for b in drip:
+            wp.append(b)
+        plain_s = time.perf_counter() - t0
+        out["inline_5x20row_appends_s"] = round(inline_s, 3)
+        out["file_5x20row_appends_s"] = round(plain_s, 3)
+        out["inline_commit_speedup"] = round(plain_s / inline_s, 2)
         # group commit: 10 queued 2k-row micro-batches through ONE
         # merge_many (VERDICT r2 #1: amortized per-merge fixed overhead);
         # batches/s is the sustained ingest rate a coalescing sink sees

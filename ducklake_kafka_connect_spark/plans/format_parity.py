@@ -2547,3 +2547,90 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(cents) AS BIGINT) AS sum_cents "
         "FROM ev_gba GROUP BY ALL ORDER BY ALL"
     )
+
+
+@register(
+    "inline_small_commits",
+    """
+    WITH tiny AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 997 = 0
+    ),
+    bulk AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 997 <> 0 AND event_id % 4 = 0
+    ),
+    unioned AS (
+      SELECT * FROM tiny UNION ALL SELECT * FROM bulk
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM unioned GROUP BY event_type
+    """,
+    "r14 data inlining (lake/inline.py; DucklakeSinkConfig.java:39/85 "
+    "data.inlining.row.limit parity): tiny per-type inserts commit as "
+    "metadata-only inline versions — asserted in-query: after the tiny "
+    "drip the manifest holds ZERO data files and a pending buffer, and "
+    "the drip's last_op is INSERT_INLINE — then a bulk append lands as "
+    "files beside the buffer, reads union both, and FLUSH INLINED DATA "
+    "materializes the buffer (asserted empty after). The result "
+    "aggregates the mixed table through the catalog SQL path.",
+)
+def inline_small_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake import LakeWriter
+    from ..lake.inline import inline_state
+
+    src = _event_source(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cat = _fresh_catalog(spark, "inl")
+    cat.sql(
+        "CREATE TABLE ev_inl (event_id BIGINT, event_type STRING, "
+        "cents BIGINT, PRIMARY KEY (event_id))"
+    )
+    cat.sql(
+        "ALTER TABLE ev_inl SET TBLPROPERTIES "
+        "('write.inlining.row.limit'='500')"
+    )
+    t = cat.table("ev_inl")
+    w = LakeWriter(t, pk=["event_id"])
+    # the tiny drip: one micro-batch per event type (CDC trickle shape)
+    # drip ~N/997 rows (11 at sf0.01, ~100 at sf0.1) — safely under
+    # the 500 limit at the driver scales, while the bulk half (~N/4,
+    # 2.5k at sf0.01) is safely OVER it, so both asserted modes hold
+    # (the assertions assume sf0.01+, the driver's correctness scale)
+    tiny = src.filter(F.col("event_id") % 997 == 0)
+    for row in sorted(r["event_type"] for r in tiny.select("event_type").distinct().collect()):
+        w.append(tiny.filter(F.col("event_type") == row))
+    m = t.manifest()
+    blobs, pending = inline_state(m)
+    if m.all_files() or not blobs:
+        raise AssertionError(
+            f"inline path did not engage: files={len(m.all_files())}, "
+            f"blobs={len(blobs)}"
+        )
+    if m.props.get("last_op") != "INSERT_INLINE":
+        raise AssertionError(f"unexpected last_op {m.props.get('last_op')!r}")
+    # bulk rows land as files beside the pending buffer
+    w.append(src.filter((F.col("event_id") % 997 != 0) & (F.col("event_id") % 4 == 0)))
+    if not t.manifest().all_files():
+        raise AssertionError("bulk append minted no files")
+    if inline_state(t.manifest())[1] != pending:
+        raise AssertionError("bulk append disturbed the inline buffer")
+    # flush materializes; reads agree before and after
+    before = t.read().count()
+    cat.sql("FLUSH INLINED DATA ev_inl")
+    if inline_state(t.manifest())[1] != 0:
+        raise AssertionError("flush left pending rows")
+    if t.read().count() != before:
+        raise AssertionError("flush changed the row count")
+    return cat.sql(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(cents) AS BIGINT) AS sum_cents "
+        "FROM ev_inl GROUP BY event_type"
+    )
