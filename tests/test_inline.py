@@ -232,3 +232,33 @@ class TestDataSourceRead:
         )
         assert df.count() == 62
         assert df.filter(F.col("id") >= 100).count() == 2
+
+
+class TestSqlAndReplication:
+    def test_sql_insert_values_inlines(self, spark, tmp_path):
+        """SQL INSERT routes through merge-vs-insert routing (D3): on a
+        pk-less table it is a pure append and inlines; on a pk table it
+        is the connector's UPSERT and flushes first by design."""
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        cat.sql("CREATE TABLE logs (id INT, v STRING)")
+        cat.sql(
+            "ALTER TABLE logs SET TBLPROPERTIES "
+            "('write.inlining.row.limit'='50')"
+        )
+        cat.sql("INSERT INTO logs VALUES (1, 'sql-row'), (2, 'sql-row2')")
+        m = cat.table("logs").manifest()
+        blobs, n = inline_state(m)
+        assert n == 2 and m.all_files() == []
+        assert cat.sql("SELECT count(*) AS n FROM logs").collect()[0].n == 2
+
+    def test_replicate_carries_buffer(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.lake.replicate import replicate
+        from ducklake_kafka_connect_spark.lake.table import LakeTable
+
+        cat = _cat(spark, tmp_path)
+        w = LakeWriter(cat.table("ev"), pk=["id"])
+        w.append(_rows(spark, [(1, "a"), (2, "b")]))
+        mirror = str(tmp_path / "mirror")
+        replicate(cat.table("ev"), mirror)
+        mt = LakeTable(spark, mirror, "ev")
+        assert mt.read().count() == 2  # buffer travels inside segments
