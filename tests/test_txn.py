@@ -301,3 +301,29 @@ class TestUnversionedDdlGuard:
         assert "extra" in cat.table("a").manifest().schema.fieldNames()
         cat.rollback_txn()
         assert "extra" not in cat.table("a").manifest().schema.fieldNames()
+
+
+class TestDisjointTxns:
+    def test_two_catalogs_disjoint_tables_both_commit(self, spark, cat):
+        other = _outside(cat)
+        cat.begin()
+        other.begin()
+        LakeWriter(cat.table("a"), pk=["id"]).write(_df(spark, [(3, "z")]))
+        LakeWriter(other.table("b"), pk=["id"]).write(_df(spark, [(7, "q")]))
+        cat.commit_txn()
+        other.commit_txn()
+        fresh = _outside(cat)
+        assert fresh.table("a").read().count() == 3
+        assert fresh.table("b").read().count() == 2
+
+    def test_same_table_second_txn_blocked(self, spark, cat):
+        other = _outside(cat)
+        cat.begin()
+        other.begin()
+        LakeWriter(cat.table("a"), pk=["id"]).write(_df(spark, [(3, "z")]))
+        with pytest.raises(TxnInProgress):
+            LakeWriter(other.table("a"), pk=["id"]).write(
+                _df(spark, [(4, "w")])
+            )
+        cat.rollback_txn()
+        other.rollback_txn()
