@@ -693,19 +693,22 @@ class LakeWriter:
             self._flush_locked(manifest, schema)
             return pending
 
-    def _flush_if_inlined(self) -> None:
-        """Flush-first hook for rewrite operations (MERGE / UPDATE /
+    def _flush_inline_locked(self, manifest: Manifest) -> Manifest:
+        """Flush-first hook for locked rewrite operations (UPDATE /
         DELETE): their planning is file-based, so pending inlined rows
-        must become file rows before the operation can see them. Only
-        pays when a buffer is actually pending; a concurrent inline
-        append racing the subsequent lock acquisition is caught by the
-        in-lock re-check raising with the flush remedy."""
+        must become file rows before the operation can see them. Caller
+        holds the table lock and passes its already-resolved manifest —
+        the clean path (no buffer) costs ZERO extra metadata reads; the
+        flush path commits once and re-resolves."""
         from .inline import inline_state
 
-        if not self.table.exists():
-            return
-        if inline_state(self.table.manifest())[0]:
-            self.flush_inlined()
+        if not inline_state(manifest)[0]:
+            return manifest
+        schema = T.StructType(
+            [f for f in manifest.schema.fields if f.name != INSERTED_AT]
+        )
+        self._flush_locked(manifest, schema)
+        return self.table.manifest()
 
     def delete_where(self, predicate: str) -> None:
         """Predicate DELETE (``DELETE FROM t WHERE p``): only files whose
@@ -719,14 +722,10 @@ class LakeWriter:
         Under ``write.merge.mode=merge-on-read`` the delete commits only
         a PK tombstone file for the matching VISIBLE rows — no file is
         rewritten (lake/mor.py); OPTIMIZE materializes later."""
-        from .inline import require_no_inline
         from .mor import MODE_MOR, resolve_merge_mode
 
-        self._flush_if_inlined()
         with REGISTRY.timer("deleteWhere"), self.table.lock():
-            manifest = self.table.manifest()
-            # racing inline append between the flush and this lock
-            require_no_inline(manifest, self.table.name, "DELETE")
+            manifest = self._flush_inline_locked(self.table.manifest())
             affected, _ = self.table.prune_files(predicate, manifest=manifest)
             if not affected:
                 return
@@ -822,12 +821,8 @@ class LakeWriter:
         bad = [c for c in assignments if c in (self.pk or [])]
         if bad:
             raise ValueError(f"update_where cannot assign PK column(s) {bad}")
-        from .inline import require_no_inline
-
-        self._flush_if_inlined()
         with REGISTRY.timer("updateWhere"), self.table.lock():
-            manifest = self.table.manifest()
-            require_no_inline(manifest, self.table.name, "UPDATE")
+            manifest = self._flush_inline_locked(self.table.manifest())
             # partition source/output columns are immutable under UPDATE:
             # moving a row between partition dirs is a merge-shaped
             # operation (delete + reinsert), not an in-place file rewrite
