@@ -262,3 +262,84 @@ class TestSqlAndReplication:
         replicate(cat.table("ev"), mirror)
         mt = LakeTable(spark, mirror, "ev")
         assert mt.read().count() == 2  # buffer travels inside segments
+
+
+class TestTypesAndConstraints:
+    def test_exotic_types_round_trip_through_blob(self, spark, tmp_path):
+        """The Arrow-IPC blob form must round-trip types a JSON encoding
+        would mangle: timestamps, binary, decimal, arrays."""
+        import datetime
+        from decimal import Decimal
+
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        cat.sql(
+            "CREATE TABLE typed (id INT, ts TIMESTAMP, raw BINARY, "
+            "amt DECIMAL(10,2), tags ARRAY<STRING>, PRIMARY KEY (id))"
+        )
+        cat.sql(
+            "ALTER TABLE typed SET TBLPROPERTIES "
+            "('write.inlining.row.limit'='50')"
+        )
+        t = cat.table("typed")
+        w = LakeWriter(t, pk=["id"])
+        row = (
+            1,
+            datetime.datetime(2026, 2, 3, 4, 5, 6, 789000),
+            b"\x00\xffbytes",
+            Decimal("12345.67"),
+            ["a", "b"],
+        )
+        w.append(
+            spark.createDataFrame(
+                [row],
+                "id int, ts timestamp, raw binary, amt decimal(10,2), "
+                "tags array<string>",
+            )
+        )
+        assert inline_state(t.manifest())[1] == 1  # inlined, not a file
+        got = t.read().collect()[0]
+        assert got.ts == row[1]
+        assert bytes(got.raw) == row[2]
+        assert got.amt == row[3]
+        # complex columns store as JSON strings (B9 reference semantics)
+        # on BOTH the file and inline paths
+        import json
+
+        assert json.loads(got.tags) == row[4]
+        # and the flush lands byte-identical values in parquet
+        LakeWriter(t, pk=["id"]).flush_inlined()
+        got2 = t.read().collect()[0]
+        assert (got2.ts, bytes(got2.raw), got2.amt, got2.tags) == (
+            row[1],
+            row[2],
+            row[3],
+            got.tags,
+        )
+
+    def test_constraints_enforced_before_inline_commit(self, spark, tmp_path):
+        from ducklake_kafka_connect_spark.lake import ConstraintViolation
+
+        cat = _cat(spark, tmp_path)
+        cat.sql("ALTER TABLE ev ADD CONSTRAINT pos CHECK (id > 0)")
+        w = LakeWriter(cat.table("ev"), pk=["id"])
+        with pytest.raises(ConstraintViolation):
+            w.append(_rows(spark, [(-1, "bad")]))
+        m = cat.table("ev").manifest()
+        assert inline_state(m)[1] == 0  # nothing buffered from the reject
+        w.append(_rows(spark, [(1, "good")]))
+        assert inline_state(cat.table("ev").manifest())[1] == 1
+
+    def test_default_fill_applies_to_inlined_rows(self, spark, tmp_path):
+        cat = LakeCatalog(spark, str(tmp_path / "lake"))
+        cat.sql(
+            "CREATE TABLE d (id INT, v STRING DEFAULT 'filled', "
+            "PRIMARY KEY (id))"
+        )
+        cat.sql(
+            "ALTER TABLE d SET TBLPROPERTIES "
+            "('write.inlining.row.limit'='50')"
+        )
+        w = LakeWriter(cat.table("d"), pk=["id"])
+        w.append(spark.createDataFrame([(1,)], "id int"))
+        assert inline_state(cat.table("d").manifest())[1] == 1
+        assert cat.table("d").read().collect()[0].v == "filled"
