@@ -327,3 +327,41 @@ class TestDisjointTxns:
             )
         cat.rollback_txn()
         other.rollback_txn()
+
+
+class TestMatviewInterplay:
+    def test_refresh_inside_txn_rolls_back_with_base(self, spark, cat):
+        """REFRESH MATERIALIZED VIEW is versioned commits on the MV
+        table — inside a transaction it sees the txn's pending base
+        rows (read-your-writes) and rolls back WITH them, so MV and
+        base stay consistent either way."""
+        cat.sql(
+            "CREATE MATERIALIZED VIEW mv_n AS "
+            "SELECT v, count(*) AS n FROM a GROUP BY v"
+        )
+        before = sorted(
+            (r.v, r.n) for r in cat.table("mv_n").read().collect()
+        )
+        cat.begin()
+        LakeWriter(cat.table("a"), pk=["id"]).write(
+            _df(spark, [(30, "x"), (31, "x")])
+        )
+        cat.sql("REFRESH MATERIALIZED VIEW mv_n")
+        got = dict(
+            (r.v, r.n) for r in cat.table("mv_n").read().collect()
+        )
+        assert got["x"] == 3  # sees pending base rows inside the txn
+        # outside: MV still shows pre-txn state
+        outside = _outside(cat)
+        assert sorted(
+            (r.v, r.n) for r in outside.table("mv_n").read().collect()
+        ) == before
+        cat.rollback_txn()
+        assert sorted(
+            (r.v, r.n) for r in cat.table("mv_n").read().collect()
+        ) == before
+        # post-rollback refresh from scratch stays consistent
+        cat.sql("REFRESH MATERIALIZED VIEW mv_n")
+        assert sorted(
+            (r.v, r.n) for r in cat.table("mv_n").read().collect()
+        ) == before
