@@ -2595,15 +2595,15 @@ def inline_small_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.sql(
         "ALTER TABLE ev_inl SET TBLPROPERTIES "
-        "('write.inlining.row.limit'='500')"
+        "('write.inlining.row.limit'='150')"
     )
     t = cat.table("ev_inl")
     w = LakeWriter(t, pk=["event_id"])
     # the tiny drip: one micro-batch per event type (CDC trickle shape)
-    # drip ~N/997 rows (11 at sf0.01, ~100 at sf0.1) — safely under
-    # the 500 limit at the driver scales, while the bulk half (~N/4,
-    # 2.5k at sf0.01) is safely OVER it, so both asserted modes hold
-    # (the assertions assume sf0.01+, the driver's correctness scale)
+    # drip counts 2 / 11 / 101 at sf0.001 / 0.01 / 0.1 — under the 150
+    # limit at every driver correctness scale — while the bulk half is
+    # 249 / 2.5k / 25k — always over it; both asserted modes hold from
+    # sf0.001 through sf0.1 (sf1 would overflow the drip by design)
     tiny = src.filter(F.col("event_id") % 997 == 0)
     for row in sorted(r["event_type"] for r in tiny.select("event_type").distinct().collect()):
         w.append(tiny.filter(F.col("event_type") == row))
