@@ -1704,10 +1704,10 @@ class LakeTable:
                 props["column_renames"] = renames
             else:
                 props.pop("column_renames", None)
-            # per-column DEFAULT / NOT NULL props follow the rename
+            # per-column DEFAULT / NOT NULL / COMMENT props follow the rename
             tp = dict(props.get("tblproperties", {}))
             moved = False
-            for pre in ("default.", "notnull."):
+            for pre in ("default.", "notnull.", "comment."):
                 if pre + old in tp:
                     tp[pre + new] = tp.pop(pre + old)
                     moved = True
@@ -1873,7 +1873,9 @@ class LakeTable:
             tp = {
                 k: v
                 for k, v in props.get("tblproperties", {}).items()
-                if k not in (f"default.{name}", f"notnull.{name}")
+                if k not in (
+                    f"default.{name}", f"notnull.{name}", f"comment.{name}"
+                )
             }
             if tp != props.get("tblproperties", {}):
                 props["tblproperties"] = tp
@@ -3663,7 +3665,13 @@ class LakeCatalog:
         q = query.strip().rstrip(";").strip()
         self.fs.ensure_dir(self._views_dir)
         prev = self.fs.try_read_bytes(p)  # OR REPLACE rollback target
-        self.fs.put(p, json.dumps({"query": q}))
+        doc = {"query": q}
+        if prev is not None:
+            # OR REPLACE keeps catalog metadata that isn't the body —
+            # COMMENT ON VIEW survives a redefinition (Postgres
+            # semantics; the comment describes the view, not its text)
+            doc = {**json.loads(prev), "query": q}
+        self.fs.put(p, json.dumps(doc))
         try:
             # eager validation, the way real catalogs bind views at
             # create time: expand + plan against current tables (zero
@@ -3977,6 +3985,8 @@ class LakeCatalog:
         ("add_col", rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+({_IDENT})\s+(.+?)\s*$"),
         ("set_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$"),
         ("unset_props", rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*(?:(IF\s+EXISTS)\s*)?\((.*)\)\s*$"),
+        ("comment_table", rf"COMMENT\s+ON\s+TABLE\s+({_IDENT})\s+IS\s+(NULL|'(?:[^']|'')*')\s*$"),
+        ("comment_col", rf"COMMENT\s+ON\s+COLUMN\s+({_IDENT})\.({_IDENT})\s+IS\s+(NULL|'(?:[^']|'')*')\s*$"),
         ("truncate", rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*$"),
         ("flush_inlined", rf"FLUSH\s+INLINED\s+DATA\s+({_IDENT})\s*$"),
         ("vacuum", rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+(DRY\s+RUN))?\s*$"),
@@ -4021,6 +4031,9 @@ class LakeCatalog:
         - ``TRUNCATE TABLE t``                  (metadata-only)
         - ``VACUUM t [RETAIN n VERSIONS]``
         - ``OPTIMIZE t [ZORDER BY (a, b)]``
+        - ``COMMENT ON TABLE t | COLUMN t.c | VIEW v IS 'text' | NULL``
+          (DuckDB comments; table/column comments are versioned
+          tblproperties, view comments live in the view catalog file)
         - ``EXPORT DATABASE 'dir'`` / ``IMPORT DATABASE 'dir'``
           (whole-catalog round trip: parquet data + replayable DDL)
 
@@ -4044,6 +4057,7 @@ class LakeCatalog:
             r"|DROP\s+(MATERIALIZED\s+)?VIEW|ALTER\s+VIEW"
             r"|CREATE\s+(OR\s+REPLACE\s+)?MACRO"
             r"|DROP\s+MACRO|REPLICATE\s+TABLE|IMPORT\s+DATABASE"
+            r"|COMMENT\s+ON\s+VIEW"
             r"|ATTACH|DETACH)\b",
             stmt,
             _re.IGNORECASE,
@@ -4192,6 +4206,29 @@ class LakeCatalog:
                 raise ValueError(f"ALTER VIEW: view {name!r} does not exist")
             self.create_view(canon, vwa.group(2), replace=True)
             return self._ddl_result("ALTER VIEW", name, "redefined")
+        vcm = _re.match(
+            rf"COMMENT\s+ON\s+VIEW\s+({_IDENT})\s+IS\s+(NULL|'(?:[^']|'')*')\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if vcm:
+            # view comments live in the view's catalog file (views are
+            # unversioned catalog objects; their metadata is too)
+            name = unquote_ident(vcm.group(1))
+            canon = next(
+                (v for v in self.list_views() if v.lower() == name.lower()),
+                None,
+            )
+            if canon is None:
+                raise ValueError(f"COMMENT ON VIEW: view {name!r} does not exist")
+            p = os.path.join(self._views_dir, f"{canon}.json")
+            doc = json.loads(self.fs.read_bytes(p))
+            if vcm.group(2).upper() == "NULL":
+                doc.pop("comment", None)
+            else:
+                doc["comment"] = _parse_string_literal(vcm.group(2))
+            self.fs.put(p, json.dumps(doc))
+            return self._ddl_result("COMMENT ON", name, "VIEW")
         vwd = _re.match(
             rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
             stmt,
@@ -4552,6 +4589,37 @@ class LakeCatalog:
                     keys, if_exists=bool(m.group(2))
                 )
                 return self._ddl_result("UNSET TBLPROPERTIES", name, f"v{v}")
+            if op in ("comment_table", "comment_col"):
+                # DuckDB's COMMENT ON (TABLE | COLUMN t.c) IS 'text' —
+                # stored as tblproperties (`comment` / `comment.<col>`),
+                # so comments are VERSIONED: they time-travel, clone,
+                # replicate, and roll back with the table like any
+                # property. IS NULL clears, exactly like DuckDB.
+                if not t.exists():
+                    raise ValueError(f"table {name!r} does not exist")
+                lit = m.group(3) if op == "comment_col" else m.group(2)
+                text = (
+                    None if lit.upper() == "NULL"
+                    else _parse_string_literal(lit)
+                )
+                if op == "comment_col":
+                    col = unquote_ident(m.group(2))
+                    if col not in t.manifest().schema.fieldNames():
+                        raise ValueError(
+                            f"table {name!r} has no column {col!r}"
+                        )
+                    key = f"comment.{col}"
+                    what = f"COLUMN {col}"
+                else:
+                    key = "comment"
+                    what = "TABLE"
+                if text is None:
+                    v = t.unset_properties([key], if_exists=True)
+                else:
+                    v = t.set_properties({key: text})
+                return self._ddl_result(
+                    "COMMENT ON", name, f"{what} v{v}"
+                )
             if op == "truncate":
                 v = t.truncate()
                 return self._ddl_result("TRUNCATE", name, f"v{v}")
@@ -4610,11 +4678,14 @@ class LakeCatalog:
                 if (f"notnull.{f.name}" in tp or not f.nullable)
                 else "YES",
                 "PRI" if f.name in pk else "",
+                tp.get(f"comment.{f.name}"),
             )
             for f in m.schema.fields
         ]
         return self.spark.createDataFrame(
-            rows, "column_name string, column_type string, null string, key string"
+            rows,
+            "column_name string, column_type string, null string, "
+            "key string, comment string",
         )
 
     def summarize(self, target: str):
@@ -5649,7 +5720,9 @@ class LakeCatalog:
             inner = exm.group(2).strip()
             if _re.match(
                 r"(CREATE|DROP|REFRESH|ALTER|TRUNCATE|VACUUM|OPTIMIZE"
-                r"|RESTORE|COPY|REPLICATE|INSERT|DELETE|UPDATE|MERGE)\b",
+                r"|RESTORE|COPY|REPLICATE|INSERT|DELETE|UPDATE|MERGE"
+                r"|FLUSH|EXPORT|IMPORT|COMMENT|ATTACH|DETACH"
+                r"|BEGIN|COMMIT|ROLLBACK)\b",
                 inner,
                 _re.IGNORECASE,
             ):
@@ -5805,6 +5878,7 @@ class LakeCatalog:
             r"|ALTER\s+TABLE|ALTER\s+VIEW|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE"
             r"|FLUSH\s+INLINED\s+DATA"
             r"|RESTORE\s+TABLE|COPY\s+INTO|REPLICATE\s+TABLE"
+            r"|COMMENT\s+ON"
             r"|EXPORT\s+DATABASE|IMPORT\s+DATABASE)\b",
             query,
             _re.IGNORECASE,
@@ -5902,29 +5976,49 @@ class LakeCatalog:
 
     def _rewrite_table_changes(self, query: str):
         """Rewrite ``table_changes('t', from [, to])`` calls (Delta's CDF
-        TVF) to synthetic views over :meth:`LakeTable.changes`. Returns
-        (rewritten query, list of synthetic view names to drop)."""
+        TVF) to synthetic views over :meth:`LakeTable.changes`, plus the
+        DuckLake metadata-function twins ``table_insertions`` /
+        ``table_deletions`` (``ducklake_table_insertions/_deletions``:
+        the row values that became / stopped being visible in the span —
+        the same CDF diff filtered by change direction, update images
+        included). Returns (rewritten query, synthetic views to drop)."""
         import re as _re
         import uuid as _uuid
 
         views: list[str] = []
         pat = _re.compile(
-            r"table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+            r"table_(changes|insertions|deletions)\s*\(\s*'([^']+)'\s*,"
+            r"\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
             _re.IGNORECASE,
         )
 
         def sub(m: "_re.Match") -> str:
-            name = m.group(1)
+            kind = m.group(1).lower()
+            name = m.group(2)
             t = self.table(name)
             if not t.exists():
-                raise ValueError(f"table_changes: unknown table {name!r}")
-            frm = int(m.group(2))
-            to = int(m.group(3)) if m.group(3) else None
+                raise ValueError(f"table_{kind}: unknown table {name!r}")
+            frm = int(m.group(3))
+            to = int(m.group(4)) if m.group(4) else None
             syn = (
-                f"{_re.sub(r'[^A-Za-z0-9_]', '_', name)}__changes_"
+                f"{_re.sub(r'[^A-Za-z0-9_]', '_', name)}__{kind}_"
                 f"{frm}_{to if to is not None else 'cur'}_{_uuid.uuid4().hex[:6]}"
             )
-            t.changes(frm, to).createOrReplaceTempView(syn)
+            df = t.changes(frm, to, preimages=kind != "changes")
+            if kind == "insertions":
+                # DuckLake's ducklake_table_insertions: every row VALUE
+                # that became visible in the span — fresh inserts plus
+                # the new image of updated rows
+                df = df.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ).drop("_change_type")
+            elif kind == "deletions":
+                # ducklake_table_deletions: every row value that STOPPED
+                # being visible — deletes plus the old image of updates
+                df = df.filter(
+                    F.col("_change_type").isin("delete", "update_preimage")
+                ).drop("_change_type")
+            df.createOrReplaceTempView(syn)
             views.append(syn)
             return quote_ident(syn)
 
