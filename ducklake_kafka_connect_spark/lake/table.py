@@ -3318,6 +3318,9 @@ class LakeCatalog:
         # every LakeTable this catalog hands out, so BEGIN/COMMIT here
         # govern all of them
         self._txn = TxnContext()
+        # currval('s') state: last sequence value handed out THROUGH
+        # THIS catalog (DuckDB's currval is likewise session-scoped)
+        self._seq_currval: "dict[str, int]" = {}
 
     # ---------- ATTACH (read-only sibling lakes) ----------
     #
@@ -4058,6 +4061,7 @@ class LakeCatalog:
             r"|CREATE\s+(OR\s+REPLACE\s+)?MACRO"
             r"|DROP\s+MACRO|REPLICATE\s+TABLE|IMPORT\s+DATABASE"
             r"|COMMENT\s+ON\s+VIEW"
+            r"|CREATE\s+(OR\s+REPLACE\s+)?SEQUENCE|DROP\s+SEQUENCE"
             r"|ATTACH|DETACH)\b",
             stmt,
             _re.IGNORECASE,
@@ -4229,6 +4233,72 @@ class LakeCatalog:
                 doc["comment"] = _parse_string_literal(vcm.group(2))
             self.fs.put(p, json.dumps(doc))
             return self._ddl_result("COMMENT ON", name, "VIEW")
+        sqc = _re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            rf"({_IDENT})\s*(.*)$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if sqc:
+            from . import sequence as _sequence
+
+            name = unquote_ident(sqc.group(3))
+            opts = {"increment": 1, "start": None, "minvalue": None,
+                    "maxvalue": None, "cycle": False}
+            rest = sqc.group(4).strip()
+            opt_pat = _re.compile(
+                r"\s*(?:INCREMENT(?:\s+BY)?\s+(-?\d+)"
+                r"|MINVALUE\s+(-?\d+)|NO\s+MINVALUE"
+                r"|MAXVALUE\s+(-?\d+)|NO\s+MAXVALUE"
+                r"|START(?:\s+WITH)?\s+(-?\d+)"
+                r"|(CYCLE)|NO\s+CYCLE)\s*",
+                _re.IGNORECASE,
+            )
+            pos = 0
+            while pos < len(rest):
+                om = opt_pat.match(rest, pos)
+                if om is None:
+                    raise ValueError(
+                        f"CREATE SEQUENCE: unrecognized option at "
+                        f"{rest[pos:][:40]!r}"
+                    )
+                if om.group(1):
+                    opts["increment"] = int(om.group(1))
+                elif om.group(2):
+                    opts["minvalue"] = int(om.group(2))
+                elif om.group(3):
+                    opts["maxvalue"] = int(om.group(3))
+                elif om.group(4):
+                    opts["start"] = int(om.group(4))
+                elif om.group(5):
+                    opts["cycle"] = True
+                pos = om.end()
+            _sequence.create_sequence(
+                self.fs,
+                self.root,
+                name,
+                increment=opts["increment"],
+                start=opts["start"],
+                minvalue=opts["minvalue"],
+                maxvalue=opts["maxvalue"],
+                cycle=opts["cycle"],
+                replace=bool(sqc.group(1)),
+                if_not_exists=bool(sqc.group(2)),
+            )
+            return self._ddl_result("CREATE SEQUENCE", name, "defined")
+        sqd = _re.match(
+            rf"DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if sqd:
+            from . import sequence as _sequence
+
+            name = unquote_ident(sqd.group(2))
+            _sequence.drop_sequence(
+                self.fs, self.root, name, if_exists=bool(sqd.group(1))
+            )
+            return self._ddl_result("DROP SEQUENCE", name, "dropped")
         vwd = _re.match(
             rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
             stmt,
@@ -5871,9 +5941,30 @@ class LakeCatalog:
         if svw:
             rows = [(v, self.view_query(v)) for v in self.list_views()]
             return self.spark.createDataFrame(rows or [], "view string, query string")
+        ssq = _re.match(r"SHOW\s+SEQUENCES\s*$", q, _re.IGNORECASE)
+        if ssq:
+            from . import sequence as _sequence
+
+            rows = [
+                (
+                    n,
+                    int(st["increment"]),
+                    st["min"],
+                    st["max"],
+                    bool(st["cycle"]),
+                    int(st["next"]),
+                )
+                for n in _sequence.list_sequences(self.fs, self.root)
+                for st in (_sequence.sequence_state(self.fs, self.root, n),)
+            ]
+            return self.spark.createDataFrame(
+                rows or [],
+                "name string, increment bigint, min bigint, max bigint, "
+                "cycle boolean, next bigint",
+            )
         if _re.match(
-            r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|MATERIALIZED\s+VIEW|VIEW|MACRO)"
-            r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW|MACRO)"
+            r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|MATERIALIZED\s+VIEW|VIEW|MACRO|SEQUENCE)"
+            r"|DROP\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW|MACRO|SEQUENCE)"
             r"|REFRESH\s+MATERIALIZED\s+VIEW"
             r"|ALTER\s+TABLE|ALTER\s+VIEW|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE"
             r"|FLUSH\s+INLINED\s+DATA"
@@ -5884,6 +5975,14 @@ class LakeCatalog:
             _re.IGNORECASE,
         ):
             return self.ddl(query)
+        # sequence calls resolve BEFORE dispatch (but after the DDL
+        # route, so a stored `DEFAULT nextval('s')` text is never
+        # rewritten): currval('s') is a per-statement constant; nextval
+        # in a pure `INSERT ... VALUES` substitutes one allocated block
+        # textually. nextval in a SELECT list is handled below (strip,
+        # compile the rest, attach values distributed).
+        if _re.search(r"\b(?:nextval|currval)\s*\(", query, _re.IGNORECASE):
+            query = q = self._rewrite_sequence_calls(q)
         # DML dispatches BEFORE view expansion — prepending a views CTE
         # to `INSERT INTO t SELECT * FROM v` would produce `WITH ... INSERT`,
         # which no longer matches here and dies in the SELECT path as an
@@ -5895,6 +5994,8 @@ class LakeCatalog:
             r"|DELETE\s+FROM|UPDATE|MERGE\s+INTO)\b", query, _re.IGNORECASE
         ):
             return self.dml(query)
+        if _re.search(r"\bnextval\s*\(", query, _re.IGNORECASE):
+            return self._select_with_nextval(query, versions, where_hints)
         # logical views expand next (leading CTEs), so time travel /
         # CDF rewrites and table registration see the expanded text
         # DuckDB-dialect rewrites (r14): the reference's users write
@@ -5973,6 +6074,186 @@ class LakeCatalog:
         for syn in cdf_views:
             self.spark.catalog.dropTempView(syn)
         return result
+
+    # ---------- sequence call resolution (lake/sequence.py) ----------
+
+    _NEXTVAL_RE = re.compile(
+        r"\bnextval\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE
+    )
+
+    def _rewrite_sequence_calls(self, q: str) -> str:
+        """Resolve ``currval('s')`` anywhere (a per-statement constant:
+        the last value this catalog handed out) and ``nextval('s')``
+        inside a pure ``INSERT ... VALUES`` statement (each textual
+        occurrence = one evaluated row-cell, exactly DuckDB's
+        semantics; ALL occurrences of one sequence draw from a single
+        block — one CAS commit per statement). nextval anywhere else
+        passes through to :meth:`_select_with_nextval`."""
+        import re as _re
+
+        from . import sequence as _sequence
+
+        def cur(m: "_re.Match") -> str:
+            name = m.group(1)
+            if name not in self._seq_currval:
+                # existence first: DuckDB errors differently for a
+                # missing sequence vs one unused in this session
+                _sequence.sequence_state(self.fs, self.root, name)
+                raise ValueError(
+                    f"currval('{name}'): nextval has not been called "
+                    f"for this sequence in this session"
+                )
+            return str(self._seq_currval[name])
+
+        q = _re.sub(
+            r"\bcurrval\s*\(\s*'([^']+)'\s*\)", cur, q, flags=_re.IGNORECASE
+        )
+        if not (
+            _re.match(
+                rf"\s*INSERT\s+(?:OR\s+(?:REPLACE|IGNORE)\s+)?INTO\s+"
+                rf"{_IDENT}\s*(?:\([^)]*\))?\s*VALUES\s*\(",
+                q,
+                _re.IGNORECASE,
+            )
+            and self._NEXTVAL_RE.search(q)
+        ):
+            return q
+        # one block per sequence, sized by occurrence count
+        names = [m.group(1) for m in self._NEXTVAL_RE.finditer(q)]
+        blocks: dict[str, dict] = {}
+        for name in names:
+            if name not in blocks:
+                n = names.count(name)
+                st = _sequence.sequence_state(self.fs, self.root, name)
+                lo = _sequence.allocate(self.fs, self.root, name, n)
+                blocks[name] = {"next": lo, "inc": st["increment"]}
+                self._seq_currval[name] = lo + (n - 1) * st["increment"]
+
+        def sub(m: "_re.Match") -> str:
+            b = blocks[m.group(1)]
+            v = b["next"]
+            b["next"] = v + b["inc"]
+            return str(v)
+
+        return self._NEXTVAL_RE.sub(sub, q)
+
+    def _select_with_nextval(self, q: str, versions, where_hints):
+        """``SELECT ... nextval('s') ... FROM ...``: strip the nextval
+        items from the TOP-LEVEL select list, compile the remainder
+        through the normal path, then attach the sequence values
+        distributed — ONE block reservation (CAS) per sequence per
+        statement, value assignment by pure per-partition arithmetic
+        (``lake/sequence.py``: no shuffle, no window, no Python
+        boundary). Like DuckDB under parallel execution, which row gets
+        which value is unspecified; uniqueness and density are exact.
+
+        nextval is supported as a whole select-list item (optionally
+        aliased). Anywhere else — expressions, WHERE, subqueries — we
+        refuse with guidance rather than silently miscompute."""
+        import re as _re
+
+        from . import sequence as _sequence
+
+        sm = _re.match(r"\s*SELECT\s+(DISTINCT\s+)?", q, _re.IGNORECASE)
+        if sm is None or sm.group(1):
+            raise ValueError(
+                "nextval('...') is supported in INSERT ... VALUES and in "
+                "the top-level select list of a plain SELECT (no "
+                "DISTINCT/WITH); rewrite the query to draw sequence "
+                "values at the top level"
+            )
+        body = q[sm.end():]
+        # find the top-level FROM (depth-0, outside quotes); everything
+        # before it is the select list
+        depth, quote, from_at = 0, None, None
+        i = 0
+        while i < len(body):
+            ch = body[i]
+            if quote is not None:
+                if ch == quote:
+                    if i + 1 < len(body) and body[i + 1] == quote:
+                        i += 1
+                    else:
+                        quote = None
+            elif ch in ("'", '"', "`"):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in "Ff":
+                if _re.match(r"FROM\b", body[i:], _re.IGNORECASE) and (
+                    i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+                ):
+                    from_at = i
+                    break
+            i += 1
+        sel = body[:from_at] if from_at is not None else body
+        tail = body[from_at:] if from_at is not None else ""
+        items = split_top_level(sel)
+        item_re = _re.compile(
+            rf"\s*nextval\s*\(\s*'([^']+)'\s*\)\s*(?:AS\s+({_IDENT})\s*)?$",
+            _re.IGNORECASE,
+        )
+        kept: list[str] = []
+        seq_items: list[tuple[int, str, str]] = []  # (position, seq, col)
+        for pos, item in enumerate(items):
+            m = item_re.match(item)
+            if m:
+                col = unquote_ident(m.group(2)) if m.group(2) else "nextval"
+                seq_items.append((pos, m.group(1), col))
+            else:
+                if self._NEXTVAL_RE.search(item):
+                    raise ValueError(
+                        "nextval('...') must be a whole select-list item "
+                        f"(optionally aliased); found it inside {item.strip()!r}"
+                    )
+                kept.append(item)
+        if self._NEXTVAL_RE.search(tail):
+            raise ValueError(
+                "nextval('...') is only supported in the top-level select "
+                "list, not in WHERE/GROUP BY/subqueries"
+            )
+        marker = None
+        if not kept:
+            marker = "__seq_rowmark"
+            kept = [f"1 AS {marker}"]
+        inner = "SELECT " + ", ".join(k.strip() for k in kept) + " " + tail
+        df = self.sql(inner, versions=versions, where_hints=where_hints)
+        # a seq alias colliding with a compiled column would make
+        # withColumn REPLACE it — rename until free (the original
+        # positional order restores the requested shape below)
+        used: set[str] = set()
+        for i_, (pos, seq, col) in enumerate(seq_items):
+            while col in df.columns or col in used:
+                col = col + "_"
+            used.add(col)
+            seq_items[i_] = (pos, seq, col)
+        counts = _sequence.partition_counts(df)
+        total = sum(counts)
+        for _, seq, col in seq_items:
+            st = _sequence.sequence_state(self.fs, self.root, seq)
+            if total == 0:
+                df = df.withColumn(col, F.lit(None).cast("long"))
+                continue
+            lo = _sequence.allocate(self.fs, self.root, seq, total)
+            df = _sequence.attach_sequence(df, col, lo, st["increment"], counts)
+            self._seq_currval[seq] = lo + (total - 1) * st["increment"]
+        # restore the original column order
+        base_cols = [c for c in df.columns if c not in used]
+        if marker is not None:
+            base_cols.remove(marker)
+        out_cols: list[str] = []
+        bi = 0
+        seq_by_pos = {p: c for p, _, c in seq_items}
+        for pos in range(len(items)):
+            if pos in seq_by_pos:
+                out_cols.append(seq_by_pos[pos])
+            else:
+                out_cols.append(base_cols[bi])
+                bi += 1
+        out_cols.extend(base_cols[bi:])
+        return df.select(*[df[c] for c in out_cols])
 
     def _rewrite_table_changes(self, query: str):
         """Rewrite ``table_changes('t', from [, to])`` calls (Delta's CDF

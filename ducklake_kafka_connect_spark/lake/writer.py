@@ -407,6 +407,43 @@ class LakeWriter:
 
     _RESOLVE = object()  # sentinel: "resolve the manifest yourself"
 
+    _NEXTVAL_DEFAULT = re.compile(
+        r"nextval\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE
+    )
+
+    def _apply_sequence_defaults(self, df: DataFrame, manifest) -> DataFrame:
+        """Fill omitted columns whose stored DEFAULT is
+        ``nextval('seq')`` (DuckDB's auto-increment idiom) with freshly
+        allocated sequence values. Must run BEFORE constraint
+        enforcement and the conform projection — neither can evaluate
+        nextval as a Spark expression. One block CAS per batch per
+        sequence (``lake/sequence.py``); assignment is per-partition
+        arithmetic, no shuffle. Costs one extra lightweight count job,
+        only on tables that actually store a sequence default."""
+        if manifest is None:
+            return df
+        from . import sequence as _seq
+
+        todo = [
+            (col, m.group(1))
+            for col, d in column_defaults(manifest).items()
+            if col not in df.columns
+            and (m := self._NEXTVAL_DEFAULT.fullmatch(d.strip()))
+        ]
+        if not todo:
+            return df
+        fs, root = self.table.fs, self.table.root
+        counts = _seq.partition_counts(df)
+        total = sum(counts)
+        for col, name in todo:
+            st = _seq.sequence_state(fs, root, name)
+            if total == 0:
+                df = df.withColumn(col, F.lit(None).cast("long"))
+                continue
+            lo = _seq.allocate(fs, root, name, total)
+            df = _seq.attach_sequence(df, col, lo, st["increment"], counts)
+        return df
+
     def _enforce_constraints(self, df: DataFrame, manifest=_RESOLVE) -> None:
         """Reject the batch if any CHECK constraint is violated. One
         aggregate job computes every constraint's violation count at
@@ -992,6 +1029,7 @@ class LakeWriter:
                 # auto-create (no stored constraints can exist then)
                 if self.table.exists():
                     manifest = self.table.manifest()
+                    df = self._apply_sequence_defaults(df, manifest)
                     self._enforce_constraints(df, manifest)
                 else:
                     self._enforce_constraints(df, None)
@@ -1026,6 +1064,7 @@ class LakeWriter:
         # one manifest resolve: enforcement reuses the planning manifest
         if self.table.exists():
             manifest = self.table.manifest()
+            df = self._apply_sequence_defaults(df, manifest)
             self._enforce_constraints(df, manifest)
         else:
             self._enforce_constraints(df, None)
@@ -1333,6 +1372,7 @@ class LakeWriter:
         if pre is not None and inline_state(pre)[0]:
             self.flush_inlined()
             pre = self.table.manifest()
+        df = self._apply_sequence_defaults(df, pre)
         # tombstoned rows are DELETES — they carry no insertable values,
         # so constraints (incl. NOT NULL) must not judge them: a narrow
         # pk-only delete batch against a NOT NULL table is legitimate

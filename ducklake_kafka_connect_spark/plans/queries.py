@@ -4065,3 +4065,52 @@ def sql_view_over_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "incremental" not in st["detail"]:
         raise AssertionError(f"refresh took {st['detail']!r}")
     return cat.sql("SELECT event_type, total_cents, n FROM busy_types")
+
+
+@register(
+    "sequence_surrogate_keys",
+    """
+    WITH keyed AS (
+      SELECT row_number() OVER (ORDER BY doc_id) AS sk, lang
+      FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT sk) AS BIGINT) AS n_keys,
+           CAST(min(sk) AS BIGINT) AS min_key,
+           CAST(max(sk) AS BIGINT) AS max_key,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM keyed
+    """,
+    "CREATE SEQUENCE + nextval (r14, lake/sequence.py): surrogate keys "
+    "drawn from a catalog sequence while ingesting a documents slice — "
+    "SELECT-list nextval strips to a block reservation (ONE CAS per "
+    "statement) and per-partition arithmetic assignment (no shuffle, "
+    "no window). Which row gets which key is unspecified under "
+    "parallelism (DuckDB behaves the same), so the contract checked is "
+    "the exact one sequences guarantee: n_rows unique keys forming the "
+    "dense block [1, n_rows] — the oracle mirrors it with row_number.",
+)
+def sequence_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang"
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    view = f"seq_src_{uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
+    cat.sql("CREATE SEQUENCE doc_sk")
+    cat.sql(
+        f"CREATE TABLE keyed_docs AS "
+        f"SELECT nextval('doc_sk') AS sk, doc_id, lang FROM {view}"
+    )
+    spark.catalog.dropTempView(view)
+    return cat.sql(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(DISTINCT sk) AS BIGINT) AS n_keys, "
+        "CAST(min(sk) AS BIGINT) AS min_key, "
+        "CAST(max(sk) AS BIGINT) AS max_key, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
+        "FROM keyed_docs"
+    )
