@@ -3236,6 +3236,42 @@ def _rewrite_distinct_on(query: str) -> str:
     )
 
 
+_USING_SAMPLE_RE = re.compile(
+    r"USING\s+SAMPLE\s+"
+    r"(?:(?P<meth>reservoir|bernoulli|system)\s*\(\s*)?"
+    r"(?P<num>\d+(?:\.\d+)?)\s*(?P<unit>%|PERCENT\b|ROWS?\b)?"
+    r"(?(meth)\s*\))"
+    r"(?:\s*\(\s*(?:reservoir|bernoulli|system)\s*"
+    r"(?:,\s*(?P<seed>\d+))?\s*\))?"
+    r"(?:\s*REPEATABLE\s*\(\s*(?P<seed2>\d+)\s*\))?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_using_sample(query: str) -> str:
+    """DuckDB ``USING SAMPLE`` → Spark ``TABLESAMPLE``. Both attach to a
+    table reference, so the rewrite is a local keyword-and-spec
+    substitution: ``t USING SAMPLE 10%``, ``10 PERCENT``, ``100 ROWS``,
+    a bare row count, ``reservoir(100 ROWS)``, and a method/seed suffix
+    ``10% (bernoulli, 42)`` / ``REPEATABLE (42)`` all map. Percentage
+    sampling keeps the seed via Spark's REPEATABLE; row sampling drops
+    it (Spark's ROWS form is a deterministic prefix, DuckDB's reservoir
+    an unseeded-by-default sample — neither row set is portable across
+    engines, which is inherent to sampling, not the rewrite)."""
+
+    def repl(m: "re.Match") -> str:
+        num, unit = m.group("num"), (m.group("unit") or "").upper().strip()
+        seed = m.group("seed") or m.group("seed2")
+        if unit in ("%", "PERCENT"):
+            out = f"TABLESAMPLE ({num} PERCENT)"
+            if seed:
+                out += f" REPEATABLE ({seed})"
+            return out
+        return f"TABLESAMPLE ({int(float(num))} ROWS)"
+
+    return _USING_SAMPLE_RE.sub(repl, query)
+
+
 def _rewrite_duckdb_dialect(query: str) -> str:
     """DuckDB-dialect SELECT features the reference's users rely on,
     rewritten onto Spark SQL (r14):
@@ -3259,6 +3295,7 @@ def _rewrite_duckdb_dialect(query: str) -> str:
     separator arguments."""
     query = _rewrite_duckdb_functions(query)
     query = _rewrite_distinct_on(query)
+    query = _rewrite_using_sample(query)
     q = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", query, flags=re.IGNORECASE)
     qi = _find_top_level_kw(q, "QUALIFY")
     if qi < 0:

@@ -147,3 +147,60 @@ class TestDistinctOn:
         # aggregate DISTINCT is inside parens — must not trigger
         (row,) = cat.sql("SELECT count(DISTINCT k) AS n FROM ev").collect()
         assert row["n"] == 3
+
+
+class TestUsingSample:
+    """DuckDB USING SAMPLE → Spark TABLESAMPLE (sampling row sets are
+    engine-local by nature, so assertions are on counts, bounds, and
+    seed determinism — not row identity)."""
+
+    @pytest.fixture(scope="class")
+    def us(self, spark, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        from ducklake_kafka_connect_spark.lake import LakeCatalog, LakeWriter
+
+        cat = LakeCatalog(spark, str(tmp_path_factory.mktemp("us")))
+        cat.sql("CREATE TABLE big (pk BIGINT, PRIMARY KEY (pk))")
+        LakeWriter(cat.table("big"), auto_create=False).write(
+            spark.range(10000).select(F.col("id").alias("pk"))
+        )
+        return cat
+
+    def test_percent_band(self, us):
+        n = us.sql("SELECT count(*) AS n FROM big USING SAMPLE 10%").collect()[0]["n"]
+        assert 600 <= n <= 1500  # bernoulli 10% of 10k
+
+    def test_percent_keyword(self, us):
+        n = us.sql(
+            "SELECT count(*) AS n FROM big USING SAMPLE 10 PERCENT"
+        ).collect()[0]["n"]
+        assert 600 <= n <= 1500
+
+    def test_rows_exact(self, us):
+        assert (
+            us.sql("SELECT count(*) AS n FROM big USING SAMPLE 50 ROWS")
+            .collect()[0]["n"]
+            == 50
+        )
+
+    def test_reservoir_rows(self, us):
+        assert (
+            us.sql(
+                "SELECT count(*) AS n FROM big USING SAMPLE reservoir(25 ROWS)"
+            ).collect()[0]["n"]
+            == 25
+        )
+
+    def test_seed_deterministic(self, us):
+        q = "SELECT sum(pk) AS s FROM big USING SAMPLE 10% (bernoulli, 42)"
+        a = us.sql(q).collect()[0]["s"]
+        b = us.sql(q).collect()[0]["s"]
+        assert a == b
+
+    def test_in_subquery(self, us):
+        n = us.sql(
+            "SELECT count(*) AS n FROM "
+            "(SELECT pk FROM big USING SAMPLE 100 ROWS) WHERE pk >= 0"
+        ).collect()[0]["n"]
+        assert n == 100
