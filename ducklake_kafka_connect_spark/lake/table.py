@@ -4323,6 +4323,36 @@ class LakeCatalog:
                 if_not_exists=bool(sqc.group(2)),
             )
             return self._ddl_result("CREATE SEQUENCE", name, "defined")
+        ckm = _re.match(
+            rf"(?:FORCE\s+)?CHECKPOINT(?:\s+({_IDENT}))?\s*$",
+            stmt,
+            _re.IGNORECASE,
+        )
+        if ckm:
+            # DuckDB's CHECKPOINT persists buffered state; the lake
+            # analogue is flushing pending inlined rows into real
+            # parquet (DuckLake: ducklake_flush_inlined_data()). With a
+            # name it targets one table, bare it sweeps the catalog.
+            from .inline import inline_state
+            from .writer import LakeWriter
+
+            if ckm.group(1):
+                names = [unquote_ident(ckm.group(1))]
+                if not self.table(names[0]).exists():
+                    raise ValueError(f"table {names[0]!r} does not exist")
+            else:
+                names = self.list_tables()
+            total = flushed_tables = 0
+            for n in names:
+                t = self.table(n)
+                if inline_state(t.manifest())[0]:
+                    total += LakeWriter(t, auto_create=False).flush_inlined()
+                    flushed_tables += 1
+            return self._ddl_result(
+                "CHECKPOINT",
+                ckm.group(1) or "*",
+                f"{total} row(s) flushed across {flushed_tables} table(s)",
+            )
         sqd = _re.match(
             rf"DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
             stmt,
@@ -5829,7 +5859,7 @@ class LakeCatalog:
                 r"(CREATE|DROP|REFRESH|ALTER|TRUNCATE|VACUUM|OPTIMIZE"
                 r"|RESTORE|COPY|REPLICATE|INSERT|DELETE|UPDATE|MERGE"
                 r"|FLUSH|EXPORT|IMPORT|COMMENT|ATTACH|DETACH"
-                r"|BEGIN|COMMIT|ROLLBACK)\b",
+                r"|CHECKPOINT|FORCE|BEGIN|COMMIT|ROLLBACK)\b",
                 inner,
                 _re.IGNORECASE,
             ):
@@ -6006,7 +6036,7 @@ class LakeCatalog:
             r"|ALTER\s+TABLE|ALTER\s+VIEW|TRUNCATE\s+TABLE|VACUUM|OPTIMIZE"
             r"|FLUSH\s+INLINED\s+DATA"
             r"|RESTORE\s+TABLE|COPY\s+INTO|REPLICATE\s+TABLE"
-            r"|COMMENT\s+ON"
+            r"|COMMENT\s+ON|(?:FORCE\s+)?CHECKPOINT"
             r"|EXPORT\s+DATABASE|IMPORT\s+DATABASE)\b",
             query,
             _re.IGNORECASE,

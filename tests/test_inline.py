@@ -343,3 +343,52 @@ class TestTypesAndConstraints:
         w.append(spark.createDataFrame([(1,)], "id int"))
         assert inline_state(cat.table("d").manifest())[1] == 1
         assert cat.table("d").read().collect()[0].v == "filled"
+
+
+class TestCheckpointStatement:
+    """DuckDB's CHECKPOINT mapped onto the lake: flush pending inlined
+    rows to real files — one table by name, or a bare catalog sweep."""
+
+    def test_named_table_flush(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        w = LakeWriter(cat.table("ev"), auto_create=False)
+        w.write(_rows(spark, [(1, "a"), (2, "b")]))
+        assert inline_state(cat.table("ev").manifest())[0]
+        out = cat.sql("CHECKPOINT ev").collect()[0]
+        assert "2 row(s)" in out["detail"]
+        assert not inline_state(cat.table("ev").manifest())[0]
+        assert cat.sql("SELECT count(*) AS n FROM ev").collect()[0]["n"] == 2
+
+    def test_bare_sweeps_catalog(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        cat.sql("CREATE TABLE ev2 (id INT, v STRING, PRIMARY KEY (id))")
+        cat.sql(
+            "ALTER TABLE ev2 SET TBLPROPERTIES "
+            "('write.inlining.row.limit'='50')"
+        )
+        for t in ("ev", "ev2"):
+            LakeWriter(cat.table(t), auto_create=False).write(
+                _rows(spark, [(1, "a")])
+            )
+        out = cat.sql("CHECKPOINT").collect()[0]
+        assert "2 table(s)" in out["detail"]
+        for t in ("ev", "ev2"):
+            assert not inline_state(cat.table(t).manifest())[0]
+
+    def test_force_spelling_and_noop(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        out = cat.sql("FORCE CHECKPOINT").collect()[0]
+        assert "0 row(s)" in out["detail"]
+
+    def test_unknown_table_raises(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        with pytest.raises(ValueError, match="does not exist"):
+            cat.sql("CHECKPOINT ghost")
+
+    def test_explain_checkpoint_refused(self, spark, tmp_path):
+        cat = _cat(spark, tmp_path)
+        w = LakeWriter(cat.table("ev"), auto_create=False)
+        w.write(_rows(spark, [(1, "a")]))
+        with pytest.raises(ValueError, match="SELECT queries only"):
+            cat.sql("EXPLAIN CHECKPOINT ev")
+        assert inline_state(cat.table("ev").manifest())[0]  # still buffered
