@@ -5980,6 +5980,36 @@ class LakeCatalog:
         dm = _re.match(rf"DESC(?:RIBE)?\s+({_IDENT})\s*$", q, _re.IGNORECASE)
         if dm:
             return self.describe(unquote_ident(dm.group(1)))
+        pti = _re.match(
+            r"PRAGMA\s+table_info\s*\(\s*'([^']+)'\s*\)\s*$", q, _re.IGNORECASE
+        )
+        if pti:
+            # DuckDB/SQLite pragma shape: (cid, name, type, notnull,
+            # dflt_value, pk) — the describe() facts re-keyed for tools
+            # that speak the pragma dialect
+            name = pti.group(1)
+            t = self.table(name)
+            if not t.exists():
+                raise ValueError(f"table {name!r} does not exist")
+            m = t.manifest()
+            tp = m.props.get("tblproperties", {})
+            pk = set(m.pk or [])
+            rows = [
+                (
+                    i,
+                    f.name,
+                    f.dataType.simpleString().upper(),
+                    (f"notnull.{f.name}" in tp) or not f.nullable,
+                    tp.get(f"default.{f.name}"),
+                    f.name in pk,
+                )
+                for i, f in enumerate(m.schema.fields)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "cid int, name string, type string, notnull boolean, "
+                "dflt_value string, pk boolean",
+            )
         sm = _re.match(r"SUMMARIZE\s+(.+)$", q, _re.IGNORECASE | _re.DOTALL)
         if sm:
             return self.summarize(sm.group(1).strip())
@@ -6093,7 +6123,12 @@ class LakeCatalog:
         # metadata TVF: table_snapshots('t') — version history as rows
         # (DuckLake's ducklake_snapshots per-table), zero scan
         query, snap_views = self._rewrite_table_snapshots(query)
-        cdf_views = cdf_views + files_views + snap_views + asof_views + att_views
+        # catalog introspection: duckdb_tables() / duckdb_columns()
+        query, meta_views = self._rewrite_catalog_fns(query)
+        cdf_views = (
+            cdf_views + files_views + snap_views + meta_views
+            + asof_views + att_views
+        )
         pins = dict(versions or {})
         hints = dict(where_hints or {})
         referenced = [
@@ -6141,6 +6176,74 @@ class LakeCatalog:
         for syn in cdf_views:
             self.spark.catalog.dropTempView(syn)
         return result
+
+    def _rewrite_catalog_fns(self, query: str):
+        """Rewrite ``duckdb_tables()`` / ``duckdb_columns()`` (DuckDB's
+        catalog-introspection functions) to synthetic views built from
+        manifests — pure metadata, zero data scan. Comments from
+        COMMENT ON surface here exactly as DuckDB exposes them."""
+        import re as _re
+        import uuid as _uuid
+
+        views: list[str] = []
+        if not _re.search(
+            r"\bduckdb_(tables|columns)\s*\(\s*\)", query, _re.IGNORECASE
+        ):
+            return query, views
+
+        def sub(m: "_re.Match") -> str:
+            kind = m.group(1).lower()
+            syn = f"__duckdb_{kind}_{_uuid.uuid4().hex[:6]}"
+            rows = []
+            for n in self.list_tables():
+                t = self.table(n)
+                mf = t.manifest()
+                tp = mf.props.get("tblproperties", {})
+                if kind == "tables":
+                    rows.append(
+                        (
+                            n,
+                            int(mf.version),
+                            len(mf.schema.fields),
+                            bool(mf.pk),
+                            tp.get("comment"),
+                        )
+                    )
+                else:
+                    for i, f in enumerate(mf.schema.fields):
+                        rows.append(
+                            (
+                                n,
+                                f.name,
+                                i,
+                                f.dataType.simpleString().upper(),
+                                f.nullable
+                                and f"notnull.{f.name}" not in tp,
+                                tp.get(f"comment.{f.name}"),
+                            )
+                        )
+            schema = (
+                "table_name string, version bigint, column_count int, "
+                "has_primary_key boolean, comment string"
+                if kind == "tables"
+                else "table_name string, column_name string, "
+                "column_index int, data_type string, is_nullable boolean, "
+                "comment string"
+            )
+            self.spark.createDataFrame(rows or [], schema) \
+                .createOrReplaceTempView(syn)
+            views.append(syn)
+            return quote_ident(syn)
+
+        return (
+            _re.sub(
+                r"\bduckdb_(tables|columns)\s*\(\s*\)",
+                sub,
+                query,
+                flags=_re.IGNORECASE,
+            ),
+            views,
+        )
 
     # ---------- sequence call resolution (lake/sequence.py) ----------
 

@@ -4114,3 +4114,73 @@ def sequence_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
         "FROM keyed_docs"
     )
+
+
+@register(
+    "tvf_insertions_deletions",
+    """
+    WITH upd AS (
+      SELECT event_id, value FROM events
+      WHERE event_id % 10 BETWEEN 5 AND 7 AND event_id % 4 = 1
+    ),
+    ins AS (
+      SELECT event_id FROM events
+      WHERE event_id % 10 >= 8 AND event_id % 4 = 1
+    ),
+    del AS (
+      SELECT event_id FROM events
+      WHERE event_id % 10 = 0 AND event_id % 4 = 1
+    )
+    SELECT 'inserted' AS side,
+           CAST((SELECT count(*) FROM upd) + (SELECT count(*) FROM ins)
+                AS BIGINT) AS n,
+           CAST((SELECT coalesce(sum(event_id), 0) FROM upd)
+                + (SELECT coalesce(sum(event_id), 0) FROM ins)
+                AS BIGINT) AS id_sum
+    UNION ALL
+    SELECT 'deleted',
+           CAST((SELECT count(*) FROM upd) + (SELECT count(*) FROM del)
+                AS BIGINT),
+           CAST((SELECT coalesce(sum(event_id), 0) FROM upd)
+                + (SELECT coalesce(sum(event_id), 0) FROM del)
+                AS BIGINT)
+    ORDER BY side
+    """,
+    "DuckLake's ducklake_table_insertions/_deletions as SQL TVFs "
+    "(r14): the row values that became / stopped being visible across "
+    "a span — updates contribute their NEW image to insertions and "
+    "their OLD image to deletions, hard deletes only to deletions. "
+    "Built on the same shared-file-skipping CDF diff as "
+    "table_changes, so the span cost scales with churn, not table "
+    "size. The oracle reconstructs both sides arithmetically.",
+)
+def tvf_insertions_deletions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    sl = ev.filter(F.col("event_id") % 4 == 1)
+    base = sl.filter(F.col("event_id") % 10 < 8)
+    batch = (
+        sl.filter(F.col("event_id") % 10 >= 5)
+        .withColumn("value", F.col("value") + 1000.0)
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"ducklake_q_{uuid.uuid4().hex[:8]}"
+    )
+    cat = LakeCatalog(spark, lake_dir)
+    w = LakeWriter(cat.table("events_tvf"), pk=["event_id"])
+    w.write(base)
+    v1 = cat.table("events_tvf").current_version()
+    w.write(batch)  # updates %10 in 5..7, inserts %10 in 8..9
+    cat.sql("DELETE FROM events_tvf WHERE event_id % 10 = 0")
+    v3 = cat.table("events_tvf").current_version()
+    return cat.sql(
+        f"SELECT 'inserted' AS side, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(coalesce(sum(event_id), 0) AS BIGINT) AS id_sum "
+        f"FROM table_insertions('events_tvf', {v1}, {v3}) "
+        f"UNION ALL "
+        f"SELECT 'deleted', CAST(count(*) AS BIGINT), "
+        f"CAST(coalesce(sum(event_id), 0) AS BIGINT) "
+        f"FROM table_deletions('events_tvf', {v1}, {v3}) "
+        f"ORDER BY side"
+    )

@@ -202,3 +202,50 @@ class TestInsertionsDeletionsTvf:
     def test_unknown_table_raises(self, cat):
         with pytest.raises(ValueError, match="unknown table"):
             cat.sql("SELECT * FROM table_insertions('ghost', 1)")
+
+
+class TestCatalogIntrospection:
+    """duckdb_tables() / duckdb_columns() / PRAGMA table_info — pure
+    metadata TVFs (zero data scan) that surface COMMENT ON output the
+    way DuckDB's catalog functions do."""
+
+    @pytest.fixture
+    def cat2(self, t):
+        t.sql("CREATE TABLE other (x INT DEFAULT 7, y STRING)")
+        t.sql("COMMENT ON TABLE t IS 'events'")
+        t.sql("COMMENT ON COLUMN t.v IS 'doubled'")
+        return t
+
+    def test_duckdb_tables(self, cat2):
+        rows = {
+            r["table_name"]: r
+            for r in cat2.sql("SELECT * FROM duckdb_tables()").collect()
+        }
+        assert set(rows) == {"t", "other"}
+        assert rows["t"]["comment"] == "events"
+        assert rows["t"]["has_primary_key"] is True
+        assert rows["other"]["has_primary_key"] is False
+        assert rows["other"]["column_count"] == 3  # x, y, _inserted_at
+
+    def test_duckdb_columns_and_join(self, cat2):
+        cols = {
+            (r["table_name"], r["column_name"]): r
+            for r in cat2.sql("SELECT * FROM duckdb_columns()").collect()
+        }
+        assert cols[("t", "v")]["comment"] == "doubled"
+        assert cols[("t", "pk")]["data_type"] == "BIGINT"
+        # the TVFs are real relations: joins work
+        n = cat2.sql(
+            "SELECT count(*) AS n FROM duckdb_columns() c "
+            "JOIN duckdb_tables() tt ON c.table_name = tt.table_name "
+            "WHERE tt.has_primary_key"
+        ).collect()[0]["n"]
+        assert n == 3  # pk, v, _inserted_at
+
+    def test_pragma_table_info(self, cat2):
+        rows = {r["name"]: r for r in cat2.sql("PRAGMA table_info('other')").collect()}
+        assert rows["x"]["dflt_value"] == "7"
+        assert rows["x"]["type"] == "INT"
+        assert rows["x"]["pk"] is False
+        with pytest.raises(ValueError, match="does not exist"):
+            cat2.sql("PRAGMA table_info('ghost')")
