@@ -5171,6 +5171,24 @@ class LakeCatalog:
         from .writer import LakeWriter as _W
 
         stmt = strip_catalog_prefix(statement).strip().rstrip(";").strip()
+        # sequence calls: INSERT ... VALUES substitution + currval also
+        # apply on DIRECT dml() calls (sql() routes pre-rewritten, so
+        # this is a no-op there); INSERT ... SELECT nextval resolves
+        # when the source routes back through sql(). Anywhere else —
+        # UPDATE/DELETE/MERGE expressions — nextval would reach
+        # Catalyst as an unresolved function, so refuse with guidance
+        if _re.search(r"\b(?:nextval|currval)\s*\(", stmt, _re.IGNORECASE):
+            stmt = self._rewrite_sequence_calls(stmt)
+        if not _re.match(
+            r"INSERT\b", stmt, _re.IGNORECASE
+        ) and _re.search(r"\bnextval\s*\(", stmt, _re.IGNORECASE):
+            raise ValueError(
+                "nextval('...') is supported in INSERT ... VALUES and in "
+                "SELECT lists (including INSERT ... SELECT); draw the "
+                "sequence values in a SELECT and write them via "
+                "INSERT/MERGE instead of referencing nextval inside "
+                f"{stmt.split(None, 1)[0].upper()}"
+            )
         returning: str | None = None
         ri = _find_top_level_kw(stmt, "RETURNING")
         if ri >= 0:
@@ -6186,6 +6204,7 @@ class LakeCatalog:
         import uuid as _uuid
 
         views: list[str] = []
+        query = self._rewrite_information_schema(query, views)
         if not _re.search(
             r"\bduckdb_(tables|columns)\s*\(\s*\)", query, _re.IGNORECASE
         ):
@@ -6243,6 +6262,63 @@ class LakeCatalog:
                 flags=_re.IGNORECASE,
             ),
             views,
+        )
+
+    def _rewrite_information_schema(self, query: str, views: list) -> str:
+        """ANSI ``information_schema.tables`` / ``.columns`` over the
+        catalog (DuckDB exposes the same). Tables AND logical views
+        appear in ``tables`` with their standard table_type; columns
+        carry 1-based ordinal_position, 'YES'/'NO' nullability, and the
+        stored DEFAULT text."""
+        import re as _re
+        import uuid as _uuid
+
+        def sub(m: "_re.Match") -> str:
+            kind = m.group(1).lower()
+            syn = f"__infoschema_{kind}_{_uuid.uuid4().hex[:6]}"
+            rows = []
+            if kind == "tables":
+                for n in self.list_tables():
+                    rows.append(("lake", "main", n, "BASE TABLE"))
+                for v in self.list_views():
+                    rows.append(("lake", "main", v, "VIEW"))
+                schema = (
+                    "table_catalog string, table_schema string, "
+                    "table_name string, table_type string"
+                )
+            else:
+                for n in self.list_tables():
+                    mf = self.table(n).manifest()
+                    tp = mf.props.get("tblproperties", {})
+                    for i, f in enumerate(mf.schema.fields):
+                        nullable = (
+                            f.nullable and f"notnull.{f.name}" not in tp
+                        )
+                        rows.append(
+                            (
+                                n,
+                                f.name,
+                                i + 1,
+                                f.dataType.simpleString().upper(),
+                                "YES" if nullable else "NO",
+                                tp.get(f"default.{f.name}"),
+                            )
+                        )
+                schema = (
+                    "table_name string, column_name string, "
+                    "ordinal_position int, data_type string, "
+                    "is_nullable string, column_default string"
+                )
+            self.spark.createDataFrame(rows or [], schema) \
+                .createOrReplaceTempView(syn)
+            views.append(syn)
+            return quote_ident(syn)
+
+        return _re.sub(
+            r"\binformation_schema\s*\.\s*(tables|columns)\b",
+            sub,
+            query,
+            flags=_re.IGNORECASE,
         )
 
     # ---------- sequence call resolution (lake/sequence.py) ----------

@@ -249,3 +249,43 @@ class TestCatalogIntrospection:
         assert rows["x"]["pk"] is False
         with pytest.raises(ValueError, match="does not exist"):
             cat2.sql("PRAGMA table_info('ghost')")
+
+
+class TestInformationSchema:
+    def test_tables_lists_tables_and_views(self, t):
+        t.sql("CREATE VIEW tv AS SELECT pk FROM t")
+        rows = sorted(
+            (r["table_name"], r["table_type"])
+            for r in t.sql(
+                "SELECT table_name, table_type FROM information_schema.tables"
+            ).collect()
+        )
+        assert rows == [("t", "BASE TABLE"), ("tv", "VIEW")]
+
+    def test_columns_shape(self, t):
+        rows = [
+            tuple(r)
+            for r in t.sql(
+                "SELECT column_name, ordinal_position, is_nullable "
+                "FROM information_schema.columns WHERE table_name = 't' "
+                "ORDER BY ordinal_position"
+            ).collect()
+        ]
+        assert rows[0] == ("pk", 1, "YES")
+        assert rows[-1][0] == "_inserted_at"
+
+
+class TestNextvalDmlRefusal:
+    def test_update_with_nextval_guided(self, t):
+        t.sql("CREATE SEQUENCE sq")
+        with pytest.raises(ValueError, match="INSERT ... VALUES"):
+            t.sql("UPDATE t SET v = nextval('sq') WHERE pk = 1")
+
+    def test_direct_dml_insert_values_works(self, t):
+        t.sql("CREATE SEQUENCE sq2")
+        t.dml("INSERT INTO t VALUES (nextval('sq2') + 500, 0)")
+        # substitution happened at dml entry: 1 + 500
+        assert (
+            t.sql("SELECT count(*) AS n FROM t WHERE pk = 501").collect()[0]["n"]
+            == 1
+        )
