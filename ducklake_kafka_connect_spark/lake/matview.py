@@ -360,11 +360,13 @@ def _full_frame(cat, d: MvDef, version: int, dim_versions: "dict | None" = None)
 
 
 def _writer(cat, name: str, d: MvDef) -> LakeWriter:
-    # deterministic pruning-path merges: MV deltas are tiny and the
-    # tombstone channel must behave identically at every size
-    return LakeWriter(
-        cat.table(name), pk=list(d.groups), small_table_fast_path=False
-    )
+    # r14: small-table fast path ON (it was forced off). An MV under the
+    # 32 MB gate merges as ONE rewrite-all window job — tombstones ride
+    # the same window (a winning tombstone deletes its key), identical
+    # row semantics to the pruning path's anti-join, at a third of the
+    # jobs. MVs past the gate take the pruning path automatically, so
+    # the scale story is unchanged.
+    return LakeWriter(cat.table(name), pk=list(d.groups))
 
 
 def create_materialized_view(
@@ -509,9 +511,6 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
         # row-level predicates commute with signed folding: a pre-image
         # that matched contributes -1, a post-image that matches +1
         ch = ch.filter(d.where)
-    _guard_null_groups(
-        ch.select(*d.groups), d.groups, f"refresh {name}"
-    )
     delta_cols = []
     for kind, expr, alias in d.maintained():
         if kind == "count_star":
@@ -536,7 +535,33 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
             delta_cols.append(
                 F.sum(F.col("__sign") * F.coalesce(F.expr(expr), F.lit(0))).alias(alias)
             )
+    # r14 optimization (guide §2.4 "remove shuffles/passes outright",
+    # §5 caching): the change feed is the refresh's expensive input —
+    # a file-diff full-outer join — and it used to execute up to three
+    # times (null-group guard, repair-key probe, merge source). The
+    # delta aggregate is GROUPS-sized (bounded by the churn's distinct
+    # group keys), so persist IT once and answer the guard and the
+    # repair-key probe from the cached rows: the feed now runs exactly
+    # once per refresh. ``__saw_del`` rides the same aggregate so the
+    # repair path needs no second pass over the feed.
+    if d.needs_repair():
+        delta_cols.append(
+            F.max(F.when(F.col("__sign") == -1, 1).otherwise(0)).alias(
+                "__saw_del"
+            )
+        )
     delta = ch.groupBy(*[F.col(g) for g in d.groups]).agg(*delta_cols)
+    delta = delta.persist()
+    # null-group guard, answered from the cached delta (groupBy keeps a
+    # null-keyed group, so any feed row with a null key surfaces here);
+    # this count is also what materializes the cache
+    try:
+        _guard_null_groups(
+            delta.select(*d.groups), d.groups, f"refresh {name}"
+        )
+    except Exception:
+        delta.unpersist()
+        raise
     repaired = None
     mode = "incremental"
     if d.needs_repair():
@@ -549,7 +574,7 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
         # group keys pay only their own partitions). Insert-only groups
         # stay on the cheap fold (min = least(cur, batch min)).
         repair_keys = (
-            ch.filter(F.col("__sign") == -1).select(*d.groups).distinct()
+            delta.filter(F.col("__saw_del") == 1).select(*d.groups)
         )
         # bounded probe, never an unbounded collect: only the first 257
         # keys come to the driver (enough to know whether an IN-predicate
@@ -647,7 +672,23 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
     out = folded.withColumn("__dead", dead)
     if repaired is not None:
         out = out.unionByName(repaired)
-    w = _writer(cat, name, d)
-    w.extra_commit_props = marker
-    w.merge(out, tombstone_col="__dead")
+    # the merge evaluates its source more than once (planning aggregate
+    # + write); ``out`` is groups-sized, so caching it makes the repair
+    # read (a real base scan) and the fold join run once, not per
+    # evaluation
+    out = out.persist()
+    try:
+        w = _writer(cat, name, d)
+        w.extra_commit_props = marker
+        # most refreshes carry no dead groups (pure insert/update churn);
+        # probing the cached rows costs one trivial job and lets the
+        # tombstone-free merge take the driver-side Arrow fast path
+        # (tombstone merges need the Spark window plan)
+        if out.filter(F.col("__dead")).limit(1).count() > 0:
+            w.merge(out, tombstone_col="__dead")
+        else:
+            w.merge(out.drop("__dead"))
+    finally:
+        out.unpersist()
+        delta.unpersist()
     return {"view": name, "mode": mode, "from": from_v, "to": to_v}
