@@ -817,21 +817,46 @@ MRL_QUERY_MOD = 31
 MRL_K = 10
 
 
-def _mrl_dot(a: str, b: str, dim: int, base: int) -> str:
+def _mrl_dot(a: str, b: str, dim: int, base: int, hof: bool = False) -> str:
+    if hof:
+        return _mrl_fold(a, b, 0, dim)
     return " + ".join(
         f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
         for j in range(base, base + dim)
     )
 
 
-def _mrl_seg(a: str, b: str, lo: int, hi: int, base: int) -> str:
+def _mrl_seg(a: str, b: str, lo: int, hi: int, base: int, hof: bool = False) -> str:
+    if hof:
+        return _mrl_fold(a, b, lo, hi)
     return " + ".join(
         f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
         for j in range(base + lo, base + hi)
     )
 
 
-def _mrl_sql(table: str, base: int) -> str:
+def _mrl_fold(a: str, b: str, lo: int, hi: int) -> str:
+    """Left-fold spelling of the same dot-product chain (r14, guide §1/
+    §7.2): ``aggregate(zip_with(slice..))`` generates a LOOP instead of
+    ``hi - lo`` inlined multiply terms. Bit-exactness: the fold computes
+    ((((0 + t_lo) + t_lo+1) + ...) and ``0.0 + t`` is IEEE-identical to
+    ``t``, so every partial sum matches the inlined left-assoc chain.
+    Why: the inlined spelling made the pairs stage's whole-stage-codegen
+    source so large that JANINO COMPILATION (~5 s), not execution
+    (~0.5 s), dominated the query — and the compile re-ran on every
+    fresh plan build. Spark-side only; the DuckDB oracle keeps the
+    inlined chain, values stay bit-identical (verified on all three SF
+    dirs)."""
+    n = hi - lo
+    return (
+        f"aggregate(zip_with(slice({a}, {lo + 1}, {n}), "
+        f"slice({b}, {lo + 1}, {n}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _mrl_sql(table: str, base: int, hof: bool = False, parallel: int = 0) -> str:
     """Shared SQL text (array base is the only dialect difference):
     per-prefix-dim cosine rankings vs the full-dim ranking, recall@K.
     Dots build INCREMENTALLY — d16 = d8 + (terms 8..15) — which is the
@@ -839,24 +864,24 @@ def _mrl_sql(table: str, base: int) -> str:
     bit-identical across engines while each pair pays 64 multiplies,
     not 8+16+32+64."""
     nrm_cols = ", ".join(
-        f"sqrt({_mrl_dot('embedding', 'embedding', d, base)}) AS nrm{d}"
+        f"sqrt({_mrl_dot('embedding', 'embedding', d, base, hof)}) AS nrm{d}"
         for d in MRL_DIMS
     )
     # layered prefix dots over the pair rows (N² side): each layer adds
     # one segment on top of the previous prefix sum
     dims = list(MRL_DIMS)
-    seg0 = _mrl_seg("q.embedding", "c.embedding", 0, dims[0], base)
+    seg0 = _mrl_seg("q.embedding", "c.embedding", 0, dims[0], base, hof)
     layers = [
         f"""p{dims[0]} AS (
-      SELECT q.vec_id AS qid, c.vec_id AS cid,
+      SELECT {"/*+ BROADCAST(q) */" if parallel else ""} q.vec_id AS qid, c.vec_id AS cid,
              q.embedding AS qe, c.embedding AS ce,
              {', '.join(f'q.nrm{d} AS qn{d}, c.nrm{d} AS cn{d}' for d in dims)},
              ({seg0}) AS d{dims[0]}
-      FROM qn q JOIN vn c ON c.vec_id <> q.vec_id
+      FROM qn q JOIN {"vnp" if parallel else "vn"} c ON c.vec_id <> q.vec_id
     )"""
     ]
     for prev, cur in zip(dims, dims[1:]):
-        seg = _mrl_seg("qe", "ce", prev, cur, base)
+        seg = _mrl_seg("qe", "ce", prev, cur, base, hof)
         layers.append(
             f"""p{cur} AS (
       SELECT *, d{prev} + {seg} AS d{cur} FROM p{prev}
@@ -884,11 +909,20 @@ def _mrl_sql(table: str, base: int) -> str:
         + f" ELSE h{full} END"
     )
     vals = ",".join(f"({d})" for d in dims)
+    # r14 (guide §2.5 input skew): the corpus side arrives as ONE scan
+    # partition at bench scale (single small parquet file), which ran
+    # the whole N² pairs stage on one core. The Spark side spreads it
+    # across the session's parallelism before the broadcast-nested-loop
+    # join — a corpus-rows-sized shuffle (tiny next to the N² stage it
+    # unlocks); the oracle text is unchanged.
+    vnp = (
+        f",\n    vnp AS (SELECT /*+ REPARTITION({parallel}) */ * FROM vn)" if parallel else ""
+    )
     return f"""
     WITH vn AS (
       SELECT vec_id, embedding, {nrm_cols} FROM {table}
     ),
-    qn AS (SELECT * FROM vn WHERE vec_id % {MRL_QUERY_MOD} = 0),
+    qn AS (SELECT * FROM vn WHERE vec_id % {MRL_QUERY_MOD} = 0){vnp},
     {', '.join(layers)},
     pairs AS (
       SELECT qid, cid, {cos_cols} FROM p{dims[-1]}
@@ -925,7 +959,10 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     this harness measures WHICH truncation is safe to serve."""
     view = "embeddings_mrl_src"
     _t(spark, sf_dir, "embeddings").createOrReplaceTempView(view)
-    return spark.sql(_mrl_sql(view, 0))
+    return spark.sql(
+        _mrl_sql(view, 0, hof=True,
+                 parallel=spark.sparkContext.defaultParallelism)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1131,29 +1168,40 @@ def _ndcg_gains() -> tuple[list[int], list[int]]:
     return g, c
 
 
-def _retrieval_metrics_sql(table: str, base: int) -> str:
+def _retrieval_metrics_sql(
+    table: str, base: int, hof: bool = False, parallel: int = 0
+) -> str:
     """Shared SQL text (array base is the only dialect difference):
     brute-force cosine ranking per sampled query, binary relevance =
-    same ``label``, per-label mean MRR + mean nDCG@K in micro units."""
+    same ``label``, per-label mean MRR + mean nDCG@K in micro units.
+    ``hof``/``parallel`` are the Spark-side spellings (see _mrl_fold and
+    the vnp note in _mrl_sql); the oracle text never sets them."""
     gains, cums = _ndcg_gains()
-    dot_nn = _mrl_dot("embedding", "embedding", 64, base)
-    dot_qc = _mrl_dot("q.embedding", "c.embedding", 64, base)
+    dot_nn = _mrl_dot("embedding", "embedding", 64, base, hof)
+    dot_qc = _mrl_dot("q.embedding", "c.embedding", 64, base, hof)
     gain_case = " ".join(
         f"WHEN {r + 1} THEN {g}" for r, g in enumerate(gains)
     )
     idcg_case = " ".join(
         f"WHEN {k + 1} THEN {c}" for k, c in enumerate(cums)
     )
+    vnp = (
+        f",\n    vnp AS (SELECT /*+ REPARTITION({parallel}) */ * FROM vn)"
+        if parallel
+        else ""
+    )
+    bhint = "/*+ BROADCAST(q) */" if parallel else ""
+    cside = "vnp" if parallel else "vn"
     return f"""
     WITH vn AS (
       SELECT vec_id, label, embedding, sqrt({dot_nn}) AS nrm FROM {table}
     ),
-    qn AS (SELECT * FROM vn WHERE vec_id % {NDCG_QUERY_MOD} = 0),
+    qn AS (SELECT * FROM vn WHERE vec_id % {NDCG_QUERY_MOD} = 0){vnp},
     pairs AS (
-      SELECT q.vec_id AS qid, q.label AS qlab,
+      SELECT {bhint} q.vec_id AS qid, q.label AS qlab,
              c.vec_id AS cid, c.label AS clab,
              ROUND(({dot_qc}) / (q.nrm * c.nrm), 6) AS cos
-      FROM qn q JOIN vn c ON c.vec_id <> q.vec_id
+      FROM qn q JOIN {cside} c ON c.vec_id <> q.vec_id
     ),
     ranked AS (
       SELECT qid, qlab, cid, clab,
@@ -1207,4 +1255,9 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary, two exchanges (qid hash, label agg)."""
     view = "embeddings_ndcg_src"
     _t(spark, sf_dir, "embeddings").createOrReplaceTempView(view)
-    return spark.sql(_retrieval_metrics_sql(view, 0))
+    return spark.sql(
+        _retrieval_metrics_sql(
+            view, 0, hof=True,
+            parallel=spark.sparkContext.defaultParallelism,
+        )
+    )

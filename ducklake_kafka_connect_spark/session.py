@@ -97,6 +97,26 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # r14 (optimization guide §1/§7): HotSpot refuses to JIT-compile
+        # methods over ~8 KB of bytecode (DontCompileHugeMethods), and
+        # Spark's whole-stage codegen routinely emits such methods for
+        # wide expressions (64-dim vector dot chains, wide aggregates,
+        # big CASE ladders) — those then run in the BYTECODE INTERPRETER,
+        # measured 5x slower on the all-pairs cosine kernels (2.6 s ->
+        # 0.49 s on the 130k-pair micro). Lifting the cap is the
+        # standard Spark production setting; the larger code-cache
+        # reserve keeps the newly-compiled big methods from evicting
+        # each other across a 253-query surface. Driver opts cover
+        # local[] mode (tasks run in the driver JVM); executor opts make
+        # the same true on a real cluster.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
