@@ -111,11 +111,17 @@ def build_session(
         # the same true on a real cluster.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            os.environ.get(
+                "SPARK_GRAFT_JVM_OPTS",
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            ),
         )
         .config(
             "spark.executor.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            os.environ.get(
+                "SPARK_GRAFT_JVM_OPTS",
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            ),
         )
     )
     for k, v in (extra_conf or {}).items():

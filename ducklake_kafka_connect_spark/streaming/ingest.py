@@ -211,7 +211,7 @@ class IngestPipeline:
         cached: list[DataFrame] = []
         for part in parts:
             keep = [c for c in ("offset",) if c in part.columns]
-            good, bad = self._decode(part, spec, keep)
+            good, bad = self._decode(part, spec, keep, cached=cached)
             order_col = "offset" if "offset" in good.columns else None
             if order_col and spec.id_columns:
                 # offset orders last-write-wins dedup within the batch
@@ -326,10 +326,30 @@ class IngestPipeline:
             bad.unionByName(viol, allowMissingColumns=True),
         )
 
-    def _decode(self, part: DataFrame, spec: TableSpec, keep: list[str]):
+    def _decode(
+        self,
+        part: DataFrame,
+        spec: TableSpec,
+        keep: list[str],
+        cached: "list | None" = None,
+    ):
         """Per-table format dispatch (the reference's value.converter
         choice: JsonConverter / AvroConverter / ArrowIpcConverter, plus
-        the mixed per-batch sniff of A7)."""
+        the mixed per-batch sniff of A7).
+
+        ``cached`` (r14, guide §2.4): the good/bad DLQ split consumes
+        the SAME decoded frame twice, and each side's own persist used
+        to re-run the whole decode to materialize. Persisting the
+        pre-split decoded frame (appended to ``cached`` so the caller's
+        finally releases it) makes both sides cache reads — one decode
+        pass per batch part instead of two."""
+
+        def _split(decoded, **kw):
+            if cached is not None:
+                decoded = decoded.persist()
+                cached.append(decoded)
+            return split_dlq(decoded, **kw)
+
         if spec.format == "json":
             from ..sources.json_decode import conflict_note
 
@@ -340,7 +360,7 @@ class IngestPipeline:
             decoded = decode_json(
                 part, value_col="value", keep_cols=keep, conflicts_out=conflicts
             )
-            return split_dlq(decoded, error_note=conflict_note(conflicts))
+            return _split(decoded, error_note=conflict_note(conflicts))
         if spec.format == "avro_registry":
             from ..sources.schema_registry import decode_avro_registry
 
@@ -351,7 +371,7 @@ class IngestPipeline:
             decoded = decode_avro_registry(
                 part, self.registry, value_col="value", keep_cols=keep
             )
-            return split_dlq(decoded)
+            return _split(decoded)
         if spec.format == "avro":
             # auto-selects the JVM from_avro fast path when the
             # spark-avro jar is present; pure-Python fallback otherwise
@@ -364,7 +384,7 @@ class IngestPipeline:
                 keep_cols=keep,
                 with_corrupt_col=True,
             )
-            return split_dlq(decoded)
+            return _split(decoded)
         if spec.format == "csv":
             from ..sources.csv_decode import decode_csv
 
@@ -374,7 +394,7 @@ class IngestPipeline:
                 keep_cols=keep,
                 options=spec.csv_options,
             )
-            return split_dlq(decoded)
+            return _split(decoded)
         if spec.format == "proto":
             from ..sources.proto_lite import decode_proto_lite
 
@@ -385,7 +405,7 @@ class IngestPipeline:
                 with_corrupt_col=True,
                 confluent_framing=spec.confluent_framing,
             )
-            return split_dlq(decoded)
+            return _split(decoded)
         if spec.format == "arrow":
             from ..sources.arrow_ipc import decode_arrow_ipc
 
@@ -401,7 +421,7 @@ class IngestPipeline:
 
         decoded = decode_mixed(part, value_col="value")
         if CORRUPT_COL in decoded.columns:
-            return split_dlq(decoded)
+            return _split(decoded)
         bad = decoded.sparkSession.createDataFrame(
             [], "raw_value string, error string, _dlq_at timestamp"
         )
