@@ -919,19 +919,31 @@ def kcenter_coreset(
     chosen_vecs = [list(seed["v"])]
     out = [(0, int(seed["id"]), -1)]
     df = v
+    # r14 (guide §1.2 "the distributed algorithm first"): each round's
+    # frame persists and the previous round's cache releases — round i
+    # reads round i-1's materialized mind column instead of re-deriving
+    # the whole chain from the root (which made the loop O(k²) distance
+    # passes; the plan also grew by 64 literal terms per round). Same
+    # values, same argmax, k one-pass rounds.
+    prev = None
     for i in range(1, k):
         center = F.array(*[F.lit(float(x)) for x in chosen_vecs[-1]])
         d_new = _d2_micro_col(F.col("v"), center)
         df = df.withColumn(
             "mind", d_new if i == 1 else F.least(F.col("mind"), d_new)
-        )
+        ).persist()
         top = (
             df.orderBy(F.desc("mind"), "id")
             .limit(1)
             .collect()[0]
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = df
         out.append((i, int(top["id"]), int(top["mind"])))
         chosen_vecs.append(list(top["v"]))
+    if prev is not None:
+        prev.unpersist()
     v.unpersist()
     return spark.createDataFrame(
         out, "sel_ord int, vec_id long, dist_micro long"
