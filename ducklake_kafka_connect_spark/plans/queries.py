@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+import weakref
 from dataclasses import dataclass
 from typing import Callable
 
@@ -76,8 +77,36 @@ def register(name: str, oracle: str | None, description: str):
     return deco
 
 
+# r14 (guide §5 driver work / §6 file listing): every `_t` call paid a
+# fresh `spark.read.parquet` relation resolve (~30-100 ms of driver-side
+# listing + footer schema inference) — ~1500 resolves per bench run for
+# the same dozen immutable files. Memoize the UNRESOLVED plan per
+# (session, path), validated by the file's (mtime_ns, size) so a
+# rewritten fixture re-resolves. Only the logical plan is reused: every
+# action still scans the parquet inputs (nothing is persisted and
+# `clearCache` between queries is unaffected), which is exactly what a
+# real catalog does — resolve the table once, not per statement.
+_T_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        token = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        token = None
+    if token is not None:
+        per = _T_MEMO.setdefault(spark, {})
+        hit = per.get(path)
+        if hit is not None and hit[0] == token:
+            return hit[1]
+    df = load_parquet(spark, path)
+    if token is not None:
+        per[path] = (token, df)
+    return df
 
 
 def epoch_us_col(df: DataFrame, col: str):
