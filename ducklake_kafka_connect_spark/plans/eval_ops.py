@@ -557,8 +557,13 @@ def streaming_novelty_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-batch probe/append loop below is the real one; only the sig
     # computation is batched (production computes each batch's rows
     # once too, this just shares the corpus scan across the 4 slices)
-    all_rows = novelty_sig_rows(docs)
-    all_rows.persist()
+    # r14 (guide §3.3/§5): localCheckpoint instead of persist — same
+    # one-time materialization, but it also TRUNCATES the lineage, so
+    # the ~10 per-batch frames built over these rows (probe, side,
+    # anti-join, append) re-analyze a leaf instead of the full minhash
+    # expression tree (~0.5 s of driver time per batch at 3 batches).
+    # Recomputed from parquet on every invocation, exactly like persist.
+    all_rows = novelty_sig_rows(docs).localCheckpoint()
     mod = F.col("doc_id") % NOV_MOD
     ded.writer.write(all_rows.filter(mod <= 6))
     # all three batches' incoming counts in ONE column-pruned aggregate
@@ -577,7 +582,7 @@ def streaming_novelty_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ded.process_batch(batch, rows=all_rows.filter(mod == b))
         n_novel = ded.last_batch_stats["n_novel"]
         acc.append((b, n_in, n_novel, n_in - n_novel))
-    all_rows.unpersist()
+    all_rows.unpersist()  # releases the checkpoint blocks
     return spark.createDataFrame(
         acc, "batch_id int, n_incoming long, n_novel long, n_flagged long"
     )

@@ -75,7 +75,17 @@ def novelty_sig_rows(
     rsigs = minhash_signatures(
         groups.select(F.col("__th").alias("doc_id"), "text"), "doc_id", "text"
     ).withColumnRenamed("doc_id", "__th")
-    sigged = hashed.join(rsigs, "__th", "left")
+    # r14 (guide §2.5): AQE coalesces the signature aggregate down to
+    # one post-shuffle partition at micro-batch sizes, which would run
+    # the band-key hashing explode below — and every downstream probe
+    # join over a persisted copy of these rows — on a single task. An
+    # explicit-count repartition (AQE honors user-specified counts)
+    # spreads the per-doc fan-out across the cores; the extra exchange
+    # moves only slim (id, 16×int64) rows.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sigged = hashed.join(rsigs, "__th", "left").repartition(
+        n_part, F.col("doc_id")
+    )
     keys = band_keys_col([F.col(n) for n in _SIG_NAMES])
     long_rows = sigged.filter(F.col(_SIG_NAMES[0]).isNotNull()).select(
         "doc_id",

@@ -51,21 +51,18 @@ def main() -> None:
             continue
         rec: list = []
         for r in range(args.runs):
-            j0 = len(tracker.getJobIdsForGroup() or [])  # not group-scoped; use all
-            try:
-                j0 = spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
-            except Exception:
-                j0 = None
+            group = f"{name}-r{r}"
+            spark.sparkContext.setJobGroup(group, name)
             t0 = time.perf_counter()
             df = QUERIES[name].fn(spark, args.sf)
             t1 = time.perf_counter()
             df.collect()
             t2 = time.perf_counter()
+            spark.sparkContext.setJobGroup(None, None)
             try:
-                j1 = spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
+                jobs = len(tracker.getJobIdsForGroup(group) or [])
             except Exception:
-                j1 = None
-            jobs = (j1 - j0) if (j0 is not None and j1 is not None) else -1
+                jobs = -1
             rec.append(
                 {
                     "build_s": round(t1 - t0, 3),
