@@ -190,17 +190,37 @@ class IngestPipeline:
         onto one table land as ONE group commit (write_many) instead of
         N sequential merges — the reference consolidates cross-topic
         batches per table the same way (BatchConsolidation)."""
-        if "topic" in batch.columns:
-            topics = [r[0] for r in batch.select("topic").distinct().collect()]
-        else:
-            topics = [None]
-        by_table: dict[str, list] = {}
-        for topic in topics:
-            part = batch.filter(F.col("topic") == topic) if topic else batch
-            table = self.config.table_for(topic) if topic else "events"
-            by_table.setdefault(table, []).append(part)
-        for table, parts in by_table.items():
-            self._ingest_table_batches(parts, table, epoch_id=epoch_id)
+        # r14 (guide §5 cache only what's reused): the incoming frame is
+        # consumed by the topic scan AND each topic slice's decode — an
+        # expensive source (a decoder/synthesizer upstream) would
+        # otherwise re-execute per consumer. Micro-batches are
+        # threshold-bounded (E1), so one persist for the duration of the
+        # batch is safe; released in the finally.
+        persisted = False
+        try:
+            if batch.storageLevel.useMemory or batch.storageLevel.useDisk:
+                pass  # caller already persists; leave their lifecycle alone
+            else:
+                batch = batch.persist()
+                persisted = True
+            if "topic" in batch.columns:
+                topics = [
+                    r[0] for r in batch.select("topic").distinct().collect()
+                ]
+            else:
+                topics = [None]
+            by_table: dict[str, list] = {}
+            for topic in topics:
+                part = (
+                    batch.filter(F.col("topic") == topic) if topic else batch
+                )
+                table = self.config.table_for(topic) if topic else "events"
+                by_table.setdefault(table, []).append(part)
+            for table, parts in by_table.items():
+                self._ingest_table_batches(parts, table, epoch_id=epoch_id)
+        finally:
+            if persisted:
+                batch.unpersist()
 
     def _ingest_table_batches(
         self, parts: list, table: str, epoch_id: int = -1
