@@ -246,17 +246,33 @@ def knn_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = "embeddings_bfs_src"
     _t(spark, sf_dir, "embeddings").createOrReplaceTempView(view)
-    nrm = _bfs_dot("embedding", "embedding", 0)
-    dot = _bfs_dot("a.embedding", "b.embedding", 0)
+    # r14 (guide §1/§2.5/§7.2, same fix as the matryoshka harness): the
+    # Spark side spells the dot as an aggregate(zip_with(...)) left-fold
+    # — bit-identical to the unrolled chain (0.0 + t == t) but a LOOP in
+    # codegen instead of 64 inlined terms, which the unrolled spelling
+    # pushed into interpreted evaluation (the N² pairs stage measured
+    # ~22 s serial) — and repartitions the streamed side of the
+    # broadcast-nested-loop join across the session's parallelism (the
+    # sample arrives as ONE scan partition at bench scale). Oracle SQL
+    # text (_bfs_sql) is unchanged.
+    fold = (
+        "aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    nrm = fold.format(a="embedding", b="embedding")
+    dot = fold.format(a="a.embedding", b="b.embedding")
+    n_part = spark.sparkContext.defaultParallelism
     vn = spark.sql(
         f"SELECT vec_id, embedding, sqrt({nrm}) AS nrm FROM {view} "
         f"WHERE vec_id % {BFS_MOD} = 0"
     )
     vn.createOrReplaceTempView("bfs_vn")
     pairs = spark.sql(
-        f"""SELECT a.vec_id AS src, b.vec_id AS dst,
+        f"""SELECT /*+ BROADCAST(b) */ a.vec_id AS src, b.vec_id AS dst,
                    ROUND(({dot}) / (a.nrm * b.nrm), 6) AS sim
-            FROM bfs_vn a JOIN bfs_vn b ON a.vec_id <> b.vec_id"""
+            FROM (SELECT /*+ REPARTITION({n_part}) */ * FROM bfs_vn) a
+            JOIN bfs_vn b ON a.vec_id <> b.vec_id"""
     )
     rn = F.row_number().over(
         W.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
