@@ -2244,6 +2244,28 @@ class LakeTable:
             from functools import reduce as _reduce
 
             cand = _reduce(lambda a, b: a.unionByName(b), cand_parts).distinct()
+            # The semi-join's right side is bounded by the SPAN'S CHURN
+            # (files added/removed between the versions + new tombstone
+            # keys), not the table — when those bytes fit the MOR
+            # broadcast cap, broadcast the candidate keys so each
+            # snapshot branch hash-probes in place instead of
+            # sort-merge-shuffling the full snapshot by pk. The optimizer
+            # pushes the semi-join below the per-seq union, so without
+            # the hint the candidate aggregate is recomputed (and
+            # re-shuffled) once per branch; broadcast exchanges dedupe
+            # via reuse. Over the cap (bulk rewrite spans) the shuffled
+            # plan stands — there the churn IS the table and a broadcast
+            # would OOM the executors.
+            from .mor import MOR_BROADCAST_BYTES
+
+            churn_bytes = sum(
+                int(v.get("bytes") or 0) for v in new_tombs.values()
+            )
+            for rel in only_from + only_to:
+                p = os.path.join(self.dir, rel)
+                churn_bytes += int(os.path.getsize(p)) if os.path.exists(p) else 0
+            if churn_bytes <= MOR_BROADCAST_BYTES:
+                cand = F.broadcast(cand)
 
             def _visible_side(m: Manifest) -> DataFrame:
                 df = read_visible(self, m, m.all_files())
