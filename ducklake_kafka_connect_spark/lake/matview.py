@@ -551,17 +551,22 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
             )
         )
     delta = ch.groupBy(*[F.col(g) for g in d.groups]).agg(*delta_cols)
-    delta = delta.persist()
-    # null-group guard, answered from the cached delta (groupBy keeps a
-    # null-keyed group, so any feed row with a null key surfaces here);
-    # this count is also what materializes the cache
-    try:
-        _guard_null_groups(
-            delta.select(*d.groups), d.groups, f"refresh {name}"
-        )
-    except Exception:
-        delta.unpersist()
-        raise
+    # r14 (guide §5, same fix as streaming/novelty.py): localCheckpoint
+    # rather than persist — the delta is consumed by up to five
+    # downstream frames (guard, repair probe, anti/semi joins, fold,
+    # merge source) and each action on a persisted frame still re-plans
+    # the FULL feed tree (file-diff full-outer join + payload structs +
+    # dim joins) before hitting the cache; checkpointing materializes
+    # the groups-sized rows once and every consumer analyzes a leaf.
+    # Content is pinned at this point, so every consumer also sees the
+    # identical rows. Memory: bounded by churn-group count.
+    delta = delta.localCheckpoint(eager=True)
+    # null-group guard, answered from the checkpointed delta (groupBy
+    # keeps a null-keyed group, so any feed row with a null key
+    # surfaces here)
+    _guard_null_groups(
+        delta.select(*d.groups), d.groups, f"refresh {name}"
+    )
     repaired = None
     mode = "incremental"
     if d.needs_repair():
@@ -673,22 +678,19 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
     if repaired is not None:
         out = out.unionByName(repaired)
     # the merge evaluates its source more than once (planning aggregate
-    # + write); ``out`` is groups-sized, so caching it makes the repair
-    # read (a real base scan) and the fold join run once, not per
-    # evaluation
-    out = out.persist()
-    try:
-        w = _writer(cat, name, d)
-        w.extra_commit_props = marker
-        # most refreshes carry no dead groups (pure insert/update churn);
-        # probing the cached rows costs one trivial job and lets the
-        # tombstone-free merge take the driver-side Arrow fast path
-        # (tombstone merges need the Spark window plan)
-        if out.filter(F.col("__dead")).limit(1).count() > 0:
-            w.merge(out, tombstone_col="__dead")
-        else:
-            w.merge(out.drop("__dead"))
-    finally:
-        out.unpersist()
-        delta.unpersist()
+    # + write); ``out`` is groups-sized, so checkpointing makes the
+    # repair read (a real base scan) and the fold join run once AND
+    # every merge-internal action plan against a leaf instead of
+    # re-analyzing the whole refresh tree
+    out = out.localCheckpoint(eager=True)
+    w = _writer(cat, name, d)
+    w.extra_commit_props = marker
+    # most refreshes carry no dead groups (pure insert/update churn);
+    # probing the checkpointed rows costs one trivial job and lets the
+    # tombstone-free merge take the driver-side Arrow fast path
+    # (tombstone merges need the Spark window plan)
+    if out.filter(F.col("__dead")).limit(1).count() > 0:
+        w.merge(out, tombstone_col="__dead")
+    else:
+        w.merge(out.drop("__dead"))
     return {"view": name, "mode": mode, "from": from_v, "to": to_v}
