@@ -132,40 +132,32 @@ def _tombstone_frame(
         ren.get(f.name, f.name): f.dataType
         for f in to_physical_schema(m.schema).fields
     }
-    # ONE schema'd relation per distinct file schema instead of one
-    # footer-inferring read per tombstone file: each un-schema'd
+    # ONE schema'd relation per distinct (file schema, merge seq) instead
+    # of one footer-inferring read per tombstone file: each un-schema'd
     # spark.read.parquet costs a JVM schema-discovery pass, and hot
     # metadata paths (changes(), every MOR read) build this frame per
     # call. Footers are read driver-side via pyarrow (sub-ms on the
     # pk-only files); files group by pk schema so a pk widened AFTER
     # some tombstones were written still reads each file at its own
-    # stored type. The per-file merge seq rides a file_path→seq map
-    # over the _metadata column — the parent stage dir is uuid-unique,
-    # so the last two path components identify the file.
+    # stored type. Grouping ALSO by seq keeps MOR_TSEQ a per-group
+    # literal — an earlier file_path→seq map over _metadata cost a
+    # per-row regexp plus an O(files) map scan on every evaluation of
+    # the frame, which regressed MOR reads 1.6–2.5× at the bench scale.
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    def _suffix(rel: str) -> str:
-        return "/".join(rel.split("/")[-2:])
-
-    groups: dict[str, tuple[T.StructType, list[str]]] = {}
+    groups: dict[tuple[str, int], tuple[T.StructType, int, list[str]]] = {}
     total_bytes = 0
     for tf, meta in sorted(deletes.items()):
         absp = os.path.join(table.dir, tf)
         sch = from_arrow_schema(pq.read_schema(absp))
-        key = sch.json()
-        groups.setdefault(key, (sch, []))[1].append(tf)
+        seq = int(meta["seq"])
+        key = (sch.json(), seq)
+        groups.setdefault(key, (sch, seq, []))[2].append(tf)
         total_bytes += int(meta.get("bytes") or 0)
-    seq_map = F.create_map(
-        *[
-            x
-            for tf, meta in deletes.items()
-            for x in (F.lit(_suffix(tf)), F.lit(int(meta["seq"])))
-        ]
-    )
     parts = []
-    for sch, rels in groups.values():
+    for sch, seq, rels in groups.values():
         t = table.spark.read.schema(sch).parquet(
             *[os.path.join(table.dir, r) for r in rels]
         )
@@ -174,14 +166,7 @@ def _tombstone_frame(
                 F.col(p).cast(phys_types[p]).alias(prefix + p)
                 for p in pk_phys
             ],
-            F.element_at(
-                seq_map,
-                F.regexp_extract(
-                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
-                ),
-            )
-            .cast("int")
-            .alias(MOR_TSEQ),
+            F.lit(seq).cast("int").alias(MOR_TSEQ),
         )
         parts.append(t)
     tomb = reduce(lambda a, b: a.unionByName(b), parts)
