@@ -552,21 +552,23 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
         )
     delta = ch.groupBy(*[F.col(g) for g in d.groups]).agg(*delta_cols)
     # r14 (guide §5, same fix as streaming/novelty.py): localCheckpoint
-    # rather than persist — the delta is consumed by up to five
-    # downstream frames (guard, repair probe, anti/semi joins, fold,
+    # rather than persist — under repair the delta is consumed by
+    # several downstream frames (repair probe, anti/semi joins, fold,
     # merge source) and each action on a persisted frame still re-plans
     # the FULL feed tree (file-diff full-outer join + payload structs +
     # dim joins) before hitting the cache; checkpointing materializes
     # the groups-sized rows once and every consumer analyzes a leaf.
     # Content is pinned at this point, so every consumer also sees the
-    # identical rows. Memory: bounded by churn-group count.
-    delta = delta.localCheckpoint(eager=True)
-    # null-group guard, answered from the checkpointed delta (groupBy
-    # keeps a null-keyed group, so any feed row with a null key
-    # surfaces here)
-    _guard_null_groups(
-        delta.select(*d.groups), d.groups, f"refresh {name}"
-    )
+    # identical rows. Memory: bounded by churn-group count. WITHOUT
+    # repair the fold join is the delta's only consumer, so the feed
+    # already executes exactly once inside the ``out`` checkpoint below
+    # and a second materialization round-trip here would be pure cost.
+    if d.needs_repair():
+        delta = delta.localCheckpoint(eager=True)
+    # (the null-group guard runs as part of the fused flags probe on
+    # the checkpointed ``out`` below — delta rows survive the left fold
+    # join and the repair anti-join verbatim on null keys, so any
+    # null-keyed group still surfaces before anything commits)
     repaired = None
     mode = "incremental"
     if d.needs_repair():
@@ -683,13 +685,29 @@ def refresh_materialized_view(cat, name: str, full: bool = False) -> dict:
     # every merge-internal action plan against a leaf instead of
     # re-analyzing the whole refresh tree
     out = out.localCheckpoint(eager=True)
+    # ONE fused probe job over the checkpointed leaf answers both
+    # pre-merge questions (they used to be two separate jobs): did any
+    # feed row carry a NULL group key (refuse — the view's merge
+    # identity is its group key), and did any group die (tombstone
+    # merges need the Spark window plan; most refreshes are pure
+    # insert/update churn and take the driver-side Arrow fast path).
+    null_key = None
+    for g in d.groups:
+        c = F.col(g).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    flags = out.select(
+        F.max(F.when(null_key, 1).otherwise(0)).alias("__null_key"),
+        F.max(F.when(F.col("__dead"), 1).otherwise(0)).alias("__has_dead"),
+    ).first()
+    if flags["__null_key"]:
+        raise ValueError(
+            f"refresh {name}: NULL in GROUP BY column(s) {d.groups} — "
+            f"the view's merge identity is its group key, which must be "
+            f"non-null (filter or coalesce the key in the definition)"
+        )
     w = _writer(cat, name, d)
     w.extra_commit_props = marker
-    # most refreshes carry no dead groups (pure insert/update churn);
-    # probing the checkpointed rows costs one trivial job and lets the
-    # tombstone-free merge take the driver-side Arrow fast path
-    # (tombstone merges need the Spark window plan)
-    if out.filter(F.col("__dead")).limit(1).count() > 0:
+    if flags["__has_dead"]:
         w.merge(out, tombstone_col="__dead")
     else:
         w.merge(out.drop("__dead"))
