@@ -66,7 +66,7 @@ apply equality deletes at that cardinality.
 from __future__ import annotations
 
 import os
-from functools import reduce
+from functools import lru_cache, reduce
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, functions as F
@@ -90,6 +90,18 @@ MOR_AUTO_MATERIALIZE_DELETES = 48
 TBLPROP_MERGE_MODE = "write.merge.mode"
 MODE_COW = "copy-on-write"
 MODE_MOR = "merge-on-read"
+
+
+@lru_cache(maxsize=4096)
+def _footer_schema(path: str):
+    """Driver-side parquet footer schema, memoized per absolute path —
+    lake files are immutable (uuid-named, never rewritten in place), so
+    a path's schema never changes while it exists."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(pq.read_schema(path))
 
 
 def mor_state(m: "Manifest") -> tuple[dict[str, int], dict[str, dict]]:
@@ -143,23 +155,21 @@ def _tombstone_frame(
     # literal — an earlier file_path→seq map over _metadata cost a
     # per-row regexp plus an O(files) map scan on every evaluation of
     # the frame, which regressed MOR reads 1.6–2.5× at the bench scale.
-    import pyarrow.parquet as pq
-
-    from pyspark.sql.pandas.types import from_arrow_schema
-
     groups: dict[tuple[str, int], tuple[T.StructType, int, list[str]]] = {}
     total_bytes = 0
     for tf, meta in sorted(deletes.items()):
         absp = os.path.join(table.dir, tf)
-        sch = from_arrow_schema(pq.read_schema(absp))
+        sch = _footer_schema(absp)
         seq = int(meta["seq"])
         key = (sch.json(), seq)
         groups.setdefault(key, (sch, seq, []))[2].append(tf)
         total_bytes += int(meta.get("bytes") or 0)
+    from .relation_cache import schema_relation
+
     parts = []
     for sch, seq, rels in groups.values():
-        t = table.spark.read.schema(sch).parquet(
-            *[os.path.join(table.dir, r) for r in rels]
+        t = schema_relation(
+            table.spark, sch, [os.path.join(table.dir, r) for r in rels]
         )
         t = t.select(
             *[
@@ -184,16 +194,18 @@ def read_visible(
     schema'd read — callers run ``to_logical_names`` after). Zero
     overhead when the manifest has no merge-on-read state: one branch,
     no extra columns, no join."""
+    from .relation_cache import empty_relation, schema_relation
+
     schema = schema if schema is not None else table.read_schema(m)
     if not rel_files:
-        return table.spark.createDataFrame([], schema)
+        return empty_relation(table.spark, schema)
     seq_map, deletes = mor_state(m)
 
     def absp(fs):
         return [os.path.join(table.dir, f) for f in fs]
 
     if not deletes:
-        return table.spark.read.schema(schema).parquet(*absp(rel_files))
+        return schema_relation(table.spark, schema, absp(rel_files))
     if MOR_SEQ in schema.fieldNames():
         raise ValueError(
             f"column name {MOR_SEQ!r} is reserved on merge-on-read tables"
@@ -204,8 +216,7 @@ def read_visible(
     for f in rel_files:
         groups.setdefault(int(seq_map.get(f, 0)), []).append(f)
     branches = [
-        table.spark.read.schema(schema)
-        .parquet(*absp(fs))
+        schema_relation(table.spark, schema, absp(fs))
         .withColumn(MOR_SEQ, F.lit(s))
         for s, fs in sorted(groups.items())
     ]

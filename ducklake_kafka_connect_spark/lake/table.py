@@ -2184,13 +2184,15 @@ class LakeTable:
         only_from = [f for f in m_from.all_files() if f not in shared]
         only_to = [f for f in m_to.all_files() if f not in shared]
 
+        from .relation_cache import empty_relation, schema_relation
+
         def _side(m: Manifest, rel_files: list[str]) -> DataFrame:
             schema = self.read_schema(m)
             files = [os.path.join(self.dir, p) for p in rel_files]
             if not files:
-                df = self.spark.createDataFrame([], schema)
+                df = empty_relation(self.spark, schema)
             else:
-                df = self.spark.read.schema(schema).parquet(*files)
+                df = schema_relation(self.spark, schema, files)
             # physical in-file names are the invariant across versions:
             # align BOTH snapshots to the TO side's logical names, so a
             # rename between the versions compares values, not names
@@ -2220,11 +2222,14 @@ class LakeTable:
                 ren = m.column_renames
                 pkp = [ren.get(c, c) for c in pk]
                 if not rel_files:
-                    return self.spark.createDataFrame(
-                        [], T.StructType([self.read_schema(m)[p] for p in pkp])
+                    return empty_relation(
+                        self.spark,
+                        T.StructType([self.read_schema(m)[p] for p in pkp]),
                     ).toDF(*pk)
-                d = self.spark.read.schema(self.read_schema(m)).parquet(
-                    *[os.path.join(self.dir, p) for p in rel_files]
+                d = schema_relation(
+                    self.spark,
+                    self.read_schema(m),
+                    [os.path.join(self.dir, p) for p in rel_files],
                 )
                 return d.select(*[F.col(p).alias(l) for p, l in zip(pkp, pk)])
 
