@@ -1123,7 +1123,14 @@ class LakeWriter:
             from .table import _harvest_one, _stats_columns, _bloom_column
 
             with REGISTRY.timer("append.arrowBatchEval"):
-                batch = out.toArrow()  # the ONE Spark job
+                # same gated coalesce as the Arrow merge path: a small
+                # batch often arrives in 32 near-empty map partitions
+                # and collecting them is pure task-scheduling overhead
+                # (~60→35 ms measured); only plans the optimizer thinks
+                # are tiny qualify, so compute-heavy pipelines keep
+                # their parallelism. ``est`` was computed above.
+                eval_df = out.coalesce(4) if est <= EVAL_COALESCE_MAX_BYTES else out
+                batch = eval_df.toArrow()  # the ONE Spark job
             if batch.num_rows == 0:
                 return False
             exprs = manifest.partition_exprs
