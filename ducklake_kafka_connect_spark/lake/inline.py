@@ -138,6 +138,15 @@ def inline_rows_df(spark, manifest, schema):
 
     tables = [conform_to_arrow(decode_blob(b), target) for b in blobs]
     merged = pa.concat_tables(tables)
+    # hand Spark the Arrow table directly (LocalRelation, no RDD
+    # parallelize round-trip); the python-rows path stays as the
+    # fallback for any arrow→catalyst mapping gap
+    try:
+        df = spark.createDataFrame(merged)
+        if df.schema == schema:
+            return df
+    except Exception:
+        pass
     rows = merged.to_pylist()
     return spark.createDataFrame(rows, schema=schema)
 

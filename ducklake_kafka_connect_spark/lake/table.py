@@ -49,6 +49,7 @@ from pyspark.sql import types as T
 from ..metrics import REGISTRY
 from . import txn as _txn
 from .backend import StorageBackend, resolve_backend
+from .relation_cache import local_rows_df
 from .txn import TxnContext, TxnInProgress
 from .partitioning import (
     PartitionExpr,
@@ -1213,7 +1214,8 @@ class LakeTable:
                     ts,
                 )
             )
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             rows,
             "version long, parent long, op string, n_files long, "
             "n_bytes long, committed_at timestamp",
@@ -3642,7 +3644,8 @@ class LakeCatalog:
             )
             for d in _txn.list_txns(self.fs, self.root)
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             rows or [],
             "txn string, status string, opened_at double, "
             "finalized_at double, tables array<string>",
@@ -4573,7 +4576,7 @@ class LakeCatalog:
                 if not ck.startswith("constraint."):
                     continue
                 try:
-                    self.spark.createDataFrame([], schema).filter(
+                    local_rows_df(self.spark, [], schema).filter(
                         cpred
                     ).schema
                 except Exception as e:
@@ -4820,7 +4823,8 @@ class LakeCatalog:
     def show_tables(self):
         """``SHOW TABLES`` — one row per committed table."""
         names = self.list_tables()
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             [(n,) for n in names] or [], "name string"
         )
 
@@ -4846,7 +4850,8 @@ class LakeCatalog:
             )
             for f in m.schema.fields
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             rows,
             "column_name string, column_type string, null string, "
             "key string, comment string",
@@ -4922,7 +4927,8 @@ class LakeCatalog:
                 int(n),
                 round(100.0 * (n - row[f"__cnt_{c}"]) / n, 2) if n else None,
             ))
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             out,
             "column_name string, column_type string, min string, "
             "max string, approx_unique bigint, avg double, std double, "
@@ -5115,7 +5121,8 @@ class LakeCatalog:
                 "a single base table (no join views; star-join to one "
                 "broadcast dim supported)"
             )
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 [(
                     name,
                     f"CREATE MATERIALIZED VIEW {quote_ident(name)} AS "
@@ -5154,7 +5161,8 @@ class LakeCatalog:
         stmt = f"CREATE TABLE {quote_ident(name)} ({', '.join(cols)})"
         if m.partition_spec:
             stmt += " PARTITIONED BY (" + ", ".join(m.partition_spec) + ")"
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             [(name, stmt)], "table string, create_statement string"
         )
 
@@ -5734,7 +5742,8 @@ class LakeCatalog:
         return self._ddl_result(op, name, f"v{t.current_version()}")
 
     def _ddl_result(self, op: str, table: str, detail: str):
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             [(op, table, detail)], "op string, table string, detail string"
         )
 
@@ -5848,12 +5857,14 @@ class LakeCatalog:
         # DuckDB's BEGIN/COMMIT against an attached ducklake catalog)
         if _re.match(r"(BEGIN|START)(\s+TRANSACTION)?\s*$", q, _re.IGNORECASE):
             txn_id = self.begin()
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 [(txn_id, "open")], "txn string, status string"
             )
         if _re.match(r"COMMIT(\s+TRANSACTION)?\s*$", q, _re.IGNORECASE):
             txn_id = self.commit_txn()
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 [(txn_id, "committed")], "txn string, status string"
             )
         rbm = _re.match(
@@ -5863,7 +5874,8 @@ class LakeCatalog:
         )
         if rbm:
             txn_id = self.rollback_txn(rbm.group(1))
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 [(txn_id, "aborted")], "txn string, status string"
             )
         if _re.match(r"SHOW\s+TRANSACTIONS\s*$", q, _re.IGNORECASE):
@@ -5881,7 +5893,8 @@ class LakeCatalog:
                 n for n in self.list_tables()
                 if fnmatch.fnmatchcase(n.lower(), pat.lower())
             ]
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 [(n,) for n in names] or [], "name string"
             )
         exm = _re.match(
@@ -5917,14 +5930,15 @@ class LakeCatalog:
             df = self.sql(inner, versions=versions, where_hints=where_hints)
             jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
             plan = df._jdf.queryExecution().explainString(jmode)
-            return self.spark.createDataFrame([(plan,)], "plan string")
+            return local_rows_df(self.spark, [(plan,)], "plan string")
         scv = _re.match(
             rf"SHOW\s+CREATE\s+VIEW\s+({_IDENT})\s*$", q, _re.IGNORECASE
         )
         if scv:
             vname = unquote_ident(scv.group(1))
             body = self.view_query(vname)  # raises if absent
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 [(f"CREATE VIEW {quote_ident(vname)} AS {body}",)],
                 "create_stmt string",
             )
@@ -5941,7 +5955,8 @@ class LakeCatalog:
             if not t.exists():
                 raise ValueError(f"table {spm.group(1)!r} does not exist")
             rows = sorted(t.properties().items())
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 rows or [], "key string, value string"
             )
         spp = _re.match(rf"SHOW\s+PARTITIONS\s+({_IDENT})\s*$", q, _re.IGNORECASE)
@@ -5966,7 +5981,8 @@ class LakeCatalog:
                        if dir_key_to_canon_tuple(k, m.partition_exprs) == tup))
                 for tup in rows
             ]
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 rows or [], "partition string, n_files long"
             )
         stm = _re.match(rf"SHOW\s+TAGS\s+({_IDENT})\s*$", q, _re.IGNORECASE)
@@ -5975,7 +5991,7 @@ class LakeCatalog:
             if not t.exists():
                 raise ValueError(f"table {stm.group(1)!r} does not exist")
             rows = sorted(t.tags().items())
-            return self.spark.createDataFrame(rows or [], "tag string, version long")
+            return local_rows_df(self.spark, rows or [], "tag string, version long")
         ddm = _re.match(
             rf"DESC(?:RIBE)?\s+DETAIL\s+({_IDENT})\s*$", q, _re.IGNORECASE
         )
@@ -6007,7 +6023,8 @@ class LakeCatalog:
                 len(deletes),
                 json.dumps(dict(sorted(m.props.get("tblproperties", {}).items()))),
             )
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 [row],
                 "table string, version bigint, num_files bigint, "
                 "size_bytes bigint, num_rows bigint, partition_spec string, "
@@ -6050,7 +6067,8 @@ class LakeCatalog:
                 )
                 for i, f in enumerate(m.schema.fields)
             ]
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 rows,
                 "cid int, name string, type string, notnull boolean, "
                 "dflt_value string, pk boolean",
@@ -6076,13 +6094,14 @@ class LakeCatalog:
                 (a, c.root, "read_only")
                 for a, c in sorted(self._attached.items())
             ]
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 rows, "database string, root string, access string"
             )
         svw = _re.match(r"SHOW\s+VIEWS\s*$", q, _re.IGNORECASE)
         if svw:
             rows = [(v, self.view_query(v)) for v in self.list_views()]
-            return self.spark.createDataFrame(rows or [], "view string, query string")
+            return local_rows_df(self.spark, rows or [], "view string, query string")
         ssq = _re.match(r"SHOW\s+SEQUENCES\s*$", q, _re.IGNORECASE)
         if ssq:
             from . import sequence as _sequence
@@ -6099,7 +6118,8 @@ class LakeCatalog:
                 for n in _sequence.list_sequences(self.fs, self.root)
                 for st in (_sequence.sequence_state(self.fs, self.root, n),)
             ]
-            return self.spark.createDataFrame(
+            return local_rows_df(
+            self.spark,
                 rows or [],
                 "name string, increment bigint, min bigint, max bigint, "
                 "cycle boolean, next bigint",
@@ -6276,7 +6296,7 @@ class LakeCatalog:
                 "column_index int, data_type string, is_nullable boolean, "
                 "comment string"
             )
-            self.spark.createDataFrame(rows or [], schema) \
+            local_rows_df(self.spark, rows or [], schema) \
                 .createOrReplaceTempView(syn)
             views.append(syn)
             return quote_ident(syn)
@@ -6336,7 +6356,7 @@ class LakeCatalog:
                     "ordinal_position int, data_type string, "
                     "is_nullable string, column_default string"
                 )
-            self.spark.createDataFrame(rows or [], schema) \
+            local_rows_df(self.spark, rows or [], schema) \
                 .createOrReplaceTempView(syn)
             views.append(syn)
             return quote_ident(syn)
@@ -6620,7 +6640,8 @@ class LakeCatalog:
                 f"{_re.sub(r'[^A-Za-z0-9_]', '_', name)}__files_"
                 f"{mf.version}_{_uuid.uuid4().hex[:6]}"
             )
-            self.spark.createDataFrame(
+            local_rows_df(
+            self.spark,
                 rows or [],
                 "partition string, file string, rows bigint, "
                 "bytes bigint, seq bigint",

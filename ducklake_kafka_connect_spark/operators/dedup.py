@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..lake.relation_cache import local_rows_df
 
 MERSENNE = 2147483647  # 2^31 - 1; keeps a*h+b inside int64 on both engines
 # Shingle-hash combiners: shingle hash = (h(w0)·C1 % M + h(w1)·C2 % M +
@@ -1336,7 +1337,7 @@ def _union_find_labels(spark, edge_list: list, out_id: str) -> DataFrame:
                 T.StructField("cluster_id", T.LongType(), False),
             ]
         )
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)
 
 
 def cluster_reps_sql(

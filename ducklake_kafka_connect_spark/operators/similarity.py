@@ -16,6 +16,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..lake.relation_cache import local_rows_df
 
 
 def _as_double(col: Column) -> Column:
@@ -945,7 +946,7 @@ def kcenter_coreset(
     if prev is not None:
         prev.unpersist()
     v.unpersist()
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out, "sel_ord int, vec_id long, dist_micro long"
     )
 

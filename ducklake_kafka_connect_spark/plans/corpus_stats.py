@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import h60_col, h60_sql
 from ..operators.similarity import ivf_assign_sql, with_ivf_cell
 from .queries import _t, register
+from ..lake.relation_cache import local_rows_df
 
 TOKEN_SPLIT = r"\s+"
 LOGPROB_LOW_MICRO = -3_600_000  # avg ln p < -3.6 → rare-token-heavy doc
@@ -2269,7 +2270,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
             )
     st.unpersist()
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         merges, "merge_round int, pair string, cnt bigint"
     )
 

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import WORDS_SQL, h60_col, h60_sql
 from .corpus_stats import TOKEN_SPLIT
 from .queries import _t, register
+from ..lake.relation_cache import local_rows_df
 
 # Gopher/MassiveText table A1 thresholds, in integer micros.
 TOP2_FLAG_MICRO = 200_000  # top 2-gram > 0.20 of chars
@@ -562,7 +563,7 @@ def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KL_VOCAB)
         .collect()
     )
-    vocab = spark.createDataFrame(
+    vocab = local_rows_df(spark, 
         [(r["word"], int(r["c_c"])) for r in vrows], "word string, c_c long"
     )
     nc_val = float(sum(int(r["c_c"]) for r in vrows))

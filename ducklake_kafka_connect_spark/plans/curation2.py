@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import WORDS_SQL
 from .queries import _t, register
+from ..lake.relation_cache import local_rows_df
 
 # C4-style gates, adapted to the synthetic corpus' signal: a minimum
 # word count, an English-stopword presence check (C4 drops pages
@@ -592,7 +593,7 @@ def filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV size(split(trim(lower(text)), '\\\\s+')) AS BIGINT)"
         ).alias("mwl_micro"),
     ).filter(F.col("n_words") > 0)
-    th = spark.createDataFrame(
+    th = local_rows_df(spark, 
         [(t,) for t in _SWEEP_THRESHOLDS], "threshold long"
     )
     retained = F.when(F.col("mwl_micro") >= F.col("threshold"), 1).otherwise(0)

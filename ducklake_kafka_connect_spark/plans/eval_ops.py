@@ -62,6 +62,7 @@ _EST_MICRO_PER_MATCH = 1_000_000 // NUM_PERM
 
 from ..operators.dedup import sig_matches_col as _sig_matches_col  # noqa: E402
 from ..operators.dedup import sig_matches_sql as _sig_matches_sql  # noqa: E402
+from ..lake.relation_cache import local_rows_df
 
 
 def _band_hit_col(suffix_a: str = "_a", suffix_b: str = "_b") -> F.Column:
@@ -583,7 +584,7 @@ def streaming_novelty_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_novel = ded.last_batch_stats["n_novel"]
         acc.append((b, n_in, n_novel, n_in - n_novel))
     all_rows.unpersist()  # releases the checkpoint blocks
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         acc, "batch_id int, n_incoming long, n_novel long, n_flagged long"
     )
 
@@ -1107,7 +1108,7 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RM3_EXPANSION_TERMS)
         .select("w")
     )
-    seed = spark.createDataFrame([(t,) for t in BM25_TERMS], "w string")
+    seed = local_rows_df(spark, [(t,) for t in BM25_TERMS], "w string")
     terms2 = expansion.unionAll(seed)
     tf2 = (
         tok.join(F.broadcast(terms2), "w")

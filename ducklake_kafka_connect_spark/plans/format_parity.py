@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from ..lake import LakeCatalog
 from ..streaming.ingest import IngestConfig, IngestPipeline, TableSpec
 from .queries import _t, register
+from ..lake.relation_cache import local_rows_df
 
 AVRO_BAD_MOD = 97  # every 97th event framed under an unregistered id
 
@@ -1917,7 +1918,7 @@ def lake_sink_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink(clean)
     n_clean = cat.table("ev_c").read().count()
-    bad = spark.createDataFrame(
+    bad = local_rows_df(spark, 
         [(999_999_901, "EVIL", -5)], "event_id long, event_type string, cents long"
     )
     try:
@@ -2479,13 +2480,13 @@ def multi_table_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- rollback physically undoes both ---
     tip_a = cat.table("txn_ev").current_version()
     tip_b = cat.table("txn_audit").current_version()
-    junk = spark.createDataFrame(
+    junk = local_rows_df(spark, 
         [(-1, "junk", -1)], "event_id long, event_type string, cents long"
     )
     cat.begin()
     wa.write(junk)
     wb.write(
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [("junk", -1)], "event_type string, batch_n long"
         )
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _t, register
+from ..lake.relation_cache import local_rows_df
 
 DAMP_NUM, DAMP_DEN = 85, 100        # d = 0.85 as an exact rational
 BASE_MICRO = 150_000                # (1-d) in micro-units
@@ -289,7 +290,7 @@ def knn_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if seed is None:
         # mod-gated sample is empty at this scale: an empty result frame
         # beats interpolating None into the recursive SQL (parse error)
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [], "dist bigint, n_nodes bigint, min_node bigint, max_node bigint"
         )
     return spark.sql(

@@ -57,6 +57,7 @@ from ..operators.text import (
 )
 from ..schema.merge import unify_schemas
 from ..sources.parquet_loader import load_parquet
+from ..lake.relation_cache import local_rows_df
 
 
 @dataclass
@@ -2211,7 +2212,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import LANG_MARKERS
 
     docs = _t(spark, sf_dir, "documents")
-    markers = spark.createDataFrame(
+    markers = local_rows_df(spark, 
         [(m, lang) for lang, ms in LANG_MARKERS.items() for m in ms],
         "w string, mlang string",
     )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .arrow_ipc import decode_arrow_ipc
 from .json_decode import decode_json
+from ..lake.relation_cache import local_rows_df
 
 # Arrow IPC streaming format begins each message with a 4-byte
 # continuation marker 0xFFFFFFFF (Arrow columnar format spec ≥ 0.15).
@@ -62,5 +63,5 @@ def decode_mixed(
             else out.unionByName(decoded, allowMissingColumns=True)
         )
     if out is None:
-        return df.sparkSession.createDataFrame([], "value string")
+        return local_rows_df(df.sparkSession, [], "value string")
     return out

@@ -35,6 +35,7 @@ from ..lake import LakeCatalog, LakeWriter
 from ..lake.writer import _dedup_last_wins
 from ..schema.reconcile import ReconcileError
 from ..sources.json_decode import CORRUPT_COL, decode_json, split_dlq
+from ..lake.relation_cache import local_rows_df
 
 _TOPIC_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 
@@ -433,7 +434,7 @@ class IngestPipeline:
             # not map 1:1 → no offset carry, no per-row DLQ (a corrupt
             # stream fails the batch, like the reference's converter)
             good = decode_arrow_ipc(part.filter(F.col("value").isNotNull()), "value")
-            bad = good.sparkSession.createDataFrame(
+            bad = local_rows_df(good.sparkSession, 
                 [], "raw_value string, error string, _dlq_at timestamp"
             )
             return good, bad
@@ -442,7 +443,7 @@ class IngestPipeline:
         decoded = decode_mixed(part, value_col="value")
         if CORRUPT_COL in decoded.columns:
             return _split(decoded)
-        bad = decoded.sparkSession.createDataFrame(
+        bad = local_rows_df(decoded.sparkSession, 
             [], "raw_value string, error string, _dlq_at timestamp"
         )
         return decoded, bad
