@@ -491,7 +491,9 @@ class IngestPipeline:
         rows = dlq_t.read(version=snap.version)
         if "raw_value" not in rows.columns:
             return {**out, "error": "DLQ table has no raw_value column"}
-        attempted = rows.count()
+        # metadata-only count: the DLQ is append-only (no MOR state), so
+        # the manifest's per-file row stats answer without a scan job
+        attempted = dlq_t.row_count(snap.version)
         if attempted == 0:
             return out
         spec = self.config.spec_for(table)
