@@ -2466,7 +2466,39 @@ class LakeTable:
         if dir_cols:
             writer = writer.partitionBy(*dir_cols)
         with REGISTRY.timer("write.dataFiles"):
-            writer.parquet(stage_abs)
+            if layout == "rebalance":
+                # AQE's coalescePartitions.parallelismFirst (default true)
+                # makes REBALANCE ignore the 64 MB advisory and keep
+                # ~defaultParallelism partitions — measured: a 45 MB
+                # append came out as 32 × 1.6 MB files and every such
+                # commit then paid an auto-compact rewrite. Honor the
+                # advisory for exactly this write job (scoped + restored:
+                # flipping it session-wide would also collapse the
+                # intermediate shuffles of compute-heavy queries to one
+                # 64 MB partition). Worst case for a concurrent query on
+                # another thread is one coarser-grained AQE stage.
+                pf_key = (
+                    "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+                )
+                sized = os.environ.get("DUCKLAKE_WRITE_SIZED_FILES", "1") != "0"
+                conf = self.spark.conf
+                old_pf = None
+                if sized:
+                    try:
+                        old_pf = conf.get(pf_key)
+                    except Exception:
+                        old_pf = None
+                    conf.set(pf_key, "false")
+                try:
+                    writer.parquet(stage_abs)
+                finally:
+                    if sized:
+                        if old_pf is None:
+                            conf.unset(pf_key)
+                        else:
+                            conf.set(pf_key, old_pf)
+            else:
+                writer.parquet(stage_abs)
 
         files: dict[str, list[str]] = {}
         abs_files: list[str] = []

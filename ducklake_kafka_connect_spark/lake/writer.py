@@ -83,7 +83,24 @@ EST_ROW_BYTES = 256
 # (capped), so per-file key ranges stay disjoint and later merges rewrite
 # only the files their batch keys overlap (bounded rewrite amplification).
 MERGE_TARGET_FILE_ROWS = 32_768
+# Bytes floor for range-split output files: 2× the auto-compact small-file
+# threshold, so a merge's own output can never re-trigger compaction.
+MERGE_TARGET_FILE_BYTES = 16 * 1024 * 1024
 MERGE_RANGE_MAX_FILES = 16
+# Large (non-small-output) CoW merges whose rewrite estimate is at or
+# below this write through one AQE REBALANCE shuffle so the output comes
+# out in ~advisory-sized files. Rationale: Spark splits a small rewrite
+# set to minPartitionNum (= parallelism) scan tasks, so the "natural"
+# layout emits one KB/MB-class file per task and every merge then paid a
+# post-commit auto-compact — a SECOND full rewrite (measured 2.2 s of the
+# 7.6 s wide26 bench merge). Above the gate the shuffle would move the
+# whole rewrite set, and scan splits are ~maxPartitionBytes there anyway,
+# which already IS the right output file size — natural stays. Tunable
+# for clusters where shuffling more before the write is cheaper than the
+# small files (Iceberg write.distribution-mode=hash makes the same call).
+MERGE_REBALANCE_MAX_BYTES = int(
+    os.environ.get("DUCKLAKE_MERGE_REBALANCE_MAX_BYTES", 1024 * 1024 * 1024)
+)
 # Tables at or below this total size take the zero-planning-job fast path
 # (rewrite-all window-merge; the merge is the write job).
 MERGE_SMALL_TABLE_BYTES = 32 * 1024 * 1024
@@ -1681,9 +1698,20 @@ class LakeWriter:
         est_bytes = self._est_rewrite_bytes(manifest, rewrite_files) + n_src * EST_ROW_BYTES
         small = dead_conf is None and est_bytes <= SMALL_OUTPUT_BYTES
         est_rows = self._est_rewrite_rows(manifest, rewrite_files) + n_src
+        # Split count from BYTES (manifest parquet bytes are exact), not
+        # rows: the former est_rows/32k-row split made a 51 MB wide-row
+        # merge emit 13 × 3.8 MB files — under the auto-compact small-file
+        # threshold, so every merge paid a second full rewrite that also
+        # destroyed the range layout's key-disjointness. The floor keeps
+        # each range file comfortably above AUTO_COMPACT_SMALL_BYTES; the
+        # rows term still caps narrow-row files at ~32k rows for pruning.
         n_out = max(
             1,
-            min(MERGE_RANGE_MAX_FILES, -(-est_rows // MERGE_TARGET_FILE_ROWS)),
+            min(
+                MERGE_RANGE_MAX_FILES,
+                -(-est_rows // MERGE_TARGET_FILE_ROWS),
+                -(-est_bytes // MERGE_TARGET_FILE_BYTES),
+            ),
         )
         if small:
             # collapse the (small, cached) batch to one task so every
@@ -1701,11 +1729,30 @@ class LakeWriter:
                 src.join(bcast(ins_lookup.select(*self.pk)), on=self.pk, how="left_anti")
                 .withColumn(INSERTED_AT, F.current_timestamp())
             )
-            merged = (
-                untouched.select(*[_qcol(c) for c in out_cols])
-                .unionByName(matched.select(*[_qcol(c) for c in out_cols]))
-                .unionByName(inserts.select(*[_qcol(c) for c in out_cols]))
-            )
+            # The changed side (matched + inserts) is at most n_src rows,
+            # but each branch inherits its upstream partitioning — the
+            # matched rows land one sliver per rewrite-file scan task and
+            # the inserts one per cached batch partition, so every large
+            # merge used to emit dozens of KB-class files and immediately
+            # trip auto-compact into a SECOND full rewrite (measured:
+            # 2.2 s of the 7.6 s wide26 CoW merge was that compaction).
+            # Repartitioning just the changed union to batch-sized task
+            # counts shuffles only ≤ n_src rows (the untouched side —
+            # the heavy one at 100 TB — stays unshuffled) and the merge
+            # output comes out right-sized on its own.
+            changed = matched.select(
+                *[_qcol(c) for c in out_cols]
+            ).unionByName(inserts.select(*[_qcol(c) for c in out_cols]))
+            if est_bytes > MERGE_REBALANCE_MAX_BYTES:
+                # natural-layout write below: collapse only the changed
+                # side (the rebalance layout already right-sizes outputs)
+                n_changed = max(
+                    1, -(-(n_src * EST_ROW_BYTES) // SMALL_OUTPUT_BYTES)
+                )
+                changed = changed.repartition(n_changed)
+            merged = untouched.select(
+                *[_qcol(c) for c in out_cols]
+            ).unionByName(changed)
 
         try:
             with self.table.lock():
@@ -1723,9 +1770,15 @@ class LakeWriter:
                         manifest=manifest,
                     )
                 else:
+                    if small:
+                        layout = "single"
+                    elif est_bytes <= MERGE_REBALANCE_MAX_BYTES:
+                        layout = "rebalance"  # right-sized files, no compact
+                    else:
+                        layout = "natural"
                     new_files, new_stats = self.table.write_data_files(
                         merged, manifest.version + 1,
-                        layout="single" if small else "natural",
+                        layout=layout,
                         manifest=manifest,
                     )
                 # keep every file that was not rewritten (including
@@ -1890,7 +1943,11 @@ class LakeWriter:
             est_bytes = n_src * EST_ROW_BYTES
             n_out = max(
                 1,
-                min(MERGE_RANGE_MAX_FILES, -(-n_src // MERGE_TARGET_FILE_ROWS)),
+                min(
+                    MERGE_RANGE_MAX_FILES,
+                    -(-n_src // MERGE_TARGET_FILE_ROWS),
+                    -(-est_bytes // MERGE_TARGET_FILE_BYTES),
+                ),
             )
 
             with self.table.lock():
@@ -2399,6 +2456,11 @@ class LakeWriter:
                         n_files = min(
                             MERGE_RANGE_MAX_FILES,
                             -(-n_rows // MERGE_TARGET_FILE_ROWS),
+                            # bytes floor (Arrow in-memory bytes over-
+                            # estimate parquet, erring toward fewer,
+                            # larger files): no output file may land
+                            # under the auto-compact threshold
+                            max(1, -(-write_tbl.nbytes // MERGE_TARGET_FILE_BYTES)),
                         )
                         step = -(-n_rows // n_files)
                         slices = [

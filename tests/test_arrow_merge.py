@@ -61,6 +61,9 @@ def test_arrow_merge_range_splits_large_output(spark, lake, monkeypatch):
     slices: multiple files, DISJOINT pk ranges in the manifest stats
     (the next merge's overlap prune depends on it), identical content."""
     monkeypatch.setattr(wmod, "MERGE_TARGET_FILE_ROWS", 100)
+    # the bytes floor would veto splitting a KB-scale fixture; this test
+    # pins the range-split mechanics, so drop the floor too
+    monkeypatch.setattr(wmod, "MERGE_TARGET_FILE_BYTES", 1)
     cat = LakeCatalog(spark, lake)
     w = LakeWriter(cat.table("t_rs"), pk=["id"])
     w.write(spark.range(450).select(F.col("id"), F.lit("a").alias("name")))
@@ -90,6 +93,9 @@ def test_arrow_merge_range_split_on_renamed_table(spark, lake, monkeypatch):
     from ducklake_kafka_connect_spark.metrics import REGISTRY
 
     monkeypatch.setattr(wmod, "MERGE_TARGET_FILE_ROWS", 100)
+    # the bytes floor would veto splitting a KB-scale fixture; this test
+    # pins the range-split mechanics, so drop the floor too
+    monkeypatch.setattr(wmod, "MERGE_TARGET_FILE_BYTES", 1)
     cat = LakeCatalog(spark, lake)
     t = cat.table("t_rrs")
     w = LakeWriter(t, pk=["id"])
