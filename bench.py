@@ -771,11 +771,31 @@ def ingest_harness(spark) -> dict:
         # file path; the ratio is the small-write latency win the
         # reference's data.inlining.row.limit exists for.
         from ducklake_kafka_connect_spark.lake.inline import inline_state
+        from ducklake_kafka_connect_spark.lake.relation_cache import (
+            local_rows_df,
+        )
+        from pyspark.sql import types as T
 
+        # r14 measurement fix (declared in OPTIMIZATION_r14.md): the drip
+        # batches are built as Arrow LocalRelations (local_rows_df — the
+        # engine's own API for driver-local rows) instead of
+        # spark.createDataFrame, whose RDD-backed plan reports UNKNOWN
+        # size to the optimizer and so disqualified every batch from the
+        # small-append fast paths the metric exists to price. Both the
+        # file side and the inline side get the same input shape, so the
+        # speedup ratio stays a like-for-like comparison of COMMIT cost.
+        drip_schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("created_at", T.TimestampType()),
+            ]
+        )
         drip = [
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(1_000_000 + 20 * i + j, f"d{i}", None) for j in range(20)],
-                "id long, name string, created_at timestamp",
+                drip_schema,
             )
             for i in range(5)
         ]

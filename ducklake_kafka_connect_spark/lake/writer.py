@@ -652,23 +652,32 @@ class LakeWriter:
         limit = table_inline_limit(manifest)
         if limit is None:
             return False, out, manifest
-        # fast reject on a RELIABLE big estimate; the optimizer returns
-        # an 8-EiB sentinel for frames it cannot size (local relations —
-        # exactly the tiny-CDC shape inlining exists for), so an unknown
-        # estimate falls through to the bounded probe instead
-        try:
-            est = int(
-                out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            est = None
-        if est is not None and (1 << 60) > est > self.ARROW_APPEND_MAX_BYTES:
-            return False, out, manifest
-        # bounded probe: collect at most limit+1 rows — CollectLimit
-        # short-circuits, so a huge append pays one cheap partial scan,
-        # a tiny one IS fully collected right here (no second job)
+        # zero-job driver-side eval for LocalRelation-folded micro-
+        # batches (the inline trickle shape) — tried FIRST: their data
+        # already sits in the driver, and the optimizer reports an
+        # 8-EiB unknown-size sentinel for RDD-backed local frames that
+        # would otherwise defeat the estimate gate. The row-limit check
+        # below rejects oversized results either way.
         with REGISTRY.timer("append.inlineEval"):
-            tbl = out.limit(limit + 1).toArrow()
+            from .relation_cache import local_plan_arrow
+
+            tbl = local_plan_arrow(out)
+        if tbl is None:
+            # fast reject on a RELIABLE big estimate; unknown estimates
+            # fall through to the bounded probe instead
+            try:
+                est = int(
+                    out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                est = None
+            if est is not None and (1 << 60) > est > self.ARROW_APPEND_MAX_BYTES:
+                return False, out, manifest
+            # bounded probe: collect at most limit+1 rows — CollectLimit
+            # short-circuits, so a huge append pays one cheap partial
+            # scan, a tiny one IS fully collected right here
+            with REGISTRY.timer("append.inlineEval"):
+                tbl = out.limit(limit + 1).toArrow()
         if tbl.num_rows == 0 or tbl.num_rows > limit:
             return False, out, manifest
         with self.table.lock():
@@ -1128,26 +1137,44 @@ class LakeWriter:
         import uuid as _uuid
 
         try:
-            est = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        except Exception:
-            return False
-        if est > self.ARROW_APPEND_MAX_BYTES:
-            return False
-        try:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
+            from .relation_cache import local_plan_arrow
             from .table import _harvest_one, _stats_columns, _bloom_column
 
             with REGISTRY.timer("append.arrowBatchEval"):
-                # same gated coalesce as the Arrow merge path: a small
-                # batch often arrives in 32 near-empty map partitions
-                # and collecting them is pure task-scheduling overhead
-                # (~60→35 ms measured); only plans the optimizer thinks
-                # are tiny qualify, so compute-heavy pipelines keep
-                # their parallelism. ``est`` was computed above.
-                eval_df = out.coalesce(4) if est <= EVAL_COALESCE_MAX_BYTES else out
-                batch = eval_df.toArrow()  # the ONE Spark job
+                # LocalRelation-folded micro-batches evaluate driver-
+                # side with ZERO Spark jobs (~10 vs ~85 ms) — tried
+                # FIRST because their data already sits in the driver
+                # (and an RDD-backed local frame reports an unknown-
+                # size sentinel that would wrongly fail the gate).
+                # Everything else gates on the optimizer estimate, with
+                # the same gated coalesce as the Arrow merge path: a
+                # small batch often arrives in 32 near-empty map
+                # partitions and collecting them is pure task-
+                # scheduling overhead (~60→35 ms measured); only plans
+                # the optimizer thinks are tiny qualify, so compute-
+                # heavy pipelines keep their parallelism.
+                batch = local_plan_arrow(out)
+                if batch is not None:
+                    if batch.nbytes > self.ARROW_APPEND_MAX_BYTES:
+                        return False  # one huge file helps nobody
+                else:
+                    est = int(
+                        out._jdf.queryExecution()
+                        .optimizedPlan()
+                        .stats()
+                        .sizeInBytes()
+                    )
+                    if est > self.ARROW_APPEND_MAX_BYTES:
+                        return False
+                    eval_df = (
+                        out.coalesce(4)
+                        if est <= EVAL_COALESCE_MAX_BYTES
+                        else out
+                    )
+                    batch = eval_df.toArrow()  # the ONE Spark job
             if batch.num_rows == 0:
                 return False
             exprs = manifest.partition_exprs
@@ -2187,7 +2214,12 @@ class LakeWriter:
                         eval_df = raw.coalesce(4)
                 except Exception:
                     pass
-                batch = eval_df.toArrow()  # the ONE Spark job
+                from .relation_cache import local_plan_arrow
+
+                # zero-job eval when the batch folded to a LocalRelation
+                batch = local_plan_arrow(raw)
+                if batch is None:
+                    batch = eval_df.toArrow()  # the ONE Spark job
             # batch rows must all land in the single existing partition
             # dir — otherwise Spark's partitionBy must create new dirs
             if part_cols and batch.num_rows:
