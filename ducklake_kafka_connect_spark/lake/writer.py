@@ -799,7 +799,8 @@ class LakeWriter:
                 f"NOT ({predicate}) OR ({predicate}) IS NULL"
             )
             new_files, new_stats = self.table.write_data_files(
-                survivors, manifest.version + 1, layout="natural",
+                survivors, manifest.version + 1,
+                layout=self._rewrite_layout(manifest, affected),
                 manifest=manifest,
             )
             dropped = set(affected)
@@ -931,7 +932,8 @@ class LakeWriter:
             # the table's CHECK constraints before any file is written.
             self._enforce_constraints(rewritten, manifest)
             new_files, new_stats = self.table.write_data_files(
-                rewritten, manifest.version + 1, layout="natural",
+                rewritten, manifest.version + 1,
+                layout=self._rewrite_layout(manifest, affected),
                 manifest=manifest,
             )
             dropped = set(affected)
@@ -986,7 +988,10 @@ class LakeWriter:
         self._enforce_constraints(delta, manifest)
         v = manifest.version + 1
         new_files, new_stats = self.table.write_data_files(
-            delta, v, layout="natural", manifest=manifest
+            # the delta is a filtered sliver of the affected files —
+            # 'natural' emitted one near-empty file per scan task
+            delta, v, layout=self._rewrite_layout(manifest, affected),
+            manifest=manifest,
         )
         n_rows = sum(int(s.get("__rows") or 0) for s in new_stats.values())
         if n_rows == 0:
@@ -2136,7 +2141,16 @@ class LakeWriter:
             # past the size gate, the first pruning-path rewrite restores
             # sidecars (missing ones are conservatively kept anyway).
             new_files, new_stats = self.table.write_data_files(
-                merged, current.version + 1, layout="natural", skip_bloom=True,
+                # single-partition windows emit exactly one right-sized
+                # file naturally; the distributed window would emit one
+                # sub-MB file per shuffle partition — rebalance those
+                merged, current.version + 1,
+                layout=(
+                    "natural"
+                    if est_rows <= SMALL_MERGE_SINGLE_TASK_ROWS
+                    else "rebalance"
+                ),
+                skip_bloom=True,
                 manifest=current,
             )
             self._commit_next(current, new_files, final_logical, new_stats, op="MERGE")
@@ -2581,6 +2595,20 @@ class LakeWriter:
                     b = SMALL_OUTPUT_BYTES
             total += int(b)
         return total
+
+    def _rewrite_layout(self, manifest: Manifest, rewrite_files: list[str]) -> str:
+        """Layout for a file-rewrite commit (CoW DELETE/UPDATE): small
+        rewrite sets get split to ~parallelism scan tasks by Spark, so
+        the 'natural' layout would emit one sub-compact-threshold file
+        per task and the commit would immediately pay an auto-compact
+        rewrite; bounded sets rebalance into advisory-sized files
+        instead (same gate as the merge path)."""
+        return (
+            "rebalance"
+            if self._est_rewrite_bytes(manifest, rewrite_files)
+            <= MERGE_REBALANCE_MAX_BYTES
+            else "natural"
+        )
 
     def _ensure_table(self, df: DataFrame) -> Manifest:
         if not self.table.exists():

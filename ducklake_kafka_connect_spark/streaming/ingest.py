@@ -557,7 +557,10 @@ class IngestPipeline:
                     dlq_writer = LakeWriter(dlq_t, pk=[], auto_create=True)
                     prepared = dlq_writer._prepare_insert(bad, latest)
                     new_files, new_stats = dlq_t.write_data_files(
-                        prepared, latest.version + 1, layout="natural",
+                        # rebalance: the residual is usually a sliver —
+                        # 'natural' emitted one near-empty file per
+                        # upstream partition of the decode pipeline
+                        prepared, latest.version + 1, layout="rebalance",
                         manifest=latest,
                     )
                 files = {
