@@ -87,6 +87,19 @@ MERGE_TARGET_FILE_ROWS = 32_768
 # threshold, so a merge's own output can never re-trigger compaction.
 MERGE_TARGET_FILE_BYTES = 16 * 1024 * 1024
 MERGE_RANGE_MAX_FILES = 16
+
+
+def _range_file_count(est_rows: int, est_bytes: int) -> int:
+    """Range-split file count balancing two pressures: the ROWS term
+    wants many narrow-key-range files (later merges prune to the files
+    their keys overlap), the BYTES term refuses files so small that the
+    commit's own output would re-trigger auto-compaction. Compaction
+    fires only at MORE THAN ``AUTO_COMPACT_MIN_FILES`` small files per
+    dir, so up to that many range files may sit under the byte target
+    safely — narrow-row tables keep their pruning granularity."""
+    rows_based = -(-est_rows // MERGE_TARGET_FILE_ROWS)
+    bytes_based = -(-est_bytes // MERGE_TARGET_FILE_BYTES)
+    return max(bytes_based, min(rows_based, AUTO_COMPACT_MIN_FILES))
 # Large (non-small-output) CoW merges whose rewrite estimate is at or
 # below this write through one AQE REBALANCE shuffle so the output comes
 # out in ~advisory-sized files. Rationale: Spark splits a small rewrite
@@ -1730,21 +1743,14 @@ class LakeWriter:
         est_bytes = self._est_rewrite_bytes(manifest, rewrite_files) + n_src * EST_ROW_BYTES
         small = dead_conf is None and est_bytes <= SMALL_OUTPUT_BYTES
         est_rows = self._est_rewrite_rows(manifest, rewrite_files) + n_src
-        # Split count from BYTES (manifest parquet bytes are exact), not
-        # rows: the former est_rows/32k-row split made a 51 MB wide-row
-        # merge emit 13 × 3.8 MB files — under the auto-compact small-file
-        # threshold, so every merge paid a second full rewrite that also
-        # destroyed the range layout's key-disjointness. The floor keeps
-        # each range file comfortably above AUTO_COMPACT_SMALL_BYTES; the
-        # rows term still caps narrow-row files at ~32k rows for pruning.
-        n_out = max(
-            1,
-            min(
-                MERGE_RANGE_MAX_FILES,
-                -(-est_rows // MERGE_TARGET_FILE_ROWS),
-                -(-est_bytes // MERGE_TARGET_FILE_BYTES),
-            ),
-        )
+        # Rows want MANY narrow-range files (pruning); auto-compact wants
+        # FEW sub-8 MB files. Its trigger is strictly MORE THAN
+        # AUTO_COMPACT_MIN_FILES small files per dir, so up to that many
+        # range files may go sub-threshold safely — the former pure
+        # rows/32k split emitted 13 × 3.8 MB files for a 51 MB wide-row
+        # merge and every commit paid a second full rewrite that also
+        # destroyed the range layout's key-disjointness.
+        n_out = max(1, min(MERGE_RANGE_MAX_FILES, _range_file_count(est_rows, est_bytes)))
         if small:
             # collapse the (small, cached) batch to one task so every
             # downstream stage schedules 1-2 tasks, not 32 near-empty ones
@@ -1974,12 +1980,7 @@ class LakeWriter:
             out = out.select(*[_qcol(c) for c in out_cols])
             est_bytes = n_src * EST_ROW_BYTES
             n_out = max(
-                1,
-                min(
-                    MERGE_RANGE_MAX_FILES,
-                    -(-n_src // MERGE_TARGET_FILE_ROWS),
-                    -(-est_bytes // MERGE_TARGET_FILE_BYTES),
-                ),
+                1, min(MERGE_RANGE_MAX_FILES, _range_file_count(n_src, est_bytes))
             )
 
             with self.table.lock():
@@ -2499,14 +2500,15 @@ class LakeWriter:
                         out_tbl = (
                             out_tbl.take(order) if ren else write_tbl
                         )
-                        n_files = min(
-                            MERGE_RANGE_MAX_FILES,
-                            -(-n_rows // MERGE_TARGET_FILE_ROWS),
-                            # bytes floor (Arrow in-memory bytes over-
-                            # estimate parquet, erring toward fewer,
-                            # larger files): no output file may land
-                            # under the auto-compact threshold
-                            max(1, -(-write_tbl.nbytes // MERGE_TARGET_FILE_BYTES)),
+                        # same rows-vs-bytes balance as the Spark range
+                        # layout (Arrow nbytes overestimate parquet —
+                        # errs toward fewer, larger files)
+                        n_files = max(
+                            1,
+                            min(
+                                MERGE_RANGE_MAX_FILES,
+                                _range_file_count(n_rows, write_tbl.nbytes),
+                            ),
                         )
                         step = -(-n_rows // n_files)
                         slices = [
