@@ -118,13 +118,25 @@ def main() -> None:
     # load as if the host had drifted
     time.sleep(3)
     probes["end"] = mini_probe()
+    # Per-section stamping (r14 refinement, declared in
+    # OPTIMIZATION_r14.md): the surface/ingest stamp uses the run-level
+    # probes around THOSE sections; the A/B phase carries its own stamp
+    # (ab.load_contaminated, from the probes taken around each side).
+    # The old pooled stamp let one turbulent A/B-phase probe flag the
+    # whole artifact even when the surface window itself was quiet —
+    # both drifts stay in the artifact so the pooling is auditable.
     samples = list(probes.values())
-    for cell in (record.get("ab", {}).get("orders") or {}).values():
-        samples.extend(cell.get("probes", {}).values())
     drift = load_drift(samples)
+    ab_samples = [
+        p
+        for cell in (record.get("ab", {}).get("orders") or {}).values()
+        for p in cell.get("probes", {}).values()
+    ]
+    drift_with_ab = load_drift(samples + ab_samples)
     record["load"] = {
         "probes": probes,
         "drift": drift,
+        "drift_with_ab": drift_with_ab,
         "load_contaminated": drift > 1.3,
     }
     # Full record to a repo file FIRST: the driver captures only the tail
