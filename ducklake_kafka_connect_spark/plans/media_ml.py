@@ -441,12 +441,21 @@ KNN_DIM = 64
 
 
 def _knn_dot(a: str, b: str) -> str:
-    """Unrolled left-assoc dot (similarity._dot_sql convention): fold
-    order identical to the oracle's chain, inputs are the same floats,
-    so cosines are bit-identical across engines."""
-    return " + ".join(
-        f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
-        for j in range(KNN_DIM)
+    """Array×array dot as an ``aggregate(zip_with(...))`` left-fold —
+    bit-identical to the oracle's unrolled left-assoc chain (the fold
+    seeds ``0.0 + t0 == t0`` and adds in the same order over the same
+    doubles) but a LOOP in whole-stage codegen instead of 64 inlined
+    terms. r14 (guide §7.2, same fix as the matryoshka/BFS harnesses):
+    the unrolled spelling emitted a huge codegen method whose JIT'd
+    form still ran the broadcast-NLJ pairs stage at 1.7 s warm; the
+    fold runs it at 1.0 s and cuts the cold-compile wall 5.0 → 1.5 s.
+    The CONSTANT-plane dots keep ``similarity._dot_sql``'s unroll (the
+    fold there is interpreted per element with no loop win — measured
+    rationale in that docstring)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
 
