@@ -55,6 +55,10 @@ PINS = {
     "pivot_event_type_wide": (1, 1, 0, 0, False),
     # as-of joins: one shuffle (the key window), pushed type filters
     "asof_forward_next_purchase": (2, 1, 0, 0, True),
+    # r14 session 9: the kNN eval pairs stage — broadcast(q) into the
+    # repartitioned corpus, zero Python; the dot is the zip_with fold
+    # (entry 18), guarded separately below
+    "knn_label_eval": (2, 5, 1, 0, True),
 }
 
 
@@ -92,6 +96,15 @@ def test_plan_shape_pinned(plans, name):
     assert bool(s["pushed"]) == pushed, (
         f"{name}: pushed-filter presence drifted (now {s['pushed']!r})"
     )
+
+
+def test_knn_eval_dot_is_fold(plans):
+    """Entry 18: the kNN eval dot must stay the aggregate(zip_with(...))
+    fold — an unrolled 64-term spelling re-inflates the codegen method
+    past the JIT/Janino budgets (measured 1.7 s warm vs 1.0 s, 5.8 s
+    cold vs 1.5 s)."""
+    plan = plans["knn_label_eval"]
+    assert "zip_with" in plan, "kNN dot no longer the zip_with fold"
 
 
 def test_no_rowwise_python_udf_in_surface_plans(plans):
